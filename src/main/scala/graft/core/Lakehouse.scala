@@ -1,0 +1,52 @@
+package graft.core
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Table registry over a scale-factor directory of parquet tables.
+  *
+  * Mirrors the reference's lakehouse layout (one columnar file-set per
+  * table, scanned lazily so the optimizer pushes predicates/projections
+  * into the reader — reference: berdl/berdl/query/query_pangenome_local.py:17-29,
+  * berdl/berdl/query/query_ontology_local.py:41-42).
+  *
+  * At 100 TB the per-table paths would be directories of many parquet
+  * files (optionally hive-partitioned by the hot filter key, e.g.
+  * `gtdb_species_clade_id` — SURVEY §4.2); `spark.read.parquet` handles
+  * both a single file and a partitioned directory transparently, so this
+  * registry is the single place a deployment re-points at real storage.
+  */
+object Lakehouse {
+  val tableNames: Seq[String] = Seq(
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings")
+
+  def table(spark: SparkSession, sfDir: String, name: String): DataFrame = {
+    require(tableNames.contains(name), s"unknown table: $name")
+    if (name == "events") {
+      // The events table carries TIMESTAMP(NANOS) parquet timestamps,
+      // which Spark's micro-precision TimestampType cannot represent
+      // (PARQUET_TYPE_ILLEGAL). Read them as raw epoch-nanos longs and
+      // truncate to exact epoch-micros (`ts_ns div 1000` — integer
+      // division; a double round-trip would lose precision at 1e18).
+      // This matches DuckDB's parquet reader, which also truncates
+      // TIMESTAMP(NANOS) to micros.
+      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      spark.read.parquet(s"$sfDir/$name.parquet")
+        .withColumnRenamed("ts", "__ts_raw")
+        .withColumn("ts_us", org.apache.spark.sql.functions.expr("__ts_raw div 1000"))
+        .drop("__ts_raw")
+    } else {
+      spark.read.parquet(s"$sfDir/$name.parquet")
+    }
+  }
+
+  /** Event timestamp as TimestampType from the exact epoch-micros column. */
+  def eventTime(tsUs: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    org.apache.spark.sql.functions.timestamp_micros(tsUs)
+
+  /** Register every table as a temp view so `spark.sql` passthrough
+    * (the reference's remote SQL surface, query_pangenome_berdl.py:92-153)
+    * works against the same registry. */
+  def registerAll(spark: SparkSession, sfDir: String): Unit =
+    tableNames.foreach(n => table(spark, sfDir, n).createOrReplaceTempView(n))
+}

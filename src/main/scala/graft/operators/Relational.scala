@@ -1,0 +1,130 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Reusable relational operators mirroring SURVEY §2.3–2.5.
+  *
+  * Each is a pure DataFrame→DataFrame function, declarative so Catalyst
+  * keeps pushdown/pruning/AQE; none collects to the driver.
+  */
+object Relational {
+
+  /** Top-k rows per group with a deterministic total order (SURVEY A5/W4;
+    * reference arg-max clade pick: berdl/berdl/prep_genome_set.py:160-169).
+    *
+    * One shuffle on `partitionCols`; at scale the window's rank stops
+    * scanning after k per group (Spark inserts a group-limit for
+    * row_number filters).
+    */
+  def topKPerGroup(df: DataFrame, partitionCols: Seq[String],
+                   order: Seq[Column], k: Int): DataFrame = {
+    val w = Window.partitionBy(partitionCols.map(col): _*).orderBy(order: _*)
+    df.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") <= k)
+      .drop("__rn")
+  }
+
+  /** First-wins keyed merge (SURVEY J8; reference ANI-source merge with
+    * source-order conflict policy: datalake_table.py:216-257).
+    *
+    * Sources are ranked by position; for each key the row from the
+    * earliest source wins. Encoded as an explicit priority column +
+    * window so the result is deterministic under parallelism.
+    */
+  def firstWinsMerge(sources: Seq[DataFrame], keys: Seq[String],
+                     tieBreak: Seq[Column] = Nil): DataFrame = {
+    val tagged = sources.zipWithIndex.map { case (df, i) =>
+      df.withColumn("__priority", lit(i))
+    }
+    val all = tagged.reduce(_.unionByName(_, allowMissingColumns = true))
+    val w = Window.partitionBy(keys.map(col): _*)
+      .orderBy(col("__priority") +: tieBreak: _*)
+    all.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
+      .drop("__rn", "__priority")
+  }
+
+  /** Core-membership flag (SURVEY A2; reference core-gene test:
+    * build_berdl_db.py:553-556): a cluster is core iff its distinct
+    * member count equals the global distinct member count.
+    *
+    * The global count is a 1-row aggregate — broadcast-joined (cross)
+    * so the per-cluster side never reshuffles.
+    */
+  def coreFlag(df: DataFrame, cluster: String, member: String): DataFrame = {
+    val perCluster = df.groupBy(col(cluster))
+      .agg(countDistinct(col(member)).as("n_members"))
+    val global = df.agg(countDistinct(col(member)).as("__n_global"))
+    perCluster.crossJoin(broadcast(global))
+      .withColumn("is_core", col("n_members") === col("__n_global"))
+      .drop("__n_global")
+  }
+
+  /** Priority-max aggregation (SURVEY A8; reference most-constrained
+    * FVA class fold: KBDatalakeUtils.py:1113-1147). Maps each value to
+    * an integer priority, takes max per group, maps back — pure
+    * expressions, codegen-friendly, map-side partial agg applies.
+    */
+  def priorityMax(df: DataFrame, groupCols: Seq[String], valueCol: String,
+                  priority: Seq[(String, Int)], as: String): DataFrame = {
+    val toPriority = priority.foldLeft(lit(0)) { case (acc, (v, p)) =>
+      when(col(valueCol) === v, lit(p)).otherwise(acc)
+    }
+    val fromPriority = priority.foldLeft(lit(null).cast("string")) {
+      case (acc, (v, p)) => when(col("__p") === p, lit(v)).otherwise(acc)
+    }
+    df.withColumn("__p0", toPriority)
+      .groupBy(groupCols.map(col): _*)
+      .agg(max(col("__p0")).as("__p"))
+      .withColumn(as, fromPriority)
+      .drop("__p")
+  }
+
+  /** Deterministic pagination (SURVEY W1; the reference's HTTP surface
+    * pages every query with {limit, offset}: query_pangenome_berdl.py:99-125).
+    * Callers must pass a total order (include a unique tie-break column).
+    */
+  def page(df: DataFrame, order: Seq[Column], limit: Int, offset: Int): DataFrame =
+    df.orderBy(order: _*).offset(offset).limit(limit)
+
+  /** Dynamic long→wide pivot with deterministic, bounded pivot values
+    * (SURVEY §1.3 dynamic ontology columns: datalake_table.py:310-316).
+    *
+    * Two-pass like the reference: discover the distinct pivot values
+    * (sorted, capped — a driver-side collect of at most `maxValues`
+    * strings), then pivot with the explicit list so the plan is stable
+    * and the shuffle is a single groupBy.
+    */
+  def dynamicPivot(df: DataFrame, keys: Seq[String], pivotCol: String,
+                   agg: Column, maxValues: Int = 1000): DataFrame = {
+    val values = df.select(col(pivotCol).cast("string"))
+      .distinct().limit(maxValues + 1)
+      .collect().map(_.getString(0)).sorted.toSeq
+    require(values.size <= maxValues,
+      s"pivot values for $pivotCol exceed cap $maxValues")
+    df.groupBy(keys.map(col): _*).pivot(pivotCol, values).agg(agg)
+  }
+
+  /** Set-collect rendered to a deterministic `;`-joined string (SURVEY
+    * A7; reference `'; '.join(sorted(set(...)))`: KBDatalakeUtils.py:1136-1147).
+    * Arrays internally, string only at the edge (SURVEY §1.2). */
+  def sortedSetJoin(c: Column, sep: String = ";"): Column =
+    concat_ws(sep, array_sort(collect_set(c)))
+
+  /** Strand-aware coordinate conversion, KBase location variant
+    * (reference: datalake_table.py:16-23): `(p0, strand, len)` →
+    * (start, end); on '-' the anchor is the high coordinate. */
+  def strandCoords(p0: Column, strand: Column, len: Column): (Column, Column) = {
+    val start = when(strand === "-", p0 - len + 1).otherwise(p0)
+    val end   = when(strand === "-", p0).otherwise(p0 + len - 1)
+    (start, end)
+  }
+
+  /** Strand-aware coordinate swap, TSV variant (reference:
+    * datalake_table.py:430-437): swap start/end when strand is '-'. */
+  def strandSwap(start: Column, end: Column, strand: Column): (Column, Column) =
+    (when(strand === "-", end).otherwise(start),
+     when(strand === "-", start).otherwise(end))
+}

@@ -1,0 +1,120 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+
+/** Scans, projections, filters (SURVEY §2.1 S1/S4, §2.2 P1-P3/F1-F8).
+  *
+  * Every query is a declarative plan: the filter and the projection reach
+  * the parquet scan (PushedFilters / ReadSchema in `.explain`), so at
+  * 100 TB only the referenced columns and matching row groups are read.
+  */
+object CoreQueries {
+
+  val queries: Map[String, QueryFn] = Map(
+    // S1/S4: lazy parquet scan with filter+projection pushdown
+    // (reference: query_pangenome_local.py:17-29).
+    "s1_scan_project" -> ((s, d) => {
+      tbl(s, d, "lineitem")
+        .filter(col("l_shipdate") < lit("1996-01-01"))
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_extendedprice"))
+    }),
+
+    // P1: projection with rename (reference: datalake_table.py:121-137).
+    "p1_select_alias" -> ((s, d) => {
+      tbl(s, d, "nation").select(
+        col("n_nationkey").as("id"),
+        col("n_name").as("name"),
+        col("n_regionkey").as("region_id"))
+    }),
+
+    // P2: conditional column (reference: datalake_table.py:128-129).
+    "p2_conditional" -> ((s, d) => {
+      tbl(s, d, "customer").select(
+        col("c_custkey"),
+        when(col("c_acctbal") < 0, lit("debt")).otherwise(lit("credit")).as("standing"))
+    }),
+
+    // P3: cast (reference: pangenome.py:193-196).
+    "p3_cast" -> ((s, d) => {
+      tbl(s, d, "lineitem").select(
+        col("l_orderkey"), col("l_linenumber"),
+        floor(col("l_quantity")).cast("bigint").as("qty_int"))
+    }),
+
+    // F1: equality filter (reference: query_pangenome_local.py:28-29).
+    "f1_eq_filter" -> ((s, d) => {
+      tbl(s, d, "orders")
+        .filter(col("o_orderstatus") === "F")
+        .select(col("o_orderkey"), col("o_custkey"))
+    }),
+
+    // F2: IN-set filter (reference: datalake_table.py:121).
+    "f2_in_filter" -> ((s, d) => {
+      tbl(s, d, "part")
+        .filter(col("p_brand").isin("Brand#1", "Brand#2", "Brand#3"))
+        .select(col("p_partkey"), col("p_brand"))
+    }),
+
+    // F3: disjunctive equality (reference: query_pangenome_local.py:52-56).
+    "f3_disjunctive" -> ((s, d) => {
+      tbl(s, d, "events")
+        .filter(col("event_type") === "error" || col("value") > 480.0)
+        .select(col("event_id"), col("event_type"))
+    }),
+
+    // F4: LIKE pattern (reference: query_pangenome_berdl.py:73-90).
+    "f4_like" -> ((s, d) => {
+      tbl(s, d, "part")
+        .filter(col("p_name").like("%red%"))
+        .select(col("p_partkey"), col("p_name"))
+    }),
+
+    // F5/F6: inequality + null-handling via nullif/coalesce
+    // (reference: build_berdl_db.py:695, 85-97).
+    "f5_ne_null" -> ((s, d) => {
+      tbl(s, d, "orders").select(
+        col("o_orderkey"),
+        coalesce(nullif(col("o_orderstatus"), lit("O")), lit("OPEN")).as("status"))
+    }),
+
+    // F7: conjunctive boolean mask (reference: ontology_enrichment_local.py:127-132).
+    "f7_conjunction" -> ((s, d) => {
+      tbl(s, d, "lineitem")
+        .filter(col("l_quantity") >= 10 && col("l_quantity") <= 20 &&
+          col("l_returnflag") === "R")
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"))
+    }),
+
+    // F8: prefix dispatch (reference: ontology_enrichment_local.py:321-327).
+    "f8_prefix_dispatch" -> ((s, d) => {
+      tbl(s, d, "part").select(
+        col("p_partkey"),
+        when(col("p_type").startsWith("ECO"), lit("economy"))
+          .when(col("p_type").startsWith("SMALL"), lit("small"))
+          .otherwise(lit("other")).as("bucket"))
+    }))
+
+  val oracles: Map[String, String] = Map(
+    "s1_scan_project" ->
+      "SELECT l_orderkey, l_linenumber, l_extendedprice FROM lineitem WHERE l_shipdate < TIMESTAMP '1996-01-01'",
+    "p1_select_alias" ->
+      "SELECT n_nationkey AS id, n_name AS name, n_regionkey AS region_id FROM nation",
+    "p2_conditional" ->
+      "SELECT c_custkey, CASE WHEN c_acctbal < 0 THEN 'debt' ELSE 'credit' END AS standing FROM customer",
+    "p3_cast" ->
+      "SELECT l_orderkey, l_linenumber, CAST(floor(l_quantity) AS BIGINT) AS qty_int FROM lineitem",
+    "f1_eq_filter" ->
+      "SELECT o_orderkey, o_custkey FROM orders WHERE o_orderstatus = 'F'",
+    "f2_in_filter" ->
+      "SELECT p_partkey, p_brand FROM part WHERE p_brand IN ('Brand#1','Brand#2','Brand#3')",
+    "f3_disjunctive" ->
+      "SELECT event_id, event_type FROM events WHERE event_type = 'error' OR value > 480.0",
+    "f4_like" ->
+      "SELECT p_partkey, p_name FROM part WHERE p_name LIKE '%red%'",
+    "f5_ne_null" ->
+      "SELECT o_orderkey, coalesce(nullif(o_orderstatus, 'O'), 'OPEN') AS status FROM orders",
+    "f7_conjunction" ->
+      "SELECT l_orderkey, l_linenumber, l_quantity FROM lineitem WHERE l_quantity >= 10 AND l_quantity <= 20 AND l_returnflag = 'R'",
+    "f8_prefix_dispatch" ->
+      "SELECT p_partkey, CASE WHEN p_type LIKE 'ECO%' THEN 'economy' WHEN p_type LIKE 'SMALL%' THEN 'small' ELSE 'other' END AS bucket FROM part")
+}

@@ -1,0 +1,56 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.Relational
+
+class RelationalSpec extends SparkTestBase {
+  import spark.implicits._
+
+  test("topKPerGroup picks deterministic top-1 with tie-break") {
+    val df = Seq(("a", 1, 10.0), ("a", 2, 10.0), ("a", 3, 5.0), ("b", 4, 1.0))
+      .toDF("g", "id", "score")
+    val got = Relational.topKPerGroup(df, Seq("g"),
+      Seq(col("score").desc, col("id").asc), 1)
+      .select("g", "id").as[(String, Int)].collect().toMap
+    assert(got === Map("a" -> 1, "b" -> 4))
+  }
+
+  test("firstWinsMerge keeps earliest source per key") {
+    val s1 = Seq((1, "one-a")).toDF("k", "v")
+    val s2 = Seq((1, "two-a"), (2, "two-b")).toDF("k", "v")
+    val got = Relational.firstWinsMerge(Seq(s1, s2), Seq("k"))
+      .as[(Int, String)].collect().toMap
+    assert(got === Map(1 -> "one-a", 2 -> "two-b"))
+  }
+
+  test("coreFlag marks clusters spanning all members") {
+    val df = Seq(("c1", "g1"), ("c1", "g2"), ("c2", "g1")).toDF("cluster", "genome")
+    val got = Relational.coreFlag(df, "cluster", "genome")
+      .select("cluster", "is_core").as[(String, Boolean)].collect().toMap
+    assert(got === Map("c1" -> true, "c2" -> false))
+  }
+
+  test("priorityMax folds to the most-constrained class") {
+    val df = Seq(("g1", "blocked"), ("g1", "essential"), ("g2", "variable"))
+      .toDF("gene", "cls")
+    val got = Relational.priorityMax(df, Seq("gene"), "cls",
+      Seq("blocked" -> 1, "variable" -> 2, "essential" -> 3), "worst")
+      .select("gene", "worst").as[(String, String)].collect().toMap
+    assert(got === Map("g1" -> "essential", "g2" -> "variable"))
+  }
+
+  test("dynamicPivot discovers sorted bounded values") {
+    val df = Seq(("u1", "x"), ("u1", "y"), ("u2", "x")).toDF("u", "t")
+    val got = Relational.dynamicPivot(df, Seq("u"), "t", count(lit(1))).na.fill(0)
+    assert(got.columns.toSeq === Seq("u", "x", "y"))
+    assert(got.filter($"u" === "u2").select("y").as[Long].head() === 0L)
+  }
+
+  test("strandCoords handles both strands (reference datalake_table.py:16-23)") {
+    val df = Seq(("+", 100L, 10L), ("-", 100L, 10L)).toDF("strand", "p0", "len")
+    val (s, e) = Relational.strandCoords(col("p0"), col("strand"), col("len"))
+    val got = df.select(col("strand"), s.as("s"), e.as("e"))
+      .as[(String, Long, Long)].collect().toSet
+    assert(got === Set(("+", 100L, 109L), ("-", 91L, 100L)))
+  }
+}

@@ -1,0 +1,65 @@
+package graft
+
+import graft.serve._
+
+class TableScannerSpec extends SparkTestBase {
+  import spark.implicits._
+
+  lazy val df = Seq(
+    (1L, "alpha", 10.0), (2L, "beta", 20.0), (3L, "gamma", 30.0), (4L, null, 40.0))
+    .toDF("id", "name", "score")
+
+  test("advanced filter operators") {
+    def run(f: ColumnFilter): Set[Long] =
+      TableScanner.scan(df, ScanRequest("t", filters = Seq(f)))
+        .select("id").as[Long].collect().toSet
+    assert(run(ColumnFilter("score", "gte", Some("20"))) === Set(2L, 3L, 4L))
+    assert(run(ColumnFilter("name", "ilike", Some("%ALpH%"))) === Set(1L))
+    assert(run(ColumnFilter("id", "in", None, Seq("1", "3"))) === Set(1L, 3L))
+    assert(run(ColumnFilter("id", "not_in", None, Seq("1", "3"))) === Set(2L, 4L))
+    assert(run(ColumnFilter("score", "between", Some("15"), Nil, Some("35"))) === Set(2L, 3L))
+    assert(run(ColumnFilter("name", "is_null")) === Set(4L))
+    assert(run(ColumnFilter("name", "is_not_null")) === Set(1L, 2L, 3L))
+    assert(run(ColumnFilter("name", "regex", Some("^(al|ga)"))) === Set(1L, 3L))
+  }
+
+  test("quick-filter parser sugar (reference filter-parser semantics)") {
+    val schema = df.schema
+    assert(FilterParser.parse(schema, "name", "null").op === "is_null")
+    assert(FilterParser.parse(schema, "name", "!null").op === "is_not_null")
+    assert(FilterParser.parse(schema, "score", ">= 20") ===
+      ColumnFilter("score", "gte", Some("20")))
+    assert(FilterParser.parse(schema, "score", "10..30").op === "between")
+    assert(FilterParser.parse(schema, "score", "between 10 and 30").op === "between")
+    assert(FilterParser.parse(schema, "name", "a,b").op === "in")
+    assert(FilterParser.parse(schema, "name", "!a,b").op === "not_in")
+    assert(FilterParser.parse(schema, "score", "20") === ColumnFilter("score", "eq", Some("20")))
+    assert(FilterParser.parse(schema, "name", "alp") ===
+      ColumnFilter("name", "ilike", Some("%alp%")))
+  }
+
+  test("pagination + sort + total_count") {
+    val page = TableScanner.scan(df, ScanRequest("t",
+      sortColumn = Some("score"), sortOrder = "DESC", limit = Some(2), offset = Some(1)))
+      .select("id").as[Long].collect().toSeq
+    assert(page === Seq(3L, 2L))
+    val n = TableScanner.totalCount(df, ScanRequest("t",
+      filters = Seq(ColumnFilter("score", "gt", Some("15")))))
+      .as[Long].head()
+    assert(n === 3L)
+  }
+
+  test("group_by + aggregations") {
+    val got = TableScanner.scan(df, ScanRequest("t",
+      groupBy = Seq(), aggregations = Seq(
+        Aggregation("count", "id", "n"), Aggregation("max", "score", "mx"))))
+    val row = got.collect().head
+    assert(row.getLong(0) === 4L && row.getDouble(1) === 40.0)
+  }
+
+  test("global search hits any column, case-insensitive") {
+    val got = TableScanner.scan(df, ScanRequest("t", searchValue = Some("AMM")))
+      .select("id").as[Long].collect().toSet
+    assert(got === Set(3L))
+  }
+}

@@ -1,0 +1,95 @@
+#!/usr/bin/env python3
+"""Dev-only oracle check, mimicking the driver's correctness gate.
+
+Usage: after `sbt "runMain graft.Verify <sfDir> <outDir>"`, run
+    python3 tools/check.py <sfDir> <outDir>
+
+Loads each query's parquet output, runs its oracle SQL in DuckDB over
+the same tables, sorts columns by name and rows by all columns, and
+compares values (exact; floats must have been rounded by the query).
+"""
+import glob
+import json
+import math
+import os
+import sys
+
+import duckdb
+
+TABLES = ["region", "nation", "customer", "supplier", "part",
+          "orders", "lineitem", "events", "documents", "embeddings"]
+
+
+def canon(rows, cols):
+    """Column-name-sorted, row-sorted list of tuples with NaN->None."""
+    order = sorted(range(len(cols)), key=lambda i: cols[i])
+    out = []
+    for r in rows:
+        vals = []
+        for i in order:
+            v = r[i]
+            if isinstance(v, float) and math.isnan(v):
+                v = None
+            vals.append(v)
+        out.append(tuple(vals))
+    return sorted(out, key=lambda t: tuple((x is None, str(x)) for x in t))
+
+
+def main():
+    sfdir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    outdir = sys.argv[2] if len(sys.argv) > 2 else "/tmp/verify_out"
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM '{sfdir}/{t}.parquet'")
+    with open(os.path.join(outdir, "oracle_sql.json")) as f:
+        oracles = json.load(f)
+
+    n_pass = n_fail = 0
+    produced = {os.path.basename(p) for p in glob.glob(f"{outdir}/*")
+                if os.path.isdir(p)}
+    for name in sorted(produced):
+        files = glob.glob(f"{outdir}/{name}/*.parquet")
+        if not files:
+            print(f"FAIL {name}: no output parquet")
+            n_fail += 1
+            continue
+        got_rel = con.sql(f"SELECT * FROM '{files[0]}'")
+        got_cols, got = got_rel.columns, got_rel.fetchall()
+        if name not in oracles:
+            print(f"SKIP {name}: no oracle ({len(got)} rows)")
+            continue
+        try:
+            exp_rel = con.sql(oracles[name])
+            exp_cols, exp = exp_rel.columns, exp_rel.fetchall()
+        except Exception as e:
+            print(f"FAIL {name}: oracle SQL error: {e}")
+            n_fail += 1
+            continue
+        cg, ce = canon(got, got_cols), canon(exp, exp_cols)
+        if sorted(got_cols) != sorted(exp_cols):
+            print(f"FAIL {name}: columns {sorted(got_cols)} != {sorted(exp_cols)}")
+            n_fail += 1
+        elif cg == ce:
+            print(f"PASS {name} ({len(got)} rows)")
+            n_pass += 1
+        else:
+            print(f"FAIL {name}: rows got={len(cg)} exp={len(ce)}")
+            for i, (a, b) in enumerate(zip(cg, ce)):
+                if a != b:
+                    print(f"  first diff @ {i}:\n    got {a}\n    exp {b}")
+                    break
+            else:
+                ln = min(len(cg), len(ce))
+                print(f"  extra rows after {ln}: got {cg[ln:ln+2]} exp {ce[ln:ln+2]}")
+            n_fail += 1
+    for name in sorted(set(oracles) - produced):
+        print(f"FAIL {name}: oracle declared but no output")
+        n_fail += 1
+    print(f"\n{n_pass} pass, {n_fail} fail, "
+          f"{len(produced - set(oracles))} rows-only")
+    sys.exit(1 if n_fail else 0)
+
+
+if __name__ == "__main__":
+    main()
