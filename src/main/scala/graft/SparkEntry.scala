@@ -24,7 +24,11 @@ object SparkEntry {
       AggQueries.queries ++
       WindowSetQueries.queries ++
       ScalarQueries.queries ++
-      ServeQueries.queries
+      ServeQueries.queries ++
+      TextQueries.queries ++
+      DedupQueries.queries ++
+      VectorQueries.queries ++
+      IngestQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted keys get a rows-only check. */
@@ -34,5 +38,9 @@ object SparkEntry {
       AggQueries.oracles ++
       WindowSetQueries.oracles ++
       ScalarQueries.oracles ++
-      ServeQueries.oracles
+      ServeQueries.oracles ++
+      TextQueries.oracles ++
+      DedupQueries.oracles ++
+      VectorQueries.oracles ++
+      IngestQueries.oracles
 }

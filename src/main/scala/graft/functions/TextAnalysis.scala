@@ -1,0 +1,69 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text-analysis column bank for the training-data pipeline: token
+  * counting, quality scoring, language ID, fingerprinting. All pure
+  * Catalyst expressions (codegen'd); at 100 TB these run as a single
+  * projection pass over the text column with nothing shuffled.
+  */
+object TextAnalysis {
+
+  /** Whitespace tokens. */
+  def wsTokens(text: Column): Column = split(trim(text), "\\s+")
+
+  def tokenCount(text: Column): Column = size(wsTokens(text))
+
+  /** BPE-ish pre-tokenization: word pieces + isolated punctuation
+    * (the GPT-2-style `\w+|[^\w\s]` split). */
+  def bpeishTokens(text: Column): Column =
+    regexp_extract_all(text, lit("\\w+|[^\\w\\s]"), lit(0))
+
+  def punctCount(text: Column): Column =
+    size(regexp_extract_all(text, lit("[^\\w\\s]"), lit(0)))
+
+  /** Fraction of tokens that are in `words` (stopword ratio et al). */
+  def wordSetRatio(text: Column, words: Seq[String]): Column = {
+    val toks = wsTokens(text)
+    val wordArr = array(words.map(lit): _*)
+    size(filter(toks, t => array_contains(wordArr, t))).cast("double") /
+      greatest(size(toks), lit(1)).cast("double")
+  }
+
+  /** Marker-word sets per language for the n-gram/stopword language-ID
+    * heuristic. Tiny on purpose: broadcast as literals into codegen. */
+  val langMarkers: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "a", "and", "of", "to", "is"),
+    "de" -> Seq("der", "die", "das", "und", "ist", "ein"),
+    "es" -> Seq("el", "la", "de", "los", "es", "una"),
+    "fr" -> Seq("le", "la", "les", "et", "est", "une"),
+    "zh" -> Seq("的", "是", "了", "在", "我", "不"))
+
+  /** Arg-max language by marker-word ratio; ties resolve to the
+    * alphabetically-first language (deterministic). */
+  def langId(text: Column): Column = {
+    val scores = langMarkers.map { case (lang, ws) => lang -> wordSetRatio(text, ws) }
+    val best = greatest(scores.map(_._2): _*)
+    scores.foldRight(lit("und")) { case ((lang, sc), acc) =>
+      when(sc === best && best > 0, lit(lang)).otherwise(acc)
+    }
+  }
+
+  /** Quality score in [0,1]: length band + punctuation sanity +
+    * stopword presence (the usual heuristic trio for corpus filtering). */
+  def qualityScore(text: Column): Column = {
+    val n = tokenCount(text).cast("double")
+    val lengthOk = when(n >= 10 && n <= 1000, lit(1.0)).otherwise(lit(0.0))
+    val punctRatio = punctCount(text).cast("double") / greatest(length(text), lit(1)).cast("double")
+    val punctOk = when(punctRatio <= 0.2, lit(1.0)).otherwise(lit(0.0))
+    val stopRatio = wordSetRatio(text, langMarkers.toMap.apply("en"))
+    val stopOk = when(stopRatio >= 0.01, lit(1.0)).otherwise(lit(0.0))
+    (lengthOk + punctOk + stopOk) / 3.0
+  }
+
+  /** Order-insensitive document fingerprint: md5 of the sorted distinct
+    * lower-cased token set (catches shuffled near-copies). */
+  def fingerprint(text: Column): Column =
+    md5(concat_ws(" ", array_sort(array_distinct(wsTokens(lower(text))))))
+}

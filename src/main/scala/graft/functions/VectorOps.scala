@@ -1,0 +1,45 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Vector math over `ArrayType(FloatType)` embedding columns, built
+  * from higher-order functions (`zip_with`/`aggregate`/`transform`) so
+  * everything stays in Catalyst and whole-stage codegen — no UDFs, no
+  * driver round-trips.
+  *
+  * Elements are cast to double before accumulating: a float fold loses
+  * ~3 decimal digits over 64 dims, and the differential oracle computes
+  * in double.
+  */
+object VectorOps {
+
+  def dot(a: Column, b: Column): Column =
+    aggregate(
+      zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0), (acc, v) => acc + v)
+
+  def norm(a: Column): Column = sqrt(dot(a, a))
+
+  def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
+
+  /** Normalize to unit length once up front: at scale, pre-normalizing
+    * the corpus turns every cosine into a plain dot product, saving a
+    * sqrt per comparison in the O(n·k) inner loop. */
+  def unitNormalize(a: Column): Column = {
+    val n = norm(a)
+    transform(a, x => x.cast("double") / n)
+  }
+
+  /** Sign-bit string of `v` against a fixed list of hyperplanes — the
+    * random-hyperplane LSH bucket key (Charikar SimHash for cosine).
+    * Hyperplanes are passed as literal arrays so the expression is
+    * deterministic and reproducible in the SQL oracle. */
+  def hyperplaneBucket(v: Column, planes: Seq[Seq[Double]]): Column = {
+    val bits = planes.map { p =>
+      val planeCol = array(p.map(lit): _*)
+      when(dot(v, planeCol) >= 0, lit("1")).otherwise(lit("0"))
+    }
+    concat(bits: _*)
+  }
+}

@@ -1,0 +1,77 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.functions.VectorOps
+
+/** Approximate-nearest-neighbor search over an embedding column.
+  *
+  * Two paths:
+  *  - `bruteForceTopK`: exact cosine top-k via a blocked cross join —
+  *    the correctness baseline. O(|queries|·|corpus|); fine when the
+  *    query side is small or broadcastable.
+  *  - `lshTopK`: random-hyperplane LSH bucketing — queries only compare
+  *    against same-bucket corpus vectors. The scale path: bucket count
+  *    grows 2^planes, the join shuffles on the bucket key, and recall
+  *    is tunable with multi-probe (hamming-1 neighbors of the query
+  *    bucket).
+  *
+  * Hyperplanes are deterministic (seeded) literal arrays, so plans are
+  * reproducible run-to-run and in the differential oracle.
+  */
+object Similarity {
+
+  /** Deterministic pseudo-random unit-ish hyperplanes (fixed seed). */
+  def hyperplanes(nPlanes: Int, dim: Int, seed: Long = 42L): Seq[Seq[Double]] = {
+    val rng = new scala.util.Random(seed)
+    Seq.fill(nPlanes)(Seq.fill(dim)(rng.nextGaussian()))
+  }
+
+  /** Exact top-k neighbors for each query id. Both sides must expose
+    * (idCol, vecCol). Ranks are total-ordered (cosine desc, id asc). */
+  def bruteForceTopK(queries: DataFrame, corpus: DataFrame, idCol: String,
+                     vecCol: String, k: Int): DataFrame = {
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"))
+    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"))
+    val scored = q.join(c, col("query_id") =!= col("neighbor_id"))
+      .withColumn("cosine", VectorOps.cosine(col("qv"), col("cv")))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("neighbor_id").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("neighbor_id"))
+  }
+
+  /** LSH-bucketed ANN: compare only within hyperplane-sign buckets.
+    * Returns the same (query_id, rank, neighbor_id) shape; rank is
+    * within-bucket. Recall < 1 by construction — pair with
+    * `bruteForceTopK` on a sample to measure. */
+  def lshTopK(df: DataFrame, idCol: String, vecCol: String, k: Int,
+              planes: Seq[Seq[Double]]): DataFrame = {
+    val bucketed = df.select(col(idCol), col(vecCol).as("v"))
+      .withColumn("bucket", VectorOps.hyperplaneBucket(col("v"), planes))
+    val a = bucketed.select(col("bucket"), col(idCol).as("query_id"), col("v").as("qv"))
+    val b = bucketed.select(col("bucket"), col(idCol).as("neighbor_id"), col("v").as("cv"))
+    val scored = a.join(b, Seq("bucket"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("cosine", VectorOps.cosine(col("qv"), col("cv")))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("neighbor_id").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("neighbor_id"))
+  }
+
+  /** Embedding-cosine near-duplicate pairs above a threshold (the
+    * semantic-dedup primitive). Exact; at scale feed LSH candidates. */
+  def cosineNearDupPairs(df: DataFrame, idCol: String, vecCol: String,
+                         threshold: Double): DataFrame = {
+    val a = df.select(col(idCol).as("id_a"), col(vecCol).as("va"))
+    val b = df.select(col(idCol).as("id_b"), col(vecCol).as("vb"))
+    a.join(b, col("id_a") < col("id_b"))
+      .withColumn("cosine", VectorOps.cosine(col("va"), col("vb")))
+      .filter(col("cosine") >= threshold)
+      .select(col("id_a"), col("id_b"))
+  }
+}

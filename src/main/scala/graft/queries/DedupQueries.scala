@@ -1,0 +1,124 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import graft.functions.TextAnalysis
+import graft.operators.{Dedup, Similarity}
+
+/** Deduplication pipeline queries over `documents` / `embeddings`:
+  * exact hash dedup, n-gram Jaccard, MinHash+LSH candidates, SimHash
+  * signatures + banded candidates, embedding-cosine near-dups. Oracle
+  * SQL for the hash pipelines is generated from the same parameters
+  * (shingle n, seed count, band layout) as the Spark operators.
+  */
+object DedupQueries {
+
+  private val ShingleN = 5
+  private val MinhashK = 16
+  private val Bands = 4
+  private val SimhashBits = 32
+  private val CosineThreshold = 0.45
+
+  val queries: Map[String, QueryFn] = Map(
+    "dedup_exact" -> ((s, d) => {
+      Dedup.exact(tbl(s, d, "documents"), "text", "doc_id")
+        .select(col("doc_id"), col("content_hash"))
+    }),
+
+    "dedup_ngram_jaccard" -> ((s, d) => {
+      Dedup.jaccardPairs(tbl(s, d, "documents"), "doc_id", "text",
+        blockCol = "lang", n = ShingleN, threshold = 0.5)
+    }),
+
+    "dedup_minhash_lsh" -> ((s, d) => {
+      Dedup.lshCandidatePairs(tbl(s, d, "documents"), "doc_id", "text",
+        n = ShingleN, k = MinhashK, bands = Bands)
+    }),
+
+    "dedup_simhash" -> ((s, d) => {
+      Dedup.simhashBits(tbl(s, d, "documents"), "doc_id",
+        TextAnalysis.wsTokens(col("text")), bits = SimhashBits)
+    }),
+
+    "dedup_simhash_pairs" -> ((s, d) => {
+      val sig = Dedup.simhashBits(tbl(s, d, "documents"), "doc_id",
+        TextAnalysis.wsTokens(col("text")), bits = SimhashBits)
+      Dedup.simhashCandidates(sig, "doc_id", bits = SimhashBits, bands = Bands)
+    }),
+
+    "dedup_embed_cosine" -> ((s, d) => {
+      Similarity.cosineNearDupPairs(tbl(s, d, "embeddings"), "vec_id",
+        "embedding", CosineThreshold)
+    }))
+
+  /** Shared SQL fragment: distinct character shingles of `text`. */
+  private val shinglesSql =
+    s"list_distinct(list_transform(generate_series(1, greatest(length(text) - ${ShingleN - 1}, 1)), " +
+      s"i -> substring(text, i, $ShingleN)))"
+
+  private val minhashAggs = (0 until MinhashK)
+    .map(s => s"min(md5(shingle || '#$s')) AS mh$s").mkString(", ")
+
+  private val rowsPerBand = MinhashK / Bands
+  private val bandSelects = (0 until Bands).map { b =>
+    val cols = (b * rowsPerBand until (b + 1) * rowsPerBand).map(i => s"mh$i")
+    s"SELECT doc_id, $b AS band, md5(${cols.mkString(" || ',' || ")}) AS band_sig FROM mh"
+  }.mkString(" UNION ALL ")
+
+  private val lowNibbles = "('1','3','5','7','9','b','d','f')"
+  private val simhashVotes = (0 until SimhashBits)
+    .map(i => s"sum(CASE WHEN substring(h, ${i + 1}, 1) IN $lowNibbles THEN 1 ELSE -1 END) AS b$i")
+    .mkString(", ")
+  private val simhashConcat = (0 until SimhashBits)
+    .map(i => s"(CASE WHEN b$i > 0 THEN '1' ELSE '0' END)").mkString(" || ")
+  private val simhashSigSql =
+    s"""WITH tok AS (SELECT doc_id, unnest(string_split_regex(trim(text), '\\s+')) AS t FROM documents),
+        h AS (SELECT doc_id, md5(t) AS h FROM tok),
+        votes AS (SELECT doc_id, $simhashVotes FROM h GROUP BY doc_id)
+        SELECT doc_id, $simhashConcat AS simhash FROM votes"""
+
+  private val simhashChunk = SimhashBits / Bands
+  private val simhashBandSelects = (0 until Bands).map { b =>
+    s"SELECT doc_id, $b AS band, substring(simhash, ${b * simhashChunk + 1}, $simhashChunk) AS chunk FROM sig"
+  }.mkString(" UNION ALL ")
+
+  /** Portable double cosine over DuckDB FLOAT[] lists. */
+  private def cosSql(a: String, b: String): String = {
+    def dot(x: String, y: String) =
+      s"list_sum(list_transform(generate_series(1, len($a)), i -> $x[i]::DOUBLE * $y[i]::DOUBLE))"
+    s"${dot(a, b)} / (sqrt(${dot(a, a)}) * sqrt(${dot(b, b)}))"
+  }
+
+  val oracles: Map[String, String] = Map(
+    "dedup_exact" ->
+      """SELECT doc_id, content_hash FROM (
+           SELECT doc_id, md5(text) AS content_hash,
+             row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn
+           FROM documents) WHERE rn = 1""",
+    "dedup_ngram_jaccard" ->
+      s"""WITH sh AS (SELECT doc_id, lang, $shinglesSql AS s FROM documents)
+          SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+            len(list_intersect(a.s, b.s))::DOUBLE / len(list_distinct(a.s || b.s))::DOUBLE AS jaccard
+          FROM sh a JOIN sh b ON a.lang = b.lang AND a.doc_id < b.doc_id
+          WHERE len(list_intersect(a.s, b.s))::DOUBLE / len(list_distinct(a.s || b.s))::DOUBLE >= 0.5""",
+    "dedup_minhash_lsh" ->
+      s"""WITH sh AS (SELECT doc_id, unnest($shinglesSql) AS shingle FROM documents),
+          mh AS (SELECT doc_id, $minhashAggs FROM sh GROUP BY doc_id),
+          bands AS ($bandSelects)
+          SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+          FROM bands a JOIN bands b
+            ON a.band = b.band AND a.band_sig = b.band_sig AND a.doc_id < b.doc_id""",
+    "dedup_simhash" -> simhashSigSql,
+    "dedup_simhash_pairs" ->
+      s"""WITH tok AS (SELECT doc_id, unnest(string_split_regex(trim(text), '\\s+')) AS t FROM documents),
+          h AS (SELECT doc_id, md5(t) AS h FROM tok),
+          votes AS (SELECT doc_id, $simhashVotes FROM h GROUP BY doc_id),
+          sig AS (SELECT doc_id, $simhashConcat AS simhash FROM votes),
+          banded AS ($simhashBandSelects)
+          SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+          FROM banded a JOIN banded b
+            ON a.band = b.band AND a.chunk = b.chunk AND a.doc_id < b.doc_id""",
+    "dedup_embed_cosine" ->
+      s"""SELECT a.vec_id AS id_a, b.vec_id AS id_b
+          FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+          WHERE ${cosSql("a.embedding", "b.embedding")} >= $CosineThreshold""")
+}

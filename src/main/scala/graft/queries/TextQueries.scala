@@ -1,0 +1,83 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import graft.functions.TextAnalysis
+
+/** Text-analysis pipeline queries over the `documents` table: token
+  * counting, quality scoring, language ID, fingerprinting. Oracle SQL
+  * is generated from the same marker-word tables so both sides stay in
+  * lock-step.
+  */
+object TextQueries {
+
+  val queries: Map[String, QueryFn] = Map(
+    "text_tokens" -> ((s, d) => {
+      tbl(s, d, "documents").select(
+        col("doc_id"),
+        TextAnalysis.tokenCount(col("text")).as("n_ws"),
+        size(TextAnalysis.bpeishTokens(col("text"))).as("n_bpe"),
+        TextAnalysis.punctCount(col("text")).as("n_punct"))
+    }),
+
+    "text_quality" -> ((s, d) => {
+      tbl(s, d, "documents").select(
+        col("doc_id"),
+        TextAnalysis.qualityScore(col("text")).as("quality"))
+    }),
+
+    "text_langid" -> ((s, d) => {
+      tbl(s, d, "documents").select(
+        col("doc_id"),
+        TextAnalysis.langId(col("text")).as("lang_pred"))
+    }),
+
+    "text_fingerprint" -> ((s, d) => {
+      tbl(s, d, "documents").select(
+        col("doc_id"),
+        TextAnalysis.fingerprint(col("text")).as("fp"))
+    }))
+
+  private def listLit(words: Seq[String]): String =
+    words.map(w => s"'$w'").mkString("[", ", ", "]")
+
+  /** stopword-ratio SQL for one marker set, over alias `toks`. */
+  private def ratioSql(words: Seq[String]): String =
+    s"len(list_filter(toks, t -> list_contains(${listLit(words)}, t)))::DOUBLE" +
+      " / greatest(len(toks), 1)::DOUBLE"
+
+  private val langCases: String = TextAnalysis.langMarkers.map { case (lang, _) =>
+    s"WHEN s_$lang = best AND best > 0 THEN '$lang'"
+  }.mkString(" ")
+
+  private val langScores: String = TextAnalysis.langMarkers.map { case (lang, ws) =>
+    s"${ratioSql(ws)} AS s_$lang"
+  }.mkString(", ")
+
+  val oracles: Map[String, String] = Map(
+    "text_tokens" ->
+      """SELECT doc_id, len(string_split_regex(trim(text), '\s+')) AS n_ws,
+           len(regexp_extract_all(text, '\w+|[^\w\s]')) AS n_bpe,
+           len(regexp_extract_all(text, '[^\w\s]')) AS n_punct
+         FROM documents""",
+    "text_quality" ->
+      s"""SELECT doc_id,
+            (CASE WHEN n >= 10 AND n <= 1000 THEN 1.0 ELSE 0.0 END
+           + CASE WHEN pc / greatest(chars, 1) <= 0.2 THEN 1.0 ELSE 0.0 END
+           + CASE WHEN sw >= 0.01 THEN 1.0 ELSE 0.0 END) / 3.0 AS quality
+          FROM (SELECT doc_id,
+              len(toks)::DOUBLE AS n,
+              len(regexp_extract_all(text, '[^\\w\\s]'))::DOUBLE AS pc,
+              length(text)::DOUBLE AS chars,
+              ${ratioSql(TextAnalysis.langMarkers.toMap.apply("en"))} AS sw
+            FROM (SELECT doc_id, text, string_split_regex(trim(text), '\\s+') AS toks FROM documents))""",
+    "text_langid" ->
+      s"""SELECT doc_id, CASE $langCases ELSE 'und' END AS lang_pred
+          FROM (SELECT doc_id, ${TextAnalysis.langMarkers.map("s_" + _._1).mkString(", ")},
+              greatest(${TextAnalysis.langMarkers.map("s_" + _._1).mkString(", ")}) AS best
+            FROM (SELECT doc_id, $langScores
+              FROM (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS toks FROM documents)))""",
+    "text_fingerprint" ->
+      """SELECT doc_id,
+           md5(array_to_string(list_sort(list_distinct(string_split_regex(trim(lower(text)), '\s+'))), ' ')) AS fp
+         FROM documents""")
+}
