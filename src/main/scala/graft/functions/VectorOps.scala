@@ -3,21 +3,22 @@ package graft.functions
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.functions._
 
-/** Vector math over `ArrayType(FloatType)` embedding columns, built
-  * from higher-order functions (`zip_with`/`aggregate`/`transform`) so
-  * everything stays in Catalyst and whole-stage codegen — no UDFs, no
-  * driver round-trips.
+/** Vector math over `ArrayType(FloatType)` embedding columns.
   *
-  * Elements are cast to double before accumulating: a float fold loses
-  * ~3 decimal digits over 64 dims, and the differential oracle computes
-  * in double.
+  * The dot product — the O(pairs · dim) inner loop of every similarity
+  * operator — is a native codegen expression
+  * ([[graft.expressions.NumericArrayDot]]): a tight primitive loop in
+  * whole-stage codegen, bit-identical to the higher-order
+  * `aggregate(zip_with(...))` formulation it replaced (same
+  * left-to-right accumulation in double) but without per-element
+  * lambda dispatch. Elements widen to double before accumulating: a
+  * float fold loses ~3 decimal digits over 64 dims, and the
+  * differential oracle computes in double.
   */
 object VectorOps {
 
   def dot(a: Column, b: Column): Column =
-    aggregate(
-      zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
-      lit(0.0), (acc, v) => acc + v)
+    org.apache.spark.sql.graftx.ArrayNumeric.dot(a, b)
 
   def norm(a: Column): Column = sqrt(dot(a, a))
 

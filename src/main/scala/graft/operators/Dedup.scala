@@ -3,6 +3,7 @@ package graft.operators
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.graftx.ArrayNumeric
 import graft.functions.Hashes
 
 /** Document deduplication for training-data pipelines: exact,
@@ -19,6 +20,14 @@ import graft.functions.Hashes
   *  - verification (true Jaccard) runs only on candidates.
   */
 object Dedup {
+
+  /** Spread a small-file scan across the session's shuffle parallelism.
+    * The corpus tables arrive as one file = one scan partition, which
+    * would serialize every downstream explode/probe/partial-agg into a
+    * single task; one cheap round-robin exchange of the source rows
+    * parallelizes everything above it. */
+  private[operators] def spread(df: DataFrame): DataFrame =
+    df.repartition(df.sparkSession.sessionState.conf.numShufflePartitions)
 
   /** Exact dedup: keep the lowest-`idCol` row per normalized content
     * hash (reference content-hash dedup before expensive compute:
@@ -39,20 +48,32 @@ object Dedup {
   /** (id, shingle) long table — the exploded form both MinHash and
     * Jaccard verification build on. */
   def shingleTable(df: DataFrame, idCol: String, textCol: String, n: Int): DataFrame =
-    df.select(col(idCol), explode(shingles(col(textCol), n)).as("shingle"))
+    spread(df).select(col(idCol), explode(shingles(col(textCol), n)).as("shingle"))
 
-  /** Portable per-seed shingle hash: md5 of the seed-tagged shingle.
-    * (Murmur/xxhash would be faster but md5 reproduces in any engine;
-    * swap `hashFn` for `xxhash64` in production.) */
-  def seedHash(shingle: Column, seed: Int): Column =
-    md5(concat(shingle, lit("#" + seed)))
+  /** MinHash universal-hash family: ONE portable base hash per shingle
+    * (60 bits of its md5, mod the Mersenne prime 2^31-1), then k cheap
+    * affine mixes `(a_s·h + b_s) mod p` — instead of k md5 calls per
+    * shingle occurrence. All intermediates stay < 2^51, so the same
+    * arithmetic is overflow-free in any 64-bit engine (the SQL oracle
+    * reproduces it with `('0x'||substring(md5(s),1,15))::BIGINT`). */
+  val MinhashPrime = 2147483647L // 2^31 - 1
+  def minhashSeedA(s: Int): Long = ((s * 40503L + 12345L) % 1048573L) + 1L
+  def minhashSeedB(s: Int): Long = (s * 65521L + 17L) % 1048573L
+
+  /** 60-bit md5 prefix of the shingle, reduced mod p. */
+  def shingleBaseHash(shingle: Column): Column =
+    conv(substring(md5(shingle), 1, 15), 16, 10).cast("long") % MinhashPrime
+
+  def seedHash(baseHash: Column, seed: Int): Column =
+    (baseHash * minhashSeedA(seed) + minhashSeedB(seed)) % MinhashPrime
 
   /** MinHash signature: k min-hash columns `mh0..mh{k-1}` per id.
-    * Single groupBy; k aggregates. */
+    * Single groupBy; k aggregates with map-side partial min. */
   def minhashSignature(df: DataFrame, idCol: String, textCol: String,
                        n: Int, k: Int): DataFrame = {
     val st = shingleTable(df, idCol, textCol, n)
-    val aggs = (0 until k).map(s => min(seedHash(col("shingle"), s)).as(s"mh$s"))
+      .withColumn("hm", shingleBaseHash(col("shingle")))
+    val aggs = (0 until k).map(s => min(seedHash(col("hm"), s)).as(s"mh$s"))
     st.groupBy(col(idCol)).agg(aggs.head, aggs.tail: _*)
   }
 
@@ -81,26 +102,72 @@ object Dedup {
       .select(col("id_a"), col("id_b")).distinct()
   }
 
-  /** Exact n-gram Jaccard for given pairs (verification stage), from
-    * the shingle arrays of each side. */
-  def jaccard(shA: Column, shB: Column): Column =
-    size(array_intersect(shA, shB)).cast("double") /
-      size(array_union(shA, shB)).cast("double")
+  /** Ascending-sorted 64-bit shingle hashes — the per-row form the
+    * pairwise Jaccard verifier consumes. Hashing shingles to longs once
+    * per row (xxhash64) makes each pair comparison a primitive merge
+    * scan instead of string-set intersection; sortedness is what lets
+    * the verifier run in O(|A|+|B|) with zero allocation. */
+  def hashedShingles(text: Column, n: Int): Column =
+    array_sort(array_distinct(transform(shingles(text, n), s => xxhash64(s))))
+
+  /** Exact Jaccard from two sorted hashed-shingle arrays:
+    * |A∩B| / (|A|+|B|-|A∩B|), the intersection via merge scan. */
+  def jaccard(shA: Column, shB: Column): Column = {
+    val inter = ArrayNumeric.sortedIntersectSize(shA, shB)
+    inter.cast("double") / (size(shA) + size(shB) - inter).cast("double")
+  }
 
   /** All pairs (within `blockCol` blocks) with n-gram Jaccard >= threshold.
     * Blocking keeps the pair space bounded; at scale the block column is
     * an LSH bucket (see lshCandidatePairs) — here it demonstrates the
-    * verify operator itself. */
+    * verify operator itself.
+    *
+    * Per-pair cost is one merge scan over presorted hash arrays; a
+    * size-ratio prefilter (J ≤ min/max, so J ≥ t ⇒ sizes within factor
+    * 1/t — exact, no false negatives) prunes pairs before any scan.
+    *
+    * The block key is low-cardinality (languages, LSH buckets), so a
+    * plain block-equi-join would put one whole block's O(n²) pair space
+    * in ONE task. The join is therefore salted: side A carries
+    * `salt = hash(id) mod salts`, side B is replicated to every salt —
+    * each pair still meets exactly once (at A's salt), but a block's
+    * pair space fans out over `salts` tasks. Replication cost is
+    * B×`salts` rows of presorted hash arrays, shuffle-cheap next to the
+    * quadratic probe work it parallelizes. */
   def jaccardPairs(df: DataFrame, idCol: String, textCol: String,
-                   blockCol: String, n: Int, threshold: Double): DataFrame = {
-    val withSh = df.select(col(blockCol).as("block"), col(idCol),
-      shingles(col(textCol), n).as("sh"))
-    val a = withSh.select(col("block"), col(idCol).as("id_a"), col("sh").as("sh_a"))
-    val b = withSh.select(col("block"), col(idCol).as("id_b"), col("sh").as("sh_b"))
-    a.join(b, Seq("block"))
+                   blockCol: String, n: Int, threshold: Double,
+                   salts: Int = 8): DataFrame = {
+    val withSh = spread(df).select(col(blockCol).as("block"), col(idCol),
+      hashedShingles(col(textCol), n).as("sh"))
+      .withColumn("sz", size(col("sh")))
+    val a = withSh.select(col("block"), col(idCol).as("id_a"),
+      col("sh").as("sh_a"), col("sz").as("sz_a"))
+      .withColumn("salt", pmod(xxhash64(col("id_a")), lit(salts)).cast("int"))
+    val b = withSh.select(col("block"), col(idCol).as("id_b"),
+      col("sh").as("sh_b"), col("sz").as("sz_b"))
+      .withColumn("salt", explode(sequence(lit(0), lit(salts - 1)).cast("array<int>")))
+    val inter = ArrayNumeric.sortedIntersectSize(col("sh_a"), col("sh_b"))
+    val union = (col("sz_a") + col("sz_b") - inter).cast("double")
+    // Threshold test in product form: J = I/(A+B-I) >= t  ⇔  I·(1+t) >=
+    // t·(A+B). Products of small ints with t are exact in double, so
+    // this is the exact rational comparison — equivalent to the
+    // division form (for |A∪B| ≤ 2^26 no rational J can sit within an
+    // ulp of t without being equal) — but references the merge scan
+    // ONCE, where the division form would push a two-scan predicate
+    // into the join condition.
+    val passes = inter.cast("double") * (1.0 + threshold) >=
+      lit(threshold) * (col("sz_a") + col("sz_b")).cast("double")
+    // Probe parallelism: `spread` above already round-robins the source
+    // rows, which a broadcast-hash probe inherits; if the planner picks
+    // a shuffle join instead (build side over the broadcast threshold),
+    // its exchange on (block, salt) takes over — where the salt, not
+    // partition count, is what breaks the low-cardinality block skew.
+    a.join(b, Seq("block", "salt"))
       .filter(col("id_a") < col("id_b"))
-      .withColumn("jaccard", jaccard(col("sh_a"), col("sh_b")))
-      .filter(col("jaccard") >= threshold)
+      .filter(col("sz_a") >= col("sz_b") * threshold &&
+        col("sz_b") >= col("sz_a") * threshold)
+      .filter(passes)
+      .withColumn("jaccard", inter.cast("double") / union)
       .select(col("id_a"), col("id_b"), col("jaccard"))
   }
 
@@ -109,7 +176,7 @@ object Dedup {
     * Nibble-parity keeps the construction reproducible in any engine
     * with md5 (the SQL oracle); production would use xxhash64 bits. */
   def simhashBits(df: DataFrame, idCol: String, tokensCol: Column, bits: Int = 32): DataFrame = {
-    val tok = df.select(col(idCol), explode(tokensCol).as("tok"))
+    val tok = spread(df).select(col(idCol), explode(tokensCol).as("tok"))
       .withColumn("h", md5(col("tok")))
     val lowNibbles = Seq("1", "3", "5", "7", "9", "b", "d", "f")
     val aggs = (0 until bits).map { i =>

@@ -22,6 +22,12 @@ import graft.functions.VectorOps
   */
 object Similarity {
 
+  /** Round-robin a one-file scan across the shuffle parallelism so the
+    * pairwise probe work (the O(n*m) part) doesn't serialize into one
+    * task (see Dedup.spread). */
+  private def spread(df: DataFrame): DataFrame =
+    df.repartition(df.sparkSession.sessionState.conf.numShufflePartitions)
+
   /** Deterministic pseudo-random unit-ish hyperplanes (fixed seed). */
   def hyperplanes(nPlanes: Int, dim: Int, seed: Long = 42L): Seq[Seq[Double]] = {
     val rng = new scala.util.Random(seed)
@@ -32,10 +38,17 @@ object Similarity {
     * (idCol, vecCol). Ranks are total-ordered (cosine desc, id asc). */
   def bruteForceTopK(queries: DataFrame, corpus: DataFrame, idCol: String,
                      vecCol: String, k: Int): DataFrame = {
-    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"))
+    // Norms are computed once per row BEFORE the pair join, so the
+    // per-pair work is a single codegen dot product. The quotient is
+    // the same double arithmetic as cosine(qv, cv) — norm per side is
+    // an identical sqrt(dot(v,v)) — so values are bit-stable vs the
+    // unfactored form.
+    val q = spread(queries).select(col(idCol).as("query_id"), col(vecCol).as("qv"))
+      .withColumn("qn", VectorOps.norm(col("qv")))
     val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"))
+      .withColumn("cn", VectorOps.norm(col("cv")))
     val scored = q.join(c, col("query_id") =!= col("neighbor_id"))
-      .withColumn("cosine", VectorOps.cosine(col("qv"), col("cv")))
+      .withColumn("cosine", VectorOps.dot(col("qv"), col("cv")) / (col("qn") * col("cn")))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cosine").desc, col("neighbor_id").asc)
     scored.withColumn("rank", row_number().over(w))
@@ -49,13 +62,16 @@ object Similarity {
     * `bruteForceTopK` on a sample to measure. */
   def lshTopK(df: DataFrame, idCol: String, vecCol: String, k: Int,
               planes: Seq[Seq[Double]]): DataFrame = {
-    val bucketed = df.select(col(idCol), col(vecCol).as("v"))
+    val bucketed = spread(df).select(col(idCol), col(vecCol).as("v"))
       .withColumn("bucket", VectorOps.hyperplaneBucket(col("v"), planes))
-    val a = bucketed.select(col("bucket"), col(idCol).as("query_id"), col("v").as("qv"))
-    val b = bucketed.select(col("bucket"), col(idCol).as("neighbor_id"), col("v").as("cv"))
+      .withColumn("vn", VectorOps.norm(col("v")))
+    val a = bucketed.select(col("bucket"), col(idCol).as("query_id"),
+      col("v").as("qv"), col("vn").as("qn"))
+    val b = bucketed.select(col("bucket"), col(idCol).as("neighbor_id"),
+      col("v").as("cv"), col("vn").as("cn"))
     val scored = a.join(b, Seq("bucket"))
       .filter(col("query_id") =!= col("neighbor_id"))
-      .withColumn("cosine", VectorOps.cosine(col("qv"), col("cv")))
+      .withColumn("cosine", VectorOps.dot(col("qv"), col("cv")) / (col("qn") * col("cn")))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cosine").desc, col("neighbor_id").asc)
     scored.withColumn("rank", row_number().over(w))
@@ -67,10 +83,12 @@ object Similarity {
     * semantic-dedup primitive). Exact; at scale feed LSH candidates. */
   def cosineNearDupPairs(df: DataFrame, idCol: String, vecCol: String,
                          threshold: Double): DataFrame = {
-    val a = df.select(col(idCol).as("id_a"), col(vecCol).as("va"))
+    val a = spread(df).select(col(idCol).as("id_a"), col(vecCol).as("va"))
+      .withColumn("na", VectorOps.norm(col("va")))
     val b = df.select(col(idCol).as("id_b"), col(vecCol).as("vb"))
+      .withColumn("nb", VectorOps.norm(col("vb")))
     a.join(b, col("id_a") < col("id_b"))
-      .withColumn("cosine", VectorOps.cosine(col("va"), col("vb")))
+      .withColumn("cosine", VectorOps.dot(col("va"), col("vb")) / (col("na") * col("nb")))
       .filter(col("cosine") >= threshold)
       .select(col("id_a"), col("id_b"))
   }

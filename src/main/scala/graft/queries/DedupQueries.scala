@@ -55,12 +55,20 @@ object DedupQueries {
     s"list_distinct(list_transform(generate_series(1, greatest(length(text) - ${ShingleN - 1}, 1)), " +
       s"i -> substring(text, i, $ShingleN)))"
 
-  private val minhashAggs = (0 until MinhashK)
-    .map(s => s"min(md5(shingle || '#$s')) AS mh$s").mkString(", ")
+  /** Mirrors Dedup.shingleBaseHash/seedHash: one 60-bit md5-prefix
+    * base hash mod 2^31-1, then k affine mixes (same a_s/b_s seeds). */
+  private val P = graft.operators.Dedup.MinhashPrime
+  private val baseHashSql =
+    s"(('0x' || substring(md5(shingle), 1, 15))::BIGINT % $P)"
+  private val minhashAggs = (0 until MinhashK).map { s =>
+    val a = graft.operators.Dedup.minhashSeedA(s)
+    val b = graft.operators.Dedup.minhashSeedB(s)
+    s"min((hm * $a + $b) % $P) AS mh$s"
+  }.mkString(", ")
 
   private val rowsPerBand = MinhashK / Bands
   private val bandSelects = (0 until Bands).map { b =>
-    val cols = (b * rowsPerBand until (b + 1) * rowsPerBand).map(i => s"mh$i")
+    val cols = (b * rowsPerBand until (b + 1) * rowsPerBand).map(i => s"mh$i::VARCHAR")
     s"SELECT doc_id, $b AS band, md5(${cols.mkString(" || ',' || ")}) AS band_sig FROM mh"
   }.mkString(" UNION ALL ")
 
@@ -102,7 +110,8 @@ object DedupQueries {
           WHERE len(list_intersect(a.s, b.s))::DOUBLE / len(list_distinct(a.s || b.s))::DOUBLE >= 0.5""",
     "dedup_minhash_lsh" ->
       s"""WITH sh AS (SELECT doc_id, unnest($shinglesSql) AS shingle FROM documents),
-          mh AS (SELECT doc_id, $minhashAggs FROM sh GROUP BY doc_id),
+          shh AS (SELECT doc_id, $baseHashSql AS hm FROM sh),
+          mh AS (SELECT doc_id, $minhashAggs FROM shh GROUP BY doc_id),
           bands AS ($bandSelects)
           SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
           FROM bands a JOIN bands b
