@@ -119,6 +119,21 @@ object AggQueries {
           array(lit("spark"), lit("vector"))), 1.0).otherwise(0.0)), 4).as("frac"))
     }),
 
+    // A13: file-level record counts — FASTA headers counted from the
+    // raw text representation (reference: build_berdl_db.py:35-51
+    // counts '>' lines for contigs, lines-1 for features).
+    "a13_file_counts" -> ((s, d) => {
+      val fasta = tbl(s, d, "documents").select(
+        concat(lit("doc_"), col("doc_id")).as("id"),
+        col("lang").as("description"),
+        upper(regexp_replace(col("text"), " ", "")).as("seq"))
+      val path = s"${sys.props("java.io.tmpdir")}/graft_fasta_counts_${math.abs(d.hashCode)}"
+      graft.sources.Fasta.write(fasta.coalesce(1), path)
+      s.read.text(path)
+        .filter(col("value").startsWith(">"))
+        .agg(count(lit(1)).as("n_seqs"))
+    }),
+
     // Static long→wide pivot (reference ontology pivot shape:
     // datalake_table.py:310-316) with explicit value list.
     "pivot_static" -> ((s, d) => {
@@ -189,6 +204,8 @@ object AggQueries {
       """SELECT lang, round(avg(CASE WHEN list_has_any(string_split(text, ' '), ['spark','vector'])
            THEN 1.0 ELSE 0.0 END), 4) AS frac
          FROM documents GROUP BY lang""",
+    "a13_file_counts" ->
+      "SELECT count(*) AS n_seqs FROM documents",
     "pivot_static" ->
       """SELECT l_returnflag,
            floor((coalesce(sum(CASE WHEN l_linestatus = 'F' THEN l_quantity END), 0)) * 100 + 0.5) / 100 AS qty_f,

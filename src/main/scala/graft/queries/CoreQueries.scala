@@ -92,6 +92,19 @@ object CoreQueries {
         when(col("p_type").startsWith("ECO"), lit("economy"))
           .when(col("p_type").startsWith("SMALL"), lit("small"))
           .otherwise(lit("other")).as("bucket"))
+    }),
+
+    // F9: filename/suffix predicates — inputs chosen by path suffix,
+    // the partition-pruning analogue (reference: datalake_table.py:
+    // 202-205 `endswith('.faa')` file selection; model_pipeline.py:82-84).
+    // Driver-side listing picks the files; `input_file_name` shows the
+    // same predicate applied inside the scan.
+    "f9_file_pruning" -> ((s, d) => {
+      val paths = new java.io.File(d).listFiles()
+        .map(_.getPath).filter(_.endsWith("nation.parquet")).sorted
+      s.read.parquet(paths: _*)
+        .filter(input_file_name().endsWith("nation.parquet"))
+        .select(col("n_nationkey"), col("n_name"))
     }))
 
   val oracles: Map[String, String] = Map(
@@ -116,5 +129,7 @@ object CoreQueries {
     "f7_conjunction" ->
       "SELECT l_orderkey, l_linenumber, l_quantity FROM lineitem WHERE l_quantity >= 10 AND l_quantity <= 20 AND l_returnflag = 'R'",
     "f8_prefix_dispatch" ->
-      "SELECT p_partkey, CASE WHEN p_type LIKE 'ECO%' THEN 'economy' WHEN p_type LIKE 'SMALL%' THEN 'small' ELSE 'other' END AS bucket FROM part")
+      "SELECT p_partkey, CASE WHEN p_type LIKE 'ECO%' THEN 'economy' WHEN p_type LIKE 'SMALL%' THEN 'small' ELSE 'other' END AS bucket FROM part",
+    "f9_file_pruning" ->
+      "SELECT n_nationkey, n_name FROM nation")
 }

@@ -56,6 +56,20 @@ object IngestQueries {
         .select(col("doc_id"), col("frame_idx"))
     }),
 
+    // S2/S3/S6/S12: typed TSV round-trip — written with the TSV sink,
+    // read back with an explicit schema (the reference's typed reader
+    // forcing float columns: prep_genome_set.py:10-34).
+    "tsv_typed_roundtrip" -> ((s, d) => {
+      val sup = tbl(s, d, "supplier")
+      val path = s"${sys.props("java.io.tmpdir")}/graft_tsv_${math.abs(d.hashCode)}"
+      sup.coalesce(1).write.mode("overwrite")
+        .option("sep", "\t").option("header", "true").csv(path)
+      s.read.option("sep", "\t").option("header", "true")
+        .schema(sup.schema).csv(path)
+        .select(col("s_suppkey"), col("s_name"), col("s_nationkey"),
+          round2(col("s_acctbal")).as("bal"))
+    }),
+
     // Streaming-shaped tumbling-window aggregation (batch equivalence;
     // the readStream path is exercised in StreamingSpec).
     "stream_window_counts" -> ((s, d) => {
@@ -64,6 +78,24 @@ object IngestQueries {
       EventStream.windowedCounts(ev, "ts", "1 hour")
         .select(date_format(col("window_start"), "yyyy-MM-dd HH:mm:ss").as("window_start"),
           col("event_type"), col("n"), round2(col("sum_value")).as("sum_value"))
+    }),
+
+    // Session windows per user (gaps-and-islands batch equivalent).
+    "stream_sessionize" -> ((s, d) => {
+      val ev = tbl(s, d, "events")
+        .withColumn("ts", Lakehouse.eventTime(col("ts_us")))
+      EventStream.sessionCounts(ev, "ts", "user_id", "30 minutes")
+        .select(col("user_id"),
+          date_format(col("session_start"), "yyyy-MM-dd HH:mm:ss").as("session_start"),
+          col("n"))
+    }),
+
+    // Arbitrary stateful processing (flatMapGroupsWithState) — order-
+    // insensitive per-key fold so the batch result is oracle-checkable.
+    "stream_stateful_stats" -> ((s, d) => {
+      EventStream.statefulUserStats(tbl(s, d, "events"))
+        .toDF().select(col("user_id"), col("n_events"),
+          round2(col("max_value")).as("max_value"))
     }))
 
   val oracles: Map[String, String] = Map(
@@ -82,9 +114,29 @@ object IngestQueries {
     "multimodal_frames" ->
       """SELECT doc_id, unnest(generate_series(0, octet_length(encode(text)) // 100, 3)) AS frame_idx
          FROM documents""",
+    "tsv_typed_roundtrip" ->
+      """SELECT s_suppkey, s_name, s_nationkey,
+           floor((s_acctbal) * 100 + 0.5) / 100 AS bal FROM supplier""",
     "stream_window_counts" ->
       """SELECT strftime(time_bucket(INTERVAL '1 hour', ts), '%Y-%m-%d %H:%M:%S') AS window_start,
            event_type, count(*) AS n,
            floor((sum(value)) * 100 + 0.5) / 100 AS sum_value
-         FROM events GROUP BY 1, 2""")
+         FROM events GROUP BY 1, 2""",
+    "stream_sessionize" ->
+      """WITH m AS (
+           SELECT user_id, ts,
+             CASE WHEN lag(ts) OVER w IS NULL
+                    OR ts >= lag(ts) OVER w + INTERVAL '30 minutes' THEN 1 ELSE 0 END AS ns
+           FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+         sess AS (
+           SELECT user_id, ts,
+             sum(ns) OVER (PARTITION BY user_id ORDER BY ts
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+           FROM m)
+         SELECT user_id, strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS session_start, count(*) AS n
+         FROM sess GROUP BY user_id, sid""",
+    "stream_stateful_stats" ->
+      """SELECT user_id, count(*) AS n_events,
+           floor((max(value)) * 100 + 0.5) / 100 AS max_value
+         FROM events GROUP BY user_id""")
 }

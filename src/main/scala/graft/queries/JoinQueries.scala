@@ -102,6 +102,18 @@ object JoinQueries {
         tieBreak = Seq(col("val")))
     }),
 
+    // J9: keyed lookup join — a small request set resolved against the
+    // fact table on a composite key (reference: build_berdl_db.py:937-944
+    // pandas set_index + .loc; in Spark a broadcast equi-join).
+    "j9_keyed_lookup" -> ((s, d) => {
+      val li = tbl(s, d, "lineitem")
+      val requests = li.filter(col("l_quantity") === 50.0)
+        .select(col("l_orderkey"), col("l_linenumber"))
+      requests.join(li, Seq("l_orderkey", "l_linenumber"))
+        .select(col("l_orderkey"), col("l_linenumber"),
+          round2(col("l_extendedprice")).as("price"))
+    }),
+
     // J10: cross-source multi-value merge — union of value sets rendered
     // as a sorted ';'-joined string (reference: build_berdl_db.py:481-501).
     "j10_multivalue_merge" -> ((s, d) => {
@@ -151,6 +163,10 @@ object JoinQueries {
          SELECT l_orderkey, l_linenumber, src, val FROM (
            SELECT *, row_number() OVER (PARTITION BY l_orderkey, l_linenumber ORDER BY pri, val) AS rn FROM u)
          WHERE rn = 1""",
+    "j9_keyed_lookup" ->
+      """SELECT l.l_orderkey, l.l_linenumber, floor((l.l_extendedprice) * 100 + 0.5) / 100 AS price
+         FROM (SELECT l_orderkey, l_linenumber FROM lineitem WHERE l_quantity = 50.0) r
+         JOIN lineitem l ON r.l_orderkey = l.l_orderkey AND r.l_linenumber = l.l_linenumber""",
     "j10_multivalue_merge" ->
       """SELECT l_orderkey, array_to_string(list_sort(list_distinct(list(l_returnflag) || list(l_linestatus))), ';') AS merged
          FROM lineitem GROUP BY l_orderkey""")

@@ -37,6 +37,17 @@ object ScalarQueries {
         .groupBy(col("word")).agg(count(lit(1)).as("n"))
     }),
 
+    // C4: prefix strip/normalize (reference clean_bakta_value:
+    // query_ontology_local.py:68-76; ko:->KEGG: KBDatalakeUtils.py:2565-2574).
+    "c4_prefix_norm" -> ((s, d) => {
+      tbl(s, d, "customer").join(tbl(s, d, "orders"),
+          col("c_custkey") === col("o_custkey"))
+        .select(
+          col("o_orderkey"),
+          regexp_replace(col("o_orderpriority"), "^[0-9]-", "").as("priority"),
+          regexp_replace(col("c_name"), "^Customer#", "").cast("bigint").as("cust_id"))
+    }),
+
     // C5: content hashing — md5 + normalized sha256
     // (reference: hash_seq.py:4-27, build_berdl_db.py:437-438).
     "c5_hashes" -> ((s, d) => {
@@ -84,6 +95,35 @@ object ScalarQueries {
           .otherwise(lit("reversible")).as("direction"))
     }),
 
+    // C10: FVA-style two-bound flux classification against ±epsilon
+    // (reference: KBDatalakeUtils.py:1750-1767).
+    "c10_flux_classify" -> ((s, d) => {
+      val eps = 1e-6
+      val minF = col("l_discount") - 0.05
+      val maxF = col("l_tax") - 0.04
+      tbl(s, d, "lineitem").select(
+        col("l_orderkey"), col("l_linenumber"),
+        when(maxF < -eps, lit("essential_reverse"))
+          .when(minF > eps, lit("essential_forward"))
+          .when(abs(minF) <= eps && abs(maxF) <= eps, lit("blocked"))
+          .otherwise(lit("variable")).as("flux_class"))
+    }),
+
+    // C12: dictionary substitution inside an equation-like string —
+    // ordered fold of replace() over a fixed mapping (reference
+    // metabolite-name substitution: KBDatalakeUtils.py:1056-1060).
+    // Longest-key-first ordering so 'small ring' wins over 'small'.
+    "c12_equation_substitute" -> ((s, d) => {
+      val subs = Seq("small ring" -> "annulus-S", "small" -> "compact",
+        "red" -> "crimson", "blue" -> "azure", "widget" -> "gadget",
+        "bolt" -> "fastener", "gear" -> "cog")
+      val equation = concat(col("p_type"), lit(": "), col("p_name"))
+      val renamed = subs.foldLeft(equation) { case (c, (k, v)) =>
+        replace(c, lit(k), lit(v))
+      }
+      tbl(s, d, "part").select(col("p_partkey"), renamed.as("equation"))
+    }),
+
     // C11: ID transforms — prefix add + char substitution
     // (reference: prep_genome_set.py:92-98, KBDatalakeUtils.py:402-409).
     "c11_id_transform" -> ((s, d) => {
@@ -117,6 +157,10 @@ object ScalarQueries {
       """SELECT word, count(*) AS n FROM (
            SELECT unnest(string_split(text, ' ')) AS word FROM documents WHERE lang = 'fr')
          GROUP BY word""",
+    "c4_prefix_norm" ->
+      """SELECT o_orderkey, regexp_replace(o_orderpriority, '^[0-9]-', '') AS priority,
+           CAST(regexp_replace(c_name, '^Customer#', '') AS BIGINT) AS cust_id
+         FROM customer JOIN orders ON c_custkey = o_custkey""",
     "c5_hashes" ->
       """SELECT doc_id, md5(text) AS md5_hash, sha256(upper(regexp_replace(text, '\*$', ''))) AS sha_hash
          FROM documents""",
@@ -143,6 +187,20 @@ object ScalarQueries {
                 WHEN value = 0 AND value - 250.0 = 0 THEN 'blocked'
                 ELSE 'reversible' END AS direction
          FROM events""",
+    "c10_flux_classify" ->
+      """SELECT l_orderkey, l_linenumber,
+           CASE WHEN l_tax - 0.04 < -0.000001 THEN 'essential_reverse'
+                WHEN l_discount - 0.05 > 0.000001 THEN 'essential_forward'
+                WHEN abs(l_discount - 0.05) <= 0.000001 AND abs(l_tax - 0.04) <= 0.000001 THEN 'blocked'
+                ELSE 'variable' END AS flux_class
+         FROM lineitem""",
+    "c12_equation_substitute" ->
+      """SELECT p_partkey,
+           replace(replace(replace(replace(replace(replace(replace(
+             p_type || ': ' || p_name,
+             'small ring', 'annulus-S'), 'small', 'compact'), 'red', 'crimson'),
+             'blue', 'azure'), 'widget', 'gadget'), 'bolt', 'fastener'), 'gear', 'cog') AS equation
+         FROM part""",
     "c11_id_transform" ->
       """SELECT c_custkey, 'CUST_' || c_custkey AS ext_id, replace(c_name, '#', '_') AS name_norm
          FROM customer""",

@@ -23,6 +23,27 @@ object WindowSetQueries {
           date_format(col("o_orderdate"), "yyyy-MM-dd").as("order_date"))
     }),
 
+    // W2: global sort by a requested column/direction (reference: viewer
+    // sort_column/sort_order) — unique tie-break key appended so the
+    // limit is deterministic under parallel scan order.
+    "w2_global_sort" -> ((s, d) => {
+      tbl(s, d, "orders")
+        .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+        .limit(200)
+        .select(col("o_orderkey"), round2(col("o_totalprice")).as("price"))
+    }),
+
+    // W3: deterministic multi-key output ordering (reference:
+    // KBDatalakeUtils.py:2702 sort_values before emit).
+    "w3_deterministic_order" -> ((s, d) => {
+      tbl(s, d, "lineitem")
+        .orderBy(col("l_returnflag"), col("l_linestatus"),
+          col("l_orderkey"), col("l_linenumber"))
+        .limit(500)
+        .select(col("l_returnflag"), col("l_linestatus"),
+          col("l_orderkey"), col("l_linenumber"))
+    }),
+
     // W4: top-k (k=3) per group (reference top-1: prep_genome_set.py:160-169).
     "w4_topk_per_group" -> ((s, d) => {
       Relational.topKPerGroup(tbl(s, d, "supplier"), Seq("s_nationkey"),
@@ -75,6 +96,12 @@ object WindowSetQueries {
     "w1_pagination" ->
       """SELECT o_orderkey, floor((o_totalprice) * 100 + 0.5) / 100 AS price, strftime(o_orderdate, '%Y-%m-%d') AS order_date
          FROM orders ORDER BY o_totalprice DESC, o_orderkey LIMIT 50 OFFSET 100""",
+    "w2_global_sort" ->
+      """SELECT o_orderkey, floor((o_totalprice) * 100 + 0.5) / 100 AS price
+         FROM orders ORDER BY o_totalprice DESC, o_orderkey LIMIT 200""",
+    "w3_deterministic_order" ->
+      """SELECT l_returnflag, l_linestatus, l_orderkey, l_linenumber
+         FROM lineitem ORDER BY l_returnflag, l_linestatus, l_orderkey, l_linenumber LIMIT 500""",
     "w4_topk_per_group" ->
       """SELECT s_nationkey, s_suppkey, floor((s_acctbal) * 100 + 0.5) / 100 AS bal FROM (
            SELECT *, row_number() OVER (PARTITION BY s_nationkey ORDER BY s_acctbal DESC, s_suppkey) AS rn

@@ -1,12 +1,13 @@
 package graft.streaming
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{DataFrame, Dataset}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
 
 /** Structured-Streaming-shaped event aggregation.
   *
   * The reference is batch-only (SURVEY §1.1: no streams); this is the
-  * incremental-refresh path SURVEY §7.7 plans: the same transform runs
+  * incremental-refresh path SURVEY §7.7 plans: the same transforms run
   * over `readStream` (with the watermark bounding state) or over a
   * batch frame (for the oracle gate). Streaming semantics are exercised
   * in StreamingSpec via a memory-sink query.
@@ -23,4 +24,41 @@ object EventStream {
       .agg(count(lit(1)).as("n"), sum(col("value")).as("sum_value"))
       .select(col("w.start").as("window_start"), col("event_type"),
         col("n"), col("sum_value"))
+
+  /** Session-window counts per key: consecutive events of one key merge
+    * into a session while each arrives within `gap` of the previous
+    * (Spark semantics: an event at t extends the session to t+gap; the
+    * next joins iff its ts < that end). Batch-equivalent to the
+    * gaps-and-islands formulation the oracle uses. */
+  def sessionCounts(events: DataFrame, tsCol: String, keyCol: String,
+                    gap: String): DataFrame =
+    events
+      .groupBy(col(keyCol), session_window(col(tsCol), gap).as("w"))
+      .agg(count(lit(1)).as("n"))
+      .select(col(keyCol), col("w.start").as("session_start"), col("n"))
+
+  case class UserEvent(user_id: Long, value: Double)
+  case class UserStats(user_id: Long, n_events: Long, max_value: Double)
+
+  /** Custom per-key state via `flatMapGroupsWithState` — the arbitrary-
+    * stateful-processing hook (KeyValueGroupedDataset). The fold is
+    * order-insensitive (count + max), so batch output is deterministic
+    * and oracle-checkable; under streaming the same function accumulates
+    * across micro-batches through `GroupState`. */
+  def statefulUserStats(events: DataFrame): Dataset[UserStats] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    events.select(col("user_id"), col("value")).as[UserEvent]
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[UserStats, UserStats](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (uid: Long, it: Iterator[UserEvent], state: GroupState[UserStats]) =>
+          val prev = state.getOption.getOrElse(UserStats(uid, 0L, Double.MinValue))
+          val next = it.foldLeft(prev) { (acc, e) =>
+            UserStats(uid, acc.n_events + 1, math.max(acc.max_value, e.value))
+          }
+          state.update(next)
+          Iterator.single(next)
+      }
+  }
 }

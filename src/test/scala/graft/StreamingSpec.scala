@@ -1,0 +1,94 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.OutputMode
+
+import graft.streaming.EventStream
+
+/** Streaming semantics of EventStream: the same transforms that pass
+  * the batch oracle run here over an actual `readStream` (MemoryStream
+  * source → memory sink), including watermark-bounded state and
+  * incremental arrival across micro-batches.
+  */
+class StreamingSpec extends SparkTestBase {
+
+  import spark.implicits._
+
+  private def ts(s: String): Timestamp = Timestamp.valueOf(s)
+
+  test("windowedCounts aggregates incrementally over readStream") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Timestamp, String, Double)]
+    val input = mem.toDF().toDF("ts", "event_type", "value")
+      .withWatermark("ts", "2 hours")
+
+    val q = EventStream.windowedCounts(input, "ts", "1 hour")
+      .writeStream.format("memory").queryName("win_counts")
+      .outputMode(OutputMode.Complete()).start()
+    try {
+      mem.addData(
+        (ts("2024-01-01 00:10:00"), "click", 1.0),
+        (ts("2024-01-01 00:40:00"), "click", 2.0),
+        (ts("2024-01-01 01:10:00"), "click", 4.0))
+      q.processAllAvailable()
+      // late-but-in-watermark event lands in the first window
+      mem.addData((ts("2024-01-01 00:50:00"), "click", 8.0))
+      q.processAllAvailable()
+
+      val rows = spark.table("win_counts")
+        .select(date_format(col("window_start"), "HH:mm").as("w"), col("n"), col("sum_value"))
+        .as[(String, Long, Double)].collect()
+        .map { case (w, n, s) => w -> ((n, s)) }.toMap
+      assert(rows("00:00") == ((3L, 11.0)))
+      assert(rows("01:00") == ((1L, 4.0)))
+    } finally q.stop()
+  }
+
+  test("sessionCounts merges events within the gap across micro-batches") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Timestamp, Long)]
+    val input = mem.toDF().toDF("ts", "user_id")
+      .withWatermark("ts", "1 hour")
+
+    val q = EventStream.sessionCounts(input, "ts", "user_id", "30 minutes")
+      .writeStream.format("memory").queryName("sessions")
+      .outputMode(OutputMode.Complete()).start()
+    try {
+      mem.addData((ts("2024-01-01 09:00:00"), 7L), (ts("2024-01-01 09:20:00"), 7L))
+      q.processAllAvailable()
+      // 09:20 + 30min gap covers 09:45 → same session; 11:00 starts a new one
+      mem.addData((ts("2024-01-01 09:45:00"), 7L), (ts("2024-01-01 11:00:00"), 7L))
+      q.processAllAvailable()
+
+      val rows = spark.table("sessions")
+        .select(date_format(col("session_start"), "HH:mm").as("s"), col("n"))
+        .as[(String, Long)].collect().toMap
+      assert(rows == Map("09:00" -> 3L, "11:00" -> 1L))
+    } finally q.stop()
+  }
+
+  test("statefulUserStats carries GroupState across micro-batches") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, Double)]
+    val input = mem.toDF().toDF("user_id", "value")
+
+    val q = EventStream.statefulUserStats(input)
+      .writeStream.format("memory").queryName("user_stats")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      mem.addData((1L, 5.0), (1L, 9.0), (2L, 3.0))
+      q.processAllAvailable()
+      mem.addData((1L, 7.0)) // state must remember n=2, max=9.0
+      q.processAllAvailable()
+
+      val latest = spark.table("user_stats")
+        .groupBy("user_id").agg(max("n_events").as("n"), max("max_value").as("mx"))
+        .as[(Long, Long, Double)].collect().map(r => r._1 -> ((r._2, r._3))).toMap
+      assert(latest(1L) == ((3L, 9.0)))
+      assert(latest(2L) == ((1L, 3.0)))
+    } finally q.stop()
+  }
+}
