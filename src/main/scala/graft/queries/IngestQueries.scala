@@ -56,6 +56,16 @@ object IngestQueries {
         .select(col("doc_id"), col("frame_idx"))
     }),
 
+    // S9: paged-source read — every remote page is an InputPartition
+    // fetched in parallel with per-page retry; failEvery=7 injects
+    // transient failures so the retry path actually runs (reference
+    // pagination client: query_pangenome_berdl.py:92-211).
+    "s9_paged_source" -> ((s, d) => {
+      s.read.format("graft.sources.PagedSource")
+        .option("rows", 10000).option("pageSize", 1000).option("failEvery", 7)
+        .load()
+    }),
+
     // S2/S3/S6/S12: typed TSV round-trip — written with the TSV sink,
     // read back with an explicit schema (the reference's typed reader
     // forcing float columns: prep_genome_set.py:10-34).
@@ -114,6 +124,9 @@ object IngestQueries {
     "multimodal_frames" ->
       """SELECT doc_id, unnest(generate_series(0, octet_length(encode(text)) // 100, 3)) AS frame_idx
          FROM documents""",
+    "s9_paged_source" ->
+      """SELECT i AS id, CAST(i // 1000 AS INTEGER) AS page, md5(i::VARCHAR) AS payload
+         FROM generate_series(0, 9999) t(i)""",
     "tsv_typed_roundtrip" ->
       """SELECT s_suppkey, s_name, s_nationkey,
            floor((s_acctbal) * 100 + 0.5) / 100 AS bal FROM supplier""",

@@ -1,0 +1,135 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.graftx.ArrayNumeric
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+
+import graft.functions.Hashes
+import graft.operators.Dedup
+import graft.serve.{FilterParser, TableScanner}
+
+/** Property tests (SURVEY §5 plan, item 4). Fixtures are generated
+  * with ScalaCheck `Gen` under a fixed seed; each property is checked
+  * as ONE Spark job over all generated cases (both formulations as
+  * columns, zero mismatching rows expected) — distributed-friendly
+  * property testing without a job per case.
+  */
+class PropertySpec extends SparkTestBase {
+
+  import spark.implicits._
+
+  private def sample[A](g: Gen[A], n: Int): Seq[A] =
+    Iterator.from(0)
+      .map(i => g.apply(Gen.Parameters.default, Seed(42L + i)))
+      .collect { case Some(a) => a }.take(n).toSeq
+
+  private val seqGen: Gen[String] =
+    Gen.nonEmptyListOf(Gen.oneOf("ACDEFGHIKLMNPQRSTVWY*acdefghikmnpqrstvwy".toSeq))
+      .map(_.mkString)
+
+  test("hash-join identity: joining on sha2(norm(seq)) == joining on norm(seq)") {
+    val seqs = sample(seqGen, 120).zipWithIndex
+      .map { case (s, i) => (i.toLong, s) }
+    val df = seqs.toDF("id", "seq")
+      .withColumn("h", Hashes.proteinHash(col("seq")))
+      .withColumn("norm", upper(regexp_replace(col("seq"), "\\*$", "")))
+    val byHash = df.as("a").join(df.as("b"), col("a.h") === col("b.h"))
+      .select(col("a.id"), col("b.id")).as[(Long, Long)].collect().toSet
+    val bySeq = df.as("a").join(df.as("b"), col("a.norm") === col("b.norm"))
+      .select(col("a.id"), col("b.id")).as[(Long, Long)].collect().toSet
+    assert(byHash == bySeq && byHash.nonEmpty)
+  }
+
+  test("sortedIntersectSize == size(array_intersect) on sorted distinct longs") {
+    val arrGen = Gen.listOf(Gen.chooseNum(-50L, 50L))
+    val pairs = sample(Gen.zip(arrGen, arrGen), 200)
+      .map { case (a, b) => (a.distinct.sorted, b.distinct.sorted) }
+    val df = pairs.toDF("a", "b")
+    val mismatches = df.withColumn("merge",
+        ArrayNumeric.sortedIntersectSize(col("a"), col("b")))
+      .withColumn("builtin", size(array_intersect(col("a"), col("b"))))
+      .filter(col("merge") =!= col("builtin")).count()
+    assert(mismatches == 0)
+  }
+
+  test("NumericArrayDot is bit-identical to the aggregate/zip_with fold") {
+    val vecGen = Gen.listOfN(16, Gen.chooseNum(-1e3, 1e3))
+    val pairs = sample(Gen.zip(vecGen, vecGen), 200)
+    val df = pairs.toDF("a", "b")
+    val hof = aggregate(zip_with(col("a"), col("b"), (x, y) => x * y),
+      lit(0.0), (acc, v) => acc + v)
+    val mismatches = df
+      .withColumn("expr_dot", ArrayNumeric.dot(col("a"), col("b")))
+      .withColumn("hof_dot", hof)
+      .filter(col("expr_dot") =!= col("hof_dot")).count()
+    assert(mismatches == 0)
+  }
+
+  test("Jaccard product-form threshold == division form") {
+    val g = for {
+      inter <- Gen.chooseNum(0, 300)
+      extraA <- Gen.chooseNum(0, 300)
+      extraB <- Gen.chooseNum(0, 300)
+      t <- Gen.oneOf(0.3, 0.5, 0.8)
+    } yield (inter, inter + extraA, inter + extraB, t)
+    val rows = sample(g, 300).filter(r => r._2 > 0 && r._3 > 0)
+    val df = rows.toDF("i", "sza", "szb", "t")
+    val division = col("i").cast("double") /
+      (col("sza") + col("szb") - col("i")).cast("double") >= col("t")
+    val product = col("i").cast("double") * (lit(1.0) + col("t")) >=
+      col("t") * (col("sza") + col("szb")).cast("double")
+    assert(df.filter(division =!= product).count() == 0)
+  }
+
+  test("minhash signature values stay in [0, p) and respect containment") {
+    // J(A,A∪B) bound: a superset's minhash agrees on >= the subset share.
+    val df = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog"),
+      (2L, "the quick brown fox jumps over the lazy dog and then naps"))
+      .toDF("doc_id", "text")
+    val sig = Dedup.minhashSignature(df, "doc_id", "text", n = 4, k = 8)
+    val cols = (0 until 8).map(i => col(s"mh$i"))
+    val outOfRange = sig.filter(cols.map(c =>
+      c < 0 || c >= Dedup.MinhashPrime).reduce(_ || _)).count()
+    assert(outOfRange == 0)
+    val rows = sig.orderBy("doc_id").collect()
+    val agree = (0 until 8).count(i => rows(0).getLong(i + 1) == rows(1).getLong(i + 1))
+    assert(agree >= 2) // heavy overlap -> many agreeing minima
+  }
+
+  test("FilterParser numeric affinity matches programmatic predicates") {
+    val df = sample(Gen.chooseNum(-1000L, 1000L), 300).zipWithIndex
+      .map { case (v, i) => (i.toLong, v) }.toDF("id", "v")
+    val cases = Seq(
+      (">= 10", (x: Long) => x >= 10), ("<-5", (x: Long) => x < -5),
+      ("!= 0", (x: Long) => x != 0), ("= 42", (x: Long) => x == 42),
+      ("-3..7", (x: Long) => x >= -3 && x <= 7),
+      ("between 0 and 100", (x: Long) => x >= 0 && x <= 100),
+      ("1,2,3", (x: Long) => Set(1L, 2L, 3L).contains(x)),
+      ("!1,2", (x: Long) => !Set(1L, 2L).contains(x)))
+    for ((text, pred) <- cases) {
+      val parsed = FilterParser.parse(df.schema, "v", text)
+      val got = df.filter(TableScanner.compileFilter(df.schema, parsed))
+        .select("id").as[Long].collect().toSet
+      val want = df.select("id", "v").as[(Long, Long)].collect()
+        .filter { case (_, v) => pred(v) }.map(_._1).toSet
+      assert(got == want, s"quick-filter '$text'")
+    }
+  }
+
+  test("dynamic pivot round-trips through unpivot") {
+    val g = Gen.zip(Gen.chooseNum(1, 20), Gen.oneOf("x", "y", "z"))
+    val rows = sample(g, 200).map { case (k, t) => (k.toLong, t) }
+    val df = rows.toDF("key", "term")
+    val wide = graft.operators.Relational.dynamicPivot(
+      df, Seq("key"), "term", count(lit(1)), maxValues = 10).na.fill(0L)
+    val terms = wide.columns.filter(_ != "key")
+    val back = wide.unpivot(Array(col("key")), terms.map(col),
+      "term", "n").filter(col("n") > 0)
+      .select("key", "term", "n").as[(Long, String, Long)].collect().toSet
+    val want = rows.groupBy(identity).map { case ((k, t), xs) =>
+      (k, t, xs.size.toLong) }.toSet
+    assert(back == want)
+  }
+}
