@@ -56,4 +56,54 @@ object Multimodal {
       .withColumn("frame_idx",
         explode(sequence(lit(0), col("n_frames") - 1, lit(everyNth))))
       .drop("n_frames")
+
+  /** STUB feature extractor: dim deterministic doubles in [0,1) derived
+    * from md5 of the seed-tagged bytes — the same arithmetic the SQL
+    * oracle reproduces, so the embed plumbing is differentially
+    * testable. A real model (ONNX runtime, JNI encoder) replaces the
+    * body; the partition-batched shape (one model handle per partition,
+    * rows streamed) is what carries over. */
+  def stubEmbed(bytes: Array[Byte], dim: Int): Array[Double] = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    Array.tabulate(dim) { i =>
+      md.reset()
+      md.update(bytes)
+      md.update(s"#$i".getBytes("UTF-8"))
+      val hex = md.digest().take(4).map("%02x".format(_)).mkString
+      (java.lang.Long.parseLong(hex, 16) % 1000).toDouble / 1000.0
+    }
+  }
+
+  /** Embedding column from a binary payload: partition-batched decode +
+    * featurize (`mapPartitions`), emitting `array<double>` that feeds
+    * straight into the Similarity/Dedup operators — the bytes → features
+    * → ANN path of a multimodal training-data pipeline. */
+  def extractFeatures(df: DataFrame, payloadCol: String, dim: Int): DataFrame = {
+    val outSchema = StructType(df.schema.fields :+
+      StructField("features", ArrayType(DoubleType, containsNull = false)))
+    val idx = df.schema.fieldIndex(payloadCol)
+    df.mapPartitions { rows =>
+      // per-partition model handle init would go here
+      rows.map { r =>
+        val bytes = r.getAs[Array[Byte]](idx)
+        Row.fromSeq(r.toSeq :+ stubEmbed(bytes, dim).toSeq)
+      }
+    }(org.apache.spark.sql.Encoders.row(outSchema))
+  }
+
+  /** STUB resize: truncate the payload to `maxBytes` (a real resampler
+    * replaces the body; binary-in/binary-out per-partition plumbing and
+    * the refreshed metadata struct are the reusable part). */
+  def resize(df: DataFrame, payloadCol: String, maxBytes: Int): DataFrame = {
+    val outSchema = StructType(df.schema.fields :+
+      StructField("resized", BinaryType) :+ StructField("resized_len", LongType))
+    val idx = df.schema.fieldIndex(payloadCol)
+    df.mapPartitions { rows =>
+      rows.map { r =>
+        val bytes = r.getAs[Array[Byte]](idx)
+        val out = bytes.take(maxBytes)
+        Row.fromSeq(r.toSeq :+ out :+ out.length.toLong)
+      }
+    }(org.apache.spark.sql.Encoders.row(outSchema))
+  }
 }

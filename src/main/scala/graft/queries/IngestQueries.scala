@@ -80,6 +80,23 @@ object IngestQueries {
           round2(col("s_acctbal")).as("bal"))
     }),
 
+    // Multimodal: partition-batched feature extraction (stub model) —
+    // the bytes → embedding step of a multimodal pipeline.
+    "multimodal_features" -> ((s, d) => {
+      val withPayload = tbl(s, d, "documents")
+        .select(col("doc_id"), col("text").cast("binary").as("payload"))
+      Multimodal.extractFeatures(withPayload, "payload", dim = 4)
+        .select(col("doc_id"), col("features"))
+    }),
+
+    // Multimodal: binary-in/binary-out resize plumbing (stub resampler).
+    "multimodal_resize" -> ((s, d) => {
+      val withPayload = tbl(s, d, "documents")
+        .select(col("doc_id"), col("text").cast("binary").as("payload"))
+      Multimodal.resize(withPayload, "payload", maxBytes = 64)
+        .select(col("doc_id"), col("resized_len"))
+    }),
+
     // Streaming-shaped tumbling-window aggregation (batch equivalence;
     // the readStream path is exercised in StreamingSpec).
     "stream_window_counts" -> ((s, d) => {
@@ -130,6 +147,14 @@ object IngestQueries {
     "tsv_typed_roundtrip" ->
       """SELECT s_suppkey, s_name, s_nationkey,
            floor((s_acctbal) * 100 + 0.5) / 100 AS bal FROM supplier""",
+    "multimodal_features" ->
+      """SELECT doc_id,
+           [(('0x' || substring(md5(text || '#' || i), 1, 8))::BIGINT % 1000)::DOUBLE / 1000.0
+            FOR i IN [0, 1, 2, 3]] AS features
+         FROM documents""",
+    "multimodal_resize" ->
+      """SELECT doc_id, least(octet_length(encode(text)), 64)::BIGINT AS resized_len
+         FROM documents""",
     "stream_window_counts" ->
       """SELECT strftime(time_bucket(INTERVAL '1 hour', ts), '%Y-%m-%d %H:%M:%S') AS window_start,
            event_type, count(*) AS n,
