@@ -49,4 +49,18 @@ object Lakehouse {
     * works against the same registry. */
   def registerAll(spark: SparkSession, sfDir: String): Unit =
     tableNames.foreach(n => table(spark, sfDir, n).createOrReplaceTempView(n))
+
+  /** Persist a fact table bucketed (+ sorted) on its join key (SURVEY
+    * §4.2: the 1B-row junction joins). Two tables bucketed on the same
+    * key with the same bucket count equi-join with NO exchange on
+    * either side — at 100 TB that deletes the dominant shuffle of every
+    * junction join. Requires a catalog table (`saveAsTable`); bucket
+    * count sizes each bucket to fit executor memory at target scale. */
+  def writeBucketed(df: DataFrame, tableName: String, bucketCol: String,
+                    buckets: Int): Unit =
+    df.write.mode("overwrite")
+      .format("parquet")
+      .bucketBy(buckets, bucketCol)
+      .sortBy(bucketCol)
+      .saveAsTable(tableName)
 }

@@ -67,6 +67,18 @@ object ServeQueries {
       TableScanner.totalCount(tbl(s, d, "lineitem"), ScanRequest(
         table = "lineitem",
         filters = Seq(ColumnFilter("l_returnflag", "ne", Some("N")))))
+    }),
+
+    // Raw SQL passthrough: the reference's remote SQL endpoint executes
+    // arbitrary SQL against the lakehouse (query_pangenome_berdl.py:
+    // 92-153, berdl_api.py:17-34); here `spark.sql` over the registered
+    // views IS the server side — the oracle runs the identical text.
+    "sql_passthrough" -> ((s, d) => {
+      graft.core.Lakehouse.registerAll(s, d)
+      s.sql(
+        """SELECT n_name, count(*) AS n_suppliers, floor(sum(s_acctbal) * 100 + 0.5) / 100 AS total_bal
+           FROM supplier JOIN nation ON s_nationkey = n_nationkey
+           GROUP BY n_name""")
     }))
 
   val oracles: Map[String, String] = Map(
@@ -95,5 +107,9 @@ object ServeQueries {
       """SELECT event_id, user_id, event_type, value, props, epoch_us(ts) AS ts_us FROM events
          WHERE event_type = 'purchase' AND value >= 100 AND value <= 200""",
     "dsl_total_count" ->
-      "SELECT count(*) AS total_count FROM lineitem WHERE l_returnflag <> 'N'")
+      "SELECT count(*) AS total_count FROM lineitem WHERE l_returnflag <> 'N'",
+    "sql_passthrough" ->
+      """SELECT n_name, count(*) AS n_suppliers, floor(sum(s_acctbal) * 100 + 0.5) / 100 AS total_bal
+         FROM supplier JOIN nation ON s_nationkey = n_nationkey
+         GROUP BY n_name""")
 }
