@@ -1,0 +1,40 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+
+/** GraftExtensions: the codegen expressions must be reachable from raw
+  * SQL once the extension is installed. Separate session builder (the
+  * extension hooks in at session construction). */
+class ExtensionsSpec extends AnyFunSuite {
+
+  // getOrCreate may return a session built by another suite in this
+  // JVM (where withExtensions can no longer apply) — cover both paths:
+  // builder-time extension when we own the session, post-hoc install
+  // otherwise.
+  private lazy val spark: SparkSession = {
+    val s = SparkSession.builder()
+      .master("local[2]")
+      .appName("extensions-spec")
+      .config("spark.sql.shuffle.partitions", "2")
+      .config("spark.ui.enabled", "false")
+      .withExtensions(new org.apache.spark.sql.graftx.GraftExtensions)
+      .getOrCreate()
+    org.apache.spark.sql.graftx.GraftExtensions.install(s)
+    s
+  }
+
+  test("sorted_intersect_size is callable from SQL") {
+    val n = spark.sql(
+      "SELECT sorted_intersect_size(array(1L, 3L, 5L), array(3L, 4L, 5L)) AS n")
+      .collect().head.getInt(0)
+    assert(n == 2)
+  }
+
+  test("numeric_array_dot is callable from SQL") {
+    val d = spark.sql(
+      "SELECT numeric_array_dot(array(1.0D, 2.0D), array(3.0D, 4.0D)) AS d")
+      .collect().head.getDouble(0)
+    assert(d == 11.0)
+  }
+}
