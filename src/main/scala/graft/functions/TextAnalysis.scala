@@ -66,4 +66,31 @@ object TextAnalysis {
     * lower-cased token set (catches shuffled near-copies). */
   def fingerprint(text: Column): Column =
     md5(concat_ws(" ", array_sort(array_distinct(wsTokens(lower(text))))))
+
+  /** Repetition metrics — the boilerplate/spam signals of corpus
+    * filtering. All exact rational arithmetic (no transcendental
+    * functions), so differential results are bit-stable:
+    *  - distinct-token ratio (1.0 = no repetition),
+    *  - top-token share (max token frequency / token count). */
+  def distinctTokenRatio(text: Column): Column = {
+    val toks = wsTokens(text)
+    size(array_distinct(toks)).cast("double") /
+      greatest(size(toks), lit(1)).cast("double")
+  }
+
+  def topTokenShare(text: Column): Column = {
+    val toks = wsTokens(text)
+    // max frequency via sort + count of the modal run, expressed with
+    // aggregate over the distinct tokens (bounded: distinct set)
+    val counts = transform(array_distinct(toks),
+      t => size(filter(toks, x => x === t)))
+    array_max(counts).cast("double") / greatest(size(toks), lit(1)).cast("double")
+  }
+
+  /** Mean token length in characters (exact int/int division). */
+  def meanTokenLength(text: Column): Column = {
+    val toks = wsTokens(text)
+    aggregate(toks, lit(0), (acc, t) => acc + length(t)).cast("double") /
+      greatest(size(toks), lit(1)).cast("double")
+  }
 }

@@ -79,6 +79,62 @@ object Similarity {
       .select(col("query_id"), col("rank"), col("neighbor_id"))
   }
 
+  /** IVF-style ANN: a coarse quantizer assigns every vector to its
+    * nearest centroid cell; queries compare only within their own cell
+    * (nprobe=1 here; multi-probe = also join the next-nearest cells).
+    * Centroids are a deterministic subset of the corpus (at scale: a
+    * k-means fit, broadcast) — the cells shard the O(n²) space like an
+    * inverted file does. */
+  def ivfTopK(df: DataFrame, idCol: String, vecCol: String, k: Int,
+              nCentroids: Int): DataFrame = {
+    val base = spread(df).select(col(idCol), col(vecCol).as("v"))
+      .withColumn("vn", VectorOps.norm(col("v")))
+    val centroids = df.filter(col(idCol) < nCentroids)
+      .select(col(idCol).as("centroid_id"), col(vecCol).as("cv"))
+      .withColumn("cn", VectorOps.norm(col("cv")))
+    // assign: argmax cosine over the (broadcast) centroid set
+    val scored = base.join(broadcast(centroids))
+      .withColumn("csim", VectorOps.dot(col("v"), col("cv")) / (col("vn") * col("cn")))
+    val wAssign = Window.partitionBy(col(idCol))
+      .orderBy(col("csim").desc, col("centroid_id").asc)
+    val cells = scored.withColumn("__rn", row_number().over(wAssign))
+      .filter(col("__rn") === 1)
+      .select(col(idCol), col("v"), col("vn"), col("centroid_id").as("cell"))
+    // search within the cell
+    val a = cells.select(col("cell"), col(idCol).as("query_id"),
+      col("v").as("qv"), col("vn").as("qn"))
+    val b = cells.select(col("cell"), col(idCol).as("neighbor_id"),
+      col("v").as("cv2"), col("vn").as("cn2"))
+    val pairs = a.join(b, Seq("cell"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("cosine", VectorOps.dot(col("qv"), col("cv2")) / (col("qn") * col("cn2")))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("neighbor_id").asc)
+    pairs.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("neighbor_id"))
+  }
+
+  /** LSH-bucketed cosine near-dup pairs: hyperplane buckets generate
+    * candidates, the exact threshold verifies — the scale path of
+    * `cosineNearDupPairs` (recall < 1 by construction, tunable via
+    * plane count / multi-probe). */
+  def lshCosineNearDupPairs(df: DataFrame, idCol: String, vecCol: String,
+                            threshold: Double, planes: Seq[Seq[Double]]): DataFrame = {
+    val bucketed = spread(df).select(col(idCol), col(vecCol).as("v"))
+      .withColumn("bucket", VectorOps.hyperplaneBucket(col("v"), planes))
+      .withColumn("vn", VectorOps.norm(col("v")))
+    val a = bucketed.select(col("bucket"), col(idCol).as("id_a"),
+      col("v").as("va"), col("vn").as("na"))
+    val b = bucketed.select(col("bucket"), col(idCol).as("id_b"),
+      col("v").as("vb"), col("vn").as("nb"))
+    a.join(b, Seq("bucket"))
+      .filter(col("id_a") < col("id_b"))
+      .withColumn("cosine", VectorOps.dot(col("va"), col("vb")) / (col("na") * col("nb")))
+      .filter(col("cosine") >= threshold)
+      .select(col("id_a"), col("id_b"))
+  }
+
   /** Embedding-cosine near-duplicate pairs above a threshold (the
     * semantic-dedup primitive). Exact; at scale feed LSH candidates. */
   def cosineNearDupPairs(df: DataFrame, idCol: String, vecCol: String,

@@ -35,6 +35,14 @@ object TextQueries {
       tbl(s, d, "documents").select(
         col("doc_id"),
         TextAnalysis.fingerprint(col("text")).as("fp"))
+    }),
+
+    "text_repetition" -> ((s, d) => {
+      tbl(s, d, "documents").select(
+        col("doc_id"),
+        TextAnalysis.distinctTokenRatio(col("text")).as("distinct_ratio"),
+        TextAnalysis.topTokenShare(col("text")).as("top_share"),
+        TextAnalysis.meanTokenLength(col("text")).as("mean_tok_len"))
     }))
 
   private def listLit(words: Seq[String]): String =
@@ -79,5 +87,14 @@ object TextQueries {
     "text_fingerprint" ->
       """SELECT doc_id,
            md5(array_to_string(list_sort(list_distinct(string_split_regex(trim(lower(text)), '\s+'))), ' ')) AS fp
-         FROM documents""")
+         FROM documents""",
+    "text_repetition" ->
+      """SELECT doc_id,
+           len(list_distinct(toks))::DOUBLE / greatest(len(toks), 1)::DOUBLE AS distinct_ratio,
+           list_max(list_transform(list_distinct(toks),
+             t -> len(list_filter(toks, x -> x = t))))::DOUBLE
+             / greatest(len(toks), 1)::DOUBLE AS top_share,
+           list_sum(list_transform(toks, t -> length(t)))::DOUBLE
+             / greatest(len(toks), 1)::DOUBLE AS mean_tok_len
+         FROM (SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks FROM documents)""")
 }

@@ -14,6 +14,8 @@ object VectorQueries {
   private val K = 5
   private val NPlanes = 6
   private val Dim = 64
+  private val NCentroids = 8
+  private val CosThreshold = 0.45
   private lazy val planes: Seq[Seq[Double]] = Similarity.hyperplanes(NPlanes, Dim)
 
   val queries: Map[String, QueryFn] = Map(
@@ -27,6 +29,19 @@ object VectorQueries {
     // LSH-bucketed ANN over the whole corpus (within-bucket top-k).
     "ann_lsh_topk" -> ((s, d) => {
       Similarity.lshTopK(tbl(s, d, "embeddings"), "vec_id", "embedding", K, planes)
+    }),
+
+    // IVF-style ANN: coarse-quantizer cells, search within the cell.
+    "ann_ivf_topk" -> ((s, d) => {
+      Similarity.ivfTopK(tbl(s, d, "embeddings"), "vec_id", "embedding", K,
+        nCentroids = NCentroids)
+    }),
+
+    // LSH-candidate + exact-verify near-dup pairs (scale path of
+    // dedup_embed_cosine).
+    "dedup_embed_lsh" -> ((s, d) => {
+      Similarity.lshCosineNearDupPairs(tbl(s, d, "embeddings"), "vec_id",
+        "embedding", CosThreshold, planes)
     }))
 
   private def dotSql(x: String, y: String): String =
@@ -61,5 +76,27 @@ object VectorQueries {
                 ORDER BY ${cosSql("a.embedding", "b.embedding")} DESC, b.vec_id) AS rank
             FROM bucketed a JOIN bucketed b
               ON a.bucket = b.bucket AND a.vec_id <> b.vec_id)
-          WHERE rank <= $K""")
+          WHERE rank <= $K""",
+    "ann_ivf_topk" ->
+      s"""WITH cells AS (
+            SELECT vec_id, embedding, centroid_id AS cell FROM (
+              SELECT v.vec_id, v.embedding, c.vec_id AS centroid_id,
+                row_number() OVER (PARTITION BY v.vec_id
+                  ORDER BY ${cosSql("v.embedding", "c.embedding")} DESC, c.vec_id) AS rn
+              FROM embeddings v JOIN embeddings c ON c.vec_id < $NCentroids)
+            WHERE rn = 1)
+          SELECT query_id, rank, neighbor_id FROM (
+            SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+              row_number() OVER (PARTITION BY a.vec_id
+                ORDER BY ${cosSql("a.embedding", "b.embedding")} DESC, b.vec_id) AS rank
+            FROM cells a JOIN cells b
+              ON a.cell = b.cell AND a.vec_id <> b.vec_id)
+          WHERE rank <= $K""",
+    "dedup_embed_lsh" ->
+      s"""WITH bucketed AS (
+            SELECT vec_id, embedding, ${bucketSql("embedding")} AS bucket FROM embeddings)
+          SELECT a.vec_id AS id_a, b.vec_id AS id_b
+          FROM bucketed a JOIN bucketed b
+            ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+          WHERE ${cosSql("a.embedding", "b.embedding")} >= $CosThreshold""")
 }
