@@ -10,6 +10,12 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // Untimed warmup: session/codegen/datasource init otherwise lands on
+    // whichever query happens to run first (~4-5 s of noise).
+    try {
+      spark.range(1000000).selectExpr("id % 10 AS k").groupBy("k").count().count()
+      spark.read.parquet(s"$sfDir/nation.parquet").count()
+    } catch { case _: Throwable => }
     val results = SparkEntry.queries.map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }

@@ -93,7 +93,11 @@ object Dedup {
   def lshCandidatePairs(df: DataFrame, idCol: String, textCol: String,
                         n: Int = 5, k: Int = 16, bands: Int = 4): DataFrame = {
     val rows = k / bands
-    val sig = minhashSignature(df, idCol, textCol, n, k)
+    // The banded table feeds BOTH sides of the self-join; materialize it
+    // once (localCheckpoint) — Spark's exchange reuse does not unify the
+    // two branches here, so without this the whole signature aggregation
+    // runs twice.
+    val sig = minhashSignature(df, idCol, textCol, n, k).localCheckpoint()
     val banded = lshBands(sig, idCol, bands, rows)
     val a = banded.select(col("band"), col("band_sig"), col(idCol).as("id_a"))
     val b = banded.select(col("band"), col("band_sig"), col(idCol).as("id_b"))
@@ -171,6 +175,49 @@ object Dedup {
       .select(col("id_a"), col("id_b"), col("jaccard"))
   }
 
+  /** Duplicate clusters from a near-dup pair list: connected components
+    * by iterative min-label propagation — the post-candidate step that
+    * turns pairwise matches into "keep one representative per group".
+    *
+    * Each round every node takes the min label among itself and its
+    * neighbors; converges in O(component diameter) rounds (near-dup
+    * components are shallow). Each round is one join + one groupBy —
+    * the shuffle-native formulation that scales where driver-side
+    * union-find cannot; `localCheckpoint` truncates the growing lineage
+    * so round N+1's plan doesn't replay rounds 1..N.
+    *
+    * Returns (id, cluster_id) with cluster_id = min member id. */
+  def duplicateClusters(pairs: DataFrame, idA: String = "id_a",
+                        idB: String = "id_b", maxIters: Int = 20): DataFrame = {
+    val edges = pairs.select(col(idA).as("src"), col(idB).as("dst"))
+      .unionByName(pairs.select(col(idB).as("src"), col(idA).as("dst")))
+      .distinct().localCheckpoint()
+    var labels = edges.select(col("src").as("id")).distinct()
+      .withColumn("label", col("id")).localCheckpoint()
+    var iter = 0
+    var changed = 1L
+    while (changed > 0 && iter < maxIters) {
+      val neighborMin = edges
+        .join(labels.withColumnRenamed("id", "__nid"), col("dst") === col("__nid"))
+        .groupBy(col("src")).agg(min(col("label")).as("nlabel"))
+      val updated = labels
+        .join(neighborMin, labels("id") === neighborMin("src"), "left")
+        .select(col("id"),
+          least(col("label"), coalesce(col("nlabel"), col("label"))).as("new_label"),
+          col("label").as("old_label"))
+        .localCheckpoint()
+      changed = updated.filter(col("new_label") =!= col("old_label")).count()
+      labels = updated.select(col("id"), col("new_label").as("label"))
+      iter += 1
+    }
+    labels.select(col("id"), col("label").as("cluster_id"))
+  }
+
+  /** One representative per duplicate cluster (lowest id wins):
+    * the rows to KEEP after near-dup clustering. */
+  def representatives(clusters: DataFrame): DataFrame =
+    clusters.filter(col("id") === col("cluster_id")).select(col("id"))
+
   /** 32-bit SimHash as a bit string, from md5 nibbles of each token:
     * bit i is the majority vote of nibble i's low bit across tokens.
     * Nibble-parity keeps the construction reproducible in any engine
@@ -193,7 +240,9 @@ object Dedup {
   def simhashCandidates(sig: DataFrame, idCol: String, bits: Int = 32,
                         bands: Int = 4): DataFrame = {
     val chunk = bits / bands
-    val banded = sig.select(col(idCol), explode(array((0 until bands).map { b =>
+    // self-joined below: materialize once (see lshCandidatePairs)
+    val sigOnce = sig.localCheckpoint()
+    val banded = sigOnce.select(col(idCol), explode(array((0 until bands).map { b =>
       struct(lit(b).as("band"), substring(col("simhash"), b * chunk + 1, chunk).as("chunk"))
     }: _*)).as("bc")).select(col(idCol), col("bc.band"), col("bc.chunk"))
     val a = banded.select(col("band"), col("chunk"), col(idCol).as("id_a"))

@@ -48,6 +48,14 @@ object DedupQueries {
     "dedup_embed_cosine" -> ((s, d) => {
       Similarity.cosineNearDupPairs(tbl(s, d, "embeddings"), "vec_id",
         "embedding", CosineThreshold)
+    }),
+
+    // Connected components over the cosine near-dup pair graph: each
+    // involved vector labeled with its cluster (min member id).
+    "dedup_clusters" -> ((s, d) => {
+      val pairs = Similarity.cosineNearDupPairs(tbl(s, d, "embeddings"),
+        "vec_id", "embedding", CosineThreshold)
+      Dedup.duplicateClusters(pairs)
     }))
 
   /** Shared SQL fragment: distinct character shingles of `text`. */
@@ -129,5 +137,18 @@ object DedupQueries {
     "dedup_embed_cosine" ->
       s"""SELECT a.vec_id AS id_a, b.vec_id AS id_b
           FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
-          WHERE ${cosSql("a.embedding", "b.embedding")} >= $CosineThreshold""")
+          WHERE ${cosSql("a.embedding", "b.embedding")} >= $CosineThreshold""",
+    "dedup_clusters" ->
+      s"""WITH RECURSIVE pairs AS (
+            SELECT a.vec_id AS id_a, b.vec_id AS id_b
+            FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+            WHERE ${cosSql("a.embedding", "b.embedding")} >= $CosineThreshold),
+          edges AS (
+            SELECT id_a AS src, id_b AS dst FROM pairs
+            UNION SELECT id_b, id_a FROM pairs),
+          reach(id, label) AS (
+            SELECT src, src FROM edges
+            UNION
+            SELECT e.src, r.label FROM edges e JOIN reach r ON e.dst = r.id)
+          SELECT id, min(label) AS cluster_id FROM reach GROUP BY id""")
 }

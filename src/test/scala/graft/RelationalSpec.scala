@@ -54,3 +54,28 @@ class RelationalSpec extends SparkTestBase {
     assert(got === Set(("+", 100L, 109L), ("-", 91L, 100L)))
   }
 }
+
+/** Connected-components dedup clustering on hand fixtures. */
+class DedupClusterSpec extends SparkTestBase {
+  import spark.implicits._
+  import org.apache.spark.sql.functions._
+
+  test("duplicateClusters merges chains and keeps islands separate") {
+    // chain 1-2-3 (one cluster), island 7-8, singleton via no pairs
+    val pairs = Seq((1L, 2L), (2L, 3L), (7L, 8L)).toDF("id_a", "id_b")
+    val out = graft.operators.Dedup.duplicateClusters(pairs)
+      .as[(Long, Long)].collect().toMap
+    assert(out == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 7L -> 7L, 8L -> 7L))
+    val reps = graft.operators.Dedup.representatives(
+      graft.operators.Dedup.duplicateClusters(pairs))
+      .as[Long].collect().toSet
+    assert(reps == Set(1L, 7L))
+  }
+
+  test("duplicateClusters handles a long path within iteration budget") {
+    val pairs = (0L until 12L).map(i => (i, i + 1)).toDF("id_a", "id_b")
+    val out = graft.operators.Dedup.duplicateClusters(pairs)
+      .agg(countDistinct(col("cluster_id"))).collect().head.getLong(0)
+    assert(out == 1L)
+  }
+}

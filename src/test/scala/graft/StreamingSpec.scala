@@ -91,4 +91,29 @@ class StreamingSpec extends SparkTestBase {
       assert(latest(2L) == ((1L, 3.0)))
     } finally q.stop()
   }
+
+  test("IncrementalRefresh rewrites only the touched partitions") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(String, String)]
+    val input = mem.toDF().toDF("clade_id", "genome_id")
+    val base = s"${sys.props("java.io.tmpdir")}/graft_incr_refresh"
+    def rm(f: java.io.File): Unit = {
+      if (f.isDirectory) f.listFiles().foreach(rm); f.delete()
+    }
+    rm(new java.io.File(base))
+
+    val q = graft.streaming.IncrementalRefresh.partitionedUpsert(
+      input, s"$base/table", "clade_id", s"$base/ckpt")
+    try {
+      mem.addData(("cA", "g1"), ("cB", "g2"))
+      q.processAllAvailable()
+      // second batch touches ONLY cA: cB's partition must survive as-is
+      mem.addData(("cA", "g9"))
+      q.processAllAvailable()
+
+      val out = spark.read.parquet(s"$base/table")
+        .as[(String, String)].collect().toSet
+      assert(out == Set(("g9", "cA"), ("g2", "cB")))
+    } finally q.stop()
+  }
 }

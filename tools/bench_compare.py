@@ -1,0 +1,94 @@
+#!/usr/bin/env python3
+"""Dev-only head-to-head: time each oracle SQL in DuckDB (single-node,
+all cores) on the same sf directory as the Spark bench, and write
+COMPARE.md with per-query spark-vs-duckdb seconds.
+
+Usage:
+    python3 tools/bench_compare.py <sfDir> <oracle_sql.json> <bench.json> [timeout_s]
+
+DuckDB stands in for the reference's single-node columnar engine
+(Polars): same storage, same query semantics, mature vectorized
+executor. Queries that exceed the timeout are reported as ">Ns".
+"""
+import json
+import multiprocessing as mp
+import sys
+import time
+
+TABLES = ["region", "nation", "customer", "supplier", "part",
+          "orders", "lineitem", "events", "documents", "embeddings"]
+
+
+def run_one(sfdir, sql, q):
+    import duckdb
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sfdir}/{t}.parquet'")
+    t0 = time.time()
+    con.execute(f"SELECT count(*) FROM ({sql})").fetchone()
+    q.put(time.time() - t0)
+
+
+def duck_time(sfdir, sql, timeout):
+    q = mp.Queue()
+    p = mp.Process(target=run_one, args=(sfdir, sql, q))
+    p.start()
+    p.join(timeout)
+    if p.is_alive():
+        p.terminate()
+        p.join()
+        return None
+    return q.get() if not q.empty() else None
+
+
+def main():
+    sfdir = sys.argv[1]
+    oracle_path = sys.argv[2]
+    bench_path = sys.argv[3]
+    timeout = float(sys.argv[4]) if len(sys.argv) > 4 else 60.0
+
+    with open(oracle_path) as f:
+        oracles = json.load(f)
+    with open(bench_path) as f:
+        raw = f.read()
+        bench = json.loads(raw[raw.index("{"):])["queries"]
+
+    rows = []
+    for name in sorted(oracles):
+        if name not in bench:
+            continue
+        dt = duck_time(sfdir, oracles[name], timeout)
+        st = bench[name]
+        rows.append((name, st, dt))
+        d = f"{dt:8.2f}" if dt is not None else f"  >{timeout:.0f}"
+        print(f"{name:28s} spark={st:8.2f}  duckdb={d}")
+
+    spark_total = sum(r[1] for r in rows)
+    duck_known = sum(r[2] for r in rows if r[2] is not None)
+    n_timeout = sum(1 for r in rows if r[2] is None)
+
+    with open("COMPARE.md", "w") as f:
+        f.write(f"# Spark vs DuckDB head-to-head — {sfdir}\n\n")
+        f.write("Same parquet inputs, same query semantics (each query's DuckDB\n"
+                "side is its differential oracle SQL). DuckDB = single-node\n"
+                "columnar stand-in for the reference's Polars engine; Spark =\n"
+                "this engine at local[32]. Spark times are from the bench run\n"
+                "(includes per-query plan+execute; first bench query carries\n"
+                "~4-5 s one-time session warmup).\n\n")
+        f.write("| query | spark s | duckdb s | spark/duckdb |\n|---|---|---|---|\n")
+        for name, st, dt in sorted(rows, key=lambda r: -(r[1])):
+            if dt is None:
+                f.write(f"| {name} | {st:.2f} | >{timeout:.0f} (timeout) | <<1 |\n")
+            else:
+                ratio = st / dt if dt > 0 else float("inf")
+                f.write(f"| {name} | {st:.2f} | {dt:.2f} | {ratio:.1f} |\n")
+        f.write(f"\nTotals: spark {spark_total:.1f} s over {len(rows)} queries; "
+                f"duckdb {duck_known:.1f} s over {len(rows) - n_timeout} finished "
+                f"(+{n_timeout} queries exceeding the {timeout:.0f} s timeout "
+                f"that Spark completes in seconds).\n")
+    print(f"\nwrote COMPARE.md  spark_total={spark_total:.1f}s "
+          f"duckdb_finished_total={duck_known:.1f}s timeouts={n_timeout}")
+
+
+if __name__ == "__main__":
+    main()
