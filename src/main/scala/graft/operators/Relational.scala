@@ -127,4 +127,34 @@ object Relational {
   def strandSwap(start: Column, end: Column, strand: Column): (Column, Column) =
     (when(strand === "-", end).otherwise(start),
      when(strand === "-", start).otherwise(end))
+
+  /** As-of join: each left row picks the LATEST right row with
+    * `right.ts <= left.ts` for the same key (the temporal-lookup join
+    * the reference lacks but a metrics/event lakehouse needs).
+    *
+    * Formulated as union + running `last_value` instead of a range
+    * join: a range condition would explode to O(|L|·|R|) per key before
+    * filtering, while this is one shuffle on the key and one ordered
+    * window pass — the formulation that survives 100× data. Right rows
+    * sort before left rows on ts ties (the ASOF `<=` convention).
+    *
+    * Left columns pass through; the right's `valueCols` arrive as
+    * `asof_<name>` (null when nothing precedes). */
+  def asofJoin(left: DataFrame, right: DataFrame, key: String, ts: String,
+               valueCols: Seq[String]): DataFrame = {
+    val l = left.withColumn("__side", lit(1))
+      .withColumns(valueCols.map(c => s"asof_$c" -> lit(null)).toMap)
+    val r = valueCols.foldLeft(right.withColumn("__side", lit(0))) {
+      (df, c) => df.withColumn(s"asof_$c", col(c))
+    }.select((col(key) +: col(ts) +: col("__side") +:
+      valueCols.map(c => col(s"asof_$c"))): _*)
+    val combined = l.unionByName(r, allowMissingColumns = true)
+    val w = Window.partitionBy(col(key))
+      .orderBy(col(ts).asc, col("__side").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val filled = valueCols.foldLeft(combined) { (df, c) =>
+      df.withColumn(s"asof_$c", last(col(s"asof_$c"), ignoreNulls = true).over(w))
+    }
+    filled.filter(col("__side") === 1).drop("__side")
+  }
 }

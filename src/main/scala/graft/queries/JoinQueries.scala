@@ -114,6 +114,19 @@ object JoinQueries {
           round2(col("l_extendedprice")).as("price"))
     }),
 
+    // As-of join (beyond the reference): each click resolved to the
+    // latest preceding purchase of the same user — union + running
+    // last_value, not a range join (see Relational.asofJoin).
+    "j_asof_join" -> ((s, d) => {
+      val ev = tbl(s, d, "events")
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("event_id"), col("user_id"), col("ts_us"))
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("event_id"), col("user_id"), col("ts_us"))
+      Relational.asofJoin(clicks, purchases, "user_id", "ts_us", Seq("event_id"))
+        .select(col("event_id"), col("user_id"), col("asof_event_id"))
+    }),
+
     // J10: cross-source multi-value merge — union of value sets rendered
     // as a sorted ';'-joined string (reference: build_berdl_db.py:481-501).
     "j10_multivalue_merge" -> ((s, d) => {
@@ -167,6 +180,11 @@ object JoinQueries {
       """SELECT l.l_orderkey, l.l_linenumber, floor((l.l_extendedprice) * 100 + 0.5) / 100 AS price
          FROM (SELECT l_orderkey, l_linenumber FROM lineitem WHERE l_quantity = 50.0) r
          JOIN lineitem l ON r.l_orderkey = l.l_orderkey AND r.l_linenumber = l.l_linenumber""",
+    "j_asof_join" ->
+      """SELECT l.event_id, l.user_id, r.event_id AS asof_event_id
+         FROM (SELECT event_id, user_id, epoch_us(ts) AS ts_us FROM events WHERE event_type = 'click') l
+         ASOF LEFT JOIN (SELECT event_id, user_id, epoch_us(ts) AS ts_us FROM events WHERE event_type = 'purchase') r
+           ON l.user_id = r.user_id AND l.ts_us >= r.ts_us""",
     "j10_multivalue_merge" ->
       """SELECT l_orderkey, array_to_string(list_sort(list_distinct(list(l_returnflag) || list(l_linestatus))), ';') AS merged
          FROM lineitem GROUP BY l_orderkey""")

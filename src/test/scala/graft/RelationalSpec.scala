@@ -79,3 +79,24 @@ class DedupClusterSpec extends SparkTestBase {
     assert(out == 1L)
   }
 }
+
+/** As-of join semantics on hand fixtures. */
+class AsofJoinSpec extends SparkTestBase {
+  import spark.implicits._
+  import org.apache.spark.sql.functions._
+
+  test("asofJoin picks latest right <= left.ts, null when none precedes") {
+    val left = Seq((100L, "k", 10L), (101L, "k", 25L), (102L, "k", 5L))
+      .toDF("event_id", "key", "ts")
+    val right = Seq((900L, "k", 10L), (901L, "k", 20L), (902L, "z", 1L))
+      .toDF("event_id", "key", "ts")
+    val out = graft.operators.Relational
+      .asofJoin(left, right, "key", "ts", Seq("event_id"))
+      .select(col("event_id"), col("asof_event_id"))
+      .as[(Long, Option[Long])].collect().toMap
+    assert(out == Map(
+      100L -> Some(900L), // tie at ts=10: right sorts first (<= semantics)
+      101L -> Some(901L), // latest preceding
+      102L -> None))      // nothing at or before ts=5
+  }
+}
