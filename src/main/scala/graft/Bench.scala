@@ -16,10 +16,15 @@ object Bench {
       spark.range(1000000).selectExpr("id % 10 AS k").groupBy("k").count().count()
       spark.read.parquet(s"$sfDir/nation.parquet").count()
     } catch { case _: Throwable => }
+    // Two timed runs per query, min reported: one run is dominated by
+    // per-query JIT/codegen compilation noise at this data scale.
     val results = SparkEntry.queries.map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+      val times = (1 to 2).map { _ =>
+        val t0 = System.nanoTime()
+        try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+        (System.nanoTime() - t0) / 1e9
+      }
+      name -> times.min
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")

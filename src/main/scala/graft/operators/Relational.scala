@@ -128,6 +128,27 @@ object Relational {
     (when(strand === "-", end).otherwise(start),
      when(strand === "-", start).otherwise(end))
 
+  /** Banded range join: all (left, right) pairs with the same key and
+    * |left.ts − right.ts| ≤ window. The theta condition is turned into
+    * an equi-join by time-banding: band width = window, the right side
+    * replicated to its band ±1 (any in-range partner's band differs by
+    * at most 1), exact predicate applied after the equi-match. Shuffles
+    * on (key, band) — O(matches) work instead of the O(|L|·|R|)-per-key
+    * blowup of a raw theta join. Replication factor is a constant 3. */
+  def rangeJoin(left: DataFrame, right: DataFrame, key: String, ts: String,
+                window: Long): DataFrame = {
+    // integer `div`, not floor(x/y): double division loses exactness
+    // past 2^53 (e.g. epoch-nanos timestamps)
+    val l = left.withColumn("__band", expr(s"$ts div ${window}L"))
+    val rBase = right.withColumnRenamed(ts, s"r_$ts")
+    val rBand = expr(s"r_$ts div ${window}L")
+    val r = rBase.withColumn("__band",
+      explode(array(rBand - 1, rBand, rBand + 1)))
+    l.join(r, Seq(key, "__band"))
+      .filter(abs(col(ts) - col(s"r_$ts")) <= window)
+      .drop("__band")
+  }
+
   /** As-of join: each left row picks the LATEST right row with
     * `right.ts <= left.ts` for the same key (the temporal-lookup join
     * the reference lacks but a metrics/event lakehouse needs).

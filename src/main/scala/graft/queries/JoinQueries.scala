@@ -127,6 +127,19 @@ object JoinQueries {
         .select(col("event_id"), col("user_id"), col("asof_event_id"))
     }),
 
+    // Banded range join (beyond the reference): clicks within ±10 min
+    // of each purchase by the same user, counted per purchase.
+    "j_range_join" -> ((s, d) => {
+      val ev = tbl(s, d, "events")
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("event_id"), col("user_id"), col("ts_us"))
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("event_id").as("click_id"), col("user_id"), col("ts_us"))
+      Relational.rangeJoin(purchases, clicks, "user_id", "ts_us",
+        window = 600000000L) // 10 min in µs
+        .groupBy(col("event_id")).agg(count(lit(1)).as("n_nearby_clicks"))
+    }),
+
     // J10: cross-source multi-value merge — union of value sets rendered
     // as a sorted ';'-joined string (reference: build_berdl_db.py:481-501).
     "j10_multivalue_merge" -> ((s, d) => {
@@ -185,6 +198,12 @@ object JoinQueries {
          FROM (SELECT event_id, user_id, epoch_us(ts) AS ts_us FROM events WHERE event_type = 'click') l
          ASOF LEFT JOIN (SELECT event_id, user_id, epoch_us(ts) AS ts_us FROM events WHERE event_type = 'purchase') r
            ON l.user_id = r.user_id AND l.ts_us >= r.ts_us""",
+    "j_range_join" ->
+      """SELECT p.event_id, count(*) AS n_nearby_clicks
+         FROM (SELECT event_id, user_id, epoch_us(ts) AS ts_us FROM events WHERE event_type = 'purchase') p
+         JOIN (SELECT user_id, epoch_us(ts) AS ts_us FROM events WHERE event_type = 'click') c
+           ON p.user_id = c.user_id AND abs(p.ts_us - c.ts_us) <= 600000000
+         GROUP BY p.event_id""",
     "j10_multivalue_merge" ->
       """SELECT l_orderkey, array_to_string(list_sort(list_distinct(list(l_returnflag) || list(l_linestatus))), ';') AS merged
          FROM lineitem GROUP BY l_orderkey""")

@@ -23,6 +23,24 @@ object ScalarQueries {
           .as("s_terms"))
     }),
 
+    // C1b: the ontology term-extraction bank over RAST-style annotation
+    // strings (reference patterns: KBDatalakeUtils.py:2241-2250,
+    // build_berdl_db.py:84-97). Annotation text synthesized from row
+    // keys so both engines extract from identical strings.
+    "c1_term_bank" -> ((s, d) => {
+      import graft.functions.TermExtract
+      val ann = concat(lit("hydrolase (EC 1.2.3."), col("l_linenumber"),
+        lit(") GO:000"), pmod(col("l_orderkey"), lit(97)),
+        lit(" ko:K"), lpad(pmod(col("l_orderkey"), lit(1000)).cast("string"), 5, "0"))
+      tbl(s, d, "lineitem").select(
+        col("l_orderkey"), col("l_linenumber"),
+        concat_ws(";", TermExtract.ecFromRast(ann)).as("ec_terms"),
+        concat_ws(";", TermExtract.extractAll(ann, "GO")).as("go_terms"),
+        concat_ws(";", TermExtract.extractAll(ann, "KO")).as("ko_terms"),
+        TermExtract.normalizeXref(concat(lit("ko:K"),
+          lpad(pmod(col("l_orderkey"), lit(1000)).cast("string"), 5, "0"))).as("xref_norm"))
+    }),
+
     // C2: regex substitution (reference: ontology_enrichment_local.py:171).
     "c2_regex_replace" -> ((s, d) => {
       tbl(s, d, "part").select(
@@ -151,6 +169,17 @@ object ScalarQueries {
   val oracles: Map[String, String] = Map(
     "c1_regex_extract" ->
       """SELECT doc_id, coalesce(array_to_string(regexp_extract_all(text, '\bs\w+'), ';'), '') AS s_terms FROM documents""",
+    "c1_term_bank" ->
+      """WITH a AS (SELECT l_orderkey, l_linenumber,
+             'hydrolase (EC 1.2.3.' || l_linenumber || ') GO:000' || (l_orderkey % 97)
+               || ' ko:K' || lpad((l_orderkey % 1000)::VARCHAR, 5, '0') AS ann
+           FROM lineitem)
+         SELECT l_orderkey, l_linenumber,
+           array_to_string(regexp_extract_all(ann, '\(EC[: ]*([\d.-]+)\)', 1), ';') AS ec_terms,
+           array_to_string(regexp_extract_all(ann, 'GO:\d+'), ';') AS go_terms,
+           array_to_string(regexp_extract_all(ann, 'K\d{5}'), ';') AS ko_terms,
+           regexp_replace('ko:K' || lpad((l_orderkey % 1000)::VARCHAR, 5, '0'), '^ko:', 'KEGG:') AS xref_norm
+         FROM a""",
     "c2_regex_replace" ->
       """SELECT p_partkey, lower(regexp_replace(p_type, '\s+', '_', 'g')) AS type_slug FROM part""",
     "c3_split_explode" ->
