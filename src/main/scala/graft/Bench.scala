@@ -14,7 +14,11 @@ object Bench {
     // whichever query happens to run first (~4-5 s of noise).
     try {
       spark.range(1000000).selectExpr("id % 10 AS k").groupBy("k").count().count()
-      spark.read.parquet(s"$sfDir/nation.parquet").count()
+      val n = spark.read.parquet(s"$sfDir/nation.parquet")
+      val r = spark.read.parquet(s"$sfDir/region.parquet")
+      // touch the broadcast-join + AQE machinery too
+      n.join(org.apache.spark.sql.functions.broadcast(r),
+        n("n_regionkey") === r("r_regionkey")).count()
     } catch { case _: Throwable => }
     // Two timed runs per query, min reported: one run is dominated by
     // per-query JIT/codegen compilation noise at this data scale.

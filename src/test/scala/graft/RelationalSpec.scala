@@ -100,3 +100,22 @@ class AsofJoinSpec extends SparkTestBase {
       102L -> None))      // nothing at or before ts=5
   }
 }
+
+/** Banded range join semantics on hand fixtures. */
+class RangeJoinSpec extends SparkTestBase {
+  import spark.implicits._
+  import org.apache.spark.sql.functions._
+
+  test("rangeJoin matches exactly the in-window pairs, each once") {
+    val left = Seq((1L, "k", 100L), (2L, "k", 250L), (3L, "z", 100L))
+      .toDF("lid", "key", "ts")
+    val right = Seq((10L, "k", 95L), (11L, "k", 160L), (12L, "k", 400L))
+      .toDF("rid", "key", "ts")
+    val out = graft.operators.Relational
+      .rangeJoin(left, right, "key", "ts", window = 60L)
+      .select(col("lid"), col("rid")).as[(Long, Long)].collect().toSet
+    // in-window: |100-95|=5, |100-160|=60 (boundary, inclusive);
+    // out: |250-160|=90, |250-400|=150, and key z has no partners
+    assert(out == Set((1L, 10L), (1L, 11L)))
+  }
+}
