@@ -7,15 +7,17 @@ import graft.functions.VectorOps
 
 /** Approximate-nearest-neighbor search over an embedding column.
   *
-  * Two paths:
+  * Paths, exact → approximate:
   *  - `bruteForceTopK`: exact cosine top-k via a blocked cross join —
   *    the correctness baseline. O(|queries|·|corpus|); fine when the
   *    query side is small or broadcastable.
   *  - `lshTopK`: random-hyperplane LSH bucketing — queries only compare
-  *    against same-bucket corpus vectors. The scale path: bucket count
-  *    grows 2^planes, the join shuffles on the bucket key, and recall
-  *    is tunable with multi-probe (hamming-1 neighbors of the query
-  *    bucket).
+  *    against same-bucket corpus vectors; bucket count grows 2^planes,
+  *    recall tunable with multi-probe.
+  *  - `ivfTopK`: inverted-file cells from a coarse quantizer; search
+  *    within the assigned cell.
+  *  - `cosineNearDupPairs` / `lshCosineNearDupPairs`: the semantic-dedup
+  *    pair primitives (exact, and LSH-candidates + exact-verify).
   *
   * Hyperplanes are deterministic (seeded) literal arrays, so plans are
   * reproducible run-to-run and in the differential oracle.

@@ -64,6 +64,19 @@ object TableScanner {
   def totalCount(df: DataFrame, req: ScanRequest): DataFrame =
     filtered(df, req).agg(count(lit(1)).as("total_count"))
 
+  /** `getTableSchema` endpoint (reference viewer bootstraps each table
+    * from a schema call): one row per column with the SQL type name and
+    * the numeric/text affinity the quick-filter parser keys off. */
+  def tableSchema(df: DataFrame): Seq[(String, String, String)] =
+    df.schema.fields.toSeq.map { f =>
+      val affinity = f.dataType match {
+        case _: NumericType => "numeric"
+        case _: TimestampType | _: TimestampNTZType | _: DateType => "temporal"
+        case _ => "text"
+      }
+      (f.name, f.dataType.sql, affinity)
+    }
+
   private def filtered(df: DataFrame, req: ScanRequest): DataFrame = {
     val quick = req.colFilter.toSeq.sortBy(_._1).map { case (c, text) =>
       compileFilter(df.schema, FilterParser.parse(df.schema, c, text))

@@ -62,4 +62,14 @@ class TableScannerSpec extends SparkTestBase {
       .select("id").as[Long].collect().toSet
     assert(got === Set(3L))
   }
+
+  test("tableSchema reports name, SQL type, and filter affinity") {
+    val sch = TableScanner.tableSchema(
+      graft.core.Lakehouse.table(spark, sfSmoke, "orders"))
+    val byName = sch.map(t => t._1 -> ((t._2, t._3))).toMap
+    assert(byName("o_orderkey")._2 == "numeric")
+    assert(byName("o_orderstatus")._2 == "text")
+    assert(byName("o_orderdate")._2 == "temporal")
+    assert(byName("o_totalprice") == (("DOUBLE", "numeric")))
+  }
 }
