@@ -99,9 +99,12 @@ object Similarity {
       .withColumn("csim", VectorOps.dot(col("v"), col("cv")) / (col("vn") * col("cn")))
     val wAssign = Window.partitionBy(col(idCol))
       .orderBy(col("csim").desc, col("centroid_id").asc)
+    // feeds both sides of the within-cell self-join: materialize once,
+    // or the whole centroid assignment (cross join + window) runs twice
     val cells = scored.withColumn("__rn", row_number().over(wAssign))
       .filter(col("__rn") === 1)
       .select(col(idCol), col("v"), col("vn"), col("centroid_id").as("cell"))
+      .localCheckpoint()
     // search within the cell
     val a = cells.select(col("cell"), col(idCol).as("query_id"),
       col("v").as("qv"), col("vn").as("qn"))
