@@ -81,6 +81,38 @@ object Similarity {
       .select(col("query_id"), col("rank"), col("neighbor_id"))
   }
 
+  /** Multi-probe LSH ANN: each query also probes the Hamming-1
+    * neighbors of its own hyperplane bucket — the recall knob of
+    * `lshTopK` (a near neighbor split across a single plane's boundary
+    * is recovered from the adjacent bucket). Query side replicated
+    * (planes+1)×; corpus side untouched, so the shuffle grows linearly
+    * with probe count, not data. */
+  def lshTopKMultiProbe(df: DataFrame, idCol: String, vecCol: String, k: Int,
+                        planes: Seq[Seq[Double]]): DataFrame = {
+    val nPlanes = planes.size
+    val bucketed = spread(df).select(col(idCol), col(vecCol).as("v"))
+      .withColumn("bucket", VectorOps.hyperplaneBucket(col("v"), planes))
+      .withColumn("vn", VectorOps.norm(col("v")))
+      .localCheckpoint() // feeds probe and corpus sides of the join
+    def flip(i: Int) = concat(
+      substring(col("bucket"), 1, i - 1),
+      when(substring(col("bucket"), i, 1) === "1", lit("0")).otherwise(lit("1")),
+      substring(col("bucket"), i + 1, nPlanes - i))
+    val probeVariants = array(col("bucket") +: (1 to nPlanes).map(flip): _*)
+    val a = bucketed.select(col(idCol).as("query_id"), col("v").as("qv"),
+      col("vn").as("qn"), explode(probeVariants).as("bucket"))
+    val b = bucketed.select(col("bucket"), col(idCol).as("neighbor_id"),
+      col("v").as("cv"), col("vn").as("cn"))
+    val scored = a.join(b, Seq("bucket"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("cosine", VectorOps.dot(col("qv"), col("cv")) / (col("qn") * col("cn")))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("neighbor_id").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("neighbor_id"))
+  }
+
   /** IVF-style ANN: a coarse quantizer assigns every vector to its
     * nearest centroid cell; queries compare only within their own cell
     * (nprobe=1 here; multi-probe = also join the next-nearest cells).

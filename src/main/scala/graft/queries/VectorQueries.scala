@@ -31,6 +31,12 @@ object VectorQueries {
       Similarity.lshTopK(tbl(s, d, "embeddings"), "vec_id", "embedding", K, planes)
     }),
 
+    // Multi-probe LSH: query also probes Hamming-1 neighbor buckets.
+    "ann_lsh_multiprobe" -> ((s, d) => {
+      Similarity.lshTopKMultiProbe(tbl(s, d, "embeddings"), "vec_id",
+        "embedding", K, planes)
+    }),
+
     // IVF-style ANN: coarse-quantizer cells, search within the cell.
     "ann_ivf_topk" -> ((s, d) => {
       Similarity.ivfTopK(tbl(s, d, "embeddings"), "vec_id", "embedding", K,
@@ -77,6 +83,23 @@ object VectorQueries {
             FROM bucketed a JOIN bucketed b
               ON a.bucket = b.bucket AND a.vec_id <> b.vec_id)
           WHERE rank <= $K""",
+    "ann_lsh_multiprobe" -> {
+      val flips = (1 to NPlanes).map { i =>
+        s"substring(bucket, 1, ${i - 1}) || (CASE WHEN substring(bucket, $i, 1) = '1' THEN '0' ELSE '1' END) || substring(bucket, ${i + 1}, ${NPlanes - i})"
+      }
+      s"""WITH bucketed AS (
+            SELECT vec_id, embedding, ${bucketSql("embedding")} AS bucket FROM embeddings),
+          probes AS (
+            SELECT vec_id, embedding, unnest([bucket, ${flips.mkString(", ")}]) AS pb
+            FROM bucketed)
+          SELECT query_id, rank, neighbor_id FROM (
+            SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+              row_number() OVER (PARTITION BY a.vec_id
+                ORDER BY ${cosSql("a.embedding", "b.embedding")} DESC, b.vec_id) AS rank
+            FROM probes a JOIN bucketed b
+              ON a.pb = b.bucket AND a.vec_id <> b.vec_id)
+          WHERE rank <= $K"""
+    },
     "ann_ivf_topk" ->
       s"""WITH cells AS (
             SELECT vec_id, embedding, centroid_id AS cell FROM (

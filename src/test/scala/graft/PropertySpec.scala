@@ -132,4 +132,55 @@ class PropertySpec extends SparkTestBase {
       (k, t, xs.size.toLong) }.toSet
     assert(back == want)
   }
+
+  test("rangeJoin equals the naive theta-join filter on random data") {
+    val g = Gen.zip(Gen.chooseNum(0L, 20L), Gen.chooseNum(0L, 2000L))
+    val lrows = sample(g, 150).zipWithIndex.map { case ((k, t), i) => (i.toLong, s"k$k", t) }
+    val rrows = sample(g, 150).zipWithIndex.map { case ((k, t), i) => (i.toLong + 1000, s"k$k", t) }
+    val left = lrows.toDF("lid", "key", "ts")
+    val right = rrows.toDF("rid", "key", "ts")
+    val w = 100L
+    val banded = graft.operators.Relational.rangeJoin(left, right, "key", "ts", w)
+      .select("lid", "rid").as[(Long, Long)].collect().toSet
+    val naive = (for {
+      (lid, lk, lt) <- lrows; (rid, rk, rt) <- rrows
+      if lk == rk && math.abs(lt - rt) <= w
+    } yield (lid, rid)).toSet
+    assert(banded == naive)
+  }
+
+  test("asofJoin equals the per-row latest-predecessor scan on random data") {
+    val g = Gen.zip(Gen.chooseNum(0L, 10L), Gen.chooseNum(0L, 5000L))
+    val lrows = sample(g, 120).zipWithIndex.map { case ((k, t), i) => (i.toLong, s"k$k", t) }
+    // distinct right timestamps per key so "latest" is unambiguous
+    val rrows = sample(g, 120).zipWithIndex
+      .map { case ((k, t), i) => (i.toLong + 1000, s"k$k", t * 7 + (i % 7)) }
+    val left = lrows.toDF("event_id", "key", "ts")
+    val right = rrows.toDF("event_id", "key", "ts")
+    val got = graft.operators.Relational
+      .asofJoin(left, right, "key", "ts", Seq("event_id"))
+      .select(col("event_id"), col("asof_event_id"))
+      .as[(Long, Option[Long])].collect().toMap
+    val want = lrows.map { case (lid, lk, lt) =>
+      val preds = rrows.filter { case (_, rk, rt) => rk == lk && rt <= lt }
+      lid -> (if (preds.isEmpty) None
+              else Some(preds.maxBy(r => (r._3, r._1))._1))
+    }.toMap
+    assert(got == want)
+  }
+
+  test("multi-probe LSH recall >= single-probe recall against brute force") {
+    import graft.operators.Similarity
+    val e = graft.core.Lakehouse.table(spark, sfSmoke, "embeddings")
+    val planes = Similarity.hyperplanes(6, 64)
+    def pairs(df: org.apache.spark.sql.DataFrame): Set[(Long, Long)] =
+      df.select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val truth = pairs(Similarity.bruteForceTopK(e, e, "vec_id", "embedding", 5))
+    val single = pairs(Similarity.lshTopK(e, "vec_id", "embedding", 5, planes))
+    val multi = pairs(Similarity.lshTopKMultiProbe(e, "vec_id", "embedding", 5, planes))
+    val recallSingle = (single intersect truth).size.toDouble / truth.size
+    val recallMulti = (multi intersect truth).size.toDouble / truth.size
+    assert(recallMulti >= recallSingle)
+    assert(recallMulti > 0.0)
+  }
 }
