@@ -50,6 +50,15 @@ object DedupQueries {
         "embedding", CosineThreshold)
     }),
 
+    // Deterministic stratified sampling (corpus-mixing weights):
+    // hash-threshold keep, reproducible across engines and runs.
+    "sample_stratified" -> ((s, d) => {
+      graft.operators.Sampling.stratifiedSample(
+        tbl(s, d, "documents"), "doc_id", "lang",
+        rates = Map("en" -> 0.3, "zh" -> 0.8), defaultRate = 0.5)
+        .select(col("doc_id"), col("lang"))
+    }),
+
     // Connected components over the cosine near-dup pair graph: each
     // involved vector labeled with its cluster (min member id).
     "dedup_clusters" -> ((s, d) => {
@@ -138,6 +147,10 @@ object DedupQueries {
       s"""SELECT a.vec_id AS id_a, b.vec_id AS id_b
           FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
           WHERE ${cosSql("a.embedding", "b.embedding")} >= $CosineThreshold""",
+    "sample_stratified" ->
+      """SELECT doc_id, lang FROM documents
+         WHERE (('0x' || substring(md5(doc_id::VARCHAR), 1, 15))::BIGINT % 10000)
+           < (CASE lang WHEN 'en' THEN 3000 WHEN 'zh' THEN 8000 ELSE 5000 END)""",
     "dedup_clusters" ->
       s"""WITH RECURSIVE pairs AS (
             SELECT a.vec_id AS id_a, b.vec_id AS id_b
