@@ -218,6 +218,17 @@ object Dedup {
   def representatives(clusters: DataFrame): DataFrame =
     clusters.filter(col("id") === col("cluster_id")).select(col("id"))
 
+  /** The final dedup keep-set: cluster representatives plus every row
+    * never implicated in a near-dup pair — what actually ships to
+    * training. `corpus` supplies the full id set; `pairs` the near-dup
+    * edges. One anti-join + the clustering. */
+  def keepSet(corpus: DataFrame, idCol: String, pairs: DataFrame): DataFrame = {
+    val clusters = duplicateClusters(pairs)
+    val untouched = corpus.select(col(idCol).as("id"))
+      .join(clusters.select(col("id")), Seq("id"), "left_anti")
+    representatives(clusters).unionByName(untouched)
+  }
+
   /** 32-bit SimHash as a bit string, from md5 nibbles of each token:
     * bit i is the majority vote of nibble i's low bit across tokens.
     * Nibble-parity keeps the construction reproducible in any engine

@@ -65,6 +65,14 @@ object DedupQueries {
       val pairs = Similarity.cosineNearDupPairs(tbl(s, d, "embeddings"),
         "vec_id", "embedding", CosineThreshold)
       Dedup.duplicateClusters(pairs)
+    }),
+
+    // The final keep-set: cluster representatives + rows never paired.
+    "dedup_keep_set" -> ((s, d) => {
+      val emb = tbl(s, d, "embeddings")
+      val pairs = Similarity.cosineNearDupPairs(emb, "vec_id", "embedding",
+        CosineThreshold)
+      Dedup.keepSet(emb, "vec_id", pairs)
     }))
 
   /** Shared SQL fragment: distinct character shingles of `text`. */
@@ -163,5 +171,22 @@ object DedupQueries {
             SELECT src, src FROM edges
             UNION
             SELECT e.src, r.label FROM edges e JOIN reach r ON e.dst = r.id)
-          SELECT id, min(label) AS cluster_id FROM reach GROUP BY id""")
+          SELECT id, min(label) AS cluster_id FROM reach GROUP BY id""",
+    "dedup_keep_set" ->
+      s"""WITH RECURSIVE pairs AS (
+            SELECT a.vec_id AS id_a, b.vec_id AS id_b
+            FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+            WHERE ${cosSql("a.embedding", "b.embedding")} >= $CosineThreshold),
+          edges AS (
+            SELECT id_a AS src, id_b AS dst FROM pairs
+            UNION SELECT id_b, id_a FROM pairs),
+          reach(id, label) AS (
+            SELECT src, src FROM edges
+            UNION
+            SELECT e.src, r.label FROM edges e JOIN reach r ON e.dst = r.id),
+          clusters AS (SELECT id, min(label) AS cluster_id FROM reach GROUP BY id)
+          SELECT id FROM clusters WHERE id = cluster_id
+          UNION ALL
+          SELECT vec_id AS id FROM embeddings
+          WHERE vec_id NOT IN (SELECT id FROM clusters)""")
 }
