@@ -152,7 +152,13 @@ object FilterParser {
 
   def parse(schema: StructType, column: String, text: String): ColumnFilter = {
     val t = text.trim
-    val numeric = schema(column).dataType.isInstanceOf[NumericType]
+    // comparator sugar applies to anything ordered-comparable after a
+    // cast — numbers AND temporal columns (SQLite NUMERIC affinity
+    // covers dates in the reference)
+    val numeric = schema(column).dataType match {
+      case _: NumericType | _: TimestampType | _: TimestampNTZType | _: DateType => true
+      case _ => false
+    }
     t.toLowerCase match {
       case "null"             => return ColumnFilter(column, "is_null")
       case "not null" | "!null" => return ColumnFilter(column, "is_not_null")

@@ -72,4 +72,14 @@ class TableScannerSpec extends SparkTestBase {
     assert(byName("o_orderdate")._2 == "temporal")
     assert(byName("o_totalprice") == (("DOUBLE", "numeric")))
   }
+
+  test("comparator quick-filters work on temporal columns") {
+    val ev = graft.core.Lakehouse.table(spark, sfSmoke, "orders")
+    val parsed = FilterParser.parse(ev.schema, "o_orderdate", ">= 1995-01-01")
+    assert(parsed.op == "gte")
+    val n = ev.filter(TableScanner.compileFilter(ev.schema, parsed)).count()
+    val want = ev.filter(org.apache.spark.sql.functions.col("o_orderdate") >=
+      "1995-01-01").count()
+    assert(n == want && n > 0)
+  }
 }
