@@ -7,7 +7,9 @@ import org.apache.spark.sql.graftx.ArrayNumeric
 import graft.functions.Hashes
 
 /** Document deduplication for training-data pipelines: exact,
-  * n-gram-Jaccard, MinHash+LSH, and SimHash near-dup detection.
+  * n-gram-Jaccard, MinHash+LSH, and SimHash near-dup detection, plus
+  * the post-candidate steps — connected-component clustering and the
+  * final keep-set.
   *
   * Scale design:
   *  - exact dedup is one hash-shuffle on the content hash;
@@ -17,7 +19,9 @@ import graft.functions.Hashes
   *  - LSH candidate generation joins the banded signature table with
   *    itself on (band, band_signature) — only same-bucket pairs are
   *    produced, never the O(n²) pair space;
-  *  - verification (true Jaccard) runs only on candidates.
+  *  - verification (true Jaccard) runs only on candidates;
+  *  - clustering is iterative min-label propagation (one join + one
+  *    groupBy per round), not driver-side union-find.
   */
 object Dedup {
 
