@@ -30,7 +30,9 @@ object Lakehouse {
       // division; a double round-trip would lose precision at 1e18).
       // This matches DuckDB's parquet reader, which also truncates
       // TIMESTAMP(NANOS) to micros.
-      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      if (spark.conf.getOption("spark.sql.legacy.parquet.nanosAsLong")
+            .forall(_ != "true"))
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
       spark.read.parquet(s"$sfDir/$name.parquet")
         .withColumnRenamed("ts", "__ts_raw")
         .withColumn("ts_us", org.apache.spark.sql.functions.expr("__ts_raw div 1000"))
