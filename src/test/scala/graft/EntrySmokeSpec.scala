@@ -13,6 +13,13 @@ class EntrySmokeSpec extends SparkTestBase {
     assert(missing.isEmpty, s"oracles without queries: $missing")
   }
 
+  test("every query is oracle-checked (no rows-only entries)") {
+    // the differential gate is the correctness contract; a query without
+    // an oracle silently downgrades to a rows>0 check
+    val unchecked = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
+    assert(unchecked.isEmpty, s"queries without oracles: $unchecked")
+  }
+
   test("all queries execute with rows at sf0.001") {
     val empty = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
       val n = fn(spark, sfSmoke).count()
