@@ -119,3 +119,45 @@ class RangeJoinSpec extends SparkTestBase {
     assert(out == Set((1L, 10L), (1L, 11L)))
   }
 }
+
+/** The remaining small operators: TSV-variant strand swap, deterministic
+  * sampling, and the dedup keep-set composition. */
+class SmallOpsSpec extends SparkTestBase {
+  import spark.implicits._
+  import org.apache.spark.sql.functions._
+
+  test("strandSwap swaps coordinates only on the minus strand") {
+    val df = Seq((10L, 20L, "+"), (10L, 20L, "-")).toDF("s", "e", "strand")
+    val (s2, e2) = graft.operators.Relational.strandSwap(col("s"), col("e"), col("strand"))
+    val out = df.select(col("strand"), s2.as("s2"), e2.as("e2"))
+      .as[(String, Long, Long)].collect()
+      .map { case (st, a, b) => st -> ((a, b)) }.toMap
+    assert(out("+") == ((10L, 20L)) && out("-") == ((20L, 10L)))
+  }
+
+  test("stratifiedSample is deterministic and respects per-stratum rates") {
+    val df = (0L until 2000L).map(i => (i, if (i % 2 == 0) "a" else "b"))
+      .toDF("id", "stratum")
+    val sampled = graft.operators.Sampling.stratifiedSample(
+      df, "id", "stratum", Map("a" -> 0.2), defaultRate = 0.8)
+    val counts = sampled.groupBy("stratum").count()
+      .as[(String, Long)].collect().toMap
+    // hash threshold: expected 200 of 1000 for a, 800 of 1000 for b (±10%)
+    assert(math.abs(counts("a") - 200L) < 60, s"a=${counts("a")}")
+    assert(math.abs(counts("b") - 800L) < 60, s"b=${counts("b")}")
+    // deterministic: same call, same rows
+    val again = graft.operators.Sampling.stratifiedSample(
+      df, "id", "stratum", Map("a" -> 0.2), defaultRate = 0.8)
+      .select("id").as[Long].collect().toSet
+    assert(again == sampled.select("id").as[Long].collect().toSet)
+  }
+
+  test("keepSet = representatives + never-paired rows, covering the corpus") {
+    val corpus = (1L to 10L).map(i => Tuple1(i)).toDF("vid")
+    val pairs = Seq((1L, 2L), (2L, 3L), (7L, 8L)).toDF("id_a", "id_b")
+    val keep = graft.operators.Dedup.keepSet(corpus, "vid", pairs)
+      .as[Long].collect().toSet
+    // clusters {1,2,3}->1 and {7,8}->7; rows 4,5,6,9,10 untouched
+    assert(keep == Set(1L, 4L, 5L, 6L, 7L, 9L, 10L))
+  }
+}
