@@ -30,9 +30,17 @@ object Lakehouse {
       // division; a double round-trip would lose precision at 1e18).
       // This matches DuckDB's parquet reader, which also truncates
       // TIMESTAMP(NANOS) to micros.
-      if (spark.conf.getOption("spark.sql.legacy.parquet.nanosAsLong")
-            .forall(_ != "true"))
-        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      //
+      // The conf is session-wide and consulted at plan time, so it can't
+      // be set-and-restored around a lazy read; set it only when the
+      // user hasn't EXPLICITLY chosen a value (an explicit 'false' is
+      // respected — the read then fails with Spark's own
+      // PARQUET_TYPE_ILLEGAL, which is the honest outcome of that
+      // choice). `conf.getOption` returns the registered default, so
+      // "explicitly set" is SQLConf's settings map, not getOption.
+      val nanosKey = "spark.sql.legacy.parquet.nanosAsLong"
+      if (!spark.sessionState.conf.getAllConfs.contains(nanosKey))
+        spark.conf.set(nanosKey, "true")
       spark.read.parquet(s"$sfDir/$name.parquet")
         .withColumnRenamed("ts", "__ts_raw")
         .withColumn("ts_us", org.apache.spark.sql.functions.expr("__ts_raw div 1000"))

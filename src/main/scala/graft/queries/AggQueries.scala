@@ -178,8 +178,8 @@ object AggQueries {
            FROM orders) WHERE rn = 1""",
     "a6_conditional_count" ->
       """SELECT user_id, purchases, errors, n, floor((purchases / CAST(n AS DOUBLE)) * 10000 + 0.5) / 10000 AS purchase_rate FROM (
-           SELECT user_id, sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS purchases,
-             sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS errors, count(*) AS n
+           SELECT user_id, CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS purchases,
+             CAST(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS errors, count(*) AS n
            FROM events GROUP BY user_id)""",
     "a7_set_join_string" ->
       """SELECT c_nationkey, array_to_string(list_sort(list(DISTINCT c_mktsegment)), '; ') AS segments
@@ -213,10 +213,10 @@ object AggQueries {
          FROM lineitem GROUP BY l_returnflag""",
     "pivot_dynamic" ->
       """SELECT user_id,
-           sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS click,
-           sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS error,
-           sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS purchase,
-           sum(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS signup,
-           sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS view
+           CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS click,
+           CAST(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS error,
+           CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS purchase,
+           CAST(sum(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS BIGINT) AS signup,
+           CAST(sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT) AS view
          FROM events GROUP BY user_id""")
 }

@@ -81,12 +81,15 @@ object IngestQueries {
     }),
 
     // Multimodal: partition-batched feature extraction (stub model) —
-    // the bytes → embedding step of a multimodal pipeline.
+    // the bytes → embedding step of a multimodal pipeline. Output is
+    // exploded to (doc_id, i, value) scalars so the differential gate
+    // can sort/hash it (array columns are unhashable driver-side).
     "multimodal_features" -> ((s, d) => {
       val withPayload = tbl(s, d, "documents")
         .select(col("doc_id"), col("text").cast("binary").as("payload"))
       Multimodal.extractFeatures(withPayload, "payload", dim = 4)
-        .select(col("doc_id"), col("features"))
+        .select(col("doc_id"), posexplode(col("features")))
+        .select(col("doc_id"), col("pos").cast("bigint").as("i"), col("col").as("value"))
     }),
 
     // Multimodal: binary-in/binary-out resize plumbing (stub resampler).
@@ -148,10 +151,9 @@ object IngestQueries {
       """SELECT s_suppkey, s_name, s_nationkey,
            floor((s_acctbal) * 100 + 0.5) / 100 AS bal FROM supplier""",
     "multimodal_features" ->
-      """SELECT doc_id,
-           [(('0x' || substring(md5(text || '#' || i), 1, 8))::BIGINT % 1000)::DOUBLE / 1000.0
-            FOR i IN [0, 1, 2, 3]] AS features
-         FROM documents""",
+      """SELECT doc_id, i,
+           (('0x' || substring(md5(text || '#' || i), 1, 8))::BIGINT % 1000)::DOUBLE / 1000.0 AS value
+         FROM documents CROSS JOIN (SELECT unnest(generate_series(0, 3)) AS i) t""",
     "multimodal_resize" ->
       """SELECT doc_id, least(octet_length(encode(text)), 64)::BIGINT AS resized_len
          FROM documents""",

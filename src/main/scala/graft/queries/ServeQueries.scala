@@ -91,7 +91,7 @@ object ServeQueries {
            AND p_brand NOT IN ('Brand#5','Brand#10','Brand#15')
            AND p_name LIKE '%bolt%'""",
     "dsl_group_agg" ->
-      """SELECT l_returnflag, count(l_orderkey) AS n, sum(l_linenumber) AS sum_lines,
+      """SELECT l_returnflag, count(l_orderkey) AS n, CAST(sum(l_linenumber) AS BIGINT) AS sum_lines,
            min(l_quantity) AS min_qty, max(l_quantity) AS max_qty
          FROM lineitem GROUP BY l_returnflag""",
     "dsl_global_search" ->

@@ -37,11 +37,16 @@ class PagedSource extends TableProvider {
     PagedBackend.schema
 
   override def getTable(schema: StructType, partitioning: Array[Transform],
-                        properties: util.Map[String, String]): Table =
+                        properties: util.Map[String, String]): Table = {
+    // `properties` preserves the caller's option casing; reads must go
+    // through a CaseInsensitiveStringMap or `.option("pageSize", …)`
+    // would be silently ignored.
+    val opts = new CaseInsensitiveStringMap(properties)
     new PagedTable(
-      rows = Option(properties.get("rows")).map(_.toLong).getOrElse(10000L),
-      pageSize = Option(properties.get("pagesize")).map(_.toInt).getOrElse(1000),
-      failEvery = Option(properties.get("failevery")).map(_.toInt).getOrElse(0))
+      rows = opts.getLong("rows", 10000L),
+      pageSize = opts.getInt("pageSize", 1000),
+      failEvery = opts.getInt("failEvery", 0))
+  }
 }
 
 /** The deterministic "remote" backend: row i = (i, i/pageSize, md5(i)).
@@ -58,13 +63,20 @@ object PagedBackend {
     d.map("%02x".format(_)).mkString
   }
 
+  /** Simulated transient failures actually thrown (single-JVM test
+    * observability: asserts the retry path ran, not just that results
+    * are correct). */
+  val failuresInjected = new java.util.concurrent.atomic.AtomicLong(0)
+
   /** Fetch one page [offset, offset+limit). Throws on simulated
     * transient failure when `attempt == 0` for an unlucky page. */
   def fetch(offset: Long, limit: Long, pageSize: Int, failEvery: Int,
             attempt: Int): Iterator[(Long, Int, String)] = {
     val page = (offset / pageSize).toInt
-    if (failEvery > 0 && attempt == 0 && page % failEvery == failEvery - 1)
+    if (failEvery > 0 && attempt == 0 && page % failEvery == failEvery - 1) {
+      failuresInjected.incrementAndGet()
       throw new java.io.IOException(s"simulated transient failure on page $page")
+    }
     Iterator.range(0L, limit).map { k =>
       val i = offset + k
       (i, (i / pageSize).toInt, md5Hex(i.toString))

@@ -35,9 +35,32 @@ def canon(rows, cols):
     return sorted(out, key=lambda t: tuple((x is None, str(x)) for x in t))
 
 
+def strict_hash(df):
+    """Mimic the driver's pandas canonicalization: sort columns by name,
+    sort rows by all columns, then hash the values. Raises (like the
+    driver errs) on unhashable cell types such as numpy arrays, and is
+    dtype-sensitive: DuckDB HUGEINT (object/float128 carrier) hashes
+    differently from int64 even when values are numerically equal."""
+    import hashlib
+
+    df = df[sorted(df.columns)]
+    df = df.sort_values(by=list(df.columns), kind="mergesort").reset_index(drop=True)
+    h = hashlib.sha256()
+    for c in df.columns:
+        for v in df[c]:
+            # unwrap numpy scalars so int32(5) and int64(5) both repr as
+            # '5' (the driver passes int-width mismatches) while HUGEINT
+            # columns — which pandas carries as float/object — still
+            # repr differently from BIGINT (the driver fails those)
+            v = v.item() if hasattr(v, "item") else v
+            h.update(repr(v).encode())
+    return h.hexdigest()
+
+
 def main():
     sfdir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
     outdir = sys.argv[2] if len(sys.argv) > 2 else "/tmp/verify_out"
+    strict = "--strict" in sys.argv
     con = duckdb.connect()
     for t in TABLES:
         con.execute(
@@ -67,8 +90,21 @@ def main():
             n_fail += 1
             continue
         cg, ce = canon(got, got_cols), canon(exp, exp_cols)
+        hash_ok = True
+        if strict:
+            try:
+                hash_ok = (strict_hash(con.sql(
+                    f"SELECT * FROM '{files[0]}'").df())
+                    == strict_hash(con.sql(oracles[name]).df()))
+            except Exception as e:
+                print(f"FAIL {name}: strict-hash err: {e}")
+                n_fail += 1
+                continue
         if sorted(got_cols) != sorted(exp_cols):
             print(f"FAIL {name}: columns {sorted(got_cols)} != {sorted(exp_cols)}")
+            n_fail += 1
+        elif cg == ce and not hash_ok:
+            print(f"FAIL {name}: values equal but strict hash differs (dtype?)")
             n_fail += 1
         elif cg == ce:
             print(f"PASS {name} ({len(got)} rows)")
