@@ -28,7 +28,9 @@ object SparkEntry {
       TextQueries.queries ++
       DedupQueries.queries ++
       VectorQueries.queries ++
-      IngestQueries.queries
+      IngestQueries.queries ++
+      OntologyQueries.queries ++
+      MLQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted keys get a rows-only check. */
@@ -42,5 +44,7 @@ object SparkEntry {
       TextQueries.oracles ++
       DedupQueries.oracles ++
       VectorQueries.oracles ++
-      IngestQueries.oracles
+      IngestQueries.oracles ++
+      OntologyQueries.oracles ++
+      MLQueries.oracles
 }

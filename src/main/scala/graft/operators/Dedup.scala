@@ -93,9 +93,17 @@ object Dedup {
   }
 
   /** Candidate near-dup pairs: ids sharing any LSH band bucket.
-    * Self-join on (band, band_sig) — shuffles only the banded keys. */
+    * Self-join on (band, band_sig) — shuffles only the banded keys.
+    *
+    * The bucket join is salted like `jaccardPairs`: a degenerate corpus
+    * (many identical documents → one hot bucket) would otherwise put
+    * that bucket's whole O(n²) pair space in ONE task. Side A carries
+    * `salt = hash(id) mod salts`, side B replicates to every salt —
+    * each pair still meets exactly once (at A's salt), while a hot
+    * bucket's pair space fans out over `salts` tasks. */
   def lshCandidatePairs(df: DataFrame, idCol: String, textCol: String,
-                        n: Int = 5, k: Int = 16, bands: Int = 4): DataFrame = {
+                        n: Int = 5, k: Int = 16, bands: Int = 4,
+                        salts: Int = 8): DataFrame = {
     val rows = k / bands
     // The banded table feeds BOTH sides of the self-join; materialize it
     // once (localCheckpoint) — Spark's exchange reuse does not unify the
@@ -103,9 +111,24 @@ object Dedup {
     // runs twice.
     val sig = minhashSignature(df, idCol, textCol, n, k).localCheckpoint()
     val banded = lshBands(sig, idCol, bands, rows)
-    val a = banded.select(col("band"), col("band_sig"), col(idCol).as("id_a"))
-    val b = banded.select(col("band"), col("band_sig"), col(idCol).as("id_b"))
-    a.join(b, Seq("band", "band_sig"))
+    saltedBucketPairs(banded, idCol, Seq("band", "band_sig"), salts)
+  }
+
+  /** Salted same-bucket pair generation shared by the banded candidate
+    * operators: A-side salt from the id hash, B-side replicated
+    * `salts`×, join on (bucket keys + salt), emit each unordered pair
+    * once. Replication cost is `salts`× the (small) banded key table —
+    * shuffle-cheap next to the quadratic hot-bucket probe work it
+    * spreads out. */
+  private[operators] def saltedBucketPairs(banded: DataFrame, idCol: String,
+                                           bucketCols: Seq[String],
+                                           salts: Int): DataFrame = {
+    val keys = bucketCols.map(col)
+    val a = banded.select((keys :+ col(idCol).as("id_a")): _*)
+      .withColumn("salt", pmod(xxhash64(col("id_a")), lit(salts)).cast("int"))
+    val b = banded.select((keys :+ col(idCol).as("id_b")): _*)
+      .withColumn("salt", explode(sequence(lit(0), lit(salts - 1)).cast("array<int>")))
+    a.join(b, bucketCols :+ "salt")
       .filter(col("id_a") < col("id_b"))
       .select(col("id_a"), col("id_b")).distinct()
   }
@@ -214,13 +237,24 @@ object Dedup {
       labels = updated.select(col("id"), col("new_label").as("label"))
       iter += 1
     }
+    if (changed > 0)
+      // A component with diameter > maxIters hasn't converged: labels
+      // are still a valid partition refinement (every id has one), but
+      // two labels may belong to one true component. Surface it — the
+      // caller can raise maxIters — rather than silently under-merging.
+      System.err.println(
+        s"[graft] duplicateClusters: min-label propagation still changing after $maxIters iterations; clusters may be split finer than the true components")
     labels.select(col("id"), col("label").as("cluster_id"))
   }
 
   /** One representative per duplicate cluster (lowest id wins):
-    * the rows to KEEP after near-dup clustering. */
+    * the rows to KEEP after near-dup clustering. Derived as
+    * min(id) per final label — NOT `id === cluster_id` — so every
+    * cluster keeps exactly one row even if label propagation stopped
+    * at maxIters with labels that are no node's own id. */
   def representatives(clusters: DataFrame): DataFrame =
-    clusters.filter(col("id") === col("cluster_id")).select(col("id"))
+    clusters.groupBy(col("cluster_id")).agg(min(col("id")).as("id"))
+      .select(col("id"))
 
   /** The final dedup keep-set: cluster representatives plus every row
     * never implicated in a near-dup pair — what actually ships to
@@ -251,18 +285,17 @@ object Dedup {
 
   /** SimHash near-dup candidates: split the bit string into `bands`
     * chunks; pairs agreeing on any chunk are candidates (guarantees
-    * recall for hamming distance < bands). */
+    * recall for hamming distance < bands). Salted like
+    * `lshCandidatePairs` — identical docs share every chunk, so a
+    * duplicate-heavy corpus is exactly the hot-bucket case. */
   def simhashCandidates(sig: DataFrame, idCol: String, bits: Int = 32,
-                        bands: Int = 4): DataFrame = {
+                        bands: Int = 4, salts: Int = 8): DataFrame = {
     val chunk = bits / bands
     // self-joined below: materialize once (see lshCandidatePairs)
     val sigOnce = sig.localCheckpoint()
     val banded = sigOnce.select(col(idCol), explode(array((0 until bands).map { b =>
       struct(lit(b).as("band"), substring(col("simhash"), b * chunk + 1, chunk).as("chunk"))
     }: _*)).as("bc")).select(col(idCol), col("bc.band"), col("bc.chunk"))
-    val a = banded.select(col("band"), col("chunk"), col(idCol).as("id_a"))
-    val b = banded.select(col("band"), col("chunk"), col(idCol).as("id_b"))
-    a.join(b, Seq("band", "chunk")).filter(col("id_a") < col("id_b"))
-      .select(col("id_a"), col("id_b")).distinct()
+    saltedBucketPairs(banded, idCol, Seq("band", "chunk"), salts)
   }
 }

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.functions.VectorOps
@@ -36,8 +36,13 @@ object Similarity {
     Seq.fill(nPlanes)(Seq.fill(dim)(rng.nextGaussian()))
   }
 
-  /** Exact top-k neighbors for each query id. Both sides must expose
-    * (idCol, vecCol). Ranks are total-ordered (cosine desc, id asc). */
+  /** EXACT-FOR-VALIDATION — exact top-k neighbors for each query id
+    * via a blocked cross join: O(|queries|·|corpus|), a scale-killer
+    * when the query side is large. Use it as the recall oracle for the
+    * production paths (`lshTopK` / `lshTopKMultiProbe` / `ivfTopK`) on
+    * a sampled query set, never as the default ANN. Both sides must
+    * expose (idCol, vecCol). Ranks are total-ordered (cosine desc,
+    * id asc). */
   def bruteForceTopK(queries: DataFrame, corpus: DataFrame, idCol: String,
                      vecCol: String, k: Int): DataFrame = {
     // Norms are computed once per row BEFORE the pair join, so the
@@ -87,6 +92,16 @@ object Similarity {
     * is recovered from the adjacent bucket). Query side replicated
     * (planes+1)×; corpus side untouched, so the shuffle grows linearly
     * with probe count, not data. */
+  /** The bucket itself plus its `nPlanes` Hamming-1 variants — the
+    * multi-probe candidate set of a hyperplane bucket key. */
+  private def probeVariants(nPlanes: Int): Column = {
+    def flip(i: Int) = concat(
+      substring(col("bucket"), 1, i - 1),
+      when(substring(col("bucket"), i, 1) === "1", lit("0")).otherwise(lit("1")),
+      substring(col("bucket"), i + 1, nPlanes - i))
+    array(col("bucket") +: (1 to nPlanes).map(flip): _*)
+  }
+
   def lshTopKMultiProbe(df: DataFrame, idCol: String, vecCol: String, k: Int,
                         planes: Seq[Seq[Double]]): DataFrame = {
     val nPlanes = planes.size
@@ -94,13 +109,8 @@ object Similarity {
       .withColumn("bucket", VectorOps.hyperplaneBucket(col("v"), planes))
       .withColumn("vn", VectorOps.norm(col("v")))
       .localCheckpoint() // feeds probe and corpus sides of the join
-    def flip(i: Int) = concat(
-      substring(col("bucket"), 1, i - 1),
-      when(substring(col("bucket"), i, 1) === "1", lit("0")).otherwise(lit("1")),
-      substring(col("bucket"), i + 1, nPlanes - i))
-    val probeVariants = array(col("bucket") +: (1 to nPlanes).map(flip): _*)
     val a = bucketed.select(col(idCol).as("query_id"), col("v").as("qv"),
-      col("vn").as("qn"), explode(probeVariants).as("bucket"))
+      col("vn").as("qn"), explode(probeVariants(nPlanes)).as("bucket"))
     val b = bucketed.select(col("bucket"), col(idCol).as("neighbor_id"),
       col("v").as("cv"), col("vn").as("cn"))
     val scored = a.join(b, Seq("bucket"))
@@ -113,18 +123,56 @@ object Similarity {
       .select(col("query_id"), col("rank"), col("neighbor_id"))
   }
 
-  /** IVF-style ANN: a coarse quantizer assigns every vector to its
-    * nearest centroid cell; queries compare only within their own cell
-    * (nprobe=1 here; multi-probe = also join the next-nearest cells).
-    * Centroids are a deterministic subset of the corpus (at scale: a
-    * k-means fit, broadcast) — the cells shard the O(n²) space like an
-    * inverted file does. */
-  def ivfTopK(df: DataFrame, idCol: String, vecCol: String, k: Int,
-              nCentroids: Int): DataFrame = {
+  /** Deterministic k-means coarse quantizer for the IVF index: seeded
+    * with the first `k` corpus vectors (id < k), then `iters` rounds of
+    * cosine-argmax assignment + element-wise mean update. Every round
+    * is one broadcast join (centroids are tiny) + one partial-agg
+    * groupBy over exploded positions — the corpus never shuffles on a
+    * pair key. Means are rounded to 1e-6 per round so the fit is
+    * bit-reproducible across engines (the differential oracle unrolls
+    * the same rounds in SQL); rounding at 1e-6 absorbs
+    * summation-order float noise without moving any real assignment.
+    * Returns (cell: long, cv: array<double>). */
+  def kmeansCentroids(df: DataFrame, idCol: String, vecCol: String,
+                      k: Int, iters: Int = 2): DataFrame = {
     val base = spread(df).select(col(idCol), col(vecCol).as("v"))
       .withColumn("vn", VectorOps.norm(col("v")))
-    val centroids = df.filter(col(idCol) < nCentroids)
-      .select(col(idCol).as("centroid_id"), col(vecCol).as("cv"))
+      .localCheckpoint() // reused every round: don't re-scan per iteration
+    var centroids = df.filter(col(idCol) < k)
+      .select(col(idCol).cast("long").as("cell"),
+        transform(col(vecCol), x => x.cast("double")).as("cv"))
+      .localCheckpoint()
+    for (_ <- 0 until iters) {
+      val withNorm = centroids.withColumn("cn", VectorOps.norm(col("cv")))
+      val scored = base.join(broadcast(withNorm))
+        .withColumn("csim", VectorOps.dot(col("v"), col("cv")) / (col("vn") * col("cn")))
+      val w = Window.partitionBy(col(idCol)).orderBy(col("csim").desc, col("cell").asc)
+      val assigned = scored.withColumn("__rn", row_number().over(w))
+        .filter(col("__rn") === 1).select(col("cell"), col("v"))
+      centroids = assigned.select(col("cell"), posexplode(col("v")))
+        .groupBy(col("cell"), col("pos"))
+        .agg(avg(col("col").cast("double")).as("m"))
+        .withColumn("m", floor(col("m") * 1e6 + lit(0.5)) / 1e6)
+        .groupBy(col("cell"))
+        .agg(transform(array_sort(collect_list(struct(col("pos"), col("m")))),
+          s => s.getField("m")).as("cv"))
+        .localCheckpoint() // truncate per-round lineage
+    }
+    centroids
+  }
+
+  /** IVF-style ANN: a trained coarse quantizer (`kmeansCentroids`)
+    * assigns every vector to its nearest centroid cell; queries compare
+    * only within their own cell (nprobe=1 here; multi-probe = also join
+    * the next-nearest cells). The centroid set is broadcast — the cells
+    * shard the O(n²) space like an inverted file does. */
+  def ivfTopK(df: DataFrame, idCol: String, vecCol: String, k: Int,
+              nCentroids: Int, kmeansIters: Int = 2): DataFrame = {
+    val base = spread(df).select(col(idCol), col(vecCol).as("v"))
+      .withColumn("vn", VectorOps.norm(col("v")))
+    val centroids = kmeansCentroids(df, idCol, vecCol, nCentroids, kmeansIters)
+      .withColumnRenamed("cell", "centroid_id")
+      .withColumnRenamed("cv", "cv")
       .withColumn("cn", VectorOps.norm(col("cv")))
     // assign: argmax cosine over the (broadcast) centroid set
     val scored = base.join(broadcast(centroids))
@@ -172,8 +220,36 @@ object Similarity {
       .select(col("id_a"), col("id_b"))
   }
 
-  /** Embedding-cosine near-duplicate pairs above a threshold (the
-    * semantic-dedup primitive). Exact; at scale feed LSH candidates. */
+  /** Multi-probe LSH cosine near-dup pairs: like
+    * `lshCosineNearDupPairs` but each vector also probes the Hamming-1
+    * neighbors of its bucket, recovering near-dup pairs split across a
+    * single hyperplane boundary. With `p` planes this covers every pair
+    * whose bucket keys differ in ≤1 bit — the recall knob that keeps
+    * the candidate join linear in probe count, never all-pairs. */
+  def lshCosineNearDupPairsMultiProbe(df: DataFrame, idCol: String,
+                                      vecCol: String, threshold: Double,
+                                      planes: Seq[Seq[Double]]): DataFrame = {
+    val bucketed = spread(df).select(col(idCol), col(vecCol).as("v"))
+      .withColumn("bucket", VectorOps.hyperplaneBucket(col("v"), planes))
+      .withColumn("vn", VectorOps.norm(col("v")))
+      .localCheckpoint() // feeds probe and corpus sides of the join
+    val a = bucketed.select(col(idCol).as("id_a"), col("v").as("va"),
+      col("vn").as("na"), explode(probeVariants(planes.size)).as("bucket"))
+    val b = bucketed.select(col("bucket"), col(idCol).as("id_b"),
+      col("v").as("vb"), col("vn").as("nb"))
+    a.join(b, Seq("bucket"))
+      .filter(col("id_a") < col("id_b"))
+      .withColumn("cosine", VectorOps.dot(col("va"), col("vb")) / (col("na") * col("nb")))
+      .filter(col("cosine") >= threshold)
+      .select(col("id_a"), col("id_b")).distinct()
+  }
+
+  /** EXACT-FOR-VALIDATION — embedding-cosine near-duplicate pairs
+    * above a threshold (the semantic-dedup primitive) via an all-pairs
+    * theta join: O(n²), a scale-killer at 100 TB. Use it to measure
+    * recall of the production paths (`lshCosineNearDupPairs` /
+    * `lshCosineNearDupPairsMultiProbe`) on a sample, never as the
+    * default pipeline. */
   def cosineNearDupPairs(df: DataFrame, idCol: String, vecCol: String,
                          threshold: Double): DataFrame = {
     val a = spread(df).select(col(idCol).as("id_a"), col(vecCol).as("va"))

@@ -1,0 +1,70 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import graft.operators.{ModelScoring, Similarity}
+
+/** Batch model-scoring queries (SURVEY §2.9 ML predict surface) over
+  * the `embeddings` table. The "trained models" are deterministic
+  * fixtures — a labeled subset of the corpus for the KNN classifier,
+  * a seeded weight vector for the logistic scorer — so the DuckDB
+  * oracle reproduces predictions exactly.
+  */
+object MLQueries {
+
+  private val K = 3
+  private val NTrain = 40
+  private val Dim = 64
+  private lazy val weights: Seq[Double] = Similarity.hyperplanes(1, Dim, seed = 7L).head
+  private val Bias = 0.1
+
+  val queries: Map[String, QueryFn] = Map(
+    // KNN genome-classifier surface: broadcast labeled training set,
+    // cosine top-k, majority vote.
+    "ml_knn_predict" -> ((s, d) => {
+      val e = tbl(s, d, "embeddings")
+      val train = e.filter(col("vec_id") < NTrain)
+        .select(col("embedding"), pmod(col("vec_id"), lit(4)).as("label"))
+      val data = e.filter(col("vec_id") >= NTrain)
+      ModelScoring.knnPredict(data, train, "vec_id", "embedding", "label", K)
+    }),
+
+    // CatBoost-predict surface as a parametric stub: literal-weight
+    // logistic score, fully codegen.
+    "ml_linear_score" -> ((s, d) => {
+      tbl(s, d, "embeddings").select(col("vec_id"),
+        round4(ModelScoring.linearScore(col("embedding"), weights, Bias)).as("score"))
+    }))
+
+  private def dotSql(x: String, y: String): String =
+    s"list_sum(list_transform(generate_series(1, $Dim), i -> $x[i]::DOUBLE * $y[i]::DOUBLE))"
+
+  private def cosSql(a: String, b: String): String =
+    s"${dotSql(a, b)} / (sqrt(${dotSql(a, a)}) * sqrt(${dotSql(b, b)}))"
+
+  private def weightLit: String = weights.mkString("[", ", ", "]")
+
+  val oracles: Map[String, String] = Map(
+    "ml_knn_predict" ->
+      s"""WITH t AS (
+            SELECT vec_id % 4 AS label, embedding FROM embeddings WHERE vec_id < $NTrain),
+          q AS (
+            SELECT vec_id, embedding FROM embeddings WHERE vec_id >= $NTrain),
+          topk AS (
+            SELECT vec_id, label FROM (
+              SELECT q.vec_id, t.label,
+                row_number() OVER (PARTITION BY q.vec_id
+                  ORDER BY ${cosSql("q.embedding", "t.embedding")} DESC, t.label ASC) AS rn
+              FROM q CROSS JOIN t)
+            WHERE rn <= $K),
+          votes AS (
+            SELECT vec_id, label, count(*) AS n FROM topk GROUP BY vec_id, label)
+          SELECT vec_id, label AS predicted_label FROM (
+            SELECT vec_id, label,
+              row_number() OVER (PARTITION BY vec_id ORDER BY n DESC, label ASC) AS vr
+            FROM votes)
+          WHERE vr = 1""",
+    "ml_linear_score" ->
+      s"""SELECT vec_id,
+            floor((1.0 / (1.0 + exp(-(${dotSql("embedding", weightLit)} + $Bias)))) * 10000 + 0.5) / 10000 AS score
+          FROM embeddings""")
+}

@@ -1,0 +1,139 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import graft.pipeline.{RastMap, TableBuild}
+
+/** Ontology-dimension queries (SURVEY §2.9): the RAST→SEED
+  * role-dictionary mapper and the ontology_relationships /
+  * ontology_definitions table builders, exercised on deterministic
+  * fixtures derived from the TPC-H-ish gate tables so DuckDB can
+  * mirror them exactly.
+  *
+  *  - `c15_rast_map`: the role dictionary is built from `part` names
+  *    (label → `seed.role:<13-digit min partkey>`); annotations cycle
+  *    through the three reference shapes — case/punctuation variant
+  *    (normalization must hit), `' / '` multi-function (first part
+  *    hits), `'; '` multi-function (second part hits).
+  *  - `ontology_rels`: a synthetic triple store over nation/region with
+  *    one row-shape per reference filter branch (self-referential edge,
+  *    blank-node object, EC: parent hierarchy, irrelevant predicate,
+  *    enables_reaction URL predicate).
+  *  - `ontology_defs`: static prefix descriptions restricted to
+  *    prefixes present in a derived term table.
+  */
+object OntologyQueries {
+
+  val queries: Map[String, QueryFn] = Map(
+    "c15_rast_map" -> ((s, d) => {
+      val part = tbl(s, d, "part")
+      val labels = part.groupBy(col("p_name"))
+        .agg(min(col("p_partkey")).as("pk"))
+        .select(col("p_name").as("label"),
+          concat(lit("seed.role:"),
+            lpad(col("pk").cast("string"), 13, "0")).as("role_id"))
+      val dict = RastMap.roleDictionary(labels, "label", "role_id")
+      val anns = part.select(col("p_partkey").as("ann_id"),
+        when(pmod(col("p_partkey"), lit(3)) === 0, upper(col("p_name")))
+          .when(pmod(col("p_partkey"), lit(3)) === 1,
+            concat(col("p_name"), lit(" / "), col("p_type")))
+          .otherwise(concat(col("p_brand"), lit("; "), col("p_name")))
+          .as("annotation"))
+      RastMap.mapAllAnnotations(anns, "annotation", dict)
+        .select(col("ann_id"), col("matched_part"), col("seed_role_id"))
+    }),
+
+    "ontology_rels" -> ((s, d) => {
+      val nation = tbl(s, d, "nation")
+      val region = tbl(s, d, "region")
+      val isA = nation.join(region, col("n_regionkey") === col("r_regionkey"))
+        .select(concat(lit("N:"), col("n_name")).as("subject"),
+          lit("rdfs:subClassOf").as("predicate"),
+          concat(lit("R:"), col("r_name")).as("object"))
+      val selfRef = region.select(concat(lit("R:"), col("r_name")).as("subject"),
+        lit("rdfs:subClassOf").as("predicate"),
+        concat(lit("R:"), col("r_name")).as("object"))
+      val blank = nation.select(concat(lit("N:"), col("n_name")).as("subject"),
+        lit("rdfs:subClassOf").as("predicate"), lit("_:b1").as("object"))
+      val ecRows = nation.select(
+        concat(lit("EC:1.1.1."), col("n_nationkey").cast("string")).as("subject"),
+        lit("rdfs:subClassOf").as("predicate"), lit("EC:1.1.1.-").as("object"))
+      val enables = nation.filter(pmod(col("n_nationkey"), lit(2)) === 0)
+        .select(concat(lit("N:"), col("n_name")).as("subject"),
+          lit("<https://modelseed.org/ontology/enables_reaction>").as("predicate"),
+          concat(lit("seed.reaction:rxn"), col("n_nationkey").cast("string")).as("object"))
+      val labels = nation.select(concat(lit("N:"), col("n_name")).as("subject"),
+        lit("rdfs:label").as("predicate"), col("n_name").as("object"))
+      val statements = isA.unionByName(selfRef).unionByName(blank)
+        .unionByName(ecRows).unionByName(enables).unionByName(labels)
+      val termIds = statements.select(col("subject")).distinct()
+      TableBuild.ontologyRelationships(statements, termIds)
+    }),
+
+    "ontology_defs" -> ((s, d) => {
+      val terms = tbl(s, d, "nation").select(
+        when(pmod(col("n_nationkey"), lit(3)) === 0, "GO")
+          .when(pmod(col("n_nationkey"), lit(3)) === 1, "KEGG")
+          .otherwise("seed.role").as("ontology_prefix"))
+      TableBuild.ontologyDefinitions(terms)
+    }))
+
+  private def defsValuesSql: String =
+    TableBuild.ontologyPrefixDescriptions
+      .map { case (p, d) => s"('$p', '$d')" }.mkString(", ")
+
+  val oracles: Map[String, String] = Map(
+    "c15_rast_map" ->
+      """WITH labels AS (
+           SELECT p_name AS label,
+             'seed.role:' || lpad(CAST(min(p_partkey) AS VARCHAR), 13, '0') AS role_id
+           FROM part GROUP BY p_name),
+         dict AS (
+           SELECT DISTINCT regexp_replace(lower(label), '[^a-z0-9]', '', 'g') AS nrole,
+             role_id AS seed_role_id FROM labels),
+         ann AS (
+           SELECT p_partkey AS ann_id,
+             CASE WHEN p_partkey % 3 = 0 THEN upper(p_name)
+                  WHEN p_partkey % 3 = 1 THEN p_name || ' / ' || p_type
+                  ELSE p_brand || '; ' || p_name END AS annotation
+           FROM part),
+         pieces AS (
+           SELECT ann_id, piece FROM (
+             SELECT ann_id, unnest(list_distinct(list_concat([trim(annotation)],
+               list_transform(string_split_regex(annotation, ' / | @ |; '),
+                 x -> trim(x))))) AS piece
+             FROM ann)
+           WHERE length(piece) > 0)
+         SELECT ann_id, piece AS matched_part, seed_role_id
+         FROM pieces JOIN dict
+           ON regexp_replace(lower(piece), '[^a-z0-9]', '', 'g') = dict.nrole""",
+    "ontology_rels" ->
+      """WITH statements AS (
+           SELECT 'N:' || n_name AS subject, 'rdfs:subClassOf' AS predicate,
+                  'R:' || r_name AS object
+             FROM nation JOIN region ON n_regionkey = r_regionkey
+           UNION ALL SELECT 'R:' || r_name, 'rdfs:subClassOf', 'R:' || r_name FROM region
+           UNION ALL SELECT 'N:' || n_name, 'rdfs:subClassOf', '_:b1' FROM nation
+           UNION ALL SELECT 'EC:1.1.1.' || n_nationkey, 'rdfs:subClassOf', 'EC:1.1.1.-' FROM nation
+           UNION ALL SELECT 'N:' || n_name, '<https://modelseed.org/ontology/enables_reaction>',
+                  'seed.reaction:rxn' || n_nationkey FROM nation WHERE n_nationkey % 2 = 0
+           UNION ALL SELECT 'N:' || n_name, 'rdfs:label', n_name FROM nation)
+         SELECT DISTINCT subject,
+           CASE predicate WHEN 'rdfs:subClassOf' THEN 'is_a'
+                ELSE 'enables_reaction' END AS predicate,
+           object
+         FROM statements
+         WHERE predicate IN ('rdfs:subClassOf',
+                 '<https://modelseed.org/ontology/enables_reaction>')
+           AND subject <> object
+           AND object NOT LIKE '!_:%' ESCAPE '!'
+           AND NOT (predicate = 'rdfs:subClassOf'
+                    AND (subject LIKE 'EC:%' OR subject LIKE 'SO:%'))""",
+    "ontology_defs" ->
+      s"""SELECT ontology_prefix, definition
+          FROM (VALUES $defsValuesSql) AS t(ontology_prefix, definition)
+          WHERE ontology_prefix IN (
+            SELECT DISTINCT CASE WHEN n_nationkey % 3 = 0 THEN 'GO'
+                 WHEN n_nationkey % 3 = 1 THEN 'KEGG'
+                 ELSE 'seed.role' END
+            FROM nation)""")
+}

@@ -15,8 +15,17 @@ object VectorQueries {
   private val NPlanes = 6
   private val Dim = 64
   private val NCentroids = 8
+  private val KmeansIters = 2
   private val CosThreshold = 0.45
+  // Near-dup LSH uses fewer planes than top-k ANN: a 0.45-cosine pair
+  // sits at ~63°, so per-plane agreement is only ~0.65 — at 6 planes
+  // almost every true pair lands in different buckets (recall ~6%,
+  // vacuously-empty results at small SF). 3 planes + Hamming-1
+  // multi-probe covers pairs differing in ≤1 bit: recall ~0.7 with the
+  // candidate space still bucket-bounded.
+  private val NDedupPlanes = 3
   private lazy val planes: Seq[Seq[Double]] = Similarity.hyperplanes(NPlanes, Dim)
+  private lazy val dedupPlanes: Seq[Seq[Double]] = Similarity.hyperplanes(NDedupPlanes, Dim)
 
   val queries: Map[String, QueryFn] = Map(
     // Exact top-k for a small query set against the full corpus.
@@ -37,17 +46,18 @@ object VectorQueries {
         "embedding", K, planes)
     }),
 
-    // IVF-style ANN: coarse-quantizer cells, search within the cell.
+    // IVF ANN: k-means-trained coarse quantizer, search within the cell.
     "ann_ivf_topk" -> ((s, d) => {
       Similarity.ivfTopK(tbl(s, d, "embeddings"), "vec_id", "embedding", K,
-        nCentroids = NCentroids)
+        nCentroids = NCentroids, kmeansIters = KmeansIters)
     }),
 
     // LSH-candidate + exact-verify near-dup pairs (scale path of
-    // dedup_embed_cosine).
+    // dedup_embed_cosine): multi-probe so boundary-split pairs are
+    // still recovered.
     "dedup_embed_lsh" -> ((s, d) => {
-      Similarity.lshCosineNearDupPairs(tbl(s, d, "embeddings"), "vec_id",
-        "embedding", CosThreshold, planes)
+      Similarity.lshCosineNearDupPairsMultiProbe(tbl(s, d, "embeddings"),
+        "vec_id", "embedding", CosThreshold, dedupPlanes)
     }))
 
   private def dotSql(x: String, y: String): String =
@@ -59,8 +69,8 @@ object VectorQueries {
   private def planeLit(p: Seq[Double]): String = p.mkString("[", ", ", "]")
 
   /** bucket = concat of sign bits of dot(v, plane_j). */
-  private def bucketSql(v: String): String =
-    planes.map { p =>
+  private def bucketSql(v: String, ps: Seq[Seq[Double]] = planes): String =
+    ps.map { p =>
       s"(CASE WHEN ${dotSql(v, planeLit(p))} >= 0 THEN '1' ELSE '0' END)"
     }.mkString(" || ")
 
@@ -100,26 +110,51 @@ object VectorQueries {
               ON a.pb = b.bucket AND a.vec_id <> b.vec_id)
           WHERE rank <= $K"""
     },
-    "ann_ivf_topk" ->
-      s"""WITH cells AS (
-            SELECT vec_id, embedding, centroid_id AS cell FROM (
-              SELECT v.vec_id, v.embedding, c.vec_id AS centroid_id,
+    "ann_ivf_topk" -> {
+      // Mirrors kmeansCentroids: c0 = seed centroids (id < k), then
+      // KmeansIters rounds of (argmax-cosine assign, element-wise mean
+      // rounded to 1e-6), then the final assignment + within-cell scan.
+      def assignCte(cIn: String): String =
+        s"""SELECT vec_id, embedding, cell FROM (
+              SELECT v.vec_id, v.embedding, c.cell,
                 row_number() OVER (PARTITION BY v.vec_id
-                  ORDER BY ${cosSql("v.embedding", "c.embedding")} DESC, c.vec_id) AS rn
-              FROM embeddings v JOIN embeddings c ON c.vec_id < $NCentroids)
-            WHERE rn = 1)
+                  ORDER BY ${cosSql("v.embedding", "c.cv")} DESC, c.cell) AS rn
+              FROM embeddings v CROSS JOIN $cIn c)
+            WHERE rn = 1"""
+      def meanCte(aIn: String): String =
+        s"""SELECT cell, list(m ORDER BY i) AS cv FROM (
+              SELECT cell, i, floor(avg(embedding[i]::DOUBLE) * 1000000 + 0.5) / 1000000 AS m
+              FROM $aIn CROSS JOIN generate_series(1, $Dim) AS g(i)
+              GROUP BY cell, i)
+            GROUP BY cell"""
+      s"""WITH c0 AS (
+            SELECT vec_id AS cell, list_transform(embedding, x -> x::DOUBLE) AS cv
+            FROM embeddings WHERE vec_id < $NCentroids),
+          a0 AS (${assignCte("c0")}),
+          c1 AS (${meanCte("a0")}),
+          a1 AS (${assignCte("c1")}),
+          c2 AS (${meanCte("a1")}),
+          cells AS (${assignCte("c2")})
           SELECT query_id, rank, neighbor_id FROM (
             SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
               row_number() OVER (PARTITION BY a.vec_id
                 ORDER BY ${cosSql("a.embedding", "b.embedding")} DESC, b.vec_id) AS rank
             FROM cells a JOIN cells b
               ON a.cell = b.cell AND a.vec_id <> b.vec_id)
-          WHERE rank <= $K""",
-    "dedup_embed_lsh" ->
+          WHERE rank <= $K"""
+    },
+    "dedup_embed_lsh" -> {
+      val flips = (1 to NDedupPlanes).map { i =>
+        s"substring(bucket, 1, ${i - 1}) || (CASE WHEN substring(bucket, $i, 1) = '1' THEN '0' ELSE '1' END) || substring(bucket, ${i + 1}, ${NDedupPlanes - i})"
+      }
       s"""WITH bucketed AS (
-            SELECT vec_id, embedding, ${bucketSql("embedding")} AS bucket FROM embeddings)
-          SELECT a.vec_id AS id_a, b.vec_id AS id_b
-          FROM bucketed a JOIN bucketed b
-            ON a.bucket = b.bucket AND a.vec_id < b.vec_id
-          WHERE ${cosSql("a.embedding", "b.embedding")} >= $CosThreshold""")
+            SELECT vec_id, embedding, ${bucketSql("embedding", dedupPlanes)} AS bucket FROM embeddings),
+          probes AS (
+            SELECT vec_id, embedding, unnest([bucket, ${flips.mkString(", ")}]) AS pb
+            FROM bucketed)
+          SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+          FROM probes a JOIN bucketed b
+            ON a.pb = b.bucket AND a.vec_id < b.vec_id
+          WHERE ${cosSql("a.embedding", "b.embedding")} >= $CosThreshold"""
+    })
 }

@@ -45,7 +45,11 @@ object TableScanner {
   def scan(df: DataFrame, req: ScanRequest): DataFrame = {
     var out = filtered(df, req)
     if (req.groupBy.nonEmpty || req.aggregations.nonEmpty) {
-      val aggs = req.aggregations.map(a => compileAgg(df.schema, a))
+      // group_by with no aggregations is a valid viewer request: it
+      // means "the distinct groups with their sizes", not an error.
+      val aggs =
+        if (req.aggregations.nonEmpty) req.aggregations.map(a => compileAgg(df.schema, a))
+        else Seq(count(lit(1)).as("count"))
       out =
         if (req.groupBy.nonEmpty)
           out.groupBy(req.groupBy.map(col): _*).agg(aggs.head, aggs.tail: _*)

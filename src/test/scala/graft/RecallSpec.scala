@@ -1,0 +1,62 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.Similarity
+
+/** Measured recall of the approximate similarity paths against their
+  * exact-for-validation baselines, on the sf0.01 embeddings corpus —
+  * the evidence that the scale paths actually find things (a green
+  * 0-rows-vs-0-rows differential check is vacuous).
+  */
+class RecallSpec extends SparkTestBase {
+
+  import spark.implicits._
+
+  private val sf = "/root/testdata/sf0.01"
+  private val dim = 64
+  private val threshold = 0.45
+
+  private lazy val embeddings =
+    graft.core.Lakehouse.table(spark, sf, "embeddings")
+
+  test("multi-probe LSH near-dup pairs: non-empty, precise, recall >= 0.5") {
+    val exact = Similarity.cosineNearDupPairs(
+      embeddings, "vec_id", "embedding", threshold)
+      .as[(Long, Long)].collect().toSet
+    val lsh = Similarity.lshCosineNearDupPairsMultiProbe(
+      embeddings, "vec_id", "embedding", threshold,
+      Similarity.hyperplanes(3, dim))
+      .as[(Long, Long)].collect().toSet
+    assert(exact.nonEmpty, "fixture must have true near-dup pairs")
+    assert(lsh.nonEmpty, "LSH candidates must be non-vacuous at sf0.01")
+    assert(lsh.subsetOf(exact), "exact-verify step guarantees precision 1.0")
+    val recall = lsh.size.toDouble / exact.size
+    info(f"dedup_embed_lsh recall = ${lsh.size}/${exact.size} = $recall%.2f")
+    assert(recall >= 0.5)
+  }
+
+  test("k-means IVF top-k: recall@5 vs brute force >= 0.3") {
+    // Brute force over every vector as its own query: the exact top-5.
+    val bf = Similarity.bruteForceTopK(embeddings, embeddings,
+      "vec_id", "embedding", 5)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val ivf = Similarity.ivfTopK(embeddings, "vec_id", "embedding", 5,
+      nCentroids = 8, kmeansIters = 2)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val recall = (bf & ivf).size.toDouble / bf.size
+    info(f"ann_ivf_topk recall@5 = $recall%.2f (nprobe=1, 8 cells)")
+    assert(recall >= 0.3)
+  }
+
+  test("trained k-means beats the untrained id<k quantizer on cell balance") {
+    // The round-1 quantizer used the first k corpus vectors verbatim;
+    // two k-means rounds must not leave a degenerate single-cell fit.
+    val cells = Similarity.kmeansCentroids(embeddings, "vec_id", "embedding",
+      k = 8, iters = 2)
+    val n = cells.count()
+    assert(n >= 2, s"k-means collapsed to $n cells")
+    // every centroid has the full dimension after the posexplode round-trip
+    val dims = cells.select(size(col("cv"))).as[Int].collect().toSet
+    assert(dims == Set(dim))
+  }
+}
