@@ -1,0 +1,86 @@
+package graft
+
+import org.apache.spark.scheduler.{SparkListener, SparkListenerTaskEnd}
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import graft.operators.Dedup
+
+/** Skew-headroom probe behind SCALE.md: a duplicate-heavy corpus (many
+  * IDENTICAL documents) collapses every band of the dup set into ONE
+  * LSH bucket, so the candidate self-join's pair space for that bucket
+  * is O(hot²). Unsalted, that bucket's pair generation lands in a
+  * single task; salted, it fans out over `salts` tasks. Total
+  * wall-clock hides this behind the (already-parallel) downstream
+  * distinct, so the probe reports the MAX TASK DURATION — the straggler
+  * that determines stage latency on a real cluster.
+  *
+  * Run: sbt 'runMain graft.ScaleProbe [nDocs] [nHot]'
+  */
+object ScaleProbe {
+
+  private object MaxTask extends SparkListener {
+    val max = new java.util.concurrent.atomic.AtomicLong(0)
+    override def onTaskEnd(t: SparkListenerTaskEnd): Unit = {
+      val d = t.taskInfo.duration
+      var cur = max.get()
+      while (d > cur && !max.compareAndSet(cur, d)) cur = max.get()
+    }
+    def reset(): Unit = max.set(0)
+  }
+
+  def main(args: Array[String]): Unit = {
+    val nDocs = args.headOption.map(_.toInt).getOrElse(10000)
+    val nHot = args.drop(1).headOption.map(_.toInt).getOrElse(2000)
+    // "shuffle" simulates the at-scale regime: a banded table too big to
+    // broadcast joins by exchange on the bucket key, so a hot bucket
+    // collapses into one reducer task unless salted. (When the banded
+    // side fits the broadcast threshold — the local default — the probe
+    // side stays on its even upstream partitioning and skew never
+    // forms; salting is then redundant but harmless.) AQE skew-join is
+    // disabled so the probe isolates the salt itself; at real scale
+    // salting and AQE compose.
+    val shuffleRegime = args.contains("shuffle")
+    val spark = SparkSession.builder()
+      .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")}]")
+      .config("spark.sql.shuffle.partitions",
+        sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"))
+      .config("spark.sql.autoBroadcastJoinThreshold",
+        if (shuffleRegime) "-1" else "10485760")
+      .config("spark.sql.adaptive.skewJoin.enabled", (!shuffleRegime).toString)
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    spark.sparkContext.addSparkListener(MaxTask)
+
+    // nHot identical docs (one hot bucket per band) + genuinely unique
+    // tail (every token distinct across docs, so tail docs share no
+    // minhash bands and no simhash chunks)
+    val uniqTokens = (0 until 8).map(i => md5(concat(col("id").cast("string"), lit(s"#$i"))))
+    val docs = spark.range(nDocs).select(col("id").as("doc_id"),
+      when(col("id") < nHot,
+        lit("the quick brown fox jumps over the lazy dog again and again"))
+        .otherwise(concat_ws(" ", uniqTokens: _*)).as("text"))
+      .cache()
+    docs.count()
+
+    def time(label: String)(f: => Long): Unit = {
+      MaxTask.reset()
+      val t0 = System.nanoTime()
+      val n = f
+      val s = (System.nanoTime() - t0) / 1e9
+      println(f"""{"probe":"$label","pairs":$n,"sec":$s%.2f,"max_task_sec":${MaxTask.max.get() / 1000.0}%.2f}""")
+    }
+
+    for (salts <- Seq(1, 8)) {
+      time(s"minhash_lsh_candidates salts=$salts") {
+        Dedup.lshCandidatePairs(docs, "doc_id", "text", salts = salts).count()
+      }
+      time(s"simhash_candidates salts=$salts") {
+        Dedup.simhashCandidates(
+          Dedup.simhashBits(docs, "doc_id", split(col("text"), " ")),
+          "doc_id", salts = salts).count()
+      }
+    }
+    spark.stop()
+  }
+}

@@ -22,6 +22,30 @@ object Sampling {
   def uniformSample(df: DataFrame, idCol: String, rate: Double): DataFrame =
     df.filter(keepHash(col(idCol)) < (rate * Denominator).toLong)
 
+  /** Deterministic weighted corpus mix: given named sources and target
+    * mixture weights, keep the largest total corpus that realizes the
+    * exact mixture — T = min over sources of n_s/w_s rows in total,
+    * each source hash-sampled down to T·w_s of its n_s rows. The only
+    * driver work is one count per source (an agg, not a collect); the
+    * sample itself is the same narrow hash-threshold filter as
+    * `uniformSample`, so the mix is reproducible at any scale and the
+    * bottleneck source is used in full.
+    *
+    * Returns the union of the sampled sources with a `mix_source`
+    * provenance column. */
+  def weightedMix(sources: Seq[(String, DataFrame, Double)],
+                  idCol: String): DataFrame = {
+    require(sources.nonEmpty && sources.forall(_._3 > 0))
+    val counted = sources.map { case (name, df, w) => (name, df, w, df.count()) }
+    val total = counted.map { case (_, _, w, n) => n / w }.min
+    counted.map { case (name, df, w, n) =>
+      // exact op order mirrored in the SQL oracle: (total*w/n)*D, floor
+      val threshold = (total * w / n * Denominator).toLong
+      df.filter(keepHash(col(idCol)) < threshold)
+        .withColumn("mix_source", lit(name))
+    }.reduce(_ unionByName _)
+  }
+
   /** Deterministic stratified sample: per-stratum keep rates (corpus
     * mixing weights), default rate for unlisted strata. One narrow
     * filter — no shuffle, no driver round-trip, any scale. */

@@ -121,17 +121,18 @@ object AggQueries {
 
     // A13: file-level record counts — FASTA headers counted from the
     // raw text representation (reference: build_berdl_db.py:35-51
-    // counts '>' lines for contigs, lines-1 for features).
+    // counts '>' lines for contigs, lines-1 for features). The
+    // write-then-count round trip is the operator itself (a sink demo
+    // + file-level audit), isolated in Fasta.headerCount; the write is
+    // parallel (one file per partition), the count reads the whole
+    // directory.
     "a13_file_counts" -> ((s, d) => {
       val fasta = tbl(s, d, "documents").select(
         concat(lit("doc_"), col("doc_id")).as("id"),
         col("lang").as("description"),
         upper(regexp_replace(col("text"), " ", "")).as("seq"))
       val path = s"${sys.props("java.io.tmpdir")}/graft_fasta_counts_${math.abs(d.hashCode)}"
-      graft.sources.Fasta.write(fasta.coalesce(1), path)
-      s.read.text(path)
-        .filter(col("value").startsWith(">"))
-        .agg(count(lit(1)).as("n_seqs"))
+      graft.sources.Fasta.headerCount(s, fasta, path)
     }),
 
     // Static long→wide pivot (reference ontology pivot shape:

@@ -59,6 +59,18 @@ object DedupQueries {
         .select(col("doc_id"), col("lang"))
     }),
 
+    // Weighted corpus mixing: three language corpora mixed to a
+    // 0.5/0.3/0.2 target — the bottleneck corpus (de) used in full,
+    // the others hash-sampled down to the exact mixture.
+    "corpus_mix" -> ((s, d) => {
+      val docs = tbl(s, d, "documents")
+      def corpus(lang: String) = docs.filter(col("lang") === lang)
+      graft.operators.Sampling.weightedMix(
+        Seq(("en", corpus("en"), 0.5), ("de", corpus("de"), 0.3),
+          ("fr", corpus("fr"), 0.2)), "doc_id")
+        .select(col("mix_source"), col("doc_id"))
+    }),
+
     // Connected components over the cosine near-dup pair graph: each
     // involved vector labeled with its cluster (min member id).
     "dedup_clusters" -> ((s, d) => {
@@ -159,6 +171,19 @@ object DedupQueries {
       """SELECT doc_id, lang FROM documents
          WHERE (('0x' || substring(md5(doc_id::VARCHAR), 1, 15))::BIGINT % 10000)
            < (CASE lang WHEN 'en' THEN 3000 WHEN 'zh' THEN 8000 ELSE 5000 END)""",
+    "corpus_mix" ->
+      """WITH n AS (
+           SELECT lang, count(*)::BIGINT AS n,
+             (CASE lang WHEN 'en' THEN 0.5 WHEN 'de' THEN 0.3 ELSE 0.2 END)::DOUBLE AS w
+           FROM documents WHERE lang IN ('en', 'de', 'fr') GROUP BY lang),
+         t AS (SELECT min(n / w) AS total FROM n),
+         thr AS (
+           SELECT lang, CAST(floor(total * w / n * 10000) AS BIGINT) AS threshold
+           FROM n CROSS JOIN t)
+         SELECT d.lang AS mix_source, d.doc_id
+         FROM documents d JOIN thr ON d.lang = thr.lang
+         WHERE (('0x' || substring(md5(d.doc_id::VARCHAR), 1, 15))::BIGINT % 10000)
+           < thr.threshold""",
     "dedup_clusters" ->
       s"""WITH RECURSIVE pairs AS (
             SELECT a.vec_id AS id_a, b.vec_id AS id_b

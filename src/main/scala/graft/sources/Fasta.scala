@@ -35,4 +35,16 @@ object Fasta {
     df.select(concat(lit(">"), col("id"), lit(" "), col("description"),
       lit("\n"), col("seq")).as("value"))
       .write.mode("overwrite").text(path)
+
+  /** File-level audit count (reference: executor/task.py:64-79 counts
+    * `>` lines of produced files): write `df` as FASTA (parallel, one
+    * file per partition) and count headers back from the directory.
+    * The write side effect is the point of the operator — it audits
+    * the materialized artifact, not the in-memory frame. */
+  def headerCount(spark: SparkSession, df: DataFrame, path: String): DataFrame = {
+    write(df, path)
+    spark.read.text(path)
+      .filter(col("value").startsWith(">"))
+      .agg(count(lit(1)).as("n_seqs"))
+  }
 }

@@ -21,11 +21,23 @@ class PagedSourceSpec extends SparkTestBase {
       graft.sources.PagedBackend.md5Hex("1234"))
   }
 
-  test("retries recover every failEvery-th page") {
+  test("a non-default pageSize actually changes the page layout") {
+    // regression: options used to be read case-sensitively with
+    // lowercased keys, silently ignoring .option("pageSize", ...)
+    val df = paged(2000, 500)
+    assert(df.select(countDistinct(col("page"))).collect().head.getLong(0) == 4)
+    val row = df.filter(col("id") === 1234).collect().head
+    assert(row.getInt(row.fieldIndex("page")) == 2) // 1234 / 500
+  }
+
+  test("retries recover every failEvery-th page, and failures really fired") {
+    val before = graft.sources.PagedBackend.failuresInjected.get()
     // pages 6 and 13 fail on first attempt; retry must make the read whole
     val df = paged(14000, 1000, failEvery = 7)
     assert(df.count() == 14000)
     assert(df.select(countDistinct(col("page"))).collect().head.getLong(0) == 14)
+    // not vacuous: the injection path must have thrown at least twice
+    assert(graft.sources.PagedBackend.failuresInjected.get() >= before + 2)
   }
 
   test("limit pushdown fetches only the needed pages") {

@@ -78,6 +78,15 @@ class DedupClusterSpec extends SparkTestBase {
       .agg(countDistinct(col("cluster_id"))).collect().head.getLong(0)
     assert(out == 1L)
   }
+
+  test("pointer jumping collapses a 100-node chain in the default budget") {
+    // plain neighbor-min propagation needs ~99 rounds for this graph;
+    // path halving must converge within maxIters=20 (O(log diameter))
+    val pairs = (0L until 99L).map(i => (i, i + 1)).toDF("id_a", "id_b")
+    val out = graft.operators.Dedup.duplicateClusters(pairs, maxIters = 20)
+      .as[(Long, Long)].collect()
+    assert(out.length == 100 && out.forall(_._2 == 0L))
+  }
 }
 
 /** As-of join semantics on hand fixtures. */
@@ -133,6 +142,23 @@ class SmallOpsSpec extends SparkTestBase {
       .as[(String, Long, Long)].collect()
       .map { case (st, a, b) => st -> ((a, b)) }.toMap
     assert(out("+") == ((10L, 20L)) && out("-") == ((20L, 10L)))
+  }
+
+  test("weightedMix realizes the target mixture and uses the bottleneck fully") {
+    // sources 1000/300/100 rows at weights 0.5/0.3/0.2:
+    // T = min(2000, 1000, 500) = 500 -> keep 250/150/100
+    def src(n: Long, off: Long) = spark.range(n)
+      .select((col("id") + off).as("id"))
+    val mixed = graft.operators.Sampling.weightedMix(
+      Seq(("big", src(1000, 0), 0.5), ("mid", src(300, 10000), 0.3),
+        ("small", src(100, 20000), 0.2)), "id")
+    val counts = mixed.groupBy("mix_source").count()
+      .as[(String, Long)].collect().toMap
+    // the bottleneck source's threshold is exactly 10000 -> kept in full
+    assert(counts("small") == 100L)
+    // the others hash-sample to the exact-mixture expectation (±20%)
+    assert(math.abs(counts("big") - 250L) < 50, s"big=${counts("big")}")
+    assert(math.abs(counts("mid") - 150L) < 30, s"mid=${counts("mid")}")
   }
 
   test("stratifiedSample is deterministic and respects per-stratum rates") {

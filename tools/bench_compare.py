@@ -4,7 +4,12 @@ all cores) on the same sf directory as the Spark bench, and write
 COMPARE.md with per-query spark-vs-duckdb seconds.
 
 Usage:
-    python3 tools/bench_compare.py <sfDir> <oracle_sql.json> <bench.json> [timeout_s]
+    python3 tools/bench_compare.py <sfDir> <oracle_sql.json> <bench.json> [timeout_s] [prev_bench.json]
+
+The optional prev_bench.json (e.g. the last round's BENCH_r{N}.json)
+adds a per-query regression column: spark seconds this round vs last,
+flagging queries that slowed >1.5x so round-over-round verdicts can
+name them.
 
 DuckDB stands in for the reference's single-node columnar engine
 (Polars): same storage, same query semantics, mature vectorized
@@ -49,9 +54,38 @@ def main():
 
     with open(oracle_path) as f:
         oracles = json.load(f)
-    with open(bench_path) as f:
-        raw = f.read()
-        bench = json.loads(raw[raw.index("{"):])["queries"]
+
+    def load_bench(path):
+        """Returns (queries_map, partial). Handles the raw bench line,
+        and driver BENCH_r{N}.json whose 'tail' may be front-truncated
+        (then best-effort regex recovery -> partial=True)."""
+        import re
+        with open(path) as f:
+            raw = f.read()
+        obj = json.loads(raw[raw.index("{"):])
+        if "queries" in obj:
+            return obj["queries"], False
+        if "tail" in obj:
+            tail = obj["tail"]
+            i = tail.find('"queries"')
+            if i >= 0:
+                frag = tail[tail.index("{", i):]
+                depth = 0
+                for j, ch in enumerate(frag):
+                    depth += ch == "{"
+                    depth -= ch == "}"
+                    if depth == 0:
+                        return json.loads(frag[:j + 1]), False
+            pairs = re.findall(r'"([a-zA-Z0-9_]+)":([0-9]+\.[0-9]+)', tail)
+            qmap = {k: float(v) for k, v in pairs
+                    if k not in ("value", "sf", "n", "rc", "cpus")}
+            if qmap:
+                return qmap, True
+        raise ValueError(f"no queries map recoverable from {path}")
+
+    bench, _ = load_bench(bench_path)
+    prev, prev_partial = (load_bench(sys.argv[5]) if len(sys.argv) > 5
+                          else (None, False))
 
     rows = []
     for name in sorted(oracles):
@@ -75,13 +109,31 @@ def main():
                 "this engine at local[32]. Spark times are from the bench run\n"
                 "(includes per-query plan+execute; first bench query carries\n"
                 "~4-5 s one-time session warmup).\n\n")
-        f.write("| query | spark s | duckdb s | spark/duckdb |\n|---|---|---|---|\n")
+        dcol = " | Δ vs prev" if prev is not None else ""
+        f.write(f"| query | spark s | duckdb s | spark/duckdb{dcol} |\n")
+        f.write("|---|---|---|---|" + ("---|" if prev is not None else "") + "\n")
+        regressions = []
         for name, st, dt in sorted(rows, key=lambda r: -(r[1])):
+            delta = ""
+            if prev is not None:
+                p = prev.get(name)
+                if p is None:
+                    # on a partial (truncated) baseline, absence proves nothing
+                    delta = " | ?" if prev_partial else " | new"
+                else:
+                    r = st / p if p > 0 else float("inf")
+                    delta = f" | {r:.2f}x"
+                    if r > 1.5 and st - p > 0.3:
+                        regressions.append((name, p, st))
             if dt is None:
-                f.write(f"| {name} | {st:.2f} | >{timeout:.0f} (timeout) | <<1 |\n")
+                f.write(f"| {name} | {st:.2f} | >{timeout:.0f} (timeout) | <<1{delta} |\n")
             else:
                 ratio = st / dt if dt > 0 else float("inf")
-                f.write(f"| {name} | {st:.2f} | {dt:.2f} | {ratio:.1f} |\n")
+                f.write(f"| {name} | {st:.2f} | {dt:.2f} | {ratio:.1f}{delta} |\n")
+        if prev is not None and regressions:
+            f.write("\nSlowed >1.5x (and >0.3 s) vs previous round:\n")
+            for name, p, st in sorted(regressions, key=lambda r: -(r[2] - r[1])):
+                f.write(f"- {name}: {p:.2f} s -> {st:.2f} s\n")
         f.write(f"\nTotals: spark {spark_total:.1f} s over {len(rows)} queries; "
                 f"duckdb {duck_known:.1f} s over {len(rows) - n_timeout} finished "
                 f"(+{n_timeout} queries exceeding the {timeout:.0f} s timeout "
