@@ -57,6 +57,13 @@ class TableScannerSpec extends SparkTestBase {
     assert(row.getLong(0) === 4L && row.getDouble(1) === 40.0)
   }
 
+  test("group_by with no aggregations returns group sizes, not an error") {
+    val got = TableScanner.scan(df, ScanRequest("t", groupBy = Seq("name")))
+    assert(got.columns.toSeq == Seq("name", "count"))
+    val m = got.as[(String, Long)].collect().toMap
+    assert(m.size == 4 && m.values.sum == 4L) // incl. the null group
+  }
+
   test("global search hits any column, case-insensitive") {
     val got = TableScanner.scan(df, ScanRequest("t", searchValue = Some("AMM")))
       .select("id").as[Long].collect().toSet
