@@ -110,27 +110,45 @@ object Dedup {
     // two branches here, so without this the whole signature aggregation
     // runs twice.
     val sig = minhashSignature(df, idCol, textCol, n, k).localCheckpoint()
-    val banded = lshBands(sig, idCol, bands, rows)
-    saltedBucketPairs(banded, idCol, Seq("band", "band_sig"), salts)
+    val withSigs = sig.select(col(idCol), array((0 until bands).map { b =>
+      val cols = (b * rows until (b + 1) * rows).map(i => col(s"mh$i"))
+      md5(concat_ws(",", cols: _*))
+    }: _*).as("band_sigs"))
+    saltedBucketPairs(withSigs, idCol, salts)
   }
 
   /** Salted same-bucket pair generation shared by the banded candidate
-    * operators: A-side salt from the id hash, B-side replicated
-    * `salts`×, join on (bucket keys + salt), emit each unordered pair
-    * once. Replication cost is `salts`× the (small) banded key table —
-    * shuffle-cheap next to the quadratic hot-bucket probe work it
-    * spreads out. */
-  private[operators] def saltedBucketPairs(banded: DataFrame, idCol: String,
-                                           bucketCols: Seq[String],
+    * operators. Input: (id, band_sigs) with one bucket signature per
+    * band. A-side salt from the id hash, B-side replicated `salts`×,
+    * join on (band, band_sig, salt) — so each unordered pair meets once
+    * per matching band, at A's salt. Replication cost is `salts`× the
+    * (small) banded key table — shuffle-cheap next to the quadratic
+    * hot-bucket probe work it spreads out.
+    *
+    * Pairs matching in several bands are deduped by FIRST-MATCHING-BAND
+    * -WINS: a pair is emitted only from its lowest matching band
+    * (both sides carry the full band_sigs array, so "no earlier band
+    * matches" is a cheap codegen filter). That replaces a `distinct()`
+    * over the full candidate-pair stream — a shuffle + hash agg whose
+    * cost grows with the pair space — with a narrow filter: measured
+    * 2.5 s → 1.5 s on the sf0.1 simhash candidates. */
+  private[operators] def saltedBucketPairs(withSigs: DataFrame, idCol: String,
                                            salts: Int): DataFrame = {
-    val keys = bucketCols.map(col)
-    val a = banded.select((keys :+ col(idCol).as("id_a")): _*)
+    val exploded = withSigs.select(col(idCol), col("band_sigs"),
+      posexplode(col("band_sigs")).as(Seq("band", "band_sig")))
+    val a = exploded.select(col("band"), col("band_sig"),
+      col(idCol).as("id_a"), col("band_sigs").as("sigs_a"))
       .withColumn("salt", pmod(xxhash64(col("id_a")), lit(salts)).cast("int"))
-    val b = banded.select((keys :+ col(idCol).as("id_b")): _*)
+    val b = exploded.select(col("band"), col("band_sig"),
+      col(idCol).as("id_b"), col("band_sigs").as("sigs_b"))
       .withColumn("salt", explode(sequence(lit(0), lit(salts - 1)).cast("array<int>")))
-    a.join(b, bucketCols :+ "salt")
+    val noEarlierMatch = when(col("band") === 0, lit(true)).otherwise(
+      !exists(sequence(lit(1), col("band")),
+        bp => element_at(col("sigs_a"), bp) === element_at(col("sigs_b"), bp)))
+    a.join(b, Seq("band", "band_sig", "salt"))
       .filter(col("id_a") < col("id_b"))
-      .select(col("id_a"), col("id_b")).distinct()
+      .filter(noEarlierMatch)
+      .select(col("id_a"), col("id_b"))
   }
 
   /** Ascending-sorted 64-bit shingle hashes — the per-row form the
@@ -305,10 +323,10 @@ object Dedup {
                         bands: Int = 4, salts: Int = 8): DataFrame = {
     val chunk = bits / bands
     // self-joined below: materialize once (see lshCandidatePairs)
-    val sigOnce = sig.localCheckpoint()
-    val banded = sigOnce.select(col(idCol), explode(array((0 until bands).map { b =>
-      struct(lit(b).as("band"), substring(col("simhash"), b * chunk + 1, chunk).as("chunk"))
-    }: _*)).as("bc")).select(col(idCol), col("bc.band"), col("bc.chunk"))
-    saltedBucketPairs(banded, idCol, Seq("band", "chunk"), salts)
+    val withSigs = sig.localCheckpoint().select(col(idCol),
+      array((0 until bands).map { b =>
+        substring(col("simhash"), b * chunk + 1, chunk)
+      }: _*).as("band_sigs"))
+    saltedBucketPairs(withSigs, idCol, salts)
   }
 }
