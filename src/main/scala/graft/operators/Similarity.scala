@@ -123,67 +123,80 @@ object Similarity {
       .select(col("query_id"), col("rank"), col("neighbor_id"))
   }
 
-  /** Deterministic k-means coarse quantizer for the IVF index: seeded
-    * with the first `k` corpus vectors (id < k), then `iters` rounds of
-    * cosine-argmax assignment + element-wise mean update. Every round
-    * is one broadcast join (centroids are tiny) + one partial-agg
-    * groupBy over exploded positions — the corpus never shuffles on a
-    * pair key. Means are rounded to 1e-6 per round so the fit is
+  /** Cosine-argmax cell assignment against a LITERAL centroid list —
+    * a pure codegen projection, no join, no window, no shuffle. The
+    * struct max implements (cosine desc, cell asc): on a cosine tie
+    * the max of -cell is the min cell. The centroid norm is an
+    * expression over the same literals (constant-folded by Catalyst),
+    * so the arithmetic is bit-identical to the join formulation the
+    * SQL oracle still uses. */
+  private def assignCell(v: Column, vn: Column,
+                         centroids: Seq[(Long, Seq[Double])]): Column = {
+    val scored = centroids.map { case (cellId, c) =>
+      val cl = array(c.map(lit): _*)
+      val cn = sqrt(VectorOps.dot(cl, cl))
+      struct((VectorOps.dot(v, cl) / (vn * cn)).as("sim"),
+        (-lit(cellId)).cast("long").as("negCell"))
+    }
+    (-array_max(array(scored: _*)).getField("negCell")).cast("long")
+  }
+
+  /** Deterministic k-means fit returning the centroids as plain data:
+    * seeded with the first `k` corpus vectors (id < k), then `iters`
+    * rounds of cosine-argmax assignment + element-wise mean update.
+    * Centroids are O(k·dim) — they always fit on the driver, so each
+    * round collects them and inlines the next assignment as a literal
+    * codegen projection (the classical scalable k-means shape: per
+    * round, ONE narrow pass + one partial-agg groupBy over exploded
+    * positions; the corpus never shuffles on a pair key, never sorts,
+    * never joins). Means are rounded to 1e-6 per round so the fit is
     * bit-reproducible across engines (the differential oracle unrolls
-    * the same rounds in SQL); rounding at 1e-6 absorbs
-    * summation-order float noise without moving any real assignment.
-    * Returns (cell: long, cv: array<double>). */
-  def kmeansCentroids(df: DataFrame, idCol: String, vecCol: String,
-                      k: Int, iters: Int = 2): DataFrame = {
+    * the same rounds in SQL). */
+  def kmeansFit(df: DataFrame, idCol: String, vecCol: String,
+                k: Int, iters: Int = 2): Seq[(Long, Seq[Double])] = {
     val base = spread(df).select(col(idCol), col(vecCol).as("v"))
       .withColumn("vn", VectorOps.norm(col("v")))
       .localCheckpoint() // reused every round: don't re-scan per iteration
-    var centroids = df.filter(col(idCol) < k)
-      .select(col(idCol).cast("long").as("cell"),
-        transform(col(vecCol), x => x.cast("double")).as("cv"))
-      .localCheckpoint()
+    var centroids: Seq[(Long, Seq[Double])] = df.filter(col(idCol) < k)
+      .select(col(idCol).cast("long"), col(vecCol).cast("array<double>"))
+      .collect().map(r => (r.getLong(0), r.getSeq[Double](1).toSeq))
+      .sortBy(_._1).toSeq
     for (_ <- 0 until iters) {
-      val withNorm = centroids.withColumn("cn", VectorOps.norm(col("cv")))
-      val scored = base.join(broadcast(withNorm))
-        .withColumn("csim", VectorOps.dot(col("v"), col("cv")) / (col("vn") * col("cn")))
-      val w = Window.partitionBy(col(idCol)).orderBy(col("csim").desc, col("cell").asc)
-      val assigned = scored.withColumn("__rn", row_number().over(w))
-        .filter(col("__rn") === 1).select(col("cell"), col("v"))
-      centroids = assigned.select(col("cell"), posexplode(col("v")))
+      centroids = base
+        .select(assignCell(col("v"), col("vn"), centroids).as("cell"),
+          posexplode(col("v")).as(Seq("pos", "x")))
         .groupBy(col("cell"), col("pos"))
-        .agg(avg(col("col").cast("double")).as("m"))
+        .agg(avg(col("x").cast("double")).as("m"))
         .withColumn("m", floor(col("m") * 1e6 + lit(0.5)) / 1e6)
         .groupBy(col("cell"))
         .agg(transform(array_sort(collect_list(struct(col("pos"), col("m")))),
           s => s.getField("m")).as("cv"))
-        .localCheckpoint() // truncate per-round lineage
+        .collect().map(r => (r.getLong(0), r.getSeq[Double](1).toSeq))
+        .sortBy(_._1).toSeq
     }
     centroids
   }
 
-  /** IVF-style ANN: a trained coarse quantizer (`kmeansCentroids`)
-    * assigns every vector to its nearest centroid cell; queries compare
-    * only within their own cell (nprobe=1 here; multi-probe = also join
-    * the next-nearest cells). The centroid set is broadcast — the cells
+  /** `kmeansFit` as a DataFrame (cell, cv) for callers that join it. */
+  def kmeansCentroids(df: DataFrame, idCol: String, vecCol: String,
+                      k: Int, iters: Int = 2): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    kmeansFit(df, idCol, vecCol, k, iters).toDF("cell", "cv")
+  }
+
+  /** IVF-style ANN: a trained coarse quantizer (`kmeansFit`) assigns
+    * every vector to its nearest centroid cell as a literal codegen
+    * projection; queries compare only within their own cell (nprobe=1
+    * here; multi-probe = also join the next-nearest cells). The cells
     * shard the O(n²) space like an inverted file does. */
   def ivfTopK(df: DataFrame, idCol: String, vecCol: String, k: Int,
               nCentroids: Int, kmeansIters: Int = 2): DataFrame = {
-    val base = spread(df).select(col(idCol), col(vecCol).as("v"))
+    val centroids = kmeansFit(df, idCol, vecCol, nCentroids, kmeansIters)
+    // feeds both sides of the within-cell self-join: materialize once
+    val cells = spread(df).select(col(idCol), col(vecCol).as("v"))
       .withColumn("vn", VectorOps.norm(col("v")))
-    val centroids = kmeansCentroids(df, idCol, vecCol, nCentroids, kmeansIters)
-      .withColumnRenamed("cell", "centroid_id")
-      .withColumnRenamed("cv", "cv")
-      .withColumn("cn", VectorOps.norm(col("cv")))
-    // assign: argmax cosine over the (broadcast) centroid set
-    val scored = base.join(broadcast(centroids))
-      .withColumn("csim", VectorOps.dot(col("v"), col("cv")) / (col("vn") * col("cn")))
-    val wAssign = Window.partitionBy(col(idCol))
-      .orderBy(col("csim").desc, col("centroid_id").asc)
-    // feeds both sides of the within-cell self-join: materialize once,
-    // or the whole centroid assignment (cross join + window) runs twice
-    val cells = scored.withColumn("__rn", row_number().over(wAssign))
-      .filter(col("__rn") === 1)
-      .select(col(idCol), col("v"), col("vn"), col("centroid_id").as("cell"))
+      .withColumn("cell", assignCell(col("v"), col("vn"), centroids))
       .localCheckpoint()
     // search within the cell
     val a = cells.select(col("cell"), col(idCol).as("query_id"),
