@@ -62,6 +62,23 @@ object ServeQueries {
         colFilter = Map("value" -> "100..200", "event_type" -> "purchase")))
     }),
 
+    // aggregation-panel distinct_count function per group.
+    "dsl_distinct_count" -> ((s, d) => {
+      TableScanner.scan(tbl(s, d, "lineitem"), ScanRequest(
+        table = "lineitem",
+        groupBy = Seq("l_returnflag"),
+        aggregations = Seq(
+          Aggregation("distinct_count", "l_suppkey", "n_suppliers"),
+          Aggregation("distinct_count", "l_linestatus", "n_statuses"))))
+    }),
+
+    // stats-viewer endpoint: one-pass per-column stats.
+    "dsl_column_stats" -> ((s, d) => {
+      import org.apache.spark.sql.functions.col
+      TableScanner.columnStats(tbl(s, d, "lineitem"), "l_linenumber")
+        .withColumn("avg", round4(col("avg")))
+    }),
+
     // total_count endpoint: filtered row count before paging.
     "dsl_total_count" -> ((s, d) => {
       TableScanner.totalCount(tbl(s, d, "lineitem"), ScanRequest(
@@ -106,6 +123,18 @@ object ServeQueries {
     "dsl_quick_range" ->
       """SELECT event_id, user_id, event_type, value, props, epoch_us(ts) AS ts_us FROM events
          WHERE event_type = 'purchase' AND value >= 100 AND value <= 200""",
+    "dsl_distinct_count" ->
+      """SELECT l_returnflag, count(DISTINCT l_suppkey) AS n_suppliers,
+           count(DISTINCT l_linestatus) AS n_statuses
+         FROM lineitem GROUP BY l_returnflag""",
+    "dsl_column_stats" ->
+      """SELECT count(*) AS row_count,
+           CAST(sum(CASE WHEN l_linenumber IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS null_count,
+           count(DISTINCT l_linenumber) AS distinct_count,
+           CAST(min(l_linenumber) AS VARCHAR) AS min,
+           CAST(max(l_linenumber) AS VARCHAR) AS max,
+           floor(avg(l_linenumber) * 10000 + 0.5) / 10000 AS avg
+         FROM lineitem""",
     "dsl_total_count" ->
       "SELECT count(*) AS total_count FROM lineitem WHERE l_returnflag <> 'N'",
     "sql_passthrough" ->

@@ -129,18 +129,41 @@ object TableScanner {
       lower(col(f.name).cast("string")).contains(lit(needle.toLowerCase))
     }.reduce(_ || _)
 
-  /** `FUNCTION(column)` aggregations of the viewer API (count/sum/avg/min/max). */
+  /** `FUNCTION(column)` aggregations of the viewer API
+    * (count/sum/avg/min/max/distinct_count — the aggregation panel's
+    * option list, main-BeiTHiEY.js). */
   def compileAgg(schema: StructType, a: Aggregation): Column = {
     val c = col(a.column)
     val e = a.function.toLowerCase match {
-      case "count" => count(c)
-      case "sum"   => sum(c)
-      case "avg"   => avg(c)
-      case "min"   => min(c)
-      case "max"   => max(c)
-      case other   => throw new IllegalArgumentException(s"unknown aggregation: $other")
+      case "count"          => count(c)
+      case "sum"            => sum(c)
+      case "avg"            => avg(c)
+      case "min"            => min(c)
+      case "max"            => max(c)
+      case "distinct_count" => countDistinct(c)
+      case other => throw new IllegalArgumentException(s"unknown aggregation: $other")
     }
     e.as(a.as)
+  }
+
+  /** The stats-viewer endpoint (reference viewer `statsViewer`,
+    * main-BeiTHiEY.js: row_count / null_count / distinct_count / min /
+    * max / avg per column): ONE aggregate pass over the filtered
+    * table. min/max are rendered as strings so the row shape is
+    * column-type-agnostic like the viewer's; avg is null for
+    * non-numeric columns. */
+  def columnStats(df: DataFrame, column: String): DataFrame = {
+    val c = col(column)
+    val isNumeric = df.schema(column).dataType.isInstanceOf[NumericType]
+    val avgCol =
+      if (isNumeric) avg(c) else lit(null).cast("double")
+    df.agg(
+      count(lit(1)).as("row_count"),
+      sum(when(c.isNull, 1).otherwise(0)).cast("long").as("null_count"),
+      countDistinct(c).as("distinct_count"),
+      min(c).cast("string").as("min"),
+      max(c).cast("string").as("max"),
+      avgCol.as("avg"))
   }
 }
 

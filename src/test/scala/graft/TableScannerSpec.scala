@@ -64,6 +64,21 @@ class TableScannerSpec extends SparkTestBase {
     assert(m.size == 4 && m.values.sum == 4L) // incl. the null group
   }
 
+  test("distinct_count aggregation and the stats-viewer endpoint") {
+    val got = TableScanner.scan(df, ScanRequest("t",
+      aggregations = Seq(Aggregation("distinct_count", "name", "n_names"))))
+    assert(got.collect().head.getLong(0) === 3L) // null not counted
+    val stats = TableScanner.columnStats(df, "score").collect().head
+    assert(stats.getAs[Long]("row_count") === 4L)
+    assert(stats.getAs[Long]("null_count") === 0L)
+    assert(stats.getAs[Long]("distinct_count") === 4L)
+    assert(stats.getAs[String]("min") === "10.0" && stats.getAs[String]("max") === "40.0")
+    assert(stats.getAs[Double]("avg") === 25.0)
+    val nameStats = TableScanner.columnStats(df, "name").collect().head
+    assert(nameStats.getAs[Long]("null_count") === 1L)
+    assert(nameStats.getAs[Any]("avg") == null) // non-numeric
+  }
+
   test("global search hits any column, case-insensitive") {
     val got = TableScanner.scan(df, ScanRequest("t", searchValue = Some("AMM")))
       .select("id").as[Long].collect().toSet
