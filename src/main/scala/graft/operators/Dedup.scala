@@ -114,7 +114,7 @@ object Dedup {
       val cols = (b * rows until (b + 1) * rows).map(i => col(s"mh$i"))
       md5(concat_ws(",", cols: _*))
     }: _*).as("band_sigs"))
-    saltedBucketPairs(withSigs, idCol, salts)
+    saltedBucketPairs(withSigs, idCol, bands, salts)
   }
 
   /** Salted same-bucket pair generation shared by the banded candidate
@@ -133,7 +133,7 @@ object Dedup {
     * cost grows with the pair space — with a narrow filter: measured
     * 2.5 s → 1.5 s on the sf0.1 simhash candidates. */
   private[operators] def saltedBucketPairs(withSigs: DataFrame, idCol: String,
-                                           salts: Int): DataFrame = {
+                                           bands: Int, salts: Int): DataFrame = {
     val exploded = withSigs.select(col(idCol), col("band_sigs"),
       posexplode(col("band_sigs")).as(Seq("band", "band_sig")))
     val a = exploded.select(col("band"), col("band_sig"),
@@ -142,9 +142,13 @@ object Dedup {
     val b = exploded.select(col("band"), col("band_sig"),
       col(idCol).as("id_b"), col("band_sigs").as("sigs_b"))
       .withColumn("salt", explode(sequence(lit(0), lit(salts - 1)).cast("array<int>")))
-    val noEarlierMatch = when(col("band") === 0, lit(true)).otherwise(
-      !exists(sequence(lit(1), col("band")),
-        bp => element_at(col("sigs_a"), bp) === element_at(col("sigs_b"), bp)))
+    // explicit predicate chain (band count is static) rather than an
+    // exists() higher-order function: HOFs drop out of whole-stage
+    // codegen, and this filter sits on the candidate hot path
+    val noEarlierMatch = (0 until bands - 1).map { bp =>
+      col("band") <= bp ||
+        element_at(col("sigs_a"), bp + 1) =!= element_at(col("sigs_b"), bp + 1)
+    }.reduceOption(_ && _).getOrElse(lit(true))
     a.join(b, Seq("band", "band_sig", "salt"))
       .filter(col("id_a") < col("id_b"))
       .filter(noEarlierMatch)
@@ -327,6 +331,6 @@ object Dedup {
       array((0 until bands).map { b =>
         substring(col("simhash"), b * chunk + 1, chunk)
       }: _*).as("band_sigs"))
-    saltedBucketPairs(withSigs, idCol, salts)
+    saltedBucketPairs(withSigs, idCol, bands, salts)
   }
 }
