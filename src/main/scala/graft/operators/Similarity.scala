@@ -177,6 +177,56 @@ object Similarity {
     centroids
   }
 
+  /** Top-`nprobe` cells by (cosine desc, cell asc) as an array —
+    * the multi-probe variant of [[assignCell]]. `sort_array` descending
+    * on (sim, -cell) structs yields exactly that order. */
+  private def assignCells(v: Column, vn: Column,
+                          centroids: Seq[(Long, Seq[Double])],
+                          nprobe: Int): Column = {
+    val scored = centroids.map { case (cellId, c) =>
+      val cl = array(c.map(lit): _*)
+      val cn = sqrt(VectorOps.dot(cl, cl))
+      struct((VectorOps.dot(v, cl) / (vn * cn)).as("sim"),
+        (-lit(cellId)).cast("long").as("negCell"))
+    }
+    transform(slice(sort_array(array(scored: _*), asc = false), 1, nprobe),
+      s => -s.getField("negCell"))
+  }
+
+  /** Multi-probe IVF ANN: the corpus is inverted by nearest cell as in
+    * `ivfTopK`, but each QUERY searches its `nprobe` nearest cells —
+    * the standard IVF recall knob. Only the query side replicates
+    * (`nprobe`×); the corpus index is untouched, so the join grows
+    * linearly with probe count, never with corpus size. Not
+    * oracle-gated (the SQL mirror of a second probe adds nothing to
+    * differential confidence); recall-vs-brute-force is asserted in
+    * RecallSpec instead. */
+  def ivfTopKMultiProbe(df: DataFrame, idCol: String, vecCol: String, k: Int,
+                        nCentroids: Int, nprobe: Int,
+                        kmeansIters: Int = 2): DataFrame = {
+    val centroids = kmeansFit(df, idCol, vecCol, nCentroids, kmeansIters)
+    val base = spread(df).select(col(idCol), col(vecCol).as("v"))
+      .withColumn("vn", VectorOps.norm(col("v")))
+      .localCheckpoint() // feeds probe and corpus sides
+    val corpus = base
+      .withColumn("cell", assignCell(col("v"), col("vn"), centroids))
+      .select(col("cell"), col(idCol).as("neighbor_id"),
+        col("v").as("cv2"), col("vn").as("cn2"))
+    val queries = base
+      .withColumn("cell",
+        explode(assignCells(col("v"), col("vn"), centroids, nprobe)))
+      .select(col("cell"), col(idCol).as("query_id"),
+        col("v").as("qv"), col("vn").as("qn"))
+    val pairs = queries.join(corpus, Seq("cell"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("cosine", VectorOps.dot(col("qv"), col("cv2")) / (col("qn") * col("cn2")))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("neighbor_id").asc)
+    pairs.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("neighbor_id"))
+  }
+
   /** `kmeansFit` as a DataFrame (cell, cv) for callers that join it. */
   def kmeansCentroids(df: DataFrame, idCol: String, vecCol: String,
                       k: Int, iters: Int = 2): DataFrame = {

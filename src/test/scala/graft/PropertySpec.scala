@@ -183,4 +183,28 @@ class PropertySpec extends SparkTestBase {
     assert(recallMulti >= recallSingle)
     assert(recallMulti > 0.0)
   }
+
+  test("first-band-wins candidates == naive distinct over all matching bands") {
+    // duplicate-heavy random corpus: clusters of identical docs force
+    // pairs that match in EVERY band (the case first-band-wins dedups)
+    val texts = sample(Gen.oneOf(
+      "the quick brown fox jumps over the lazy dog",
+      "pack my box with five dozen liquor jugs",
+      "how vexingly quick daft zebras jump today",
+      "sphinx of black quartz judge my vow"), 160)
+    val docs = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      .toDF("doc_id", "text")
+    val fast = Dedup.lshCandidatePairs(docs, "doc_id", "text")
+      .as[(Long, Long)].collect().toSet
+    // naive reference formulation: every matching band, then distinct
+    val sig = Dedup.minhashSignature(docs, "doc_id", "text", 5, 16)
+    val banded = Dedup.lshBands(sig, "doc_id", 4, 4)
+    val a = banded.select(col("band"), col("band_sig"), col("doc_id").as("id_a"))
+    val b = banded.select(col("band"), col("band_sig"), col("doc_id").as("id_b"))
+    val naive = a.join(b, Seq("band", "band_sig"))
+      .filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b").distinct()
+      .as[(Long, Long)].collect().toSet
+    assert(fast == naive && fast.nonEmpty)
+  }
 }

@@ -48,6 +48,23 @@ class RecallSpec extends SparkTestBase {
     assert(recall >= 0.3)
   }
 
+  test("IVF multi-probe (nprobe=2) strictly improves recall over nprobe=1") {
+    val bf = Similarity.bruteForceTopK(embeddings, embeddings,
+      "vec_id", "embedding", 5)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val p1 = Similarity.ivfTopK(embeddings, "vec_id", "embedding", 5,
+      nCentroids = 8, kmeansIters = 2)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val p2 = Similarity.ivfTopKMultiProbe(embeddings, "vec_id", "embedding", 5,
+      nCentroids = 8, nprobe = 2)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val r1 = (bf & p1).size.toDouble / bf.size
+    val r2 = (bf & p2).size.toDouble / bf.size
+    info(f"ivf recall@5: nprobe=1 $r1%.2f -> nprobe=2 $r2%.2f")
+    assert(r2 > r1)
+    assert(r2 >= 0.5)
+  }
+
   test("trained k-means beats the untrained id<k quantizer on cell balance") {
     // The round-1 quantizer used the first k corpus vectors verbatim;
     // two k-means rounds must not leave a degenerate single-cell fit.
