@@ -1,5 +1,6 @@
 package graft.queries
 
+import org.apache.spark.sql.Column
 import org.apache.spark.sql.functions._
 import graft.pipeline.{RastMap, TableBuild}
 
@@ -43,28 +44,33 @@ object OntologyQueries {
     }),
 
     "ontology_rels" -> ((s, d) => {
+      // One scan + explode builds every statement shape (instead of a
+      // 6-branch union re-scanning nation): the shapes that differ from
+      // the row-per-branch construction are exactly the ones the
+      // builder filters (self-referential, blank-node, EC hierarchy,
+      // wrong predicate) or dedups, so the output is identical.
       val nation = tbl(s, d, "nation")
       val region = tbl(s, d, "region")
-      val isA = nation.join(region, col("n_regionkey") === col("r_regionkey"))
-        .select(concat(lit("N:"), col("n_name")).as("subject"),
-          lit("rdfs:subClassOf").as("predicate"),
-          concat(lit("R:"), col("r_name")).as("object"))
-      val selfRef = region.select(concat(lit("R:"), col("r_name")).as("subject"),
-        lit("rdfs:subClassOf").as("predicate"),
-        concat(lit("R:"), col("r_name")).as("object"))
-      val blank = nation.select(concat(lit("N:"), col("n_name")).as("subject"),
-        lit("rdfs:subClassOf").as("predicate"), lit("_:b1").as("object"))
-      val ecRows = nation.select(
-        concat(lit("EC:1.1.1."), col("n_nationkey").cast("string")).as("subject"),
-        lit("rdfs:subClassOf").as("predicate"), lit("EC:1.1.1.-").as("object"))
-      val enables = nation.filter(pmod(col("n_nationkey"), lit(2)) === 0)
-        .select(concat(lit("N:"), col("n_name")).as("subject"),
-          lit("<https://modelseed.org/ontology/enables_reaction>").as("predicate"),
-          concat(lit("seed.reaction:rxn"), col("n_nationkey").cast("string")).as("object"))
-      val labels = nation.select(concat(lit("N:"), col("n_name")).as("subject"),
-        lit("rdfs:label").as("predicate"), col("n_name").as("object"))
-      val statements = isA.unionByName(selfRef).unionByName(blank)
-        .unionByName(ecRows).unionByName(enables).unionByName(labels)
+      val nName = concat(lit("N:"), col("n_name"))
+      val rName = concat(lit("R:"), col("r_name"))
+      def stmt(s0: Column, p: Column, o: Column) =
+        struct(s0.as("subject"), p.as("predicate"), o.as("object"))
+      val statements = nation
+        .join(broadcast(region), col("n_regionkey") === col("r_regionkey"))
+        .select(explode(array(
+          stmt(nName, lit("rdfs:subClassOf"), rName),
+          stmt(rName, lit("rdfs:subClassOf"), rName),
+          stmt(nName, lit("rdfs:subClassOf"), lit("_:b1")),
+          stmt(concat(lit("EC:1.1.1."), col("n_nationkey").cast("string")),
+            lit("rdfs:subClassOf"), lit("EC:1.1.1.-")),
+          stmt(nName,
+            when(pmod(col("n_nationkey"), lit(2)) === 0,
+              lit("<https://modelseed.org/ontology/enables_reaction>"))
+              .otherwise("rdfs:label"),
+            when(pmod(col("n_nationkey"), lit(2)) === 0,
+              concat(lit("seed.reaction:rxn"), col("n_nationkey").cast("string")))
+              .otherwise(col("n_name"))))).as("st"))
+        .select(col("st.subject"), col("st.predicate"), col("st.object"))
       val termIds = statements.select(col("subject")).distinct()
       TableBuild.ontologyRelationships(statements, termIds)
     }),
