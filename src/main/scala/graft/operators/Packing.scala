@@ -1,0 +1,45 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Sequence packing for training-data pipelines: assign documents to
+  * fixed-capacity bins (token budget per training sequence) by
+  * contiguous fill — bin = floor(running-total-before-this-doc /
+  * capacity) within a packing group.
+  *
+  * Scale shape: packing is per GROUP (shard key, language, source), so
+  * the window's sort is bounded by the group, not the corpus — 100 TB
+  * packs as thousands of independent group windows, never a global
+  * sort. Deterministic: the fill order is the explicit `orderCol`, so
+  * the same corpus packs identically on any cluster (and in the SQL
+  * oracle). Oversized documents (> capacity) still get their own bin
+  * rather than being dropped — the downstream truncation policy is the
+  * caller's decision, not the packer's.
+  */
+object Packing {
+
+  /** Add `bin` (0-based within group) and `bin_offset` (the document's
+    * start position inside its bin's token budget — what a writer needs
+    * to lay the sequence out) to `df`. */
+  def packBins(df: DataFrame, groupCol: String, orderCol: String,
+               sizeCol: String, capacity: Long): DataFrame = {
+    require(capacity > 0, "capacity must be positive")
+    val w = Window.partitionBy(col(groupCol)).orderBy(col(orderCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cumAfter: Column = sum(col(sizeCol)).over(w)
+    val cumBefore = cumAfter - col(sizeCol)
+    df.withColumn("bin", floor(cumBefore / capacity).cast("long"))
+      .withColumn("bin_offset", (cumBefore % capacity).cast("long"))
+  }
+
+  /** Bin-level summary: documents and tokens per (group, bin) — the
+    * packing-efficiency report (fill fraction vs capacity). */
+  def binStats(packed: DataFrame, groupCol: String, sizeCol: String,
+               capacity: Long): DataFrame =
+    packed.groupBy(col(groupCol), col("bin"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col(sizeCol)).cast("long").as("tokens"))
+      .withColumn("fill", col("tokens").cast("double") / capacity)
+}

@@ -31,6 +31,16 @@ object TextQueries {
         TextAnalysis.langId(col("text")).as("lang_pred"))
     }),
 
+    // Sequence packing: carve per-language token streams into
+    // fixed-capacity training sequences (bin + offset per doc).
+    "pack_sequences" -> ((s, d) => {
+      graft.operators.Packing.packBins(
+        tbl(s, d, "documents").select(col("doc_id"), col("lang"), col("n_chars")),
+        groupCol = "lang", orderCol = "doc_id", sizeCol = "n_chars",
+        capacity = 2048L)
+        .select(col("doc_id"), col("lang"), col("bin"), col("bin_offset"))
+    }),
+
     "text_fingerprint" -> ((s, d) => {
       tbl(s, d, "documents").select(
         col("doc_id"),
@@ -62,6 +72,16 @@ object TextQueries {
   }.mkString(", ")
 
   val oracles: Map[String, String] = Map(
+    "pack_sequences" ->
+      """WITH c AS (
+           SELECT doc_id, lang,
+             sum(n_chars) OVER (PARTITION BY lang ORDER BY doc_id
+               ROWS UNBOUNDED PRECEDING) - n_chars AS cum_before
+           FROM documents)
+         SELECT doc_id, lang,
+           CAST(floor(cum_before / 2048) AS BIGINT) AS bin,
+           CAST(cum_before % 2048 AS BIGINT) AS bin_offset
+         FROM c""",
     "text_tokens" ->
       """SELECT doc_id, len(string_split_regex(trim(text), '\s+')) AS n_ws,
            len(regexp_extract_all(text, '\w+|[^\w\s]')) AS n_bpe,

@@ -144,6 +144,29 @@ class SmallOpsSpec extends SparkTestBase {
     assert(out("+") == ((10L, 20L)) && out("-") == ((20L, 10L)))
   }
 
+  test("packBins carves the per-group token stream into capacity bins") {
+    val docs = Seq(
+      ("a", 1L, 1000L), ("a", 2L, 1500L), ("a", 3L, 100L), ("a", 4L, 5000L),
+      ("b", 1L, 2048L), ("b", 2L, 1L))
+      .toDF("grp", "id", "n")
+    val out = graft.operators.Packing.packBins(docs, "grp", "id", "n", 2048L)
+      .select("grp", "id", "bin", "bin_offset")
+      .as[(String, Long, Long, Long)].collect()
+      .map(r => (r._1, r._2) -> ((r._3, r._4))).toMap
+    assert(out(("a", 1L)) == ((0L, 0L)))    // starts at 0
+    assert(out(("a", 2L)) == ((0L, 1000L))) // straddles into bin 1
+    assert(out(("a", 3L)) == ((1L, 452L)))  // 2500 % 2048
+    assert(out(("a", 4L)) == ((1L, 552L)))  // oversized doc still placed
+    assert(out(("b", 1L)) == ((0L, 0L)))    // exact-capacity doc fills bin 0
+    assert(out(("b", 2L)) == ((1L, 0L)))    // next doc opens bin 1
+    val stats = graft.operators.Packing.binStats(
+      graft.operators.Packing.packBins(docs, "grp", "id", "n", 2048L),
+      "grp", "n", 2048L)
+      .filter(col("grp") === "b").orderBy("bin")
+      .select("n_docs", "tokens").as[(Long, Long)].collect().toSeq
+    assert(stats == Seq((1L, 2048L), (1L, 1L)))
+  }
+
   test("weightedMix realizes the target mixture and uses the bottleneck fully") {
     // sources 1000/300/100 rows at weights 0.5/0.3/0.2:
     // T = min(2000, 1000, 500) = 500 -> keep 250/150/100
