@@ -1,9 +1,23 @@
 package graft
 import org.apache.spark.sql.SparkSession
+
+/** Benchmark entrypoint: times every `SparkEntry.queries` entry on
+  * `SPARK_GRAFT_SF_DIR` and prints ONE JSON line
+  * `{"metric":"total","value":N,"unit":"sec","queries":{...},"sf":...}`.
+  *
+  * The harness that consumes this output captures only the last ~2000
+  * characters of stdout, so the line must stay comfortably under that:
+  * `value` is always the total across ALL queries, but the per-query map
+  * is capped to the most expensive queries that fit a byte budget. The
+  * complete per-query map is written to `bench_history/last_full.json`
+  * for local tooling (COMPARE.md, bench_compare.py).
+  */
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    // Default to the machine's cores: the brief's target shape is local[32].
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS",
+      math.min(32, Runtime.getRuntime.availableProcessors()).toString)
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -30,10 +44,32 @@ object Bench {
       }
       name -> times.min
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
+    def fmt(v: Double): String = f"$v%.3f"
     val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val allEntries = results.toSeq.sortBy(-_._2)
+      .map { case (k, v) => s"\"" + k + "\":" + fmt(v) }
+    // Full map for local tooling (not part of the one-line contract).
+    try {
+      val full = allEntries.mkString(
+        s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":{""",
+        ",", s"""},"sf":"$sfDir"}""")
+      java.nio.file.Files.createDirectories(java.nio.file.Paths.get("bench_history"))
+      java.nio.file.Files.write(
+        java.nio.file.Paths.get("bench_history/last_full.json"),
+        full.getBytes("UTF-8"))
+    } catch { case _: Throwable => }
+    // Stdout line: heaviest queries first, capped so the line survives a
+    // 2000-char tail capture (budget leaves room for the sbt epilogue).
+    val budget = 1600
+    val prefix = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":{"""
+    val suffix = s"""},"sf":"$sfDir"}"""
+    val kept = new scala.collection.mutable.ListBuffer[String]
+    var len = prefix.length + suffix.length
+    allEntries.foreach { e =>
+      val add = e.length + (if (kept.nonEmpty) 1 else 0)
+      if (len + add <= budget) { kept += e; len += add }
+    }
+    println(kept.mkString(prefix, ",", suffix))
     spark.stop()
   }
 }
