@@ -146,32 +146,36 @@ object Similarity {
     * rounds of cosine-argmax assignment + element-wise mean update.
     * Centroids are O(k·dim) — they always fit on the driver, so each
     * round collects them and inlines the next assignment as a literal
-    * codegen projection (the classical scalable k-means shape: per
-    * round, ONE narrow pass + one partial-agg groupBy over exploded
-    * positions; the corpus never shuffles on a pair key, never sorts,
-    * never joins). Means are rounded to 1e-6 per round so the fit is
-    * bit-reproducible across engines (the differential oracle unrolls
-    * the same rounds in SQL). */
+    * codegen projection. Each round is ONE narrow pass + one
+    * partial-agg groupBy with `dim` per-position `avg` columns — no
+    * row explosion, no second shuffle, no join. Means are rounded to
+    * 1e-6 per round so the fit is bit-reproducible across engines
+    * (the differential oracle unrolls the same rounds in SQL).
+    *
+    * `trainSampleMod > 1` fits the quantizer on the deterministic
+    * sample `id % trainSampleMod == 0` — the 100 TB shape: a coarse
+    * quantizer needs a corpus-shaped sample, not the corpus; the
+    * full-data work stays in the assignment projection. */
   def kmeansFit(df: DataFrame, idCol: String, vecCol: String,
-                k: Int, iters: Int = 2): Seq[(Long, Seq[Double])] = {
-    val base = spread(df).select(col(idCol), col(vecCol).as("v"))
+                k: Int, iters: Int = 2, trainSampleMod: Int = 1): Seq[(Long, Seq[Double])] = {
+    val sampled =
+      if (trainSampleMod > 1) df.filter(col(idCol) % trainSampleMod === 0) else df
+    val base = spread(sampled).select(col(idCol), col(vecCol).as("v"))
       .withColumn("vn", VectorOps.norm(col("v")))
       .localCheckpoint() // reused every round: don't re-scan per iteration
     var centroids: Seq[(Long, Seq[Double])] = df.filter(col(idCol) < k)
       .select(col(idCol).cast("long"), col(vecCol).cast("array<double>"))
       .collect().map(r => (r.getLong(0), r.getSeq[Double](1).toSeq))
       .sortBy(_._1).toSeq
+    val dim = centroids.headOption.map(_._2.size).getOrElse(0)
+    val meanCols = (0 until dim).map(i =>
+      (floor(avg(col("v").getItem(i).cast("double")) * 1e6 + lit(0.5)) / 1e6).as(s"m$i"))
     for (_ <- 0 until iters) {
       centroids = base
-        .select(assignCell(col("v"), col("vn"), centroids).as("cell"),
-          posexplode(col("v")).as(Seq("pos", "x")))
-        .groupBy(col("cell"), col("pos"))
-        .agg(avg(col("x").cast("double")).as("m"))
-        .withColumn("m", floor(col("m") * 1e6 + lit(0.5)) / 1e6)
+        .select(assignCell(col("v"), col("vn"), centroids).as("cell"), col("v"))
         .groupBy(col("cell"))
-        .agg(transform(array_sort(collect_list(struct(col("pos"), col("m")))),
-          s => s.getField("m")).as("cv"))
-        .collect().map(r => (r.getLong(0), r.getSeq[Double](1).toSeq))
+        .agg(meanCols.head, meanCols.tail: _*)
+        .collect().map(r => (r.getLong(0), (1 to dim).map(r.getDouble).toSeq))
         .sortBy(_._1).toSeq
     }
     centroids
@@ -203,8 +207,8 @@ object Similarity {
     * RecallSpec instead. */
   def ivfTopKMultiProbe(df: DataFrame, idCol: String, vecCol: String, k: Int,
                         nCentroids: Int, nprobe: Int,
-                        kmeansIters: Int = 2): DataFrame = {
-    val centroids = kmeansFit(df, idCol, vecCol, nCentroids, kmeansIters)
+                        kmeansIters: Int = 2, trainSampleMod: Int = 1): DataFrame = {
+    val centroids = kmeansFit(df, idCol, vecCol, nCentroids, kmeansIters, trainSampleMod)
     val base = spread(df).select(col(idCol), col(vecCol).as("v"))
       .withColumn("vn", VectorOps.norm(col("v")))
       .localCheckpoint() // feeds probe and corpus sides
@@ -241,8 +245,8 @@ object Similarity {
     * here; multi-probe = also join the next-nearest cells). The cells
     * shard the O(n²) space like an inverted file does. */
   def ivfTopK(df: DataFrame, idCol: String, vecCol: String, k: Int,
-              nCentroids: Int, kmeansIters: Int = 2): DataFrame = {
-    val centroids = kmeansFit(df, idCol, vecCol, nCentroids, kmeansIters)
+              nCentroids: Int, kmeansIters: Int = 2, trainSampleMod: Int = 1): DataFrame = {
+    val centroids = kmeansFit(df, idCol, vecCol, nCentroids, kmeansIters, trainSampleMod)
     // feeds both sides of the within-cell self-join: materialize once
     val cells = spread(df).select(col(idCol), col(vecCol).as("v"))
       .withColumn("vn", VectorOps.norm(col("v")))

@@ -16,6 +16,9 @@ object VectorQueries {
   private val Dim = 64
   private val NCentroids = 8
   private val KmeansIters = 2
+  // Quantizer trains on the deterministic 1-in-2 id sample; assignment
+  // still covers the full corpus. At 100 TB the fit must be sample-based.
+  private val TrainMod = 2
   private val CosThreshold = 0.45
   // Near-dup LSH uses fewer planes than top-k ANN: a 0.45-cosine pair
   // sits at ~63°, so per-plane agreement is only ~0.65 — at 6 planes
@@ -49,7 +52,7 @@ object VectorQueries {
     // IVF ANN: k-means-trained coarse quantizer, search within the cell.
     "ann_ivf_topk" -> ((s, d) => {
       Similarity.ivfTopK(tbl(s, d, "embeddings"), "vec_id", "embedding", K,
-        nCentroids = NCentroids, kmeansIters = KmeansIters)
+        nCentroids = NCentroids, kmeansIters = KmeansIters, trainSampleMod = TrainMod)
     }),
 
     // LSH-candidate + exact-verify near-dup pairs (scale path of
@@ -111,15 +114,16 @@ object VectorQueries {
           WHERE rank <= $K"""
     },
     "ann_ivf_topk" -> {
-      // Mirrors kmeansCentroids: c0 = seed centroids (id < k), then
+      // Mirrors kmeansFit: c0 = seed centroids (id < k), then
       // KmeansIters rounds of (argmax-cosine assign, element-wise mean
-      // rounded to 1e-6), then the final assignment + within-cell scan.
-      def assignCte(cIn: String): String =
+      // rounded to 1e-6) over the 1-in-TrainMod training sample, then
+      // the final FULL-corpus assignment + within-cell scan.
+      def assignCte(cIn: String, src: String): String =
         s"""SELECT vec_id, embedding, cell FROM (
               SELECT v.vec_id, v.embedding, c.cell,
                 row_number() OVER (PARTITION BY v.vec_id
                   ORDER BY ${cosSql("v.embedding", "c.cv")} DESC, c.cell) AS rn
-              FROM embeddings v CROSS JOIN $cIn c)
+              FROM $src v CROSS JOIN $cIn c)
             WHERE rn = 1"""
       def meanCte(aIn: String): String =
         s"""SELECT cell, list(m ORDER BY i) AS cv FROM (
@@ -127,14 +131,16 @@ object VectorQueries {
               FROM $aIn CROSS JOIN generate_series(1, $Dim) AS g(i)
               GROUP BY cell, i)
             GROUP BY cell"""
-      s"""WITH c0 AS (
+      s"""WITH train AS (
+            SELECT vec_id, embedding FROM embeddings WHERE vec_id % $TrainMod = 0),
+          c0 AS (
             SELECT vec_id AS cell, list_transform(embedding, x -> x::DOUBLE) AS cv
             FROM embeddings WHERE vec_id < $NCentroids),
-          a0 AS (${assignCte("c0")}),
+          a0 AS (${assignCte("c0", "train")}),
           c1 AS (${meanCte("a0")}),
-          a1 AS (${assignCte("c1")}),
+          a1 AS (${assignCte("c1", "train")}),
           c2 AS (${meanCte("a1")}),
-          cells AS (${assignCte("c2")})
+          cells AS (${assignCte("c2", "embeddings")})
           SELECT query_id, rank, neighbor_id FROM (
             SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
               row_number() OVER (PARTITION BY a.vec_id

@@ -46,6 +46,18 @@ class RecallSpec extends SparkTestBase {
     val recall = (bf & ivf).size.toDouble / bf.size
     info(f"ann_ivf_topk recall@5 = $recall%.2f (nprobe=1, 8 cells)")
     assert(recall >= 0.3)
+    // The gated query fits the quantizer on the 1-in-2 id sample; the
+    // sampled fit must track the full-corpus fit closely. At this
+    // fixture size the sample is only 250 vectors, so allow a small
+    // drop (0.2988 vs 0.32 here); at real scale a hash-sample is still
+    // millions of vectors and the gap vanishes. nprobe is the recall
+    // knob either way (see the multi-probe test below).
+    val ivfSampled = Similarity.ivfTopK(embeddings, "vec_id", "embedding", 5,
+      nCentroids = 8, kmeansIters = 2, trainSampleMod = 2)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val recallSampled = (bf & ivfSampled).size.toDouble / bf.size
+    info(f"ann_ivf_topk recall@5 = $recallSampled%.2f (sampled fit, mod 2)")
+    assert(recallSampled >= 0.25)
   }
 
   test("IVF multi-probe (nprobe=2) strictly improves recall over nprobe=1") {
