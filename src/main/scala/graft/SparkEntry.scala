@@ -27,6 +27,7 @@ object SparkEntry {
       ServeQueries.queries ++
       TextQueries.queries ++
       DedupQueries.queries ++
+      CleaningQueries.queries ++
       VectorQueries.queries ++
       IngestQueries.queries ++
       OntologyQueries.queries ++
@@ -43,6 +44,7 @@ object SparkEntry {
       ServeQueries.oracles ++
       TextQueries.oracles ++
       DedupQueries.oracles ++
+      CleaningQueries.oracles ++
       VectorQueries.oracles ++
       IngestQueries.oracles ++
       OntologyQueries.oracles ++

@@ -1,0 +1,66 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import graft.operators.Cleaning
+
+/** Corpus-hygiene queries over `documents`: eval-set decontamination
+  * (word-n-gram collision against the held-out benchmark split) and
+  * boilerplate-line removal (global frequent-line filter). The fixture
+  * corpus has no newlines, so the boilerplate query runs at word
+  * granularity (sep = " ") — the plan is identical to newline-separated
+  * lines; CleaningSpec covers the multi-line case on a constructed
+  * fixture.
+  */
+object CleaningQueries {
+
+  private val GramN = 8
+  // Held-out "benchmark" split: every 10th doc plays the eval suite.
+  private val EvalMod = 10
+  private val BoilerplateFrac = 0.8
+
+  val queries: Map[String, QueryFn] = Map(
+    // Train docs sharing >= 1 word 8-gram with the eval split — the
+    // planted near-duplicates surface here (contamination screen).
+    "decontaminate" -> ((s, d) => {
+      val docs = tbl(s, d, "documents")
+      Cleaning.contamination(
+        docs.filter(col("doc_id") % EvalMod =!= 0),
+        docs.filter(col("doc_id") % EvalMod === 0),
+        "doc_id", "text", n = GramN)
+    }),
+
+    // Drop tokens present in >= 80% of all docs, reassemble in order.
+    "strip_boilerplate" -> ((s, d) => {
+      Cleaning.stripBoilerplate(tbl(s, d, "documents"), "doc_id", "text",
+        sep = " ", minDocFrac = BoilerplateFrac)
+    }))
+
+  private val gramsSql =
+    s"list_distinct(list_transform(generate_series(1, greatest(len(w) - ${GramN - 1}, 1)), " +
+      s"i -> array_to_string(w[i:i + ${GramN - 1}], ' ')))"
+
+  val oracles: Map[String, String] = Map(
+    "decontaminate" ->
+      s"""WITH tok AS (
+            SELECT doc_id, string_split_regex(trim(text), '\\s+') AS w FROM documents),
+          g AS (SELECT doc_id, $gramsSql AS grams FROM tok),
+          ev AS (SELECT DISTINCT unnest(grams) AS gram FROM g WHERE doc_id % $EvalMod = 0),
+          tr AS (SELECT doc_id, len(grams) AS total, unnest(grams) AS gram
+                 FROM g WHERE doc_id % $EvalMod <> 0)
+          SELECT doc_id, CAST(count(*) AS BIGINT) AS hits,
+            floor(count(*)::DOUBLE / total * 10000 + 0.5) / 10000 AS contamination
+          FROM tr JOIN ev USING (gram)
+          GROUP BY doc_id, total""",
+    "strip_boilerplate" ->
+      s"""WITH lines AS (
+            SELECT doc_id, unnest(string_split(text, ' ')) AS line,
+              unnest(generate_series(1, len(string_split(text, ' ')))) AS pos
+            FROM documents),
+          freq AS (SELECT line, count(DISTINCT doc_id) AS doc_freq FROM lines GROUP BY line),
+          n AS (SELECT count(*) AS n_docs FROM documents),
+          bp AS (SELECT line FROM freq CROSS JOIN n
+                 WHERE doc_freq >= n_docs * $BoilerplateFrac)
+          SELECT doc_id, string_agg(line, ' ' ORDER BY pos) AS text_clean
+          FROM lines ANTI JOIN bp USING (line)
+          GROUP BY doc_id""")
+}

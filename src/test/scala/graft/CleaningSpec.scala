@@ -1,0 +1,64 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.Cleaning
+
+/** Corpus-hygiene operators on constructed fixtures: newline-separated
+  * boilerplate stripping (the fixture corpus has no newlines, so the
+  * gated query runs at word granularity — this covers the real
+  * multi-line case) and contamination precision.
+  */
+class CleaningSpec extends SparkTestBase {
+
+  import spark.implicits._
+
+  test("stripBoilerplate removes globally frequent lines, keeps order") {
+    val docs = Seq(
+      (1L, "COMMON HEADER\nalpha beta\nCOMMON FOOTER"),
+      (2L, "COMMON HEADER\ngamma delta\nCOMMON FOOTER"),
+      (3L, "COMMON HEADER\nepsilon\nzeta eta\nCOMMON FOOTER"),
+      (4L, "unique one\nunique two")
+    ).toDF("doc_id", "text")
+    val out = Cleaning.stripBoilerplate(docs, "doc_id", "text",
+      sep = "\n", minDocFrac = 0.75)
+      .as[(Long, String)].collect().toMap
+    // header+footer occur in 3/4 docs >= 0.75 -> stripped everywhere
+    assert(out(1L) == "alpha beta")
+    assert(out(2L) == "gamma delta")
+    assert(out(3L) == "epsilon\nzeta eta")   // original order kept
+    assert(out(4L) == "unique one\nunique two")
+  }
+
+  test("stripBoilerplate drops documents that were pure boilerplate") {
+    val docs = Seq(
+      (1L, "SAME\nkeep me"),
+      (2L, "SAME"),
+      (3L, "SAME\nother text")
+    ).toDF("doc_id", "text")
+    val out = Cleaning.stripBoilerplate(docs, "doc_id", "text",
+      sep = "\n", minDocFrac = 1.0)
+      .as[(Long, String)].collect().toMap
+    assert(out == Map(1L -> "keep me", 3L -> "other text"))
+  }
+
+  test("contamination flags only docs sharing an n-gram with the eval set") {
+    val train = Seq(
+      (1L, "a b c d e f g h i j"),      // contains eval gram a..h
+      (2L, "z y x w v u t s r q"),      // clean
+      (3L, "m m m a b c d e f g h")     // contains eval gram a..h
+    ).toDF("doc_id", "text")
+    val evalSet = Seq((100L, "a b c d e f g h")).toDF("doc_id", "text")
+    val out = Cleaning.contamination(train, evalSet, "doc_id", "text", n = 8)
+      .select("doc_id").as[Long].collect().toSet
+    assert(out == Set(1L, 3L))
+  }
+
+  test("contamination ratio is hits over total distinct grams") {
+    val train = Seq((1L, "a b c d e f g h extra")).toDF("doc_id", "text")
+    val evalSet = Seq((100L, "a b c d e f g h")).toDF("doc_id", "text")
+    val row = Cleaning.contamination(train, evalSet, "doc_id", "text", n = 8)
+      .select("hits", "contamination").as[(Long, Double)].head()
+    // doc grams: [a..h], [b..extra] -> 1 hit of 2 grams
+    assert(row == ((1L, 0.5)))
+  }
+}
