@@ -42,4 +42,29 @@ object Packing {
       .agg(count(lit(1)).as("n_docs"),
         sum(col(sizeCol)).cast("long").as("tokens"))
       .withColumn("fill", col("tokens").cast("double") / capacity)
+
+  /** Deterministic global training-order shuffle: every row gets a
+    * `shard` and a dense 1-based `shard_pos` within it, both pure
+    * functions of (seed, id) — the same corpus shuffles identically on
+    * any cluster, any partitioning, any engine (the hash is the
+    * md5-prefix hash the samplers use, portable to the SQL oracle).
+    *
+    * Scale shape: shard assignment is hash-mod (no global sort, no
+    * range exchange); the in-shard position is one window per shard, so
+    * pick `nShards` large enough that a shard fits a task's sort buffer
+    * (at 100 TB and nShards=100k a shard is ~1 GB). An epoch reader
+    * streams shards in any order and rows by `shard_pos` — randomized
+    * but reproducible. */
+  def trainingOrder(df: DataFrame, idCol: String, seed: String,
+                    nShards: Int): DataFrame = {
+    require(nShards > 0, "nShards must be positive")
+    val h = conv(substring(md5(
+      concat(lit(seed), lit(":"), col(idCol).cast("string"))), 1, 15), 16, 10)
+      .cast("long")
+    val w = Window.partitionBy(col("shard")).orderBy(col("__h"), col(idCol))
+    df.withColumn("__h", h)
+      .withColumn("shard", pmod(col("__h"), lit(nShards.toLong)))
+      .withColumn("shard_pos", row_number().over(w))
+      .drop("__h")
+  }
 }

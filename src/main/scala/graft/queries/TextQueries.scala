@@ -41,6 +41,15 @@ object TextQueries {
         .select(col("doc_id"), col("lang"), col("bin"), col("bin_offset"))
     }),
 
+    // Deterministic global training-order shuffle: hash-mod shard +
+    // dense in-shard position, reproducible across engines/clusters.
+    "train_order" -> ((s, d) => {
+      graft.operators.Packing.trainingOrder(
+        tbl(s, d, "documents").select(col("doc_id")),
+        idCol = "doc_id", seed = "s42", nShards = 8)
+        .select(col("doc_id"), col("shard"), col("shard_pos"))
+    }),
+
     "text_fingerprint" -> ((s, d) => {
       tbl(s, d, "documents").select(
         col("doc_id"),
@@ -82,6 +91,14 @@ object TextQueries {
            CAST(floor(cum_before / 2048) AS BIGINT) AS bin,
            CAST(cum_before % 2048 AS BIGINT) AS bin_offset
          FROM c""",
+    "train_order" ->
+      """WITH h AS (
+           SELECT doc_id,
+             (('0x' || substring(md5('s42:' || doc_id::VARCHAR), 1, 15))::BIGINT) AS hh
+           FROM documents)
+         SELECT doc_id, hh % 8 AS shard,
+           row_number() OVER (PARTITION BY hh % 8 ORDER BY hh, doc_id) AS shard_pos
+         FROM h""",
     "text_tokens" ->
       """SELECT doc_id, len(string_split_regex(trim(text), '\s+')) AS n_ws,
            len(regexp_extract_all(text, '\w+|[^\w\s]')) AS n_bpe,

@@ -167,6 +167,30 @@ class SmallOpsSpec extends SparkTestBase {
     assert(stats == Seq((1L, 2048L), (1L, 1L)))
   }
 
+  test("trainingOrder: stable hash shards with dense 1-based positions") {
+    val docs = spark.range(200).select(col("id"))
+    val out = graft.operators.Packing.trainingOrder(docs, "id", "seedX", 8)
+      .select("id", "shard", "shard_pos")
+      .as[(Long, Long, Long)].collect()
+    assert(out.length == 200)
+    assert(out.forall { case (_, s, _) => s >= 0 && s < 8 })
+    // positions are dense 1..n inside every shard
+    out.groupBy(_._2).foreach { case (_, rows) =>
+      assert(rows.map(_._3).sorted.toSeq == (1L to rows.length).toSeq)
+    }
+    // deterministic: a re-run and a different input partitioning agree
+    val out2 = graft.operators.Packing.trainingOrder(
+      docs.repartition(7), "id", "seedX", 8)
+      .select("id", "shard", "shard_pos")
+      .as[(Long, Long, Long)].collect()
+    assert(out.sortBy(_._1).toSeq == out2.sortBy(_._1).toSeq)
+    // the seed actually changes the order
+    val other = graft.operators.Packing.trainingOrder(docs, "id", "seedY", 8)
+      .select("id", "shard").as[(Long, Long)].collect().toMap
+    val same = out.count { case (id, s, _) => other(id) == s }
+    assert(same < 200, "different seed must reshuffle")
+  }
+
   test("weightedMix realizes the target mixture and uses the bottleneck fully") {
     // sources 1000/300/100 rows at weights 0.5/0.3/0.2:
     // T = min(2000, 1000, 500) = 500 -> keep 250/150/100
