@@ -79,6 +79,12 @@ object ServeQueries {
         .withColumn("avg", round4(col("avg")))
     }),
 
+    // stats-viewer percentile panel: exact interpolated quantiles.
+    "dsl_percentiles" -> ((s, d) => {
+      TableScanner.columnPercentiles(tbl(s, d, "orders"), "o_totalprice",
+        Seq(0.25, 0.5, 0.75, 0.9))
+    }),
+
     // total_count endpoint: filtered row count before paging.
     "dsl_total_count" -> ((s, d) => {
       TableScanner.totalCount(tbl(s, d, "lineitem"), ScanRequest(
@@ -135,6 +141,11 @@ object ServeQueries {
            CAST(max(l_linenumber) AS VARCHAR) AS max,
            floor(avg(l_linenumber) * 10000 + 0.5) / 10000 AS avg
          FROM lineitem""",
+    "dsl_percentiles" -> {
+      def q(p: Double) =
+        s"SELECT $p::DOUBLE AS p, floor(quantile_cont(o_totalprice, $p) * 10000 + 0.5) / 10000 AS value FROM orders"
+      Seq(0.25, 0.5, 0.75, 0.9).map(q).mkString(" UNION ALL ")
+    },
     "dsl_total_count" ->
       "SELECT count(*) AS total_count FROM lineitem WHERE l_returnflag <> 'N'",
     "sql_passthrough" ->

@@ -165,6 +165,44 @@ object TableScanner {
       max(c).cast("string").as("max"),
       avgCol.as("avg"))
   }
+
+  /** Percentile panel of the stats viewer: one (p, value) row per
+    * requested fraction, exact (sorted-interpolated, the
+    * `quantile_cont` definition — what a viewer shows for a filtered
+    * table). Exact percentile aggregates a per-value count map; for the
+    * 100 TB path use [[approxColumnPercentiles]] (t-digest sketch,
+    * mergeable, bounded memory) — same output shape. */
+  def columnPercentiles(df: DataFrame, column: String, ps: Seq[Double]): DataFrame = {
+    require(ps.nonEmpty && ps.forall(p => p >= 0 && p <= 1), "fractions in [0,1]")
+    val pArr = array(ps.map(lit): _*)
+    df.agg(expr(s"percentile($column, array(${ps.mkString(", ")}))").as("vals"))
+      .select(posexplode(col("vals")).as(Seq("i", "v")))
+      .select(element_at(pArr, col("i").cast("int") + 1).as("p"),
+        (floor(col("v") * 10000 + lit(0.5)) / 10000).as("value"))
+  }
+
+  /** Sketch-based percentiles (`approx_percentile`): the scale default
+    * — bounded-memory, mergeable across partitions, no value map. Not
+    * differential-oracle-gated (sketches are engine-specific);
+    * TableScannerSpec bounds its error against the exact path. */
+  def approxColumnPercentiles(df: DataFrame, column: String, ps: Seq[Double],
+                              accuracy: Int = 10000): DataFrame = {
+    val pArr = array(ps.map(lit): _*)
+    df.agg(expr(
+      s"approx_percentile($column, array(${ps.mkString(", ")}), $accuracy)").as("vals"))
+      .select(posexplode(col("vals")).as(Seq("i", "v")))
+      .select(element_at(pArr, col("i").cast("int") + 1).as("p"),
+        col("v").cast("double").as("value"))
+  }
+
+  /** HyperLogLog++ distinct count (`approx_count_distinct`): the scale
+    * default for `distinct_count` — one pass, fixed-size sketch,
+    * mergeable, vs the exact countDistinct's full shuffle of the value
+    * space. Not oracle-gated (HLL layouts are engine-specific);
+    * TableScannerSpec bounds its relative error against the exact
+    * count. */
+  def approxDistinctCount(df: DataFrame, column: String, rsd: Double = 0.05): DataFrame =
+    df.agg(approx_count_distinct(col(column), rsd).as("approx_distinct"))
 }
 
 /** Quick-filter text sugar (reference: filter-parser-HXU3E1Qm.js):

@@ -95,6 +95,36 @@ class TableScannerSpec extends SparkTestBase {
     assert(byName("o_totalprice") == (("DOUBLE", "numeric")))
   }
 
+  test("percentiles: exact matches quantile_cont; approx within sketch error") {
+    val orders = graft.core.Lakehouse.table(spark, sfSmoke, "orders")
+    val ps = Seq(0.25, 0.5, 0.75)
+    val exact = TableScanner.columnPercentiles(orders, "o_totalprice", ps)
+      .as[(Double, Double)].collect().toMap
+    // hand-check the median against a direct sort
+    val vals = orders.select("o_totalprice").as[Double].collect().sorted
+    val idx = 0.5 * (vals.length - 1)
+    val want = vals(idx.toInt) +
+      (idx - idx.toInt) * (vals(math.ceil(idx).toInt) - vals(idx.toInt))
+    assert(math.abs(exact(0.5) - want) < 1e-3)
+    assert(exact(0.25) <= exact(0.5) && exact(0.5) <= exact(0.75))
+    // the sketch path lands within 2% of exact on every fraction
+    val approx = TableScanner.approxColumnPercentiles(orders, "o_totalprice", ps)
+      .as[(Double, Double)].collect().toMap
+    ps.foreach { p =>
+      assert(math.abs(approx(p) - exact(p)) / exact(p) < 0.02,
+        s"p=$p approx=${approx(p)} exact=${exact(p)}")
+    }
+  }
+
+  test("approxDistinctCount is within HLL error of the exact count") {
+    val li = graft.core.Lakehouse.table(spark, sfSmoke, "lineitem")
+    val exact = li.select("l_partkey").distinct().count()
+    val approx = TableScanner.approxDistinctCount(li, "l_partkey", rsd = 0.05)
+      .as[Long].head()
+    assert(math.abs(approx - exact).toDouble / exact < 0.15,
+      s"approx=$approx exact=$exact")
+  }
+
   test("comparator quick-filters work on temporal columns") {
     val ev = graft.core.Lakehouse.table(spark, sfSmoke, "orders")
     val parsed = FilterParser.parse(ev.schema, "o_orderdate", ">= 1995-01-01")
