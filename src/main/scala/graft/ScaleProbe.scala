@@ -28,7 +28,48 @@ object ScaleProbe {
     def reset(): Unit = max.set(0)
   }
 
+  /** `runMain graft.ScaleProbe replay3` — replicated-data headroom for
+    * the round-3 operators (SCALE.md): sf0.1 documents x1 vs x4 with
+    * shifted ids, min-of-2 warm timings per op. */
+  private def replay3(spark: SparkSession): Unit = {
+    import org.apache.spark.sql.DataFrame
+    val docs = spark.read.parquet("/root/testdata/sf0.1/documents.parquet")
+      .select(col("doc_id"), col("text")).cache()
+    val n = docs.count()
+    val x4 = (0 until 4).map(i =>
+      docs.select((col("doc_id") + lit(i * n)).as("doc_id"), col("text")))
+      .reduce(_ unionAll _).cache()
+    x4.count()
+    def time(label: String)(f: DataFrame): Unit = {
+      val secs = (1 to 2).map { _ =>
+        val t0 = System.nanoTime(); f.count(); (System.nanoTime() - t0) / 1e9
+      }
+      println(f"""{"probe":"$label","sec":${secs.min}%.2f}""")
+    }
+    for ((tag, d) <- Seq(("x1", docs), ("x4", x4))) {
+      time(s"decontaminate $tag")(graft.operators.Cleaning.contamination(
+        d.filter(col("doc_id") % 10 =!= 0), d.filter(col("doc_id") % 10 === 0),
+        "doc_id", "text", n = 8))
+      time(s"strip_boilerplate $tag")(graft.operators.Cleaning.stripBoilerplate(
+        d, "doc_id", "text", sep = " ", minDocFrac = 0.8))
+      time(s"train_order $tag")(graft.operators.Packing.trainingOrder(
+        d.select("doc_id"), "doc_id", "s42", 8))
+    }
+  }
+
   def main(args: Array[String]): Unit = {
+    if (args.headOption.contains("replay3")) {
+      val spark = SparkSession.builder()
+        .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")}]")
+        .config("spark.sql.shuffle.partitions",
+          sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"))
+        .config("spark.ui.enabled", "false")
+        .getOrCreate()
+      spark.sparkContext.setLogLevel("WARN")
+      replay3(spark)
+      spark.stop()
+      return
+    }
     val nDocs = args.headOption.map(_.toInt).getOrElse(10000)
     val nHot = args.drop(1).headOption.map(_.toInt).getOrElse(2000)
     // "shuffle" simulates the at-scale regime: a banded table too big to
