@@ -35,12 +35,17 @@ object Cleaning {
     * = hits / total distinct grams of the doc, rounded to 4 places. */
   def contamination(train: DataFrame, evalSet: DataFrame, idCol: String,
                     textCol: String, n: Int, minHits: Long = 1L): DataFrame = {
+    // explode_outer, not explode: the optimizer infers a `size(grams)>0`
+    // filter under a plain explode, which re-evaluates the whole gram
+    // expression a second time per row on the big side. Outer explode
+    // skips that; the inner join below discards null rows identically
+    // (grams are non-empty by construction anyway).
     val evalGrams = evalSet
-      .select(explode(wordGrams(col(textCol), n)).as("gram")).distinct()
+      .select(explode_outer(wordGrams(col(textCol), n)).as("gram")).distinct()
     val exploded = Dedup.spread(train)
       .select(col(idCol), wordGrams(col(textCol), n).as("grams"))
       .select(col(idCol), size(col("grams")).as("total"),
-        explode(col("grams")).as("gram"))
+        explode_outer(col("grams")).as("gram"))
     exploded.join(broadcast(evalGrams), Seq("gram"))
       .groupBy(col(idCol), col("total"))
       .agg(count(lit(1)).as("hits"))
