@@ -134,8 +134,12 @@ object Dedup {
     * 2.5 s → 1.5 s on the sf0.1 simhash candidates. */
   private[operators] def saltedBucketPairs(withSigs: DataFrame, idCol: String,
                                            bands: Int, salts: Int): DataFrame = {
+    // posexplode_outer, not posexplode: the optimizer infers a
+    // `size(band_sigs)>0` guard under the plain generator that
+    // re-evaluates the band-signature md5s a second time per row; the
+    // array is constant-size and never null, so outer is identical.
     val exploded = withSigs.select(col(idCol), col("band_sigs"),
-      posexplode(col("band_sigs")).as(Seq("band", "band_sig")))
+      posexplode_outer(col("band_sigs")).as(Seq("band", "band_sig")))
     val a = exploded.select(col("band"), col("band_sig"),
       col(idCol).as("id_a"), col("band_sigs").as("sigs_a"))
       .withColumn("salt", pmod(xxhash64(col("id_a")), lit(salts)).cast("int"))
