@@ -1,0 +1,37 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Per-document TF-IDF keyword extraction (the classic corpus salience
+  * score: smoothed idf = ln((N+1)/(df+1)) + 1).
+  *
+  * Scale shape: term counts are ONE partial-agg groupBy over exploded
+  * tokens; document frequencies reduce the (doc, term) table to a
+  * vocabulary-sized frame that is BROADCAST back (with the 1-row doc
+  * count), so the corpus-sized side never shuffles on terms again; the
+  * final top-k is a per-doc window. Ranking uses the ROUNDED score
+  * (4 places) with the term as tie-break, so the order is deterministic
+  * across engines and float-combine orders.
+  */
+object TfIdf {
+
+  def topTerms(df: DataFrame, idCol: String, textCol: String, k: Int): DataFrame = {
+    val toks = Dedup.spread(df).select(col(idCol),
+      explode_outer(split(trim(col(textCol)), "\\s+")).as("term"))
+    val tf = toks.groupBy(col(idCol), col("term")).agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val nDocs = df.select(count(lit(1)).as("n_docs"))
+    val idf = dfreq.crossJoin(broadcast(nDocs)).select(col("term"),
+      (log((col("n_docs") + 1).cast("double") / (col("df") + 1)) + 1).as("idf"))
+    val scored = tf.join(broadcast(idf), Seq("term"))
+      .withColumn("score",
+        floor(col("tf") * col("idf") * 10000 + lit(0.5)) / 10000)
+    val w = Window.partitionBy(col(idCol))
+      .orderBy(col("score").desc, col("term").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col(idCol), col("rank"), col("term"), col("score"))
+  }
+}

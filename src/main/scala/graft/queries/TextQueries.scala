@@ -50,6 +50,12 @@ object TextQueries {
         .select(col("doc_id"), col("shard"), col("shard_pos"))
     }),
 
+    // Per-doc TF-IDF top terms (corpus keyword extraction).
+    "tfidf_topk" -> ((s, d) => {
+      graft.operators.TfIdf.topTerms(tbl(s, d, "documents"),
+        "doc_id", "text", k = 3)
+    }),
+
     "text_fingerprint" -> ((s, d) => {
       tbl(s, d, "documents").select(
         col("doc_id"),
@@ -121,6 +127,22 @@ object TextQueries {
               greatest(${TextAnalysis.langMarkers.map("s_" + _._1).mkString(", ")}) AS best
             FROM (SELECT doc_id, $langScores
               FROM (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS toks FROM documents)))""",
+    "tfidf_topk" ->
+      """WITH toks AS (
+           SELECT doc_id, unnest(string_split_regex(trim(text), '\s+')) AS term
+           FROM documents),
+         tf AS (SELECT doc_id, term, count(*)::BIGINT AS tf FROM toks GROUP BY doc_id, term),
+         dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+         n AS (SELECT count(*) AS n_docs FROM documents),
+         scored AS (
+           SELECT doc_id, term,
+             floor(tf * (ln((n_docs + 1)::DOUBLE / (df + 1)::DOUBLE) + 1) * 10000 + 0.5) / 10000 AS score
+           FROM tf JOIN dfreq USING (term) CROSS JOIN n)
+         SELECT doc_id, rank, term, score FROM (
+           SELECT doc_id, term, score,
+             row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, term) AS rank
+           FROM scored)
+         WHERE rank <= 3""",
     "text_fingerprint" ->
       """SELECT doc_id,
            md5(array_to_string(list_sort(list_distinct(string_split_regex(trim(lower(text)), '\s+'))), ' ')) AS fp
