@@ -231,6 +231,78 @@ object Similarity {
       .select(col("query_id"), col("rank"), col("neighbor_id"))
   }
 
+  /** Product-quantization codebooks: an independent deterministic
+    * k-means fit ([[kmeansFit]]) per contiguous `subDim`-wide subspace.
+    * Returns one (cell, centroid) list per subspace — O(m·ksub·subDim)
+    * doubles, always driver-small. At 100 TB the codebooks compress a
+    * 64-dim float vector to `m` small ints (16× smaller index), and the
+    * fit runs on the same 1-in-N hash sample as the IVF quantizer. */
+  def pqFit(df: DataFrame, idCol: String, vecCol: String, m: Int, subDim: Int,
+            ksub: Int, iters: Int = 2, trainSampleMod: Int = 1): Seq[Seq[(Long, Seq[Double])]] =
+    (0 until m).map { j =>
+      val sub = df.select(col(idCol),
+        slice(col(vecCol), j * subDim + 1, subDim).as("sub"))
+      kmeansFit(sub, idCol, "sub", ksub, iters, trainSampleMod)
+    }
+
+  /** PQ encoding: each vector becomes `m` codes `c0..c{m-1}` — the
+    * nearest (cosine, min-cell tiebreak) codebook centroid per
+    * subspace. A pure literal-codebook codegen projection: no join, no
+    * shuffle, nothing but the scan. */
+  def pqEncode(df: DataFrame, idCol: String, vecCol: String,
+               codebooks: Seq[Seq[(Long, Seq[Double])]], subDim: Int): DataFrame = {
+    val codeCols = codebooks.zipWithIndex.map { case (cents, j) =>
+      val sub = slice(col(vecCol), j * subDim + 1, subDim)
+      assignCell(sub, sqrt(VectorOps.dot(sub, sub)), cents).as(s"c$j")
+    }
+    df.select(col(idCol) +: codeCols: _*)
+  }
+
+  /** Asymmetric-distance (ADC) top-k over PQ codes: the query keeps its
+    * exact vector; every corpus vector is approximated by its `m`
+    * codebook centroids. Per (query, code) the cosine numerator is `m`
+    * map lookups of precomputed sub-dot tables instead of a `dim`-wide
+    * dot product, and the corpus norm comes from the codebook norms —
+    * the classical PQ trade: ~subDim× less pair math and a 16× smaller
+    * index, at approximation-bounded recall (RecallSpec measures it;
+    * not oracle-gated). The pair space is still |q|·|corpus| — at scale
+    * compose with the IVF cells (IVF-PQ) so ADC only runs within the
+    * probed cells. */
+  def pqTopK(queries: DataFrame, corpus: DataFrame, idCol: String,
+             vecCol: String, k: Int, codebooks: Seq[Seq[(Long, Seq[Double])]],
+             subDim: Int): DataFrame = {
+    val codes = pqEncode(corpus, idCol, vecCol, codebooks, subDim)
+      .withColumnRenamed(idCol, "neighbor_id")
+    // |x̂|² = Σ_j |c_{x_j}|²  (centroid norms are plain literals)
+    val normSqMaps = codebooks.zipWithIndex.map { case (cents, j) =>
+      map_from_arrays(
+        array(cents.map(c => lit(c._1)): _*),
+        array(cents.map(c => lit(c._2.map(x => x * x).sum)): _*)).as(s"nsq$j")
+    }
+    // per-query lookup tables: dot(q_j, centroid) for every codebook entry
+    val q = spread(queries).select(col(idCol).as("query_id"), col(vecCol).as("qv"))
+      .withColumn("qn", VectorOps.norm(col("qv")))
+    val qWithTables = codebooks.zipWithIndex.foldLeft(q) { case (acc, (cents, j)) =>
+      val sub = slice(col("qv"), j * subDim + 1, subDim)
+      acc.withColumn(s"qd$j", map_from_arrays(
+        array(cents.map(c => lit(c._1)): _*),
+        array(cents.map(c => VectorOps.dot(sub, array(c._2.map(lit): _*))): _*)))
+    }
+    val approxDot = codebooks.indices
+      .map(j => element_at(col(s"qd$j"), col(s"c$j")))
+      .reduce(_ + _)
+    val approxNorm = sqrt(codebooks.indices
+      .map(j => element_at(normSqMaps(j), col(s"c$j")))
+      .reduce(_ + _))
+    val scored = qWithTables.join(codes, col("query_id") =!= col("neighbor_id"))
+      .withColumn("cosine", approxDot / (col("qn") * approxNorm))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("neighbor_id").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("neighbor_id"))
+  }
+
   /** `kmeansFit` as a DataFrame (cell, cv) for callers that join it. */
   def kmeansCentroids(df: DataFrame, idCol: String, vecCol: String,
                       k: Int, iters: Int = 2): DataFrame = {

@@ -27,6 +27,12 @@ object VectorQueries {
   // multi-probe covers pairs differing in ≤1 bit: recall ~0.7 with the
   // candidate space still bucket-bounded.
   private val NDedupPlanes = 3
+  // Product quantization: 8 subspaces x 8 dims, 32 centroids each
+  // (finer quantization: the synthetic near-uniform vectors are the
+  // adversarial case for PQ; recall measured in RecallSpec).
+  private val PqM = 8
+  private val PqSubDim = 8
+  private val PqKsub = 32
   private lazy val planes: Seq[Seq[Double]] = Similarity.hyperplanes(NPlanes, Dim)
   private lazy val dedupPlanes: Seq[Seq[Double]] = Similarity.hyperplanes(NDedupPlanes, Dim)
 
@@ -55,6 +61,16 @@ object VectorQueries {
         nCentroids = NCentroids, kmeansIters = KmeansIters, trainSampleMod = TrainMod)
     }),
 
+    // Product-quantization codes: 8 subspace codebooks compress each
+    // 64-dim vector to 8 small ints (the PQ index artifact).
+    "pq_codes" -> ((s, d) => {
+      val e = tbl(s, d, "embeddings")
+      val books = Similarity.pqFit(e, "vec_id", "embedding",
+        m = PqM, subDim = PqSubDim, ksub = PqKsub, iters = KmeansIters,
+        trainSampleMod = TrainMod)
+      Similarity.pqEncode(e, "vec_id", "embedding", books, PqSubDim)
+    }),
+
     // LSH-candidate + exact-verify near-dup pairs (scale path of
     // dedup_embed_cosine): multi-probe so boundary-split pairs are
     // still recovered.
@@ -63,11 +79,15 @@ object VectorQueries {
         "vec_id", "embedding", CosThreshold, dedupPlanes)
     }))
 
-  private def dotSql(x: String, y: String): String =
-    s"list_sum(list_transform(generate_series(1, $Dim), i -> $x[i]::DOUBLE * $y[i]::DOUBLE))"
+  private def dotSqlN(x: String, y: String, dim: Int): String =
+    s"list_sum(list_transform(generate_series(1, $dim), i -> $x[i]::DOUBLE * $y[i]::DOUBLE))"
 
-  private def cosSql(a: String, b: String): String =
-    s"${dotSql(a, b)} / (sqrt(${dotSql(a, a)}) * sqrt(${dotSql(b, b)}))"
+  private def cosSqlN(a: String, b: String, dim: Int): String =
+    s"${dotSqlN(a, b, dim)} / (sqrt(${dotSqlN(a, a, dim)}) * sqrt(${dotSqlN(b, b, dim)}))"
+
+  private def dotSql(x: String, y: String): String = dotSqlN(x, y, Dim)
+
+  private def cosSql(a: String, b: String): String = cosSqlN(a, b, Dim)
 
   private def planeLit(p: Seq[Double]): String = p.mkString("[", ", ", "]")
 
@@ -148,6 +168,44 @@ object VectorQueries {
             FROM cells a JOIN cells b
               ON a.cell = b.cell AND a.vec_id <> b.vec_id)
           WHERE rank <= $K"""
+    },
+    "pq_codes" -> {
+      // Mirrors pqFit/pqEncode: per subspace j, the same seeded k-means
+      // chain as ann_ivf_topk but over embedding[j*16+1 : (j+1)*16],
+      // trained on the 1-in-TrainMod sample, then a full-corpus
+      // assignment; codes joined on vec_id.
+      def assignCte(j: Int, cIn: String, src: String): String =
+        s"""SELECT vec_id, sub, cell FROM (
+              SELECT v.vec_id, v.sub, c.cell,
+                row_number() OVER (PARTITION BY v.vec_id
+                  ORDER BY ${cosSqlN("v.sub", "c.cv", PqSubDim)} DESC, c.cell) AS rn
+              FROM $src v CROSS JOIN $cIn c)
+            WHERE rn = 1"""
+      def meanCte(aIn: String): String =
+        s"""SELECT cell, list(m ORDER BY i) AS cv FROM (
+              SELECT cell, i, floor(avg(sub[i]::DOUBLE) * 1000000 + 0.5) / 1000000 AS m
+              FROM $aIn CROSS JOIN generate_series(1, $PqSubDim) AS g(i)
+              GROUP BY cell, i)
+            GROUP BY cell"""
+      val perSub = (0 until PqM).map { j =>
+        val lo = j * PqSubDim + 1
+        val hi = (j + 1) * PqSubDim
+        s"""sub${j}all AS (SELECT vec_id, embedding[$lo:$hi] AS sub FROM embeddings),
+            sub${j}tr AS (SELECT vec_id, sub FROM sub${j}all WHERE vec_id % $TrainMod = 0),
+            s${j}c0 AS (SELECT vec_id AS cell, list_transform(sub, x -> x::DOUBLE) AS cv
+                        FROM sub${j}all WHERE vec_id < $PqKsub),
+            s${j}a0 AS (${assignCte(j, s"s${j}c0", s"sub${j}tr")}),
+            s${j}c1 AS (${meanCte(s"s${j}a0")}),
+            s${j}a1 AS (${assignCte(j, s"s${j}c1", s"sub${j}tr")}),
+            s${j}c2 AS (${meanCte(s"s${j}a1")}),
+            s${j}cells AS (${assignCte(j, s"s${j}c2", s"sub${j}all")})"""
+      }.mkString(",\n")
+      val joins = (1 until PqM)
+        .map(j => s"JOIN s${j}cells USING (vec_id)").mkString(" ")
+      val codeCols = (0 until PqM).map(j => s"s${j}cells.cell AS c$j").mkString(", ")
+      s"""WITH $perSub
+          SELECT vec_id, $codeCols
+          FROM s0cells $joins"""
     },
     "dedup_embed_lsh" -> {
       val flips = (1 to NDedupPlanes).map { i =>

@@ -77,6 +77,22 @@ class RecallSpec extends SparkTestBase {
     assert(r2 >= 0.5)
   }
 
+  test("PQ/ADC top-k: compressed codes with measured recall vs brute force") {
+    val bf = Similarity.bruteForceTopK(embeddings, embeddings,
+      "vec_id", "embedding", 5)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val books = Similarity.pqFit(embeddings, "vec_id", "embedding",
+      m = 8, subDim = 8, ksub = 32, iters = 2, trainSampleMod = 2)
+    val pq = Similarity.pqTopK(embeddings, embeddings, "vec_id", "embedding",
+      5, books, subDim = 8)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val recall = (bf & pq).size.toDouble / bf.size
+    info(f"pq_adc recall@5 = $recall%.2f (m=8, ksub=32)")
+    assert(recall >= 0.2, s"ADC recall collapsed: $recall")
+    // every query keeps exactly k ranked neighbors
+    assert(pq.size == bf.size)
+  }
+
   test("trained k-means beats the untrained id<k quantizer on cell balance") {
     // The round-1 quantizer used the first k corpus vectors verbatim;
     // two k-means rounds must not leave a degenerate single-cell fit.
