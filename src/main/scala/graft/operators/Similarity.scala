@@ -238,12 +238,46 @@ object Similarity {
     * 64-dim float vector to `m` small ints (16× smaller index), and the
     * fit runs on the same 1-in-N hash sample as the IVF quantizer. */
   def pqFit(df: DataFrame, idCol: String, vecCol: String, m: Int, subDim: Int,
-            ksub: Int, iters: Int = 2, trainSampleMod: Int = 1): Seq[Seq[(Long, Seq[Double])]] =
-    (0 until m).map { j =>
-      val sub = df.select(col(idCol),
-        slice(col(vecCol), j * subDim + 1, subDim).as("sub"))
-      kmeansFit(sub, idCol, "sub", ksub, iters, trainSampleMod)
+            ksub: Int, iters: Int = 2, trainSampleMod: Int = 1): Seq[Seq[(Long, Seq[Double])]] = {
+    // All m subspaces train in the SAME pass: explode each sampled row
+    // into (j, subvector), branch the literal-codebook assignment on j,
+    // then ONE groupBy(j, cell) with subDim mean columns and one
+    // driver collect per round — m-independent job count (the naive
+    // per-subspace loop costs m x (checkpoint + iters collects)).
+    val sampled =
+      if (trainSampleMod > 1) df.filter(col(idCol) % trainSampleMod === 0) else df
+    val subCols = (0 until m).map(j => struct(lit(j).as("j"),
+      slice(col(vecCol), j * subDim + 1, subDim).as("sub")))
+    val base = spread(sampled)
+      .select(col(idCol), explode_outer(array(subCols: _*)).as("s"))
+      .select(col("s.j").as("j"), col("s.sub").as("v"))
+      .withColumn("vn", VectorOps.norm(col("v")))
+      .localCheckpoint() // reused every round
+    // seeds: the first ksub corpus vectors, sliced per subspace
+    val seedRows = df.filter(col(idCol) < ksub)
+      .select(col(idCol).cast("long"), col(vecCol).cast("array<double>"))
+      .collect().map(r => (r.getLong(0), r.getSeq[Double](1)))
+      .sortBy(_._1).toSeq
+    var books: Seq[Seq[(Long, Seq[Double])]] = (0 until m).map(j =>
+      seedRows.map { case (id, v) => (id, v.slice(j * subDim, (j + 1) * subDim).toSeq) })
+    val meanCols = (0 until subDim).map(i =>
+      (floor(avg(col("v").getItem(i).cast("double")) * 1e6 + lit(0.5)) / 1e6).as(s"m$i"))
+    for (_ <- 0 until iters) {
+      val cellExpr = books.zipWithIndex.foldRight(lit(null).cast("long")) {
+        case ((cents, j), acc) =>
+          when(col("j") === j, assignCell(col("v"), col("vn"), cents)).otherwise(acc)
+      }
+      val rows = base.select(col("j"), cellExpr.as("cell"), col("v"))
+        .groupBy(col("j"), col("cell"))
+        .agg(meanCols.head, meanCols.tail: _*)
+        .collect()
+      books = (0 until m).map(j =>
+        rows.filter(_.getInt(0) == j)
+          .map(r => (r.getLong(1), (2 until 2 + subDim).map(r.getDouble).toSeq))
+          .sortBy(_._1).toSeq)
     }
+    books
+  }
 
   /** PQ encoding: each vector becomes `m` codes `c0..c{m-1}` — the
     * nearest (cosine, min-cell tiebreak) codebook centroid per
