@@ -337,6 +337,57 @@ object Similarity {
       .select(col("query_id"), col("rank"), col("neighbor_id"))
   }
 
+  /** IVF-PQ: the standard billion-scale ANN layout — the IVF coarse
+    * quantizer bounds the candidate set (each query probes its `nprobe`
+    * nearest cells), and within a cell the pair math is PQ/ADC lookups
+    * instead of full-width dot products. The index is (cell, m codes)
+    * per vector: ~16 bytes instead of 256. Recall is measured in
+    * RecallSpec (two approximations compose); not oracle-gated. */
+  def ivfPqTopK(df: DataFrame, idCol: String, vecCol: String, k: Int,
+                nCentroids: Int, nprobe: Int, m: Int, subDim: Int, ksub: Int,
+                kmeansIters: Int = 2, trainSampleMod: Int = 1): DataFrame = {
+    val centroids = kmeansFit(df, idCol, vecCol, nCentroids, kmeansIters, trainSampleMod)
+    val books = pqFit(df, idCol, vecCol, m, subDim, ksub, kmeansIters, trainSampleMod)
+    val base = spread(df).select(col(idCol), col(vecCol).as("v"))
+      .withColumn("vn", VectorOps.norm(col("v")))
+      .localCheckpoint() // feeds the corpus index and the query side
+    // corpus index: coarse cell + PQ codes, nothing else
+    val codeCols = books.zipWithIndex.map { case (cents, j) =>
+      val sub = slice(col("v"), j * subDim + 1, subDim)
+      assignCell(sub, sqrt(VectorOps.dot(sub, sub)), cents).as(s"c$j")
+    }
+    val corpus = base
+      .withColumn("cell", assignCell(col("v"), col("vn"), centroids))
+      .select(col("cell") +: col(idCol).as("neighbor_id") +: codeCols: _*)
+    // queries: nprobe cells + per-codebook sub-dot lookup tables
+    val nsqMaps = books.map(cents => map_from_arrays(
+      array(cents.map(c => lit(c._1)): _*),
+      array(cents.map(c => lit(c._2.map(x => x * x).sum)): _*)))
+    val queries0 = base
+      .withColumn("cell",
+        explode(assignCells(col("v"), col("vn"), centroids, nprobe)))
+      .select(col("cell"), col(idCol).as("query_id"), col("v").as("qv"),
+        col("vn").as("qn"))
+    val queries = books.zipWithIndex.foldLeft(queries0) { case (acc, (cents, j)) =>
+      val sub = slice(col("qv"), j * subDim + 1, subDim)
+      acc.withColumn(s"qd$j", map_from_arrays(
+        array(cents.map(c => lit(c._1)): _*),
+        array(cents.map(c => VectorOps.dot(sub, array(c._2.map(lit): _*))): _*)))
+    }
+    val approxDot = books.indices
+      .map(j => element_at(col(s"qd$j"), col(s"c$j"))).reduce(_ + _)
+    val approxNorm = sqrt(books.indices
+      .map(j => element_at(nsqMaps(j), col(s"c$j"))).reduce(_ + _))
+    val pairs = queries.join(corpus, Seq("cell"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("cosine", approxDot / (col("qn") * approxNorm))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("neighbor_id").asc)
+    pairs.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("neighbor_id"))
+  }
+
   /** `kmeansFit` as a DataFrame (cell, cv) for callers that join it. */
   def kmeansCentroids(df: DataFrame, idCol: String, vecCol: String,
                       k: Int, iters: Int = 2): DataFrame = {

@@ -93,6 +93,21 @@ class RecallSpec extends SparkTestBase {
     assert(pq.size == bf.size)
   }
 
+  test("IVF-PQ: composed approximations keep usable recall at nprobe=2") {
+    val bf = Similarity.bruteForceTopK(embeddings, embeddings,
+      "vec_id", "embedding", 5)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val ivfpq = Similarity.ivfPqTopK(embeddings, "vec_id", "embedding", 5,
+      nCentroids = 8, nprobe = 2, m = 8, subDim = 8, ksub = 32,
+      trainSampleMod = 2)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val recall = (bf & ivfpq).size.toDouble / bf.size
+    info(f"ivf_pq recall@5 = $recall%.2f (nprobe=2, m=8, ksub=32)")
+    // two approximations compose: bounded by min(ivf nprobe=2 ~0.50,
+    // pq/adc ~0.28) less their interaction
+    assert(recall >= 0.15, s"IVF-PQ recall collapsed: $recall")
+  }
+
   test("trained k-means beats the untrained id<k quantizer on cell balance") {
     // The round-1 quantizer used the first k corpus vectors verbatim;
     // two k-means rounds must not leave a degenerate single-cell fit.
