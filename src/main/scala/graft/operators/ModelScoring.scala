@@ -58,4 +58,34 @@ object ModelScoring {
     val z = VectorOps.dot(vec, w) + lit(bias)
     lit(1.0) / (lit(1.0) + exp(-z))
   }
+
+  /** fastText-style hashed-feature text classifier: word uni+bigrams →
+    * md5 bucket in [0, buckets) → per-bucket weight → mean pool →
+    * logistic output. The bucket weights here are a deterministic hash
+    * of the bucket id (a stand-in for a trained embedding matrix — the
+    * plumbing is identical: a learned model would inline its weight
+    * array the same way `linearScore` does, or broadcast it).
+    *
+    * Scale shape: the whole scorer is array HOFs over the row's own
+    * token list — no explode, no join, no shuffle. A 100 TB corpus
+    * scores entirely map-side in a single pass over the scan.
+    */
+  def hashedTextScore(text: Column, buckets: Int = 1 << 20,
+                      scale: Double = 8.0, bias: Double = 0.0): Column = {
+    val toks = split(trim(lower(text)), "\\s+")
+    // Clamped bigrams, same slice convention as Cleaning.wordGrams: a
+    // one-token doc contributes its token once more (still deterministic
+    // and mirrored by the oracle's list slice).
+    val bigrams = transform(
+      sequence(lit(1), greatest(size(toks) - 1, lit(1))),
+      i => concat_ws("_", slice(toks, i, lit(2))))
+    val feats = concat(toks, bigrams)
+    def weight(f: Column): Column = {
+      val b = conv(substring(md5(f), 1, 15), 16, 10).cast("long") % buckets
+      (b * lit(2654435761L) % 1009L).cast("double") / lit(1009.0) - lit(0.5)
+    }
+    val mean = aggregate(feats, lit(0.0), (acc, f) => acc + weight(f)) /
+      size(feats)
+    lit(1.0) / (lit(1.0) + exp(-(mean * scale + bias)))
+  }
 }

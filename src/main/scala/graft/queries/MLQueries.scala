@@ -16,6 +16,9 @@ object MLQueries {
   private val Dim = 64
   private lazy val weights: Seq[Double] = Similarity.hyperplanes(1, Dim, seed = 7L).head
   private val Bias = 0.1
+  private val QBuckets = 1 << 20
+  private val QScale = 8.0
+  private val QBias = 0.0
 
   val queries: Map[String, QueryFn] = Map(
     // KNN genome-classifier surface: broadcast labeled training set,
@@ -33,6 +36,16 @@ object MLQueries {
     "ml_linear_score" -> ((s, d) => {
       tbl(s, d, "embeddings").select(col("vec_id"),
         round4(ModelScoring.linearScore(col("embedding"), weights, Bias)).as("score"))
+    }),
+
+    // fastText-style learned quality filter: hashed uni+bigram bag,
+    // mean-pooled bucket weights, logistic head. keep is derived from
+    // the ROUNDED score so both sides threshold the same value.
+    "ml_quality_filter" -> ((s, d) => {
+      val score = round4(ModelScoring.hashedTextScore(
+        col("text"), QBuckets, QScale, QBias))
+      tbl(s, d, "documents").select(col("doc_id"), score.as("score"),
+        (score >= 0.5).as("keep"))
     }))
 
   private def dotSql(x: String, y: String): String =
@@ -66,5 +79,24 @@ object MLQueries {
     "ml_linear_score" ->
       s"""SELECT vec_id,
             floor((1.0 / (1.0 + exp(-(${dotSql("embedding", weightLit)} + $Bias)))) * 10000 + 0.5) / 10000 AS score
-          FROM embeddings""")
+          FROM embeddings""",
+    "ml_quality_filter" ->
+      s"""WITH t AS (
+            SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS tok
+            FROM documents),
+          f AS (
+            SELECT doc_id,
+              list_concat(tok,
+                list_transform(generate_series(1, greatest(len(tok) - 1, 1)),
+                  i -> array_to_string(tok[i:i+1], '_'))) AS feats
+            FROM t),
+          s AS (
+            SELECT doc_id,
+              floor((1.0 / (1.0 + exp(-(
+                list_sum(list_transform(feats, g ->
+                  ((('0x' || substring(md5(g), 1, 15))::BIGINT % $QBuckets)
+                    * 2654435761 % 1009)::DOUBLE / 1009.0 - 0.5))
+                / len(feats) * $QScale + $QBias)))) * 10000 + 0.5) / 10000 AS score
+            FROM f)
+          SELECT doc_id, score, score >= 0.5 AS keep FROM s""")
 }
