@@ -79,4 +79,53 @@ object Cleaning {
         array_sort(collect_list(struct(col("pos"), col("line")))),
         s => s.getField("line"))).as("text_clean"))
   }
+
+  /** PII scrub patterns: (name, regex, replacement). Kept to syntax
+    * shared by Java regex (Spark) and RE2 (DuckDB's regexp_*) so the
+    * differential oracle can mirror the scrub exactly. */
+  val PiiPatterns: Seq[(String, String, String)] = Seq(
+    ("email", "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}", "<EMAIL>"),
+    ("ip", "\\b\\d{1,3}(\\.\\d{1,3}){3}\\b", "<IP>"),
+    ("phone", "\\b\\d{3}-\\d{4}\\b", "<PHONE>"))
+
+  /** Redact all PII patterns in order (emails before IPs so an address
+    * inside a mailbox host is consumed by the email rule first). Pure
+    * per-row regexp_replace chain: codegen, no shuffle — the standard
+    * pre-training scrub (C4/Dolma style) runs map-side over the scan. */
+  def redactPii(text: Column): Column =
+    PiiPatterns.foldLeft(text) { case (t, (_, p, r)) => regexp_replace(t, p, r) }
+
+  /** Per-pattern match count on the ORIGINAL text (metrics side of the
+    * scrub: how much PII was present per document). */
+  def piiCounts(text: Column): Seq[(String, Column)] =
+    PiiPatterns.map { case (name, p, _) => (s"n_$name", regexp_count(text, lit(p))) }
+
+  /** Keep rows whose `sizeCol` lies inside the [loPct, hiPct] percentile
+    * band — the corpus length-outlier filter (drop truncated fragments
+    * and runaway concatenations before training).
+    *
+    * Scale shape: quantile VALUES come from a size histogram — one
+    * partial-agg groupBy on the (bounded-cardinality) size column, a
+    * window cumsum over that tiny frame, and a 1-row broadcast of the
+    * bounds back onto the corpus. The 100 TB side is scanned twice but
+    * never sorted and never shuffled on a row key. Threshold arithmetic
+    * is integer counts + one double division, identical in the oracle.
+    */
+  def lengthBandFilter(df: DataFrame, sizeCol: String,
+                       loPct: Int, hiPct: Int): DataFrame = {
+    val n = df.agg(count(lit(1)).as("__n"))
+    // Distinct sizes are few; the unpartitioned window runs on the
+    // histogram, not the corpus.
+    val hist = df.groupBy(col(sizeCol)).agg(count(lit(1)).as("__c"))
+    val cum = hist
+      .withColumn("__cum", sum(col("__c")).over(
+        org.apache.spark.sql.expressions.Window.orderBy(col(sizeCol))))
+      .crossJoin(broadcast(n))
+    val bounds = cum.agg(
+      min(when(col("__cum") > floor(col("__n") * loPct / 100), col(sizeCol))).as("__lo"),
+      min(when(col("__cum") >= ceil(col("__n") * hiPct / 100), col(sizeCol))).as("__hi"))
+    df.crossJoin(broadcast(bounds))
+      .filter(col(sizeCol) >= col("__lo") && col(sizeCol) <= col("__hi"))
+      .drop("__lo", "__hi")
+  }
 }

@@ -34,4 +34,25 @@ object TfIdf {
       .filter(col("rank") <= k)
       .select(col(idCol), col("rank"), col("term"), col("score"))
   }
+
+  /** Corpus vocabulary head: global token frequencies (lowercased
+    * whitespace tokens), `minCount` floor, top-`n` by (freq desc, token
+    * asc) — the first pass of tokenizer/vocab training over a corpus.
+    *
+    * Scale shape: explode + ONE partial-agg groupBy(token); the top-n is
+    * `orderBy.limit` — Spark plans TakeOrderedAndProject (per-partition
+    * heaps + driver merge of n rows), never a global sort of the
+    * vocabulary. The rank window runs on the n surviving rows only.
+    */
+  def vocab(df: DataFrame, textCol: String, minCount: Long, n: Int): DataFrame = {
+    val toks = Dedup.spread(df).select(
+      explode_outer(split(trim(lower(col(textCol))), "\\s+")).as("token"))
+    val freq = toks.groupBy(col("token")).agg(count(lit(1)).as("freq"))
+      .filter(col("freq") >= minCount)
+      .orderBy(col("freq").desc, col("token").asc)
+      .limit(n)
+    freq.withColumn("rank",
+      row_number().over(Window.orderBy(col("freq").desc, col("token").asc)))
+      .select(col("rank"), col("token"), col("freq"))
+  }
 }

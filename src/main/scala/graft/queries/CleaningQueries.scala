@@ -33,6 +33,32 @@ object CleaningQueries {
     "strip_boilerplate" -> ((s, d) => {
       Cleaning.stripBoilerplate(tbl(s, d, "documents"), "doc_id", "text",
         sep = " ", minDocFrac = BoilerplateFrac)
+    }),
+
+    // PII scrub: the synthetic corpus carries no PII, so a deterministic
+    // contact line is planted on every 3rd doc (mirrored verbatim by the
+    // oracle) and then redacted — counts from the original, text after
+    // the replace chain. The operator itself is generic.
+    "clean_pii" -> ((s, d) => {
+      val docs = tbl(s, d, "documents")
+      val aug = when(col("doc_id") % 3 === 0,
+        concat(col("text"),
+          lit(" contact doc"), col("doc_id").cast("string"),
+          lit("@example.com at 10.0."), (col("doc_id") % 256).cast("string"),
+          lit(".7 tel 555-01"),
+          lpad((col("doc_id") % 100).cast("string"), 2, "0")))
+        .otherwise(col("text"))
+      val counts = Cleaning.piiCounts(aug).map { case (n, c) => c.as(n) }
+      docs.select(Seq(col("doc_id")) ++ counts :+
+        Cleaning.redactPii(aug).as("text_redacted"): _*)
+    }),
+
+    // Corpus length-outlier band: keep docs inside the [2, 98] size
+    // percentile band, thresholds from the broadcast size histogram.
+    "filter_length_band" -> ((s, d) => {
+      Cleaning.lengthBandFilter(
+        tbl(s, d, "documents").select(col("doc_id"), col("n_chars")),
+        "n_chars", loPct = 2, hiPct = 98)
     }))
 
   private val gramsSql =
@@ -62,5 +88,34 @@ object CleaningQueries {
                  WHERE doc_freq >= n_docs * $BoilerplateFrac)
           SELECT doc_id, string_agg(line, ' ' ORDER BY pos) AS text_clean
           FROM lines ANTI JOIN bp USING (line)
-          GROUP BY doc_id""")
+          GROUP BY doc_id""",
+    "clean_pii" -> {
+      val Seq((_, email, emailR), (_, ip, ipR), (_, phone, phoneR)) =
+        Cleaning.PiiPatterns
+      s"""WITH aug AS (
+            SELECT doc_id,
+              CASE WHEN doc_id % 3 = 0 THEN
+                text || ' contact doc' || doc_id || '@example.com at 10.0.'
+                  || (doc_id % 256) || '.7 tel 555-01'
+                  || lpad((doc_id % 100)::VARCHAR, 2, '0')
+              ELSE text END AS t
+            FROM documents)
+          SELECT doc_id,
+            len(regexp_extract_all(t, '$email')) AS n_email,
+            len(regexp_extract_all(t, '$ip')) AS n_ip,
+            len(regexp_extract_all(t, '$phone')) AS n_phone,
+            regexp_replace(regexp_replace(regexp_replace(t,
+              '$email', '$emailR', 'g'), '$ip', '$ipR', 'g'),
+              '$phone', '$phoneR', 'g') AS text_redacted
+          FROM aug"""
+    },
+    "filter_length_band" ->
+      """WITH nn AS (SELECT count(*) AS n FROM documents),
+          h AS (SELECT n_chars, count(*) AS c FROM documents GROUP BY n_chars),
+          cum AS (SELECT n_chars, sum(c) OVER (ORDER BY n_chars) AS cum FROM h),
+          b AS (SELECT min(CASE WHEN cum > floor(n * 2 / 100) THEN n_chars END) AS lo,
+                       min(CASE WHEN cum >= ceil(n * 98 / 100) THEN n_chars END) AS hi
+                FROM cum CROSS JOIN nn)
+          SELECT doc_id, n_chars FROM documents CROSS JOIN b
+          WHERE n_chars >= lo AND n_chars <= hi""")
 }

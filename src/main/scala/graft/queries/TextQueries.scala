@@ -56,6 +56,12 @@ object TextQueries {
         "doc_id", "text", k = 3)
     }),
 
+    // Tokenizer-vocab head: top-50 corpus tokens with a min-count floor.
+    "vocab_topk" -> ((s, d) => {
+      graft.operators.TfIdf.vocab(tbl(s, d, "documents"),
+        "text", minCount = 5L, n = 50)
+    }),
+
     "text_fingerprint" -> ((s, d) => {
       tbl(s, d, "documents").select(
         col("doc_id"),
@@ -87,6 +93,17 @@ object TextQueries {
   }.mkString(", ")
 
   val oracles: Map[String, String] = Map(
+    "vocab_topk" ->
+      """WITH tok AS (
+           SELECT unnest(string_split_regex(trim(lower(text)), '\s+')) AS token
+           FROM documents),
+         freq AS (
+           SELECT token, CAST(count(*) AS BIGINT) AS freq FROM tok
+           GROUP BY token HAVING count(*) >= 5
+           ORDER BY freq DESC, token ASC LIMIT 50)
+         SELECT row_number() OVER (ORDER BY freq DESC, token ASC) AS rank,
+           token, freq
+         FROM freq""",
     "pack_sequences" ->
       """WITH c AS (
            SELECT doc_id, lang,
