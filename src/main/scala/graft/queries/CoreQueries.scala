@@ -105,6 +105,19 @@ object CoreQueries {
       s.read.parquet(paths: _*)
         .filter(input_file_name().endsWith("nation.parquet"))
         .select(col("n_nationkey"), col("n_name"))
+    }),
+
+    // Z-order layout key: Morton code over (orderkey, partkey) — the
+    // clustering value a z-ordered write range-partitions on, so scans
+    // filtered on EITHER key prune files (LayoutSpec proves the
+    // both-dimension locality; here the bit math is oracle-checked).
+    "layout_zorder" -> ((s, d) => {
+      val z = graft.operators.Layout.zValue(
+        tbl(s, d, "lineitem")
+          .select(col("l_orderkey"), col("l_linenumber"), col("l_partkey")),
+        Seq("l_orderkey", "l_partkey"), bits = 8)
+      z.select(col("l_orderkey"), col("l_linenumber"), col("l_partkey"),
+        col("zval"), shiftright(col("zval"), 12).as("zbucket"))
     }))
 
   val oracles: Map[String, String] = Map(
@@ -131,5 +144,28 @@ object CoreQueries {
     "f8_prefix_dispatch" ->
       "SELECT p_partkey, CASE WHEN p_type LIKE 'ECO%' THEN 'economy' WHEN p_type LIKE 'SMALL%' THEN 'small' ELSE 'other' END AS bucket FROM part",
     "f9_file_pruning" ->
-      "SELECT n_nationkey, n_name FROM nation")
+      "SELECT n_nationkey, n_name FROM nation",
+    "layout_zorder" -> {
+      // Mirrors Layout.interleave bit-for-bit: column i bit b lands at
+      // output position b * 2 + i.
+      val zTerms = (0 until 8).flatMap(b => Seq(
+        s"((b1 >> $b) & 1) * ${1L << (2 * b)}",
+        s"((b2 >> $b) & 1) * ${1L << (2 * b + 1)}")).mkString(" + ")
+      s"""WITH bnd AS (
+            SELECT min(l_orderkey) AS lo1, max(l_orderkey) AS hi1,
+                   min(l_partkey) AS lo2, max(l_partkey) AS hi2
+            FROM lineitem),
+          z AS (
+            SELECT l_orderkey, l_linenumber, l_partkey,
+              CAST(floor((l_orderkey - lo1)::DOUBLE / (hi1 - lo1 + 1)::DOUBLE * 256) AS BIGINT) AS b1,
+              CAST(floor((l_partkey - lo2)::DOUBLE / (hi2 - lo2 + 1)::DOUBLE * 256) AS BIGINT) AS b2
+            FROM lineitem CROSS JOIN bnd),
+          zz AS (
+            SELECT l_orderkey, l_linenumber, l_partkey,
+              CAST($zTerms AS BIGINT) AS zval
+            FROM z)
+          SELECT l_orderkey, l_linenumber, l_partkey, zval,
+            zval >> 12 AS zbucket
+          FROM zz"""
+    })
 }
