@@ -346,6 +346,53 @@ object Similarity {
   def ivfPqTopK(df: DataFrame, idCol: String, vecCol: String, k: Int,
                 nCentroids: Int, nprobe: Int, m: Int, subDim: Int, ksub: Int,
                 kmeansIters: Int = 2, trainSampleMod: Int = 1): DataFrame = {
+    val (pairs, _) = ivfPqScored(df, idCol, vecCol, nCentroids, nprobe,
+      m, subDim, ksub, kmeansIters, trainSampleMod)
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("neighbor_id").asc)
+    pairs.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("neighbor_id"))
+  }
+
+  /** IVF-PQ with an exact re-ranking stage: ADC keeps a `shortlist`-deep
+    * candidate list per query (cheap lookup math over the compressed
+    * index), then ONLY those candidates fetch their full-width vectors
+    * for an exact cosine top-k. This is the standard two-stage retrieval
+    * answer to ADC's quantization noise — recall approaches the IVF
+    * candidate-set ceiling while the exact math touches `shortlist` rows
+    * per query, not the cell. The vector fetch is a shuffle join keyed
+    * on neighbor_id, sized |queries|·shortlist — negligible against the
+    * corpus at scale. */
+  def ivfPqRerankTopK(df: DataFrame, idCol: String, vecCol: String, k: Int,
+                      nCentroids: Int, nprobe: Int, m: Int, subDim: Int,
+                      ksub: Int, shortlist: Int, kmeansIters: Int = 2,
+                      trainSampleMod: Int = 1): DataFrame = {
+    val (pairs, base) = ivfPqScored(df, idCol, vecCol, nCentroids, nprobe,
+      m, subDim, ksub, kmeansIters, trainSampleMod)
+    val wAdc = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("neighbor_id").asc)
+    val short = pairs.withColumn("rank", row_number().over(wAdc))
+      .filter(col("rank") <= shortlist)
+      .select(col("query_id"), col("neighbor_id"), col("qv"), col("qn"))
+    val nbr = base.select(col(idCol).as("neighbor_id"),
+      col("v").as("nv"), col("vn").as("nn"))
+    val exact = short.join(nbr, Seq("neighbor_id"))
+      .withColumn("cosine",
+        VectorOps.dot(col("qv"), col("nv")) / (col("qn") * col("nn")))
+    val wExact = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("neighbor_id").asc)
+    exact.withColumn("rank", row_number().over(wExact))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("neighbor_id"))
+  }
+
+  /** Shared IVF-PQ candidate scorer: (ADC-scored pairs carrying the
+    * query vector, corpus base with exact vectors). */
+  private def ivfPqScored(df: DataFrame, idCol: String, vecCol: String,
+                          nCentroids: Int, nprobe: Int, m: Int, subDim: Int,
+                          ksub: Int, kmeansIters: Int,
+                          trainSampleMod: Int): (DataFrame, DataFrame) = {
     val centroids = kmeansFit(df, idCol, vecCol, nCentroids, kmeansIters, trainSampleMod)
     val books = pqFit(df, idCol, vecCol, m, subDim, ksub, kmeansIters, trainSampleMod)
     val base = spread(df).select(col(idCol), col(vecCol).as("v"))
@@ -381,11 +428,7 @@ object Similarity {
     val pairs = queries.join(corpus, Seq("cell"))
       .filter(col("query_id") =!= col("neighbor_id"))
       .withColumn("cosine", approxDot / (col("qn") * approxNorm))
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("cosine").desc, col("neighbor_id").asc)
-    pairs.withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select(col("query_id"), col("rank"), col("neighbor_id"))
+    (pairs, base)
   }
 
   /** `kmeansFit` as a DataFrame (cell, cv) for callers that join it. */

@@ -108,6 +108,32 @@ class RecallSpec extends SparkTestBase {
     assert(recall >= 0.15, s"IVF-PQ recall collapsed: $recall")
   }
 
+  test("IVF-PQ + exact re-rank recovers recall up to the IVF ceiling") {
+    val bf = Similarity.bruteForceTopK(embeddings, embeddings,
+      "vec_id", "embedding", 5)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val plain = Similarity.ivfPqTopK(embeddings, "vec_id", "embedding", 5,
+      nCentroids = 8, nprobe = 2, m = 8, subDim = 8, ksub = 32,
+      trainSampleMod = 2)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val rerank = Similarity.ivfPqRerankTopK(embeddings, "vec_id", "embedding",
+      5, nCentroids = 8, nprobe = 2, m = 8, subDim = 8, ksub = 32,
+      shortlist = 50, trainSampleMod = 2)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val ceiling = Similarity.ivfTopKMultiProbe(embeddings, "vec_id",
+      "embedding", 5, nCentroids = 8, nprobe = 2)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val rPlain = (bf & plain).size.toDouble / bf.size
+    val rRerank = (bf & rerank).size.toDouble / bf.size
+    val rCeiling = (bf & ceiling).size.toDouble / bf.size
+    info(f"ivf_pq recall@5: adc-only $rPlain%.2f -> rerank(50) $rRerank%.2f" +
+      f" (exact-ivf ceiling $rCeiling%.2f)")
+    // the exact stage must recover most of the ADC loss
+    assert(rRerank > rPlain, "re-ranking must improve on raw ADC order")
+    assert(rRerank >= rCeiling * 0.8,
+      s"re-rank should approach the IVF candidate ceiling ($rRerank vs $rCeiling)")
+  }
+
   test("trained k-means beats the untrained id<k quantizer on cell balance") {
     // The round-1 quantizer used the first k corpus vectors verbatim;
     // two k-means rounds must not leave a degenerate single-cell fit.
