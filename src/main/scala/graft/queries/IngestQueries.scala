@@ -126,6 +126,15 @@ object IngestQueries {
       EventStream.statefulUserStats(tbl(s, d, "events"))
         .toDF().select(col("user_id"), col("n_events"),
           round2(col("max_value")).as("max_value"))
+    }),
+
+    // Stateful streaming dedup: first event per (user, type), later
+    // duplicates suppressed by GroupState (StreamingSpec runs the same
+    // function over a file-source stream).
+    "stream_dedup" -> ((s, d) => {
+      EventStream.firstSeen(tbl(s, d, "events"))
+        .toDF().select(col("user_id"), col("event_type"),
+          col("event_id"), col("ts_us"))
     }))
 
   val oracles: Map[String, String] = Map(
@@ -178,5 +187,13 @@ object IngestQueries {
     "stream_stateful_stats" ->
       """SELECT user_id, count(*) AS n_events,
            floor((max(value)) * 100 + 0.5) / 100 AS max_value
-         FROM events GROUP BY user_id""")
+         FROM events GROUP BY user_id""",
+    "stream_dedup" ->
+      """SELECT user_id, event_type, event_id, epoch_us(ts) AS ts_us
+         FROM (
+           SELECT user_id, event_type, event_id, ts,
+             row_number() OVER (PARTITION BY user_id, event_type
+               ORDER BY epoch_us(ts), event_id) AS rn
+           FROM events)
+         WHERE rn = 1""")
 }

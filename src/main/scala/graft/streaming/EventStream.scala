@@ -40,6 +40,35 @@ object EventStream {
   case class UserEvent(user_id: Long, value: Double)
   case class UserStats(user_id: Long, n_events: Long, max_value: Double)
 
+  case class KeyedEvent(event_id: Long, ts_us: Long, user_id: Long,
+                        event_type: String)
+
+  /** Streaming exact dedup: emit only the FIRST event per
+    * (user_id, event_type) key, suppressing every later duplicate via
+    * `GroupState` — the stateful form of `dropDuplicates` that keeps
+    * working across micro-batches (state is the set of seen keys; add a
+    * watermark + timeout to bound it in production). In one batch the
+    * per-key iterator is unordered, so "first" is defined as min by
+    * (ts_us, event_id) — deterministic and oracle-checkable; under
+    * streaming, later micro-batches of a seen key emit nothing. */
+  def firstSeen(events: DataFrame): Dataset[KeyedEvent] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    events.select(col("event_id"), col("ts_us"), col("user_id"),
+      col("event_type")).as[KeyedEvent]
+      .groupByKey(e => (e.user_id, e.event_type))
+      .flatMapGroupsWithState[KeyedEvent, KeyedEvent](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (_: (Long, String), it: Iterator[KeyedEvent], state: GroupState[KeyedEvent]) =>
+          if (state.exists) Iterator.empty
+          else {
+            val first = it.minBy(e => (e.ts_us, e.event_id))
+            state.update(first)
+            Iterator.single(first)
+          }
+      }
+  }
+
   /** Custom per-key state via `flatMapGroupsWithState` — the arbitrary-
     * stateful-processing hook (KeyValueGroupedDataset). The fold is
     * order-insensitive (count + max), so batch output is deterministic

@@ -92,6 +92,33 @@ class StreamingSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("firstSeen suppresses duplicate keys across micro-batches") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, Long, Long, String)]
+    val input = mem.toDF().toDF("event_id", "ts_us", "user_id", "event_type")
+
+    val q = EventStream.firstSeen(input)
+      .writeStream.format("memory").queryName("first_seen")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      mem.addData((10L, 100L, 1L, "click"), (11L, 50L, 1L, "click"),
+        (12L, 200L, 2L, "view"))
+      q.processAllAvailable()
+      // same keys again, earlier ts: state already holds the winners, so
+      // nothing new is emitted (streaming dedup = first ARRIVAL wins)
+      mem.addData((13L, 10L, 1L, "click"), (14L, 20L, 2L, "view"),
+        (15L, 30L, 3L, "click"))
+      q.processAllAvailable()
+
+      val rows = spark.table("first_seen")
+        .as[(Long, Long, Long, String)].collect()
+        .map(r => (r._3, r._4) -> r._1).toMap
+      // batch 1: min (ts_us, event_id) per key; batch 2: only the new key
+      assert(rows == Map((1L, "click") -> 11L, (2L, "view") -> 12L,
+        (3L, "click") -> 15L))
+    } finally q.stop()
+  }
+
   test("file-source stream (Trigger.AvailableNow) matches the batch result") {
     // The incremental-ingest shape at scale: the same windowedCounts
     // plan runs over a parquet directory as a bounded stream — several
