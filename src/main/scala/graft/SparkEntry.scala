@@ -31,7 +31,8 @@ object SparkEntry {
       VectorQueries.queries ++
       IngestQueries.queries ++
       OntologyQueries.queries ++
-      MLQueries.queries
+      MLQueries.queries ++
+      MergeQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted keys get a rows-only check. */
@@ -48,5 +49,6 @@ object SparkEntry {
       VectorQueries.oracles ++
       IngestQueries.oracles ++
       OntologyQueries.oracles ++
-      MLQueries.oracles
+      MLQueries.oracles ++
+      MergeQueries.oracles
 }

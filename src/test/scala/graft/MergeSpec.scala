@@ -1,0 +1,45 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.Merge
+
+class MergeSpec extends SparkTestBase {
+
+  import spark.implicits._
+
+  private def base = Seq(
+    (1L, "A", 0L, Option.empty[Long]),
+    (2L, "B", 0L, Option.empty[Long]),
+    (3L, "old", 0L, Some(50L)),
+    (3L, "C", 50L, Option.empty[Long]))
+    .toDF("id", "v", "valid_from", "valid_to")
+
+  private def feed = Seq((2L, "B2", 100L), (4L, "D", 100L))
+    .toDF("id", "v", "ts")
+
+  test("scd2: every key has exactly one open version; history is kept") {
+    val merged = Merge.scd2(base, feed, Seq("id"), "ts")
+    val open = merged.filter(col("valid_to").isNull)
+      .select("id", "v").as[(Long, String)].collect().toMap
+    assert(open == Map(1L -> "A", 2L -> "B2", 3L -> "C", 4L -> "D"))
+    // point-in-time read at t=75: pre-update world
+    val at75 = merged.filter(col("valid_from") <= 75 &&
+        (col("valid_to").isNull || col("valid_to") > 75))
+      .select("id", "v").as[(Long, String)].collect().toMap
+    assert(at75 == Map(1L -> "A", 2L -> "B", 3L -> "C"))
+    // closed row carries the update timestamp
+    val closed = merged.filter(col("id") === 2 && col("valid_to").isNotNull)
+      .select("valid_to").as[Long].head()
+    assert(closed == 100L)
+  }
+
+  test("upsert: update wins, new keys append, feed side broadcasts") {
+    val b = base.filter(col("valid_to").isNull).select("id", "v")
+    val merged = Merge.upsert(b, feed.select("id", "v"), Seq("id"))
+    assert(merged.as[(Long, String)].collect().toMap ==
+      Map(1L -> "A", 2L -> "B2", 3L -> "C", 4L -> "D"))
+    val plan = merged.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin") || plan.contains("BroadcastExchange"),
+      s"feed side should broadcast:\n$plan")
+  }
+}
