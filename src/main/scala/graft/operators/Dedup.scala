@@ -337,4 +337,51 @@ object Dedup {
       }: _*).as("band_sigs"))
     saltedBucketPairs(withSigs, idCol, bands, salts)
   }
+
+  /** Winnowing fingerprints (the MOSS selection rule): hash every
+    * `k`-char window of the text, then keep the minimum hash of each
+    * run of `w` consecutive window hashes. Guarantee: two documents
+    * sharing ANY substring of length >= k + w - 1 share at least one
+    * fingerprint — this is substring-level (copy-paste) duplication,
+    * which set-based shingle overlap (Jaccard) deliberately ignores.
+    * Density is ~2/(w+1): the index is a small fraction of the text.
+    *
+    * Scale shape: positions explode map-side off the scan; the sliding
+    * min is ONE per-doc window (shuffle keyed by doc, same cost class
+    * as the MinHash signature groupBy); the (id, fp) output is
+    * `distinct`-ed with map-side partial agg before any join. */
+  def winnowFingerprints(df: DataFrame, idCol: String, textCol: String,
+                         k: Int, w: Int): DataFrame = {
+    val n1 = greatest(length(col(textCol)) - (k - 1), lit(1))
+    val positions = spread(df)
+      .select(col(idCol), col(textCol).as("__t"), n1.as("__n1"))
+      .select(col(idCol), col("__t"), col("__n1"),
+        explode_outer(sequence(lit(1), col("__n1"))).as("pos"))
+    val hashed = positions.select(col(idCol), col("pos"), col("__n1"),
+      conv(substring(md5(col("__t").substr(col("pos"), lit(k))), 1, 15), 16, 10)
+        .cast("long").as("h"))
+    val frame = Window.partitionBy(col(idCol)).orderBy(col("pos"))
+      .rowsBetween(Window.currentRow, w - 1)
+    hashed.withColumn("fp", min(col("h")).over(frame))
+      .filter(col("pos") <= greatest(col("__n1") - (w - 1), lit(1)))
+      .select(col(idCol), col("fp")).distinct()
+  }
+
+  /** Document pairs sharing a verbatim run of >= k + w - 1 chars:
+    * winnowing fingerprints + a salted self-join on the fingerprint
+    * (same skew treatment as the banded LSH joins — boilerplate shared
+    * by thousands of docs is exactly the hot-bucket case). */
+  def substringDupPairs(df: DataFrame, idCol: String, textCol: String,
+                        k: Int = 20, w: Int = 10, salts: Int = 4): DataFrame = {
+    // self-joined: materialize once (see lshCandidatePairs)
+    val fps = winnowFingerprints(df, idCol, textCol, k, w).localCheckpoint()
+    val a = fps.select(col("fp"), col(idCol).as("id_a"))
+      .withColumn("salt", pmod(xxhash64(col("id_a")), lit(salts)).cast("int"))
+    val b = fps.select(col("fp"), col(idCol).as("id_b"))
+      .withColumn("salt",
+        explode(sequence(lit(0), lit(salts - 1)).cast("array<int>")))
+    a.join(b, Seq("fp", "salt"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b")).distinct()
+  }
 }

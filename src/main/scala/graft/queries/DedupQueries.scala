@@ -17,6 +17,8 @@ object DedupQueries {
   private val Bands = 4
   private val SimhashBits = 32
   private val CosineThreshold = 0.45
+  private val WinnowK = 20
+  private val WinnowW = 10
 
   val queries: Map[String, QueryFn] = Map(
     "dedup_exact" -> ((s, d) => {
@@ -43,6 +45,13 @@ object DedupQueries {
       val sig = Dedup.simhashBits(tbl(s, d, "documents"), "doc_id",
         TextAnalysis.wsTokens(col("text")), bits = SimhashBits)
       Dedup.simhashCandidates(sig, "doc_id", bits = SimhashBits, bands = Bands)
+    }),
+
+    // Substring-level (copy-paste) duplication via winnowing
+    // fingerprints: pairs sharing any verbatim run of >= k+w-1 chars.
+    "dedup_substring" -> ((s, d) => {
+      Dedup.substringDupPairs(tbl(s, d, "documents"), "doc_id", "text",
+        k = WinnowK, w = WinnowW)
     }),
 
     "dedup_embed_cosine" -> ((s, d) => {
@@ -163,6 +172,26 @@ object DedupQueries {
           SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
           FROM banded a JOIN banded b
             ON a.band = b.band AND a.chunk = b.chunk AND a.doc_id < b.doc_id""",
+    "dedup_substring" ->
+      s"""WITH pos AS (
+            SELECT doc_id, text,
+              greatest(len(text) - ${WinnowK - 1}, 1) AS n1,
+              unnest(generate_series(1, greatest(len(text) - ${WinnowK - 1}, 1))) AS pos
+            FROM documents),
+          h AS (
+            SELECT doc_id, pos, n1,
+              ('0x' || substring(md5(substring(text, pos, $WinnowK)), 1, 15))::BIGINT AS hh
+            FROM pos),
+          mins AS (
+            SELECT doc_id, pos, n1,
+              min(hh) OVER (PARTITION BY doc_id ORDER BY pos
+                ROWS BETWEEN CURRENT ROW AND ${WinnowW - 1} FOLLOWING) AS fp
+            FROM h),
+          fps AS (
+            SELECT DISTINCT doc_id, fp FROM mins
+            WHERE pos <= greatest(n1 - ${WinnowW - 1}, 1))
+          SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+          FROM fps a JOIN fps b ON a.fp = b.fp AND a.doc_id < b.doc_id""",
     "dedup_embed_cosine" ->
       s"""SELECT a.vec_id AS id_a, b.vec_id AS id_b
           FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id

@@ -207,4 +207,18 @@ class PropertySpec extends SparkTestBase {
       .as[(Long, Long)].collect().toSet
     assert(fast == naive && fast.nonEmpty)
   }
+
+  test("winnowing guarantee: docs sharing a >= k+w-1 char run pair up") {
+    val sharedRun = "the exact same thirty-plus character passage here"
+    val docs = Seq(
+      (1L, "alpha beta gamma " + sharedRun),
+      (2L, sharedRun + " delta epsilon zeta"),
+      (3L, "completely unrelated wording with zero overlapping windows"))
+      .toDF("doc_id", "text")
+    val pairs = Dedup.substringDupPairs(docs, "doc_id", "text", k = 20, w = 10)
+      .as[(Long, Long)].collect().toSet
+    // k + w - 1 = 29 <= sharedRun.length, so (1,2) is guaranteed;
+    // doc 3 shares no 20-char window with either.
+    assert(pairs == Set((1L, 2L)))
+  }
 }
