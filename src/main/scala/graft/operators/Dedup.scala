@@ -92,6 +92,32 @@ object Dedup {
       .select(col(idCol), col("bs.band"), col("bs.band_sig"))
   }
 
+  /** Band signatures of a corpus slice, shaped for persistence as an
+    * incremental dedup INDEX: (id, band, band_sig) — ~bands rows per
+    * doc, independent of text size. */
+  def lshIndexBands(df: DataFrame, idCol: String, textCol: String,
+                    n: Int = 5, k: Int = 16, bands: Int = 4): DataFrame =
+    lshBands(minhashSignature(df, idCol, textCol, n, k), idCol, bands, k / bands)
+
+  /** Incremental near-dup screening — the operational form at 100 TB:
+    * instead of re-running LSH over the whole corpus per ingest, the
+    * NEW batch's band signatures probe a persisted band index
+    * (`lshIndexBands` output, appended per ingest). The batch side is
+    * tiny relative to the index, so it BROADCASTS: the index never
+    * shuffles, and the probe is one scan. New-vs-new pairs within the
+    * batch are `lshCandidatePairs` on the batch alone. Returns
+    * (id_new, id_idx) candidate pairs. */
+  def lshProbePairs(newDocs: DataFrame, index: DataFrame, idCol: String,
+                    textCol: String, n: Int = 5, k: Int = 16,
+                    bands: Int = 4): DataFrame = {
+    val probe = lshIndexBands(newDocs, idCol, textCol, n, k, bands)
+      .select(col("band"), col("band_sig"), col(idCol).as("id_new"))
+    broadcast(probe)
+      .join(index.select(col("band"), col("band_sig"), col(idCol).as("id_idx")),
+        Seq("band", "band_sig"))
+      .select(col("id_new"), col("id_idx")).distinct()
+  }
+
   /** Candidate near-dup pairs: ids sharing any LSH band bucket.
     * Self-join on (band, band_sig) — shuffles only the banded keys.
     *

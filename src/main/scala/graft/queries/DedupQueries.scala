@@ -47,6 +47,16 @@ object DedupQueries {
       Dedup.simhashCandidates(sig, "doc_id", bits = SimhashBits, bands = Bands)
     }),
 
+    // Incremental ingest screening: odd docs (the "new batch") probe
+    // the band index built from even docs (the "persisted corpus").
+    "dedup_lsh_probe" -> ((s, d) => {
+      val docs = tbl(s, d, "documents")
+      val index = Dedup.lshIndexBands(docs.filter(col("doc_id") % 2 === 0),
+        "doc_id", "text", n = ShingleN, k = MinhashK, bands = Bands)
+      Dedup.lshProbePairs(docs.filter(col("doc_id") % 2 === 1), index,
+        "doc_id", "text", n = ShingleN, k = MinhashK, bands = Bands)
+    }),
+
     // Substring-level (copy-paste) duplication via winnowing
     // fingerprints: pairs sharing any verbatim run of >= k+w-1 chars.
     "dedup_substring" -> ((s, d) => {
@@ -172,6 +182,15 @@ object DedupQueries {
           SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
           FROM banded a JOIN banded b
             ON a.band = b.band AND a.chunk = b.chunk AND a.doc_id < b.doc_id""",
+    "dedup_lsh_probe" ->
+      s"""WITH sh AS (SELECT doc_id, unnest($shinglesSql) AS shingle FROM documents),
+          shh AS (SELECT doc_id, $baseHashSql AS hm FROM sh),
+          mh AS (SELECT doc_id, $minhashAggs FROM shh GROUP BY doc_id),
+          bands AS ($bandSelects)
+          SELECT DISTINCT n.doc_id AS id_new, o.doc_id AS id_idx
+          FROM bands n JOIN bands o
+            ON n.band = o.band AND n.band_sig = o.band_sig
+          WHERE n.doc_id % 2 = 1 AND o.doc_id % 2 = 0""",
     "dedup_substring" ->
       s"""WITH pos AS (
             SELECT doc_id, text,
