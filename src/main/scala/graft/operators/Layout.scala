@@ -52,4 +52,24 @@ object Layout {
     zValue(df, keyCols, bits)
       .repartitionByRange(nSplits, col("zval"))
       .sortWithinPartitions("zval")
+
+  /** Small-file compaction: rewrite a parquet directory into
+    * ~`targetBytes` files. Streaming/incremental writers leave a long
+    * tail of small files; at 100 TB that tail dominates scan planning
+    * (driver-side listing, one task per file) and kills row-group
+    * pruning. Split count comes from the ACTUAL on-disk bytes (Hadoop
+    * listing), not a row-count guess, so the rewrite is one round-robin
+    * shuffle to evenly sized files. Returns the split count. */
+  def compact(spark: org.apache.spark.sql.SparkSession, inDir: String,
+              outDir: String, targetBytes: Long): Int = {
+    val path = new org.apache.hadoop.fs.Path(inDir)
+    val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val totalBytes = fs.listStatus(path)
+      .filter(f => f.isFile && f.getPath.getName.endsWith(".parquet"))
+      .map(_.getLen).sum
+    val n = math.max(1L, (totalBytes + targetBytes - 1) / targetBytes).toInt
+    spark.read.parquet(inDir).repartition(n)
+      .write.mode("overwrite").parquet(outDir)
+    n
+  }
 }

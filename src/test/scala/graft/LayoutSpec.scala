@@ -51,6 +51,28 @@ class LayoutSpec extends SparkTestBase {
       s"z-order should beat plain sort on the non-sort key ($zPart vs $pPart)")
   }
 
+  test("compact rewrites a small-file directory into sized splits") {
+    val base = s"${sys.props("java.io.tmpdir")}/graft_compact"
+    def rm(f: java.io.File): Unit = {
+      if (f.isDirectory) f.listFiles().foreach(rm); f.delete()
+    }
+    rm(new java.io.File(base))
+    // simulate an incremental writer's small-file tail: 32 files
+    li.repartition(32).write.parquet(s"$base/in")
+    val inFiles = new java.io.File(s"$base/in").listFiles()
+      .count(_.getName.endsWith(".parquet"))
+    assert(inFiles == 32)
+
+    val n = Layout.compact(spark, s"$base/in", s"$base/out", 64 * 1024)
+    val outFiles = new java.io.File(s"$base/out").listFiles()
+      .count(_.getName.endsWith(".parquet"))
+    assert(outFiles == n && n < 32 && n >= 1)
+    // contents survive the rewrite
+    val a = spark.read.parquet(s"$base/in")
+    val b = spark.read.parquet(s"$base/out")
+    assert(a.count() == b.count() && a.exceptAll(b).isEmpty)
+  }
+
   test("zval is a bijective interleave of the bucket bits") {
     val z = Layout.zValue(li, Seq("l_orderkey", "l_partkey"), bits = 8)
     val bad = z.filter(col("zval") < 0 || col("zval") >= (1L << 16)).count()
