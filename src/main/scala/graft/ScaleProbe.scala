@@ -54,6 +54,14 @@ object ScaleProbe {
         d, "doc_id", "text", sep = " ", minDocFrac = 0.8))
       time(s"train_order $tag")(graft.operators.Packing.trainingOrder(
         d.select("doc_id"), "doc_id", "s42", 8))
+      time(s"dedup_substring $tag")(
+        Dedup.substringDupPairs(d, "doc_id", "text"))
+      time(s"dedup_lsh_probe $tag")(Dedup.lshProbePairs(
+        d.filter(col("doc_id") % 2 === 1),
+        Dedup.lshIndexBands(d.filter(col("doc_id") % 2 === 0), "doc_id", "text"),
+        "doc_id", "text"))
+      time(s"ml_quality_filter $tag")(d.select(col("doc_id"),
+        graft.operators.ModelScoring.hashedTextScore(col("text")).as("s")))
     }
   }
 
