@@ -80,6 +80,34 @@ object Cleaning {
         s => s.getField("line"))).as("text_clean"))
   }
 
+  /** Canonical text normalization (the pass run before any hashing or
+    * dedup so trivially-different bytes don't defeat exact matching):
+    * control chars → space, whitespace runs collapsed, ends trimmed.
+    * Pure per-row regexp chain — map-side, codegen, no shuffle. */
+  def normalizeText(text: Column): Column =
+    trim(regexp_replace(
+      regexp_replace(text, "[\\x00-\\x1F\\x7F]", " "), "\\s+", " "))
+
+  /** Remove repeated lines WITHIN a document (keep the first
+    * occurrence, preserve order) — intra-doc span dedup, the C4-style
+    * pass that strips a page's repeated nav/footer blocks before
+    * corpus-level dedup sees them. One window keyed (doc, line) + one
+    * reassembly groupBy — both partition by the document, so the corpus
+    * shuffles on its natural key only. */
+  def dedupLines(df: DataFrame, idCol: String, textCol: String,
+                 sep: String): DataFrame = {
+    val lines = Dedup.spread(df).select(col(idCol),
+      posexplode(split(col(textCol), java.util.regex.Pattern.quote(sep)))
+        .as(Seq("pos", "line")))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(idCol), col("line")).orderBy(col("pos"))
+    lines.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+      .groupBy(col(idCol))
+      .agg(concat_ws(sep, transform(
+        array_sort(collect_list(struct(col("pos"), col("line")))),
+        s => s.getField("line"))).as("text_dedup"))
+  }
+
   /** PII scrub patterns: (name, regex, replacement). Kept to syntax
     * shared by Java regex (Spark) and RE2 (DuckDB's regexp_*) so the
     * differential oracle can mirror the scrub exactly. */

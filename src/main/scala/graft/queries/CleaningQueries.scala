@@ -59,6 +59,25 @@ object CleaningQueries {
       Cleaning.lengthBandFilter(
         tbl(s, d, "documents").select(col("doc_id"), col("n_chars")),
         "n_chars", loPct = 2, hiPct = 98)
+    }),
+
+    // Canonical normalization. The fixture corpus is already clean, so
+    // every 4th doc gets a deterministic mess planted (tabs + doubled
+    // spaces + a control char) that the pass must undo.
+    "clean_normalize" -> ((s, d) => {
+      val aug = when(col("doc_id") % 4 === 0,
+        concat(lit("\t "), replace(col("text"), lit(" the "),
+          lit("  the  ")), lit("  ")))
+        .otherwise(col("text"))
+      tbl(s, d, "documents").select(col("doc_id"),
+        Cleaning.normalizeText(aug).as("text_norm"))
+    }),
+
+    // Intra-doc span dedup at word granularity (the corpus has no
+    // newlines; CleaningSpec covers multi-line separators).
+    "clean_intradoc_dedup" -> ((s, d) => {
+      Cleaning.dedupLines(tbl(s, d, "documents"), "doc_id", "text",
+        sep = " ")
     }))
 
   private val gramsSql =
@@ -109,6 +128,28 @@ object CleaningQueries {
               '$phone', '$phoneR', 'g') AS text_redacted
           FROM aug"""
     },
+    "clean_normalize" ->
+      """WITH aug AS (
+           SELECT doc_id,
+             CASE WHEN doc_id % 4 = 0
+               THEN chr(9) || ' ' || replace(text, ' the ', '  the  ') || '  '
+               ELSE text END AS t
+           FROM documents)
+         SELECT doc_id,
+           trim(regexp_replace(regexp_replace(t, '[\x00-\x1F\x7F]', ' ', 'g'),
+             '\s+', ' ', 'g')) AS text_norm
+         FROM aug""",
+    "clean_intradoc_dedup" ->
+      """WITH lines AS (
+           SELECT doc_id, unnest(string_split(text, ' ')) AS line,
+             unnest(generate_series(1, len(string_split(text, ' ')))) AS pos
+           FROM documents),
+         fst AS (
+           SELECT doc_id, line, pos,
+             row_number() OVER (PARTITION BY doc_id, line ORDER BY pos) AS rn
+           FROM lines)
+         SELECT doc_id, string_agg(line, ' ' ORDER BY pos) AS text_dedup
+         FROM fst WHERE rn = 1 GROUP BY doc_id""",
     "filter_length_band" ->
       """WITH nn AS (SELECT count(*) AS n FROM documents),
           h AS (SELECT n_chars, count(*) AS c FROM documents GROUP BY n_chars),

@@ -61,4 +61,20 @@ class CleaningSpec extends SparkTestBase {
     // doc grams: [a..h], [b..extra] -> 1 hit of 2 grams
     assert(row == ((1L, 0.5)))
   }
+
+  test("dedupLines keeps first occurrence per line, preserves order") {
+    val docs = Seq(
+      (1L, "header\nbody one\nheader\nbody two\nheader"),
+      (2L, "only\nunique\nlines")).toDF("doc_id", "text")
+    val out = Cleaning.dedupLines(docs, "doc_id", "text", sep = "\n")
+      .as[(Long, String)].collect().toMap
+    assert(out(1L) == "header\nbody one\nbody two")
+    assert(out(2L) == "only\nunique\nlines")
+  }
+
+  test("normalizeText collapses whitespace and strips control chars") {
+    val df = Seq((1L, "\ta  b\u0007c\r\n d  ")).toDF("id", "t")
+    val out = df.select(Cleaning.normalizeText(col("t"))).as[String].head()
+    assert(out == "a b c d")
+  }
 }
