@@ -17,6 +17,11 @@ object CleaningQueries {
   // Held-out "benchmark" split: every 10th doc plays the eval suite.
   private val EvalMod = 10
   private val BoilerplateFrac = 0.8
+  // corpus_pipeline quality-head parameters (mirror ml_quality_filter).
+  private val PipeBuckets = 1 << 20
+  private val PipeScale = 8.0
+  private val PipeBias = 0.0
+  private val PipeKeep = 0.45
 
   val queries: Map[String, QueryFn] = Map(
     // Train docs sharing >= 1 word 8-gram with the eval split — the
@@ -78,6 +83,24 @@ object CleaningQueries {
     "clean_intradoc_dedup" -> ((s, d) => {
       Cleaning.dedupLines(tbl(s, d, "documents"), "doc_id", "text",
         sep = " ")
+    }),
+
+    // End-to-end corpus pipeline — the independently-verified stages
+    // COMPOSED: normalize -> length-band filter -> exact dedup ->
+    // learned quality filter. Each stage's plan shape is unchanged by
+    // composition (normalize/score stay map-side; band bounds and the
+    // dedup window are the only wide ops), so this is the library's
+    // "switch your prep job to one query" surface.
+    "corpus_pipeline" -> ((s, d) => {
+      val normed = tbl(s, d, "documents").select(
+        col("doc_id"), col("lang"), col("n_chars"),
+        Cleaning.normalizeText(col("text")).as("text_norm"))
+      val banded = Cleaning.lengthBandFilter(normed, "n_chars", 2, 98)
+      val deduped = graft.operators.Dedup.exact(banded, "text_norm", "doc_id")
+      deduped.select(col("doc_id"), col("lang"),
+        round4(graft.operators.ModelScoring.hashedTextScore(
+          col("text_norm"), PipeBuckets, PipeScale, PipeBias)).as("score"))
+        .filter(col("score") >= PipeKeep)
     }))
 
   private val gramsSql =
@@ -150,6 +173,45 @@ object CleaningQueries {
            FROM lines)
          SELECT doc_id, string_agg(line, ' ' ORDER BY pos) AS text_dedup
          FROM fst WHERE rn = 1 GROUP BY doc_id""",
+    "corpus_pipeline" ->
+      s"""WITH norm AS (
+            SELECT doc_id, lang, n_chars,
+              trim(regexp_replace(regexp_replace(text, '[\\x00-\\x1F\\x7F]', ' ', 'g'),
+                '\\s+', ' ', 'g')) AS t
+            FROM documents),
+          nn AS (SELECT count(*) AS n FROM norm),
+          h AS (SELECT n_chars, count(*) AS c FROM norm GROUP BY n_chars),
+          cum AS (SELECT n_chars, sum(c) OVER (ORDER BY n_chars) AS cum FROM h),
+          b AS (SELECT min(CASE WHEN cum > floor(n * 2 / 100) THEN n_chars END) AS lo,
+                       min(CASE WHEN cum >= ceil(n * 98 / 100) THEN n_chars END) AS hi
+                FROM cum CROSS JOIN nn),
+          banded AS (
+            SELECT norm.* FROM norm CROSS JOIN b
+            WHERE n_chars >= lo AND n_chars <= hi),
+          dedup AS (
+            SELECT doc_id, lang, t FROM (
+              SELECT doc_id, lang, t,
+                row_number() OVER (PARTITION BY md5(t) ORDER BY doc_id) AS rn
+              FROM banded) WHERE rn = 1),
+          tokd AS (
+            SELECT doc_id, lang,
+              string_split_regex(trim(lower(t)), '\\s+') AS tok
+            FROM dedup),
+          f AS (
+            SELECT doc_id, lang,
+              list_concat(tok,
+                list_transform(generate_series(1, greatest(len(tok) - 1, 1)),
+                  i -> array_to_string(tok[i:i+1], '_'))) AS feats
+            FROM tokd),
+          scored AS (
+            SELECT doc_id, lang,
+              floor((1.0 / (1.0 + exp(-(
+                list_sum(list_transform(feats, g ->
+                  ((('0x' || substring(md5(g), 1, 15))::BIGINT % $PipeBuckets)
+                    * 2654435761 % 1009)::DOUBLE / 1009.0 - 0.5))
+                / len(feats) * $PipeScale + $PipeBias)))) * 10000 + 0.5) / 10000 AS score
+            FROM f)
+          SELECT doc_id, lang, score FROM scored WHERE score >= $PipeKeep""",
     "filter_length_band" ->
       """WITH nn AS (SELECT count(*) AS n FROM documents),
           h AS (SELECT n_chars, count(*) AS c FROM documents GROUP BY n_chars),
