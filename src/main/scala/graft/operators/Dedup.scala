@@ -92,6 +92,41 @@ object Dedup {
       .select(col(idCol), col("bs.band"), col("bs.band_sig"))
   }
 
+  /** Per-row (map-side) MinHash signature: the same VALUES as
+    * `minhashSignature` (PropertySpec asserts equality), computed
+    * entirely with array HOFs — no explode, no groupBy — so it runs
+    * inside a streaming map stage (streaming.StreamNearDup), where a
+    * shuffle agg before the stateful operator is off the table. The
+    * base md5 hashes materialize ONCE per row (outer transform); the
+    * fold then applies the k affine mixes to a k-wide min accumulator,
+    * so total hash work matches the agg form. Returns (id, sig). */
+  def minhashSignatureRowwise(df: DataFrame, idCol: String, textCol: String,
+                              n: Int = 5, k: Int = 16): DataFrame = {
+    val seedA = array((0 until k).map(s => lit(minhashSeedA(s))): _*)
+    val seedB = array((0 until k).map(s => lit(minhashSeedB(s))): _*)
+    val hashes = transform(shingles(col(textCol), n), s => shingleBaseHash(s))
+    val sig = aggregate(hashes,
+      array_repeat(lit(MinhashPrime), k),
+      (acc, h) => transform(acc, (m, j) =>
+        least(m, (h * element_at(seedA, j + 1) + element_at(seedB, j + 1))
+          % MinhashPrime)))
+    df.select(col(idCol), sig.as("sig"))
+  }
+
+  /** Band rows from a row-wise signature — still map-side (the explode
+    * is a stateless generator): (id, band, band_sig), signature-
+    * compatible with `lshBands` output. */
+  def lshBandsRowwise(sig: DataFrame, idCol: String, bands: Int,
+                      rows: Int): DataFrame = {
+    val bandStructs = (0 until bands).map { b =>
+      val parts = (b * rows until (b + 1) * rows)
+        .map(i => element_at(col("sig"), i + 1))
+      struct(lit(b).as("band"), md5(concat_ws(",", parts: _*)).as("band_sig"))
+    }
+    sig.select(col(idCol), explode(array(bandStructs: _*)).as("bs"))
+      .select(col(idCol), col("bs.band"), col("bs.band_sig"))
+  }
+
   /** Band signatures of a corpus slice, shaped for persistence as an
     * incremental dedup INDEX: (id, band, band_sig) — ~bands rows per
     * doc, independent of text size. */

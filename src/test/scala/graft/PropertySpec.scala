@@ -208,6 +208,18 @@ class PropertySpec extends SparkTestBase {
     assert(fast == naive && fast.nonEmpty)
   }
 
+  test("row-wise HOF minhash signature == groupBy signature") {
+    val docs = spark.read.parquet(s"$sfSmoke/documents.parquet")
+      .select(col("doc_id"), col("text"))
+    val agg = Dedup.minhashSignature(docs, "doc_id", "text", 5, 16)
+      .select(col("doc_id"),
+        array((0 until 16).map(i => col(s"mh$i")): _*).as("sig"))
+    val rowwise = Dedup.minhashSignatureRowwise(docs, "doc_id", "text", 5, 16)
+    val diff = agg.join(rowwise.withColumnRenamed("sig", "sig2"), "doc_id")
+      .filter(col("sig") =!= col("sig2")).count()
+    assert(diff == 0L && agg.count() == rowwise.count())
+  }
+
   test("winnowing guarantee: docs sharing a >= k+w-1 char run pair up") {
     val sharedRun = "the exact same thirty-plus character passage here"
     val docs = Seq(

@@ -119,6 +119,38 @@ class StreamingSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("streaming LSH screen matches the batch banded self-join") {
+    implicit val sqlCtx = spark.sqlContext
+    val docs = graft.core.Lakehouse.table(spark, sfSmoke, "documents")
+      .select(col("doc_id"), col("text"))
+    val batchPairs = graft.operators.Dedup
+      .lshCandidatePairs(docs, "doc_id", "text")
+      .as[(Long, Long)].collect().toSet
+
+    val mem = MemoryStream[(Long, String)]
+    val input = mem.toDF().toDF("doc_id", "text")
+    val q = graft.streaming.StreamNearDup.candidatePairs(
+      graft.streaming.StreamNearDup.bandRows(input, "doc_id", "text"))
+      .writeStream.format("memory").queryName("stream_lsh")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      val rows = docs.as[(Long, String)].collect()
+      val (evens, odds) = rows.partition(_._1 % 2 == 0)
+      mem.addData(evens.toSeq: _*)
+      q.processAllAvailable()
+      val afterFirst = spark.table("stream_lsh").count()
+      mem.addData(odds.toSeq: _*)
+      q.processAllAvailable()
+
+      val streamed = spark.table("stream_lsh")
+        .as[(Long, Long)].collect()
+        .map { case (a, b) => (math.min(a, b), math.max(a, b)) }.toSet
+      assert(streamed == batchPairs, "streamed candidates must equal batch")
+      // cross-batch: the odd half found pairs against state from batch 1
+      assert(afterFirst > 0 && streamed.size > afterFirst)
+    } finally q.stop()
+  }
+
   test("file-source stream (Trigger.AvailableNow) matches the batch result") {
     // The incremental-ingest shape at scale: the same windowedCounts
     // plan runs over a parquet directory as a bounded stream — several
