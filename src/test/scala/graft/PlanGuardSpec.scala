@@ -1,0 +1,69 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+
+/** Plan-shape regression guards: the scale properties the engine is
+  * designed around, asserted against the actual physical plans so a
+  * refactor can't silently trade them away. (PLANS.md shows the full
+  * curated plans; these tests pin the load-bearing markers.)
+  */
+class PlanGuardSpec extends SparkTestBase {
+
+  private def plan(name: String): String =
+    SparkEntry.queries(name)(spark, sfSmoke)
+      .queryExecution.executedPlan.toString
+
+  test("s1 scan: filter pushed down, columns pruned") {
+    val p = plan("s1_scan_project")
+    assert(p.contains("PushedFilters: [IsNotNull(l_shipdate), LessThan(l_shipdate"),
+      s"filter must reach the scan:\n$p")
+    assert(p.contains("ReadSchema: struct<l_orderkey:bigint,l_linenumber:int," +
+      "l_extendedprice:double,l_shipdate:timestamp_ntz>"),
+      s"scan must read only the 4 needed columns:\n$p")
+  }
+
+  test("star join: all dims broadcast, no sort-merge on the fact") {
+    val p = plan("j4_star")
+    assert(!p.contains("SortMergeJoin"), s"fact must not sort-merge:\n$p")
+    assert(p.contains("BroadcastHashJoin"), s"dims must broadcast:\n$p")
+  }
+
+  test("incremental LSH probe: batch side broadcasts, index never shuffles") {
+    val p = plan("dedup_lsh_probe")
+    assert(p.contains("BroadcastHashJoin"), s"probe join must broadcast:\n$p")
+    assert(p.contains("BuildLeft"), s"the batch (left) side must build:\n$p")
+  }
+
+  test("default similarity paths have no cartesian shape") {
+    for (q <- Seq("ann_lsh_topk", "ann_lsh_multiprobe", "ann_ivf_topk",
+      "dedup_minhash_lsh", "dedup_simhash_pairs")) {
+      val p = plan(q)
+      assert(!p.contains("CartesianProduct"), s"$q degraded to cartesian:\n$p")
+      assert(!p.contains("BroadcastNestedLoopJoin"),
+        s"$q degraded to nested-loop:\n$p")
+    }
+  }
+
+  test("hashed quality scorer is map-side only (no exchange)") {
+    val p = plan("ml_quality_filter")
+    assert(!p.contains("Exchange"), s"scorer must not shuffle:\n$p")
+  }
+
+  test("z-order key needs only the 1-row bounds exchange") {
+    val p = plan("layout_zorder")
+    // one SinglePartition exchange under the bounds agg; the fact side
+    // itself is never exchanged to compute zval
+    assert(p.contains("Exchange SinglePartition"),
+      s"bounds agg must merge on one partition:\n$p")
+    assert(!p.contains("Exchange hashpartitioning") &&
+      !p.contains("Exchange rangepartitioning"),
+      s"the fact side must not shuffle to compute zval:\n$p")
+    assert(p.contains("BroadcastExchange"), s"bounds must broadcast:\n$p")
+  }
+
+  test("serving DSL filters compile to pushed-down scan predicates") {
+    val p = plan("dsl_page_filter")
+    assert(p.contains("PushedFilters: [") && !p.contains("PushedFilters: []"),
+      s"DSL predicates must reach the parquet scan:\n$p")
+  }
+}
