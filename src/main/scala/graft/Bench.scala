@@ -39,7 +39,14 @@ object Bench {
     val results = SparkEntry.queries.map { case (name, fn) =>
       val times = (1 to 2).map { _ =>
         val t0 = System.nanoTime()
-        try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+        // Execute the query's OWN physical plan (toRdd), not
+        // `df.count()`: a count re-optimizes with an empty projection,
+        // letting column pruning skip all per-row compute — a pure
+        // projection query would bench as a metadata scan. toRdd
+        // materializes every output row, matching the DuckDB side's
+        // full fetch in COMPARE.md.
+        try { fn(spark, sfDir).queryExecution.toRdd.count() }
+        catch { case _: Throwable => -1L }
         (System.nanoTime() - t0) / 1e9
       }
       name -> times.min

@@ -73,19 +73,27 @@ object ModelScoring {
   def hashedTextScore(text: Column, buckets: Int = 1 << 20,
                       scale: Double = 8.0, bias: Double = 0.0): Column = {
     val toks = split(trim(lower(text)), "\\s+")
-    // Clamped bigrams, same slice convention as Cleaning.wordGrams: a
-    // one-token doc contributes its token once more (still deterministic
-    // and mirrored by the oracle's list slice).
-    val bigrams = transform(
-      sequence(lit(1), greatest(size(toks) - 1, lit(1))),
-      i => concat_ws("_", slice(toks, i, lit(2))))
-    val feats = concat(toks, bigrams)
+    // zip_with, NOT transform-with-slice: a lambda that captures `toks`
+    // re-evaluates the whole tokenization per ELEMENT (HOF lambdas see
+    // no subexpression elimination), turning the scorer quadratic in
+    // practice. zip_with's arguments evaluate once per row; the tail
+    // mismatch pads with null, which filter() drops — so a doc yields
+    // exactly len-1 bigrams (none for a one-token doc).
+    val bigrams = zip_with(toks,
+      slice(toks, lit(2), greatest(size(toks) - 1, lit(0))),
+      (a, b) => concat(a, lit("_"), b))
+    val feats = filter(concat(toks, bigrams), f => f.isNotNull)
     def weight(f: Column): Column = {
       val b = conv(substring(md5(f), 1, 15), 16, 10).cast("long") % buckets
       (b * lit(2654435761L) % 1009L).cast("double") / lit(1009.0) - lit(0.5)
     }
-    val mean = aggregate(feats, lit(0.0), (acc, f) => acc + weight(f)) /
-      size(feats)
+    // one pass: (sum, count) accumulator, so `feats` is built once
+    // instead of once for the sum and once for size()
+    val mean = aggregate(feats,
+      struct(lit(0.0).as("s"), lit(0).as("c")),
+      (acc, f) => struct((acc.getField("s") + weight(f)).as("s"),
+        (acc.getField("c") + 1).as("c")),
+      acc => acc.getField("s") / acc.getField("c"))
     lit(1.0) / (lit(1.0) + exp(-(mean * scale + bias)))
   }
 }

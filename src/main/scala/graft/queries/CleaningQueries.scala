@@ -200,8 +200,8 @@ object CleaningQueries {
           f AS (
             SELECT doc_id, lang,
               list_concat(tok,
-                list_transform(generate_series(1, greatest(len(tok) - 1, 1)),
-                  i -> array_to_string(tok[i:i+1], '_'))) AS feats
+                list_transform(generate_series(1, len(tok) - 1),
+                  i -> tok[i] || '_' || tok[i + 1])) AS feats
             FROM tokd),
           scored AS (
             SELECT doc_id, lang,

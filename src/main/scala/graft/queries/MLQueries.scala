@@ -87,8 +87,8 @@ object MLQueries {
           f AS (
             SELECT doc_id,
               list_concat(tok,
-                list_transform(generate_series(1, greatest(len(tok) - 1, 1)),
-                  i -> array_to_string(tok[i:i+1], '_'))) AS feats
+                list_transform(generate_series(1, len(tok) - 1),
+                  i -> tok[i] || '_' || tok[i + 1])) AS feats
             FROM t),
           s AS (
             SELECT doc_id,
