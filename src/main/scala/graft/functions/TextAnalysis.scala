@@ -80,11 +80,21 @@ object TextAnalysis {
 
   def topTokenShare(text: Column): Column = {
     val toks = wsTokens(text)
-    // max frequency via sort + count of the modal run, expressed with
-    // aggregate over the distinct tokens (bounded: distinct set)
-    val counts = transform(array_distinct(toks),
-      t => size(filter(toks, x => x === t)))
-    array_max(counts).cast("double") / greatest(size(toks), lit(1)).cast("double")
+    // ONE pass over the sorted tokens: the longest equal-run is the
+    // modal frequency. The previous distinct×filter formulation
+    // captured `toks` in its lambda — a captured computation
+    // re-evaluates per element (no CSE inside HOF lambdas), making the
+    // pass quadratic; this fold touches only (acc, t).
+    val best = aggregate(array_sort(toks),
+      struct(lit("").as("prev"), lit(0).as("run"), lit(0).as("best")),
+      (acc, t) => {
+        val run = when(t === acc.getField("prev"), acc.getField("run") + 1)
+          .otherwise(lit(1))
+        struct(t.as("prev"), run.as("run"),
+          greatest(acc.getField("best"), run).as("best"))
+      },
+      acc => acc.getField("best"))
+    best.cast("double") / greatest(size(toks), lit(1)).cast("double")
   }
 
   /** Mean token length in characters (exact int/int division). */
