@@ -59,6 +59,48 @@ object ModelScoring {
     lit(1.0) / (lit(1.0) + exp(-z))
   }
 
+  /** Literal decision tree: feature index (0-based into the vector),
+    * threshold, subtrees. A trained GBT/CatBoost model exports to
+    * exactly this shape; here fixture trees stand in so the oracle can
+    * mirror the ensemble as nested CASE WHEN. */
+  sealed trait Tree
+  final case class Leaf(w: Double) extends Tree
+  final case class Split(feature: Int, threshold: Double,
+                         lo: Tree, hi: Tree) extends Tree
+
+  private def treeExpr(vec: Column, t: Tree): Column = t match {
+    case Leaf(w) => lit(w)
+    case Split(f, thr, lo, hi) =>
+      when(element_at(vec, f + 1) <= thr, treeExpr(vec, lo))
+        .otherwise(treeExpr(vec, hi))
+  }
+
+  /** Tree-ensemble (GBT-style) scoring with literal trees: the model
+    * compiles to nested CASE WHEN — whole-stage codegen, no UDF, no
+    * broadcast needed (the ensemble IS the plan). sigmoid(bias + Σ
+    * tree(vec)) — the additive-margin form CatBoost/LightGBM use for
+    * binary classification. */
+  def treeEnsembleScore(vec: Column, trees: Seq[Tree], bias: Double): Column = {
+    val margin = trees.map(t => treeExpr(vec, t))
+      .foldLeft(lit(bias))(_ + _)
+    lit(1.0) / (lit(1.0) + exp(-margin))
+  }
+
+  /** The same ensemble as oracle SQL over a DuckDB list column (1-based
+    * indexing mirrors element_at). */
+  def treeEnsembleSql(vecSql: String, trees: Seq[Tree], bias: Double): String = {
+    // every literal carries ::DOUBLE — DuckDB otherwise parses numeric
+    // literals as DECIMAL and the arithmetic diverges from Spark's
+    def one(t: Tree): String = t match {
+      case Leaf(w) => s"($w)::DOUBLE"
+      case Split(f, thr, lo, hi) =>
+        s"(CASE WHEN $vecSql[${f + 1}]::DOUBLE <= ($thr)::DOUBLE " +
+          s"THEN ${one(lo)} ELSE ${one(hi)} END)"
+    }
+    val margin = trees.map(one).mkString(s"(($bias)::DOUBLE + ", " + ", ")")
+    s"(1.0 / (1.0 + exp(-$margin)))"
+  }
+
   /** fastText-style hashed-feature text classifier: word uni+bigrams →
     * md5 bucket in [0, buckets) → per-bucket weight → mean pool →
     * logistic output. The bucket weights here are a deterministic hash

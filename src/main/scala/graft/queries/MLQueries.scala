@@ -19,6 +19,17 @@ object MLQueries {
   private val QBuckets = 1 << 20
   private val QScale = 8.0
   private val QBias = 0.0
+  private val TreeBias = 0.05
+  // deterministic stand-ins for an exported GBT: depth-2 splits over
+  // seeded feature indices (a real model serializes to the same Tree
+  // shape and compiles identically)
+  private def fixtureTree(k: Int): ModelScoring.Tree = ModelScoring.Split(
+    (k * 7) % Dim, 0.0,
+    ModelScoring.Split((k * 13 + 3) % Dim, -0.2,
+      ModelScoring.Leaf(-0.6 + 0.1 * k), ModelScoring.Leaf(0.3)),
+    ModelScoring.Split((k * 19 + 5) % Dim, 0.2,
+      ModelScoring.Leaf(0.1), ModelScoring.Leaf(0.5 - 0.05 * k)))
+  private lazy val fixtureTrees = (0 until 4).map(fixtureTree)
 
   val queries: Map[String, QueryFn] = Map(
     // KNN genome-classifier surface: broadcast labeled training set,
@@ -36,6 +47,14 @@ object MLQueries {
     "ml_linear_score" -> ((s, d) => {
       tbl(s, d, "embeddings").select(col("vec_id"),
         round4(ModelScoring.linearScore(col("embedding"), weights, Bias)).as("score"))
+    }),
+
+    // GBT/CatBoost-shaped tree-ensemble scoring: the literal trees
+    // compile to nested CASE WHEN — the model IS the plan.
+    "ml_tree_score" -> ((s, d) => {
+      tbl(s, d, "embeddings").select(col("vec_id"),
+        round4(ModelScoring.treeEnsembleScore(
+          col("embedding"), fixtureTrees, TreeBias)).as("score"))
     }),
 
     // fastText-style learned quality filter: hashed uni+bigram bag,
@@ -79,6 +98,11 @@ object MLQueries {
     "ml_linear_score" ->
       s"""SELECT vec_id,
             floor((1.0 / (1.0 + exp(-(${dotSql("embedding", weightLit)} + $Bias)))) * 10000 + 0.5) / 10000 AS score
+          FROM embeddings""",
+    "ml_tree_score" ->
+      s"""SELECT vec_id,
+            floor((${ModelScoring.treeEnsembleSql("embedding", fixtureTrees, TreeBias)})
+              * 10000 + 0.5) / 10000 AS score
           FROM embeddings""",
     "ml_quality_filter" ->
       s"""WITH t AS (

@@ -108,7 +108,14 @@ def main():
                 "columnar stand-in for the reference's Polars engine; Spark =\n"
                 "this engine at local[32]. Spark times are from the bench run\n"
                 "(includes per-query plan+execute; first bench query carries\n"
-                "~4-5 s one-time session warmup).\n\n")
+                "~4-5 s one-time session warmup).\n\n"
+                "Measurement note (round 3): the bench now executes each\n"
+                "query's own physical plan (`toRdd.count()`) instead of\n"
+                "`df.count()`, which let column pruning skip all per-row\n"
+                "compute on pure-projection queries. Map-only queries\n"
+                "therefore show HIGHER spark times than earlier rounds —\n"
+                "that delta is the honesty fix, not a regression; both\n"
+                "engines now materialize every output row.\n\n")
         dcol = " | Δ vs prev" if prev is not None else ""
         f.write(f"| query | spark s | duckdb s | spark/duckdb{dcol} |\n")
         f.write("|---|---|---|---|" + ("---|" if prev is not None else "") + "\n")
