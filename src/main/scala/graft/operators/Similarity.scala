@@ -141,6 +141,21 @@ object Similarity {
     (-array_max(array(scored: _*)).getField("negCell")).cast("long")
   }
 
+  /** Nearest centroid by EUCLIDEAN distance: argmin |v−c|² = argmax
+    * dot(v,c) − |c|²/2. Residual PQ must assign in L2 — residuals are
+    * centered at 0, so a cosine (direction-only) assignment throws the
+    * magnitude away and quantization collapses. */
+  private def assignCellL2(v: Column,
+                           centroids: Seq[(Long, Seq[Double])]): Column = {
+    val scored = centroids.map { case (cellId, c) =>
+      val cl = array(c.map(lit): _*)
+      val halfNormSq = lit(c.map(x => x * x).sum / 2.0)
+      struct((VectorOps.dot(v, cl) - halfNormSq).as("sim"),
+        (-lit(cellId)).cast("long").as("negCell"))
+    }
+    (-array_max(array(scored: _*)).getField("negCell")).cast("long")
+  }
+
   /** Deterministic k-means fit returning the centroids as plain data:
     * seeded with the first `k` corpus vectors (id < k), then `iters`
     * rounds of cosine-argmax assignment + element-wise mean update.
@@ -238,7 +253,8 @@ object Similarity {
     * 64-dim float vector to `m` small ints (16× smaller index), and the
     * fit runs on the same 1-in-N hash sample as the IVF quantizer. */
   def pqFit(df: DataFrame, idCol: String, vecCol: String, m: Int, subDim: Int,
-            ksub: Int, iters: Int = 2, trainSampleMod: Int = 1): Seq[Seq[(Long, Seq[Double])]] = {
+            ksub: Int, iters: Int = 2, trainSampleMod: Int = 1,
+            l2Assign: Boolean = false): Seq[Seq[(Long, Seq[Double])]] = {
     // All m subspaces train in the SAME pass: explode each sampled row
     // into (j, subvector), branch the literal-codebook assignment on j,
     // then ONE groupBy(j, cell) with subDim mean columns and one
@@ -265,7 +281,9 @@ object Similarity {
     for (_ <- 0 until iters) {
       val cellExpr = books.zipWithIndex.foldRight(lit(null).cast("long")) {
         case ((cents, j), acc) =>
-          when(col("j") === j, assignCell(col("v"), col("vn"), cents)).otherwise(acc)
+          when(col("j") === j,
+            if (l2Assign) assignCellL2(col("v"), cents)
+            else assignCell(col("v"), col("vn"), cents)).otherwise(acc)
       }
       val rows = base.select(col("j"), cellExpr.as("cell"), col("v"))
         .groupBy(col("j"), col("cell"))
@@ -429,6 +447,91 @@ object Similarity {
       .filter(col("query_id") =!= col("neighbor_id"))
       .withColumn("cosine", approxDot / (col("qn") * approxNorm))
     (pairs, base)
+  }
+
+  /** Residual-encoded IVF-PQ (the classical IVFADC layout): the PQ
+    * codebooks are trained on r = v − centroid(cell) instead of v. The
+    * residual has a fraction of the raw vector's variance, so the same
+    * code budget quantizes far finer — recall rises with no change to
+    * index size or probe cost. Reconstruction is x̂ = c + r̂, and the
+    * ADC math stays lookup-shaped:
+    *   dot(q, x̂)  = dot(q, c) + Σⱼ qdⱼ[codeⱼ]
+    *   |x̂|²       = |c|² + 2·Σⱼ cross[cell, codeⱼ] + Σⱼ nsqⱼ[codeⱼ]
+    * where qd (per query), cross and nsq (pure literals:
+    * cells × ksub entries) are precomputed tables. Recall measured in
+    * RecallSpec vs the raw-vector ivfPqTopK. */
+  def ivfPqResidualTopK(df: DataFrame, idCol: String, vecCol: String, k: Int,
+                        nCentroids: Int, nprobe: Int, m: Int, subDim: Int,
+                        ksub: Int, kmeansIters: Int = 2,
+                        trainSampleMod: Int = 1): DataFrame = {
+    val centroids = kmeansFit(df, idCol, vecCol, nCentroids, kmeansIters, trainSampleMod)
+    def centroidArray(cellCol: Column): Column =
+      centroids.foldRight(lit(null).cast("array<double>")) {
+        case ((id, cv), acc) =>
+          when(cellCol === id, array(cv.map(lit): _*)).otherwise(acc)
+      }
+    val base = spread(df).select(col(idCol), col(vecCol).as("v"))
+      .withColumn("vn", VectorOps.norm(col("v")))
+      .withColumn("cell", assignCell(col("v"), col("vn"), centroids))
+      .withColumn("r", zip_with(col("v"), centroidArray(col("cell")),
+        (a, b) => a - b))
+      .localCheckpoint() // feeds PQ training, the index, and the queries
+    val books = pqFit(base.select(col(idCol), col("r")), idCol, "r",
+      m, subDim, ksub, kmeansIters, trainSampleMod, l2Assign = true)
+    // corpus index: (cell, m residual codes) — L2 code assignment, as
+    // in training
+    val codeCols = books.zipWithIndex.map { case (cents, j) =>
+      val sub = slice(col("r"), j * subDim + 1, subDim)
+      assignCellL2(sub, cents).as(s"c$j")
+    }
+    val corpus = base
+      .select(col("cell") +: col(idCol).as("neighbor_id") +: codeCols: _*)
+    // literal tables (cell and code labels are both < their k by
+    // construction — seeds are the first-k corpus ids — so the cross
+    // table keys as cell*ksub+code without collision)
+    val nsqMaps = books.map(cents => map_from_arrays(
+      array(cents.map(c => lit(c._1)): _*),
+      array(cents.map(c => lit(c._2.map(x => x * x).sum)): _*)))
+    val crossMaps = books.zipWithIndex.map { case (cents, j) =>
+      val entries = for ((cellId, cv) <- centroids; (code, rv) <- cents)
+        yield (cellId * ksub + code,
+          cv.slice(j * subDim, (j + 1) * subDim).zip(rv).map { case (a, b) => a * b }.sum)
+      map_from_arrays(array(entries.map(e => lit(e._1)): _*),
+        array(entries.map(e => lit(e._2)): _*))
+    }
+    val cellNormSq = map_from_arrays(
+      array(centroids.map(c => lit(c._1)): _*),
+      array(centroids.map(c => lit(c._2.map(x => x * x).sum)): _*))
+    val queries0 = base
+      .withColumn("pcell",
+        explode(assignCells(col("v"), col("vn"), centroids, nprobe)))
+      .select(col("pcell").as("cell"), col(idCol).as("query_id"),
+        col("v").as("qv"), col("vn").as("qn"))
+    val queries = books.zipWithIndex.foldLeft(queries0) { case (acc, (cents, j)) =>
+      val sub = slice(col("qv"), j * subDim + 1, subDim)
+      acc.withColumn(s"qd$j", map_from_arrays(
+        array(cents.map(c => lit(c._1)): _*),
+        array(cents.map(c => VectorOps.dot(sub, array(c._2.map(lit): _*))): _*)))
+    }
+    val dotQC = centroids.foldRight(lit(0.0)) { case ((id, cv), acc) =>
+      when(col("cell") === id,
+        VectorOps.dot(col("qv"), array(cv.map(lit): _*))).otherwise(acc)
+    }
+    val approxDot = dotQC + books.indices
+      .map(j => element_at(col(s"qd$j"), col(s"c$j"))).reduce(_ + _)
+    val normSq = element_at(cellNormSq, col("cell")) +
+      lit(2.0) * books.indices
+        .map(j => element_at(crossMaps(j), col("cell") * ksub + col(s"c$j")))
+        .reduce(_ + _) +
+      books.indices.map(j => element_at(nsqMaps(j), col(s"c$j"))).reduce(_ + _)
+    val pairs = queries.join(corpus, Seq("cell"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("cosine", approxDot / (col("qn") * sqrt(normSq)))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("neighbor_id").asc)
+    pairs.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("neighbor_id"))
   }
 
   /** `kmeansFit` as a DataFrame (cell, cv) for callers that join it. */
