@@ -18,34 +18,59 @@ import org.apache.spark.sql.functions._
   *    open version. Point-in-time queries then filter
   *    `valid_from <= t AND (valid_to IS NULL OR valid_to > t)`.
   *
-  * Both are pure joins/unions: Catalyst broadcasts the feed side and
-  * the plans stay one-pass over the base.
+  * Both are pure joins/unions. The feed side broadcasts ONLY while
+  * Catalyst's size estimate stays under `maxBroadcastBytes`; a
+  * backfill-sized feed degrades to a shuffle join instead of OOMing
+  * the driver — answers identical either way.
   */
 object Merge {
 
+  /** Default feed-broadcast ceiling (8 MiB, in line with Spark's own
+    * autoBroadcastJoinThreshold order of magnitude). */
+  val DefaultMaxBroadcastBytes: Long = 8L << 20
+
+  /** Broadcast `df` only when its optimized-plan size estimate is under
+    * the ceiling; otherwise pin a shuffle-hash join so the planner can
+    * never "helpfully" broadcast a backfill-sized feed. */
+  private def feedSide(df: DataFrame, maxBroadcastBytes: Long): DataFrame =
+    if (df.queryExecution.optimizedPlan.stats.sizeInBytes <= maxBroadcastBytes)
+      broadcast(df)
+    else df.hint("shuffle_hash")
+
   /** Update-wins keyed upsert: rows of `base` whose key appears in
-    * `updates` are replaced; new keys are appended. Schemas must match. */
-  def upsert(base: DataFrame, updates: DataFrame,
-             keyCols: Seq[String]): DataFrame =
-    base.join(broadcast(updates.select(keyCols.map(col): _*)),
+    * `updates` are replaced; new keys are appended. Schemas must match;
+    * `updates` must carry one row per key (MERGE source-uniqueness —
+    * duplicate feed keys would both survive the union). */
+  def upsert(base: DataFrame, updates: DataFrame, keyCols: Seq[String],
+             maxBroadcastBytes: Long = DefaultMaxBroadcastBytes): DataFrame =
+    base.join(feedSide(updates.select(keyCols.map(col): _*), maxBroadcastBytes),
         keyCols, "left_anti")
       .unionByName(updates)
 
   /** SCD2 history merge. `base` carries (key..., attrs..., valid_from,
     * valid_to) with `valid_to IS NULL` marking current rows; `updates`
-    * carries (key..., attrs..., tsCol) — every update row closes the
-    * key's current version at its timestamp and opens a new one. */
+    * carries (key..., attrs..., tsCol). The feed is first deduped to
+    * its LATEST row per key (ts desc, remaining columns as a
+    * deterministic tie-break) — so a feed that accumulated several
+    * updates for one key applies only the newest, preserving the
+    * one-open-row-per-key invariant; that row closes the key's current
+    * version at its timestamp and opens the new one. */
   def scd2(base: DataFrame, updates: DataFrame, keyCols: Seq[String],
-           tsCol: String): DataFrame = {
+           tsCol: String,
+           maxBroadcastBytes: Long = DefaultMaxBroadcastBytes): DataFrame = {
     val keyExprs = keyCols.map(col)
+    val tieBreak = updates.columns.toSeq
+      .filterNot(c => keyCols.contains(c) || c == tsCol).map(col(_).desc)
+    val latest = Relational.topKPerGroup(updates, keyCols,
+      col(tsCol).desc +: tieBreak, 1)
     val history = base.filter(col("valid_to").isNotNull)
     val current = base.filter(col("valid_to").isNull)
-    val feedTs = updates.select(keyExprs :+ col(tsCol).as("__new_ts"): _*)
+    val feedTs = latest.select(keyExprs :+ col(tsCol).as("__new_ts"): _*)
     // close matched current rows; unmatched stay open untouched
-    val closed = current.join(broadcast(feedTs), keyCols, "left")
+    val closed = current.join(feedSide(feedTs, maxBroadcastBytes), keyCols, "left")
       .withColumn("valid_to", coalesce(col("__new_ts"), col("valid_to")))
       .drop("__new_ts")
-    val opened = updates
+    val opened = latest
       .withColumnRenamed(tsCol, "valid_from")
       .withColumn("valid_to", lit(null).cast(base.schema("valid_to").dataType))
     history.unionByName(closed).unionByName(opened)

@@ -9,9 +9,10 @@ import org.apache.spark.sql.functions._
   *
   * Scale shape: term counts are ONE partial-agg groupBy over exploded
   * tokens; document frequencies reduce the (doc, term) table to a
-  * vocabulary-sized frame that is BROADCAST back (with the 1-row doc
-  * count), so the corpus-sized side never shuffles on terms again; the
-  * final top-k is a per-doc window. Ranking uses the ROUNDED score
+  * vocabulary-sized frame joined back BY SHUFFLE on `term` — a
+  * web-scale corpus has billions of distinct tokens, so the idf side
+  * must never broadcast (only the 1-row doc count does); the final
+  * top-k is a per-doc window. Ranking uses the ROUNDED score
   * (4 places) with the term as tie-break, so the order is deterministic
   * across engines and float-combine orders.
   */
@@ -25,7 +26,9 @@ object TfIdf {
     val nDocs = df.select(count(lit(1)).as("n_docs"))
     val idf = dfreq.crossJoin(broadcast(nDocs)).select(col("term"),
       (log((col("n_docs") + 1).cast("double") / (col("df") + 1)) + 1).as("idf"))
-    val scored = tf.join(broadcast(idf), Seq("term"))
+    // Vocabulary-sized side: shuffle-hash join on term (hinted so the
+    // planner can't "helpfully" broadcast a billions-of-tokens frame).
+    val scored = tf.join(idf.hint("shuffle_hash"), Seq("term"))
       .withColumn("score",
         floor(col("tf") * col("idf") * 10000 + lit(0.5)) / 10000)
     val w = Window.partitionBy(col(idCol))

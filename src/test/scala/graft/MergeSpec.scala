@@ -33,6 +33,42 @@ class MergeSpec extends SparkTestBase {
     assert(closed == 100L)
   }
 
+  test("scd2: multi-row feed keeps one open version per key (latest wins)") {
+    val multi = Seq((2L, "B1", 60L), (2L, "B2", 100L), (4L, "D0", 80L),
+      (4L, "D", 100L)).toDF("id", "v", "ts")
+    val merged = Merge.scd2(base, multi, Seq("id"), "ts")
+    val open = merged.filter(col("valid_to").isNull)
+      .select("id", "v").as[(Long, String)].collect()
+    assert(open.length == open.map(_._1).distinct.length,
+      s"duplicate open versions: ${open.mkString(",")}")
+    assert(open.toMap == Map(1L -> "A", 2L -> "B2", 3L -> "C", 4L -> "D"))
+    // the matched current row closed at the LATEST feed ts
+    val closed = merged.filter(col("id") === 2 && col("valid_to").isNotNull &&
+        col("valid_from") === 0).select("valid_to").as[Long].head()
+    assert(closed == 100L)
+  }
+
+  test("merge degrades to a shuffle join past the broadcast ceiling") {
+    val b = base.filter(col("valid_to").isNull).select("id", "v")
+    val up = Merge.upsert(b, feed.select("id", "v"), Seq("id"),
+      maxBroadcastBytes = 0L)
+    assert(up.as[(Long, String)].collect().toMap ==
+      Map(1L -> "A", 2L -> "B2", 3L -> "C", 4L -> "D"))
+    val upPlan = up.queryExecution.executedPlan.toString
+    assert(!upPlan.contains("BroadcastExchange"),
+      s"oversized feed must not broadcast:\n$upPlan")
+    assert(upPlan.contains("ShuffledHashJoin") || upPlan.contains("SortMergeJoin"),
+      s"oversized feed must shuffle-join:\n$upPlan")
+
+    val sc = Merge.scd2(base, feed, Seq("id"), "ts", maxBroadcastBytes = 0L)
+    val scPlan = sc.queryExecution.executedPlan.toString
+    assert(!scPlan.contains("BroadcastExchange"),
+      s"oversized scd2 feed must not broadcast:\n$scPlan")
+    val open = sc.filter(col("valid_to").isNull)
+      .select("id", "v").as[(Long, String)].collect().toMap
+    assert(open == Map(1L -> "A", 2L -> "B2", 3L -> "C", 4L -> "D"))
+  }
+
   test("upsert: update wins, new keys append, feed side broadcasts") {
     val b = base.filter(col("valid_to").isNull).select("id", "v")
     val merged = Merge.upsert(b, feed.select("id", "v"), Seq("id"))

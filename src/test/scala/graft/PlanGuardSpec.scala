@@ -61,6 +61,14 @@ class PlanGuardSpec extends SparkTestBase {
     assert(p.contains("BroadcastExchange"), s"bounds must broadcast:\n$p")
   }
 
+  test("tfidf: the vocabulary-sized idf side joins by shuffle, never broadcast") {
+    val p = plan("tfidf_topk")
+    assert(!p.contains("BroadcastHashJoin"),
+      s"idf must not broadcast-join (vocabulary-sized at scale):\n$p")
+    assert(p.contains("ShuffledHashJoin"),
+      s"the term join must be a shuffle-hash join:\n$p")
+  }
+
   test("serving DSL filters compile to pushed-down scan predicates") {
     val p = plan("dsl_page_filter")
     assert(p.contains("PushedFilters: [") && !p.contains("PushedFilters: []"),
