@@ -90,21 +90,46 @@ object Relational {
     df.orderBy(order: _*).offset(offset).limit(limit)
 
   /** Dynamic long→wide pivot with deterministic, bounded pivot values
-    * (SURVEY §1.3 dynamic ontology columns: datalake_table.py:310-316).
+    * (SURVEY §1.3 dynamic ontology columns: datalake_table.py:310-316;
+    * §7.4 hard-part 1: "collect distinct terms, sort, cap with
+    * overflow column").
     *
     * Two-pass like the reference: discover the distinct pivot values
-    * (sorted, capped — a driver-side collect of at most `maxValues`
-    * strings), then pivot with the explicit list so the plan is stable
-    * and the shuffle is a single groupBy.
+    * (sorted, capped — a TakeOrdered of at most `maxValues + 1`
+    * strings, so the driver never holds an unbounded term set), then
+    * pivot with the explicit list so the plan is stable and the
+    * shuffle is a single groupBy.
+    *
+    * When the data exceeds the cap: with `overflowCol` set, the first
+    * `maxValues` values (sorted ascending) become columns and every
+    * remaining value is remapped into the single `overflowCol` column
+    * (the agg then runs over the combined overflow group); with no
+    * `overflowCol` the pivot refuses loudly instead of silently
+    * widening to an unbounded schema.
     */
   def dynamicPivot(df: DataFrame, keys: Seq[String], pivotCol: String,
-                   agg: Column, maxValues: Int = 1000): DataFrame = {
-    val values = df.select(col(pivotCol).cast("string"))
-      .distinct().limit(maxValues + 1)
-      .collect().map(_.getString(0)).sorted.toSeq
-    require(values.size <= maxValues,
-      s"pivot values for $pivotCol exceed cap $maxValues")
-    df.groupBy(keys.map(col): _*).pivot(pivotCol, values).agg(agg)
+                   agg: Column, maxValues: Int = 1000,
+                   overflowCol: Option[String] = None): DataFrame = {
+    val pv = col(pivotCol).cast("string")
+    val discovered = df.select(pv.as("__pv")).distinct()
+      .orderBy(col("__pv")).limit(maxValues + 1)
+      .collect().map(_.getString(0)).toSeq
+    if (discovered.size <= maxValues)
+      df.groupBy(keys.map(col): _*).pivot(pivotCol, discovered).agg(agg)
+    else overflowCol match {
+      case None =>
+        throw new IllegalArgumentException(
+          s"pivot values for $pivotCol exceed cap $maxValues " +
+            "(pass overflowCol to route the excess into one column)")
+      case Some(other) =>
+        val kept = discovered.take(maxValues)
+        require(!kept.contains(other),
+          s"overflow column name '$other' collides with a pivot value")
+        val remapped = df.withColumn("__pivot_val",
+          when(pv.isin(kept: _*), pv).otherwise(lit(other)))
+        remapped.groupBy(keys.map(col): _*)
+          .pivot("__pivot_val", kept :+ other).agg(agg)
+    }
   }
 
   /** Set-collect rendered to a deterministic `;`-joined string (SURVEY

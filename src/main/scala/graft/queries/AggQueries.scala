@@ -153,6 +153,21 @@ object AggQueries {
         tbl(s, d, "events").select(col("user_id"), col("event_type")),
         Seq("user_id"), "event_type", count(lit(1)), maxValues = 100)
         .na.fill(0)
+    }),
+
+    // Dynamic pivot PAST the cap: the 25 p_brand values exceed
+    // maxValues = 10, so the first 10 (sorted) become columns and the
+    // other 15 aggregate into one 'other' overflow column (SURVEY §7.4
+    // hard-part 1; reference discovers terms unbounded,
+    // datalake_table.py:310-316 — the cap+overflow keeps the schema
+    // bounded at 100 TB term cardinalities).
+    "pivot_overflow" -> ((s, d) => {
+      Relational.dynamicPivot(
+        tbl(s, d, "part").select((col("p_size") % 5).as("size_band"),
+          col("p_brand")),
+        Seq("size_band"), "p_brand", count(lit(1)), maxValues = 10,
+        overflowCol = Some("other"))
+        .na.fill(0)
     }))
 
   val oracles: Map[String, String] = Map(
@@ -219,5 +234,16 @@ object AggQueries {
            CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS purchase,
            CAST(sum(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS BIGINT) AS signup,
            CAST(sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT) AS view
-         FROM events GROUP BY user_id""")
+         FROM events GROUP BY user_id""",
+    "pivot_overflow" -> {
+      val kept = Seq("Brand#1", "Brand#10", "Brand#11", "Brand#12", "Brand#13",
+        "Brand#14", "Brand#15", "Brand#16", "Brand#17", "Brand#18")
+      val cells = kept.map(b =>
+        s"""CAST(sum(CASE WHEN p_brand = '$b' THEN 1 ELSE 0 END) AS BIGINT) AS "$b"""")
+      val inList = kept.map(b => s"'$b'").mkString(", ")
+      s"""SELECT p_size % 5 AS size_band,
+           ${cells.mkString(",\n           ")},
+           CAST(sum(CASE WHEN p_brand NOT IN ($inList) THEN 1 ELSE 0 END) AS BIGINT) AS other
+         FROM part GROUP BY p_size % 5"""
+    })
 }
