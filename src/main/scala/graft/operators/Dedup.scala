@@ -264,28 +264,33 @@ object Dedup {
     val b = withSh.select(col("block"), col(idCol).as("id_b"),
       col("sh").as("sh_b"), col("sz").as("sz_b"))
       .withColumn("salt", explode(sequence(lit(0), lit(salts - 1)).cast("array<int>")))
-    val inter = ArrayNumeric.sortedIntersectSize(col("sh_a"), col("sh_b"))
-    val union = (col("sz_a") + col("sz_b") - inter).cast("double")
-    // Threshold test in product form: J = I/(A+B-I) >= t  ⇔  I·(1+t) >=
-    // t·(A+B). Products of small ints with t are exact in double, so
-    // this is the exact rational comparison — equivalent to the
-    // division form (for |A∪B| ≤ 2^26 no rational J can sit within an
-    // ulp of t without being equal) — but references the merge scan
-    // ONCE, where the division form would push a two-scan predicate
-    // into the join condition.
-    val passes = inter.cast("double") * (1.0 + threshold) >=
-      lit(threshold) * (col("sz_a") + col("sz_b")).cast("double")
     // Probe parallelism: `spread` above already round-robins the source
     // rows, which a broadcast-hash probe inherits; if the planner picks
     // a shuffle join instead (build side over the broadcast threshold),
     // its exchange on (block, salt) takes over — where the salt, not
     // partition count, is what breaks the low-cardinality block skew.
+    //
+    // The merge scan is evaluated ONCE per surviving pair: only the
+    // cheap conditions (id order, size ratio) ride the join; `inter` is
+    // computed in a single post-join projection behind an evalOnce
+    // fence, so predicate pushdown can't substitute the O(array_len)
+    // scan back into the join condition, and both the threshold test
+    // and the jaccard value derive from that one column. The threshold
+    // test uses the product form: J = I/(A+B-I) >= t  ⇔  I·(1+t) >=
+    // t·(A+B) — products of small ints with t are exact in double, so
+    // this is the exact rational comparison, equivalent to the division
+    // form (for |A∪B| ≤ 2^26 no rational J can sit within an ulp of t
+    // without being equal).
     a.join(b, Seq("block", "salt"))
       .filter(col("id_a") < col("id_b"))
       .filter(col("sz_a") >= col("sz_b") * threshold &&
         col("sz_b") >= col("sz_a") * threshold)
-      .filter(passes)
-      .withColumn("jaccard", inter.cast("double") / union)
+      .withColumn("inter", ArrayNumeric.evalOnce(
+        ArrayNumeric.sortedIntersectSize(col("sh_a"), col("sh_b"))))
+      .filter(col("inter").cast("double") * (1.0 + threshold) >=
+        lit(threshold) * (col("sz_a") + col("sz_b")).cast("double"))
+      .withColumn("jaccard", col("inter").cast("double") /
+        (col("sz_a") + col("sz_b") - col("inter")).cast("double"))
       .select(col("id_a"), col("id_b"), col("jaccard"))
   }
 

@@ -2,7 +2,7 @@ package org.apache.spark.sql.graftx
 
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, ExpectsInputTypes, Expression}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, ExpectsInputTypes, Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.classic.ExpressionUtils
 import org.apache.spark.sql.types._
@@ -34,6 +34,32 @@ object ArrayNumeric {
   def sortedIntersectSize(a: Column, b: Column): Column =
     ExpressionUtils.column(SortedLongIntersectSize(
       ExpressionUtils.expression(a), ExpressionUtils.expression(b)))
+
+  /** Evaluate-once fence around an expensive expression: semantically
+    * the identity, but it reports nondeterministic so the optimizer
+    * neither substitutes it into join conditions when a downstream
+    * filter references its alias (predicate pushdown through Project)
+    * nor collapses the aliasing Project into consumers that reference
+    * the alias several times. Used to pin O(array_len) per-pair scans
+    * to exactly one evaluation per surviving row. */
+  def evalOnce(c: Column): Column =
+    ExpressionUtils.column(EvalOnceFence(ExpressionUtils.expression(c)))
+}
+
+/** Identity wrapper flagged nondeterministic purely as an optimizer
+  * fence (see [[ArrayNumeric.evalOnce]]); evaluation and codegen
+  * delegate to the child untouched. */
+case class EvalOnceFence(child: Expression) extends UnaryExpression {
+  override lazy val deterministic: Boolean = false
+  override def dataType: DataType = child.dataType
+  override def nullable: Boolean = child.nullable
+  override def prettyName: String = "eval_once"
+  override def eval(input: org.apache.spark.sql.catalyst.InternalRow): Any =
+    child.eval(input)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    child.genCode(ctx)
+  override protected def withNewChildInternal(newChild: Expression): EvalOnceFence =
+    copy(child = newChild)
 }
 
 /** Σ a(i)·b(i) over float or double arrays, accumulating left-to-right
