@@ -32,7 +32,8 @@ object SparkEntry {
       IngestQueries.queries ++
       OntologyQueries.queries ++
       MLQueries.queries ++
-      MergeQueries.queries
+      MergeQueries.queries ++
+      TableQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted keys get a rows-only check. */
@@ -50,5 +51,6 @@ object SparkEntry {
       IngestQueries.oracles ++
       OntologyQueries.oracles ++
       MLQueries.oracles ++
-      MergeQueries.oracles
+      MergeQueries.oracles ++
+      TableQueries.oracles
 }

@@ -2,6 +2,7 @@ package graft.pipeline
 
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
+import graft.functions.Hashes
 import graft.operators.Relational
 
 /** Stage 5 — final table generation (reference:
@@ -20,6 +21,14 @@ object TableBuild {
     Relational.firstWinsMerge(sources, Seq("genome1_id", "genome2_id"),
       tieBreak = Seq(col("ani")))
 
+  /** Sorted `'; '`-joined set, NULL over an empty group — matching the
+    * reference's "None when the key has no values for this term"
+    * (datalake_table.py:361-365). Needed because Spark rewrites
+    * complex-agg pivots to conditional aggregation, where an absent
+    * (key, term) cell yields collect_set = [] (→ ""), not null. */
+  private def joinedSetOrNull(c: org.apache.spark.sql.Column) =
+    when(count(c) > 0, concat_ws("; ", array_sort(collect_set(c))))
+
   /** Ontology long→wide pivot: one `ontology_<TERM>` column per term
     * discovered in the data, cells = sorted `'; '`-joined values
     * (reference two-pass term scan + per-row dict build:
@@ -28,7 +37,7 @@ object TableBuild {
     val prefixed = annotations.withColumn("__term",
       concat(lit("ontology_"), col("term")))
     Relational.dynamicPivot(prefixed, Seq("feature_id"), "__term",
-      concat_ws("; ", array_sort(collect_set(col("value")))), maxTerms)
+      joinedSetOrNull(col("value")), maxTerms)
   }
 
   /** RDF statements → term dimension tables (reference:
@@ -38,7 +47,7 @@ object TableBuild {
                     maxSubjects: Int = 100000): DataFrame = {
     val filtered = statements.filter(col("predicate").isin(predicates: _*))
     Relational.dynamicPivot(filtered, Seq("subject"), "predicate",
-      concat_ws("; ", array_sort(collect_set(col("value")))), maxSubjects)
+      joinedSetOrNull(col("value")), maxSubjects)
   }
 
   /** Static ontology-prefix descriptions (reference:
@@ -90,6 +99,148 @@ object TableBuild {
     defs.join(broadcast(terms.select(col(prefixCol).as("ontology_prefix")).distinct()),
       Seq("ontology_prefix"), "left_semi")
   }
+
+  // ---------------------------------------------------------------
+  // Per-table output builders (reference: datalake_table.py:84-751) —
+  // each reproduces its table's fixed DDL column set, order and types.
+  // ---------------------------------------------------------------
+
+  /** Select+cast the DDL column list, in DDL order — the Spark
+    * equivalent of each builder's fixed CREATE TABLE. */
+  private def conform(df: DataFrame, ddl: Seq[(String, String)]): DataFrame =
+    df.select(ddl.map { case (c, t) => col(c).cast(t).as(c) }: _*)
+
+  /** Restrict a table to the job's genome set — every reference
+    * builder filters `genome_id in self.filter_genome_ids`
+    * (datalake_table.py:566-571, 614, 640, 680, 718). The allowed set
+    * is job-small: broadcast semi join, the table side never
+    * shuffles. */
+  def filterGenomes(df: DataFrame, allowed: DataFrame,
+                    idCol: String = "genome_id"): DataFrame =
+    df.join(
+      broadcast(allowed.select(col(allowed.columns.head).as("__gid")).distinct()),
+      col(idCol) === col("__gid"), "left_semi")
+
+  /** `user_feature` table (reference assembly datalake_table.py:369-469,
+    * DDL :471-501): per-feature rows from the user genome TSV with
+    * strand-swapped coordinates, length, protein hash, pangenome
+    * profile lookup and dynamic `ontology_<TERM>` columns.
+    *
+    * `genomeTsv` carries (genome, contig, gene_id, start, end, strand,
+    * aliases, type, dna_sequence, protein_translation); `profile`
+    * (feature_id, pangenome_cluster, is_core); `annotations`
+    * (feature_id, term, value) long-form. Feature ids are globally
+    * unique (the reference's per-genome files carry genome-qualified
+    * ids). The profile is clade-small → broadcast lookup; the ontology
+    * pivot is feature-sized → shuffle join on feature_id. */
+  def userFeatureTable(genomeTsv: DataFrame, profile: DataFrame,
+                       annotations: DataFrame, maxTerms: Int = 1000): DataFrame = {
+    // reference: start/end swap on '-' BEFORE length = end - start
+    // (datalake_table.py:430-444)
+    val (s2, e2) = Relational.strandSwap(col("start"), col("end"), col("strand"))
+    val base = genomeTsv
+      .withColumn("__s", s2).withColumn("__e", e2)
+      .select(col("genome"), col("contig"), col("gene_id").as("feature_id"),
+        col("aliases"),
+        (col("__e") - col("__s")).cast("long").as("length"),
+        col("__s").cast("long").as("start"), col("__e").cast("long").as("end"),
+        col("strand"), col("type"), col("dna_sequence"),
+        col("protein_translation").as("protein_sequence"),
+        when(col("protein_translation").isNotNull &&
+          col("protein_translation") =!= "",
+          Hashes.proteinHash(col("protein_translation")))
+          .as("protein_sequence_hash"))
+    val prof = profile.select(col("feature_id"),
+      col("pangenome_cluster"), col("is_core").cast("int").as("pangenome_is_core"))
+    val wide = base
+      .join(broadcast(prof), Seq("feature_id"), "left")
+      .join(ontologyPivot(annotations, maxTerms), Seq("feature_id"), "left")
+    val ontologyCols = wide.columns.filter(_.startsWith("ontology_")).sorted
+    val fixed = Seq("genome", "contig", "feature_id", "aliases", "length",
+      "start", "end", "strand", "type", "dna_sequence", "protein_sequence",
+      "protein_sequence_hash", "pangenome_cluster", "pangenome_is_core")
+    wide.select((fixed ++ ontologyCols).map(col): _*)
+  }
+
+  /** `pangenome_feature` table (reference assembly
+    * datalake_table.py:283-368, DDL :504-530): clade-member features
+    * (coordinates come straight from the FASTA headers — no strand
+    * swap, no length/aliases/dna columns) with the MMseqs cluster
+    * lookup per (genome, feature) and dynamic ontology columns. */
+  def pangenomeFeatureTable(features: DataFrame, clusters: DataFrame,
+                            annotations: DataFrame, maxTerms: Int = 1000): DataFrame = {
+    val base = features.select(col("genome"), col("contig"), col("feature_id"),
+      col("start").cast("long").as("start"), col("end").cast("long").as("end"),
+      col("strand"), col("type"), col("protein_sequence"),
+      when(col("protein_sequence").isNotNull && col("protein_sequence") =!= "",
+        Hashes.proteinHash(col("protein_sequence"))).as("protein_sequence_hash"))
+    val clus = clusters.select(col("genome_id").as("genome"), col("feature_id"),
+      col("cluster_id").as("cluster"), col("is_core").cast("int").as("is_core"))
+    val wide = base
+      .join(clus, Seq("genome", "feature_id"), "left")
+      .join(ontologyPivot(annotations, maxTerms), Seq("feature_id"), "left")
+    val ontologyCols = wide.columns.filter(_.startsWith("ontology_")).sorted
+    val fixed = Seq("genome", "contig", "feature_id", "start", "end", "strand",
+      "type", "protein_sequence", "protein_sequence_hash", "cluster", "is_core")
+    wide.select((fixed ++ ontologyCols).map(col): _*)
+  }
+
+  /** `genome_phenotype` (reference datalake_table.py:532-575): genome
+    * filter + the fixed 12-column DDL. */
+  def genomePhenotypeTable(raw: DataFrame, allowed: DataFrame): DataFrame =
+    conform(filterGenomes(raw, allowed), Seq(
+      "genome_id" -> "string", "phenotype_id" -> "string",
+      "phenotype_name" -> "string", "class" -> "string",
+      "simulated_objective" -> "double", "observed_objective" -> "double",
+      "gap_count" -> "int", "gapfilled_reactions" -> "string",
+      "reaction_count" -> "int", "transports_added" -> "string",
+      "closest_experimental_data" -> "string", "source" -> "string"))
+
+  /** `gene_phenotype` (reference datalake_table.py:577-614). */
+  def genePhenotypeTable(raw: DataFrame, allowed: DataFrame): DataFrame =
+    conform(filterGenomes(raw, allowed), Seq(
+      "genome_id" -> "string", "gene_id" -> "string",
+      "phenotype_id" -> "string", "phenotype_name" -> "string",
+      "association_sources" -> "string", "model_pred_reactions" -> "string",
+      "model_pred_max_flux" -> "double", "fitness_match" -> "string",
+      "fitness_max" -> "double", "fitness_min" -> "double",
+      "fitness_avg" -> "double", "fitness_count" -> "int",
+      "essentiality_fraction" -> "double"))
+
+  /** `genome_gene_reaction_essentially_test` (reference
+    * datalake_table.py:616-647). */
+  def geneReactionTable(raw: DataFrame, allowed: DataFrame): DataFrame =
+    conform(filterGenomes(raw, allowed), Seq(
+      "genome_id" -> "string", "gene_id" -> "string", "reaction" -> "string",
+      "rich_media_flux" -> "double", "rich_media_class" -> "string",
+      "minimal_media_flux" -> "double", "minimal_media_class" -> "string"))
+
+  /** `genome_reaction` (reference datalake_table.py:649-685). */
+  def genomeReactionTable(raw: DataFrame, allowed: DataFrame): DataFrame =
+    conform(filterGenomes(raw, allowed), Seq(
+      "genome_id" -> "string", "reaction_id" -> "string", "genes" -> "string",
+      "equation_names" -> "string", "equation_ids" -> "string",
+      "directionality" -> "string", "upper_bound" -> "double",
+      "lower_bound" -> "double", "gapfilling_status" -> "string",
+      "rich_media_flux" -> "double", "rich_media_class" -> "string",
+      "minimal_media_flux" -> "double", "minimal_media_class" -> "string"))
+
+  /** `model_performance` (reference datalake_table.py:687-724). */
+  def modelPerformanceTable(raw: DataFrame, allowed: DataFrame): DataFrame =
+    conform(filterGenomes(raw, allowed), Seq(
+      "genome_id" -> "string", "taxonomy" -> "string",
+      "false_positives" -> "int", "false_negatives" -> "int",
+      "true_positives" -> "int", "true_negatives" -> "int",
+      "accuracy" -> "double", "positive_growth" -> "int",
+      "negative_growth" -> "int", "avg_positive_growth_gaps" -> "double",
+      "avg_negative_growth_gaps" -> "double",
+      "closest_user_genomes" -> "string", "source" -> "string"))
+
+  /** `media_composition` (reference datalake_table.py:726-748) — the
+    * one output table with no genome filter. */
+  def mediaCompositionTable(raw: DataFrame): DataFrame =
+    conform(raw, Seq("media_id" -> "string", "compound_id" -> "string",
+      "max_uptake" -> "double", "compound_name" -> "string"))
 
   /** Render array-typed multi-value columns to the reference's
     * `'; '`-joined serving format at the very edge (SURVEY §1.2). */
