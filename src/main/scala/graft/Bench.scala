@@ -5,12 +5,20 @@ import org.apache.spark.sql.SparkSession
   * `SPARK_GRAFT_SF_DIR` and prints ONE JSON line
   * `{"metric":"total","value":N,"unit":"sec","queries":{...},"sf":...}`.
   *
-  * The harness that consumes this output captures only the last ~2000
-  * characters of stdout, so the line must stay comfortably under that:
-  * `value` is always the total across ALL queries, but the per-query map
-  * is capped to the most expensive queries that fit a byte budget. The
-  * complete per-query map is written to `bench_history/last_full.json`
-  * for local tooling (COMPARE.md, bench_compare.py).
+  * Robustness against a loaded host (a concurrent-sandbox run once
+  * read 6× slower on three queries with unchanged plans): each query
+  * is timed three times and the reported per-query number is the
+  * MEDIAN — one slow outlier can no longer fabricate a regression,
+  * while a genuinely slower plan still shows. The full
+  * {min, med, max} spread per query is written to
+  * `bench_history/last_full.json` for local tooling
+  * (COMPARE.md, bench_compare.py).
+  *
+  * The harness that consumes stdout captures only the last ~2000
+  * characters, so the line must stay comfortably under that: `value`
+  * is always the total (of medians) across ALL queries, but the
+  * per-query map is capped to the most expensive queries that fit a
+  * byte budget.
   */
 object Bench {
   def main(args: Array[String]): Unit = {
@@ -34,10 +42,11 @@ object Bench {
       n.join(org.apache.spark.sql.functions.broadcast(r),
         n("n_regionkey") === r("r_regionkey")).count()
     } catch { case _: Throwable => }
-    // Two timed runs per query, min reported: one run is dominated by
-    // per-query JIT/codegen compilation noise at this data scale.
+    // Three timed runs per query; the first run carries the query's
+    // JIT/codegen compilation, a loaded host can spoil any one run —
+    // the MEDIAN absorbs a single outlier in either direction.
     val results = SparkEntry.queries.map { case (name, fn) =>
-      val times = (1 to 2).map { _ =>
+      val times = (1 to 3).map { _ =>
         val t0 = System.nanoTime()
         // Execute the query's OWN physical plan (toRdd), not
         // `df.count()`: a count re-optimizes with an empty projection,
@@ -48,16 +57,20 @@ object Bench {
         try { fn(spark, sfDir).queryExecution.toRdd.count() }
         catch { case _: Throwable => -1L }
         (System.nanoTime() - t0) / 1e9
-      }
-      name -> times.min
+      }.sorted
+      name -> times
     }
     def fmt(v: Double): String = f"$v%.3f"
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    val allEntries = results.toSeq.sortBy(-_._2)
+    val med = results.map { case (k, t) => k -> t(1) }
+    val total = if (med.nonEmpty) med.values.sum else 0.0
+    val allEntries = med.toSeq.sortBy(-_._2)
       .map { case (k, v) => s"\"" + k + "\":" + fmt(v) }
-    // Full map for local tooling (not part of the one-line contract).
+    // Full per-query spread for local tooling (not part of the
+    // one-line contract): {"q":{"min":..,"med":..,"max":..},...}.
     try {
-      val full = allEntries.mkString(
+      val full = results.toSeq.sortBy(-_._2(1)).map { case (k, t) =>
+        s"\"" + k + s"""\":{"min":${fmt(t(0))},"med":${fmt(t(1))},"max":${fmt(t(2))}}"""
+      }.mkString(
         s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":{""",
         ",", s"""},"sf":"$sfDir"}""")
       java.nio.file.Files.createDirectories(java.nio.file.Paths.get("bench_history"))

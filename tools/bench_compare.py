@@ -57,14 +57,21 @@ def main():
 
     def load_bench(path):
         """Returns (queries_map, partial). Handles the raw bench line,
-        and driver BENCH_r{N}.json whose 'tail' may be front-truncated
-        (then best-effort regex recovery -> partial=True)."""
+        the full-spread form ({"q":{"min":..,"med":..,"max":..}} ->
+        consumes med), and driver BENCH_r{N}.json whose 'tail' may be
+        front-truncated (then best-effort regex recovery ->
+        partial=True)."""
         import re
+
+        def norm(qmap):
+            return {k: (float(v["med"]) if isinstance(v, dict) else float(v))
+                    for k, v in qmap.items()}
+
         with open(path) as f:
             raw = f.read()
         obj = json.loads(raw[raw.index("{"):])
         if "queries" in obj:
-            return obj["queries"], False
+            return norm(obj["queries"]), False
         if "tail" in obj:
             tail = obj["tail"]
             i = tail.find('"queries"')
@@ -75,7 +82,7 @@ def main():
                     depth += ch == "{"
                     depth -= ch == "}"
                     if depth == 0:
-                        return json.loads(frag[:j + 1]), False
+                        return norm(json.loads(frag[:j + 1])), False
             pairs = re.findall(r'"([a-zA-Z0-9_]+)":([0-9]+\.[0-9]+)', tail)
             qmap = {k: float(v) for k, v in pairs
                     if k not in ("value", "sf", "n", "rc", "cpus")}
