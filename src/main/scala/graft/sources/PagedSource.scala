@@ -31,6 +31,13 @@ import org.apache.spark.unsafe.types.UTF8String
   * Usage: `spark.read.format("graft.sources.PagedSource")
   *   .option("rows", 10000).option("pageSize", 1000)
   *   .option("failEvery", 7).load()`
+  *
+  * Per-table page-size registry (reference: PAGE_LIMIT = 1000 with a
+  * smaller JUNCTION_PAGE_LIMIT = 100 for the 1B-row junction table,
+  * query_pangenome_berdl.py:49-53): `.option("table", "junction")
+  * .option("pageSizes", "junction:100,genome_ani:1000")` — the named
+  * table's override wins over `pageSize`; unnamed tables keep the
+  * default.
   */
 class PagedSource extends TableProvider {
   override def inferSchema(options: CaseInsensitiveStringMap): StructType =
@@ -42,9 +49,16 @@ class PagedSource extends TableProvider {
     // through a CaseInsensitiveStringMap or `.option("pageSize", …)`
     // would be silently ignored.
     val opts = new CaseInsensitiveStringMap(properties)
+    val overrides: Map[String, Int] = opts.getOrDefault("pageSizes", "")
+      .split(",").iterator.map(_.trim).filter(_.nonEmpty)
+      .map { kv =>
+        val Array(t, n) = kv.split(":", 2)
+        t.trim -> n.trim.toInt
+      }.toMap
+    val table = opts.getOrDefault("table", "")
     new PagedTable(
       rows = opts.getLong("rows", 10000L),
-      pageSize = opts.getInt("pageSize", 1000),
+      pageSize = overrides.getOrElse(table, opts.getInt("pageSize", 1000)),
       failEvery = opts.getInt("failEvery", 0))
   }
 }

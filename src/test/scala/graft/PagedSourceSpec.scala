@@ -40,6 +40,24 @@ class PagedSourceSpec extends SparkTestBase {
     assert(graft.sources.PagedBackend.failuresInjected.get() >= before + 2)
   }
 
+  test("per-table page-size registry overrides the default") {
+    // the named table takes its registry page size (100, the
+    // reference's junction override), not the 1000 default
+    val junction = spark.read.format("graft.sources.PagedSource")
+      .option("rows", 1000).option("pageSize", 1000)
+      .option("table", "junction")
+      .option("pageSizes", "junction:100,genome_ani:1000").load()
+    assert(junction.select(countDistinct(col("page")))
+      .collect().head.getLong(0) == 10)
+    // a table absent from the registry keeps the default
+    val other = spark.read.format("graft.sources.PagedSource")
+      .option("rows", 1000).option("pageSize", 1000)
+      .option("table", "gtdb_species_clade")
+      .option("pageSizes", "junction:100").load()
+    assert(other.select(countDistinct(col("page")))
+      .collect().head.getLong(0) == 1)
+  }
+
   test("limit pushdown fetches only the needed pages") {
     val plan = paged(100000, 1000).limit(1500).queryExecution.executedPlan.toString
     assert(plan.contains("PagedScan"))

@@ -90,6 +90,26 @@ class PipelineSpec extends SparkTestBase {
     assert(out.getAs[Long]("n") == 2L)
   }
 
+  test("Memo.runIfAbsent skips the stage when committed output exists") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_memo").toString
+    val path = s"$dir/stage_out"
+    var builds = 0
+    def stage() = Memo.runIfAbsent(spark, path) {
+      builds += 1
+      Seq((1L, "a"), (2L, "b")).toDF("id", "v")
+    }
+    assert(stage().count() == 2 && builds == 1)
+    val success = new java.io.File(path, "_SUCCESS")
+    val mtime = success.lastModified()
+    // second invocation: builder body never runs, nothing rewritten
+    assert(stage().count() == 2)
+    assert(builds == 1, "memoized stage must not rebuild")
+    assert(success.lastModified() == mtime, "memoized stage must not rewrite")
+    // a torn write (no _SUCCESS) reruns the stage
+    assert(success.delete())
+    assert(stage().count() == 2 && builds == 2)
+  }
+
   test("PhenotypeTables.confusionSummary computes accuracy") {
     val sim = Seq(("g1", "CP"), ("g1", "CN"), ("g1", "FP"), ("g1", "CP"))
       .toDF("genome_id", "class")
