@@ -160,9 +160,12 @@ object Cleaning {
     // Distinct sizes are few; the unpartitioned window runs on the
     // histogram, not the corpus.
     val hist = df.groupBy(col(sizeCol)).agg(count(lit(1)).as("__c"))
+    // partitionBy(lit) = the same single-partition window, minus the
+    // "No Partition Defined" warning this deliberate choice triggers
     val cum = hist
       .withColumn("__cum", sum(col("__c")).over(
-        org.apache.spark.sql.expressions.Window.orderBy(col(sizeCol))))
+        org.apache.spark.sql.expressions.Window.partitionBy(lit(0))
+          .orderBy(col(sizeCol))))
       .crossJoin(broadcast(n))
     val bounds = cum.agg(
       min(when(col("__cum") > floor(col("__n") * loPct / 100), col(sizeCol))).as("__lo"),

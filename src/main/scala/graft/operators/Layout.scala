@@ -63,10 +63,13 @@ object Layout {
   def compact(spark: org.apache.spark.sql.SparkSession, inDir: String,
               outDir: String, targetBytes: Long): Int = {
     val path = new org.apache.hadoop.fs.Path(inDir)
+    val out = new org.apache.hadoop.fs.Path(outDir)
     val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val totalBytes = fs.listStatus(path)
-      .filter(f => f.isFile && f.getPath.getName.endsWith(".parquet"))
-      .map(_.getLen).sum
+    // overwrite-while-reading would corrupt or lose the input
+    require(fs.makeQualified(path) != fs.makeQualified(out),
+      s"compact cannot write into its own input directory: $inDir")
+    // recursive: a hive-partitioned input keeps its bytes in subdirs
+    val totalBytes = fs.getContentSummary(path).getLength
     val n = math.max(1L, (totalBytes + targetBytes - 1) / targetBytes).toInt
     spark.read.parquet(inDir).repartition(n)
       .write.mode("overwrite").parquet(outDir)

@@ -182,6 +182,8 @@ object Similarity {
       .select(col(idCol).cast("long"), col(vecCol).cast("array<double>"))
       .collect().map(r => (r.getLong(0), r.getSeq[Double](1).toSeq))
       .sortBy(_._1).toSeq
+    require(centroids.nonEmpty,
+      s"kmeansFit: no seed vectors with $idCol < $k — seed ids must start at 0")
     val dim = centroids.headOption.map(_._2.size).getOrElse(0)
     val meanCols = (0 until dim).map(i =>
       (floor(avg(col("v").getItem(i).cast("double")) * 1e6 + lit(0.5)) / 1e6).as(s"m$i"))
@@ -274,6 +276,8 @@ object Similarity {
       .select(col(idCol).cast("long"), col(vecCol).cast("array<double>"))
       .collect().map(r => (r.getLong(0), r.getSeq[Double](1)))
       .sortBy(_._1).toSeq
+    require(seedRows.nonEmpty,
+      s"pqFit: no seed vectors with $idCol < $ksub — seed ids must start at 0")
     var books: Seq[Seq[(Long, Seq[Double])]] = (0 until m).map(j =>
       seedRows.map { case (id, v) => (id, v.slice(j * subDim, (j + 1) * subDim).toSeq) })
     val meanCols = (0 until subDim).map(i =>

@@ -54,8 +54,11 @@ object TfIdf {
       .filter(col("freq") >= minCount)
       .orderBy(col("freq").desc, col("token").asc)
       .limit(n)
+    // partitionBy(lit) = same single-partition window over the n
+    // surviving rows, minus the "No Partition Defined" warning
     freq.withColumn("rank",
-      row_number().over(Window.orderBy(col("freq").desc, col("token").asc)))
+      row_number().over(Window.partitionBy(lit(0))
+        .orderBy(col("freq").desc, col("token").asc)))
       .select(col("rank"), col("token"), col("freq"))
   }
 }

@@ -15,8 +15,11 @@ import graft.operators.Dedup
   * index, maintained incrementally by the stream itself.
   *
   * State is the band index (~bands rows per doc, ids only) — the same
-  * artifact `Dedup.lshIndexBands` persists for batch ingest; production
-  * adds a state TTL/watermark to bound it.
+  * artifact `Dedup.lshIndexBands` persists for batch ingest. Per-bucket
+  * membership is a Set (O(1) probe — a hot boilerplate bucket with a
+  * linear `contains` would make each micro-batch O(|seen|·|fresh|)),
+  * and `ttlMs` bounds state lifetime: a bucket idle past the TTL is
+  * dropped, the production knob for an unbounded corpus.
   */
 object StreamNearDup {
 
@@ -35,23 +38,37 @@ object StreamNearDup {
     * id column named doc_id). Emits (id_new, id_seen) candidate pairs;
     * a pair matching in several bands can surface once per band —
     * downstream `distinct` (or the verify join) absorbs it, exactly as
-    * in the batch banded join. */
-  def candidatePairs(bands: DataFrame): Dataset[CandPair] = {
+    * in the batch banded join.
+    *
+    * `ttlMs > 0` drops a bucket's membership after that much
+    * processing-time idleness — bounded state for an unbounded stream
+    * (docs farther apart than the TTL stop pairing, the usual
+    * recency-window trade). */
+  def candidatePairs(bands: DataFrame, ttlMs: Long = 0L): Dataset[CandPair] = {
     val spark = bands.sparkSession
     import spark.implicits._
+    val timeout = if (ttlMs > 0) GroupStateTimeout.ProcessingTimeTimeout()
+                  else GroupStateTimeout.NoTimeout()
     bands.select("doc_id", "band", "band_sig").as[BandRow]
       .groupByKey(b => (b.band, b.band_sig))
-      .flatMapGroupsWithState[Seq[Long], CandPair](
-        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
-        (_: (Int, String), it: Iterator[BandRow], state: GroupState[Seq[Long]]) =>
-          val seen = state.getOption.getOrElse(Seq.empty)
-          val fresh = it.map(_.doc_id).toSeq.distinct.sorted
-            .filterNot(seen.contains)
-          val cross = for { n <- fresh; s <- seen } yield CandPair(n, s)
-          val intra = for { i <- fresh.indices; j <- 0 until i }
-            yield CandPair(fresh(i), fresh(j))
-          state.update(seen ++ fresh)
-          (cross ++ intra).iterator
+      .flatMapGroupsWithState[Set[Long], CandPair](
+        OutputMode.Append(), timeout) {
+        (_: (Int, String), it: Iterator[BandRow], state: GroupState[Set[Long]]) =>
+          if (state.hasTimedOut) {
+            state.remove()
+            Iterator.empty
+          } else {
+            val seen = state.getOption.getOrElse(Set.empty[Long])
+            val fresh = it.map(_.doc_id).toSeq.distinct.sorted
+              .filterNot(seen)
+            val cross = for { n <- fresh; s <- seen.toSeq.sorted }
+              yield CandPair(n, s)
+            val intra = for { i <- fresh.indices; j <- 0 until i }
+              yield CandPair(fresh(i), fresh(j))
+            state.update(seen ++ fresh)
+            if (ttlMs > 0) state.setTimeoutDuration(ttlMs)
+            (cross ++ intra).iterator
+          }
       }
   }
 }
