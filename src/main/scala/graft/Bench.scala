@@ -9,8 +9,12 @@ import org.apache.spark.sql.SparkSession
   * read 6× slower on three queries with unchanged plans): each query
   * is timed three times and the reported per-query number is the
   * MEDIAN — one slow outlier can no longer fabricate a regression,
-  * while a genuinely slower plan still shows. The full
-  * {min, med, max} spread per query is written to
+  * while a genuinely slower plan still shows. The three samples come
+  * from three INTERLEAVED passes over the whole suite (not
+  * back-to-back repeats): a multi-minute host stall then hits many
+  * queries once each — absorbed by their medians — instead of two
+  * consecutive runs of one query, which would poison its median. The
+  * full {min, med, max} spread per query is written to
   * `bench_history/last_full.json` for local tooling
   * (COMPARE.md, bench_compare.py).
   *
@@ -42,26 +46,29 @@ object Bench {
       n.join(org.apache.spark.sql.functions.broadcast(r),
         n("n_regionkey") === r("r_regionkey")).count()
     } catch { case _: Throwable => }
-    // Three timed runs per query; the first run carries the query's
-    // JIT/codegen compilation, a loaded host can spoil any one run —
-    // the MEDIAN absorbs a single outlier in either direction.
-    val results = SparkEntry.queries.map { case (name, fn) =>
-      val times = (1 to 3).map { _ =>
-        val t0 = System.nanoTime()
-        // Execute the query's OWN physical plan (toRdd), not
-        // `df.count()`: a count re-optimizes with an empty projection,
-        // letting column pruning skip all per-row compute — a pure
-        // projection query would bench as a metadata scan. toRdd
-        // materializes every output row, matching the DuckDB side's
-        // full fetch in COMPARE.md.
-        try { fn(spark, sfDir).queryExecution.toRdd.count() }
-        catch { case _: Throwable => -1L }
-        (System.nanoTime() - t0) / 1e9
-      }.sorted
-      name -> times
+    // Three interleaved passes over the suite; the first pass carries
+    // each query's JIT/codegen compilation, a loaded host can spoil
+    // any one sample — the MEDIAN absorbs a single outlier in either
+    // direction, and interleaving keeps one query's samples minutes
+    // apart so a stall window can't take two of them.
+    val ordered = SparkEntry.queries.toSeq
+    val samples = scala.collection.mutable.Map.empty[String, List[Double]]
+      .withDefaultValue(Nil)
+    for (_ <- 1 to 3; (name, fn) <- ordered) {
+      val t0 = System.nanoTime()
+      // Execute the query's OWN physical plan (toRdd), not
+      // `df.count()`: a count re-optimizes with an empty projection,
+      // letting column pruning skip all per-row compute — a pure
+      // projection query would bench as a metadata scan. toRdd
+      // materializes every output row, matching the DuckDB side's
+      // full fetch in COMPARE.md.
+      try { fn(spark, sfDir).queryExecution.toRdd.count() }
+      catch { case _: Throwable => -1L }
+      samples(name) = ((System.nanoTime() - t0) / 1e9) :: samples(name)
     }
+    val results = ordered.map { case (name, _) => name -> samples(name).sorted }
     def fmt(v: Double): String = f"$v%.3f"
-    val med = results.map { case (k, t) => k -> t(1) }
+    val med = results.map { case (k, t) => k -> t(1) }.toMap
     val total = if (med.nonEmpty) med.values.sum else 0.0
     val allEntries = med.toSeq.sortBy(-_._2)
       .map { case (k, v) => s"\"" + k + "\":" + fmt(v) }
