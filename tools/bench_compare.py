@@ -122,7 +122,15 @@ def main():
                 "compute on pure-projection queries. Map-only queries\n"
                 "therefore show HIGHER spark times than earlier rounds —\n"
                 "that delta is the honesty fix, not a regression; both\n"
-                "engines now materialize every output row.\n\n")
+                "engines now materialize every output row.\n\n"
+                "Measurement note (round 4): spark times are per-query\n"
+                "MEDIANS of three interleaved passes (robust to host stall\n"
+                "windows), where earlier rounds reported the MIN of two\n"
+                "back-to-back runs. Medians sit systematically above mins,\n"
+                "so a uniform ~1.5-2x 'Δ vs prev' against a min-based\n"
+                "BENCH_r03 is the reporting change, not a plan regression;\n"
+                "bench_history/last_full.json carries the min/med/max\n"
+                "spread for any query in doubt.\n\n")
         dcol = " | Δ vs prev" if prev is not None else ""
         f.write(f"| query | spark s | duckdb s | spark/duckdb{dcol} |\n")
         f.write("|---|---|---|---|" + ("---|" if prev is not None else "") + "\n")
