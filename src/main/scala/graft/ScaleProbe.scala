@@ -65,7 +65,55 @@ object ScaleProbe {
     }
   }
 
+  /** `runMain graft.ScaleProbe merge4` — the size-gated MERGE feed
+    * (SCALE.md round 4): a change-feed-sized update broadcasts, a
+    * backfill-sized one must degrade to a shuffle join and still
+    * complete. Prints the plan's build strategy + wall time per case. */
+  private def merge4(spark: SparkSession): Unit = {
+    // 20M-row synthetic base: only the feed's KEY projection is ever
+    // broadcast, so the gate trips only when the key set itself is
+    // big — a 10M-key backfill (~80 MB estimate), not a 20k-key
+    // change feed (~160 KB).
+    val base = spark.range(20000000L).select(col("id").as("k"),
+      (col("id") % 97).cast("double").as("v"))
+    def probe(label: String, mod: Int): Unit = {
+      // round-trip the feed through parquet: it arrives as its own
+      // source with REAL file-size stats, like a genuine change feed
+      // (a filter of the base would inherit the base's estimate — no
+      // CBO — and a localCheckpoint RDD reports the default size;
+      // both would always trip the gate)
+      val path = s"${sys.props("java.io.tmpdir")}/graft_merge4_feed_$mod"
+      base.filter(col("k") % mod === 0)
+        .withColumn("v", col("v") * 1.1)
+        .write.mode("overwrite").parquet(path)
+      val feed = spark.read.parquet(path)
+      val merged = graft.operators.Merge.upsert(base, feed, Seq("k"))
+      val broadcast = merged.queryExecution.executedPlan.toString
+        .contains("BroadcastExchange")
+      val secs = (1 to 2).map { _ =>
+        val t0 = System.nanoTime()
+        merged.queryExecution.toRdd.count()
+        (System.nanoTime() - t0) / 1e9
+      }
+      println(f"""{"probe":"$label","broadcast":$broadcast,"sec":${secs.min}%.2f}""")
+    }
+    probe("upsert feed 1/1000 (change feed)", 1000)
+    probe("upsert feed 1/2 (backfill)", 2)
+  }
+
   def main(args: Array[String]): Unit = {
+    if (args.headOption.contains("merge4")) {
+      val spark = SparkSession.builder()
+        .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")}]")
+        .config("spark.sql.shuffle.partitions",
+          sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"))
+        .config("spark.ui.enabled", "false")
+        .getOrCreate()
+      spark.sparkContext.setLogLevel("WARN")
+      merge4(spark)
+      spark.stop()
+      return
+    }
     if (args.headOption.contains("replay3")) {
       val spark = SparkSession.builder()
         .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")}]")
