@@ -29,13 +29,10 @@ object Merge {
     * autoBroadcastJoinThreshold order of magnitude). */
   val DefaultMaxBroadcastBytes: Long = 8L << 20
 
-  /** Broadcast `df` only when its optimized-plan size estimate is under
-    * the ceiling; otherwise pin a shuffle-hash join so the planner can
-    * never "helpfully" broadcast a backfill-sized feed. */
+  /** Broadcast the feed only while small — see
+    * [[Relational.broadcastIfSmall]]. */
   private def feedSide(df: DataFrame, maxBroadcastBytes: Long): DataFrame =
-    if (df.queryExecution.optimizedPlan.stats.sizeInBytes <= maxBroadcastBytes)
-      broadcast(df)
-    else df.hint("shuffle_hash")
+    Relational.broadcastIfSmall(df, maxBroadcastBytes)
 
   /** Update-wins keyed upsert: rows of `base` whose key appears in
     * `updates` are replaced; new keys are appended. Schemas must match;

@@ -11,6 +11,17 @@ import org.apache.spark.sql.functions._
   */
 object Relational {
 
+  /** Broadcast `df` only while Catalyst's size estimate stays under
+    * `maxBytes`; past it, pin a shuffle-hash join so the planner can
+    * never broadcast a frame that merely *usually* is small. The
+    * standard guard for "dimension-shaped by convention" sides
+    * (change feeds, profiles, allowed-set filters): answers identical
+    * on both paths, only the join strategy degrades. */
+  def broadcastIfSmall(df: DataFrame, maxBytes: Long = 8L << 20): DataFrame =
+    if (df.queryExecution.optimizedPlan.stats.sizeInBytes <= maxBytes)
+      broadcast(df)
+    else df.hint("shuffle_hash")
+
   /** Top-k rows per group with a deterministic total order (SURVEY A5/W4;
     * reference arg-max clade pick: berdl/berdl/prep_genome_set.py:160-169).
     *

@@ -113,12 +113,13 @@ object TableBuild {
   /** Restrict a table to the job's genome set — every reference
     * builder filters `genome_id in self.filter_genome_ids`
     * (datalake_table.py:566-571, 614, 640, 680, 718). The allowed set
-    * is job-small: broadcast semi join, the table side never
-    * shuffles. */
+    * is job-small by convention, so it broadcasts — but size-gated
+    * (shuffle semi join past the ceiling), never unconditionally. */
   def filterGenomes(df: DataFrame, allowed: DataFrame,
                     idCol: String = "genome_id"): DataFrame =
     df.join(
-      broadcast(allowed.select(col(allowed.columns.head).as("__gid")).distinct()),
+      Relational.broadcastIfSmall(
+        allowed.select(col(allowed.columns.head).as("__gid")).distinct()),
       col(idCol) === col("__gid"), "left_semi")
 
   /** `user_feature` table (reference assembly datalake_table.py:369-469,
@@ -131,8 +132,10 @@ object TableBuild {
     * (feature_id, pangenome_cluster, is_core); `annotations`
     * (feature_id, term, value) long-form. Feature ids are globally
     * unique (the reference's per-genome files carry genome-qualified
-    * ids). The profile is clade-small → broadcast lookup; the ontology
-    * pivot is feature-sized → shuffle join on feature_id. */
+    * ids). The profile is clade-small by convention → size-gated
+    * broadcast lookup (a many-genome submission degrades to a shuffle
+    * join instead of OOMing); the ontology pivot is feature-sized →
+    * shuffle join on feature_id. */
   def userFeatureTable(genomeTsv: DataFrame, profile: DataFrame,
                        annotations: DataFrame, maxTerms: Int = 1000): DataFrame = {
     // reference: start/end swap on '-' BEFORE length = end - start
@@ -153,7 +156,7 @@ object TableBuild {
     val prof = profile.select(col("feature_id"),
       col("pangenome_cluster"), col("is_core").cast("int").as("pangenome_is_core"))
     val wide = base
-      .join(broadcast(prof), Seq("feature_id"), "left")
+      .join(Relational.broadcastIfSmall(prof), Seq("feature_id"), "left")
       .join(ontologyPivot(annotations, maxTerms), Seq("feature_id"), "left")
     val ontologyCols = wide.columns.filter(_.startsWith("ontology_")).sorted
     val fixed = Seq("genome", "contig", "feature_id", "aliases", "length",

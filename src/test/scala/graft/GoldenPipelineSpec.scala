@@ -76,4 +76,43 @@ class GoldenPipelineSpec extends SparkTestBase {
       .select("genome_id", "clade_id").as[(String, String)].collect().toMap
     assert(back == Map("userA" -> "cladeX", "userB" -> "cladeY"))
   }
+
+  test("user_feature builder: golden row through swap, hash, profile, pivot") {
+    // a '-'-strand TSV row (reference stores start > end pre-swap), a
+    // '+' row with a profile hit, and a row with no protein
+    val tsv = Seq(
+      ("userA", "ctg1", "fA1", "al1", 900L, 500L, "-", "CDS", "ACGT", "mkta*"),
+      ("userA", "ctg1", "fA2", "al2", 100L, 160L, "+", "CDS", "TTTT", "GGGG"),
+      ("userB", "ctg2", "fB1", "al3", 10L, 40L, "+", "tRNA", "AAAA", ""))
+      .toDF("genome", "contig", "gene_id", "aliases", "start", "end",
+        "strand", "type", "dna_sequence", "protein_translation")
+    val profile = Seq(("fA2", "c9", 1)).toDF(
+      "feature_id", "pangenome_cluster", "is_core")
+    val ann = Seq(("fA1", "KO", "K2"), ("fA1", "KO", "K1"), ("fA2", "EC", "1.1"))
+      .toDF("feature_id", "term", "value")
+    val out = TableBuild.userFeatureTable(tsv, profile, ann)
+    // DDL order: fixed 14 columns then sorted ontology terms
+    assert(out.columns.toSeq == Seq("genome", "contig", "feature_id",
+      "aliases", "length", "start", "end", "strand", "type", "dna_sequence",
+      "protein_sequence", "protein_sequence_hash", "pangenome_cluster",
+      "pangenome_is_core", "ontology_EC", "ontology_KO"))
+    val rows = out.collect().map(r => r.getAs[String]("feature_id") -> r).toMap
+    val a1 = rows("fA1")
+    // '-' strand: start/end swap, then length = end - start
+    assert(a1.getAs[Long]("start") == 500L && a1.getAs[Long]("end") == 900L)
+    assert(a1.getAs[Long]("length") == 400L)
+    // protein hash = sha256(upper, trailing '*' stripped): MKTA
+    assert(a1.getAs[String]("protein_sequence_hash") ==
+      java.security.MessageDigest.getInstance("SHA-256")
+        .digest("MKTA".getBytes("UTF-8")).map("%02x".format(_)).mkString)
+    assert(a1.getAs[String]("ontology_KO") == "K1; K2")
+    assert(a1.getAs[String]("ontology_EC") == null)  // in ann, lacks EC
+    assert(a1.getAs[String]("pangenome_cluster") == null) // no profile row
+    val a2 = rows("fA2")
+    assert(a2.getAs[Int]("pangenome_is_core") == 1)
+    assert(a2.getAs[String]("ontology_EC") == "1.1")
+    val b1 = rows("fB1")
+    assert(b1.getAs[String]("protein_sequence_hash") == null) // empty protein
+    assert(b1.getAs[String]("ontology_KO") == null) // absent from ann entirely
+  }
 }
