@@ -25,13 +25,20 @@ import graft.functions.Hashes
   */
 object Dedup {
 
-  /** Spread a small-file scan across the session's shuffle parallelism.
-    * The corpus tables arrive as one file = one scan partition, which
-    * would serialize every downstream explode/probe/partial-agg into a
-    * single task; one cheap round-robin exchange of the source rows
-    * parallelizes everything above it. */
-  private[operators] def spread(df: DataFrame): DataFrame =
-    df.repartition(df.sparkSession.sessionState.conf.numShufflePartitions)
+  /** Spread a small-file scan across the session's shuffle parallelism —
+    * but ONLY when the scan is actually under-parallel. The corpus
+    * fixtures arrive as one file = one scan partition, which would
+    * serialize every downstream explode/probe/partial-agg into a single
+    * task; one cheap round-robin exchange fixes that. A production-scale
+    * scan is already thousands of partitions, and an unconditional
+    * repartition there would round-robin the ENTIRE corpus through a
+    * pure-waste shuffle — so the exchange is gated on the physical
+    * partition count (a plan-time check; nothing executes). */
+  private[operators] def spread(df: DataFrame): DataFrame = {
+    val target = df.sparkSession.sessionState.conf.numShufflePartitions
+    if (df.queryExecution.toRdd.getNumPartitions < target) df.repartition(target)
+    else df
+  }
 
   /** Exact dedup: keep the lowest-`idCol` row per normalized content
     * hash (reference content-hash dedup before expensive compute:

@@ -21,9 +21,19 @@ object TfIdf {
   def topTerms(df: DataFrame, idCol: String, textCol: String, k: Int): DataFrame = {
     val toks = Dedup.spread(df).select(col(idCol),
       explode_outer(split(trim(col(textCol)), "\\s+")).as("term"))
+    // tf feeds THREE consumers (the score join, dfreq, n_docs) and
+    // Spark's exchange reuse does not unify them — without a
+    // materialization the corpus would be scanned and tokenized once
+    // per consumer, and tokenization dominates at corpus scale.
+    // localCheckpoint stores the post-agg (doc, term, tf) frame —
+    // vocabulary-sized per doc, far smaller than the raw text — at
+    // MEMORY_AND_DISK, so it spills rather than OOMs.
     val tf = toks.groupBy(col(idCol), col("term")).agg(count(lit(1)).as("tf"))
+      .localCheckpoint()
     val dfreq = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
-    val nDocs = df.select(count(lit(1)).as("n_docs"))
+    // explode_outer keeps every doc (null/empty text included) in tf,
+    // so distinct doc ids over tf == count(*) over df — no third scan.
+    val nDocs = tf.select(countDistinct(col(idCol)).as("n_docs"))
     val idf = dfreq.crossJoin(broadcast(nDocs)).select(col("term"),
       (log((col("n_docs") + 1).cast("double") / (col("df") + 1)) + 1).as("idf"))
     // Vocabulary-sized side: shuffle-hash join on term (hinted so the

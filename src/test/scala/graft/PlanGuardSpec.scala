@@ -69,6 +69,31 @@ class PlanGuardSpec extends SparkTestBase {
       s"the term join must be a shuffle-hash join:\n$p")
   }
 
+  test("spread: already-parallel sources are NOT round-robined") {
+    import org.apache.spark.sql.functions._
+    def corpus(parts: Int): DataFrame =
+      spark.range(0, 256, 1, parts)
+        .select(col("id").cast("string").as("doc_id"),
+          concat(lit("some text body "), col("id")).as("text"))
+    // >= numShufflePartitions (4 in tests): the gate must skip the exchange
+    val p = graft.operators.Dedup.shingleTable(corpus(8), "doc_id", "text", 3)
+      .queryExecution.executedPlan.toString
+    assert(!p.contains("RoundRobinPartitioning"),
+      s"a parallel source must keep its partitioning (no full-corpus exchange):\n$p")
+    // single-partition fixture shape: the exchange must still fire
+    val p2 = graft.operators.Dedup.shingleTable(corpus(1), "doc_id", "text", 3)
+      .queryExecution.executedPlan.toString
+    assert(p2.contains("RoundRobinPartitioning"),
+      s"a single-partition source must spread across the session parallelism:\n$p2")
+  }
+
+  test("tfidf: corpus is tokenized once (single explode subtree in the plan)") {
+    val p = plan("tfidf_topk")
+    val explodes = "Generate explode".r.findAllIn(p).length
+    assert(explodes <= 1,
+      s"expected at most one tokenize (explode) subtree, found $explodes:\n$p")
+  }
+
   test("serving DSL filters compile to pushed-down scan predicates") {
     val p = plan("dsl_page_filter")
     assert(p.contains("PushedFilters: [") && !p.contains("PushedFilters: []"),
