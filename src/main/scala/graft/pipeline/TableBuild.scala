@@ -245,6 +245,129 @@ object TableBuild {
     conform(raw, Seq("media_id" -> "string", "compound_id" -> "string",
       "max_uptake" -> "double", "compound_name" -> "string"))
 
+  /** `genome` table (reference datalake_table.py:84-171): GTDB metadata
+    * (the reference scans the ar53 + bac120 TSVs as one frame) filtered
+    * to the job's clade ∪ member accession set, alias projection, a
+    * `kind` column (`clade_member` when the accession is a pangenome
+    * member, `clade` otherwise), then the user's input genomes appended
+    * as metadata-null rows with kind='user' (:146-168); fixed 8-column
+    * DDL (:89-101).
+    *
+    * The accession sets are job-small by convention → size-gated
+    * broadcast (semi join for the filter, left join for the member
+    * flag), so the 580k-row GTDB metadata side never shuffles; a
+    * pathological id set degrades to shuffle joins instead of OOMing. */
+  def genomeTable(gtdbMetadata: DataFrame, cladeIds: DataFrame,
+                  memberIds: DataFrame, inputGenomes: Seq[String]): DataFrame = {
+    val spark = gtdbMetadata.sparkSession
+    import spark.implicits._
+    val member = memberIds.select(col(memberIds.columns.head).as("__mid")).distinct()
+    val wanted = cladeIds.select(col(cladeIds.columns.head).as("__wid"))
+      .unionByName(member.select(col("__mid").as("__wid"))).distinct()
+    val matched = gtdbMetadata
+      .join(Relational.broadcastIfSmall(wanted),
+        col("accession") === col("__wid"), "left_semi")
+      .join(Relational.broadcastIfSmall(member.withColumn("__is_member", lit(1))),
+        col("accession") === col("__mid"), "left")
+      .select(col("accession").as("genome"), col("gtdb_taxonomy"),
+        col("ncbi_taxonomy"), col("ncbi_taxid"),
+        col("checkm_completeness"), col("checkm_contamination"),
+        col("genome_size").as("size"),
+        when(col("__is_member") === 1, "clade_member").otherwise("clade").as("kind"))
+    val userRows = inputGenomes.toDF("genome")
+      .withColumn("gtdb_taxonomy", lit(null))
+      .withColumn("ncbi_taxonomy", lit(null))
+      .withColumn("ncbi_taxid", lit(null))
+      .withColumn("checkm_completeness", lit(null))
+      .withColumn("checkm_contamination", lit(null))
+      .withColumn("size", lit(null))
+      .withColumn("kind", lit("user"))
+    conform(matched.unionByName(userRows), Seq(
+      "genome" -> "string", "gtdb_taxonomy" -> "string",
+      "ncbi_taxonomy" -> "string", "ncbi_taxid" -> "int",
+      "checkm_completeness" -> "double", "checkm_contamination" -> "double",
+      "size" -> "long", "kind" -> "string"))
+  }
+
+  /** `missing_functions` table (reference build_berdl_db.py:680-803):
+    * the pan-vs-user gap report. A reaction gets a row when any source
+    * flags it — user rows with a non-'none' gapfilling status (:690-710,
+    * rich/minimal/core substring tests), the user model's gapfilled-
+    * reaction categories (:712-730), the user's phenotype gapfill lists
+    * (`;`-joined, :732-750), or presence in a pangenome member's model
+    * but not the user's (:752-767). Names come from the reaction →
+    * equation_names map (:769-778).
+    *
+    * The reference folds everything through one driver-side dict; here
+    * each source emits (Reaction, flag…) rows and ONE groupBy(Reaction)
+    * max-merges them — the union-aggregate form of a 5-way full outer
+    * join, a single shuffle on the reaction id at any scale. The
+    * reference's name map keeps the first file-order row per reaction
+    * (pandas drop_duplicates), which is nondeterministic under a
+    * parallel scan; this takes min(equation_names) — identical whenever
+    * the name is functionally dependent on the reaction id, and
+    * deterministic always. ModuleGapfill is declared in the DDL but no
+    * reference code path sets it (:748 initializes 0) → constant 0. */
+  def missingFunctionsTable(genomeReactions: DataFrame, modelGapfills: DataFrame,
+                            genomePhenotypes: DataFrame,
+                            userGenomeId: String): DataFrame = {
+    val user = genomeReactions.filter(col("genome_id") === userGenomeId)
+    val status = lower(col("gapfilling_status"))
+    val fromStatus = user.filter(col("gapfilling_status") =!= "none")
+      .select(col("reaction_id").as("Reaction"),
+        status.contains("rich").cast("int").as("rich"),
+        (status.contains("minimal") || status.contains("core"))
+          .cast("int").as("minimal"),
+        lit(0).as("pheno"), lit(0).as("pan"))
+    val cat = lower(col("category"))
+    val fromModel = modelGapfills
+      .select(col("reaction_id").as("Reaction"),
+        cat.contains("rich").cast("int").as("rich"),
+        cat.contains("minimal").cast("int").as("minimal"),
+        lit(0).as("pheno"), lit(0).as("pan"))
+    val fromPheno = genomePhenotypes
+      .filter(col("genome_id") === userGenomeId)
+      .select(explode(split(coalesce(col("gapfilled_reactions"), lit("")), ";"))
+        .as("__r"))
+      .select(trim(col("__r")).as("Reaction"))
+      .filter(col("Reaction") =!= "")
+      .select(col("Reaction"), lit(0).as("rich"), lit(0).as("minimal"),
+        lit(1).as("pheno"), lit(0).as("pan"))
+    val fromPan = genomeReactions.filter(col("genome_id") =!= userGenomeId)
+      .select(col("reaction_id")).distinct()
+      .join(user.select(col("reaction_id")).distinct(),
+        Seq("reaction_id"), "left_anti")
+      .select(col("reaction_id").as("Reaction"), lit(0).as("rich"),
+        lit(0).as("minimal"), lit(0).as("pheno"), lit(1).as("pan"))
+    val flags = Seq(fromStatus, fromModel, fromPheno, fromPan)
+      .reduce(_ unionByName _)
+      .groupBy(col("Reaction"))
+      .agg(max(col("rich")).as("RichGapfill"),
+        max(col("minimal")).as("MinimalGapfill"),
+        max(col("pheno")).as("PhenotypeGapfill"),
+        max(col("pan")).as("Pangenome"))
+    val names = genomeReactions.groupBy(col("reaction_id").as("Reaction"))
+      .agg(min(col("equation_names")).as("RAST_function"))
+    flags.join(names, Seq("Reaction"), "left")
+      .select(col("Reaction"), col("RAST_function"),
+        col("RichGapfill").cast("int").as("RichGapfill"),
+        col("MinimalGapfill").cast("int").as("MinimalGapfill"),
+        col("PhenotypeGapfill").cast("int").as("PhenotypeGapfill"),
+        lit(0).as("ModuleGapfill"),
+        col("Pangenome").cast("int").as("Pangenome"))
+  }
+
+  /** `growth_phenotype_summary` / `growth_phenotypes_detailed`
+    * (reference build_berdl_db.py:1055-1081): dynamic-schema TSV
+    * passthrough loads — the table carries whatever columns the
+    * phenotype pipeline emitted, so the scan infers names from the
+    * header and types from the data instead of conforming to a fixed
+    * DDL (the S2 typed scan's schema-on-read counterpart). */
+  def dynamicTsvTable(spark: org.apache.spark.sql.SparkSession,
+                      path: String): DataFrame =
+    spark.read.option("sep", "\t").option("header", "true")
+      .option("inferSchema", "true").csv(path)
+
   /** Render array-typed multi-value columns to the reference's
     * `'; '`-joined serving format at the very edge (SURVEY §1.2). */
   def renderMultiValue(df: DataFrame, cols: Seq[String]): DataFrame =

@@ -224,6 +224,97 @@ object TableQueries {
         round2(col("p_retailprice") / 50).as("max_uptake"),
         col("p_name").as("compound_name"))
       TableBuild.mediaCompositionTable(raw)
+    }),
+
+    // genome: GTDB-metadata scan + clade∪member id filter + member-flag
+    // kind column + metadata-null user rows, 8-column DDL.
+    "tbl_genome" -> ((s, d) => {
+      val cust = tbl(s, d, "customer")
+      val ck = col("c_custkey")
+      def acc = concat(lit("acc"), ck.cast("string"))
+      val meta = cust.select(
+        acc.as("accession"),
+        concat(lit("d__Bacteria;p__"), (ck % 40).cast("string")).as("gtdb_taxonomy"),
+        concat(lit("cellular organisms;clade"), (ck % 40).cast("string"))
+          .as("ncbi_taxonomy"),
+        (ck % 997).cast("int").as("ncbi_taxid"),
+        round2(col("c_acctbal") / 100).as("checkm_completeness"),
+        round2(col("c_acctbal") / 1000).as("checkm_contamination"),
+        (ck * 1000 + ck % 7).as("genome_size"))
+      val cladeIds = cust.filter(ck % 3 === 0).select(acc.as("id"))
+      val memberIds = cust.filter(ck % 5 === 0).select(acc.as("id"))
+      TableBuild.genomeTable(meta, cladeIds, memberIds, Seq("user_a", "user_b"))
+    }),
+
+    // missing_functions: 4-source flag union → one groupBy max-merge +
+    // name lookup (the pan-vs-user anti-join report).
+    "tbl_missing_functions" -> ((s, d) => {
+      val part = tbl(s, d, "part")
+      val pk = col("p_partkey")
+      val rxn = part.select(
+        concat(lit("g"), (pk % 8).cast("string")).as("genome_id"),
+        concat(lit("rxn"), (pk % 50).cast("string")).as("reaction_id"),
+        concat(lit("eq"), (pk % 50).cast("string")).as("equation_names"),
+        when(pk % 5 === 1, "rich media gapfill")
+          .when(pk % 5 === 2, "minimal media gapfill")
+          .when(pk % 5 === 3, "core gapfill")
+          .otherwise("none").as("gapfilling_status"))
+      val sup = tbl(s, d, "supplier")
+      val sk = col("s_suppkey")
+      val modelGf = sup.select(
+        when(sk % 3 === 0, "rich_media").when(sk % 3 === 1, "minimal_media")
+          .otherwise("other").as("category"),
+        concat(lit("rxn"), (sk % 60).cast("string")).as("reaction_id"))
+      val ord = tbl(s, d, "orders")
+      val ok = col("o_orderkey")
+      val pheno = ord.select(
+        concat(lit("g"), (col("o_custkey") % 4).cast("string")).as("genome_id"),
+        when(ok % 7 === 0, "")
+          .otherwise(concat(lit("rxn"), (ok % 45).cast("string"),
+            lit("; rxn"), (ok % 33).cast("string"))).as("gapfilled_reactions"))
+      TableBuild.missingFunctionsTable(rxn, modelGf, pheno, "g0")
+    }),
+
+    // growth_phenotype_summary: dynamic-schema TSV passthrough of the
+    // model-performance file (no genome filter, no fixed DDL).
+    "tbl_growth_summary" -> ((s, d) => {
+      val cust = tbl(s, d, "customer")
+      val ck = col("c_custkey")
+      val raw = cust.select(
+        concat(lit("g"), ck.cast("string")).as("genome_id"),
+        concat(lit("d__Bacteria;p__"), col("c_nationkey").cast("string"))
+          .as("taxonomy"),
+        (ck % 7).cast("int").as("false_positives"),
+        (ck % 5).cast("int").as("false_negatives"),
+        (ck % 20).cast("int").as("true_positives"),
+        (ck % 10).cast("int").as("true_negatives"),
+        round2(col("c_acctbal") / 100).as("avg_gaps"),
+        when(ck % 3 === 0, "pangenome").when(ck % 3 === 1, "user")
+          .otherwise("experiment").as("source"))
+      val path = s"${sys.props("java.io.tmpdir")}/graft_growth_summary_${math.abs(d.hashCode)}"
+      raw.coalesce(1).write.mode("overwrite")
+        .option("sep", "\t").option("header", "true").csv(path)
+      TableBuild.dynamicTsvTable(s, path)
+    }),
+
+    // growth_phenotypes_detailed: dynamic-schema TSV passthrough of the
+    // per-phenotype file.
+    "tbl_growth_detailed" -> ((s, d) => {
+      val ev = tbl(s, d, "events")
+      val eid = col("event_id")
+      val raw = ev.select(
+        concat(lit("g"), (col("user_id") % 20).cast("string")).as("genome_id"),
+        concat(lit("phen"), (eid % 50).cast("string")).as("phenotype_id"),
+        when(col("event_type") === "purchase", "P")
+          .when(col("event_type") === "error", "N").otherwise("A").as("class"),
+        round4(col("value") / 100).as("simulated_objective"),
+        when(eid % 2 === 0, 1.0).otherwise(0.0).as("observed_objective"),
+        (eid % 5).cast("int").as("gap_count"),
+        concat(lit("rxn"), (eid % 7).cast("string")).as("gapfilled_reactions"))
+      val path = s"${sys.props("java.io.tmpdir")}/graft_growth_detailed_${math.abs(d.hashCode)}"
+      raw.coalesce(1).write.mode("overwrite")
+        .option("sep", "\t").option("header", "true").csv(path)
+      TableBuild.dynamicTsvTable(s, path)
     }))
 
   val oracles: Map[String, String] = Map(
@@ -406,5 +497,103 @@ object TableQueries {
            'cpd' || (p_partkey % 200) AS compound_id,
            floor((p_retailprice / 50) * 100 + 0.5) / 100 AS max_uptake,
            p_name AS compound_name
-         FROM part""")
+         FROM part""",
+    "tbl_genome" ->
+      """WITH meta AS (
+           SELECT 'acc' || c_custkey AS accession,
+                  'd__Bacteria;p__' || (c_custkey % 40) AS gtdb_taxonomy,
+                  'cellular organisms;clade' || (c_custkey % 40) AS ncbi_taxonomy,
+                  CAST(c_custkey % 997 AS INTEGER) AS ncbi_taxid,
+                  floor((c_acctbal / 100) * 100 + 0.5) / 100 AS checkm_completeness,
+                  floor((c_acctbal / 1000) * 100 + 0.5) / 100 AS checkm_contamination,
+                  c_custkey * 1000 + c_custkey % 7 AS genome_size
+           FROM customer),
+         member AS (SELECT 'acc' || c_custkey AS id FROM customer WHERE c_custkey % 5 = 0),
+         wanted AS (SELECT 'acc' || c_custkey AS id FROM customer WHERE c_custkey % 3 = 0
+                    UNION SELECT id FROM member)
+         SELECT m.accession AS genome, m.gtdb_taxonomy, m.ncbi_taxonomy, m.ncbi_taxid,
+           m.checkm_completeness, m.checkm_contamination,
+           CAST(m.genome_size AS BIGINT) AS "size",
+           CASE WHEN mem.id IS NOT NULL THEN 'clade_member' ELSE 'clade' END AS kind
+         FROM meta m
+         JOIN wanted w ON m.accession = w.id
+         LEFT JOIN member mem ON m.accession = mem.id
+         UNION ALL
+         SELECT g, NULL, NULL, NULL, NULL, NULL, NULL, 'user'
+         FROM (VALUES ('user_a'), ('user_b')) t(g)""",
+    "tbl_missing_functions" ->
+      """WITH rxn AS (
+           SELECT 'g' || (p_partkey % 8) AS genome_id,
+                  'rxn' || (p_partkey % 50) AS reaction_id,
+                  'eq' || (p_partkey % 50) AS equation_names,
+                  CASE WHEN p_partkey % 5 = 1 THEN 'rich media gapfill'
+                       WHEN p_partkey % 5 = 2 THEN 'minimal media gapfill'
+                       WHEN p_partkey % 5 = 3 THEN 'core gapfill'
+                       ELSE 'none' END AS gapfilling_status
+           FROM part),
+         model_gf AS (
+           SELECT CASE WHEN s_suppkey % 3 = 0 THEN 'rich_media'
+                       WHEN s_suppkey % 3 = 1 THEN 'minimal_media'
+                       ELSE 'other' END AS category,
+                  'rxn' || (s_suppkey % 60) AS reaction_id
+           FROM supplier),
+         pheno AS (
+           SELECT 'g' || (o_custkey % 4) AS genome_id,
+                  CASE WHEN o_orderkey % 7 = 0 THEN ''
+                       ELSE 'rxn' || (o_orderkey % 45) || '; rxn' || (o_orderkey % 33)
+                  END AS gapfilled_reactions
+           FROM orders),
+         user_rxn AS (SELECT * FROM rxn WHERE genome_id = 'g0'),
+         flags AS (
+           SELECT reaction_id AS r,
+             CASE WHEN lower(gapfilling_status) LIKE '%rich%' THEN 1 ELSE 0 END AS rich,
+             CASE WHEN lower(gapfilling_status) LIKE '%minimal%'
+                    OR lower(gapfilling_status) LIKE '%core%' THEN 1 ELSE 0 END AS mini,
+             0 AS phen, 0 AS pan
+           FROM user_rxn WHERE gapfilling_status <> 'none'
+           UNION ALL
+           SELECT reaction_id,
+             CASE WHEN lower(category) LIKE '%rich%' THEN 1 ELSE 0 END,
+             CASE WHEN lower(category) LIKE '%minimal%' THEN 1 ELSE 0 END, 0, 0
+           FROM model_gf
+           UNION ALL
+           SELECT trim(x), 0, 0, 1, 0 FROM (
+             SELECT unnest(string_split(gapfilled_reactions, ';')) AS x
+             FROM pheno WHERE genome_id = 'g0') WHERE trim(x) <> ''
+           UNION ALL
+           SELECT reaction_id, 0, 0, 0, 1 FROM (
+             SELECT DISTINCT reaction_id FROM rxn WHERE genome_id <> 'g0'
+             EXCEPT SELECT DISTINCT reaction_id FROM user_rxn)),
+         names AS (SELECT reaction_id, min(equation_names) AS nm FROM rxn GROUP BY 1),
+         agg AS (SELECT r, max(rich) AS rich, max(mini) AS mini,
+                        max(phen) AS phen, max(pan) AS pan
+                 FROM flags GROUP BY r)
+         SELECT a.r AS "Reaction", n.nm AS "RAST_function",
+           CAST(a.rich AS INTEGER) AS "RichGapfill",
+           CAST(a.mini AS INTEGER) AS "MinimalGapfill",
+           CAST(a.phen AS INTEGER) AS "PhenotypeGapfill",
+           0 AS "ModuleGapfill",
+           CAST(a.pan AS INTEGER) AS "Pangenome"
+         FROM agg a LEFT JOIN names n ON a.r = n.reaction_id""",
+    "tbl_growth_summary" ->
+      """SELECT 'g' || c_custkey AS genome_id,
+           'd__Bacteria;p__' || c_nationkey AS taxonomy,
+           CAST(c_custkey % 7 AS INTEGER) AS false_positives,
+           CAST(c_custkey % 5 AS INTEGER) AS false_negatives,
+           CAST(c_custkey % 20 AS INTEGER) AS true_positives,
+           CAST(c_custkey % 10 AS INTEGER) AS true_negatives,
+           floor((c_acctbal / 100) * 100 + 0.5) / 100 AS avg_gaps,
+           CASE WHEN c_custkey % 3 = 0 THEN 'pangenome'
+                WHEN c_custkey % 3 = 1 THEN 'user' ELSE 'experiment' END AS source
+         FROM customer""",
+    "tbl_growth_detailed" ->
+      """SELECT 'g' || (user_id % 20) AS genome_id,
+           'phen' || (event_id % 50) AS phenotype_id,
+           CASE WHEN event_type = 'purchase' THEN 'P'
+                WHEN event_type = 'error' THEN 'N' ELSE 'A' END AS "class",
+           floor((value / 100) * 10000 + 0.5) / 10000 AS simulated_objective,
+           CASE WHEN event_id % 2 = 0 THEN 1.0 ELSE 0.0 END AS observed_objective,
+           CAST(event_id % 5 AS INTEGER) AS gap_count,
+           'rxn' || (event_id % 7) AS gapfilled_reactions
+         FROM events""")
 }
