@@ -26,9 +26,10 @@ object Similarity {
 
   /** Round-robin a one-file scan across the shuffle parallelism so the
     * pairwise probe work (the O(n*m) part) doesn't serialize into one
-    * task (see Dedup.spread). */
-  private def spread(df: DataFrame): DataFrame =
-    df.repartition(df.sparkSession.sessionState.conf.numShufflePartitions)
+    * task — gated on the scan's actual partition count like
+    * [[Dedup.spread]] (an already-parallel production scan must not
+    * pay a full-corpus exchange). */
+  private def spread(df: DataFrame): DataFrame = Dedup.spread(df)
 
   /** Deterministic pseudo-random unit-ish hyperplanes (fixed seed). */
   def hyperplanes(nPlanes: Int, dim: Int, seed: Long = 42L): Seq[Seq[Double]] = {
@@ -124,37 +125,29 @@ object Similarity {
   }
 
   /** Cosine-argmax cell assignment against a LITERAL centroid list —
-    * a pure codegen projection, no join, no window, no shuffle. The
-    * struct max implements (cosine desc, cell asc): on a cosine tie
-    * the max of -cell is the min cell. The centroid norm is an
-    * expression over the same literals (constant-folded by Catalyst),
-    * so the arithmetic is bit-identical to the join formulation the
-    * SQL oracle still uses. */
-  private def assignCell(v: Column, vn: Column,
-                         centroids: Seq[(Long, Seq[Double])]): Column = {
-    val scored = centroids.map { case (cellId, c) =>
-      val cl = array(c.map(lit): _*)
-      val cn = sqrt(VectorOps.dot(cl, cl))
-      struct((VectorOps.dot(v, cl) / (vn * cn)).as("sim"),
-        (-lit(cellId)).cast("long").as("negCell"))
-    }
-    (-array_max(array(scored: _*)).getField("negCell")).cast("long")
-  }
+    * a pure codegen projection, no join, no window, no shuffle; on a
+    * cosine tie the LOWEST cell id wins. Runs as ONE compact codegen
+    * loop ([[ArrayNumeric.nearestCentroid]]) instead of k unrolled
+    * per-centroid dot expressions: bit-identical arithmetic (the
+    * expression doc proves the order), but constant codegen size — the
+    * unrolled form blew the JIT method budget past ~32 centroids and
+    * fell back to interpreted bytecode, which dominated pq_codes.
+    * `centroids` must be ascending by id (every fit returns it so). */
+  private def assignCell(v: Column,
+                         centroids: Seq[(Long, Seq[Double])]): Column =
+    org.apache.spark.sql.graftx.ArrayNumeric.nearestCentroid(
+      v, centroids.map(_._1), centroids.flatMap(_._2),
+      centroids.head._2.size, l2 = false)
 
   /** Nearest centroid by EUCLIDEAN distance: argmin |v−c|² = argmax
     * dot(v,c) − |c|²/2. Residual PQ must assign in L2 — residuals are
     * centered at 0, so a cosine (direction-only) assignment throws the
     * magnitude away and quantization collapses. */
   private def assignCellL2(v: Column,
-                           centroids: Seq[(Long, Seq[Double])]): Column = {
-    val scored = centroids.map { case (cellId, c) =>
-      val cl = array(c.map(lit): _*)
-      val halfNormSq = lit(c.map(x => x * x).sum / 2.0)
-      struct((VectorOps.dot(v, cl) - halfNormSq).as("sim"),
-        (-lit(cellId)).cast("long").as("negCell"))
-    }
-    (-array_max(array(scored: _*)).getField("negCell")).cast("long")
-  }
+                           centroids: Seq[(Long, Seq[Double])]): Column =
+    org.apache.spark.sql.graftx.ArrayNumeric.nearestCentroid(
+      v, centroids.map(_._1), centroids.flatMap(_._2),
+      centroids.head._2.size, l2 = true)
 
   /** Deterministic k-means fit returning the centroids as plain data:
     * seeded with the first `k` corpus vectors (id < k), then `iters`
@@ -189,7 +182,7 @@ object Similarity {
       (floor(avg(col("v").getItem(i).cast("double")) * 1e6 + lit(0.5)) / 1e6).as(s"m$i"))
     for (_ <- 0 until iters) {
       centroids = base
-        .select(assignCell(col("v"), col("vn"), centroids).as("cell"), col("v"))
+        .select(assignCell(col("v"), centroids).as("cell"), col("v"))
         .groupBy(col("cell"))
         .agg(meanCols.head, meanCols.tail: _*)
         .collect().map(r => (r.getLong(0), (1 to dim).map(r.getDouble).toSeq))
@@ -230,7 +223,7 @@ object Similarity {
       .withColumn("vn", VectorOps.norm(col("v")))
       .localCheckpoint() // feeds probe and corpus sides
     val corpus = base
-      .withColumn("cell", assignCell(col("v"), col("vn"), centroids))
+      .withColumn("cell", assignCell(col("v"), centroids))
       .select(col("cell"), col(idCol).as("neighbor_id"),
         col("v").as("cv2"), col("vn").as("cn2"))
     val queries = base
@@ -287,7 +280,7 @@ object Similarity {
         case ((cents, j), acc) =>
           when(col("j") === j,
             if (l2Assign) assignCellL2(col("v"), cents)
-            else assignCell(col("v"), col("vn"), cents)).otherwise(acc)
+            else assignCell(col("v"), cents)).otherwise(acc)
       }
       val rows = base.select(col("j"), cellExpr.as("cell"), col("v"))
         .groupBy(col("j"), col("cell"))
@@ -309,7 +302,7 @@ object Similarity {
                codebooks: Seq[Seq[(Long, Seq[Double])]], subDim: Int): DataFrame = {
     val codeCols = codebooks.zipWithIndex.map { case (cents, j) =>
       val sub = slice(col(vecCol), j * subDim + 1, subDim)
-      assignCell(sub, sqrt(VectorOps.dot(sub, sub)), cents).as(s"c$j")
+      assignCell(sub, cents).as(s"c$j")
     }
     df.select(col(idCol) +: codeCols: _*)
   }
@@ -423,10 +416,10 @@ object Similarity {
     // corpus index: coarse cell + PQ codes, nothing else
     val codeCols = books.zipWithIndex.map { case (cents, j) =>
       val sub = slice(col("v"), j * subDim + 1, subDim)
-      assignCell(sub, sqrt(VectorOps.dot(sub, sub)), cents).as(s"c$j")
+      assignCell(sub, cents).as(s"c$j")
     }
     val corpus = base
-      .withColumn("cell", assignCell(col("v"), col("vn"), centroids))
+      .withColumn("cell", assignCell(col("v"), centroids))
       .select(col("cell") +: col(idCol).as("neighbor_id") +: codeCols: _*)
     // queries: nprobe cells + per-codebook sub-dot lookup tables
     val nsqMaps = books.map(cents => map_from_arrays(
@@ -476,7 +469,7 @@ object Similarity {
       }
     val base = spread(df).select(col(idCol), col(vecCol).as("v"))
       .withColumn("vn", VectorOps.norm(col("v")))
-      .withColumn("cell", assignCell(col("v"), col("vn"), centroids))
+      .withColumn("cell", assignCell(col("v"), centroids))
       .withColumn("r", zip_with(col("v"), centroidArray(col("cell")),
         (a, b) => a - b))
       .localCheckpoint() // feeds PQ training, the index, and the queries
@@ -557,7 +550,7 @@ object Similarity {
     // feeds both sides of the within-cell self-join: materialize once
     val cells = spread(df).select(col(idCol), col(vecCol).as("v"))
       .withColumn("vn", VectorOps.norm(col("v")))
-      .withColumn("cell", assignCell(col("v"), col("vn"), centroids))
+      .withColumn("cell", assignCell(col("v"), centroids))
       .localCheckpoint()
     // search within the cell
     val a = cells.select(col("cell"), col(idCol).as("query_id"),

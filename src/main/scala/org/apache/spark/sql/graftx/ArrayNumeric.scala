@@ -44,6 +44,139 @@ object ArrayNumeric {
     * to exactly one evaluation per surviving row. */
   def evalOnce(c: Column): Column =
     ExpressionUtils.column(EvalOnceFence(ExpressionUtils.expression(c)))
+
+  /** Nearest-centroid id of `v` against a literal codebook (see
+    * [[NearestCentroidId]]). `ids` must be ascending; `flat` is the
+    * row-major `ids.length × dim` centroid matrix. */
+  def nearestCentroid(v: Column, ids: Seq[Long], flat: Seq[Double],
+                      dim: Int, l2: Boolean): Column =
+    ExpressionUtils.column(NearestCentroidId(ExpressionUtils.expression(v),
+      ids.toArray, flat.toArray, dim, l2))
+}
+
+/** Argmax cell assignment of a numeric array against a LITERAL centroid
+  * codebook, as one compact two-level loop.
+  *
+  * Semantics are bit-identical to the unrolled expression it replaces
+  * (`array_max` over per-centroid `struct(sim, -cell)` columns, sim =
+  * `dot(v,c)/(|v|·|c|)` cosine or `dot(v,c) − |c|²/2` argmin-L2): the
+  * dot accumulates left-to-right in double exactly like
+  * [[NumericArrayDot]], centroid norms are folded the same way the
+  * literal-expression norms were, comparison is `Double.compare` (the
+  * engine's double ordering: NaN greatest), and sim ties keep the
+  * LOWEST cell id (ids are required ascending; strictly-greater wins).
+  *
+  * Why not the unrolled form: with k centroids × dim terms it codegens
+  * k inline dot loops per assignment — past ~32×8 the generated method
+  * blows the JIT's 8 KB inline/compile budget ("too long to be JIT
+  * compiled"), so it both compiles slowly at plan setup AND executes
+  * interpreted. This loop is a few hundred bytes of bytecode regardless
+  * of codebook size: JIT-hot, O(k·dim) per row, constant codegen cost.
+  * One deviation: a null input yields null (nullIntolerant), where the
+  * old struct-max folded all-null sims to the min cell — callers never
+  * feed null vectors (embeddings are non-null by schema). */
+case class NearestCentroidId(child: Expression, ids: Array[Long],
+                             flat: Array[Double], dim: Int, l2: Boolean)
+    extends UnaryExpression with ExpectsInputTypes {
+  require(ids.nonEmpty && flat.length == ids.length * dim,
+    s"codebook shape mismatch: ${ids.length} ids × $dim dims vs ${flat.length} values")
+
+  override def inputTypes: Seq[AbstractDataType] =
+    Seq(TypeCollection(ArrayType(FloatType), ArrayType(DoubleType)))
+  override def dataType: DataType = LongType
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "nearest_centroid"
+
+  private def elemIsFloat: Boolean =
+    child.dataType.asInstanceOf[ArrayType].elementType == FloatType
+
+  /** Per-centroid constant: sqrt-norm (cosine) or |c|²/2 (L2), folded
+    * left-to-right like the literal expressions it replaces. */
+  @transient private lazy val aux: Array[Double] = {
+    val out = new Array[Double](ids.length)
+    var c = 0
+    while (c < ids.length) {
+      var s = 0.0
+      var i = 0
+      while (i < dim) { val x = flat(c * dim + i); s += x * x; i += 1 }
+      out(c) = if (l2) s / 2.0 else math.sqrt(s)
+      c += 1
+    }
+    out
+  }
+
+  override def nullSafeEval(a: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val isF = elemIsFloat
+    def at(i: Int): Double = if (isF) x.getFloat(i).toDouble else x.getDouble(i)
+    val n = x.numElements()
+    var vn = 0.0
+    if (!l2) {
+      var i = 0
+      while (i < n) { val xv = at(i); vn += xv * xv; i += 1 }
+      vn = math.sqrt(vn)
+    }
+    val m = math.min(n, dim)
+    var best = 0.0; var bestId = 0L; var first = true
+    var c = 0
+    while (c < ids.length) {
+      var d = 0.0
+      var i = 0
+      while (i < m) { d += at(i) * flat(c * dim + i); i += 1 }
+      val sim = if (l2) d - aux(c) else d / (vn * aux(c))
+      if (first || java.lang.Double.compare(sim, best) > 0) {
+        best = sim; bestId = ids(c); first = false
+      }
+      c += 1
+    }
+    bestId
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val getter = if (elemIsFloat) "getFloat" else "getDouble"
+    val idsRef = ctx.addReferenceObj("centIds", ids, "long[]")
+    val flatRef = ctx.addReferenceObj("centFlat", flat, "double[]")
+    val auxRef = ctx.addReferenceObj("centAux", aux, "double[]")
+    nullSafeCodeGen(ctx, ev, a => {
+      val n = ctx.freshName("n"); val m = ctx.freshName("m")
+      val vn = ctx.freshName("vn"); val xv = ctx.freshName("xv")
+      val best = ctx.freshName("best"); val bestId = ctx.freshName("bestId")
+      val first = ctx.freshName("first"); val c = ctx.freshName("c")
+      val i = ctx.freshName("i"); val d = ctx.freshName("d")
+      val off = ctx.freshName("off"); val sim = ctx.freshName("sim")
+      val vnCode = if (l2) s"double $vn = 0.0;"
+      else
+        s"""
+           |double $vn = 0.0;
+           |for (int $i = 0; $i < $n; $i++) {
+           |  double $xv = (double) $a.$getter($i);
+           |  $vn += $xv * $xv;
+           |}
+           |$vn = java.lang.Math.sqrt($vn);
+         """.stripMargin
+      val simCode = if (l2) s"$d - $auxRef[$c]" else s"$d / ($vn * $auxRef[$c])"
+      s"""
+         |int $n = $a.numElements();
+         |$vnCode
+         |int $m = java.lang.Math.min($n, $dim);
+         |double $best = 0.0; long $bestId = 0L; boolean $first = true;
+         |for (int $c = 0; $c < $idsRef.length; $c++) {
+         |  double $d = 0.0; int $off = $c * $dim;
+         |  for (int $i = 0; $i < $m; $i++) {
+         |    $d += ((double) $a.$getter($i)) * $flatRef[$off + $i];
+         |  }
+         |  double $sim = $simCode;
+         |  if ($first || java.lang.Double.compare($sim, $best) > 0) {
+         |    $best = $sim; $bestId = $idsRef[$c]; $first = false;
+         |  }
+         |}
+         |${ev.value} = $bestId;
+       """.stripMargin
+    })
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): NearestCentroidId =
+    copy(child = newChild)
 }
 
 /** Identity wrapper flagged nondeterministic purely as an optimizer
