@@ -160,11 +160,13 @@ object Cleaning {
     // Distinct sizes are few; the unpartitioned window runs on the
     // histogram, not the corpus.
     val hist = df.groupBy(col(sizeCol)).agg(count(lit(1)).as("__c"))
-    // partitionBy(lit) = the same single-partition window, minus the
-    // "No Partition Defined" warning this deliberate choice triggers
+    // deliberate single-partition cumsum over the tiny histogram —
+    // keyed so the optimizer can't strip the spec (see
+    // Relational.singlePartitionKey)
     val cum = hist
       .withColumn("__cum", sum(col("__c")).over(
-        org.apache.spark.sql.expressions.Window.partitionBy(lit(0))
+        org.apache.spark.sql.expressions.Window
+          .partitionBy(Relational.singlePartitionKey())
           .orderBy(col(sizeCol))))
       .crossJoin(broadcast(n))
     val bounds = cum.agg(

@@ -419,12 +419,30 @@ object Dedup {
     * which set-based shingle overlap (Jaccard) deliberately ignores.
     * Density is ~2/(w+1): the index is a small fraction of the text.
     *
-    * Scale shape: positions explode map-side off the scan; the sliding
-    * min is ONE per-doc window (shuffle keyed by doc, same cost class
-    * as the MinHash signature groupBy); the (id, fp) output is
-    * `distinct`-ed with map-side partial agg before any join. */
+    * Scale shape: winnowing is document-LOCAL, so the whole selection
+    * runs inside one codegen projection on top of the scan
+    * ([[org.apache.spark.sql.graftx.WinnowFingerprints]]: Karp-Rabin
+    * rolling hash + deque sliding min, O(len) per doc) — zero
+    * shuffles, and the exploded (id, fp) rows are already distinct
+    * per doc. Replaces a per-position `md5(substr)` formulation that
+    * computed O(len) full digests per doc and shuffled the whole
+    * corpus by doc id for the sliding-min window
+    * ([[winnowFingerprintsMd5]], kept as the cross-engine-parity
+    * reference: md5 is universal where the rolling-hash protocol
+    * constants are ours). */
   def winnowFingerprints(df: DataFrame, idCol: String, textCol: String,
-                         k: Int, w: Int): DataFrame = {
+                         k: Int, w: Int): DataFrame =
+    spread(df).select(col(idCol),
+      explode(org.apache.spark.sql.graftx.ArrayNumeric
+        .winnowFps(col(textCol), k, w)).as("fp"))
+
+  /** The pre-rolling-hash winnowing formulation (per-position md5,
+    * window-frame sliding min). Same selection rule and guarantee,
+    * different hash values; O(len) md5 digests per doc plus a full
+    * corpus shuffle for the per-doc window — use only when the
+    * fingerprints must be reproducible with stock hash functions. */
+  def winnowFingerprintsMd5(df: DataFrame, idCol: String, textCol: String,
+                            k: Int, w: Int): DataFrame = {
     val n1 = greatest(length(col(textCol)) - (k - 1), lit(1))
     val positions = spread(df)
       .select(col(idCol), col(textCol).as("__t"), n1.as("__n1"))

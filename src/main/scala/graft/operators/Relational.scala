@@ -22,6 +22,19 @@ object Relational {
       broadcast(df)
     else df.hint("shuffle_hash")
 
+  /** A constant window-partition key the optimizer CANNOT fold away,
+    * for windows that deliberately run on one partition because their
+    * frame is bounded-small (a vocabulary head, a size histogram —
+    * never corpus-sized). `partitionBy(lit(0))` does not work: Spark's
+    * `EliminateWindowPartitions` rule strips foldable partition keys
+    * (and zero-product simplification catches `hash(col) * 0`),
+    * leaving an empty physical spec and the "No Partition Defined"
+    * warning the literal was meant to avoid. The opaque fence keeps
+    * the constant un-foldable, so the spec survives to the physical
+    * plan. */
+  def singlePartitionKey(): Column =
+    org.apache.spark.sql.graftx.ArrayNumeric.opaque(lit(0))
+
   /** Top-k rows per group with a deterministic total order (SURVEY A5/W4;
     * reference arg-max clade pick: berdl/berdl/prep_genome_set.py:160-169).
     *
@@ -122,7 +135,13 @@ object Relational {
                    agg: Column, maxValues: Int = 1000,
                    overflowCol: Option[String] = None): DataFrame = {
     val pv = col(pivotCol).cast("string")
+    // NULL pivot values are excluded from discovery and contribute to
+    // no column (their groups' key rows still appear): a NULL would
+    // otherwise sort first and claim a kept slot as a phantom column,
+    // while `isin(kept)` — never true for NULL — folded its rows into
+    // the overflow bucket.
     val discovered = df.select(pv.as("__pv")).distinct()
+      .filter(col("__pv").isNotNull)
       .orderBy(col("__pv")).limit(maxValues + 1)
       .collect().map(_.getString(0)).toSeq
     if (discovered.size <= maxValues)
@@ -136,8 +155,14 @@ object Relational {
         val kept = discovered.take(maxValues)
         require(!kept.contains(other),
           s"overflow column name '$other' collides with a pivot value")
+        // NULLs map to a sentinel OUTSIDE the pivot list, so they
+        // contribute to no column — same semantics as the uncapped
+        // path (a real string equal to the sentinel is unaffected:
+        // it hits the isin/overflow branches first).
         val remapped = df.withColumn("__pivot_val",
-          when(pv.isin(kept: _*), pv).otherwise(lit(other)))
+          when(pv.isNull, lit("__pivot_null__"))
+            .when(pv.isin(kept: _*), pv)
+            .otherwise(lit(other)))
         remapped.groupBy(keys.map(col): _*)
           .pivot("__pivot_val", kept :+ other).agg(agg)
     }

@@ -64,10 +64,11 @@ object TfIdf {
       .filter(col("freq") >= minCount)
       .orderBy(col("freq").desc, col("token").asc)
       .limit(n)
-    // partitionBy(lit) = same single-partition window over the n
-    // surviving rows, minus the "No Partition Defined" warning
+    // deliberate single-partition window over the n surviving rows —
+    // keyed so the optimizer can't strip the spec (see
+    // Relational.singlePartitionKey)
     freq.withColumn("rank",
-      row_number().over(Window.partitionBy(lit(0))
+      row_number().over(Window.partitionBy(Relational.singlePartitionKey())
         .orderBy(col("freq").desc, col("token").asc)))
       .select(col("rank"), col("token"), col("freq"))
   }

@@ -19,6 +19,16 @@ object DedupQueries {
   private val CosineThreshold = 0.45
   private val WinnowK = 20
   private val WinnowW = 10
+  // Winnowing rolling-hash protocol (graftx.WinnowFingerprints): the
+  // oracle recomputes each window hash directly as Σ code·Bʲ mod M —
+  // sum-of-20 BIGINT-safe terms, no rolling state needed in SQL. The
+  // power tables are emitted as literal lists indexed by the lambda.
+  private val WinnowM = org.apache.spark.sql.graftx.WinnowFingerprints.M
+  private def winnowPows(b: Long): String =
+    (0 until WinnowK).map(i => org.apache.spark.sql.graftx.WinnowFingerprints
+      .modPow(b, WinnowK - 1 - i)).mkString("[", ",", "]")
+  private val winnowPow1 = winnowPows(org.apache.spark.sql.graftx.WinnowFingerprints.B1)
+  private val winnowPow2 = winnowPows(org.apache.spark.sql.graftx.WinnowFingerprints.B2)
 
   val queries: Map[String, QueryFn] = Map(
     "dedup_exact" -> ((s, d) => {
@@ -199,7 +209,12 @@ object DedupQueries {
             FROM documents),
           h AS (
             SELECT doc_id, pos, n1,
-              ('0x' || substring(md5(substring(text, pos, $WinnowK)), 1, 15))::BIGINT AS hh
+              (list_sum(list_transform(range(0, $WinnowK), i ->
+                 greatest(unicode(substring(text, pos + i, 1)), 0) * ($winnowPow1)[i + 1]))
+               % $WinnowM) * 2147483648
+              + (list_sum(list_transform(range(0, $WinnowK), i ->
+                 greatest(unicode(substring(text, pos + i, 1)), 0) * ($winnowPow2)[i + 1]))
+               % $WinnowM) AS hh
             FROM pos),
           mins AS (
             SELECT doc_id, pos, n1,

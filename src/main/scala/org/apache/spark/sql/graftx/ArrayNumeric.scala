@@ -3,9 +3,10 @@ package org.apache.spark.sql.graftx
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, ExpectsInputTypes, Expression, UnaryExpression}
-import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.classic.ExpressionUtils
 import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
 
 /** Native Catalyst expressions for the numeric-array hot paths.
   *
@@ -52,6 +53,173 @@ object ArrayNumeric {
                       dim: Int, l2: Boolean): Column =
     ExpressionUtils.column(NearestCentroidId(ExpressionUtils.expression(v),
       ids.toArray, flat.toArray, dim, l2))
+
+  /** Distinct winnowing fingerprints of a text column, ascending (see
+    * [[WinnowFingerprints]]). */
+  def winnowFps(text: Column, k: Int, w: Int): Column =
+    ExpressionUtils.column(WinnowFingerprints(
+      ExpressionUtils.expression(text), k, w))
+
+  /** `c`, verbatim, behind a non-foldable fence (see [[OpaqueLiteral]]).
+    * For the deliberate single-partition window key: `partitionBy(lit(0))`
+    * loses its spec to `EliminateWindowPartitions` (and `hash(col)*0`
+    * to zero-product simplification), after which the physical window
+    * warns "No Partition Defined" and, worse, any future rule could
+    * treat the spec as absent. An opaque constant is evaluated per row
+    * (trivially) but never recognized as constant. */
+  def opaque(c: Column): Column =
+    ExpressionUtils.column(OpaqueLiteral(ExpressionUtils.expression(c)))
+}
+
+/** Identity wrapper that hides its child's foldability from the
+  * optimizer: deterministic (legal in window/partition specs, unlike a
+  * nondeterministic fence) yet never constant-folded or eliminated.
+  * Codegen passes the child's code through unchanged. */
+case class OpaqueLiteral(child: Expression) extends UnaryExpression {
+  override def foldable: Boolean = false
+  override def dataType: DataType = child.dataType
+  override def nullable: Boolean = child.nullable
+  override def eval(input: org.apache.spark.sql.catalyst.InternalRow): Any =
+    child.eval(input)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val c = child.genCode(ctx)
+    ev.copy(code = c.code, isNull = c.isNull, value = c.value)
+  }
+  override protected def withNewChildInternal(newChild: Expression): OpaqueLiteral =
+    copy(child = newChild)
+}
+
+/** Winnowing (MOSS) fingerprints of a document in ONE pass over the
+  * row: Karp-Rabin-hash every `k`-codepoint window of the text, keep
+  * the minimum hash of each run of `w` consecutive window hashes,
+  * return the distinct selected hashes ascending as `array<long>`.
+  *
+  * This subsumes what used to be a 4-operator subplan — position
+  * `sequence`+`explode` (O(len) rows per doc), per-position
+  * `md5(substr)`, a per-doc sort-window for the sliding min (a full
+  * corpus SHUFFLE keyed by doc id), and a `distinct` — with a single
+  * shuffle-free projection: winnowing is a purely document-local
+  * computation, so at corpus scale the only cost left is the O(len)
+  * rolling-hash scan itself, map-side on top of the file scan.
+  *
+  * The window hash packs two independent 31-bit polynomial hashes
+  * (bases 31 and 131, both mod the prime 2³¹−1, over Unicode code
+  * points, windows past the text end zero-padded) into one positive
+  * long `h1·2³¹ + h2` — chosen over a single 64-bit hash because the
+  * DuckDB oracle must reproduce it exactly in BIGINT-safe arithmetic
+  * (`list_sum` of `codepoint × B^j mod M` terms stays < 2⁴³; a 64-bit
+  * modulus would overflow DuckDB's BIGINT mid-sum). ~62 bits keeps
+  * corpus-scale collision pairs negligible (birthday bound: ~10⁻⁵
+  * expected spurious pairs per 10⁹ distinct windows).
+  *
+  * Selection rule (exactly the window-frame form it replaces): with
+  * `n1 = max(len−k+1, 1)` window positions, positions `1..max(n1−w+1,
+  * 1)` each contribute `min(hash over the next w windows, clamped to
+  * n1)`. Two docs sharing any substring of ≥ k+w−1 codepoints share a
+  * fingerprint (the winnowing guarantee, hash-function-independent).
+  * A null text yields null. */
+case class WinnowFingerprints(child: Expression, k: Int, w: Int)
+    extends UnaryExpression with ExpectsInputTypes {
+  require(k >= 2 && w >= 1, s"need k >= 2 and w >= 1, got k=$k w=$w")
+
+  override def inputTypes: Seq[AbstractDataType] = Seq(StringType)
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "winnow_fingerprints"
+
+  import WinnowFingerprints.{B1, B2, M}
+
+  // B^(k-1) mod M, the rolling-subtract coefficients
+  @transient private lazy val bk1: Long = WinnowFingerprints.modPow(B1, k - 1)
+  @transient private lazy val bk2: Long = WinnowFingerprints.modPow(B2, k - 1)
+
+  /** The whole algorithm, called once per row from both eval and the
+    * generated code (the deque/sort logic is too branchy to gain from
+    * inline codegen; one monomorphic call into a JIT-hot method keeps
+    * the enclosing stage in whole-stage codegen without boxing). */
+  def winnow(s: UTF8String): ArrayData = {
+    val str = s.toString
+    // code points, zero-padded so every window position has k codes
+    val n = str.codePointCount(0, str.length)
+    val n1 = math.max(n - (k - 1), 1)
+    val cp = new Array[Int](n1 + k - 1)
+    var ci = 0
+    var si = 0
+    while (si < str.length) {
+      val c = str.codePointAt(si)
+      cp(ci) = c; ci += 1
+      si += Character.charCount(c)
+    }
+    // rolling double hash of every k-window
+    val hs = new Array[Long](n1)
+    var h1 = 0L; var h2 = 0L
+    var i = 0
+    while (i < k) { h1 = (h1 * B1 + cp(i)) % M; h2 = (h2 * B2 + cp(i)) % M; i += 1 }
+    var pos = 0
+    while (pos < n1) {
+      hs(pos) = h1 * 2147483648L + h2
+      if (pos + 1 < n1) {
+        val t1 = (h1 - cp(pos) * bk1 % M + M) % M
+        h1 = (t1 * B1 + cp(pos + k)) % M
+        val t2 = (h2 - cp(pos) * bk2 % M + M) % M
+        h2 = (t2 * B2 + cp(pos + k)) % M
+      }
+      pos += 1
+    }
+    // sliding min over w consecutive windows (monotone deque)
+    val p = math.max(n1 - (w - 1), 1)
+    val out = new Array[Long](p)
+    val dq = new Array[Int](n1)
+    var head = 0; var tail = 0 // dq[head until tail], hs increasing
+    var r = 0
+    var sel = 0
+    while (sel < p) {
+      val end = math.min(sel + w - 1, n1 - 1)
+      while (r <= end) {
+        while (tail > head && hs(dq(tail - 1)) >= hs(r)) tail -= 1
+        dq(tail) = r; tail += 1
+        r += 1
+      }
+      while (dq(head) < sel) head += 1
+      out(sel) = hs(dq(head))
+      sel += 1
+    }
+    // distinct ascending
+    java.util.Arrays.sort(out)
+    var uniq = 0
+    i = 0
+    while (i < p) {
+      if (i == 0 || out(i) != out(i - 1)) { out(uniq) = out(i); uniq += 1 }
+      i += 1
+    }
+    new GenericArrayData(java.util.Arrays.copyOf(out, uniq))
+  }
+
+  override def nullSafeEval(a: Any): Any = winnow(a.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("winnowExpr", this,
+      classOf[WinnowFingerprints].getName)
+    nullSafeCodeGen(ctx, ev, a => s"${ev.value} = $ref.winnow($a);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): WinnowFingerprints =
+    copy(child = newChild)
+}
+
+object WinnowFingerprints {
+  /** Prime modulus 2³¹−1 and the two polynomial bases. Fixed protocol
+    * constants — the DuckDB oracle SQL hard-codes the matching power
+    * tables, so these must never change without changing both. */
+  val M: Long = 2147483647L
+  val B1: Long = 31L
+  val B2: Long = 131L
+
+  def modPow(b: Long, e: Int): Long = {
+    var r = 1L; var i = 0
+    while (i < e) { r = r * b % M; i += 1 }
+    r
+  }
 }
 
 /** Argmax cell assignment of a numeric array against a LITERAL centroid

@@ -94,9 +94,44 @@ class PlanGuardSpec extends SparkTestBase {
       s"expected at most one tokenize (explode) subtree, found $explodes:\n$p")
   }
 
+  test("winnow fingerprints run shuffle-free (no Window, no Exchange)") {
+    import org.apache.spark.sql.functions._
+    val corpus = spark.range(0, 64, 1, 8)
+      .select(col("id").cast("string").as("doc_id"),
+        concat(lit("body text for winnowing "), col("id")).as("text"))
+    val p = graft.operators.Dedup.winnowFingerprints(corpus, "doc_id", "text", 20, 10)
+      .queryExecution.executedPlan.toString
+    assert(!p.contains("Exchange") && !p.contains("Window"),
+      s"winnowing is doc-local and must stay map-side:\n$p")
+  }
+
   test("serving DSL filters compile to pushed-down scan predicates") {
     val p = plan("dsl_page_filter")
     assert(p.contains("PushedFilters: [") && !p.contains("PushedFilters: []"),
       s"DSL predicates must reach the parquet scan:\n$p")
+  }
+
+  test("no query plans a partition-less WindowExec") {
+    import org.apache.spark.sql.execution.window.WindowExec
+    // A window with an empty partition spec funnels ALL rows into one
+    // task ("No Partition Defined" warning). Bounded frames are given
+    // partitionBy(lit(0)) instead — same single partition, but an
+    // explicit, greppable declaration that the frame is driver-small.
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    // collect() does not descend into AdaptiveSparkPlanExec (a leaf to
+    // the tree API) — unwrap it or the sweep sees nothing under AQE
+    def globalWindows(p: SparkPlan): Seq[String] = p.collect {
+      case a: AdaptiveSparkPlanExec => globalWindows(a.inputPlan)
+      case w: WindowExec if w.partitionSpec.isEmpty =>
+        Seq(w.windowExpression.mkString(","))
+    }.flatten
+    val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
+      case (name, fn) =>
+        globalWindows(fn(spark, sfSmoke).queryExecution.executedPlan)
+          .map(h => s"$name: $h")
+    }
+    assert(offenders.isEmpty,
+      s"global windows found (add partitionBy(lit(0)) or a real key):\n${offenders.mkString("\n")}")
   }
 }

@@ -220,6 +220,47 @@ class PropertySpec extends SparkTestBase {
     assert(diff == 0L && agg.count() == rowwise.count())
   }
 
+  test("winnow fingerprints: rolling-hash expression == direct per-window reference") {
+    import org.apache.spark.sql.graftx.WinnowFingerprints.{B1, B2, M, modPow}
+    val k = 7; val w = 4
+    val txtGen: Gen[String] = Gen.chooseNum(0, 120).flatMap(n =>
+      Gen.listOfN(n, Gen.oneOf(('a' to 'z') ++ Seq(' ', 'é', '中'))).map(_.mkString))
+    val cases = sample(txtGen, 80) ++ Seq("", "x", "x" * (k - 1), "x" * (k + w))
+    // independent reference: direct (non-rolling) polynomial per window
+    def ref(text: String): Seq[Long] = {
+      val p1 = (0 until k).map(i => modPow(B1, k - 1 - i))
+      val p2 = (0 until k).map(i => modPow(B2, k - 1 - i))
+      val cps = text.codePoints.toArray
+      val n1 = math.max(cps.length - (k - 1), 1)
+      def code(i: Int) = if (i < cps.length) cps(i).toLong else 0L
+      val hs = (0 until n1).map { pos =>
+        val h1 = (0 until k).map(i => code(pos + i) * p1(i) % M).sum % M
+        val h2 = (0 until k).map(i => code(pos + i) * p2(i) % M).sum % M
+        h1 * 2147483648L + h2
+      }
+      (0 until math.max(n1 - (w - 1), 1))
+        .map(pos => hs.slice(pos, math.min(pos + w, n1)).min).distinct.sorted
+    }
+    val got = cases.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      .toDF("id", "text")
+      .select(col("id"), ArrayNumeric.winnowFps(col("text"), k, w).as("fps"))
+      .as[(Long, Seq[Long])].collect().toMap
+    cases.zipWithIndex.foreach { case (t, i) =>
+      assert(got(i.toLong) == ref(t), s"mismatch for case $i: '$t'")
+    }
+  }
+
+  test("image codec round-trip: synthetic BMP decodes to its declared shape") {
+    import graft.operators.Multimodal
+    for ((w, h) <- Seq((8, 8), (13, 9), (47, 37), (1, 1))) {
+      val bytes = Multimodal.syntheticBmp(w, h, seed = w * 1000L + h)
+      assert(bytes.length == 54 + (w * 3 + 3) / 4 * 4 * h,
+        s"BMP length formula broke for ${w}x$h")
+      assert(Multimodal.decodeImage(bytes).contains((w, h, 3)))
+    }
+    assert(Multimodal.decodeImage("not an image".getBytes).isEmpty)
+  }
+
   test("winnowing guarantee: docs sharing a >= k+w-1 char run pair up") {
     val sharedRun = "the exact same thirty-plus character passage here"
     val docs = Seq(
