@@ -65,9 +65,18 @@ object Layout {
     val path = new org.apache.hadoop.fs.Path(inDir)
     val out = new org.apache.hadoop.fs.Path(outDir)
     val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    // overwrite-while-reading would corrupt or lose the input
-    require(fs.makeQualified(path) != fs.makeQualified(out),
-      s"compact cannot write into its own input directory: $inDir")
+    // overwrite-while-reading would corrupt or lose the input — and a
+    // NESTED output is just as fatal (writing under the input rewrites
+    // data the scan is still listing, and its stale bytes would count
+    // into totalBytes on the next pass; an input nested under the
+    // output gets clobbered by the overwrite). Compare with a
+    // trailing separator so /data/x is not treated as an ancestor of
+    // /data/xy.
+    val qIn = fs.makeQualified(path).toString.stripSuffix("/") + "/"
+    val qOut = fs.makeQualified(out).toString.stripSuffix("/") + "/"
+    require(!qIn.startsWith(qOut) && !qOut.startsWith(qIn),
+      s"compact input and output must be disjoint directories " +
+        s"(got input=$inDir output=$outDir)")
     // recursive: a hive-partitioned input keeps its bytes in subdirs
     val totalBytes = fs.getContentSummary(path).getLength
     val n = math.max(1L, (totalBytes + targetBytes - 1) / targetBytes).toInt

@@ -52,8 +52,15 @@ class PagedSource extends TableProvider {
     val overrides: Map[String, Int] = opts.getOrDefault("pageSizes", "")
       .split(",").iterator.map(_.trim).filter(_.nonEmpty)
       .map { kv =>
-        val Array(t, n) = kv.split(":", 2)
-        t.trim -> n.trim.toInt
+        // name the offending token: a bare MatchError/NumberFormatException
+        // from the destructure would give no hint which entry was bad
+        kv.split(":", 2) match {
+          case Array(t, n) if n.trim.nonEmpty && n.trim.forall(_.isDigit) =>
+            t.trim -> n.trim.toInt
+          case _ => throw new IllegalArgumentException(
+            s"malformed pageSizes entry '$kv' (expected table:positiveInt, " +
+              s"""e.g. "junction:100,genome_ani:1000")""")
+        }
       }.toMap
     val table = opts.getOrDefault("table", "")
     new PagedTable(
