@@ -8,12 +8,15 @@ import org.apache.spark.sql.types._
   * columns with a typed metadata struct alongside; decode / feature
   * extraction runs per-partition over the bytes.
   *
-  * The Spark-side machinery here — schema, partition-batched decode via
-  * `mapPartitions`, metadata struct shape — is real and tested. The
-  * codec itself is STUBBED (`fakeDecode`): this container has no image/
-  * audio libraries, so the "decoder" derives deterministic dimensions
-  * from the byte content. A deployment swaps `fakeDecode` for a real
-  * codec (JavaCV, TwelveMonkeys, …) without touching the plan shape.
+  * The IMAGE path is fully real: [[decodeImage]]/[[resizeImage]] run
+  * `javax.imageio` (JDK-pure — BMP/PNG/GIF/JPEG/WBMP) inside
+  * `mapPartitions`, so decode → resample → re-encode → metadata is
+  * end-to-end against actual pixels. Audio/video feature extraction
+  * stays STUBBED (`fakeDecode`/`stubEmbed`: no such JVM-pure codec
+  * exists and this container has no native media libs); the
+  * partition-batched plumbing around the stubs is real and a
+  * deployment swaps the body (JavaCV, ONNX runtime, …) without
+  * touching the plan shape.
   */
 object Multimodal {
 
@@ -103,6 +106,94 @@ object Multimodal {
         val bytes = r.getAs[Array[Byte]](idx)
         val out = bytes.take(maxBytes)
         Row.fromSeq(r.toSeq :+ out :+ out.length.toLong)
+      }
+    }(org.apache.spark.sql.Encoders.row(outSchema))
+  }
+
+  // ---- REAL image codec path (JDK-pure javax.imageio) ----
+
+  /** Decode image bytes: (width, height, bands), or None if the bytes
+    * are not a decodable image. ImageIO's JDK readers cover BMP, PNG,
+    * GIF, JPEG, WBMP — no external libraries. */
+  def decodeImage(bytes: Array[Byte]): Option[(Int, Int, Int)] =
+    Option(javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes)))
+      .map(img => (img.getWidth, img.getHeight, img.getRaster.getNumBands))
+
+  /** Deterministic 24-bit BMP test/fixture image: pixel (x,y) carries
+    * `(31x + 17y + seed) mod 256` across channels, so any engine can
+    * predict the DIMENSIONS and exact byte length (BMP: 54-byte header
+    * + rows padded to 4 bytes → `54 + (3w+3 & ~3) * h`) while the
+    * payload is a genuine decodable image. */
+  def syntheticBmp(width: Int, height: Int, seed: Long): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(
+      width, height, java.awt.image.BufferedImage.TYPE_3BYTE_BGR)
+    var y = 0
+    while (y < height) {
+      var x = 0
+      while (x < width) {
+        val v = (((x * 31 + y * 17).toLong + seed) % 256).toInt & 0xff
+        img.setRGB(x, y, (v << 16) | ((255 - v) << 8) | v)
+        x += 1
+      }
+      y += 1
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "bmp", bos)
+    bos.toByteArray
+  }
+
+  /** Attach a synthetic BMP payload (see [[syntheticBmp]]) sized by the
+    * given INT columns — the fixture generator for the real-codec path
+    * (partition-batched like every other media step). */
+  def withSyntheticBmp(df: DataFrame, widthCol: String, heightCol: String,
+                       seedCol: String): DataFrame = {
+    val outSchema = StructType(df.schema.fields :+ StructField("payload", BinaryType))
+    val (wi, hi, si) = (df.schema.fieldIndex(widthCol),
+      df.schema.fieldIndex(heightCol), df.schema.fieldIndex(seedCol))
+    df.mapPartitions { rows =>
+      rows.map { r =>
+        val bmp = syntheticBmp(r.getInt(wi), r.getInt(hi), r.getLong(si))
+        Row.fromSeq(r.toSeq :+ bmp)
+      }
+    }(org.apache.spark.sql.Encoders.row(outSchema))
+  }
+
+  /** REAL image resize: ImageIO decode → Graphics2D resample to
+    * `1/denom` scale (min 1 px) → BMP re-encode, emitting the resized
+    * payload plus decoded-and-resized dimensions. Non-image payloads
+    * pass through with null outputs instead of failing the batch (the
+    * 100 TB reality: corrupt rows must not kill the job). One decoder
+    * graph per partition, rows streamed. */
+  def resizeImage(df: DataFrame, payloadCol: String, denom: Int): DataFrame = {
+    require(denom >= 1, "denom must be >= 1")
+    val outSchema = StructType(df.schema.fields ++ Seq(
+      StructField("width", IntegerType), StructField("height", IntegerType),
+      StructField("channels", IntegerType),
+      StructField("resized", BinaryType),
+      StructField("resized_width", IntegerType),
+      StructField("resized_height", IntegerType),
+      StructField("resized_len", LongType)))
+    val idx = df.schema.fieldIndex(payloadCol)
+    df.mapPartitions { rows =>
+      rows.map { r =>
+        val bytes = r.getAs[Array[Byte]](idx)
+        javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes)) match {
+          case null =>
+            Row.fromSeq(r.toSeq ++ Seq(null, null, null, null, null, null, null))
+          case img =>
+            val (w, h) = (img.getWidth, img.getHeight)
+            val (rw, rh) = (math.max(w / denom, 1), math.max(h / denom, 1))
+            val out = new java.awt.image.BufferedImage(
+              rw, rh, java.awt.image.BufferedImage.TYPE_3BYTE_BGR)
+            val g = out.createGraphics()
+            g.drawImage(img, 0, 0, rw, rh, null)
+            g.dispose()
+            val bos = new java.io.ByteArrayOutputStream()
+            javax.imageio.ImageIO.write(out, "bmp", bos)
+            val enc = bos.toByteArray
+            Row.fromSeq(r.toSeq ++ Seq(w, h, img.getRaster.getNumBands,
+              enc, rw, rh, enc.length.toLong))
+        }
       }
     }(org.apache.spark.sql.Encoders.row(outSchema))
   }

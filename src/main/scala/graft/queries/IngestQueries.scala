@@ -92,12 +92,23 @@ object IngestQueries {
         .select(col("doc_id"), col("pos").cast("bigint").as("i"), col("col").as("value"))
     }),
 
-    // Multimodal: binary-in/binary-out resize plumbing (stub resampler).
+    // Multimodal: REAL image path — a genuine 24-bit BMP is built per
+    // row (dims derived from doc_id), decoded with javax.imageio,
+    // resampled to half size with Graphics2D, re-encoded; the oracle
+    // pins the decoded dims, band count, and the exact BMP byte
+    // lengths (54-byte header + 4-byte-padded rows), so the codec
+    // round-trip — not a stub — is what's differentially checked.
     "multimodal_resize" -> ((s, d) => {
-      val withPayload = tbl(s, d, "documents")
-        .select(col("doc_id"), col("text").cast("binary").as("payload"))
-      Multimodal.resize(withPayload, "payload", maxBytes = 64)
-        .select(col("doc_id"), col("resized_len"))
+      val docs = tbl(s, d, "documents").select(col("doc_id"),
+        (col("doc_id") % 40 + 8).cast("int").as("w"),
+        (col("doc_id") % 30 + 8).cast("int").as("h"),
+        col("doc_id").as("seed"))
+      val withBmp = Multimodal.withSyntheticBmp(docs, "w", "h", "seed")
+      Multimodal.resizeImage(withBmp, "payload", denom = 2)
+        .select(col("doc_id"),
+          length(col("payload")).cast("bigint").as("orig_len"),
+          col("width"), col("height"), col("channels"),
+          col("resized_width"), col("resized_height"), col("resized_len"))
     }),
 
     // Streaming-shaped tumbling-window aggregation (batch equivalence;
@@ -164,7 +175,14 @@ object IngestQueries {
            (('0x' || substring(md5(text || '#' || i), 1, 8))::BIGINT % 1000)::DOUBLE / 1000.0 AS value
          FROM documents CROSS JOIN (SELECT unnest(generate_series(0, 3)) AS i) t""",
     "multimodal_resize" ->
-      """SELECT doc_id, least(octet_length(encode(text)), 64)::BIGINT AS resized_len
+      """SELECT doc_id,
+           CAST(54 + ((doc_id % 40 + 8) * 3 + 3) // 4 * 4 * (doc_id % 30 + 8) AS BIGINT) AS orig_len,
+           CAST(doc_id % 40 + 8 AS INTEGER) AS width,
+           CAST(doc_id % 30 + 8 AS INTEGER) AS height,
+           3 AS channels,
+           CAST((doc_id % 40 + 8) // 2 AS INTEGER) AS resized_width,
+           CAST((doc_id % 30 + 8) // 2 AS INTEGER) AS resized_height,
+           CAST(54 + (((doc_id % 40 + 8) // 2) * 3 + 3) // 4 * 4 * ((doc_id % 30 + 8) // 2) AS BIGINT) AS resized_len
          FROM documents""",
     "stream_window_counts" ->
       """SELECT strftime(time_bucket(INTERVAL '1 hour', ts), '%Y-%m-%d %H:%M:%S') AS window_start,
