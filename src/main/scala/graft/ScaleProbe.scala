@@ -65,6 +65,36 @@ object ScaleProbe {
     }
   }
 
+  /** `runMain graft.ScaleProbe winnow5` — the rolling-hash winnowing
+    * expression vs the md5 window-frame formulation it replaced
+    * (SCALE.md round 5): sf0.1 documents x1 vs x4 (shifted ids),
+    * min-of-2 warm, counting the (id, fp) output. The expression path
+    * is a map-side projection (one O(len) scan per doc, no shuffle);
+    * the md5 path pays O(len) digests per doc plus a full corpus
+    * exchange for the per-doc sliding-min window. */
+  private def winnow5(spark: SparkSession): Unit = {
+    import org.apache.spark.sql.DataFrame
+    val docs = spark.read.parquet("/root/testdata/sf0.1/documents.parquet")
+      .select(col("doc_id"), col("text")).cache()
+    val n = docs.count()
+    val x4 = (0 until 4).map(i =>
+      docs.select((col("doc_id") + lit(i * n)).as("doc_id"), col("text")))
+      .reduce(_ unionAll _).cache()
+    x4.count()
+    def time(label: String)(f: DataFrame): Unit = {
+      val secs = (1 to 2).map { _ =>
+        val t0 = System.nanoTime(); f.count(); (System.nanoTime() - t0) / 1e9
+      }
+      println(f"""{"probe":"$label","sec":${secs.min}%.2f}""")
+    }
+    for ((tag, d) <- Seq(("x1", docs), ("x4", x4))) {
+      time(s"winnow rolling-expr $tag")(
+        Dedup.winnowFingerprints(d, "doc_id", "text", 20, 10))
+      time(s"winnow md5-window $tag")(
+        Dedup.winnowFingerprintsMd5(d, "doc_id", "text", 20, 10))
+    }
+  }
+
   /** `runMain graft.ScaleProbe merge4` — the size-gated MERGE feed
     * (SCALE.md round 4): a change-feed-sized update broadcasts, a
     * backfill-sized one must degrade to a shuffle join and still
@@ -102,6 +132,18 @@ object ScaleProbe {
   }
 
   def main(args: Array[String]): Unit = {
+    if (args.headOption.contains("winnow5")) {
+      val spark = SparkSession.builder()
+        .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")}]")
+        .config("spark.sql.shuffle.partitions",
+          sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"))
+        .config("spark.ui.enabled", "false")
+        .getOrCreate()
+      spark.sparkContext.setLogLevel("WARN")
+      winnow5(spark)
+      spark.stop()
+      return
+    }
     if (args.headOption.contains("merge4")) {
       val spark = SparkSession.builder()
         .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")}]")

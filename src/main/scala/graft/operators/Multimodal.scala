@@ -115,16 +115,42 @@ object Multimodal {
   /** Decode image bytes: (width, height, bands), or None if the bytes
     * are not a decodable image. ImageIO's JDK readers cover BMP, PNG,
     * GIF, JPEG, WBMP — no external libraries. */
-  def decodeImage(bytes: Array[Byte]): Option[(Int, Int, Int)] =
+  def decodeImage(bytes: Array[Byte]): Option[(Int, Int, Int)] = {
+    javax.imageio.ImageIO.setUseCache(false) // memory streams, no temp files
     Option(javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes)))
       .map(img => (img.getWidth, img.getHeight, img.getRaster.getNumBands))
+  }
+
+  /** One BMP ImageWriter per partition: `ImageIO.write` does an SPI
+    * registry search per call and (with the default `useCache=true`)
+    * spools every image through a TEMP FILE — per-row costs that
+    * dominate tiny-image workloads. The writer instance is reused for
+    * the whole partition and all streams stay in memory. */
+  private def bmpWriter(): javax.imageio.ImageWriter = {
+    javax.imageio.ImageIO.setUseCache(false)
+    javax.imageio.ImageIO.getImageWritersByFormatName("bmp").next()
+  }
+
+  private def writeBmp(writer: javax.imageio.ImageWriter,
+                       img: java.awt.image.BufferedImage): Array[Byte] = {
+    val bos = new java.io.ByteArrayOutputStream()
+    val ios = new javax.imageio.stream.MemoryCacheImageOutputStream(bos)
+    writer.setOutput(ios)
+    writer.write(img)
+    ios.flush()
+    bos.toByteArray
+  }
 
   /** Deterministic 24-bit BMP test/fixture image: pixel (x,y) carries
     * `(31x + 17y + seed) mod 256` across channels, so any engine can
     * predict the DIMENSIONS and exact byte length (BMP: 54-byte header
     * + rows padded to 4 bytes → `54 + (3w+3 & ~3) * h`) while the
     * payload is a genuine decodable image. */
-  def syntheticBmp(width: Int, height: Int, seed: Long): Array[Byte] = {
+  def syntheticBmp(width: Int, height: Int, seed: Long): Array[Byte] =
+    writeBmp(bmpWriter(), syntheticImage(width, height, seed))
+
+  private def syntheticImage(width: Int, height: Int,
+                             seed: Long): java.awt.image.BufferedImage = {
     val img = new java.awt.image.BufferedImage(
       width, height, java.awt.image.BufferedImage.TYPE_3BYTE_BGR)
     var y = 0
@@ -137,9 +163,7 @@ object Multimodal {
       }
       y += 1
     }
-    val bos = new java.io.ByteArrayOutputStream()
-    javax.imageio.ImageIO.write(img, "bmp", bos)
-    bos.toByteArray
+    img
   }
 
   /** Attach a synthetic BMP payload (see [[syntheticBmp]]) sized by the
@@ -151,8 +175,10 @@ object Multimodal {
     val (wi, hi, si) = (df.schema.fieldIndex(widthCol),
       df.schema.fieldIndex(heightCol), df.schema.fieldIndex(seedCol))
     df.mapPartitions { rows =>
+      val writer = bmpWriter() // one encoder instance per partition
       rows.map { r =>
-        val bmp = syntheticBmp(r.getInt(wi), r.getInt(hi), r.getLong(si))
+        val bmp = writeBmp(writer,
+          syntheticImage(r.getInt(wi), r.getInt(hi), r.getLong(si)))
         Row.fromSeq(r.toSeq :+ bmp)
       }
     }(org.apache.spark.sql.Encoders.row(outSchema))
@@ -175,6 +201,7 @@ object Multimodal {
       StructField("resized_len", LongType)))
     val idx = df.schema.fieldIndex(payloadCol)
     df.mapPartitions { rows =>
+      val writer = bmpWriter() // one encoder instance per partition
       rows.map { r =>
         val bytes = r.getAs[Array[Byte]](idx)
         javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes)) match {
@@ -188,9 +215,7 @@ object Multimodal {
             val g = out.createGraphics()
             g.drawImage(img, 0, 0, rw, rh, null)
             g.dispose()
-            val bos = new java.io.ByteArrayOutputStream()
-            javax.imageio.ImageIO.write(out, "bmp", bos)
-            val enc = bos.toByteArray
+            val enc = writeBmp(writer, out)
             Row.fromSeq(r.toSeq ++ Seq(w, h, img.getRaster.getNumBands,
               enc, rw, rh, enc.length.toLong))
         }
