@@ -11,6 +11,14 @@ import graft.functions.TextAnalysis
 object TextQueries {
 
   val queries: Map[String, QueryFn] = Map(
+    // Corpus "data card" profile: one partial-agg groupBy reducing
+    // every doc to scalars map-side; exact quantiles over the bounded
+    // distinct-length domain (see operators.Profiling).
+    "corpus_profile" -> ((s, d) => {
+      graft.operators.Profiling.corpusProfile(
+        tbl(s, d, "documents"), "lang", "text")
+    }),
+
     "text_tokens" -> ((s, d) => {
       tbl(s, d, "documents").select(
         col("doc_id"),
@@ -122,6 +130,18 @@ object TextQueries {
          SELECT doc_id, hh % 8 AS shard,
            row_number() OVER (PARTITION BY hh % 8 ORDER BY hh, doc_id) AS shard_pos
          FROM h""",
+    "corpus_profile" ->
+      """SELECT lang, count(*) AS n_docs,
+           CAST(sum(len(string_split_regex(trim(text), '\s+'))) AS BIGINT) AS n_tokens,
+           CAST(sum(len(text)) AS BIGINT) AS n_chars,
+           CAST(min(len(text)) AS INTEGER) AS len_min,
+           quantile_cont(len(text), 0.25) AS len_p25,
+           quantile_cont(len(text), 0.5) AS len_p50,
+           quantile_cont(len(text), 0.75) AS len_p75,
+           CAST(max(len(text)) AS INTEGER) AS len_max,
+           count(DISTINCT md5(text)) AS n_distinct,
+           (count(*) - count(DISTINCT md5(text)))::DOUBLE / count(*) AS dup_rate
+         FROM documents GROUP BY lang""",
     "text_tokens" ->
       """SELECT doc_id, len(string_split_regex(trim(text), '\s+')) AS n_ws,
            len(regexp_extract_all(text, '\w+|[^\w\s]')) AS n_bpe,
