@@ -130,7 +130,17 @@ def main():
                 "so a uniform ~1.5-2x 'Δ vs prev' against a min-based\n"
                 "BENCH_r03 is the reporting change, not a plan regression;\n"
                 "bench_history/last_full.json carries the min/med/max\n"
-                "spread for any query in doubt.\n\n")
+                "spread for any query in doubt.\n\n"
+                "Measurement note (round 5): the 'Δ vs prev' baseline is\n"
+                "the driver's BENCH_r04, whose run was load-poisoned\n"
+                "(multi-minute host stalls hit 2 of 3 samples on several\n"
+                "queries — see VERDICT round 4, Performance), so large\n"
+                "apparent speedups on dedup/text queries are mostly that\n"
+                "baseline recovering, not round-5 plan wins. Any single\n"
+                "query flagged as slowed should be read against its own\n"
+                "min/med/max spread before concluding a regression (e.g.\n"
+                "j4_star med 2.68 s carries min 0.83 / max 15.4 — one\n"
+                "stall window, not a plan change).\n\n")
         dcol = " | Δ vs prev" if prev is not None else ""
         f.write(f"| query | spark s | duckdb s | spark/duckdb{dcol} |\n")
         f.write("|---|---|---|---|" + ("---|" if prev is not None else "") + "\n")
