@@ -70,6 +70,66 @@ object Cleaning {
           .as("contamination"))
   }
 
+  /** [[contamination]]'s scale path for when the eval-gram set outgrows
+    * a broadcast hash table (a full benchmark suite at 8-grams runs to
+    * billions of grams — far past `autoBroadcastJoinThreshold`, but a
+    * few hundred MB as a Bloom sketch). Two-phase screen:
+    *
+    *  1. fold the eval grams into ONE serialized Bloom filter with an
+    *     in-plan distributed aggregate (map-side partial sketches, one
+    *     tiny merge; `numBits` caps the size on the driver at
+    *     `numBits/8` bytes regardless of cardinality);
+    *  2. probe every corpus gram against it map-side — a codegen'd bit
+    *     test, no exchange — so only the ~hits (plus the fpp share of
+    *     false positives) ever reach the exact gram join, which now
+    *     shuffles a hit-sized frame instead of the whole corpus'
+    *     grams. No broadcast hint on that join: its probe side is
+    *     post-screen tiny, and AQE is free to pick broadcast at
+    *     runtime from REAL sizes.
+    *
+    * Bloom filters have no false negatives and the exact join clears
+    * the false positives, so output ≡ [[contamination]] for any
+    * sizing; `numBits` only tunes how much of the corpus the screen
+    * discards early. The collected sketch ships as a task-broadcast
+    * literal (the same shape Spark's own runtime-filter injection
+    * uses); at production scale pick `numBits` for ~1% fpp ≈
+    * 10 bits/gram. */
+  def contaminationBloom(train: DataFrame, evalSet: DataFrame,
+                         idCol: String, textCol: String, n: Int,
+                         minHits: Long = 1L,
+                         expectedGrams: Long = 1L << 20,
+                         numBits: Long = 1L << 23): DataFrame = {
+    import org.apache.spark.sql.graftx.BloomScreen
+    val evalGrams = evalSet
+      .withColumn("__toks", split(trim(col(textCol)), "\\s+"))
+      .select(explode_outer(wordGramsOf(col("__toks"), n)).as("gram")).distinct()
+    val bloomRow = evalGrams
+      .agg(BloomScreen.bloomAgg(col("gram"), expectedGrams, numBits).as("bf"))
+      .head()
+    val exploded = Dedup.spread(train)
+      .withColumn("__toks", split(trim(col(textCol)), "\\s+"))
+      .select(col(idCol), wordGramsOf(col("__toks"), n).as("grams"))
+      .select(col(idCol), size(col("grams")).as("total"),
+        explode_outer(col("grams")).as("gram"))
+    if (bloomRow.isNullAt(0))
+      // Empty eval set: no gram can collide. Keep the output schema.
+      return exploded.limit(0)
+        .select(col(idCol), lit(0L).as("hits"), lit(0.0).as("contamination"))
+    val screened = exploded.filter(
+      BloomScreen.mightContain(bloomRow.getAs[Array[Byte]](0), col("gram")))
+    // Both sides can be big at scale (eval grams past broadcast size is
+    // this path's premise; the screened side carries the fpp share of
+    // the corpus), so hint shuffle-hash like TfIdf's idf join — the
+    // planner must not "helpfully" broadcast either from tiny-SF stats.
+    screened.join(evalGrams.hint("shuffle_hash"), Seq("gram"))
+      .groupBy(col(idCol), col("total"))
+      .agg(count(lit(1)).as("hits"))
+      .filter(col("hits") >= minHits)
+      .select(col(idCol), col("hits"),
+        (floor(col("hits") / col("total") * 10000 + lit(0.5)) / 10000)
+          .as("contamination"))
+  }
+
   /** Remove every line (segment of `textCol` split on the literal
     * `sep`) that occurs in at least `minDocFrac` of all documents —
     * headers, navigation chrome, license banners. Documents are

@@ -34,6 +34,17 @@ object CleaningQueries {
         "doc_id", "text", n = GramN)
     }),
 
+    // Same screen through the Bloom scale path (sketch-prefiltered
+    // exact join instead of broadcast) — identical output by
+    // construction, so it shares decontaminate's oracle.
+    "decontaminate_bloom" -> ((s, d) => {
+      val docs = tbl(s, d, "documents")
+      Cleaning.contaminationBloom(
+        docs.filter(col("doc_id") % EvalMod =!= 0),
+        docs.filter(col("doc_id") % EvalMod === 0),
+        "doc_id", "text", n = GramN)
+    }),
+
     // Drop tokens present in >= 80% of all docs, reassemble in order.
     "strip_boilerplate" -> ((s, d) => {
       Cleaning.stripBoilerplate(tbl(s, d, "documents"), "doc_id", "text",
@@ -109,6 +120,18 @@ object CleaningQueries {
 
   val oracles: Map[String, String] = Map(
     "decontaminate" ->
+      s"""WITH tok AS (
+            SELECT doc_id, string_split_regex(trim(text), '\\s+') AS w FROM documents),
+          g AS (SELECT doc_id, $gramsSql AS grams FROM tok),
+          ev AS (SELECT DISTINCT unnest(grams) AS gram FROM g WHERE doc_id % $EvalMod = 0),
+          tr AS (SELECT doc_id, len(grams) AS total, unnest(grams) AS gram
+                 FROM g WHERE doc_id % $EvalMod <> 0)
+          SELECT doc_id, CAST(count(*) AS BIGINT) AS hits,
+            floor(count(*)::DOUBLE / total * 10000 + 0.5) / 10000 AS contamination
+          FROM tr JOIN ev USING (gram)
+          GROUP BY doc_id, total""",
+    // Bloom pre-screen changes the plan, not the result set.
+    "decontaminate_bloom" ->
       s"""WITH tok AS (
             SELECT doc_id, string_split_regex(trim(text), '\\s+') AS w FROM documents),
           g AS (SELECT doc_id, $gramsSql AS grams FROM tok),

@@ -37,7 +37,15 @@ object GraftExtensions {
     (FunctionIdentifier("numeric_array_dot"),
       info("numeric_array_dot",
         "_FUNC_(a, b) - dot product of two float/double arrays, accumulated in double"),
-      (args: Seq[Expression]) => NumericArrayDot(args(0), args(1))))
+      (args: Seq[Expression]) => NumericArrayDot(args(0), args(1))),
+    (FunctionIdentifier("might_contain"),
+      info("might_contain",
+        "_FUNC_(filter, xxhash64_value) - Bloom-filter membership probe; pairs with bloom_filter_agg"),
+      BloomScreen.mightContainBuilder _),
+    (FunctionIdentifier("bloom_filter_agg"),
+      info("bloom_filter_agg",
+        "_FUNC_(xxhash64_value[, expected_items[, num_bits]]) - aggregate values into a serialized Bloom filter"),
+      BloomScreen.bloomAggBuilder _))
 
   /** Register into an ALREADY-built session (e.g. one handed to a
     * library entry point after construction — too late for

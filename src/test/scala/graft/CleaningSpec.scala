@@ -62,6 +62,34 @@ class CleaningSpec extends SparkTestBase {
     assert(row == ((1L, 0.5)))
   }
 
+  test("contaminationBloom matches contamination exactly (no false negatives)") {
+    val train = Seq(
+      (1L, "a b c d e f g h i j"),
+      (2L, "z y x w v u t s r q"),
+      (3L, "m m m a b c d e f g h"),
+      (4L, "a b c d e f g h extra")
+    ).toDF("doc_id", "text")
+    val evalSet = Seq((100L, "a b c d e f g h"), (101L, "p p p p p p p p"))
+      .toDF("doc_id", "text")
+    val exact = Cleaning.contamination(train, evalSet, "doc_id", "text", n = 8)
+      .as[(Long, Long, Double)].collect().toSet
+    // Deliberately undersized sketch (64 items / 512 bits): false
+    // positives likely, result still identical — the exact join clears
+    // them and Bloom filters cannot produce false negatives.
+    val bloom = Cleaning.contaminationBloom(train, evalSet, "doc_id", "text",
+      n = 8, expectedGrams = 64L, numBits = 512L)
+      .as[(Long, Long, Double)].collect().toSet
+    assert(bloom == exact)
+  }
+
+  test("contaminationBloom on an empty eval set returns no rows") {
+    val train = Seq((1L, "a b c d e f g h")).toDF("doc_id", "text")
+    val evalSet = Seq.empty[(Long, String)].toDF("doc_id", "text")
+    val out = Cleaning.contaminationBloom(train, evalSet, "doc_id", "text", n = 8)
+    assert(out.columns.toSeq == Seq("doc_id", "hits", "contamination"))
+    assert(out.count() == 0)
+  }
+
   test("dedupLines keeps first occurrence per line, preserves order") {
     val docs = Seq(
       (1L, "header\nbody one\nheader\nbody two\nheader"),

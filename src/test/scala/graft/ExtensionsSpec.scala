@@ -37,4 +37,17 @@ class ExtensionsSpec extends AnyFunSuite {
       .collect().head.getDouble(0)
     assert(d == 11.0)
   }
+
+  test("might_contain pairs with the built-in bloom_filter_agg in SQL") {
+    val rows = spark.sql(
+      """WITH f AS (SELECT bloom_filter_agg(xxhash64(x), 8L, 64L) AS bf
+                    FROM VALUES ('alpha'), ('beta') t(x))
+         SELECT x, might_contain((SELECT bf FROM f), xxhash64(x)) AS hit
+         FROM VALUES ('alpha'), ('beta'), ('missing-gram-zzz') t(x)""")
+      .collect().map(r => r.getString(0) -> r.getBoolean(1)).toMap
+    assert(rows("alpha") && rows("beta"), "no false negatives")
+    // 64-bit sketch over 2 items: the miss probe is overwhelmingly
+    // likely false, but only no-false-negatives is guaranteed — don't
+    // assert on it.
+  }
 }

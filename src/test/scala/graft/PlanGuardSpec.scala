@@ -105,6 +105,20 @@ class PlanGuardSpec extends SparkTestBase {
       s"winnowing is doc-local and must stay map-side:\n$p")
   }
 
+  test("bloom decontamination screens map-side before the exact join") {
+    val p = plan("decontaminate_bloom")
+    assert(p.contains("might_contain"),
+      s"the Bloom probe must appear as a filter:\n$p")
+    // The sketch screen means the exact gram join must NOT be fed by an
+    // unconditional broadcast (eval grams past broadcast size is the
+    // path's premise; the screened side carries the fpp share of the
+    // corpus) — the operator hints shuffle-hash, like TfIdf's idf join.
+    assert(!p.contains("BroadcastHashJoin"),
+      s"neither gram side may convention-broadcast:\n$p")
+    assert(p.contains("ShuffledHashJoin"),
+      s"exact gram join must be a shuffle-hash join:\n$p")
+  }
+
   test("serving DSL filters compile to pushed-down scan predicates") {
     val p = plan("dsl_page_filter")
     assert(p.contains("PushedFilters: [") && !p.contains("PushedFilters: []"),
