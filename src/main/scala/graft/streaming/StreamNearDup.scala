@@ -1,7 +1,7 @@
 package graft.streaming
 
-import org.apache.spark.sql.{DataFrame, Dataset}
-import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import org.apache.spark.sql.{DataFrame, Dataset, Encoders}
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, ListState, OutputMode, StatefulProcessor, TTLConfig, TimeMode, TimerValues}
 
 import graft.operators.Dedup
 
@@ -70,5 +70,58 @@ object StreamNearDup {
             (cross ++ intra).iterator
           }
       }
+  }
+
+  /** [[candidatePairs]] on the arbitrary-state v2 API
+    * (`transformWithState`, Spark 4): same emitted pairs, but the
+    * bucket membership lives in a [[org.apache.spark.sql.streaming.ListState]]
+    * the store maintains NATIVELY — appends write only the fresh ids
+    * (the classic `GroupState[Set[Long]]` rewrites the whole set every
+    * micro-batch, an O(|bucket|) serialize per arrival that the v2
+    * list column family avoids), and expiry is declarative
+    * ([[org.apache.spark.sql.streaming.TTLConfig]]) instead of
+    * hand-rolled timeout bookkeeping. Requires the RocksDB state-store
+    * provider (the v2 API contract) — callers set
+    * `spark.sql.streaming.stateStore.providerClass` to
+    * `...state.RocksDBStateStoreProvider` before starting the query.
+    *
+    * The in-batch screen is identical to [[candidatePairs]]: a pair
+    * found in several bands surfaces once per band; downstream
+    * `distinct` absorbs it. */
+  def candidatePairsTws(bands: DataFrame, ttl: java.time.Duration = null): Dataset[CandPair] = {
+    val spark = bands.sparkSession
+    import spark.implicits._
+    val timeMode = if (ttl != null) TimeMode.ProcessingTime() else TimeMode.None()
+    bands.select("doc_id", "band", "band_sig").as[BandRow]
+      .groupByKey(b => (b.band, b.band_sig))
+      .transformWithState(new BucketScreenProcessor(ttl),
+        timeMode, OutputMode.Append())
+  }
+
+  /** The per-bucket screen as a v2 [[StatefulProcessor]]: state is the
+    * bucket's member-id list (append-only here; uniqueness is enforced
+    * on read, exactly like the Set in the classic path). */
+  class BucketScreenProcessor(ttl: java.time.Duration)
+    extends StatefulProcessor[(Int, String), BandRow, CandPair] {
+
+    @transient private var seen: ListState[Long] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit = {
+      val ttlConf = if (ttl != null) TTLConfig(ttl) else TTLConfig.NONE
+      seen = getHandle.getListState[Long]("seen", Encoders.scalaLong, ttlConf)
+    }
+
+    override def handleInputRows(key: (Int, String), rows: Iterator[BandRow],
+                                 timers: TimerValues): Iterator[CandPair] = {
+      val seenIds = seen.get().toSet
+      val fresh = rows.map(_.doc_id).toSeq.distinct.sorted
+        .filterNot(seenIds)
+      val cross = for { n <- fresh; s <- seenIds.toSeq.sorted }
+        yield CandPair(n, s)
+      val intra = for { i <- fresh.indices; j <- 0 until i }
+        yield CandPair(fresh(i), fresh(j))
+      if (fresh.nonEmpty) seen.appendList(fresh.toArray)
+      (cross ++ intra).iterator
+    }
   }
 }

@@ -151,6 +151,49 @@ class StreamingSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("transformWithState LSH screen (RocksDB, v2 state) matches classic and batch") {
+    implicit val sqlCtx = spark.sqlContext
+    val docs = graft.core.Lakehouse.table(spark, sfSmoke, "documents")
+      .select(col("doc_id"), col("text"))
+    val batchPairs = graft.operators.Dedup
+      .lshCandidatePairs(docs, "doc_id", "text")
+      .as[(Long, Long)].collect().toSet
+
+    val providerKey = "spark.sql.streaming.stateStore.providerClass"
+    val prevProvider = spark.conf.getOption(providerKey)
+    spark.conf.set(providerKey,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val mem = MemoryStream[(Long, String)]
+    val input = mem.toDF().toDF("doc_id", "text")
+    val q = graft.streaming.StreamNearDup.candidatePairsTws(
+      graft.streaming.StreamNearDup.bandRows(input, "doc_id", "text"))
+      .writeStream.format("memory").queryName("stream_lsh_tws")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      val rows = docs.as[(Long, String)].collect()
+      val (evens, odds) = rows.partition(_._1 % 2 == 0)
+      mem.addData(evens.toSeq: _*)
+      q.processAllAvailable()
+      val afterFirst = spark.table("stream_lsh_tws").count()
+      mem.addData(odds.toSeq: _*)
+      q.processAllAvailable()
+
+      val streamed = spark.table("stream_lsh_tws")
+        .as[(Long, Long)].collect()
+        .map { case (a, b) => (math.min(a, b), math.max(a, b)) }.toSet
+      assert(streamed == batchPairs,
+        "v2-state streamed candidates must equal the batch banded join")
+      // cross-batch pairing proves ListState persisted across batches
+      assert(afterFirst > 0 && streamed.size > afterFirst)
+    } finally {
+      q.stop()
+      prevProvider match {
+        case Some(v) => spark.conf.set(providerKey, v)
+        case None    => spark.conf.unset(providerKey)
+      }
+    }
+  }
+
   test("file-source stream (Trigger.AvailableNow) matches the batch result") {
     // The incremental-ingest shape at scale: the same windowedCounts
     // plan runs over a parquet directory as a bounded stream — several
