@@ -11,12 +11,14 @@ import org.apache.spark.sql.types._
   * The IMAGE path is fully real: [[decodeImage]]/[[resizeImage]] run
   * `javax.imageio` (JDK-pure — BMP/PNG/GIF/JPEG/WBMP) inside
   * `mapPartitions`, so decode → resample → re-encode → metadata is
-  * end-to-end against actual pixels. Audio/video feature extraction
-  * stays STUBBED (`fakeDecode`/`stubEmbed`: no such JVM-pure codec
-  * exists and this container has no native media libs); the
-  * partition-batched plumbing around the stubs is real and a
-  * deployment swaps the body (JavaCV, ONNX runtime, …) without
-  * touching the plan shape.
+  * end-to-end against actual pixels. The AUDIO path is fully real too:
+  * [[decodeAudio]]/[[downsampleAudio]] run `javax.sound.sampled`
+  * (JDK-pure WAV/AIFF/AU PCM) — decode → decimate → re-encode against
+  * actual samples. Only VIDEO feature extraction stays STUBBED
+  * (`fakeDecode`/`stubEmbed`: no JVM-pure video codec exists and this
+  * container has no native media libs); the partition-batched plumbing
+  * around the stubs is real and a deployment swaps the body (JavaCV,
+  * ONNX runtime, …) without touching the plan shape.
   */
 object Multimodal {
 
@@ -182,6 +184,137 @@ object Multimodal {
         Row.fromSeq(r.toSeq :+ bmp)
       }
     }(org.apache.spark.sql.Encoders.row(outSchema))
+  }
+
+  // ---- REAL audio codec path (JDK-pure javax.sound.sampled) ----
+
+  /** Deterministic 16-bit mono little-endian PCM WAV: sample i is
+    * `((31·i + seed) mod 65536) − 32768`, behind a canonical 44-byte
+    * RIFF header — so `byte_len = 44 + 2·n` and every sample value is
+    * predictable by the SQL oracle, while the payload is a genuine WAV
+    * that `javax.sound.sampled` (and any other reader) decodes. */
+  def syntheticWav(nSamples: Int, sampleRate: Int, seed: Long): Array[Byte] = {
+    val dataLen = nSamples * 2
+    val buf = java.nio.ByteBuffer.allocate(44 + dataLen)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    buf.put("RIFF".getBytes("US-ASCII")).putInt(36 + dataLen)
+      .put("WAVE".getBytes("US-ASCII"))
+      .put("fmt ".getBytes("US-ASCII")).putInt(16)
+      .putShort(1)                   // PCM
+      .putShort(1)                   // mono
+      .putInt(sampleRate)
+      .putInt(sampleRate * 2)        // byte rate
+      .putShort(2)                   // block align
+      .putShort(16)                  // bits per sample
+      .put("data".getBytes("US-ASCII")).putInt(dataLen)
+    var i = 0
+    while (i < nSamples) {
+      buf.putShort((((31L * i + seed) % 65536L) - 32768L).toShort)
+      i += 1
+    }
+    buf.array()
+  }
+
+  /** Decode audio bytes with the JDK codec into (sample_rate, channels,
+    * decoded 16-bit PCM samples) — the codec, not a header offset,
+    * locates the data (extra RIFF chunks are its problem) — or None if
+    * `javax.sound.sampled` can't read the payload or it isn't 16-bit
+    * (corrupt rows must not kill a 100 TB batch). */
+  def decodeAudio(bytes: Array[Byte]): Option[(Int, Int, Array[Short])] =
+    try {
+      val in = javax.sound.sampled.AudioSystem.getAudioInputStream(
+        new java.io.ByteArrayInputStream(bytes))
+      try {
+        val fmt = in.getFormat
+        if (fmt.getSampleSizeInBits != 16) None
+        else {
+          val data = in.readAllBytes()
+          val bb = java.nio.ByteBuffer.wrap(data).order(
+            if (fmt.isBigEndian) java.nio.ByteOrder.BIG_ENDIAN
+            else java.nio.ByteOrder.LITTLE_ENDIAN)
+          val samples = new Array[Short](data.length / 2)
+          var i = 0
+          while (i < samples.length) { samples(i) = bb.getShort; i += 1 }
+          Some((fmt.getSampleRate.toInt, fmt.getChannels, samples))
+        }
+      } finally in.close()
+    } catch {
+      case _: javax.sound.sampled.UnsupportedAudioFileException |
+           _: java.io.IOException => None
+    }
+
+  /** Attach a synthetic WAV payload (see [[syntheticWav]]) sized by the
+    * given INT columns — fixture generator for the real-codec path. */
+  def withSyntheticWav(df: DataFrame, nCol: String, rateCol: String,
+                       seedCol: String): DataFrame = {
+    val outSchema = StructType(df.schema.fields :+ StructField("payload", BinaryType))
+    val (ni, ri, si) = (df.schema.fieldIndex(nCol),
+      df.schema.fieldIndex(rateCol), df.schema.fieldIndex(seedCol))
+    df.mapPartitions { rows =>
+      rows.map { r =>
+        Row.fromSeq(r.toSeq :+
+          syntheticWav(r.getInt(ni), r.getInt(ri), r.getLong(si)))
+      }
+    }(org.apache.spark.sql.Encoders.row(outSchema))
+  }
+
+  /** REAL audio decimation: decode 16-bit mono PCM with the JDK codec,
+    * keep every `factor`-th sample, re-encode as canonical WAV —
+    * emitting decoded metadata (rate, frames, peak, energy) plus the
+    * downsampled payload. Undecodable or non-mono-16-bit payloads pass
+    * through with null outputs. One pass, partition-batched. */
+  def downsampleAudio(df: DataFrame, payloadCol: String, factor: Int): DataFrame = {
+    require(factor >= 1, "factor must be >= 1")
+    val outSchema = StructType(df.schema.fields ++ Seq(
+      StructField("sample_rate", IntegerType), StructField("n_samples", LongType),
+      StructField("peak_abs", IntegerType), StructField("sum_sq", LongType),
+      StructField("ds", BinaryType), StructField("ds_samples", LongType),
+      StructField("ds_len", LongType)))
+    val idx = df.schema.fieldIndex(payloadCol)
+    df.mapPartitions { rows =>
+      rows.map { r =>
+        val bytes = r.getAs[Array[Byte]](idx)
+        decodeAudio(bytes) match {
+          case Some((rate, 1, samples)) =>
+            var peak = 0
+            var sumSq = 0L
+            var i = 0
+            while (i < samples.length) {
+              val v = samples(i).toInt
+              if (math.abs(v) > peak) peak = math.abs(v)
+              sumSq += v.toLong * v
+              i += 1
+            }
+            val nOut = (samples.length + factor - 1) / factor
+            val out = java.nio.ByteBuffer.allocate(nOut * 2)
+              .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+            i = 0
+            while (i < samples.length) {
+              if (i % factor == 0) out.putShort(samples(i))
+              i += 1
+            }
+            val ds = wavWrap(out.array(), rate / factor)
+            Row.fromSeq(r.toSeq ++ Seq(rate, samples.length.toLong, peak,
+              sumSq, ds, nOut.toLong, ds.length.toLong))
+          case _ =>
+            Row.fromSeq(r.toSeq ++ Seq(null, null, null, null, null, null, null))
+        }
+      }
+    }(org.apache.spark.sql.Encoders.row(outSchema))
+  }
+
+  /** Canonical 44-byte WAV header around raw 16-bit mono PCM bytes. */
+  private def wavWrap(pcm: Array[Byte], sampleRate: Int): Array[Byte] = {
+    val buf = java.nio.ByteBuffer.allocate(44 + pcm.length)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    buf.put("RIFF".getBytes("US-ASCII")).putInt(36 + pcm.length)
+      .put("WAVE".getBytes("US-ASCII"))
+      .put("fmt ".getBytes("US-ASCII")).putInt(16)
+      .putShort(1).putShort(1).putInt(sampleRate).putInt(sampleRate * 2)
+      .putShort(2).putShort(16)
+      .put("data".getBytes("US-ASCII")).putInt(pcm.length)
+    buf.put(pcm)
+    buf.array()
   }
 
   /** REAL image resize: ImageIO decode → Graphics2D resample to

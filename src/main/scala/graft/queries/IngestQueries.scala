@@ -111,6 +111,38 @@ object IngestQueries {
           col("resized_width"), col("resized_height"), col("resized_len"))
     }),
 
+    // S11-adjacent: columnar sink/source parity beyond parquet — the
+    // same typed frame round-trips through ORC (predicate pushdown and
+    // column pruning work the same way; an engine swap of the storage
+    // format must not change results).
+    "orc_roundtrip" -> ((s, d) => {
+      val part = tbl(s, d, "part")
+      val path = s"${sys.props("java.io.tmpdir")}/graft_orc_${math.abs(d.hashCode)}"
+      part.write.mode("overwrite").orc(path)
+      s.read.orc(path)
+        .filter(col("p_size") <= 20)
+        .select(col("p_partkey"), col("p_name"), col("p_size"),
+          round2(col("p_retailprice")).as("price"))
+    }),
+
+    // Multimodal: REAL audio path — a genuine 16-bit mono PCM WAV is
+    // built per row (length/seed from doc_id), decoded with
+    // javax.sound.sampled, decimated 4:1, re-encoded; the oracle
+    // recomputes sample count, byte lengths, peak amplitude and energy
+    // from the synthesis formula, so the codec round trip — not a
+    // stub — is what's differentially checked.
+    "multimodal_audio" -> ((s, d) => {
+      val docs = tbl(s, d, "documents").select(col("doc_id"),
+        (col("doc_id") % 400 + 50).cast("int").as("n"),
+        lit(8000).as("rate"), col("doc_id").as("seed"))
+      val withWav = Multimodal.withSyntheticWav(docs, "n", "rate", "seed")
+      Multimodal.downsampleAudio(withWav, "payload", factor = 4)
+        .select(col("doc_id"),
+          length(col("payload")).cast("bigint").as("orig_len"),
+          col("sample_rate"), col("n_samples"), col("peak_abs"),
+          col("sum_sq"), col("ds_samples"), col("ds_len"))
+    }),
+
     // Streaming-shaped tumbling-window aggregation (batch equivalence;
     // the readStream path is exercised in StreamingSpec).
     "stream_window_counts" -> ((s, d) => {
@@ -164,6 +196,26 @@ object IngestQueries {
     "multimodal_frames" ->
       """SELECT doc_id, unnest(generate_series(0, octet_length(encode(text)) // 100, 3)) AS frame_idx
          FROM documents""",
+    "orc_roundtrip" ->
+      """SELECT p_partkey, p_name, p_size,
+           floor((p_retailprice) * 100 + 0.5) / 100 AS price
+         FROM part WHERE p_size <= 20""",
+    "multimodal_audio" ->
+      """WITH s AS (
+           SELECT doc_id, doc_id % 400 + 50 AS n FROM documents),
+         idx AS (
+           SELECT doc_id, n, unnest(generate_series(0, n - 1)) AS i FROM s),
+         v AS (
+           SELECT doc_id, n, ((31 * i + doc_id) % 65536) - 32768 AS v FROM idx)
+         SELECT doc_id,
+           CAST(44 + 2 * n AS BIGINT) AS orig_len,
+           CAST(8000 AS INTEGER) AS sample_rate,
+           CAST(n AS BIGINT) AS n_samples,
+           CAST(max(abs(v)) AS INTEGER) AS peak_abs,
+           CAST(sum(v * v) AS BIGINT) AS sum_sq,
+           CAST((n + 3) // 4 AS BIGINT) AS ds_samples,
+           CAST(44 + 2 * ((n + 3) // 4) AS BIGINT) AS ds_len
+         FROM v GROUP BY doc_id, n""",
     "s9_paged_source" ->
       """SELECT i AS id, CAST(i // 1000 AS INTEGER) AS page, md5(i::VARCHAR) AS payload
          FROM generate_series(0, 9999) t(i)""",

@@ -261,6 +261,22 @@ class PropertySpec extends SparkTestBase {
     assert(Multimodal.decodeImage("not an image".getBytes).isEmpty)
   }
 
+  test("audio codec round-trip: synthetic WAV decodes to its declared samples") {
+    import graft.operators.Multimodal
+    for ((n, rate, seed) <- Seq((50, 8000, 0L), (317, 16000, 7L), (1, 44100, 99L))) {
+      val bytes = Multimodal.syntheticWav(n, rate, seed)
+      assert(bytes.length == 44 + 2 * n, s"WAV length formula broke for n=$n")
+      val Some((r, ch, samples)) = Multimodal.decodeAudio(bytes)
+      assert(r == rate && ch == 1 && samples.length == n)
+      // the codec must hand back the exact synthesis formula's values
+      val expect = Array.tabulate(n)(i => (((31L * i + seed) % 65536L) - 32768L).toShort)
+      assert(samples.sameElements(expect), "decoded PCM differs from synthesis")
+    }
+    assert(Multimodal.decodeAudio("not audio at all".getBytes).isEmpty)
+    // truncated header must not throw, just decline
+    assert(Multimodal.decodeAudio(Multimodal.syntheticWav(10, 8000, 0L).take(20)).isEmpty)
+  }
+
   test("winnowing guarantee: docs sharing a >= k+w-1 char run pair up") {
     val sharedRun = "the exact same thirty-plus character passage here"
     val docs = Seq(
