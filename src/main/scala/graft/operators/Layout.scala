@@ -53,6 +53,117 @@ object Layout {
       .repartitionByRange(nSplits, col("zval"))
       .sortWithinPartitions("zval")
 
+  /** Per-file min/max/count skipping index over a parquet directory —
+    * the payoff step of [[zorderBy]] (tight per-file boxes are only
+    * useful if something consults them BEFORE the scan lists every
+    * file). One distributed pass grouped on the hidden
+    * `_metadata.file_path` column; no driver-side footer reads. The
+    * result is one row per file — persist it next to the data and
+    * rebuild on compaction, like a lakehouse table format's stats
+    * (Delta/Iceberg manifests are public prior art; this is the
+    * engine-local equivalent). */
+  def fileStats(spark: org.apache.spark.sql.SparkSession, dir: String,
+                cols: Seq[String]): DataFrame = {
+    val aggs = count(lit(1)).as("n_rows") +:
+      cols.flatMap(c => Seq(min(col(c)).as(s"min_$c"), max(col(c)).as(s"max_$c")))
+    spark.read.parquet(dir)
+      .select(col("_metadata.file_path").as("file") +: cols.map(col): _*)
+      .groupBy(col("file"))
+      .agg(aggs.head, aggs.tail: _*)
+  }
+
+  /** Files whose stats box intersects EVERY (column, lo, hi) range —
+    * sound over-approximation: a qualifying row's file always survives
+    * (min <= hi and max >= lo are implied), so a pruned read plus the
+    * exact filter returns exactly the unpruned result. A file whose
+    * stats are all-NULL for a column (no non-null values) cannot
+    * satisfy a range predicate and is dropped. The collect is one row
+    * per file — the same driver-resident scale as the scan planner's
+    * own file listing. */
+  def pruneFiles(stats: DataFrame, ranges: Seq[(String, Column, Column)]): Seq[String] = {
+    val keep = ranges.map { case (c, lo, hi) =>
+      col(s"min_$c") <= hi && col(s"max_$c") >= lo
+    }.reduce(_ && _)
+    stats.filter(keep).select(col("file"))
+      .collect().map(_.getString(0)).toSeq
+  }
+
+  /** Incremental index maintenance: stats for files that have appeared
+    * in `dir` since `oldStats` was built, unioned with the still-live
+    * old rows. Only the NEW files are scanned (the ingest-time cost of
+    * keeping the index fresh is proportional to the appended data, not
+    * the table); rows for files deleted by compaction drop out via the
+    * listing semi-filter. Listing is the same driver-side file
+    * enumeration the scan planner itself performs. */
+  def updateFileStats(spark: org.apache.spark.sql.SparkSession, dir: String,
+                      oldStats: DataFrame, cols: Seq[String]): DataFrame = {
+    val path = new org.apache.hadoop.fs.Path(dir)
+    val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val live = fs.listStatus(path).map(_.getPath.toUri.toString)
+      .filter(_.endsWith(".parquet")).toSet
+    val known = oldStats.select(col("file"))
+      .collect().map(_.getString(0)).toSet
+    val fresh = (live -- known).toSeq.sorted
+    val kept = oldStats.filter(col("file").isin(live.toSeq: _*))
+    if (fresh.isEmpty) kept
+    else {
+      val aggs = count(lit(1)).as("n_rows") +:
+        cols.flatMap(c => Seq(min(col(c)).as(s"min_$c"), max(col(c)).as(s"max_$c")))
+      val newStats = spark.read.parquet(fresh: _*)
+        .select(col("_metadata.file_path").as("file") +: cols.map(col): _*)
+        .groupBy(col("file"))
+        .agg(aggs.head, aggs.tail: _*)
+      kept.unionByName(newStats)
+    }
+  }
+
+  /** Metadata-only count with a scan fallback only for boundary files:
+    * a file whose whole [min,max] box lies INSIDE every range
+    * contributes its `n_rows` straight from the index (zero I/O); only
+    * files the range boxes cut through are actually read and filtered.
+    * On a z-ordered table a narrow range turns almost every surviving
+    * file into a fully-contained one, so the count is answered nearly
+    * for free — the lakehouse metadata-query pattern. */
+  def statsCount(spark: org.apache.spark.sql.SparkSession, dir: String,
+                 stats: DataFrame,
+                 ranges: Seq[(String, Column, Column)]): Long = {
+    val intersects = ranges.map { case (c, lo, hi) =>
+      col(s"min_$c") <= hi && col(s"max_$c") >= lo
+    }.reduce(_ && _)
+    val contained = ranges.map { case (c, lo, hi) =>
+      col(s"min_$c") >= lo && col(s"max_$c") <= hi
+    }.reduce(_ && _)
+    val rows = stats.filter(intersects)
+      .select(col("file"), col("n_rows"), contained.as("full"))
+      .collect()
+    val fullCount = rows.filter(_.getBoolean(2)).map(_.getLong(1)).sum
+    val partialFiles = rows.filterNot(_.getBoolean(2)).map(_.getString(0)).toSeq
+    val exact = ranges.map { case (c, lo, hi) =>
+      col(c) >= lo && col(c) <= hi
+    }.reduce(_ && _)
+    val partialCount =
+      if (partialFiles.isEmpty) 0L
+      else spark.read.parquet(partialFiles: _*).filter(exact).count()
+    fullCount + partialCount
+  }
+
+  /** Range-filtered read that consults the skipping index first: only
+    * surviving files are listed/opened, then the exact predicate runs
+    * over them (parquet row-group pruning still applies within each
+    * file). Empty survivor set → empty frame with the right schema. */
+  def prunedRead(spark: org.apache.spark.sql.SparkSession, dir: String,
+                 stats: DataFrame,
+                 ranges: Seq[(String, Column, Column)]): DataFrame = {
+    val files = pruneFiles(stats, ranges)
+    val exact = ranges.map { case (c, lo, hi) =>
+      col(c) >= lo && col(c) <= hi
+    }.reduce(_ && _)
+    if (files.isEmpty)
+      spark.read.parquet(dir).filter(lit(false))
+    else
+      spark.read.parquet(files: _*).filter(exact)
+  }
+
   /** Small-file compaction: rewrite a parquet directory into
     * ~`targetBytes` files. Streaming/incremental writers leave a long
     * tail of small files; at 100 TB that tail dominates scan planning

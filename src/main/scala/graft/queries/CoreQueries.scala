@@ -118,6 +118,27 @@ object CoreQueries {
         Seq("l_orderkey", "l_partkey"), bits = 8)
       z.select(col("l_orderkey"), col("l_linenumber"), col("l_partkey"),
         col("zval"), shiftright(col("zval"), 12).as("zbucket"))
+    }),
+
+    // File-skipping index end-to-end: z-ordered write -> per-file
+    // min/max stats -> index-pruned range read. Pruning is a sound
+    // over-approximation, so the aggregate equals the plain filtered
+    // aggregate the oracle computes (LayoutSpec proves files are
+    // actually skipped; here the round trip is oracle-checked).
+    "layout_file_skip" -> ((s, d) => {
+      val path = s"${sys.props("java.io.tmpdir")}/graft_fskip_${math.abs(d.hashCode)}"
+      graft.operators.Layout.zorderBy(
+        tbl(s, d, "lineitem")
+          .select(col("l_orderkey"), col("l_partkey"), col("l_extendedprice")),
+        Seq("l_orderkey", "l_partkey"), bits = 8, nSplits = 16)
+        .drop("zval")
+        .write.mode("overwrite").parquet(path)
+      val stats = graft.operators.Layout.fileStats(s, path, Seq("l_orderkey"))
+      graft.operators.Layout.prunedRead(s, path, stats,
+        Seq(("l_orderkey", lit(5000L), lit(15000L))))
+        .agg(count(lit(1)).as("n"), sum(col("l_orderkey")).as("sum_ok"),
+          min(col("l_extendedprice")).as("min_price"),
+          max(col("l_extendedprice")).as("max_price"))
     }))
 
   val oracles: Map[String, String] = Map(
@@ -167,5 +188,9 @@ object CoreQueries {
           SELECT l_orderkey, l_linenumber, l_partkey, zval,
             zval >> 12 AS zbucket
           FROM zz"""
-    })
+    },
+    "layout_file_skip" ->
+      """SELECT CAST(count(*) AS BIGINT) AS n, CAST(sum(l_orderkey) AS BIGINT) AS sum_ok,
+           min(l_extendedprice) AS min_price, max(l_extendedprice) AS max_price
+         FROM lineitem WHERE l_orderkey BETWEEN 5000 AND 15000""")
 }

@@ -73,6 +73,96 @@ class LayoutSpec extends SparkTestBase {
     assert(a.count() == b.count() && a.exceptAll(b).isEmpty)
   }
 
+  test("file-skipping index prunes files yet returns the exact result") {
+    val base = s"${sys.props("java.io.tmpdir")}/graft_fskip_spec"
+    def rm(f: java.io.File): Unit = {
+      if (f.isDirectory) f.listFiles().foreach(rm); f.delete()
+    }
+    rm(new java.io.File(base))
+    val full = spark.read.parquet(s"$sfSmoke/lineitem.parquet")
+      .select("l_orderkey", "l_partkey", "l_extendedprice")
+    Layout.zorderBy(full, Seq("l_orderkey", "l_partkey"), bits = 8,
+      nSplits = 16).drop("zval").write.parquet(base)
+
+    val stats = Layout.fileStats(spark, base, Seq("l_orderkey", "l_partkey"))
+    val nFiles = stats.count()
+    assert(nFiles == 16L)
+
+    // A narrow orderkey range must skip most z-ordered files...
+    val Seq(lo, hi) = full.agg(min(col("l_orderkey")), max(col("l_orderkey")))
+      .as[(Long, Long)].head() match { case (a, b) =>
+        Seq(a, a + (b - a) / 10) }
+    val kept = Layout.pruneFiles(stats, Seq(("l_orderkey", lit(lo), lit(hi))))
+    assert(kept.nonEmpty && kept.size < nFiles / 2,
+      s"narrow range should skip most files (kept ${kept.size} of $nFiles)")
+
+    // ...and the pruned read still returns exactly the unpruned result.
+    val pruned = Layout.prunedRead(spark, base, stats,
+      Seq(("l_orderkey", lit(lo), lit(hi))))
+    val exact = spark.read.parquet(base)
+      .filter(col("l_orderkey").between(lo, hi))
+    assert(pruned.count() == exact.count() && pruned.exceptAll(exact).isEmpty)
+
+    // Multi-column conjunction prunes at least as hard; still sound.
+    val Seq(plo, phi) = full.agg(min(col("l_partkey")), max(col("l_partkey")))
+      .as[(Long, Long)].head() match { case (a, b) =>
+        Seq(a, a + (b - a) / 10) }
+    val kept2 = Layout.pruneFiles(stats,
+      Seq(("l_orderkey", lit(lo), lit(hi)), ("l_partkey", lit(plo), lit(phi))))
+    assert(kept2.size <= kept.size)
+    val pruned2 = Layout.prunedRead(spark, base, stats,
+      Seq(("l_orderkey", lit(lo), lit(hi)), ("l_partkey", lit(plo), lit(phi))))
+    val exact2 = spark.read.parquet(base)
+      .filter(col("l_orderkey").between(lo, hi) &&
+        col("l_partkey").between(plo, phi))
+    assert(pruned2.count() == exact2.count() && pruned2.exceptAll(exact2).isEmpty)
+
+    // Disjoint range -> empty survivor set -> empty frame, right schema.
+    val none = Layout.prunedRead(spark, base, stats,
+      Seq(("l_orderkey", lit(hi * 1000 + 1), lit(hi * 1000 + 2))))
+    assert(none.count() == 0L &&
+      none.columns.toSeq == Seq("l_orderkey", "l_partkey", "l_extendedprice"))
+  }
+
+  test("updateFileStats scans only appended files; statsCount is exact") {
+    val base = s"${sys.props("java.io.tmpdir")}/graft_fskip_incr"
+    def rm(f: java.io.File): Unit = {
+      if (f.isDirectory) f.listFiles().foreach(rm); f.delete()
+    }
+    rm(new java.io.File(base))
+    val full = spark.read.parquet(s"$sfSmoke/lineitem.parquet")
+      .select("l_orderkey", "l_partkey")
+    val (first, second) = (full.filter(col("l_orderkey") % 2 === 0),
+      full.filter(col("l_orderkey") % 2 =!= 0))
+    first.repartition(4).write.parquet(base)
+    val stats0 = Layout.fileStats(spark, base, Seq("l_orderkey"))
+      .localCheckpoint() // pin: stats built BEFORE the append
+    assert(stats0.count() == 4L)
+
+    // append a second batch of files, then update incrementally
+    second.repartition(4).write.mode("append").parquet(base)
+    val stats1 = Layout.updateFileStats(spark, base, stats0, Seq("l_orderkey"))
+    assert(stats1.count() == 8L)
+    // the incremental result must equal a from-scratch rebuild
+    val rebuilt = Layout.fileStats(spark, base, Seq("l_orderkey"))
+    assert(stats1.exceptAll(rebuilt).isEmpty && rebuilt.exceptAll(stats1).isEmpty)
+    // no new files -> pure pass-through
+    val stats2 = Layout.updateFileStats(spark, base, stats1, Seq("l_orderkey"))
+    assert(stats2.exceptAll(rebuilt).isEmpty && stats2.count() == 8L)
+
+    // metadata-only count: exact for full-range (all files contained,
+    // zero scanning) and for a cutting range (boundary files scanned)
+    val Seq(lo, hi) = full.agg(min(col("l_orderkey")), max(col("l_orderkey")))
+      .as[(Long, Long)].head() match { case (a, b) => Seq(a, b) }
+    assert(Layout.statsCount(spark, base, stats1,
+      Seq(("l_orderkey", lit(lo), lit(hi)))) == full.count())
+    val mid = lo + (hi - lo) / 3
+    val expect = spark.read.parquet(base)
+      .filter(col("l_orderkey").between(lo, mid)).count()
+    assert(Layout.statsCount(spark, base, stats1,
+      Seq(("l_orderkey", lit(lo), lit(mid)))) == expect)
+  }
+
   test("zval is a bijective interleave of the bucket bits") {
     val z = Layout.zValue(li, Seq("l_orderkey", "l_partkey"), bits = 8)
     val bad = z.filter(col("zval") < 0 || col("zval") >= (1L << 16)).count()
