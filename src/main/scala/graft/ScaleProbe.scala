@@ -95,6 +95,57 @@ object ScaleProbe {
     }
   }
 
+  /** `runMain graft.ScaleProbe bloom5` — the Bloom decontamination
+    * screen (SCALE.md round 5): sf0.1 documents x4, eval split = every
+    * 10th doc. Reports the screen's selectivity (corpus grams in vs
+    * grams surviving into the exact join) and wall time of the
+    * broadcast-exact path vs the Bloom path, at two sketch sizes. The
+    * local corpus is small enough that broadcast wins on wall clock —
+    * the point here is the measured row reduction into the wide join,
+    * which is what survives when the eval side outgrows a broadcast. */
+  private def bloom5(spark: SparkSession): Unit = {
+    import org.apache.spark.sql.DataFrame
+    import graft.operators.Cleaning
+    val docs = spark.read.parquet("/root/testdata/sf0.1/documents.parquet")
+      .select(col("doc_id"), col("text")).cache()
+    val n = docs.count()
+    val x4 = (0 until 4).map(i =>
+      docs.select((col("doc_id") + lit(i * n)).as("doc_id"), col("text")))
+      .reduce(_ unionAll _).cache()
+    x4.count()
+    val train = x4.filter(col("doc_id") % 10 =!= 0)
+    val evalS = x4.filter(col("doc_id") % 10 === 0)
+    val totalGrams = train
+      .withColumn("__toks", split(trim(col("text")), "\\s+"))
+      .select(explode(Cleaning.wordGramsOf(col("__toks"), 8)).as("gram"))
+      .count()
+    def time(label: String)(f: DataFrame): Unit = {
+      val secs = (1 to 2).map { _ =>
+        val t0 = System.nanoTime(); f.count(); (System.nanoTime() - t0) / 1e9
+      }
+      println(f"""{"probe":"$label","sec":${secs.min}%.2f}""")
+    }
+    println(s"""{"probe":"corpus grams into exact join (broadcast path)","rows":$totalGrams}""")
+    for (bits <- Seq(1L << 20, 1L << 23)) {
+      val evalGrams = evalS
+        .withColumn("__toks", split(trim(col("text")), "\\s+"))
+        .select(explode(Cleaning.wordGramsOf(col("__toks"), 8)).as("gram")).distinct()
+      val bf = evalGrams.agg(org.apache.spark.sql.graftx.BloomScreen
+        .bloomAgg(col("gram"), 1L << 20, bits).as("bf")).head.getAs[Array[Byte]](0)
+      val screened = train
+        .withColumn("__toks", split(trim(col("text")), "\\s+"))
+        .select(explode(Cleaning.wordGramsOf(col("__toks"), 8)).as("gram"))
+        .filter(org.apache.spark.sql.graftx.BloomScreen.mightContain(bf, col("gram")))
+        .count()
+      println(s"""{"probe":"grams surviving the ${bits / 8 / 1024}KiB screen","rows":$screened}""")
+    }
+    time("contamination broadcast-exact x4")(
+      Cleaning.contamination(train, evalS, "doc_id", "text", n = 8))
+    time("contamination bloom-screened x4")(
+      Cleaning.contaminationBloom(train, evalS, "doc_id", "text", n = 8,
+        expectedGrams = 1L << 20, numBits = 1L << 23))
+  }
+
   /** `runMain graft.ScaleProbe merge4` — the size-gated MERGE feed
     * (SCALE.md round 4): a change-feed-sized update broadcasts, a
     * backfill-sized one must degrade to a shuffle join and still
@@ -141,6 +192,18 @@ object ScaleProbe {
         .getOrCreate()
       spark.sparkContext.setLogLevel("WARN")
       winnow5(spark)
+      spark.stop()
+      return
+    }
+    if (args.headOption.contains("bloom5")) {
+      val spark = SparkSession.builder()
+        .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")}]")
+        .config("spark.sql.shuffle.partitions",
+          sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"))
+        .config("spark.ui.enabled", "false")
+        .getOrCreate()
+      spark.sparkContext.setLogLevel("WARN")
+      bloom5(spark)
       spark.stop()
       return
     }
