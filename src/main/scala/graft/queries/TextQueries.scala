@@ -82,6 +82,17 @@ object TextQueries {
         TextAnalysis.distinctTokenRatio(col("text")).as("distinct_ratio"),
         TextAnalysis.topTokenShare(col("text")).as("top_share"),
         TextAnalysis.meanTokenLength(col("text")).as("mean_tok_len"))
+    }),
+
+    // Unsupervised LM quality signal (CCNet-style): train an add-k
+    // smoothed bigram model on the corpus in one partial-agg pass,
+    // score each doc's average negative log2 probability under it.
+    "lm_perplexity" -> ((s, d) => {
+      graft.operators.LangModel.selfScore(
+        tbl(s, d, "documents").select(col("doc_id"), col("text")),
+        "doc_id", "text")
+        .select(col("doc_id"), col("n_bigrams"),
+          round4(col("avg_nll")).as("avg_nll"))
     }))
 
   private def listLit(words: Seq[String]): String =
@@ -101,6 +112,20 @@ object TextQueries {
   }.mkString(", ")
 
   val oracles: Map[String, String] = Map(
+    "lm_perplexity" ->
+      """WITH tok AS (
+           SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS w
+           FROM documents),
+         ok AS (SELECT doc_id, w FROM tok WHERE len(w) >= 2),
+         idx AS (SELECT doc_id, w, unnest(generate_series(1, len(w) - 1)) AS i FROM ok),
+         bg AS (SELECT doc_id, w[i] AS w1, w[i + 1] AS w2 FROM idx),
+         cnt AS (SELECT w1, w2, count(*) AS n FROM bg GROUP BY 1, 2),
+         ctx AS (SELECT w1, CAST(sum(n) AS BIGINT) AS n_w1 FROM cnt GROUP BY 1),
+         voc AS (SELECT count(DISTINCT w2) AS v FROM bg)
+         SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+           floor(avg(-log2((n + 0.5) / (n_w1 + 0.5 * v))) * 10000 + 0.5) / 10000 AS avg_nll
+         FROM bg JOIN cnt USING (w1, w2) JOIN ctx USING (w1) CROSS JOIN voc
+         GROUP BY doc_id""",
     "vocab_topk" ->
       """WITH tok AS (
            SELECT unnest(string_split_regex(trim(lower(text)), '\s+')) AS token

@@ -105,6 +105,14 @@ class PlanGuardSpec extends SparkTestBase {
       s"winnowing is doc-local and must stay map-side:\n$p")
   }
 
+  test("lm scoring joins the vocabulary-sized model by shuffle, never broadcast") {
+    val p = plan("lm_perplexity")
+    assert(!p.contains("BroadcastHashJoin"),
+      s"bigram/context model sides must not broadcast (vocabulary-sized at scale):\n$p")
+    assert("ShuffledHashJoin".r.findAllIn(p).length >= 2,
+      s"both model joins must be shuffle-hash:\n$p")
+  }
+
   test("bloom decontamination screens map-side before the exact join") {
     val p = plan("decontaminate_bloom")
     assert(p.contains("might_contain"),
