@@ -379,6 +379,28 @@ object Dedup {
     representatives(clusters).unionByName(untouched)
   }
 
+  /** Quality-aware keep-set: like [[keepSet]], but each cluster keeps
+    * its highest-`scoreCol` member (ties: lowest id) instead of the
+    * accidental min-id — the production policy when duplicates differ
+    * in quality (keep the longest/cleanest/highest-LM-scored copy, drop
+    * the rest). One extra join to attach scores plus a per-cluster
+    * window; clusters are near-dup groups, so the window's partitions
+    * are small by construction. */
+  def keepSetBy(corpus: DataFrame, idCol: String, scoreCol: String,
+                pairs: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val clusters = duplicateClusters(pairs)
+    val scored = clusters.join(
+      corpus.select(col(idCol).as("id"), col(scoreCol).as("__score")), Seq("id"))
+    val w = Window.partitionBy(col("cluster_id"))
+      .orderBy(col("__score").desc, col("id").asc)
+    val reps = scored.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1).select(col("id"))
+    val untouched = corpus.select(col(idCol).as("id"))
+      .join(clusters.select(col("id")), Seq("id"), "left_anti")
+    reps.unionByName(untouched)
+  }
+
   /** 32-bit SimHash as a bit string, from md5 nibbles of each token:
     * bit i is the majority vote of nibble i's low bit across tokens.
     * Nibble-parity keeps the construction reproducible in any engine

@@ -114,6 +114,17 @@ object DedupQueries {
       val pairs = Similarity.cosineNearDupPairs(emb, "vec_id", "embedding",
         CosineThreshold)
       Dedup.keepSet(emb, "vec_id", pairs)
+    }),
+
+    // Quality-aware keep-set over the minhash-LSH pair graph: each
+    // cluster keeps its LONGEST member (ties: lowest id), the policy
+    // when near-duplicates differ in quality.
+    "dedup_keep_best" -> ((s, d) => {
+      val docs = tbl(s, d, "documents")
+      val pairs = Dedup.lshCandidatePairs(docs, "doc_id", "text",
+        n = ShingleN, k = MinhashK, bands = Bands)
+      Dedup.keepSetBy(docs.select(col("doc_id"), col("n_chars")),
+        "doc_id", "n_chars", pairs)
     }))
 
   /** Shared SQL fragment: distinct character shingles of `text`. */
@@ -276,5 +287,33 @@ object DedupQueries {
           SELECT id FROM clusters WHERE id = cluster_id
           UNION ALL
           SELECT vec_id AS id FROM embeddings
-          WHERE vec_id NOT IN (SELECT id FROM clusters)""")
+          WHERE vec_id NOT IN (SELECT id FROM clusters)""",
+    "dedup_keep_best" ->
+      s"""WITH RECURSIVE sh AS (SELECT doc_id, unnest($shinglesSql) AS shingle FROM documents),
+          shh AS (SELECT doc_id, $baseHashSql AS hm FROM sh),
+          mh AS (SELECT doc_id, $minhashAggs FROM shh GROUP BY doc_id),
+          bands AS ($bandSelects),
+          pairs AS (
+            SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+            FROM bands a JOIN bands b
+              ON a.band = b.band AND a.band_sig = b.band_sig AND a.doc_id < b.doc_id),
+          edges AS (
+            SELECT id_a AS src, id_b AS dst FROM pairs
+            UNION SELECT id_b, id_a FROM pairs),
+          reach(id, label) AS (
+            SELECT src, src FROM edges
+            UNION
+            SELECT e.src, r.label FROM edges e JOIN reach r ON e.dst = r.id),
+          clusters AS (SELECT id, min(label) AS cluster_id FROM reach GROUP BY id),
+          reps AS (
+            SELECT id FROM (
+              SELECT c.id,
+                row_number() OVER (PARTITION BY c.cluster_id
+                  ORDER BY d.n_chars DESC, c.id ASC) AS rn
+              FROM clusters c JOIN documents d ON d.doc_id = c.id)
+            WHERE rn = 1)
+          SELECT id FROM reps
+          UNION ALL
+          SELECT doc_id AS id FROM documents
+          WHERE doc_id NOT IN (SELECT id FROM clusters)""")
 }
