@@ -84,6 +84,15 @@ object TextQueries {
         TextAnalysis.meanTokenLength(col("text")).as("mean_tok_len"))
     }),
 
+    // Distributed BPE merge learning: corpus -> word-frequency table
+    // (one pass) -> 6 argmax-merge rounds over the vocab table. The
+    // oracle replays the same rounds in SQL via the terminator-string
+    // formulation (see operators.Bpe).
+    "bpe_merges" -> ((s, d) => {
+      graft.operators.Bpe.learnMerges(s,
+        tbl(s, d, "documents").select(col("text")), "text", nMerges = BpeRounds)
+    }),
+
     // Unsupervised LM quality signal (CCNet-style): train an add-k
     // smoothed bigram model on the corpus in one partial-agg pass,
     // score each doc's average negative log2 probability under it.
@@ -111,7 +120,39 @@ object TextQueries {
     s"${ratioSql(ws)} AS s_$lang"
   }.mkString(", ")
 
+  private val BpeRounds = 6
+
+  /** DuckDB replay of the BPE rounds: same terminator-string encoding,
+    * same leftmost-non-overlapping `replace`, same (weight DESC, lhs,
+    * rhs) argmax — generated per round so both engines run the
+    * identical algorithm. */
+  private val bpeOracle: String = {
+    val rounds = (1 to BpeRounds).map { r =>
+      s"""p$r AS (
+            SELECT sy[i] AS lhs, sy[i + 1] AS rhs, CAST(sum(freq) AS BIGINT) AS weight
+            FROM (SELECT freq, string_split(s, '¶') AS sy,
+                    unnest(generate_series(1, len(string_split(s, '¶')) - 2)) AS i
+                  FROM w${r - 1})
+            GROUP BY 1, 2),
+          t$r AS (SELECT lhs, rhs, weight FROM p$r
+                  ORDER BY weight DESC, lhs ASC, rhs ASC LIMIT 1),
+          w$r AS (SELECT freq, replace(s, lhs || '¶' || rhs || '¶', lhs || rhs || '¶') AS s
+                  FROM w${r - 1} CROSS JOIN t$r)"""
+    }.mkString(",\n          ")
+    val unions = (1 to BpeRounds)
+      .map(r => s"SELECT CAST($r AS INTEGER) AS rank, lhs, rhs, weight FROM t$r")
+      .mkString(" UNION ALL ")
+    s"""WITH w0 AS (
+          SELECT word, CAST(count(*) AS BIGINT) AS freq,
+            regexp_replace(word, '(.)', '\\1¶', 'g') AS s
+          FROM (SELECT unnest(string_split_regex(trim(text), '\\s+')) AS word FROM documents)
+          WHERE word <> '' GROUP BY word),
+          $rounds
+        $unions"""
+  }
+
   val oracles: Map[String, String] = Map(
+    "bpe_merges" -> bpeOracle,
     "lm_perplexity" ->
       """WITH tok AS (
            SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS w

@@ -277,6 +277,22 @@ class PropertySpec extends SparkTestBase {
     assert(Multimodal.decodeAudio(Multimodal.syntheticWav(10, 8000, 0L).take(20)).isEmpty)
   }
 
+  test("BPE learns the classic low/lower merges and encode applies them") {
+    import graft.operators.Bpe
+    val corpus = Seq("low low lower").toDF("text")
+    val merges = Bpe.learnMerges(spark, corpus, "text", nMerges = 2)
+      .orderBy("rank").as[(Int, String, String, Long)].collect().toSeq
+    // round 1: (l,o) and (o,w) both weigh 3; lhs tiebreak picks (l,o).
+    // round 2: (lo,w) weighs 3 — a merge built ON a merged symbol.
+    assert(merges.map(m => (m._2, m._3, m._4)) ==
+      Seq(("l", "o", 3L), ("lo", "w", 3L)))
+    val enc = Bpe.encode(Seq("low lower").toDF("text"), "text",
+      merges.map(m => (m._2, m._3)))
+      .select("word", "symbols").as[(String, Seq[String])].collect().toMap
+    assert(enc("low") == Seq("low"))
+    assert(enc("lower") == Seq("low", "e", "r"))
+  }
+
   test("winnowing guarantee: docs sharing a >= k+w-1 char run pair up") {
     val sharedRun = "the exact same thirty-plus character passage here"
     val docs = Seq(
