@@ -33,7 +33,8 @@ object SparkEntry {
       OntologyQueries.queries ++
       MLQueries.queries ++
       MergeQueries.queries ++
-      TableQueries.queries
+      TableQueries.queries ++
+      AnalyticsQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted keys get a rows-only check. */
@@ -52,5 +53,6 @@ object SparkEntry {
       OntologyQueries.oracles ++
       MLQueries.oracles ++
       MergeQueries.oracles ++
-      TableQueries.oracles
+      TableQueries.oracles ++
+      AnalyticsQueries.oracles
 }

@@ -1,0 +1,184 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.{Cohorts, Expectations, Funnel, RecordLinkage, TimeSeries}
+import graft.operators.Expectations.Expectation
+
+/** Event/entity analytics beyond the reference's own surface: ordered
+  * funnels, fuzzy record linkage, and declarative data-quality
+  * expectation suites — each differentially oracle-checked.
+  */
+object AnalyticsQueries {
+
+  val queries: Map[String, QueryFn] = Map(
+
+    // Strict ordered funnel view -> click -> purchase over the event
+    // log: per-step user counts + mean seconds from funnel entry.
+    "funnel_steps" -> ((s, d) => {
+      Funnel.steps(tbl(s, d, "events"), "user_id", "event_type", "ts_us",
+        Seq("view", "click", "purchase"))
+    }),
+
+    // Fuzzy record linkage: customer names deterministically corrupted
+    // (digit substitution / interior deletion / untouched, by key mod 3)
+    // are linked back to the clean roster via two blocking passes
+    // (2-char suffix; prefix+last-char) + thresholded Levenshtein
+    // verify + best-match resolution. Every dirty record must resolve
+    // to its true customer; `n_candidates` > 1 marks the ambiguous ones
+    // a real pipeline would route to review.
+    "link_fuzzy" -> ((s, d) => {
+      val clean = tbl(s, d, "customer").select(col("c_custkey"), col("c_name"))
+      val dirty = clean.select(
+        col("c_custkey").as("dirty_id"),
+        when(col("c_custkey") % 3 === 0,
+          concat(substring(col("c_name"), 1, 9), lit("X"),
+            substring(col("c_name"), 11, 8)))
+          .when(col("c_custkey") % 3 === 1,
+            concat(substring(col("c_name"), 1, 13),
+              substring(col("c_name"), 15, 4)))
+          .otherwise(col("c_name")).as("dirty_name"))
+      val cands = RecordLinkage.candidates(dirty, clean,
+        col("dirty_name"), col("c_name"),
+        blockKeys = Seq(
+          (substring(col("dirty_name"), -2, 2), substring(col("c_name"), -2, 2)),
+          (concat(substring(col("dirty_name"), 1, 9), substring(col("dirty_name"), -1, 1)),
+            concat(substring(col("c_name"), 1, 9), substring(col("c_name"), -1, 1)))),
+        maxDist = 1)
+      RecordLinkage.bestMatch(cands, col("dirty_id"), Seq(col("c_custkey")))
+        .select(col("dirty_id"), col("dirty_name"),
+          col("c_custkey").as("matched_custkey"), col("c_name").as("matched_name"),
+          col("dist").cast("bigint").as("dist"), col("n_candidates"))
+    }),
+
+    // Declarative quality suite over orders, one aggregation pass:
+    // size, completeness, key uniqueness, bounds, value-set
+    // conformance, categorical cardinality.
+    "dq_expectations" -> ((s, d) => {
+      val o = tbl(s, d, "orders")
+      Expectations.run(o, Seq(
+        Expectation("size_min", count(lit(1)), _ >= 1000),
+        Expectation("completeness_custkey",
+          Expectations.completeness(col("o_custkey")), _ === 1.0),
+        Expectation("uniqueness_orderkey",
+          Expectations.uniqueness(col("o_orderkey")), _ === 1.0),
+        Expectation("totalprice_min_nonneg", min(col("o_totalprice")), _ >= 0.0),
+        Expectation("totalprice_max_bound", max(col("o_totalprice")), _ <= 1000000.0),
+        Expectation("status_in_set",
+          Expectations.inSet(col("o_orderstatus"), Seq("O", "F", "P")), _ === 1.0),
+        Expectation("priority_cardinality",
+          countDistinct(col("o_orderpriority")).cast("double"), _ <= 10.0)))
+        .select(col("check_name"), round4(col("metric")).as("metric"),
+          col("passed"))
+    }),
+
+    // Daily cohort retention with purchases as the activity signal:
+    // cohort = day of a user's first purchase; each (cohort, offset)
+    // row reports how much of the cohort was still purchasing N days
+    // later.
+    "cohort_retention" -> ((s, d) => {
+      Cohorts.retention(tbl(s, d, "events"), "user_id", "ts_us",
+        periodUs = 86400000000L, activity = col("event_type") === "purchase")
+    }),
+
+    // Trailing z-score anomaly flags per user: each event's value
+    // against that user's previous-8-events mean/deviation (raw-moment
+    // formulation; rounded score, verdict computed on the rounded
+    // value so the flag is engine-reproducible).
+    "ts_anomaly" -> ((s, d) => {
+      val scored = TimeSeries.rollingZScore(tbl(s, d, "events"),
+        partitionCols = Seq(col("user_id")),
+        orderCols = Seq(col("ts_us"), col("event_id")),
+        valueCol = col("value"), lookback = 8, minObs = 4)
+      scored.select(col("event_id"), col("user_id"),
+          round2(col("z")).as("z"))
+        .withColumn("is_anomaly", abs(col("z")) > 2.0)
+    }))
+
+  val oracles: Map[String, String] = Map(
+
+    "funnel_steps" ->
+      """WITH e AS (SELECT user_id, event_type, epoch_us(ts) AS t FROM events),
+         s1 AS (SELECT user_id, min(t) AS t1 FROM e WHERE event_type='view' GROUP BY 1),
+         s2 AS (SELECT e.user_id, t1, min(t) AS t2 FROM e JOIN s1 USING(user_id)
+                WHERE event_type='click' AND t > t1 GROUP BY e.user_id, t1),
+         s3 AS (SELECT e.user_id, t1, min(t) AS t3 FROM e JOIN s2 USING(user_id)
+                WHERE event_type='purchase' AND t > t2 GROUP BY e.user_id, t1)
+         SELECT 'view' AS step, 0 AS step_idx, count(*) AS n_users, 0.0 AS avg_secs FROM s1
+         UNION ALL SELECT 'click', 1, count(*),
+           floor((sum(t2-t1)::DOUBLE / count(*) / 1000000)*100+0.5)/100 FROM s2
+         UNION ALL SELECT 'purchase', 2, count(*),
+           floor((sum(t3-t1)::DOUBLE / count(*) / 1000000)*100+0.5)/100 FROM s3""",
+
+    "link_fuzzy" ->
+      """WITH clean AS (SELECT c_custkey, c_name FROM customer),
+         dirty AS (SELECT c_custkey AS dirty_id,
+             CASE WHEN c_custkey % 3 = 0
+                    THEN substring(c_name,1,9) || 'X' || substring(c_name,11,8)
+                  WHEN c_custkey % 3 = 1
+                    THEN substring(c_name,1,13) || substring(c_name,15,4)
+                  ELSE c_name END AS dirty_name
+           FROM clean),
+         cand AS (
+           SELECT DISTINCT dirty_id, dirty_name, c_custkey, c_name FROM (
+             SELECT d.dirty_id, d.dirty_name, c.c_custkey, c.c_name
+               FROM dirty d JOIN clean c ON right(d.dirty_name,2) = right(c.c_name,2)
+             UNION ALL
+             SELECT d.dirty_id, d.dirty_name, c.c_custkey, c.c_name
+               FROM dirty d JOIN clean c
+                 ON substring(d.dirty_name,1,9) || right(d.dirty_name,1)
+                  = substring(c.c_name,1,9) || right(c.c_name,1))),
+         ver AS (SELECT *, levenshtein(dirty_name, c_name) AS dist
+                 FROM cand WHERE levenshtein(dirty_name, c_name) <= 1),
+         ranked AS (SELECT *,
+             count(*) OVER (PARTITION BY dirty_id) AS n_candidates,
+             row_number() OVER (PARTITION BY dirty_id ORDER BY dist, c_custkey) AS rn
+           FROM ver)
+         SELECT dirty_id, dirty_name, c_custkey AS matched_custkey,
+           c_name AS matched_name, dist, n_candidates
+         FROM ranked WHERE rn = 1""",
+
+    "dq_expectations" ->
+      """WITH m AS (SELECT
+           count(*)::DOUBLE AS m0,
+           avg(CASE WHEN o_custkey IS NOT NULL THEN 1.0 ELSE 0.0 END) AS m1,
+           count(DISTINCT o_orderkey)::DOUBLE / count(*) AS m2,
+           min(o_totalprice) AS m3,
+           max(o_totalprice) AS m4,
+           avg(CASE WHEN o_orderstatus IN ('O','F','P') THEN 1.0 ELSE 0.0 END) AS m5,
+           count(DISTINCT o_orderpriority)::DOUBLE AS m6
+           FROM orders)
+         SELECT 'size_min' AS check_name, floor(m0*10000+0.5)/10000 AS metric, m0 >= 1000 AS passed FROM m
+         UNION ALL SELECT 'completeness_custkey', floor(m1*10000+0.5)/10000, m1 = 1.0 FROM m
+         UNION ALL SELECT 'uniqueness_orderkey', floor(m2*10000+0.5)/10000, m2 = 1.0 FROM m
+         UNION ALL SELECT 'totalprice_min_nonneg', floor(m3*10000+0.5)/10000, m3 >= 0.0 FROM m
+         UNION ALL SELECT 'totalprice_max_bound', floor(m4*10000+0.5)/10000, m4 <= 1000000.0 FROM m
+         UNION ALL SELECT 'status_in_set', floor(m5*10000+0.5)/10000, m5 = 1.0 FROM m
+         UNION ALL SELECT 'priority_cardinality', floor(m6*10000+0.5)/10000, m6 <= 10.0 FROM m""",
+
+    "cohort_retention" ->
+      """WITH up AS (SELECT DISTINCT user_id, epoch_us(ts) // 86400000000 AS period
+                     FROM events WHERE event_type = 'purchase'),
+         first AS (SELECT user_id, min(period) AS cohort FROM up GROUP BY 1),
+         sizes AS (SELECT cohort, count(*) AS n_cohort FROM first GROUP BY 1),
+         act AS (SELECT f.cohort, up.period - f.cohort AS offset, count(*) AS n_active
+                 FROM up JOIN first f USING(user_id) GROUP BY 1, 2)
+         SELECT a.cohort, a.offset, a.n_active,
+           floor((a.n_active::DOUBLE / s.n_cohort)*10000+0.5)/10000 AS retention
+         FROM act a JOIN sizes s USING(cohort)""",
+
+    "ts_anomaly" ->
+      """WITH w AS (
+           SELECT event_id, user_id, value,
+             avg(value) OVER fr AS m,
+             avg(value*value) OVER fr AS m2,
+             count(*) OVER fr AS n
+           FROM events
+           WINDOW fr AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id
+                         ROWS BETWEEN 8 PRECEDING AND 1 PRECEDING)),
+         z AS (
+           SELECT event_id, user_id,
+             floor(((value - m) / sqrt(m2 - m*m))*100+0.5)/100 AS z
+           FROM w WHERE n >= 4 AND m2 - m*m > 0)
+         SELECT event_id, user_id, z, abs(z) > 2.0 AS is_anomaly FROM z""")
+}

@@ -1,0 +1,79 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.Expectations
+import graft.operators.Expectations.Expectation
+
+/** Funnel, record-linkage and expectation-suite invariants the oracle
+  * diff can't express: monotonicity, self-resolution, plan shape. */
+class AnalyticsSpec extends SparkTestBase {
+
+  test("funnel: step counts monotonically non-increasing, entry avg is 0") {
+    val rows = SparkEntry.queries("funnel_steps")(spark, sfSmoke)
+      .orderBy("step_idx").collect()
+    assert(rows.length == 3)
+    val ns = rows.map(_.getAs[Long]("n_users"))
+    assert(ns.zip(ns.tail).forall { case (a, b) => b <= a },
+      s"funnel must narrow: ${ns.mkString(",")}")
+    assert(rows.head.getAs[Double]("avg_secs") == 0.0)
+    assert(rows.forall(_.getAs[Double]("avg_secs") >= 0.0))
+  }
+
+  test("fuzzy linkage: every dirty record resolves to its true entity; no cartesian") {
+    val df = SparkEntry.queries("link_fuzzy")(spark, sfSmoke)
+    val p = df.queryExecution.executedPlan.toString
+    assert(!p.contains("CartesianProduct"), s"blocking degraded to cartesian:\n$p")
+    assert(!p.contains("BroadcastNestedLoopJoin"), s"nested-loop crept in:\n$p")
+    val rows = df.collect()
+    assert(rows.length == spark.read.parquet(s"$sfSmoke/customer.parquet").count())
+    assert(rows.forall(r =>
+      r.getAs[Long]("dirty_id") == r.getAs[Long]("matched_custkey")),
+      "a dirty record resolved to the wrong customer")
+    assert(rows.forall(_.getAs[Long]("dist") <= 1))
+  }
+
+  test("cohort retention: offset-0 retention is 1.0 and fractions never exceed it") {
+    val rows = SparkEntry.queries("cohort_retention")(spark, sfSmoke).collect()
+    assert(rows.nonEmpty)
+    val byCohort = rows.groupBy(_.getAs[Long]("cohort"))
+    byCohort.foreach { case (c, rs) =>
+      val at0 = rs.find(_.getAs[Long]("offset") == 0L)
+      assert(at0.isDefined, s"cohort $c missing offset 0")
+      assert(at0.get.getAs[Double]("retention") == 1.0,
+        s"cohort $c: day-0 retention must be 1.0 (every member is active the day they join)")
+      assert(rs.forall(_.getAs[Double]("retention") <= 1.0))
+    }
+  }
+
+  test("rolling z-score: one window pass, no history -> no score") {
+    val df = SparkEntry.queries("ts_anomaly")(spark, sfSmoke)
+    val p = df.queryExecution.executedPlan.toString
+    assert(!p.contains("SortMergeJoin") && !p.contains("BroadcastHashJoin"),
+      s"rolling stats must be a single window pass, not a self-join:\n$p")
+    val rows = df.collect()
+    assert(rows.nonEmpty)
+    // events 1..minObs per user can never be scored: the trailing
+    // frame excludes the current row
+    val total = queries.tbl(spark, sfSmoke, "events").count()
+    assert(rows.length < total)
+    assert(rows.forall(r => !r.getAs[Double]("z").isNaN))
+  }
+
+  test("expectations: whole suite evaluates in one scan; verdicts react to data") {
+    val orders = queries.tbl(spark, sfSmoke, "orders")
+    val df = Expectations.run(orders, Seq(
+      Expectation("size_pos", count(lit(1)), _ > 0),
+      Expectation("impossible_negative_size", count(lit(1)), _ < 0),
+      Expectation("completeness_custkey",
+        Expectations.completeness(col("o_custkey")), _ === 1.0)))
+    val p = df.queryExecution.executedPlan.toString
+    val scans = "Scan parquet".r.findAllIn(p).length
+    assert(scans == 1, s"expectation suite must cost one scan, saw $scans:\n$p")
+    val byName = df.collect().map(r =>
+      r.getAs[String]("check_name") -> r.getAs[Boolean]("passed")).toMap
+    assert(byName("size_pos") && byName("completeness_custkey"))
+    assert(!byName("impossible_negative_size"),
+      "a false check must produce passed=false")
+  }
+}
