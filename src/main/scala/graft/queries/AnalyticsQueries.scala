@@ -2,7 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.functions._
 
-import graft.operators.{Cohorts, Expectations, Funnel, RecordLinkage, TimeSeries}
+import graft.operators.{Cohorts, Expectations, Funnel, RecordLinkage, Skew, TimeSeries}
 import graft.operators.Expectations.Expectation
 
 /** Event/entity analytics beyond the reference's own surface: ordered
@@ -93,6 +93,27 @@ object AnalyticsQueries {
       scored.select(col("event_id"), col("user_id"),
           round2(col("z")).as("z"))
         .withColumn("is_anomaly", abs(col("z")) > 2.0)
+    }),
+
+    // Two-phase salted aggregation parity: exact count-distinct
+    // (salted on the DISTINCT column's hash so buckets partition the
+    // value space and per-bucket counts sum exactly) + a sum, per hot
+    // group. The oracle pins that the rewrite is semantics-preserving.
+    "agg_salted" -> ((s, d) => {
+      val li = tbl(s, d, "lineitem")
+      Skew.saltedAggregate(li, Seq("l_returnflag"),
+        saltCol = pmod(hash(col("l_suppkey")), lit(16)),
+        phase1 = Seq(countDistinct(col("l_suppkey")).as("__nd"),
+          sum(col("l_quantity")).as("__sq")),
+        phase2 = Seq(sum(col("__nd")).as("n_supp"),
+          round2(sum(col("__sq"))).as("sum_qty")))
+    }),
+
+    // Key-skew diagnosis: top-10 heaviest l_partkey values with corpus
+    // share and multiple-of-mean — the pre-join report that decides
+    // whether a key needs salting/AQE skew handling.
+    "skew_report" -> ((s, d) => {
+      Skew.report(tbl(s, d, "lineitem"), col("l_partkey"), k = 10)
     }))
 
   val oracles: Map[String, String] = Map(
@@ -180,5 +201,18 @@ object AnalyticsQueries {
            SELECT event_id, user_id,
              floor(((value - m) / sqrt(m2 - m*m))*100+0.5)/100 AS z
            FROM w WHERE n >= 4 AND m2 - m*m > 0)
-         SELECT event_id, user_id, z, abs(z) > 2.0 AS is_anomaly FROM z""")
+         SELECT event_id, user_id, z, abs(z) > 2.0 AS is_anomaly FROM z""",
+
+    "agg_salted" ->
+      """SELECT l_returnflag, count(DISTINCT l_suppkey) AS n_supp,
+           floor((sum(l_quantity))*100+0.5)/100 AS sum_qty
+         FROM lineitem GROUP BY 1""",
+
+    "skew_report" ->
+      """WITH pk AS (SELECT l_partkey AS key, count(*) AS n FROM lineitem GROUP BY 1),
+         tot AS (SELECT sum(n) AS total, count(*) AS nkeys FROM pk),
+         top AS (SELECT key, n FROM pk ORDER BY n DESC, key LIMIT 10)
+         SELECT key, n, floor((n::DOUBLE / total)*10000+0.5)/10000 AS share,
+           floor((n::DOUBLE * nkeys / total)*10000+0.5)/10000 AS x_mean
+         FROM top, tot""")
 }

@@ -60,6 +60,32 @@ class AnalyticsSpec extends SparkTestBase {
     assert(rows.forall(r => !r.getAs[Double]("z").isNaN))
   }
 
+  test("salted aggregate: parity with the direct plan; salt spreads the partial") {
+    val direct = queries.tbl(spark, sfSmoke, "lineitem")
+      .groupBy("l_returnflag")
+      .agg(countDistinct(col("l_suppkey")).as("n_supp"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val salted = SparkEntry.queries("agg_salted")(spark, sfSmoke)
+    val p = salted.queryExecution.executedPlan.toString
+    assert("Exchange hashpartitioning".r.findAllIn(p).length >= 2,
+      s"two-phase salting needs a (key,salt) exchange then a key exchange:\n$p")
+    val got = salted.collect().map(r =>
+      r.getAs[String]("l_returnflag") -> r.getAs[Long]("n_supp")).toMap
+    assert(got == direct, s"salted rewrite changed results: $got vs $direct")
+  }
+
+  test("skew report: top-k via TakeOrdered, not a global sort") {
+    val df = SparkEntry.queries("skew_report")(spark, sfSmoke)
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("TakeOrderedAndProject"),
+      s"global top-k must be a heap take, not a full sort:\n$p")
+    val rows = df.collect()
+    assert(rows.length <= 10 && rows.nonEmpty)
+    val shares = rows.map(_.getAs[Double]("share"))
+    assert(shares.forall(s => s > 0.0 && s <= 1.0))
+    assert(rows.forall(_.getAs[Double]("x_mean") > 0.0))
+  }
+
   test("expectations: whole suite evaluates in one scan; verdicts react to data") {
     val orders = queries.tbl(spark, sfSmoke, "orders")
     val df = Expectations.run(orders, Seq(
