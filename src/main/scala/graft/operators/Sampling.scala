@@ -46,6 +46,21 @@ object Sampling {
     }.reduce(_ unionByName _)
   }
 
+  /** Leakage-proof split assignment: rows sharing a group key (e.g. a
+    * near-dup cluster id) hash to the SAME split, so an eval split can
+    * never contain a near-duplicate of a training row — the
+    * contamination mode plain row-wise splitting can't prevent. Pure
+    * narrow expression over the group key; `cuts` are cumulative
+    * upper bounds (exclusive) out of 10000, last entry is the rest. */
+  def groupedSplit(groupKey: Column, cuts: Seq[(String, Long)]): Column = {
+    require(cuts.nonEmpty && cuts.last._2 == Denominator,
+      s"cuts must end at $Denominator")
+    val h = keepHash(groupKey)
+    cuts.init.reverse.foldLeft(lit(cuts.last._1): Column) {
+      case (acc, (name, ub)) => when(h < ub, lit(name)).otherwise(acc)
+    }
+  }
+
   /** Deterministic stratified sample: per-stratum keep rates (corpus
     * mixing weights), default rate for unlisted strata. One narrow
     * filter — no shuffle, no driver round-trip, any scale. */

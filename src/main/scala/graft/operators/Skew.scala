@@ -50,7 +50,13 @@ object Skew {
     * a tiny global-stats pass over the per-key frame.
     */
   def report(df: DataFrame, keyCol: Column, k: Int): DataFrame = {
+    // Materialize the per-key frame once: the top-k branch and the
+    // totals branch both consume it, and Catalyst does not CSE across
+    // plan branches — without this the full input is scanned and
+    // aggregated TWICE (the same defect class as the round-4 TfIdf
+    // double-tokenize).
     val perKey = df.groupBy(keyCol.as("key")).agg(count(lit(1)).as("n"))
+      .localCheckpoint()
     // Global top-k compiles to TakeOrderedAndProject (per-partition
     // heaps + driver merge of k rows), NOT a single-partition sort of
     // the whole key frame — billions of distinct keys stay distributed.

@@ -21,12 +21,18 @@ object AnalyticsQueries {
     }),
 
     // Fuzzy record linkage: customer names deterministically corrupted
-    // (digit substitution / interior deletion / untouched, by key mod 3)
-    // are linked back to the clean roster via two blocking passes
-    // (2-char suffix; prefix+last-char) + thresholded Levenshtein
-    // verify + best-match resolution. Every dirty record must resolve
-    // to its true customer; `n_candidates` > 1 marks the ambiguous ones
-    // a real pipeline would route to review.
+    // (digit substitution / interior deletion / untouched, by key mod 3;
+    // both edit sites sit in the always-'0' digit prefix so the true
+    // match is unambiguous at any scale factor) are linked back to the
+    // clean roster via two SELECTIVE blocking passes — 4-char suffix
+    // (primary) and 3-char suffix (backstop) — + thresholded
+    // Levenshtein verify + best-match resolution. Suffix keys survive
+    // any edit left of the suffix; block sizes stay |corpus|/10^k, so
+    // the candidate count grows linearly with the corpus, not
+    // quadratically (a prefix key here would be one giant block — the
+    // skew_report anti-pattern). Every dirty record must resolve to
+    // its true customer; `n_candidates` > 1 marks the ambiguous ones a
+    // real pipeline would route to review.
     "link_fuzzy" -> ((s, d) => {
       val clean = tbl(s, d, "customer").select(col("c_custkey"), col("c_name"))
       val dirty = clean.select(
@@ -35,15 +41,14 @@ object AnalyticsQueries {
           concat(substring(col("c_name"), 1, 9), lit("X"),
             substring(col("c_name"), 11, 8)))
           .when(col("c_custkey") % 3 === 1,
-            concat(substring(col("c_name"), 1, 13),
-              substring(col("c_name"), 15, 4)))
+            concat(substring(col("c_name"), 1, 10),
+              substring(col("c_name"), 12, 7)))
           .otherwise(col("c_name")).as("dirty_name"))
       val cands = RecordLinkage.candidates(dirty, clean,
         col("dirty_name"), col("c_name"),
         blockKeys = Seq(
-          (substring(col("dirty_name"), -2, 2), substring(col("c_name"), -2, 2)),
-          (concat(substring(col("dirty_name"), 1, 9), substring(col("dirty_name"), -1, 1)),
-            concat(substring(col("c_name"), 1, 9), substring(col("c_name"), -1, 1)))),
+          (substring(col("dirty_name"), -4, 4), substring(col("c_name"), -4, 4)),
+          (substring(col("dirty_name"), -3, 3), substring(col("c_name"), -3, 3))),
         maxDist = 1)
       RecordLinkage.bestMatch(cands, col("dirty_id"), Seq(col("c_custkey")))
         .select(col("dirty_id"), col("dirty_name"),
@@ -137,18 +142,16 @@ object AnalyticsQueries {
              CASE WHEN c_custkey % 3 = 0
                     THEN substring(c_name,1,9) || 'X' || substring(c_name,11,8)
                   WHEN c_custkey % 3 = 1
-                    THEN substring(c_name,1,13) || substring(c_name,15,4)
+                    THEN substring(c_name,1,10) || substring(c_name,12,7)
                   ELSE c_name END AS dirty_name
            FROM clean),
          cand AS (
            SELECT DISTINCT dirty_id, dirty_name, c_custkey, c_name FROM (
              SELECT d.dirty_id, d.dirty_name, c.c_custkey, c.c_name
-               FROM dirty d JOIN clean c ON right(d.dirty_name,2) = right(c.c_name,2)
+               FROM dirty d JOIN clean c ON right(d.dirty_name,4) = right(c.c_name,4)
              UNION ALL
              SELECT d.dirty_id, d.dirty_name, c.c_custkey, c.c_name
-               FROM dirty d JOIN clean c
-                 ON substring(d.dirty_name,1,9) || right(d.dirty_name,1)
-                  = substring(c.c_name,1,9) || right(c.c_name,1))),
+               FROM dirty d JOIN clean c ON right(d.dirty_name,3) = right(c.c_name,3))),
          ver AS (SELECT *, levenshtein(dirty_name, c_name) AS dist
                  FROM cand WHERE levenshtein(dirty_name, c_name) <= 1),
          ranked AS (SELECT *,

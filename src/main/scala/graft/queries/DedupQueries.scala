@@ -116,6 +116,24 @@ object DedupQueries {
       Dedup.keepSet(emb, "vec_id", pairs)
     }),
 
+    // Leakage-proof train/val/test split: near-dup cluster members
+    // share a group key (cluster id; singletons their own id), and the
+    // split is a deterministic hash of THAT key — so no near-duplicate
+    // of a training row can ever reach val/test. 80/10/10 cuts.
+    "split_leakproof" -> ((s, d) => {
+      val emb = tbl(s, d, "embeddings")
+      val pairs = Similarity.cosineNearDupPairs(emb, "vec_id", "embedding",
+        CosineThreshold)
+      val clusters = Dedup.duplicateClusters(pairs)
+        .withColumnRenamed("id", "vec_id")
+      emb.select(col("vec_id"))
+        .join(clusters, Seq("vec_id"), "left")
+        .select(col("vec_id"),
+          graft.operators.Sampling.groupedSplit(
+            coalesce(col("cluster_id"), col("vec_id")),
+            Seq(("train", 8000L), ("val", 9000L), ("test", 10000L))).as("split"))
+    }),
+
     // Quality-aware keep-set over the minhash-LSH pair graph: each
     // cluster keeps its LONGEST member (ties: lowest id), the policy
     // when near-duplicates differ in quality.
@@ -288,6 +306,29 @@ object DedupQueries {
           UNION ALL
           SELECT vec_id AS id FROM embeddings
           WHERE vec_id NOT IN (SELECT id FROM clusters)""",
+    "split_leakproof" ->
+      s"""WITH RECURSIVE pairs AS (
+            SELECT a.vec_id AS id_a, b.vec_id AS id_b
+            FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+            WHERE ${cosSql("a.embedding", "b.embedding")} >= $CosineThreshold),
+          edges AS (
+            SELECT id_a AS src, id_b AS dst FROM pairs
+            UNION SELECT id_b, id_a FROM pairs),
+          reach(id, label) AS (
+            SELECT src, src FROM edges
+            UNION
+            SELECT e.src, r.label FROM edges e JOIN reach r ON e.dst = r.id),
+          clusters AS (SELECT id, min(label) AS cluster_id FROM reach GROUP BY id),
+          g AS (SELECT e.vec_id, coalesce(c.cluster_id, e.vec_id) AS gk
+                FROM embeddings e LEFT JOIN clusters c ON e.vec_id = c.id),
+          b AS (SELECT vec_id,
+                  (('0x' || substring(md5(gk::VARCHAR), 1, 15))::BIGINT % 10000) AS bk
+                FROM g)
+          SELECT vec_id,
+            CASE WHEN bk < 8000 THEN 'train'
+                 WHEN bk < 9000 THEN 'val'
+                 ELSE 'test' END AS split
+          FROM b""",
     "dedup_keep_best" ->
       s"""WITH RECURSIVE sh AS (SELECT doc_id, unnest($shinglesSql) AS shingle FROM documents),
           shh AS (SELECT doc_id, $baseHashSql AS hm FROM sh),

@@ -86,6 +86,23 @@ class AnalyticsSpec extends SparkTestBase {
     assert(rows.forall(_.getAs[Double]("x_mean") > 0.0))
   }
 
+  test("leakproof split: no near-dup cluster spans two splits") {
+    val df = SparkEntry.queries("split_leakproof")(spark, sfSmoke)
+    // same pair graph as the query (threshold mirrors DedupQueries)
+    val emb = queries.tbl(spark, sfSmoke, "embeddings")
+    val pairs = operators.Similarity.cosineNearDupPairs(
+      emb, "vec_id", "embedding", 0.45)
+    val clusters = operators.Dedup.duplicateClusters(pairs)
+      .withColumnRenamed("id", "vec_id")
+    val spanning = df.join(clusters, Seq("vec_id"))
+      .groupBy("cluster_id")
+      .agg(countDistinct(col("split")).as("n_splits"))
+      .filter(col("n_splits") > 1).count()
+    assert(spanning == 0, s"$spanning near-dup clusters leak across splits")
+    assert(df.select("split").distinct().count() == 3,
+      "all three splits must be populated")
+  }
+
   test("expectations: whole suite evaluates in one scan; verdicts react to data") {
     val orders = queries.tbl(spark, sfSmoke, "orders")
     val df = Expectations.run(orders, Seq(
