@@ -146,6 +146,58 @@ object ScaleProbe {
         expectedGrams = 1L << 20, numBits = 1L << 23))
   }
 
+  /** `runMain graft.ScaleProbe linkage5` — blocking-key selectivity for
+    * the fuzzy record-linkage join (SCALE.md round 5c): a synthetic
+    * customer roster at 15k (sf0.1-sized) and 60k (x4), corrupted like
+    * the `link_fuzzy` fixture, linked with (a) the selective last-4/
+    * last-3 suffix keys and (b) the rejected prefix+last-char key.
+    * Suffix blocks hold |corpus|/10^k rows, so candidates — and wall
+    * time — grow LINEARLY with the roster; the prefix key's 10 giant
+    * blocks make candidates quadratic, which is why it was cut. */
+  private def linkage5(spark: SparkSession): Unit = {
+    import org.apache.spark.sql.DataFrame
+    import graft.operators.RecordLinkage
+    def roster(n: Long): DataFrame =
+      spark.range(n).select(col("id").as("c_custkey"),
+        concat(lit("Customer#"),
+          lpad(col("id").cast("string"), 9, "0")).as("c_name"))
+    def dirtyOf(clean: DataFrame): DataFrame = clean.select(
+      col("c_custkey").as("dirty_id"),
+      when(col("c_custkey") % 3 === 0,
+        concat(substring(col("c_name"), 1, 9), lit("X"),
+          substring(col("c_name"), 11, 8)))
+        .when(col("c_custkey") % 3 === 1,
+          concat(substring(col("c_name"), 1, 10),
+            substring(col("c_name"), 12, 7)))
+        .otherwise(col("c_name")).as("dirty_name"))
+    val suffixKeys = Seq(
+      (substring(col("dirty_name"), -4, 4), substring(col("c_name"), -4, 4)),
+      (substring(col("dirty_name"), -3, 3), substring(col("c_name"), -3, 3)))
+    val prefixKey = Seq(
+      (concat(substring(col("dirty_name"), 1, 9), substring(col("dirty_name"), -1, 1)),
+        concat(substring(col("c_name"), 1, 9), substring(col("c_name"), -1, 1))))
+    def time(label: String)(f: => Long): Unit = {
+      val t0 = System.nanoTime(); val n = f
+      val s = (System.nanoTime() - t0) / 1e9
+      println(f"""{"probe":"$label","rows":$n,"sec":$s%.2f}""")
+    }
+    for ((tag, n) <- Seq(("x1", 6000L), ("x4", 24000L))) {
+      val clean = roster(n).cache(); clean.count()
+      val dirty = dirtyOf(clean).cache(); dirty.count()
+      time(s"suffix-blocked resolve $tag") {
+        RecordLinkage.bestMatch(
+          RecordLinkage.candidates(dirty, clean, col("dirty_name"),
+            col("c_name"), suffixKeys, maxDist = 1),
+          col("dirty_id"), Seq(col("c_custkey"))).count()
+      }
+      time(s"prefix-blocked candidates $tag") {
+        RecordLinkage.candidates(dirty, clean, col("dirty_name"),
+          col("c_name"), prefixKey, maxDist = 1).count()
+      }
+      clean.unpersist(); dirty.unpersist()
+    }
+  }
+
   /** `runMain graft.ScaleProbe merge4` — the size-gated MERGE feed
     * (SCALE.md round 4): a change-feed-sized update broadcasts, a
     * backfill-sized one must degrade to a shuffle join and still
@@ -204,6 +256,18 @@ object ScaleProbe {
         .getOrCreate()
       spark.sparkContext.setLogLevel("WARN")
       bloom5(spark)
+      spark.stop()
+      return
+    }
+    if (args.headOption.contains("linkage5")) {
+      val spark = SparkSession.builder()
+        .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")}]")
+        .config("spark.sql.shuffle.partitions",
+          sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"))
+        .config("spark.ui.enabled", "false")
+        .getOrCreate()
+      spark.sparkContext.setLogLevel("WARN")
+      linkage5(spark)
       spark.stop()
       return
     }

@@ -27,10 +27,12 @@ object AnalyticsQueries {
     // clean roster via two SELECTIVE blocking passes — 4-char suffix
     // (primary) and 3-char suffix (backstop) — + thresholded
     // Levenshtein verify + best-match resolution. Suffix keys survive
-    // any edit left of the suffix; block sizes stay |corpus|/10^k, so
-    // the candidate count grows linearly with the corpus, not
-    // quadratically (a prefix key here would be one giant block — the
-    // skew_report anti-pattern). Every dirty record must resolve to
+    // any edit left of the suffix; with block-key cardinality B the
+    // candidate space is |corpus|²/B, and the suffix length is the
+    // selectivity dial (B = 10^4/10^3 here vs B = 10 for the rejected
+    // prefix key — the skew_report anti-pattern, 1000x more pairs plus
+    // a flood of spurious distance-1 cross-entity matches; measured in
+    // ScaleProbe linkage5). Every dirty record must resolve to
     // its true customer; `n_candidates` > 1 marks the ambiguous ones a
     // real pipeline would route to review.
     "link_fuzzy" -> ((s, d) => {
@@ -98,6 +100,25 @@ object AnalyticsQueries {
       scored.select(col("event_id"), col("user_id"),
           round2(col("z")).as("z"))
         .withColumn("is_anomaly", abs(col("z")) > 2.0)
+    }),
+
+    // Per-event session assignment (gaps-and-islands detail view —
+    // stream_sessionize reports per-session rollups; this emits the
+    // event -> session mapping): one window pass, exact integer
+    // micros, 30-minute gap.
+    "session_assign" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts_us"), col("event_id"))
+      val newSession = when(
+        lag(col("ts_us"), 1).over(w).isNull ||
+          col("ts_us") - lag(col("ts_us"), 1).over(w) >= 1800000000L, 1L)
+        .otherwise(0L)
+      tbl(s, d, "events")
+        .withColumn("__ns", newSession)
+        .withColumn("session_idx", sum(col("__ns")).over(
+          w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .select(col("event_id"), col("user_id"), col("session_idx"))
     }),
 
     // Two-phase salted aggregation parity: exact count-distinct
@@ -205,6 +226,19 @@ object AnalyticsQueries {
              floor(((value - m) / sqrt(m2 - m*m))*100+0.5)/100 AS z
            FROM w WHERE n >= 4 AND m2 - m*m > 0)
          SELECT event_id, user_id, z, abs(z) > 2.0 AS is_anomaly FROM z""",
+
+    "session_assign" ->
+      """WITH m AS (
+           SELECT event_id, user_id, epoch_us(ts) AS t,
+             CASE WHEN lag(epoch_us(ts)) OVER w IS NULL
+                    OR epoch_us(ts) - lag(epoch_us(ts)) OVER w >= 1800000000
+                  THEN 1 ELSE 0 END AS ns
+           FROM events
+           WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id))
+         SELECT event_id, user_id,
+           CAST(sum(ns) OVER (PARTITION BY user_id ORDER BY t, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_idx
+         FROM m""",
 
     "agg_salted" ->
       """SELECT l_returnflag, count(DISTINCT l_suppkey) AS n_supp,

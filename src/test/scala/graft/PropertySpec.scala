@@ -306,4 +306,39 @@ class PropertySpec extends SparkTestBase {
     // doc 3 shares no 20-char window with either.
     assert(pairs == Set((1L, 2L)))
   }
+
+  test("saltedAggregate == direct aggregate on random skewed data") {
+    import graft.operators.Skew
+    // zipf-ish skew: most rows land on key 0
+    val rowGen = Gen.zip(Gen.frequency(8 -> Gen.const(0L), 2 -> Gen.chooseNum(1L, 20L)),
+      Gen.chooseNum(0L, 500L))
+    val df = sample(rowGen, 400).toDF("k", "v")
+    val direct = df.groupBy("k")
+      .agg(countDistinct(col("v")).as("nd"), sum(col("v")).as("s"))
+      .collect().map(r => (r.getLong(0), (r.getLong(1), r.getLong(2)))).toMap
+    val salted = Skew.saltedAggregate(df, Seq("k"),
+        saltCol = pmod(hash(col("v")), lit(7)),
+        phase1 = Seq(countDistinct(col("v")).as("__nd"), sum(col("v")).as("__s")),
+        phase2 = Seq(sum(col("__nd")).as("nd"), sum(col("__s")).as("s")))
+      .collect().map(r => (r.getLong(0), (r.getLong(1), r.getLong(2)))).toMap
+    assert(salted == direct && direct.nonEmpty)
+  }
+
+  test("groupedSplit: total, deterministic, and constant within a group") {
+    import graft.operators.Sampling
+    val gkGen = Gen.chooseNum(0L, 60L)
+    val rows = sample(Gen.zip(Gen.chooseNum(0L, 10000L), gkGen), 300)
+    val df = rows.toDF("id", "gk")
+    val split = Sampling.groupedSplit(col("gk"),
+      Seq(("train", 8000L), ("val", 9000L), ("test", 10000L)))
+    val out = df.withColumn("split", split)
+    // every row assigned, groups never straddle splits, re-evaluation identical
+    assert(out.filter(col("split").isNull).count() == 0)
+    val straddle = out.groupBy("gk")
+      .agg(countDistinct(col("split")).as("n")).filter(col("n") > 1).count()
+    assert(straddle == 0)
+    assert(out.collect().map(r => (r.getLong(0), r.getString(2))).toSet ==
+      df.withColumn("split", split).collect()
+        .map(r => (r.getLong(0), r.getString(2))).toSet)
+  }
 }
