@@ -259,4 +259,49 @@ class StreamingSpec extends SparkTestBase {
       assert(out == Set(("g9", "cA"), ("g2", "cB")))
     } finally q.stop()
   }
+
+  test("transformWithState rolling z-score matches the batch window on an ordered feed") {
+    implicit val sqlCtx = spark.sqlContext
+    val ev = graft.core.Lakehouse.table(spark, sfSmoke, "events")
+      .select(col("user_id"), col("event_id"), col("ts_us"), col("value"))
+    val batch = graft.operators.TimeSeries.rollingZScore(ev,
+        Seq(col("user_id")), Seq(col("ts_us"), col("event_id")),
+        col("value"), lookback = 8, minObs = 4)
+      .select(col("event_id"), col("z")).as[(Long, Double)].collect().toMap
+
+    val providerKey = "spark.sql.streaming.stateStore.providerClass"
+    val prevProvider = spark.conf.getOption(providerKey)
+    spark.conf.set(providerKey,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val mem = MemoryStream[(Long, Long, Long, Double)]
+    val input = mem.toDF().toDF("user_id", "event_id", "ts_us", "value")
+    val q = graft.streaming.StreamAnomaly.scores(input)
+      .writeStream.format("memory").queryName("stream_z")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      // ordered replay, split across two micro-batches: per key, every
+      // batch-1 event precedes every batch-2 event in event time
+      val rows = ev.as[(Long, Long, Long, Double)].collect()
+        .sortBy(r => (r._3, r._2))
+      val (h1, h2) = rows.splitAt(rows.length / 2)
+      mem.addData(h1.toSeq: _*); q.processAllAvailable()
+      val afterFirst = spark.table("stream_z").count()
+      mem.addData(h2.toSeq: _*); q.processAllAvailable()
+
+      val streamed = spark.table("stream_z").select(col("event_id"), col("z"))
+        .as[(Long, Double)].collect().toMap
+      assert(streamed.keySet == batch.keySet,
+        "streamed monitor must score exactly the batch-scorable events")
+      val maxDiff = streamed.map { case (k, z) => math.abs(z - batch(k)) }.max
+      assert(maxDiff < 1e-9, s"z-scores diverged from batch: $maxDiff")
+      // ring state persisted across the micro-batch boundary
+      assert(afterFirst > 0 && streamed.size > afterFirst)
+    } finally {
+      q.stop()
+      prevProvider match {
+        case Some(v) => spark.conf.set(providerKey, v)
+        case None    => spark.conf.unset(providerKey)
+      }
+    }
+  }
 }
