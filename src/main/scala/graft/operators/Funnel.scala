@@ -27,11 +27,16 @@ object Funnel {
     * mean seconds from funnel entry (exact-integer sum / count / 1e6,
     * floor-rounded to 2 decimals like the rest of the suite). */
   def steps(events: DataFrame, userCol: String, typeCol: String,
-            tsUsCol: String, stepTypes: Seq[String]): DataFrame = {
+            tsUsCol: String, stepTypes: Seq[String],
+            windowUs: Option[Long] = None): DataFrame = {
     require(stepTypes.nonEmpty, "funnel needs at least one step")
     val u = col(userCol)
 
-    // reached(i): (user, __t0 = entry micros, __t = step-i micros)
+    // reached(i): (user, __t0 = entry micros, __t = step-i micros).
+    // With a conversion window, step events count only inside
+    // [entry, entry + windowUs) — the standard "converted within N
+    // days" refinement; the bound rides the same join filter, so the
+    // plan shape is unchanged.
     val reachedFrames = stepTypes.zipWithIndex.scanLeft(Option.empty[DataFrame]) {
       case (prev, (stepType, i)) =>
         val evs = events.filter(col(typeCol) === stepType)
@@ -40,8 +45,11 @@ object Funnel {
             evs.groupBy(u).agg(min(col(tsUsCol)).as("__t"))
               .withColumn("__t0", col("__t"))
           case Some(r) =>
+            val inOrder = col(tsUsCol) > col("__t")
+            val bounded = windowUs.fold(inOrder)(w =>
+              inOrder && col(tsUsCol) < col("__t0") + lit(w))
             evs.join(r.select(u, col("__t"), col("__t0")), Seq(userCol))
-              .filter(col(tsUsCol) > col("__t"))
+              .filter(bounded)
               .groupBy(u, col("__t0"))
               .agg(min(col(tsUsCol)).as("__t"))
         })

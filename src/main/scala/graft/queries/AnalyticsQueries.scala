@@ -102,6 +102,15 @@ object AnalyticsQueries {
         .withColumn("is_anomaly", abs(col("z")) > 2.0)
     }),
 
+    // The same funnel with a 7-day conversion window from entry —
+    // "converted within N days", the refinement every growth dashboard
+    // ships next to the unbounded funnel.
+    "funnel_windowed" -> ((s, d) => {
+      Funnel.steps(tbl(s, d, "events"), "user_id", "event_type", "ts_us",
+        Seq("view", "click", "purchase"),
+        windowUs = Some(7L * 86400000000L))
+    }),
+
     // Per-event session assignment (gaps-and-islands detail view —
     // stream_sessionize reports per-session rollups; this emits the
     // event -> session mapping): one window pass, exact integer
@@ -226,6 +235,19 @@ object AnalyticsQueries {
              floor(((value - m) / sqrt(m2 - m*m))*100+0.5)/100 AS z
            FROM w WHERE n >= 4 AND m2 - m*m > 0)
          SELECT event_id, user_id, z, abs(z) > 2.0 AS is_anomaly FROM z""",
+
+    "funnel_windowed" ->
+      """WITH e AS (SELECT user_id, event_type, epoch_us(ts) AS t FROM events),
+         s1 AS (SELECT user_id, min(t) AS t1 FROM e WHERE event_type='view' GROUP BY 1),
+         s2 AS (SELECT e.user_id, t1, min(t) AS t2 FROM e JOIN s1 USING(user_id)
+                WHERE event_type='click' AND t > t1 AND t < t1 + 604800000000 GROUP BY e.user_id, t1),
+         s3 AS (SELECT e.user_id, t1, min(t) AS t3 FROM e JOIN s2 USING(user_id)
+                WHERE event_type='purchase' AND t > t2 AND t < t1 + 604800000000 GROUP BY e.user_id, t1)
+         SELECT 'view' AS step, 0 AS step_idx, count(*) AS n_users, 0.0 AS avg_secs FROM s1
+         UNION ALL SELECT 'click', 1, count(*),
+           floor((sum(t2-t1)::DOUBLE / count(*) / 1000000)*100+0.5)/100 FROM s2
+         UNION ALL SELECT 'purchase', 2, count(*),
+           floor((sum(t3-t1)::DOUBLE / count(*) / 1000000)*100+0.5)/100 FROM s3""",
 
     "session_assign" ->
       """WITH m AS (

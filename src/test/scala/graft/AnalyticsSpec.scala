@@ -18,6 +18,10 @@ class AnalyticsSpec extends SparkTestBase {
       s"funnel must narrow: ${ns.mkString(",")}")
     assert(rows.head.getAs[Double]("avg_secs") == 0.0)
     assert(rows.forall(_.getAs[Double]("avg_secs") >= 0.0))
+    // the conversion-windowed funnel can only lose users vs unbounded
+    val windowed = SparkEntry.queries("funnel_windowed")(spark, sfSmoke)
+      .orderBy("step_idx").collect().map(_.getAs[Long]("n_users"))
+    assert(windowed.zip(ns).forall { case (w, unb) => w <= unb })
   }
 
   test("fuzzy linkage: every dirty record resolves to its true entity; no cartesian") {
