@@ -2,7 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.functions._
 
-import graft.operators.{Cohorts, Expectations, Funnel, RecordLinkage, Skew, TimeSeries}
+import graft.operators.{Cohorts, Expectations, Experiments, Funnel, Paths, RecordLinkage, Skew, TimeSeries}
 import graft.operators.Expectations.Expectation
 
 /** Event/entity analytics beyond the reference's own surface: ordered
@@ -128,6 +128,29 @@ object AnalyticsQueries {
         .withColumn("session_idx", sum(col("__ns")).over(
           w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
         .select(col("event_id"), col("user_id"), col("session_idx"))
+    }),
+
+    // A/B readout: deterministic 50/50 md5-hash arm assignment on
+    // user_id, then Welch's t per event_type from one pass of
+    // count/sum/sum-of-squares partials.
+    "ab_ttest" -> ((s, d) => {
+      val ev = tbl(s, d, "events")
+      Experiments.welchTTest(ev, col("event_type"),
+          Experiments.armOf(col("user_id")), col("value"))
+        .select(col("key").as("event_type"), col("n_a"), col("n_b"),
+          round4(col("mean_a")).as("mean_a"),
+          round4(col("mean_b")).as("mean_b"),
+          round4(col("t_stat")).as("t_stat"))
+    }),
+
+    // First-order event transition matrix (path/flow analysis): one
+    // lead() window pass, vocabulary-sized output, per-source
+    // normalized probabilities.
+    "path_transitions" -> ((s, d) => {
+      Paths.transitions(tbl(s, d, "events"),
+        partitionCols = Seq(col("user_id")),
+        orderCols = Seq(col("ts_us"), col("event_id")),
+        stateCol = col("event_type"))
     }),
 
     // Two-phase salted aggregation parity: exact count-distinct
@@ -261,6 +284,45 @@ object AnalyticsQueries {
            CAST(sum(ns) OVER (PARTITION BY user_id ORDER BY t, event_id
                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_idx
          FROM m""",
+
+    "ab_ttest" ->
+      """WITH a AS (
+           SELECT event_type,
+             CASE WHEN (('0x' || substring(md5(user_id::VARCHAR), 1, 15))::BIGINT % 10000) < 5000
+                  THEN 'A' ELSE 'B' END AS arm,
+             value
+           FROM events),
+         g AS (SELECT event_type, arm, count(*) AS n, sum(value) AS s,
+                 sum(value*value) AS s2
+               FROM a GROUP BY 1, 2),
+         w AS (SELECT event_type,
+             max(CASE WHEN arm='A' THEN n END) AS n_a,
+             max(CASE WHEN arm='A' THEN s END) AS s_a,
+             max(CASE WHEN arm='A' THEN s2 END) AS s2_a,
+             max(CASE WHEN arm='B' THEN n END) AS n_b,
+             max(CASE WHEN arm='B' THEN s END) AS s_b,
+             max(CASE WHEN arm='B' THEN s2 END) AS s2_b
+           FROM g GROUP BY 1)
+         SELECT event_type, n_a, n_b,
+           floor((s_a/n_a)*10000+0.5)/10000 AS mean_a,
+           floor((s_b/n_b)*10000+0.5)/10000 AS mean_b,
+           floor(((s_a/n_a - s_b/n_b) /
+                  sqrt(((s2_a - s_a*s_a/n_a)/(n_a-1))/n_a
+                     + ((s2_b - s_b*s_b/n_b)/(n_b-1))/n_b))*10000+0.5)/10000 AS t_stat
+         FROM w""",
+
+    "path_transitions" ->
+      """WITH s AS (
+           SELECT event_type AS src,
+             lead(event_type) OVER (PARTITION BY user_id
+               ORDER BY epoch_us(ts), event_id) AS dst
+           FROM events),
+         c AS (SELECT src, dst, count(*) AS n FROM s
+               WHERE dst IS NOT NULL GROUP BY 1, 2),
+         t AS (SELECT src, sum(n) AS tot FROM c GROUP BY 1)
+         SELECT c.src, c.dst, c.n,
+           floor((c.n::DOUBLE / t.tot)*10000+0.5)/10000 AS p
+         FROM c JOIN t USING(src)""",
 
     "agg_salted" ->
       """SELECT l_returnflag, count(DISTINCT l_suppkey) AS n_supp,

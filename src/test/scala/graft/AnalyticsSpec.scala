@@ -90,6 +90,34 @@ class AnalyticsSpec extends SparkTestBase {
     assert(rows.forall(_.getAs[Double]("x_mean") > 0.0))
   }
 
+  test("A/B readout: balanced deterministic arms, finite t statistics") {
+    val rows = SparkEntry.queries("ab_ttest")(spark, sfSmoke).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (na, nb) = (r.getAs[Long]("n_a"), r.getAs[Long]("n_b"))
+      assert(na > 0 && nb > 0, "both arms must be populated")
+      // hash split is ~50/50; allow wide slack on the small fixture
+      assert(na.toDouble / (na + nb) > 0.2 && na.toDouble / (na + nb) < 0.8)
+      val t = r.getAs[Double]("t_stat")
+      assert(!t.isNaN && !t.isInfinite)
+    }
+    // same hash, same arms, same numbers on re-evaluation
+    val again = SparkEntry.queries("ab_ttest")(spark, sfSmoke).collect()
+    assert(rows.map(_.toString).sorted.sameElements(again.map(_.toString).sorted))
+  }
+
+  test("path transitions: per-source probabilities sum to one") {
+    val rows = SparkEntry.queries("path_transitions")(spark, sfSmoke).collect()
+    assert(rows.nonEmpty)
+    assert(rows.forall(r => {
+      val p = r.getAs[Double]("p"); p > 0.0 && p <= 1.0
+    }))
+    rows.groupBy(_.getAs[String]("src")).foreach { case (src, rs) =>
+      val total = rs.map(_.getAs[Double]("p")).sum
+      assert(math.abs(total - 1.0) < 0.001, s"$src out-probabilities sum to $total")
+    }
+  }
+
   test("leakproof split: no near-dup cluster spans two splits") {
     val df = SparkEntry.queries("split_leakproof")(spark, sfSmoke)
     // same pair graph as the query (threshold mirrors DedupQueries)
