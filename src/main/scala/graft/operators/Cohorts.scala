@@ -32,10 +32,17 @@ object Cohorts {
   def retention(events: DataFrame, userCol: String, tsUsCol: String,
                 periodUs: Long, activity: Column): DataFrame = {
     val u = col(userCol)
+    // up feeds both the first-period groupBy and the activity join;
+    // first feeds both the join and the cohort sizes. Catalyst does
+    // not CSE across branches — materialize each once so the event
+    // scan and the distinct collapse happen exactly once (AQE restores
+    // the broadcast decisions from true runtime sizes).
     val up = events.filter(activity)
       .select(u, expr(s"$tsUsCol div ${periodUs}L").as("__period"))
       .distinct()
+      .localCheckpoint()
     val first = up.groupBy(u).agg(min(col("__period")).as("__cohort"))
+      .localCheckpoint()
     val sizes = first.groupBy(col("__cohort"))
       .agg(count(lit(1)).as("__n_cohort"))
     val act = up.join(first, Seq(userCol))

@@ -40,7 +40,12 @@ object Funnel {
     val reachedFrames = stepTypes.zipWithIndex.scanLeft(Option.empty[DataFrame]) {
       case (prev, (stepType, i)) =>
         val evs = events.filter(col(typeCol) === stepType)
-        Some(prev match {
+        // each reached frame is consumed twice (next step's join + its
+        // own count row) and transitively by every later step;
+        // materializing it (|users| rows) keeps the event scan at one
+        // pass per step instead of re-deriving the whole chain per
+        // union branch (Catalyst does not CSE across branches)
+        Some((prev match {
           case None =>
             evs.groupBy(u).agg(min(col(tsUsCol)).as("__t"))
               .withColumn("__t0", col("__t"))
@@ -52,7 +57,7 @@ object Funnel {
               .filter(bounded)
               .groupBy(u, col("__t0"))
               .agg(min(col(tsUsCol)).as("__t"))
-        })
+        }).localCheckpoint())
     }.flatten
 
     val perStep = reachedFrames.zip(stepTypes).zipWithIndex.map {

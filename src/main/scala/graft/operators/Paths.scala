@@ -26,8 +26,13 @@ object Paths {
     val steps = df.select(stateCol.as("src"),
         lead(stateCol, 1).over(w).as("dst"))
       .filter(col("dst").isNotNull)
+    // counts feeds both the output and the totals branch; Catalyst
+    // does not CSE across branches, so materialize once or the full
+    // scan + window run twice (the Skew.report defect class). AQE
+    // still broadcasts the totals side from its true runtime size.
     val counts = steps.groupBy(col("src"), col("dst"))
       .agg(count(lit(1)).as("n"))
+      .localCheckpoint()
     val totals = counts.groupBy(col("src")).agg(sum(col("n")).as("__tot"))
     counts.join(totals, Seq("src"))
       .select(col("src"), col("dst"), col("n"),
