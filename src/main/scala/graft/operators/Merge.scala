@@ -72,4 +72,35 @@ object Merge {
       .withColumn("valid_to", lit(null).cast(base.schema("valid_to").dataType))
     history.unionByName(closed).unionByName(opened)
   }
+
+  /** Snapshot diff (table-versioning / CDC reconstruction): classify
+    * every key across two snapshots of the same table as `added`,
+    * `removed`, `changed`, or `unchanged`, carrying each compared
+    * column's old/new values side by side (`old_<c>` / `new_<c>`).
+    *
+    * Scale shape: ONE full-outer shuffle join on the key — both
+    * snapshots are projected to key + compared columns BEFORE the
+    * exchange, so the shuffle moves only the audited columns, not whole
+    * rows; the classification is a map-side expression over the joined
+    * row. Comparison is null-safe (`<=>`), so NULL→value and
+    * value→NULL both count as changes.
+    */
+  def snapshotDiff(oldDf: DataFrame, newDf: DataFrame,
+                   keyCols: Seq[String], compareCols: Seq[String]): DataFrame = {
+    def side(df: DataFrame, tag: String): DataFrame =
+      df.select((keyCols.map(col) ++
+          compareCols.map(c => col(c).as(s"${tag}_$c")) :+
+          lit(1).as(s"__$tag")): _*)
+    val joined = side(oldDf, "old").join(side(newDf, "new"), keyCols, "full_outer")
+    val anyChanged = compareCols
+      .map(c => !(col(s"old_$c") <=> col(s"new_$c")))
+      .reduce(_ || _)
+    joined
+      .withColumn("change_type",
+        when(col("__old").isNull, lit("added"))
+          .when(col("__new").isNull, lit("removed"))
+          .when(anyChanged, lit("changed"))
+          .otherwise(lit("unchanged")))
+      .drop("__old", "__new")
+  }
 }

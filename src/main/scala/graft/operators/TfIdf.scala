@@ -72,4 +72,32 @@ object TfIdf {
         .orderBy(col("freq").desc, col("token").asc)))
       .select(col("rank"), col("token"), col("freq"))
   }
+
+  /** Inverted-index build (the search-engine core structure): one row
+    * per surviving term with document frequency, corpus term frequency,
+    * and the posting list serialized as "doc:tf" pairs in ascending doc
+    * order.
+    *
+    * Scale shape: two partial-agg groupBys — (term, doc) collapses the
+    * exploded tokens to per-doc tf, then (term) folds postings; both
+    * shuffle on keys that only shrink. The `minDf`/`maxDf` band is the
+    * scale guard: `maxDf` drops stop-words whose posting lists would
+    * otherwise approach corpus size (a list nobody queries but every
+    * executor would have to materialize), `minDf` drops the hapax tail.
+    */
+  def invertedIndex(df: DataFrame, idCol: String, textCol: String,
+                    minDf: Long, maxDf: Long): DataFrame = {
+    val toks = Dedup.spread(df).select(col(idCol).as("doc"),
+      explode(split(trim(lower(col(textCol))), "\\s+")).as("term"))
+      .filter(col("term") =!= "")
+    val perDoc = toks.groupBy(col("term"), col("doc"))
+      .agg(count(lit(1)).as("tf"))
+    perDoc.groupBy(col("term"))
+      .agg(count(lit(1)).as("df"),
+        sum(col("tf")).as("corpus_tf"),
+        array_join(
+          transform(sort_array(collect_list(struct(col("doc"), col("tf")))),
+            p => concat(p("doc"), lit(":"), p("tf"))), " ").as("postings"))
+      .filter(col("df") >= minDf && col("df") <= maxDf)
+  }
 }

@@ -46,4 +46,48 @@ object TimeSeries {
         (valueCol - col("__m")) / sqrt(col("__m2") - col("__m") * col("__m")))
       .drop("__m", "__m2", "__n")
   }
+
+  /** Resample an irregular event stream onto a dense per-key calendar
+    * (every `bucketUs` bucket between the key's first and last
+    * observation) and forward-fill gaps with the last observed value —
+    * the gap-filling step before any rolling-window computation that
+    * assumes regular spacing.
+    *
+    * Scale shape: events collapse FIRST to one row per (key, bucket)
+    * — a window pass picking the bucket's LAST observation (latest
+    * (time, tie) wins) — so the dense calendar is built over the
+    * bucketed frame, not the raw log: `sequence`+explode generates each
+    * key's calendar inside the row, the observation join is key+bucket
+    * keyed, and the forward fill is one more window over the calendar
+    * frame. Memory is O(1) per key per window (running `last` with
+    * ignoreNulls), and every exchange is on the same key family.
+    *
+    * Output: key, `bucket` (integer, epoch-micros div bucketUs),
+    * `value` (observed or forward-filled), `is_observed`.
+    */
+  def resampleFill(df: DataFrame, keyCol: String, tsUsCol: String,
+                   valueCol: String, tieCol: String,
+                   bucketUs: Long): DataFrame = {
+    val bucketed = df.select(col(keyCol),
+      expr(s"$tsUsCol div ${bucketUs}L").as("bucket"),
+      col(tsUsCol), col(tieCol), col(valueCol))
+    // last observation per (key, bucket), deterministic tie-break
+    val wLast = Window.partitionBy(col(keyCol), col("bucket"))
+      .orderBy(col(tsUsCol).desc, col(tieCol).desc)
+    val obs = bucketed
+      .withColumn("__rn", row_number().over(wLast))
+      .filter(col("__rn") === 1)
+      .select(col(keyCol), col("bucket"), col(valueCol).as("__v"))
+    // dense calendar per key — bounded by (span / bucketUs) rows/key
+    val cal = obs.groupBy(col(keyCol))
+      .agg(min(col("bucket")).as("__lo"), max(col("bucket")).as("__hi"))
+      .select(col(keyCol),
+        explode(sequence(col("__lo"), col("__hi"))).as("bucket"))
+    val wFill = Window.partitionBy(col(keyCol)).orderBy(col("bucket"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    cal.join(obs, Seq(keyCol, "bucket"), "left")
+      .withColumn("is_observed", col("__v").isNotNull)
+      .withColumn("value", last(col("__v"), ignoreNulls = true).over(wFill))
+      .drop("__v")
+  }
 }

@@ -39,6 +39,24 @@ object MergeQueries {
         .select(col("o_orderkey"), lit("X").as("o_orderstatus"),
           lit(UpdateTs).as("ts"))
       Merge.scd2(base, feed, Seq("o_orderkey"), "ts")
+    }),
+
+    // Snapshot diff (CDC reconstruction): two deterministic snapshots
+    // of orders — keys %89==0 exist only in the new one (added), keys
+    // %97==0 only in the old one (removed), keys %13==0 take a price
+    // bump (changed) — classified in one full-outer key join.
+    "snapshot_diff" -> ((s, d) => {
+      val o = tbl(s, d, "orders")
+      val oldSnap = o.filter(col("o_orderkey") % 89 =!= 0)
+        .select(col("o_orderkey"), round2(col("o_totalprice")).as("price"),
+          col("o_orderstatus").as("status"))
+      val newSnap = o.filter(col("o_orderkey") % 97 =!= 0)
+        .select(col("o_orderkey"),
+          when(col("o_orderkey") % 13 === 0, round2(col("o_totalprice") * 1.1))
+            .otherwise(round2(col("o_totalprice"))).as("price"),
+          col("o_orderstatus").as("status"))
+      Merge.snapshotDiff(oldSnap, newSnap,
+        Seq("o_orderkey"), Seq("price", "status"))
     }))
 
   val oracles: Map[String, String] = Map(
@@ -62,5 +80,26 @@ object MergeQueries {
           SELECT o_orderkey, 'X' AS o_orderstatus,
             CAST($UpdateTs AS BIGINT) AS valid_from,
             CAST(NULL AS BIGINT) AS valid_to
-          FROM orders WHERE o_orderkey % $FeedMod = 0""")
+          FROM orders WHERE o_orderkey % $FeedMod = 0""",
+    "snapshot_diff" ->
+      """WITH olds AS (
+            SELECT o_orderkey, floor(o_totalprice * 100 + 0.5) / 100 AS price,
+              o_orderstatus AS status
+            FROM orders WHERE o_orderkey % 89 <> 0),
+          news AS (
+            SELECT o_orderkey,
+              CASE WHEN o_orderkey % 13 = 0
+                   THEN floor((o_totalprice * 1.1::DOUBLE) * 100 + 0.5) / 100
+                   ELSE floor(o_totalprice * 100 + 0.5) / 100 END AS price,
+              o_orderstatus AS status
+            FROM orders WHERE o_orderkey % 97 <> 0)
+          SELECT coalesce(o.o_orderkey, n.o_orderkey) AS o_orderkey,
+            o.price AS old_price, o.status AS old_status,
+            n.price AS new_price, n.status AS new_status,
+            CASE WHEN o.o_orderkey IS NULL THEN 'added'
+                 WHEN n.o_orderkey IS NULL THEN 'removed'
+                 WHEN o.price IS DISTINCT FROM n.price
+                   OR o.status IS DISTINCT FROM n.status THEN 'changed'
+                 ELSE 'unchanged' END AS change_type
+          FROM olds o FULL OUTER JOIN news n ON o.o_orderkey = n.o_orderkey""")
 }

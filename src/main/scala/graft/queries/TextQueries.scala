@@ -102,6 +102,14 @@ object TextQueries {
         "doc_id", "text")
         .select(col("doc_id"), col("n_bigrams"),
           round4(col("avg_nll")).as("avg_nll"))
+    }),
+
+    // Context-window chunking: 128-char windows, stride 96 (32-char
+    // overlap) — the corpus -> training-sample / RAG-chunk carve,
+    // map-side only.
+    "chunk_docs" -> ((s, d) => {
+      graft.operators.Chunking.fixedWindows(
+        tbl(s, d, "documents"), "doc_id", "text", size = 128, stride = 96)
     }))
 
   private def listLit(words: Seq[String]): String =
@@ -152,6 +160,14 @@ object TextQueries {
   }
 
   val oracles: Map[String, String] = Map(
+    "chunk_docs" ->
+      """WITH starts AS (
+           SELECT doc_id, text, unnest(range(0, length(text), 96)) AS s
+           FROM documents WHERE length(text) > 0)
+         SELECT doc_id, s // 96 AS chunk_idx, s AS chunk_start,
+           substring(text, CAST(s + 1 AS INT), 128) AS chunk_text,
+           length(substring(text, CAST(s + 1 AS INT), 128)) AS chunk_len
+         FROM starts""",
     "bpe_merges" -> bpeOracle,
     "lm_perplexity" ->
       """WITH tok AS (

@@ -78,4 +78,26 @@ class MergeSpec extends SparkTestBase {
     assert(plan.contains("BroadcastHashJoin") || plan.contains("BroadcastExchange"),
       s"feed side should broadcast:\n$plan")
   }
+
+  test("snapshotDiff: classifies added/removed/changed/unchanged; null-safe") {
+    val oldSnap = Seq((1L, Some(10.0), "A"), (2L, Some(20.0), "B"),
+      (3L, Option.empty[Double], "C"), (4L, Some(40.0), "D"))
+      .toDF("id", "price", "status")
+    val newSnap = Seq((1L, Some(10.0), "A"), (2L, Some(25.0), "B"),
+      (3L, Some(30.0), "C"), (5L, Some(50.0), "E"))
+      .toDF("id", "price", "status")
+    val diff = Merge.snapshotDiff(oldSnap, newSnap, Seq("id"),
+      Seq("price", "status"))
+    val byId = diff.select("id", "change_type").as[(Long, String)]
+      .collect().toMap
+    assert(byId == Map(1L -> "unchanged", 2L -> "changed",
+      3L -> "changed", 4L -> "removed", 5L -> "added"))
+    // old/new values ride along on both sides of the join
+    val r2 = diff.filter(col("id") === 2)
+      .select("old_price", "new_price").as[(Double, Double)].head()
+    assert(r2 == ((20.0, 25.0)))
+    val r5 = diff.filter(col("id") === 5).select("old_price")
+      .as[Option[Double]].head()
+    assert(r5.isEmpty)
+  }
 }
