@@ -80,16 +80,20 @@ object TfIdf {
     *
     * Scale shape: two partial-agg groupBys — (term, doc) collapses the
     * exploded tokens to per-doc tf, then (term) folds postings; both
-    * shuffle on keys that only shrink. The `minDf`/`maxDf` band is the
-    * scale guard: `maxDf` drops stop-words whose posting lists would
-    * otherwise approach corpus size (a list nobody queries but every
-    * executor would have to materialize), `minDf` drops the hapax tail.
+    * shuffle on keys that only shrink. The `minDf`/`maxDfFrac` band is
+    * the scale guard: the fractional cap drops stop-words whose posting
+    * lists would otherwise approach corpus size (a list nobody queries
+    * but every executor would have to materialize) AT ANY corpus size —
+    * an absolute cap would need retuning per scale factor — and `minDf`
+    * drops the hapax tail. The doc count is a 1-row frame (column-pruned
+    * id scan), broadcast into the band filter.
     */
   def invertedIndex(df: DataFrame, idCol: String, textCol: String,
-                    minDf: Long, maxDf: Long): DataFrame = {
+                    minDf: Long, maxDfFrac: Double): DataFrame = {
     val toks = Dedup.spread(df).select(col(idCol).as("doc"),
       explode(split(trim(lower(col(textCol))), "\\s+")).as("term"))
       .filter(col("term") =!= "")
+    val nDocs = df.select(countDistinct(col(idCol)).as("__n_docs"))
     val perDoc = toks.groupBy(col("term"), col("doc"))
       .agg(count(lit(1)).as("tf"))
     perDoc.groupBy(col("term"))
@@ -97,7 +101,11 @@ object TfIdf {
         sum(col("tf")).as("corpus_tf"),
         array_join(
           transform(sort_array(collect_list(struct(col("doc"), col("tf")))),
-            p => concat(p("doc"), lit(":"), p("tf"))), " ").as("postings"))
-      .filter(col("df") >= minDf && col("df") <= maxDf)
+            p => concat(p("doc").cast("string"), lit(":"),
+              p("tf").cast("string"))), " ").as("postings"))
+      .crossJoin(broadcast(nDocs))
+      .filter(col("df") >= minDf &&
+        col("df") <= col("__n_docs") * maxDfFrac)
+      .drop("__n_docs")
   }
 }

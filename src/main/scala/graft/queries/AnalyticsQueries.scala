@@ -172,6 +172,14 @@ object AnalyticsQueries {
     // whether a key needs salting/AQE skew handling.
     "skew_report" -> ((s, d) => {
       Skew.report(tbl(s, d, "lineitem"), col("l_partkey"), k = 10)
+    }),
+
+    // Calendar resample + forward fill: per-user daily buckets between
+    // first and last observation, gaps carrying the last observed
+    // value — the regular-spacing normalization before rolling stats.
+    "ts_resample" -> ((s, d) => {
+      TimeSeries.resampleFill(tbl(s, d, "events"), "user_id", "ts_us",
+        "value", "event_id", bucketUs = 86400000000L)
     }))
 
   val oracles: Map[String, String] = Map(
@@ -335,5 +343,28 @@ object AnalyticsQueries {
          top AS (SELECT key, n FROM pk ORDER BY n DESC, key LIMIT 10)
          SELECT key, n, floor((n::DOUBLE / total)*10000+0.5)/10000 AS share,
            floor((n::DOUBLE * nkeys / total)*10000+0.5)/10000 AS x_mean
-         FROM top, tot""")
+         FROM top, tot""",
+
+    "ts_resample" ->
+      """WITH b AS (
+           SELECT user_id, epoch_us(ts) // 86400000000 AS bucket, value,
+             row_number() OVER (
+               PARTITION BY user_id, epoch_us(ts) // 86400000000
+               ORDER BY epoch_us(ts) DESC, event_id DESC) AS rn
+           FROM events),
+         obs AS (SELECT user_id, bucket, value FROM b WHERE rn = 1),
+         span AS (SELECT user_id, min(bucket) AS lo, max(bucket) AS hi
+                  FROM obs GROUP BY 1),
+         cal AS (SELECT user_id, unnest(generate_series(lo, hi)) AS bucket
+                 FROM span),
+         j AS (SELECT c.user_id, c.bucket, o.value,
+                 o.value IS NOT NULL AS is_observed
+               FROM cal c LEFT JOIN obs o
+                 ON c.user_id = o.user_id AND c.bucket = o.bucket)
+         SELECT user_id, bucket,
+           last_value(value IGNORE NULLS) OVER (
+             PARTITION BY user_id ORDER BY bucket
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS value,
+           is_observed
+         FROM j""")
 }

@@ -110,6 +110,22 @@ object TextQueries {
     "chunk_docs" -> ((s, d) => {
       graft.operators.Chunking.fixedWindows(
         tbl(s, d, "documents"), "doc_id", "text", size = 128, stride = 96)
+    }),
+
+    // Collocation mining: top-50 bigrams by PMI (min count 5) — the
+    // phrase-detection pass of tokenizer-vocab construction.
+    "ngram_pmi" -> ((s, d) => {
+      graft.operators.Collocations.bigramPmi(
+        tbl(s, d, "documents"), "text", minCount = 5L, k = 50)
+    }),
+
+    // Inverted-index build: term -> "doc:tf" posting list, df-banded
+    // (df >= 3, df <= 79% of docs) to drop the hapax tail and
+    // stop-word lists at any corpus scale.
+    "invert_index" -> ((s, d) => {
+      graft.operators.TfIdf.invertedIndex(
+        tbl(s, d, "documents"), "doc_id", "text",
+        minDf = 3L, maxDfFrac = 0.79)
     }))
 
   private def listLit(words: Seq[String]): String =
@@ -168,6 +184,41 @@ object TextQueries {
            substring(text, CAST(s + 1 AS INT), 128) AS chunk_text,
            length(substring(text, CAST(s + 1 AS INT), 128)) AS chunk_len
          FROM starts""",
+    "ngram_pmi" ->
+      """WITH tok AS (
+           SELECT list_filter(regexp_split_to_array(trim(lower(text)), '\s+'),
+             t -> t <> '') AS w
+           FROM documents),
+         uni AS (SELECT t AS w, count(*) AS n_w
+                 FROM (SELECT unnest(w) AS t FROM tok) GROUP BY 1),
+         bi0 AS (SELECT w[i] AS w1, w[i + 1] AS w2
+                 FROM (SELECT w, unnest(generate_series(1, len(w) - 1)) AS i
+                       FROM tok)),
+         bi AS (SELECT w1, w2, count(*) AS n_ab FROM bi0 GROUP BY 1, 2),
+         tot AS (SELECT (SELECT sum(n_w)::DOUBLE FROM uni) AS n_uni,
+                        (SELECT sum(n_ab)::DOUBLE FROM bi) AS n_bi),
+         sc AS (SELECT b.w1, b.w2, b.n_ab, u1.n_w AS n_w1, u2.n_w AS n_w2
+                FROM bi b JOIN uni u1 ON b.w1 = u1.w
+                          JOIN uni u2 ON b.w2 = u2.w
+                WHERE b.n_ab >= 5)
+         SELECT w1, w2, n_ab,
+           floor(ln((n_ab::DOUBLE * n_uni * n_uni) /
+                    (n_bi * n_w1::DOUBLE * n_w2)) * 10000 + 0.5) / 10000 AS pmi
+         FROM sc CROSS JOIN tot
+         ORDER BY pmi DESC, w1 ASC, w2 ASC LIMIT 50""",
+    "invert_index" ->
+      """WITH tok AS (
+           SELECT doc_id,
+             unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS term
+           FROM documents),
+         pd AS (SELECT term, doc_id AS doc, count(*) AS tf
+                FROM tok WHERE term <> '' GROUP BY 1, 2)
+         SELECT term, count(*) AS df, CAST(sum(tf) AS BIGINT) AS corpus_tf,
+           string_agg(doc::VARCHAR || ':' || tf::VARCHAR, ' ' ORDER BY doc)
+             AS postings
+         FROM pd GROUP BY term
+         HAVING count(*) >= 3 AND count(*) <=
+           (SELECT count(DISTINCT doc_id) FROM documents) * 0.79""",
     "bpe_merges" -> bpeOracle,
     "lm_perplexity" ->
       """WITH tok AS (
