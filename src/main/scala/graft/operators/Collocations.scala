@@ -32,8 +32,13 @@ object Collocations {
       .select(filter(split(trim(lower(col(textCol))), "\\s+"),
         t => t =!= "").as("toks"))
       .localCheckpoint()
+    // The unigram count frame feeds THREE consumers (w1 join, w2 join,
+    // corpus total) and Catalyst does not CSE across branches — without
+    // this materialization the explode+count pass over the whole corpus
+    // runs once per consumer. The frame itself is vocabulary-sized.
     val uni = toks.select(explode(col("toks")).as("w"))
       .groupBy(col("w")).agg(count(lit(1)).as("n_w"))
+      .localCheckpoint()
     val nTail = greatest(size(col("toks")) - 1, lit(0))
     val bi = toks.select(explode(zip_with(
         slice(col("toks"), lit(1), nTail),
@@ -44,10 +49,15 @@ object Collocations {
       .localCheckpoint() // feeds both the total and the scored join
     val totals = uni.agg(sum(col("n_w")).cast("double").as("n_uni"))
       .crossJoin(bi.agg(sum(col("n_ab")).cast("double").as("n_bi")))
+    // Both join sides are vocabulary-sized (bigram vocab can be 100M+
+    // at web scale) — hinted so the planner can't "helpfully" broadcast
+    // either one.
     val scored = bi.filter(col("n_ab") >= minCount)
-      .join(uni.withColumnRenamed("n_w", "n_w1"), col("w1") === col("w"))
+      .join(uni.withColumnRenamed("n_w", "n_w1").hint("shuffle_hash"),
+        col("w1") === col("w"))
       .drop("w")
-      .join(uni.withColumnRenamed("n_w", "n_w2"), col("w2") === col("w"))
+      .join(uni.withColumnRenamed("n_w", "n_w2").hint("shuffle_hash"),
+        col("w2") === col("w"))
       .drop("w")
       .crossJoin(broadcast(totals))
       .withColumn("pmi", graft.queries.round4(log(

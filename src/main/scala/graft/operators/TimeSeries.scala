@@ -74,10 +74,15 @@ object TimeSeries {
     // last observation per (key, bucket), deterministic tie-break
     val wLast = Window.partitionBy(col(keyCol), col("bucket"))
       .orderBy(col(tsUsCol).desc, col(tieCol).desc)
+    // obs feeds TWO consumers (the calendar bounds and the value join)
+    // and Catalyst does not CSE across branches — without this
+    // materialization the window-dedup pass over the raw log runs
+    // twice. The frame is one row per observed (key, bucket).
     val obs = bucketed
       .withColumn("__rn", row_number().over(wLast))
       .filter(col("__rn") === 1)
       .select(col(keyCol), col("bucket"), col(valueCol).as("__v"))
+      .localCheckpoint()
     // dense calendar per key — bounded by (span / bucketUs) rows/key
     val cal = obs.groupBy(col(keyCol))
       .agg(min(col("bucket")).as("__lo"), max(col("bucket")).as("__hi"))
@@ -85,7 +90,9 @@ object TimeSeries {
         explode(sequence(col("__lo"), col("__hi"))).as("bucket"))
     val wFill = Window.partitionBy(col(keyCol)).orderBy(col("bucket"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    cal.join(obs, Seq(keyCol, "bucket"), "left")
+    // obs is corpus-sized (every observed key×bucket) — hinted so the
+    // planner can't broadcast it off bad post-checkpoint stats.
+    cal.join(obs.hint("shuffle_hash"), Seq(keyCol, "bucket"), "left")
       .withColumn("is_observed", col("__v").isNotNull)
       .withColumn("value", last(col("__v"), ignoreNulls = true).over(wFill))
       .drop("__v")
