@@ -133,6 +133,30 @@ class PlanGuardSpec extends SparkTestBase {
       s"DSL predicates must reach the parquet scan:\n$p")
   }
 
+  test("pmi: counts computed once, vocab joins by shuffle, never broadcast") {
+    val p = plan("ngram_pmi")
+    // unigram/bigram count frames are checkpointed — the final plan must
+    // not re-explode the corpus per consumer...
+    assert(!p.contains("Generate explode"),
+      s"corpus must not re-tokenize per count consumer:\n$p")
+    // ...and the vocabulary-sized count joins must never broadcast
+    // (bigram vocab is 100M+ at web scale; only scalar totals may).
+    assert(!p.contains("BroadcastHashJoin"),
+      s"vocab-sized sides must not broadcast-join:\n$p")
+    assert(p.contains("ShuffledHashJoin"),
+      s"the unigram joins must be shuffle-hash joins:\n$p")
+  }
+
+  test("resample: bucket-dedup runs once and the value side never broadcasts") {
+    val p = plan("ts_resample")
+    // the per-(key,bucket) dedup is checkpointed — the raw log must not
+    // be re-windowed per consumer (only the forward-fill window remains)
+    assert(!p.contains("row_number()"),
+      s"the bucket-dedup window must run once (behind the checkpoint):\n$p")
+    assert(!p.contains("BroadcastHashJoin"),
+      s"the corpus-sized observation side must not broadcast:\n$p")
+  }
+
   test("no query plans a partition-less WindowExec") {
     import org.apache.spark.sql.execution.window.WindowExec
     // A window with an empty partition spec funnels ALL rows into one
