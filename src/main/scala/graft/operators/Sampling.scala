@@ -46,6 +46,24 @@ object Sampling {
     }.reduce(_ unionByName _)
   }
 
+  /** Deterministic weighted (e.g. length-proportional) Poisson sample:
+    * row kept with probability `expected·w/W` (W = total weight), i.e.
+    * iff `keepHash(id)·W < expected·w·D`. All-integer arithmetic — no
+    * pow/ln, whose libm rounding differs across engines — so the SQL
+    * oracle replays the keep set bit-exactly. The weight total is an
+    * in-plan 1-row broadcast (an agg, not a collect); the sample itself
+    * stays a narrow filter. Weights must be non-negative integers
+    * (token counts, byte sizes); `expected` is the target sample size
+    * in rows. */
+  def weightedSample(df: DataFrame, idCol: String, weightCol: String,
+                     expected: Long): DataFrame = {
+    val tot = df.agg(sum(col(weightCol)).cast("long").as("__w_total"))
+    df.crossJoin(broadcast(tot))
+      .filter(keepHash(col(idCol)) * col("__w_total") <
+        lit(expected) * col(weightCol).cast("long") * lit(Denominator))
+      .drop("__w_total")
+  }
+
   /** Leakage-proof split assignment: rows sharing a group key (e.g. a
     * near-dup cluster id) hash to the SAME split, so an eval split can
     * never contain a near-duplicate of a training row — the

@@ -1,0 +1,37 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Mergeable distinct-count sketches (Apache DataSketches HLL via the
+  * Spark `hll_*` builtins) — the pre-aggregated-cube pattern that makes
+  * "distinct users per X" answerable at 100 TB without rescanning raw
+  * data: fine-grained buckets each keep a fixed-size (≈ 2^lgK bytes)
+  * sketch, and ANY rollup is a cheap union of those sketches. Exact
+  * count-distinct cannot do this (it must reshuffle raw keys per
+  * grouping); sketches trade a bounded relative error (≈ 1.04/√2^lgK,
+  * ~0.8% at lgK=14) for mergeability and constant state.
+  *
+  * Scale shape: sketch building is ONE partial-agg groupBy — partial
+  * sketches combine map-side, so the shuffle carries one sketch per
+  * (bucket × partition), never raw ids; rollups shuffle only
+  * bucket-count × sketch-size bytes. No driver state, no collect.
+  */
+object Sketches {
+
+  /** Per-bucket HLL sketches over `valueCol`: one row per bucket with a
+    * `sketch` binary and its point `estimate` — the materialized base
+    * cube a lakehouse would persist alongside the fact table. */
+  def distinctSketch(df: DataFrame, bucketCols: Seq[Column],
+                     valueCol: Column, lgK: Int): DataFrame =
+    df.groupBy(bucketCols: _*)
+      .agg(hll_sketch_agg(valueCol, lit(lgK)).as("sketch"))
+      .withColumn("estimate", hll_sketch_estimate(col("sketch")))
+
+  /** Roll a sketch table up to a coarser grain: distinct estimates per
+    * `rollupCols` from unions of the stored bucket sketches — the query
+    * never touches raw data. */
+  def rollupEstimate(sketches: DataFrame, rollupCols: Seq[Column]): DataFrame =
+    sketches.groupBy(rollupCols: _*)
+      .agg(hll_sketch_estimate(hll_union_agg(col("sketch"))).as("estimate"))
+}

@@ -2,7 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.functions._
 
-import graft.operators.{Cohorts, Expectations, Experiments, Funnel, Paths, RecordLinkage, Skew, TimeSeries}
+import graft.operators.{Cohorts, Expectations, Experiments, Funnel, Paths, RecordLinkage, Sketches, Skew, TimeSeries}
 import graft.operators.Expectations.Expectation
 
 /** Event/entity analytics beyond the reference's own surface: ordered
@@ -180,9 +180,44 @@ object AnalyticsQueries {
     "ts_resample" -> ((s, d) => {
       TimeSeries.resampleFill(tbl(s, d, "events"), "user_id", "ts_us",
         "value", "event_id", bucketUs = 86400000000L)
+    }),
+
+    // Mergeable-sketch distinct cube: daily HLL sketches of the
+    // ordering customer, rolled up to months, must (a) estimate within
+    // 5% of the exact distinct count and (b) agree with a directly
+    // built month sketch to 1% — the pre-aggregated-cube contract that
+    // answers "distinct per X" at 100 TB from sketch unions alone,
+    // never rescanning raw data. The oracle pins the exact counts and
+    // asserts both accuracy flags as ground truth, so a sketch
+    // regression breaks the hash.
+    "sketch_distinct" -> ((s, d) => {
+      val orders = tbl(s, d, "orders")
+        .withColumn("o_month", date_format(col("o_orderdate"), "yyyy-MM"))
+        .withColumn("o_day", date_format(col("o_orderdate"), "yyyy-MM-dd"))
+      val daily = Sketches.distinctSketch(orders,
+        Seq(col("o_month"), col("o_day")), col("o_custkey"), lgK = 14)
+      val rolled = Sketches.rollupEstimate(daily, Seq(col("o_month")))
+        .withColumnRenamed("estimate", "__est_merged")
+      val direct = Sketches.distinctSketch(orders, Seq(col("o_month")),
+          col("o_custkey"), lgK = 14)
+        .select(col("o_month"), col("estimate").as("__est_direct"))
+      val exact = orders.groupBy(col("o_month"))
+        .agg(countDistinct(col("o_custkey")).as("n_exact"))
+      exact.join(rolled, Seq("o_month")).join(direct, Seq("o_month"))
+        .select(col("o_month"), col("n_exact"),
+          (abs(col("__est_direct") - col("n_exact")) <=
+            col("n_exact").cast("double") * 0.05).as("sketch_ok"),
+          (abs(col("__est_merged") - col("__est_direct")) <=
+            col("__est_direct").cast("double") * 0.01).as("merge_ok"))
     }))
 
   val oracles: Map[String, String] = Map(
+
+    "sketch_distinct" ->
+      """SELECT strftime(o_orderdate, '%Y-%m') AS o_month,
+           count(DISTINCT o_custkey) AS n_exact,
+           true AS sketch_ok, true AS merge_ok
+         FROM orders GROUP BY 1""",
 
     "funnel_steps" ->
       """WITH e AS (SELECT user_id, event_type, epoch_us(ts) AS t FROM events),

@@ -88,6 +88,16 @@ object DedupQueries {
         .select(col("doc_id"), col("lang"))
     }),
 
+    // Deterministic length-proportional sample: each doc kept with
+    // probability expected·n_chars/Σn_chars — all-integer hash
+    // threshold (no pow/ln, whose libm rounding differs across
+    // engines), so the oracle replays the keep set bit-for-bit.
+    "sample_weighted" -> ((s, d) => {
+      graft.operators.Sampling.weightedSample(
+        tbl(s, d, "documents"), "doc_id", "n_chars", expected = 500L)
+        .select(col("doc_id"), col("n_chars"))
+    }),
+
     // Weighted corpus mixing: three language corpora mixed to a
     // 0.5/0.3/0.2 target — the bottleneck corpus (de) used in full,
     // the others hash-sampled down to the exact mixture.
@@ -263,6 +273,11 @@ object DedupQueries {
       """SELECT doc_id, lang FROM documents
          WHERE (('0x' || substring(md5(doc_id::VARCHAR), 1, 15))::BIGINT % 10000)
            < (CASE lang WHEN 'en' THEN 3000 WHEN 'zh' THEN 8000 ELSE 5000 END)""",
+    "sample_weighted" ->
+      """WITH t AS (SELECT sum(n_chars)::BIGINT AS w_total FROM documents)
+         SELECT doc_id, n_chars FROM documents CROSS JOIN t
+         WHERE (('0x' || substring(md5(doc_id::VARCHAR), 1, 15))::BIGINT % 10000)
+             * w_total < 500 * n_chars * 10000""",
     "corpus_mix" ->
       """WITH n AS (
            SELECT lang, count(*)::BIGINT AS n,
