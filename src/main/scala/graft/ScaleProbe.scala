@@ -198,6 +198,47 @@ object ScaleProbe {
     }
   }
 
+  /** `runMain graft.ScaleProbe sketch5` — the mergeable-cube contract
+    * (SCALE.md round 5): 20M rows / 5M distinct users over 365 day
+    * buckets. Answering a coarser grain (monthly distinct) EXACTLY
+    * reshuffles the raw ids every time; the persisted daily sketch cube
+    * answers the same question from 365 fixed-size sketch rows. Prints
+    * build/query wall times and the worst relative error. */
+  private def sketch5(spark: SparkSession): Unit = {
+    import org.apache.spark.sql.DataFrame
+    import graft.operators.Sketches
+    val rows = spark.range(0, 20000000L)
+      .select((col("id") % 5000000L).as("user"),
+        pmod(hash(col("id")), lit(365)).as("day"))
+      .withColumn("month", col("day") % 12)
+      .localCheckpoint()
+    def time(label: String)(f: => Long): Unit = {
+      val t0 = System.nanoTime(); val n = f
+      val s = (System.nanoTime() - t0) / 1e9
+      println(f"""{"probe":"$label","rows":$n,"sec":$s%.2f}""")
+    }
+    var cube: DataFrame = null
+    time("build daily sketch cube (one pass, sketches combine map-side)") {
+      cube = Sketches.distinctSketch(rows,
+        Seq(col("month"), col("day")), col("user"), 14).localCheckpoint()
+      cube.count()
+    }
+    time("exact monthly distinct from raw (reshuffles 20M ids)") {
+      rows.groupBy(col("month"))
+        .agg(countDistinct(col("user")).as("n")).count()
+    }
+    time("monthly distinct from cube (365 sketch rows, no raw rescan)") {
+      Sketches.rollupEstimate(cube, Seq(col("month"))).count()
+    }
+    val worst = Sketches.rollupEstimate(cube, Seq(col("month")))
+      .join(rows.groupBy(col("month"))
+        .agg(countDistinct(col("user")).as("n_exact")), Seq("month"))
+      .select(max(abs(col("estimate") - col("n_exact")) /
+        col("n_exact").cast("double")).as("err"))
+      .head.getDouble(0)
+    println(f"""{"probe":"worst monthly relative error","err":$worst%.4f}""")
+  }
+
   /** `runMain graft.ScaleProbe merge4` — the size-gated MERGE feed
     * (SCALE.md round 4): a change-feed-sized update broadcasts, a
     * backfill-sized one must degrade to a shuffle join and still
@@ -268,6 +309,18 @@ object ScaleProbe {
         .getOrCreate()
       spark.sparkContext.setLogLevel("WARN")
       linkage5(spark)
+      spark.stop()
+      return
+    }
+    if (args.headOption.contains("sketch5")) {
+      val spark = SparkSession.builder()
+        .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")}]")
+        .config("spark.sql.shuffle.partitions",
+          sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"))
+        .config("spark.ui.enabled", "false")
+        .getOrCreate()
+      spark.sparkContext.setLogLevel("WARN")
+      sketch5(spark)
       spark.stop()
       return
     }
