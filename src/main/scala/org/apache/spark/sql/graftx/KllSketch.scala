@@ -1,0 +1,120 @@
+package org.apache.spark.sql.graftx
+
+import org.apache.datasketches.kll.KllDoublesSketch
+import org.apache.datasketches.memory.Memory
+import org.apache.datasketches.quantilescommon.QuantileSearchCriteria
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.trees.{BinaryLike, UnaryLike}
+import org.apache.spark.sql.classic.ExpressionUtils
+import org.apache.spark.sql.types.{BinaryType, DataType, DoubleType}
+
+/** Mergeable quantile sketches (Apache DataSketches KLL, bundled with
+  * Spark) — the percentile counterpart of the `hll_*` distinct family,
+  * which Spark does not expose as SQL functions: `percentile_approx`
+  * cannot persist or re-merge its intermediate state, so a lakehouse
+  * can't keep a percentile CUBE. These aggregates can: [[KllSketchAgg]]
+  * folds a double column into a serialized sketch (map-side partial
+  * combine — the shuffle carries sketches, never raw values),
+  * [[KllUnionAgg]] merges stored sketches to any coarser grain, and
+  * [[KllQuantile]] reads a quantile out. Rank error ≈ 1.65%·(200/k)^0.9
+  * at 99% confidence; sketch size grows ~O(k·log n).
+  */
+object KllSketch {
+
+  /** Aggregate a double column into a serialized KLL sketch. */
+  def sketchAgg(value: Column, k: Int): Column =
+    ExpressionUtils.column(KllSketchAgg(
+      ExpressionUtils.expression(value), k).toAggregateExpression())
+
+  /** Merge serialized KLL sketches into one (rollup). */
+  def unionAgg(sketch: Column, k: Int): Column =
+    ExpressionUtils.column(KllUnionAgg(
+      ExpressionUtils.expression(sketch), k).toAggregateExpression())
+
+  /** Extract the `p`-quantile (0..1, inclusive criteria) of a
+    * serialized sketch; null for an empty sketch. */
+  def quantile(sketch: Column, p: Column): Column =
+    ExpressionUtils.column(KllQuantile(
+      ExpressionUtils.expression(sketch), ExpressionUtils.expression(p)))
+}
+
+/** Shared KLL buffer plumbing for the two aggregates. */
+trait KllAggBase extends TypedImperativeAggregate[KllDoublesSketch] {
+  def k: Int
+  override def createAggregationBuffer(): KllDoublesSketch =
+    KllDoublesSketch.newHeapInstance(k)
+  override def merge(buf: KllDoublesSketch,
+                     other: KllDoublesSketch): KllDoublesSketch = {
+    buf.merge(other); buf
+  }
+  override def eval(buf: KllDoublesSketch): Any = buf.toByteArray
+  override def serialize(buf: KllDoublesSketch): Array[Byte] = buf.toByteArray
+  override def deserialize(storage: Array[Byte]): KllDoublesSketch =
+    KllDoublesSketch.heapify(Memory.wrap(storage))
+  override def dataType: DataType = BinaryType
+  override def nullable: Boolean = false
+}
+
+/** `kll_sketch_agg(doubleValue, k)`: double column → serialized sketch. */
+case class KllSketchAgg(child: Expression, k: Int = 200,
+                        mutableAggBufferOffset: Int = 0,
+                        inputAggBufferOffset: Int = 0)
+  extends KllAggBase with UnaryLike[Expression] {
+  override def update(buf: KllDoublesSketch,
+                      input: InternalRow): KllDoublesSketch = {
+    val v = child.eval(input)
+    if (v != null) buf.update(v.asInstanceOf[Double])
+    buf
+  }
+  override def withNewMutableAggBufferOffset(o: Int): KllSketchAgg =
+    copy(mutableAggBufferOffset = o)
+  override def withNewInputAggBufferOffset(o: Int): KllSketchAgg =
+    copy(inputAggBufferOffset = o)
+  override protected def withNewChildInternal(c: Expression): KllSketchAgg =
+    copy(child = c)
+  override def prettyName: String = "kll_sketch_agg"
+}
+
+/** `kll_union_agg(sketchBinary, k)`: merge stored sketches (rollup). */
+case class KllUnionAgg(child: Expression, k: Int = 200,
+                       mutableAggBufferOffset: Int = 0,
+                       inputAggBufferOffset: Int = 0)
+  extends KllAggBase with UnaryLike[Expression] {
+  override def update(buf: KllDoublesSketch,
+                      input: InternalRow): KllDoublesSketch = {
+    val v = child.eval(input)
+    if (v != null)
+      buf.merge(KllDoublesSketch.heapify(
+        Memory.wrap(v.asInstanceOf[Array[Byte]])))
+    buf
+  }
+  override def withNewMutableAggBufferOffset(o: Int): KllUnionAgg =
+    copy(mutableAggBufferOffset = o)
+  override def withNewInputAggBufferOffset(o: Int): KllUnionAgg =
+    copy(inputAggBufferOffset = o)
+  override protected def withNewChildInternal(c: Expression): KllUnionAgg =
+    copy(child = c)
+  override def prettyName: String = "kll_union_agg"
+}
+
+/** `kll_quantile(sketchBinary, p)`: read one quantile out of a stored
+  * sketch. Interpreted eval only — quantile extraction runs over
+  * bucket-count-sized frames, never the raw fact table. */
+case class KllQuantile(left: Expression, right: Expression)
+  extends BinaryExpression with CodegenFallback with BinaryLike[Expression] {
+  override def dataType: DataType = DoubleType
+  override def nullable: Boolean = true
+  override def nullSafeEval(sketch: Any, p: Any): Any = {
+    val s = KllDoublesSketch.heapify(
+      Memory.wrap(sketch.asInstanceOf[Array[Byte]]))
+    if (s.isEmpty) null
+    else s.getQuantile(p.asInstanceOf[Double], QuantileSearchCriteria.INCLUSIVE)
+  }
+  override protected def withNewChildrenInternal(
+      l: Expression, r: Expression): KllQuantile = copy(left = l, right = r)
+  override def prettyName: String = "kll_quantile"
+}
