@@ -239,6 +239,70 @@ object ScaleProbe {
     println(f"""{"probe":"worst monthly relative error","err":$worst%.4f}""")
   }
 
+  /** `runMain graft.ScaleProbe ivf6` — the production-shaped quantizer
+    * (SCALE.md round 6): 500k synthetic 64-dim vectors, a 256-cell IVF
+    * coarse quantizer and an 8×256-code PQ fit/encode. The r5
+    * literal/field codebook form shipped O(k·dim) doubles in every task
+    * binary ("Broadcasting large task binary" warnings at 8 cells
+    * already — ~130 KiB per task at 256×64, 2 MiB at 4096×64); the
+    * broadcast [[org.apache.spark.sql.graftx.CentroidBook]] ships the
+    * matrix once per executor. The probe captures Spark WARNs and fails
+    * loudly if any task-binary or codegen-fallback warning fires. */
+  private def ivf6(spark: SparkSession): Unit = {
+    import graft.operators.Similarity
+    // WARN capture: appender attached AFTER Spark initialized the
+    // log4j2 config (initializing log4j first would install a default
+    // config that suppresses Spark's WARNs everywhere).
+    val captured = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+    val app = new org.apache.logging.log4j.core.appender.AbstractAppender(
+      "ivf6Capture", null, null, false, Array.empty) {
+      override def append(e: org.apache.logging.log4j.core.LogEvent): Unit = {
+        val m = e.getMessage.getFormattedMessage
+        if (m.contains("large task binary") || m.toLowerCase.contains("codegen") ||
+          m.contains("64 KB") || m.contains("JIT"))
+          captured.add(s"${e.getLevel} $m")
+      }
+    }
+    app.start()
+    org.apache.logging.log4j.LogManager.getRootLogger
+      .asInstanceOf[org.apache.logging.log4j.core.Logger].addAppender(app)
+
+    val dim = 64
+    val vecs = spark.range(500000L).select(col("id").as("vec_id"),
+      array((0 until dim).map(i =>
+        (pmod(hash(col("id") * 31 + lit(i)), lit(997)).cast("double") / 499.0
+          - 1.0)): _*).as("embedding"))
+      .localCheckpoint()
+    def time(label: String)(f: => Long): Unit = {
+      val t0 = System.nanoTime(); val n = f
+      val s = (System.nanoTime() - t0) / 1e9
+      println(f"""{"probe":"$label","rows":$n,"sec":$s%.2f}""")
+    }
+    var centroids: Seq[(Long, Seq[Double])] = null
+    time("kmeans fit k=256 dim=64 (1-in-50 sample, 1 iter)") {
+      centroids = Similarity.kmeansFit(vecs, "vec_id", "embedding",
+        k = 256, iters = 1, trainSampleMod = 50)
+      centroids.size.toLong
+    }
+    time("assign 500k rows to 256 cells (broadcast codebook projection)") {
+      val bc = spark.sparkContext.broadcast(
+        org.apache.spark.sql.graftx.CentroidBook(centroids))
+      vecs.select(org.apache.spark.sql.graftx.ArrayNumeric
+        .nearestCentroid(col("embedding"), bc, l2 = false).as("cell"))
+        .groupBy("cell").count().count()
+    }
+    time("pq fit+encode m=8 ksub=256 (1-in-50 sample, 1 iter)") {
+      val books = Similarity.pqFit(vecs, "vec_id", "embedding",
+        m = 8, subDim = 8, ksub = 256, iters = 1, trainSampleMod = 50)
+      Similarity.pqEncode(vecs, "vec_id", "embedding", books, 8).count()
+    }
+    val warns = captured.toArray(Array.empty[String])
+    println(s"""{"probe":"task-binary / codegen warnings","count":${warns.length}}""")
+    warns.take(5).foreach(w => println(s"  WARN-CAPTURED: $w"))
+    require(warns.isEmpty,
+      s"production-shaped quantizer fired ${warns.length} task-binary/codegen warnings")
+  }
+
   /** `runMain graft.ScaleProbe merge4` — the size-gated MERGE feed
     * (SCALE.md round 4): a change-feed-sized update broadcasts, a
     * backfill-sized one must degrade to a shuffle join and still
@@ -321,6 +385,18 @@ object ScaleProbe {
         .getOrCreate()
       spark.sparkContext.setLogLevel("WARN")
       sketch5(spark)
+      spark.stop()
+      return
+    }
+    if (args.headOption.contains("ivf6")) {
+      val spark = SparkSession.builder()
+        .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")}]")
+        .config("spark.sql.shuffle.partitions",
+          sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"))
+        .config("spark.ui.enabled", "false")
+        .getOrCreate()
+      spark.sparkContext.setLogLevel("WARN")
+      ivf6(spark)
       spark.stop()
       return
     }

@@ -1,8 +1,10 @@
 package graft.operators
 
+import org.apache.spark.broadcast.Broadcast
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.graftx.{ArrayNumeric, CentroidBook}
 import graft.functions.VectorOps
 
 /** Approximate-nearest-neighbor search over an embedding column.
@@ -124,30 +126,29 @@ object Similarity {
       .select(col("query_id"), col("rank"), col("neighbor_id"))
   }
 
-  /** Cosine-argmax cell assignment against a LITERAL centroid list —
-    * a pure codegen projection, no join, no window, no shuffle; on a
-    * cosine tie the LOWEST cell id wins. Runs as ONE compact codegen
-    * loop ([[ArrayNumeric.nearestCentroid]]) instead of k unrolled
-    * per-centroid dot expressions: bit-identical arithmetic (the
-    * expression doc proves the order), but constant codegen size — the
-    * unrolled form blew the JIT method budget past ~32 centroids and
-    * fell back to interpreted bytecode, which dominated pq_codes.
-    * `centroids` must be ascending by id (every fit returns it so). */
-  private def assignCell(v: Column,
-                         centroids: Seq[(Long, Seq[Double])]): Column =
-    org.apache.spark.sql.graftx.ArrayNumeric.nearestCentroid(
-      v, centroids.map(_._1), centroids.flatMap(_._2),
-      centroids.head._2.size, l2 = false)
+  /** One broadcast per fitted codebook, shared by every expression of
+    * the plan: the centroid matrix moves once per executor instead of
+    * riding in each task binary (the r5 literal/field form hit
+    * "Broadcasting large task binary" warnings at 8 cells already and
+    * is O(k·dim) per task at a production 256–4096-cell quantizer). */
+  private def bcBook(df: DataFrame,
+                     centroids: Seq[(Long, Seq[Double])]): Broadcast[CentroidBook] =
+    df.sparkSession.sparkContext.broadcast(CentroidBook(centroids))
+
+  /** Cosine-argmax cell assignment against a BROADCAST codebook — a
+    * pure codegen projection, no join, no window, no shuffle; on a
+    * cosine tie the LOWEST cell id wins. Runs as ONE compact JIT-hot
+    * loop ([[ArrayNumeric.nearestCentroid]]): constant codegen size and
+    * constant task-binary size regardless of k·dim. */
+  private def assignCell(v: Column, bc: Broadcast[CentroidBook]): Column =
+    ArrayNumeric.nearestCentroid(v, bc, l2 = false)
 
   /** Nearest centroid by EUCLIDEAN distance: argmin |v−c|² = argmax
     * dot(v,c) − |c|²/2. Residual PQ must assign in L2 — residuals are
     * centered at 0, so a cosine (direction-only) assignment throws the
     * magnitude away and quantization collapses. */
-  private def assignCellL2(v: Column,
-                           centroids: Seq[(Long, Seq[Double])]): Column =
-    org.apache.spark.sql.graftx.ArrayNumeric.nearestCentroid(
-      v, centroids.map(_._1), centroids.flatMap(_._2),
-      centroids.head._2.size, l2 = true)
+  private def assignCellL2(v: Column, bc: Broadcast[CentroidBook]): Column =
+    ArrayNumeric.nearestCentroid(v, bc, l2 = true)
 
   /** Deterministic k-means fit returning the centroids as plain data:
     * seeded with the first `k` corpus vectors (id < k), then `iters`
@@ -182,7 +183,7 @@ object Similarity {
       (floor(avg(col("v").getItem(i).cast("double")) * 1e6 + lit(0.5)) / 1e6).as(s"m$i"))
     for (_ <- 0 until iters) {
       centroids = base
-        .select(assignCell(col("v"), centroids).as("cell"), col("v"))
+        .select(assignCell(col("v"), bcBook(df, centroids)).as("cell"), col("v"))
         .groupBy(col("cell"))
         .agg(meanCols.head, meanCols.tail: _*)
         .collect().map(r => (r.getLong(0), (1 to dim).map(r.getDouble).toSeq))
@@ -192,20 +193,13 @@ object Similarity {
   }
 
   /** Top-`nprobe` cells by (cosine desc, cell asc) as an array —
-    * the multi-probe variant of [[assignCell]]. `sort_array` descending
-    * on (sim, -cell) structs yields exactly that order. */
-  private def assignCells(v: Column, vn: Column,
-                          centroids: Seq[(Long, Seq[Double])],
-                          nprobe: Int): Column = {
-    val scored = centroids.map { case (cellId, c) =>
-      val cl = array(c.map(lit): _*)
-      val cn = sqrt(VectorOps.dot(cl, cl))
-      struct((VectorOps.dot(v, cl) / (vn * cn)).as("sim"),
-        (-lit(cellId)).cast("long").as("negCell"))
-    }
-    transform(slice(sort_array(array(scored: _*), asc = false), 1, nprobe),
-      s => -s.getField("negCell"))
-  }
+    * the multi-probe variant of [[assignCell]], one broadcast-codebook
+    * selection loop ([[ArrayNumeric.nearestCells]]) with the exact
+    * ordering of the `sort_array(struct(sim, -cell), desc)` form it
+    * replaces. */
+  private def assignCells(v: Column, bc: Broadcast[CentroidBook],
+                          nprobe: Int): Column =
+    ArrayNumeric.nearestCells(v, bc, nprobe)
 
   /** Multi-probe IVF ANN: the corpus is inverted by nearest cell as in
     * `ivfTopK`, but each QUERY searches its `nprobe` nearest cells —
@@ -219,16 +213,17 @@ object Similarity {
                         nCentroids: Int, nprobe: Int,
                         kmeansIters: Int = 2, trainSampleMod: Int = 1): DataFrame = {
     val centroids = kmeansFit(df, idCol, vecCol, nCentroids, kmeansIters, trainSampleMod)
+    val bc = bcBook(df, centroids)
     val base = spread(df).select(col(idCol), col(vecCol).as("v"))
       .withColumn("vn", VectorOps.norm(col("v")))
       .localCheckpoint() // feeds probe and corpus sides
     val corpus = base
-      .withColumn("cell", assignCell(col("v"), centroids))
+      .withColumn("cell", assignCell(col("v"), bc))
       .select(col("cell"), col(idCol).as("neighbor_id"),
         col("v").as("cv2"), col("vn").as("cn2"))
     val queries = base
       .withColumn("cell",
-        explode(assignCells(col("v"), col("vn"), centroids, nprobe)))
+        explode(assignCells(col("v"), bc, nprobe)))
       .select(col("cell"), col(idCol).as("query_id"),
         col("v").as("qv"), col("vn").as("qn"))
     val pairs = queries.join(corpus, Seq("cell"))
@@ -278,9 +273,10 @@ object Similarity {
     for (_ <- 0 until iters) {
       val cellExpr = books.zipWithIndex.foldRight(lit(null).cast("long")) {
         case ((cents, j), acc) =>
+          val bcj = bcBook(df, cents)
           when(col("j") === j,
-            if (l2Assign) assignCellL2(col("v"), cents)
-            else assignCell(col("v"), cents)).otherwise(acc)
+            if (l2Assign) assignCellL2(col("v"), bcj)
+            else assignCell(col("v"), bcj)).otherwise(acc)
       }
       val rows = base.select(col("j"), cellExpr.as("cell"), col("v"))
         .groupBy(col("j"), col("cell"))
@@ -302,7 +298,7 @@ object Similarity {
                codebooks: Seq[Seq[(Long, Seq[Double])]], subDim: Int): DataFrame = {
     val codeCols = codebooks.zipWithIndex.map { case (cents, j) =>
       val sub = slice(col(vecCol), j * subDim + 1, subDim)
-      assignCell(sub, cents).as(s"c$j")
+      assignCell(sub, bcBook(df, cents)).as(s"c$j")
     }
     df.select(col(idCol) +: codeCols: _*)
   }
@@ -322,20 +318,22 @@ object Similarity {
              subDim: Int): DataFrame = {
     val codes = pqEncode(corpus, idCol, vecCol, codebooks, subDim)
       .withColumnRenamed(idCol, "neighbor_id")
-    // |x̂|² = Σ_j |c_{x_j}|²  (centroid norms are plain literals)
-    val normSqMaps = codebooks.zipWithIndex.map { case (cents, j) =>
-      map_from_arrays(
-        array(cents.map(c => lit(c._1)): _*),
-        array(cents.map(c => lit(c._2.map(x => x * x).sum)): _*)).as(s"nsq$j")
+    // |x̂|² = Σ_j |c_{x_j}|² — driver-computed constants as TWO literal
+    // array objects per codebook (typedlit), not 2·ksub literal
+    // expressions: plan size stays O(1) in expression count.
+    val normSqMaps = codebooks.map { cents =>
+      map_from_arrays(typedlit(cents.map(_._1)),
+        typedlit(cents.map(_._2.map(x => x * x).sum)))
     }
-    // per-query lookup tables: dot(q_j, centroid) for every codebook entry
+    // per-query lookup tables: dot(q_j, centroid) for every codebook
+    // entry — one broadcast-codebook table expression per subspace, no
+    // inlined centroid literals.
+    val bcs = codebooks.map(cents => bcBook(queries, cents))
     val q = spread(queries).select(col(idCol).as("query_id"), col(vecCol).as("qv"))
       .withColumn("qn", VectorOps.norm(col("qv")))
-    val qWithTables = codebooks.zipWithIndex.foldLeft(q) { case (acc, (cents, j)) =>
+    val qWithTables = codebooks.indices.foldLeft(q) { case (acc, j) =>
       val sub = slice(col("qv"), j * subDim + 1, subDim)
-      acc.withColumn(s"qd$j", map_from_arrays(
-        array(cents.map(c => lit(c._1)): _*),
-        array(cents.map(c => VectorOps.dot(sub, array(c._2.map(lit): _*))): _*)))
+      acc.withColumn(s"qd$j", ArrayNumeric.centroidDotMap(sub, bcs(j)))
     }
     val approxDot = codebooks.indices
       .map(j => element_at(col(s"qd$j"), col(s"c$j")))
@@ -410,31 +408,31 @@ object Similarity {
                           trainSampleMod: Int): (DataFrame, DataFrame) = {
     val centroids = kmeansFit(df, idCol, vecCol, nCentroids, kmeansIters, trainSampleMod)
     val books = pqFit(df, idCol, vecCol, m, subDim, ksub, kmeansIters, trainSampleMod)
+    val bcCent = bcBook(df, centroids)
+    val bcBooks = books.map(cents => bcBook(df, cents))
     val base = spread(df).select(col(idCol), col(vecCol).as("v"))
       .withColumn("vn", VectorOps.norm(col("v")))
       .localCheckpoint() // feeds the corpus index and the query side
     // corpus index: coarse cell + PQ codes, nothing else
-    val codeCols = books.zipWithIndex.map { case (cents, j) =>
+    val codeCols = books.indices.map { j =>
       val sub = slice(col("v"), j * subDim + 1, subDim)
-      assignCell(sub, cents).as(s"c$j")
+      assignCell(sub, bcBooks(j)).as(s"c$j")
     }
     val corpus = base
-      .withColumn("cell", assignCell(col("v"), centroids))
+      .withColumn("cell", assignCell(col("v"), bcCent))
       .select(col("cell") +: col(idCol).as("neighbor_id") +: codeCols: _*)
     // queries: nprobe cells + per-codebook sub-dot lookup tables
     val nsqMaps = books.map(cents => map_from_arrays(
-      array(cents.map(c => lit(c._1)): _*),
-      array(cents.map(c => lit(c._2.map(x => x * x).sum)): _*)))
+      typedlit(cents.map(_._1)),
+      typedlit(cents.map(_._2.map(x => x * x).sum))))
     val queries0 = base
       .withColumn("cell",
-        explode(assignCells(col("v"), col("vn"), centroids, nprobe)))
+        explode(assignCells(col("v"), bcCent, nprobe)))
       .select(col("cell"), col(idCol).as("query_id"), col("v").as("qv"),
         col("vn").as("qn"))
-    val queries = books.zipWithIndex.foldLeft(queries0) { case (acc, (cents, j)) =>
+    val queries = books.indices.foldLeft(queries0) { case (acc, j) =>
       val sub = slice(col("qv"), j * subDim + 1, subDim)
-      acc.withColumn(s"qd$j", map_from_arrays(
-        array(cents.map(c => lit(c._1)): _*),
-        array(cents.map(c => VectorOps.dot(sub, array(c._2.map(lit): _*))): _*)))
+      acc.withColumn(s"qd$j", ArrayNumeric.centroidDotMap(sub, bcBooks(j)))
     }
     val approxDot = books.indices
       .map(j => element_at(col(s"qd$j"), col(s"c$j"))).reduce(_ + _)
@@ -462,24 +460,21 @@ object Similarity {
                         ksub: Int, kmeansIters: Int = 2,
                         trainSampleMod: Int = 1): DataFrame = {
     val centroids = kmeansFit(df, idCol, vecCol, nCentroids, kmeansIters, trainSampleMod)
-    def centroidArray(cellCol: Column): Column =
-      centroids.foldRight(lit(null).cast("array<double>")) {
-        case ((id, cv), acc) =>
-          when(cellCol === id, array(cv.map(lit): _*)).otherwise(acc)
-      }
+    val bcCent = bcBook(df, centroids)
     val base = spread(df).select(col(idCol), col(vecCol).as("v"))
       .withColumn("vn", VectorOps.norm(col("v")))
-      .withColumn("cell", assignCell(col("v"), centroids))
-      .withColumn("r", zip_with(col("v"), centroidArray(col("cell")),
-        (a, b) => a - b))
+      .withColumn("cell", assignCell(col("v"), bcCent))
+      .withColumn("r", zip_with(col("v"),
+        ArrayNumeric.centroidVector(col("cell"), bcCent), (a, b) => a - b))
       .localCheckpoint() // feeds PQ training, the index, and the queries
     val books = pqFit(base.select(col(idCol), col("r")), idCol, "r",
       m, subDim, ksub, kmeansIters, trainSampleMod, l2Assign = true)
+    val bcBooks = books.map(cents => bcBook(df, cents))
     // corpus index: (cell, m residual codes) — L2 code assignment, as
     // in training
-    val codeCols = books.zipWithIndex.map { case (cents, j) =>
+    val codeCols = books.indices.map { j =>
       val sub = slice(col("r"), j * subDim + 1, subDim)
-      assignCellL2(sub, cents).as(s"c$j")
+      assignCellL2(sub, bcBooks(j)).as(s"c$j")
     }
     val corpus = base
       .select(col("cell") +: col(idCol).as("neighbor_id") +: codeCols: _*)
@@ -487,33 +482,28 @@ object Similarity {
     // construction — seeds are the first-k corpus ids — so the cross
     // table keys as cell*ksub+code without collision)
     val nsqMaps = books.map(cents => map_from_arrays(
-      array(cents.map(c => lit(c._1)): _*),
-      array(cents.map(c => lit(c._2.map(x => x * x).sum)): _*)))
+      typedlit(cents.map(_._1)),
+      typedlit(cents.map(_._2.map(x => x * x).sum))))
     val crossMaps = books.zipWithIndex.map { case (cents, j) =>
       val entries = for ((cellId, cv) <- centroids; (code, rv) <- cents)
         yield (cellId * ksub + code,
           cv.slice(j * subDim, (j + 1) * subDim).zip(rv).map { case (a, b) => a * b }.sum)
-      map_from_arrays(array(entries.map(e => lit(e._1)): _*),
-        array(entries.map(e => lit(e._2)): _*))
+      map_from_arrays(typedlit(entries.map(_._1)), typedlit(entries.map(_._2)))
     }
     val cellNormSq = map_from_arrays(
-      array(centroids.map(c => lit(c._1)): _*),
-      array(centroids.map(c => lit(c._2.map(x => x * x).sum)): _*))
+      typedlit(centroids.map(_._1)),
+      typedlit(centroids.map(_._2.map(x => x * x).sum)))
     val queries0 = base
       .withColumn("pcell",
-        explode(assignCells(col("v"), col("vn"), centroids, nprobe)))
+        explode(assignCells(col("v"), bcCent, nprobe)))
       .select(col("pcell").as("cell"), col(idCol).as("query_id"),
         col("v").as("qv"), col("vn").as("qn"))
-    val queries = books.zipWithIndex.foldLeft(queries0) { case (acc, (cents, j)) =>
+    val queries = books.indices.foldLeft(queries0) { case (acc, j) =>
       val sub = slice(col("qv"), j * subDim + 1, subDim)
-      acc.withColumn(s"qd$j", map_from_arrays(
-        array(cents.map(c => lit(c._1)): _*),
-        array(cents.map(c => VectorOps.dot(sub, array(c._2.map(lit): _*))): _*)))
+      acc.withColumn(s"qd$j", ArrayNumeric.centroidDotMap(sub, bcBooks(j)))
     }
-    val dotQC = centroids.foldRight(lit(0.0)) { case ((id, cv), acc) =>
-      when(col("cell") === id,
-        VectorOps.dot(col("qv"), array(cv.map(lit): _*))).otherwise(acc)
-    }
+    val dotQC = VectorOps.dot(col("qv"),
+      ArrayNumeric.centroidVector(col("cell"), bcCent))
     val approxDot = dotQC + books.indices
       .map(j => element_at(col(s"qd$j"), col(s"c$j"))).reduce(_ + _)
     val normSq = element_at(cellNormSq, col("cell")) +
@@ -540,17 +530,17 @@ object Similarity {
   }
 
   /** IVF-style ANN: a trained coarse quantizer (`kmeansFit`) assigns
-    * every vector to its nearest centroid cell as a literal codegen
-    * projection; queries compare only within their own cell (nprobe=1
-    * here; multi-probe = also join the next-nearest cells). The cells
-    * shard the O(n²) space like an inverted file does. */
+    * every vector to its nearest centroid cell as a broadcast-codebook
+    * codegen projection; queries compare only within their own cell
+    * (nprobe=1 here; multi-probe = also join the next-nearest cells).
+    * The cells shard the O(n²) space like an inverted file does. */
   def ivfTopK(df: DataFrame, idCol: String, vecCol: String, k: Int,
               nCentroids: Int, kmeansIters: Int = 2, trainSampleMod: Int = 1): DataFrame = {
     val centroids = kmeansFit(df, idCol, vecCol, nCentroids, kmeansIters, trainSampleMod)
     // feeds both sides of the within-cell self-join: materialize once
     val cells = spread(df).select(col(idCol), col(vecCol).as("v"))
       .withColumn("vn", VectorOps.norm(col("v")))
-      .withColumn("cell", assignCell(col("v"), centroids))
+      .withColumn("cell", assignCell(col("v"), bcBook(df, centroids)))
       .localCheckpoint()
     // search within the cell
     val a = cells.select(col("cell"), col(idCol).as("query_id"),

@@ -1,9 +1,10 @@
 package org.apache.spark.sql.graftx
 
+import org.apache.spark.broadcast.Broadcast
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, ExpectsInputTypes, Expression, UnaryExpression}
-import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.catalyst.util.{ArrayBasedMapData, ArrayData, GenericArrayData, MapData}
 import org.apache.spark.sql.classic.ExpressionUtils
 import org.apache.spark.sql.types._
 import org.apache.spark.unsafe.types.UTF8String
@@ -46,13 +47,28 @@ object ArrayNumeric {
   def evalOnce(c: Column): Column =
     ExpressionUtils.column(EvalOnceFence(ExpressionUtils.expression(c)))
 
-  /** Nearest-centroid id of `v` against a literal codebook (see
-    * [[NearestCentroidId]]). `ids` must be ascending; `flat` is the
-    * row-major `ids.length × dim` centroid matrix. */
-  def nearestCentroid(v: Column, ids: Seq[Long], flat: Seq[Double],
-                      dim: Int, l2: Boolean): Column =
-    ExpressionUtils.column(NearestCentroidId(ExpressionUtils.expression(v),
-      ids.toArray, flat.toArray, dim, l2))
+  /** Nearest-centroid id of `v` against a BROADCAST codebook (see
+    * [[NearestCentroidId]]). The book ships once per executor via the
+    * broadcast mechanism instead of riding in every task binary. */
+  def nearestCentroid(v: Column, bc: Broadcast[CentroidBook], l2: Boolean): Column =
+    ExpressionUtils.column(NearestCentroidId(ExpressionUtils.expression(v), bc, l2))
+
+  /** Top-`nprobe` nearest cells of `v` by (cosine desc, id asc) as
+    * `array<long>` (see [[NearestCellsTopN]]) — the multi-probe
+    * assignment against a broadcast codebook. */
+  def nearestCells(v: Column, bc: Broadcast[CentroidBook], nprobe: Int): Column =
+    ExpressionUtils.column(NearestCellsTopN(ExpressionUtils.expression(v), bc, nprobe))
+
+  /** Per-row `map<id, dot(v, centroid)>` lookup table against a
+    * broadcast codebook (see [[CentroidDotMap]]) — the ADC query-side
+    * table, built without inlining any centroid literal. */
+  def centroidDotMap(v: Column, bc: Broadcast[CentroidBook]): Column =
+    ExpressionUtils.column(CentroidDotMap(ExpressionUtils.expression(v), bc))
+
+  /** The centroid vector for a cell-id column, from a broadcast
+    * codebook (see [[CentroidVector]]); null for an unknown id. */
+  def centroidVector(cell: Column, bc: Broadcast[CentroidBook]): Column =
+    ExpressionUtils.column(CentroidVector(ExpressionUtils.expression(cell), bc))
 
   /** Distinct winnowing fingerprints of a text column, ascending (see
     * [[WinnowFingerprints]]). */
@@ -222,45 +238,29 @@ object WinnowFingerprints {
   }
 }
 
-/** Argmax cell assignment of a numeric array against a LITERAL centroid
-  * codebook, as one compact two-level loop.
+/** A fitted centroid codebook in flat broadcast-friendly form: `ids`
+  * strictly ascending, `flat` the row-major `ids.length × dim` matrix.
   *
-  * Semantics are bit-identical to the unrolled expression it replaces
-  * (`array_max` over per-centroid `struct(sim, -cell)` columns, sim =
-  * `dot(v,c)/(|v|·|c|)` cosine or `dot(v,c) − |c|²/2` argmin-L2): the
-  * dot accumulates left-to-right in double exactly like
-  * [[NumericArrayDot]], centroid norms are folded the same way the
-  * literal-expression norms were, comparison is `Double.compare` (the
-  * engine's double ordering: NaN greatest), and sim ties keep the
-  * LOWEST cell id (ids are required ascending; strictly-greater wins).
-  *
-  * Why not the unrolled form: with k centroids × dim terms it codegens
-  * k inline dot loops per assignment — past ~32×8 the generated method
-  * blows the JIT's 8 KB inline/compile budget ("too long to be JIT
-  * compiled"), so it both compiles slowly at plan setup AND executes
-  * interpreted. This loop is a few hundred bytes of bytecode regardless
-  * of codebook size: JIT-hot, O(k·dim) per row, constant codegen cost.
-  * One deviation: a null input yields null (nullIntolerant), where the
-  * old struct-max folded all-null sims to the min cell — callers never
-  * feed null vectors (embeddings are non-null by schema). */
-case class NearestCentroidId(child: Expression, ids: Array[Long],
-                             flat: Array[Double], dim: Int, l2: Boolean)
-    extends UnaryExpression with ExpectsInputTypes {
+  * Always create ONE broadcast per fitted book and share it across the
+  * expressions of a plan: the alternative (r5) carried the arrays as
+  * expression FIELDS, so every task binary of every stage re-shipped
+  * O(k·dim) doubles — at a production-shaped quantizer (256–4096 cells
+  * × 64 dims) that is 0.1–2 MiB per task binary ("Broadcasting large
+  * task binary" warnings). A `Broadcast` handle serializes to a few
+  * bytes; the matrix moves once per executor, torrent-style. */
+case class CentroidBook(ids: Array[Long], flat: Array[Double], dim: Int) {
   require(ids.nonEmpty && flat.length == ids.length * dim,
     s"codebook shape mismatch: ${ids.length} ids × $dim dims vs ${flat.length} values")
+  require(ids.indices.tail.forall(i => ids(i - 1) < ids(i)),
+    "codebook ids must be strictly ascending")
 
-  override def inputTypes: Seq[AbstractDataType] =
-    Seq(TypeCollection(ArrayType(FloatType), ArrayType(DoubleType)))
-  override def dataType: DataType = LongType
-  override def nullIntolerant: Boolean = true
-  override def prettyName: String = "nearest_centroid"
+  /** sqrt |c| per centroid, folded left-to-right (cosine denominator). */
+  @transient lazy val auxCos: Array[Double] = aux(l2 = false)
 
-  private def elemIsFloat: Boolean =
-    child.dataType.asInstanceOf[ArrayType].elementType == FloatType
+  /** |c|²/2 per centroid (argmin-L2 as argmax dot − |c|²/2). */
+  @transient lazy val auxL2: Array[Double] = aux(l2 = true)
 
-  /** Per-centroid constant: sqrt-norm (cosine) or |c|²/2 (L2), folded
-    * left-to-right like the literal expressions it replaces. */
-  @transient private lazy val aux: Array[Double] = {
+  private def aux(l2: Boolean): Array[Double] = {
     val out = new Array[Double](ids.length)
     var c = 0
     while (c < ids.length) {
@@ -272,26 +272,95 @@ case class NearestCentroidId(child: Expression, ids: Array[Long],
     }
     out
   }
+}
 
-  override def nullSafeEval(a: Any): Any = {
-    val x = a.asInstanceOf[ArrayData]
-    val isF = elemIsFloat
-    def at(i: Int): Double = if (isF) x.getFloat(i).toDouble else x.getDouble(i)
+object CentroidBook {
+  /** From the (id, vector) list every fit returns (ascending by id). */
+  def apply(centroids: Seq[(Long, Seq[Double])]): CentroidBook =
+    CentroidBook(centroids.map(_._1).toArray, centroids.flatMap(_._2).toArray,
+      centroids.head._2.size)
+}
+
+/** Shared shape of the broadcast-codebook expressions: a numeric-array
+  * child scored against `bc.value`. The codebook is resolved from the
+  * broadcast ONCE per executor (transient lazy), and generated code
+  * calls back into the JIT-hot scoring method — constant codegen size
+  * regardless of codebook size (the unrolled per-centroid expression
+  * form blew the JIT's 8 KB budget past ~32×8 and fell back to
+  * interpreted bytecode). */
+trait CentroidBookExpression extends UnaryExpression with ExpectsInputTypes {
+  def bc: Broadcast[CentroidBook]
+
+  override def inputTypes: Seq[AbstractDataType] =
+    Seq(TypeCollection(ArrayType(FloatType), ArrayType(DoubleType)))
+  override def nullIntolerant: Boolean = true
+
+  @transient protected lazy val book: CentroidBook = bc.value
+  @transient protected lazy val elemIsFloat: Boolean =
+    child.dataType.asInstanceOf[ArrayType].elementType == FloatType
+
+  protected final def elemAt(x: ArrayData, i: Int): Double =
+    if (elemIsFloat) x.getFloat(i).toDouble else x.getDouble(i)
+
+  /** dot(x, centroid c) over min(len, dim), left-to-right in double —
+    * bit-identical to [[NumericArrayDot]] against the centroid. */
+  protected final def centDot(x: ArrayData, m: Int, c: Int): Double = {
+    val flat = book.flat
+    val off = c * book.dim
+    var d = 0.0
+    var i = 0
+    while (i < m) { d += elemAt(x, i) * flat(off + i); i += 1 }
+    d
+  }
+
+  /** sqrt Σx² over the whole array, like `sqrt(dot(v,v))`. */
+  protected final def vecNorm(x: ArrayData): Double = {
     val n = x.numElements()
     var vn = 0.0
-    if (!l2) {
-      var i = 0
-      while (i < n) { val xv = at(i); vn += xv * xv; i += 1 }
-      vn = math.sqrt(vn)
-    }
-    val m = math.min(n, dim)
+    var i = 0
+    while (i < n) { val xv = elemAt(x, i); vn += xv * xv; i += 1 }
+    math.sqrt(vn)
+  }
+}
+
+/** Argmax cell assignment of a numeric array against a BROADCAST
+  * centroid codebook.
+  *
+  * Semantics are bit-identical to the literal-codebook form it
+  * replaces (and to the unrolled `array_max` over per-centroid
+  * `struct(sim, -cell)` columns before that): sim = `dot(v,c)/(|v|·|c|)`
+  * cosine or `dot(v,c) − |c|²/2` argmin-L2, dots accumulate
+  * left-to-right in double exactly like [[NumericArrayDot]], comparison
+  * is `Double.compare` (the engine's double ordering: NaN greatest),
+  * and sim ties keep the LOWEST cell id (ids ascending, strictly-greater
+  * wins). The DuckDB oracle replays the same argmax as a row_number
+  * over (cosine DESC, cell ASC).
+  *
+  * Scale: the codebook travels via broadcast (once per executor), not
+  * in the task binary — see [[CentroidBook]]; generated code is a
+  * constant-size call into [[assign]] regardless of k·dim.
+  * One deviation inherited from r5: a null input yields null
+  * (nullIntolerant) — callers never feed null vectors. */
+case class NearestCentroidId(child: Expression, bc: Broadcast[CentroidBook],
+                             l2: Boolean)
+    extends CentroidBookExpression {
+
+  override def dataType: DataType = LongType
+  override def prettyName: String = "nearest_centroid"
+
+  @transient private lazy val auxArr: Array[Double] =
+    if (l2) book.auxL2 else book.auxCos
+
+  def assign(x: ArrayData): Long = {
+    val ids = book.ids
+    val n = x.numElements()
+    val vn = if (l2) 0.0 else vecNorm(x)
+    val m = math.min(n, book.dim)
     var best = 0.0; var bestId = 0L; var first = true
     var c = 0
     while (c < ids.length) {
-      var d = 0.0
-      var i = 0
-      while (i < m) { d += at(i) * flat(c * dim + i); i += 1 }
-      val sim = if (l2) d - aux(c) else d / (vn * aux(c))
+      val d = centDot(x, m, c)
+      val sim = if (l2) d - auxArr(c) else d / (vn * auxArr(c))
       if (first || java.lang.Double.compare(sim, best) > 0) {
         best = sim; bestId = ids(c); first = false
       }
@@ -300,50 +369,145 @@ case class NearestCentroidId(child: Expression, ids: Array[Long],
     bestId
   }
 
+  override def nullSafeEval(a: Any): Any = assign(a.asInstanceOf[ArrayData])
+
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
-    val getter = if (elemIsFloat) "getFloat" else "getDouble"
-    val idsRef = ctx.addReferenceObj("centIds", ids, "long[]")
-    val flatRef = ctx.addReferenceObj("centFlat", flat, "double[]")
-    val auxRef = ctx.addReferenceObj("centAux", aux, "double[]")
-    nullSafeCodeGen(ctx, ev, a => {
-      val n = ctx.freshName("n"); val m = ctx.freshName("m")
-      val vn = ctx.freshName("vn"); val xv = ctx.freshName("xv")
-      val best = ctx.freshName("best"); val bestId = ctx.freshName("bestId")
-      val first = ctx.freshName("first"); val c = ctx.freshName("c")
-      val i = ctx.freshName("i"); val d = ctx.freshName("d")
-      val off = ctx.freshName("off"); val sim = ctx.freshName("sim")
-      val vnCode = if (l2) s"double $vn = 0.0;"
-      else
-        s"""
-           |double $vn = 0.0;
-           |for (int $i = 0; $i < $n; $i++) {
-           |  double $xv = (double) $a.$getter($i);
-           |  $vn += $xv * $xv;
-           |}
-           |$vn = java.lang.Math.sqrt($vn);
-         """.stripMargin
-      val simCode = if (l2) s"$d - $auxRef[$c]" else s"$d / ($vn * $auxRef[$c])"
-      s"""
-         |int $n = $a.numElements();
-         |$vnCode
-         |int $m = java.lang.Math.min($n, $dim);
-         |double $best = 0.0; long $bestId = 0L; boolean $first = true;
-         |for (int $c = 0; $c < $idsRef.length; $c++) {
-         |  double $d = 0.0; int $off = $c * $dim;
-         |  for (int $i = 0; $i < $m; $i++) {
-         |    $d += ((double) $a.$getter($i)) * $flatRef[$off + $i];
-         |  }
-         |  double $sim = $simCode;
-         |  if ($first || java.lang.Double.compare($sim, $best) > 0) {
-         |    $best = $sim; $bestId = $idsRef[$c]; $first = false;
-         |  }
-         |}
-         |${ev.value} = $bestId;
-       """.stripMargin
-    })
+    val ref = ctx.addReferenceObj("nearestCentroid", this,
+      classOf[NearestCentroidId].getName)
+    nullSafeCodeGen(ctx, ev, a => s"${ev.value} = $ref.assign($a);")
   }
 
   override protected def withNewChildInternal(newChild: Expression): NearestCentroidId =
+    copy(child = newChild)
+}
+
+/** Top-`nprobe` cells of a numeric array by (cosine desc, cell-id asc)
+  * against a broadcast codebook, as `array<long>` — the multi-probe
+  * variant of [[NearestCentroidId]]. Order matches the
+  * `slice(sort_array(array(struct(sim, -cell)), desc), 1, nprobe)`
+  * formulation it replaces exactly: Spark's double ordering is
+  * `Double.compare` (NaN greatest, -0.0 < 0.0), equal sims break to the
+  * lower cell id. O(k·(dim + nprobe)) per row via selection, no
+  * allocation beyond the output. */
+case class NearestCellsTopN(child: Expression, bc: Broadcast[CentroidBook],
+                            nprobe: Int)
+    extends CentroidBookExpression {
+  require(nprobe >= 1, s"nprobe must be >= 1, got $nprobe")
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "nearest_cells"
+
+  def cells(x: ArrayData): ArrayData = {
+    val ids = book.ids
+    val k = ids.length
+    val vn = vecNorm(x)
+    val m = math.min(x.numElements(), book.dim)
+    val aux = book.auxCos
+    val sims = new Array[Double](k)
+    var c = 0
+    while (c < k) { sims(c) = centDot(x, m, c) / (vn * aux(c)); c += 1 }
+    val p = math.min(nprobe, k)
+    val out = new Array[Long](p)
+    val taken = new Array[Boolean](k)
+    var s = 0
+    while (s < p) {
+      var bi = -1
+      var j = 0
+      while (j < k) {
+        if (!taken(j) && (bi < 0 || {
+          val cmp = java.lang.Double.compare(sims(j), sims(bi))
+          cmp > 0 || (cmp == 0 && ids(j) < ids(bi))
+        })) bi = j
+        j += 1
+      }
+      taken(bi) = true
+      out(s) = ids(bi)
+      s += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  override def nullSafeEval(a: Any): Any = cells(a.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("nearestCells", this,
+      classOf[NearestCellsTopN].getName)
+    nullSafeCodeGen(ctx, ev, a => s"${ev.value} = $ref.cells($a);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): NearestCellsTopN =
+    copy(child = newChild)
+}
+
+/** Per-row ADC lookup table `map<cell-id, dot(v, centroid)>` against a
+  * broadcast codebook — what `map_from_arrays(array(lit ids...),
+  * array(dot(v, lit centroid)...))` built with O(k·dim) inlined
+  * literals. Values accumulate left-to-right in double over
+  * min(len, dim), identical to [[NumericArrayDot]] per entry; map key
+  * order is the ascending id order, so `element_at` lookups behave
+  * identically to the literal form. */
+case class CentroidDotMap(child: Expression, bc: Broadcast[CentroidBook])
+    extends CentroidBookExpression {
+
+  override def dataType: DataType =
+    MapType(LongType, DoubleType, valueContainsNull = false)
+  override def prettyName: String = "centroid_dot_map"
+
+  def table(x: ArrayData): MapData = {
+    val ids = book.ids
+    val m = math.min(x.numElements(), book.dim)
+    val vals = new Array[Double](ids.length)
+    var c = 0
+    while (c < ids.length) { vals(c) = centDot(x, m, c); c += 1 }
+    new ArrayBasedMapData(new GenericArrayData(ids), new GenericArrayData(vals))
+  }
+
+  override def nullSafeEval(a: Any): Any = table(a.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("centroidDotMap", this,
+      classOf[CentroidDotMap].getName)
+    nullSafeCodeGen(ctx, ev, a => s"${ev.value} = $ref.table($a);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): CentroidDotMap =
+    copy(child = newChild)
+}
+
+/** Centroid vector (as `array<double>`) for a LONG cell-id column from
+  * a broadcast codebook — replaces the O(k·dim)-literal
+  * `when(cell === id, array(lits...))` chain. An id not in the book
+  * yields null (the chain's `otherwise(null)`); callers only feed ids
+  * the same book assigned, so null never occurs in practice. */
+case class CentroidVector(child: Expression, bc: Broadcast[CentroidBook])
+    extends UnaryExpression with ExpectsInputTypes {
+
+  override def inputTypes: Seq[AbstractDataType] = Seq(LongType)
+  override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+  override def nullable: Boolean = true
+  override def prettyName: String = "centroid_vector"
+
+  @transient private lazy val book: CentroidBook = bc.value
+
+  def vec(id: Long): ArrayData = {
+    val idx = java.util.Arrays.binarySearch(book.ids, id)
+    if (idx < 0) null
+    else new GenericArrayData(java.util.Arrays.copyOfRange(
+      book.flat, idx * book.dim, (idx + 1) * book.dim))
+  }
+
+  override def nullSafeEval(a: Any): Any = vec(a.asInstanceOf[Long])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("centroidVector", this,
+      classOf[CentroidVector].getName)
+    nullSafeCodeGen(ctx, ev, a => s"""
+       |${ev.value} = $ref.vec($a);
+       |if (${ev.value} == null) { ${ev.isNull} = true; }
+     """.stripMargin)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): CentroidVector =
     copy(child = newChild)
 }
 
