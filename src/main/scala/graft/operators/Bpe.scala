@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Distributed byte-pair-encoding merge learning — the
@@ -17,19 +17,30 @@ import org.apache.spark.sql.functions._
   * replace. `localCheckpoint` per round keeps the plan flat instead of
   * nesting one replace per learned merge.
   *
-  * Symbol strings use a TERMINATOR (not separator) encoding —
-  * `"ab" -> "a¶b¶"` — so replacing the pair `a¶b¶` with `ab¶` is
-  * exactly BPE's leftmost non-overlapping merge (a shared-boundary
-  * separator form would skip back-to-back occurrences), and the same
-  * `replace` semantics exist in any engine, which is what makes the
-  * learner differentially testable in SQL.
+  * Symbol strings use a TWO-MARKER encoding — each symbol is wrapped
+  * as `•sym¶` (start marker + terminator), `"ab" -> "•a¶•b¶"` — so the
+  * merge of pair (lhs, rhs) is the literal replace of `•lhs¶•rhs¶`
+  * with `•lhsrhs¶`. Both anchors matter: the marker pins the match to
+  * a symbol START (a bare `lhs¶rhs¶` pattern also matched where `lhs`
+  * was a proper SUFFIX of a longer symbol — e.g. symbols ["lo","w"]
+  * with merge (o,w) produced "low" across the symbol boundary), and
+  * the terminator pins the symbol END (rhs can't match a prefix of a
+  * longer symbol). Because each occurrence of the pattern is fully
+  * disjoint from the next (no shared boundary character), leftmost
+  * non-overlapping `replace` still merges back-to-back pairs exactly
+  * like BPE's left-to-right scan — and the same `replace` semantics
+  * exist in any engine, which is what makes the learner
+  * differentially testable in SQL.
   */
 object Bpe {
 
   /** Symbol terminator: must not occur in corpus tokens. */
   val Term = "¶"
 
-  /** Word-frequency table with terminator-encoded symbol strings:
+  /** Symbol start marker: must not occur in corpus tokens. */
+  val Start = "•"
+
+  /** Word-frequency table with two-marker-encoded symbol strings:
     * (word, freq, s) where s is the word split into single-character
     * symbols. One corpus pass; vocabulary-sized output. */
   def wordFreq(corpus: DataFrame, textCol: String): DataFrame =
@@ -37,19 +48,22 @@ object Bpe {
       .select(explode(split(trim(col(textCol)), "\\s+")).as("word"))
       .filter(col("word") =!= "")
       .groupBy(col("word")).agg(count(lit(1)).as("freq"))
-      .withColumn("s", regexp_replace(col("word"), "(.)", s"$$1$Term"))
+      .withColumn("s", regexp_replace(col("word"), "(.)", s"$Start$$1$Term"))
 
   /** Adjacent symbol pairs of `s` weighted by `freq`, aggregated —
-    * the per-round pair statistics. */
+    * the per-round pair statistics. Splitting on the terminator leaves
+    * each element carrying its leading start marker (plus a trailing
+    * "" element); `substring(_, 2)` strips it. */
   private def pairCounts(vocab: DataFrame): DataFrame = {
     val syms = split(col("s"), Term) // trailing "" element after the last terminator
+    def symAt(i: Column): Column =
+      substring(element_at(col("syms"), i), 2, Int.MaxValue)
     vocab
       .select(col("freq"), syms.as("syms"))
       .filter(size(col("syms")) >= 3) // at least two real symbols
       .select(col("freq"), explode(transform(
         sequence(lit(1), size(col("syms")) - 2),
-        i => struct(element_at(col("syms"), i).as("lhs"),
-          element_at(col("syms"), i + 1).as("rhs")))).as("p"))
+        i => struct(symAt(i).as("lhs"), symAt(i + 1).as("rhs")))).as("p"))
       .groupBy(col("p.lhs").as("lhs"), col("p.rhs").as("rhs"))
       .agg(sum(col("freq")).as("weight"))
   }
@@ -72,7 +86,8 @@ object Bpe {
         val (lhs, rhs, w) = (top(0).getString(0), top(0).getString(1), top(0).getLong(2))
         learned += ((r + 1, lhs, rhs, w))
         vocab = vocab.withColumn("s",
-          replace(col("s"), lit(s"$lhs$Term$rhs$Term"), lit(s"$lhs$rhs$Term")))
+          replace(col("s"), lit(s"$Start$lhs$Term$Start$rhs$Term"),
+            lit(s"$Start$lhs$rhs$Term")))
           .localCheckpoint()
         r += 1
       }
@@ -88,13 +103,14 @@ object Bpe {
   def encode(df: DataFrame, textCol: String,
              merges: Seq[(String, String)]): DataFrame = {
     val word = explode(split(trim(col(textCol)), "\\s+")).as("word")
-    val chars = regexp_replace(col("word"), "(.)", s"$$1$Term")
+    val chars = regexp_replace(col("word"), "(.)", s"$Start$$1$Term")
     val folded = merges.foldLeft(chars) { case (c, (lhs, rhs)) =>
-      replace(c, lit(s"$lhs$Term$rhs$Term"), lit(s"$lhs$rhs$Term"))
+      replace(c, lit(s"$Start$lhs$Term$Start$rhs$Term"), lit(s"$Start$lhs$rhs$Term"))
     }
     df.select(col("*"), word)
       .filter(col("word") =!= "")
-      .withColumn("symbols", slice(split(folded, Term), lit(1),
-        size(split(folded, Term)) - 1))
+      .withColumn("symbols", transform(
+        slice(split(folded, Term), lit(1), size(split(folded, Term)) - 1),
+        x => substring(x, 2, Int.MaxValue)))
   }
 }

@@ -146,21 +146,25 @@ object TextQueries {
 
   private val BpeRounds = 6
 
-  /** DuckDB replay of the BPE rounds: same terminator-string encoding,
-    * same leftmost-non-overlapping `replace`, same (weight DESC, lhs,
-    * rhs) argmax — generated per round so both engines run the
-    * identical algorithm. */
+  /** DuckDB replay of the BPE rounds: same two-marker `•sym¶` symbol
+    * encoding (start marker pins the match to a symbol start, the
+    * terminator pins its end — see operators.Bpe), same
+    * leftmost-non-overlapping `replace`, same (weight DESC, lhs, rhs)
+    * argmax — generated per round so both engines run the identical
+    * algorithm. */
   private val bpeOracle: String = {
     val rounds = (1 to BpeRounds).map { r =>
       s"""p$r AS (
-            SELECT sy[i] AS lhs, sy[i + 1] AS rhs, CAST(sum(freq) AS BIGINT) AS weight
+            SELECT substr(sy[i], 2) AS lhs, substr(sy[i + 1], 2) AS rhs,
+              CAST(sum(freq) AS BIGINT) AS weight
             FROM (SELECT freq, string_split(s, '¶') AS sy,
                     unnest(generate_series(1, len(string_split(s, '¶')) - 2)) AS i
                   FROM w${r - 1})
             GROUP BY 1, 2),
           t$r AS (SELECT lhs, rhs, weight FROM p$r
                   ORDER BY weight DESC, lhs ASC, rhs ASC LIMIT 1),
-          w$r AS (SELECT freq, replace(s, lhs || '¶' || rhs || '¶', lhs || rhs || '¶') AS s
+          w$r AS (SELECT freq, replace(s, '•' || lhs || '¶•' || rhs || '¶',
+                    '•' || lhs || rhs || '¶') AS s
                   FROM w${r - 1} CROSS JOIN t$r)"""
     }.mkString(",\n          ")
     val unions = (1 to BpeRounds)
@@ -168,7 +172,7 @@ object TextQueries {
       .mkString(" UNION ALL ")
     s"""WITH w0 AS (
           SELECT word, CAST(count(*) AS BIGINT) AS freq,
-            regexp_replace(word, '(.)', '\\1¶', 'g') AS s
+            regexp_replace(word, '(.)', '•\\1¶', 'g') AS s
           FROM (SELECT unnest(string_split_regex(trim(text), '\\s+')) AS word FROM documents)
           WHERE word <> '' GROUP BY word),
           $rounds

@@ -293,6 +293,25 @@ class PropertySpec extends SparkTestBase {
     assert(enc("lower") == Seq("low", "e", "r"))
   }
 
+  test("BPE merge never crosses a symbol boundary (suffix-match regression)") {
+    import graft.operators.Bpe
+    // After (l,o) builds symbol "lo", applying (o,w) must NOT merge
+    // ["lo","w"] into "low": the "o" there is the tail of symbol "lo",
+    // not a symbol. The flat `lhs¶rhs¶` replace of the old single-
+    // terminator encoding matched exactly that suffix; the two-marker
+    // `•lhs¶•rhs¶` pattern can only match whole symbols.
+    val enc = Bpe.encode(Seq("low").toDF("text"), "text",
+      Seq(("l", "o"), ("o", "w")))
+      .select("word", "symbols").as[(String, Seq[String])].collect().toMap
+    assert(enc("low") == Seq("lo", "w"))
+    // and back-to-back pairs still merge left-to-right, non-overlapping
+    val runs = Bpe.encode(Seq("aaaa aaa").toDF("text"), "text",
+      Seq(("a", "a")))
+      .select("word", "symbols").as[(String, Seq[String])].collect().toMap
+    assert(runs("aaaa") == Seq("aa", "aa"))
+    assert(runs("aaa") == Seq("aa", "a"))
+  }
+
   test("winnowing guarantee: docs sharing a >= k+w-1 char run pair up") {
     val sharedRun = "the exact same thirty-plus character passage here"
     val docs = Seq(
