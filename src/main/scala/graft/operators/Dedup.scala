@@ -33,10 +33,28 @@ object Dedup {
     * scan is already thousands of partitions, and an unconditional
     * repartition there would round-robin the ENTIRE corpus through a
     * pure-waste shuffle — so the exchange is gated on the physical
-    * partition count (a plan-time check; nothing executes). */
+    * partition count.
+    *
+    * The partition probe (`toRdd.getNumPartitions`) runs ONLY on
+    * exchange-free plans, where forcing AQE's final plan executes
+    * nothing (raw scans, filters/projections, localCheckpoints). On a
+    * plan containing an exchange the probe itself would materialize the
+    * upstream shuffle stages — running the job once for the probe and
+    * again at execution — and a post-shuffle frame already sits at
+    * shuffle parallelism, so such inputs pass through untouched. */
   private[operators] def spread(df: DataFrame): DataFrame = {
     val target = df.sparkSession.sessionState.conf.numShufflePartitions
-    if (df.queryExecution.toRdd.getNumPartitions < target) df.repartition(target)
+    val plan = df.queryExecution.executedPlan match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+        a.inputPlan // collect/exists do not descend into AQE roots
+      case p => p
+    }
+    val hasExchange = plan.exists {
+      case _: org.apache.spark.sql.execution.exchange.Exchange => true
+      case _ => false
+    }
+    if (hasExchange) df
+    else if (df.queryExecution.toRdd.getNumPartitions < target) df.repartition(target)
     else df
   }
 

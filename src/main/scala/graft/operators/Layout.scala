@@ -97,10 +97,7 @@ object Layout {
     * enumeration the scan planner itself performs. */
   def updateFileStats(spark: org.apache.spark.sql.SparkSession, dir: String,
                       oldStats: DataFrame, cols: Seq[String]): DataFrame = {
-    val path = new org.apache.hadoop.fs.Path(dir)
-    val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val live = fs.listStatus(path).map(_.getPath.toUri.toString)
-      .filter(_.endsWith(".parquet")).toSet
+    val live = listParquetFiles(spark, dir)
     val known = oldStats.select(col("file"))
       .collect().map(_.getString(0)).toSet
     val fresh = (live -- known).toSeq.sorted
@@ -109,12 +106,39 @@ object Layout {
     else {
       val aggs = count(lit(1)).as("n_rows") +:
         cols.flatMap(c => Seq(min(col(c)).as(s"min_$c"), max(col(c)).as(s"max_$c")))
-      val newStats = spark.read.parquet(fresh: _*)
+      // basePath keeps hive-partition columns derivable when the fresh
+      // files sit under partition subdirectories
+      val newStats = spark.read.option("basePath", dir).parquet(fresh: _*)
         .select(col("_metadata.file_path").as("file") +: cols.map(col): _*)
         .groupBy(col("file"))
         .agg(aggs.head, aggs.tail: _*)
       kept.unionByName(newStats)
     }
+  }
+
+  /** RECURSIVE parquet-file listing under `dir`, skipping hidden
+    * (`_`/`.`-prefixed) entries the way Spark's own file index does. A
+    * non-recursive `listStatus` silently returned an EMPTY live set on
+    * hive-partitioned layouts (data lives in `k=v/` subdirectories),
+    * which made [[updateFileStats]] drop every old row and discover
+    * nothing. Driver-side, same scale as the scan planner's listing. */
+  private def listParquetFiles(spark: org.apache.spark.sql.SparkSession,
+                               dir: String): Set[String] = {
+    val path = new org.apache.hadoop.fs.Path(dir)
+    val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val out = scala.collection.mutable.Set.empty[String]
+    // hidden check applies only to segments BELOW dir (the base itself
+    // may legitimately live under a dotted/underscored parent)
+    val qBase = fs.makeQualified(path).toUri.getPath.stripSuffix("/") + "/"
+    val it = fs.listFiles(path, true)
+    while (it.hasNext) {
+      val f = it.next().getPath
+      val rel = f.toUri.getPath.stripPrefix(qBase)
+      val hidden = rel.split('/')
+        .exists(seg => seg.startsWith("_") || seg.startsWith("."))
+      if (f.getName.endsWith(".parquet") && !hidden) out += f.toUri.toString
+    }
+    out.toSet
   }
 
   /** Metadata-only count with a scan fallback only for boundary files:
@@ -143,7 +167,8 @@ object Layout {
     }.reduce(_ && _)
     val partialCount =
       if (partialFiles.isEmpty) 0L
-      else spark.read.parquet(partialFiles: _*).filter(exact).count()
+      else spark.read.option("basePath", dir).parquet(partialFiles: _*)
+        .filter(exact).count()
     fullCount + partialCount
   }
 
@@ -161,7 +186,8 @@ object Layout {
     if (files.isEmpty)
       spark.read.parquet(dir).filter(lit(false))
     else
-      spark.read.parquet(files: _*).filter(exact)
+      // basePath keeps hive-partition columns in the per-file reads
+      spark.read.option("basePath", dir).parquet(files: _*).filter(exact)
   }
 
   /** Small-file compaction: rewrite a parquet directory into

@@ -54,11 +54,32 @@ object Sampling {
     * in-plan 1-row broadcast (an agg, not a collect); the sample itself
     * stays a narrow filter. Weights must be non-negative integers
     * (token counts, byte sizes); `expected` is the target sample size
-    * in rows. */
+    * in rows.
+    *
+    * Exactness bound, enforced IN-PLAN (raise_error on the 1-row agg,
+    * no driver round-trip): both comparison sides must stay within
+    * Long — `sum(weight) <= Long.Max/10⁴` (~9.2e14, e.g. a ~900 TB
+    * byte-weighted corpus) and `expected·max(weight) <= Long.Max/10⁴`.
+    * Beyond that the old code silently wrapped and corrupted the keep
+    * set; now the job fails with the measured totals in the message —
+    * callers at that scale should pre-scale weights (e.g. KiB instead
+    * of bytes). */
   def weightedSample(df: DataFrame, idCol: String, weightCol: String,
                      expected: Long): DataFrame = {
-    val tot = df.agg(sum(col(weightCol)).cast("long").as("__w_total"))
-    df.crossJoin(broadcast(tot))
+    require(expected > 0, s"expected must be positive, got $expected")
+    val safeCap = Long.MaxValue / Denominator
+    val tot = df.agg(sum(col(weightCol)).cast("long").as("__w_total"),
+      max(col(weightCol)).cast("long").as("__w_max"))
+    val guarded = tot.select(
+      when(col("__w_total") > safeCap || col("__w_max") > safeCap / expected,
+        raise_error(concat(
+          lit("weightedSample exact-integer overflow: sum(weight)="),
+          col("__w_total").cast("string"),
+          lit(" or expected*max(weight) with max(weight)="),
+          col("__w_max").cast("string"),
+          lit(s" exceeds ${Long.MaxValue}/$Denominator; pre-scale the weights"))))
+        .otherwise(col("__w_total")).as("__w_total"))
+    df.crossJoin(broadcast(guarded))
       .filter(keepHash(col(idCol)) * col("__w_total") <
         lit(expected) * col(weightCol).cast("long") * lit(Denominator))
       .drop("__w_total")

@@ -209,6 +209,45 @@ object AnalyticsQueries {
             col("n_exact").cast("double") * 0.05).as("sketch_ok"),
           (abs(col("__est_merged") - col("__est_direct")) <=
             col("__est_direct").cast("double") * 0.01).as("merge_ok"))
+    }),
+
+    // Mergeable-sketch QUANTILE cube (KLL): daily sketches of the order
+    // total, rolled up to months, must land within the exact rank band
+    // p50±0.05 (k=200's 99%-confidence rank error is 1.65%, so 0.05 is
+    // ~8σ) — both the direct month sketch and the one merged from
+    // dailies. percentile_approx can't back this cube (its state is not
+    // persistable/re-mergeable); the serialized KLL sketch is. The
+    // oracle pins the exact month row counts and asserts the accuracy
+    // flags as ground truth.
+    "sketch_quantile" -> ((s, d) => {
+      val orders = tbl(s, d, "orders")
+        .withColumn("o_month", date_format(col("o_orderdate"), "yyyy-MM"))
+        .withColumn("o_day", date_format(col("o_orderdate"), "yyyy-MM-dd"))
+      val daily = Sketches.quantileSketch(orders,
+        Seq(col("o_month"), col("o_day")), col("o_totalprice"))
+      val rolled = Sketches.rollupQuantiles(daily, Seq(col("o_month")), Seq(0.5))
+        .withColumnRenamed("q50", "__q50_merged")
+      val direct = Sketches.rollupQuantiles(
+        Sketches.quantileSketch(orders, Seq(col("o_month")), col("o_totalprice")),
+        Seq(col("o_month")), Seq(0.5))
+        .withColumnRenamed("q50", "__q50_direct")
+      // Band endpoints are ORDER STATISTICS (ranks ceil(0.45n) and
+      // ceil(0.55n)), matching KLL's INCLUSIVE quantile semantics —
+      // an interpolating percentile() band excludes both data values
+      // on a 2-row month. collect_list is per-month-sized (a verify
+      // harness, not a production path).
+      val exact = orders.groupBy(col("o_month"))
+        .agg(count(lit(1)).as("n_rows"),
+          sort_array(collect_list(col("o_totalprice"))).as("__vals"))
+        .select(col("o_month"), col("n_rows"),
+          element_at(col("__vals"),
+            greatest(ceil(col("n_rows") * 0.45), lit(1)).cast("int")).as("__lo"),
+          element_at(col("__vals"),
+            least(ceil(col("n_rows") * 0.55), col("n_rows")).cast("int")).as("__hi"))
+      exact.join(rolled, Seq("o_month")).join(direct, Seq("o_month"))
+        .select(col("o_month"), col("n_rows"),
+          col("__q50_direct").between(col("__lo"), col("__hi")).as("sketch_ok"),
+          col("__q50_merged").between(col("__lo"), col("__hi")).as("merge_ok"))
     }))
 
   val oracles: Map[String, String] = Map(
@@ -216,6 +255,12 @@ object AnalyticsQueries {
     "sketch_distinct" ->
       """SELECT strftime(o_orderdate, '%Y-%m') AS o_month,
            count(DISTINCT o_custkey) AS n_exact,
+           true AS sketch_ok, true AS merge_ok
+         FROM orders GROUP BY 1""",
+
+    "sketch_quantile" ->
+      """SELECT strftime(o_orderdate, '%Y-%m') AS o_month,
+           CAST(count(*) AS BIGINT) AS n_rows,
            true AS sketch_ok, true AS merge_ok
          FROM orders GROUP BY 1""",
 

@@ -5,12 +5,12 @@ import org.apache.datasketches.memory.Memory
 import org.apache.datasketches.quantilescommon.QuantileSearchCriteria
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.InternalRow
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, ExpectsInputTypes, Expression, ImplicitCastInputTypes}
 import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
 import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
 import org.apache.spark.sql.catalyst.trees.{BinaryLike, UnaryLike}
 import org.apache.spark.sql.classic.ExpressionUtils
-import org.apache.spark.sql.types.{BinaryType, DataType, DoubleType}
+import org.apache.spark.sql.types.{AbstractDataType, BinaryType, DataType, DoubleType}
 
 /** Mergeable quantile sketches (Apache DataSketches KLL, bundled with
   * Spark) — the percentile counterpart of the `hll_*` distinct family,
@@ -59,11 +59,15 @@ trait KllAggBase extends TypedImperativeAggregate[KllDoublesSketch] {
   override def nullable: Boolean = false
 }
 
-/** `kll_sketch_agg(doubleValue, k)`: double column → serialized sketch. */
+/** `kll_sketch_agg(doubleValue, k)`: double column → serialized sketch.
+  * Declares DoubleType input so int/float/decimal columns arrive
+  * implicitly cast (without this, analysis passed any type and update
+  * threw ClassCastException at execution). */
 case class KllSketchAgg(child: Expression, k: Int = 200,
                         mutableAggBufferOffset: Int = 0,
                         inputAggBufferOffset: Int = 0)
-  extends KllAggBase with UnaryLike[Expression] {
+  extends KllAggBase with UnaryLike[Expression] with ImplicitCastInputTypes {
+  override def inputTypes: Seq[AbstractDataType] = Seq(DoubleType)
   override def update(buf: KllDoublesSketch,
                       input: InternalRow): KllDoublesSketch = {
     val v = child.eval(input)
@@ -79,11 +83,14 @@ case class KllSketchAgg(child: Expression, k: Int = 200,
   override def prettyName: String = "kll_sketch_agg"
 }
 
-/** `kll_union_agg(sketchBinary, k)`: merge stored sketches (rollup). */
+/** `kll_union_agg(sketchBinary, k)`: merge stored sketches (rollup).
+  * Binary input only — anything else is an analysis error, not a
+  * runtime ClassCastException. */
 case class KllUnionAgg(child: Expression, k: Int = 200,
                        mutableAggBufferOffset: Int = 0,
                        inputAggBufferOffset: Int = 0)
-  extends KllAggBase with UnaryLike[Expression] {
+  extends KllAggBase with UnaryLike[Expression] with ExpectsInputTypes {
+  override def inputTypes: Seq[AbstractDataType] = Seq(BinaryType)
   override def update(buf: KllDoublesSketch,
                       input: InternalRow): KllDoublesSketch = {
     val v = child.eval(input)
@@ -105,7 +112,9 @@ case class KllUnionAgg(child: Expression, k: Int = 200,
   * sketch. Interpreted eval only — quantile extraction runs over
   * bucket-count-sized frames, never the raw fact table. */
 case class KllQuantile(left: Expression, right: Expression)
-  extends BinaryExpression with CodegenFallback with BinaryLike[Expression] {
+  extends BinaryExpression with CodegenFallback with BinaryLike[Expression]
+  with ImplicitCastInputTypes {
+  override def inputTypes: Seq[AbstractDataType] = Seq(BinaryType, DoubleType)
   override def dataType: DataType = DoubleType
   override def nullable: Boolean = true
   override def nullSafeEval(sketch: Any, p: Any): Any = {

@@ -163,6 +163,49 @@ class LayoutSpec extends SparkTestBase {
       Seq(("l_orderkey", lit(lo), lit(mid)))) == expect)
   }
 
+  test("skipping index works on a hive-partitioned layout") {
+    val base = s"${sys.props("java.io.tmpdir")}/graft_fskip_hive"
+    def rm(f: java.io.File): Unit = {
+      if (f.isDirectory) f.listFiles().foreach(rm); f.delete()
+    }
+    rm(new java.io.File(base))
+    val full = spark.read.parquet(s"$sfSmoke/lineitem.parquet")
+      .select("l_orderkey", "l_partkey", "l_linenumber")
+    full.filter(col("l_linenumber") <= 2)
+      .write.partitionBy("l_linenumber").parquet(base)
+
+    // partitioned data lives in k=v/ subdirectories: a non-recursive
+    // listing saw ZERO live files here and silently emptied the index
+    val stats0 = Layout.fileStats(spark, base, Seq("l_orderkey"))
+      .localCheckpoint()
+    assert(stats0.count() > 0L)
+    // no new files -> pass-through, NOT an emptied index
+    val same = Layout.updateFileStats(spark, base, stats0, Seq("l_orderkey"))
+    assert(same.exceptAll(stats0).isEmpty && same.count() == stats0.count())
+
+    // append a new partition directory; incremental must equal rebuild
+    full.filter(col("l_linenumber") === 3)
+      .write.mode("append").partitionBy("l_linenumber").parquet(base)
+    val stats1 = Layout.updateFileStats(spark, base, stats0, Seq("l_orderkey"))
+    val rebuilt = Layout.fileStats(spark, base, Seq("l_orderkey"))
+    assert(stats1.exceptAll(rebuilt).isEmpty && rebuilt.exceptAll(stats1).isEmpty)
+
+    // pruned read keeps the partition column (basePath) and is exact
+    val Seq(lo, hi) = full.agg(min(col("l_orderkey")), max(col("l_orderkey")))
+      .as[(Long, Long)].head() match { case (a, b) => Seq(a, a + (b - a) / 4) }
+    val pruned = Layout.prunedRead(spark, base, stats1,
+      Seq(("l_orderkey", lit(lo), lit(hi))))
+    assert(pruned.columns.contains("l_linenumber"))
+    val exact = spark.read.parquet(base)
+      .filter(col("l_orderkey").between(lo, hi))
+    assert(pruned.count() == exact.count() &&
+      pruned.selectExpr(exact.columns.map(c => s"`$c`"): _*)
+        .exceptAll(exact).isEmpty)
+    // statsCount stays exact on the partitioned layout too
+    assert(Layout.statsCount(spark, base, stats1,
+      Seq(("l_orderkey", lit(lo), lit(hi)))) == exact.count())
+  }
+
   test("zval is a bijective interleave of the bucket bits") {
     val z = Layout.zValue(li, Seq("l_orderkey", "l_partkey"), bits = 8)
     val bad = z.filter(col("zval") < 0 || col("zval") >= (1L << 16)).count()

@@ -39,6 +39,52 @@ class SketchSpec extends SparkTestBase {
       s"expected a partial sketch aggregate before the exchange:\n$p")
   }
 
+  test("quantileSketch: q50/q95 inside the exact rank band, with compaction") {
+    // 100k skewed values — well past k=200, so the sketch actually
+    // compacts and the rank-error bound (not exactness) is what holds
+    val df = spark.range(0, 100000)
+      .select((col("id") * col("id")).cast("double").as("v"))
+    val q = Sketches.rollupQuantiles(
+      Sketches.quantileSketch(df, Seq(lit(1).as("g")), col("v")),
+      Seq(lit(1).as("g")), Seq(0.5, 0.95))
+      .select(col("q50"), col("q95")).as[(Double, Double)].head()
+    def exact(p: Double): Double =
+      df.agg(percentile(col("v"), lit(p))).as[Double].head()
+    // k=200: 99%-confidence rank error 1.65%; band ±0.05 is ~8 sigma
+    assert(q._1 >= exact(0.45) && q._1 <= exact(0.55),
+      s"q50 ${q._1} outside exact rank band [${exact(0.45)}, ${exact(0.55)}]")
+    assert(q._2 >= exact(0.90) && q._2 <= exact(0.99),
+      s"q95 ${q._2} outside exact rank band")
+  }
+
+  test("quantileSketch rollup from fine buckets matches the rank band too") {
+    val df = spark.range(0, 50000)
+      .select(col("id").cast("double").as("v"), (col("id") % 16).as("b"))
+    val merged = Sketches.rollupQuantiles(
+      Sketches.quantileSketch(df, Seq(col("b")), col("v")),
+      Seq(lit(1).as("g")), Seq(0.5))
+      .select(col("q50")).as[Double].head()
+    assert(merged >= 0.45 * 50000 && merged <= 0.55 * 50000,
+      s"merged q50 $merged outside the exact rank band")
+  }
+
+  test("KLL aggregates coerce/reject input types at analysis time") {
+    // integer input: implicitly cast to double (was a runtime
+    // ClassCastException before ExpectsInputTypes)
+    val intQ = Sketches.rollupQuantiles(
+      Sketches.quantileSketch(spark.range(0, 1000).toDF("v"),
+        Seq(lit(1).as("g")), col("v")),
+      Seq(lit(1).as("g")), Seq(0.5)).select(col("q50")).as[Double].head()
+    assert(intQ >= 400 && intQ <= 600, s"int-typed q50 $intQ off")
+    // union over a non-binary column must fail analysis, not execution
+    val err = intercept[org.apache.spark.sql.AnalysisException] {
+      spark.range(0, 10).toDF("v")
+        .agg(org.apache.spark.sql.graftx.KllSketch.unionAgg(col("v"), 200))
+        .collect()
+    }
+    assert(err.getMessage.toLowerCase.contains("type"))
+  }
+
   test("weightedSample: zero-weight rows never kept; heavy rows enriched") {
     val df = (0L until 4000L).map(i =>
       (i, if (i < 2000) 0L else if (i % 100 == 0) 50L else 1L))
@@ -53,5 +99,18 @@ class SketchSpec extends SparkTestBase {
     val lightRate = kept.filter(col("w") === 1).count().toDouble / 1980
     assert(heavyRate > 5 * lightRate,
       s"heavy $heavyRate not enriched over light $lightRate")
+  }
+
+  test("weightedSample fails loudly past the exact-integer bound") {
+    // sum(weight) > Long.Max/10^4 used to wrap silently and corrupt the
+    // keep set; the in-plan guard must raise instead
+    val big = Long.MaxValue / 10000L
+    val df = Seq((1L, big), (2L, big)).toDF("doc_id", "w")
+    val e = intercept[Exception] {
+      Sampling.weightedSample(df, "doc_id", "w", expected = 10L).count()
+    }
+    val messages = Iterator.iterate[Throwable](e)(_.getCause)
+      .takeWhile(_ != null).map(_.getMessage).mkString(" | ")
+    assert(messages.contains("overflow"), s"unexpected error: $messages")
   }
 }
