@@ -100,6 +100,69 @@ object TableBuild {
       Seq("ontology_prefix"), "left_semi")
   }
 
+  /** Ontology-term harvest patterns (reference regex dictionary:
+    * KBDatalakeUtils.py:2241-2252): (pattern, match group, canonical
+    * prefix). Group 1 of the RAST-style `(EC 1.1.1.5)` pattern captures
+    * the bare number; the prefix is prepended whenever the match lacks
+    * it (KEGG `K00001`, PFAM `PF00001`, RAST EC captures). Shared with
+    * the differential oracle so both engines harvest identically. */
+  val termPatterns: Seq[(String, Int, String)] = Seq(
+    ("GO:\\d+", 0, "GO:"),
+    ("EC:[\\d.-]+", 0, "EC:"),
+    ("\\(EC[:\\s]*([\\d.-]+)\\)", 1, "EC:"),
+    ("(?:KEGG:)?K\\d{5}", 0, "KEGG:"),
+    ("COG:(?:COG\\d+|[A-Z])", 0, "COG:"),
+    ("(?:PFAM:)?PF\\d+(?:\\.\\d+)?", 0, "PFAM:"),
+    ("SO:\\d+", 0, "SO:"),
+    ("seed\\.role:\\d+", 0, "seed.role:"))
+
+  /** Harvest normalized ontology identifiers out of free-text columns
+    * (reference cell-scan: KBDatalakeUtils.py:2281-2312, which loops
+    * rows×columns×patterns in pandas). Here it is ONE map-side
+    * projection: every (column × pattern) extraction runs in the same
+    * pass over the row, flattened and exploded — no per-pattern rescan,
+    * no shuffle; at 100 TB the harvest cost is the scan itself. */
+  def harvestTerms(df: DataFrame, textCols: Seq[String]): DataFrame = {
+    val matches: Seq[org.apache.spark.sql.Column] = for {
+      c <- textCols
+      (pat, grp, pfx) <- termPatterns
+    } yield transform(regexp_extract_all(col(c), lit(pat), lit(grp)),
+      m => when(m.startsWith(pfx), m).otherwise(concat(lit(pfx), m)))
+    df.select(explode(flatten(array(matches: _*))).as("identifier"))
+  }
+
+  /** `ontology_terms` dimension table (reference assembly:
+    * KBDatalakeUtils.py:2406-2421 enrichment + 2700-2702
+    * `drop_duplicates(subset=['identifier'])` and
+    * `sort_values(['ontology_prefix','identifier'])`): one row per
+    * distinct harvested identifier, enriched with `rdfs:label` /
+    * `IAO:0000115` values from the statements triple store (empty
+    * string when absent, like the reference), prefix = text before the
+    * first colon.
+    *
+    * Scale shape: the harvest side dedups with one hash shuffle; the
+    * label/definition lookups are predicate-filtered slices of the
+    * statements table, broadcast — the big side never reshuffles for
+    * the joins. */
+  def ontologyTerms(harvested: DataFrame, statements: DataFrame): DataFrame = {
+    def lookup(pred: String, out: String) =
+      statements.filter(col("predicate") === pred)
+        .groupBy(col("subject")).agg(min(col("object")).as(out))
+    val labels = lookup("rdfs:label", "__label")
+    val defs = lookup("IAO:0000115", "__def")
+    harvested.select(col("identifier")).distinct()
+      .withColumn("ontology_prefix",
+        regexp_extract(col("identifier"), "^([^:]+):", 1))
+      .join(broadcast(labels), col("identifier") === labels("subject"), "left")
+      .drop("subject")
+      .join(broadcast(defs), col("identifier") === defs("subject"), "left")
+      .drop("subject")
+      .select(col("ontology_prefix"), col("identifier"),
+        coalesce(col("__label"), lit("")).as("label"),
+        coalesce(col("__def"), lit("")).as("definition"))
+      .orderBy(col("ontology_prefix"), col("identifier"))
+  }
+
   // ---------------------------------------------------------------
   // Per-table output builders (reference: datalake_table.py:84-751) —
   // each reproduces its table's fixed DDL column set, order and types.
