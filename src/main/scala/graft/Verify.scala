@@ -20,13 +20,23 @@ object Verify {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
+    // A query that crashes must be VISIBLY red, never silently absent:
+    // write an `_ERROR` marker file into its output slot and exit
+    // non-zero at the end. (Round-6 lesson: 29 analysis crashes were
+    // swallowed here and read as "missing" instead of "failing".)
+    var failed = List.empty[String]
     SparkEntry.queries
       .filter { case (name, _) => only.forall(name.startsWith) }
       .foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>
+        failed ::= name
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
+        val dir = Paths.get(s"$outDir/$name")
+        Files.createDirectories(dir)
+        Files.writeString(dir.resolve("_ERROR"),
+          s"${e.getClass.getName}: ${e.getMessage}\n")
       }
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
@@ -45,5 +55,10 @@ object Verify {
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
     spark.stop()
+    if (failed.nonEmpty) {
+      System.err.println(
+        s"[verify] ${failed.size} quer${if (failed.size == 1) "y" else "ies"} FAILED: ${failed.reverse.mkString(", ")}")
+      sys.exit(1)
+    }
   }
 }

@@ -23,28 +23,42 @@ object Lakehouse {
   def table(spark: SparkSession, sfDir: String, name: String): DataFrame = {
     require(tableNames.contains(name), s"unknown table: $name")
     if (name == "events") {
-      // The events table carries TIMESTAMP(NANOS) parquet timestamps,
-      // which Spark's micro-precision TimestampType cannot represent
-      // (PARQUET_TYPE_ILLEGAL). Read them as raw epoch-nanos longs and
-      // truncate to exact epoch-micros (`ts_ns div 1000` — integer
-      // division; a double round-trip would lose precision at 1e18).
-      // This matches DuckDB's parquet reader, which also truncates
-      // TIMESTAMP(NANOS) to micros.
+      // The events table's `ts` physical type has varied across fixture
+      // generations: TIMESTAMP(NANOS) (which Spark's micro-precision
+      // TimestampType cannot represent — PARQUET_TYPE_ILLEGAL — so it
+      // arrives as a raw epoch-nanos Long under the nanosAsLong conf)
+      // and TIMESTAMP(MICROS, isAdjustedToUTC=false) (which Spark reads
+      // as TIMESTAMP_NTZ). Normalize BOTH to one exact epoch-micros
+      // `ts_us` Long so every downstream query is encoding-agnostic:
+      //   - Long (nanos-as-long)  → `div 1000` (integer division; a
+      //     double round-trip would lose precision at 1e18). Matches
+      //     DuckDB, whose reader also truncates NANOS to micros.
+      //   - TIMESTAMP_NTZ / TIMESTAMP → cast to session-tz timestamp
+      //     then `unix_micros`. Sessions here pin
+      //     spark.sql.session.timeZone=UTC, which matches DuckDB's
+      //     treatment of naive parquet timestamps as UTC-epoch.
       //
-      // The conf is session-wide and consulted at plan time, so it can't
-      // be set-and-restored around a lazy read; set it only when the
-      // user hasn't EXPLICITLY chosen a value (an explicit 'false' is
-      // respected — the read then fails with Spark's own
-      // PARQUET_TYPE_ILLEGAL, which is the honest outcome of that
-      // choice). `conf.getOption` returns the registered default, so
-      // "explicitly set" is SQLConf's settings map, not getOption.
+      // The nanos conf is session-wide and consulted at plan time, so it
+      // can't be set-and-restored around a lazy read; set it only when
+      // the user hasn't EXPLICITLY chosen a value (an explicit 'false'
+      // is respected — a nanos read then fails with Spark's own
+      // PARQUET_TYPE_ILLEGAL, the honest outcome of that choice). With
+      // the conf on, a micros file still loads as a timestamp type, so
+      // the dtype branch below sees exactly what the file contains.
       val nanosKey = "spark.sql.legacy.parquet.nanosAsLong"
       if (!spark.sessionState.conf.getAllConfs.contains(nanosKey))
         spark.conf.set(nanosKey, "true")
-      spark.read.parquet(s"$sfDir/$name.parquet")
-        .withColumnRenamed("ts", "__ts_raw")
-        .withColumn("ts_us", org.apache.spark.sql.functions.expr("__ts_raw div 1000"))
-        .drop("__ts_raw")
+      import org.apache.spark.sql.functions.{col, expr, unix_micros}
+      import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
+      val raw = spark.read.parquet(s"$sfDir/$name.parquet")
+      val tsUs = raw.schema("ts").dataType match {
+        case LongType         => expr("ts div 1000")
+        case TimestampNTZType => unix_micros(col("ts").cast(TimestampType))
+        case TimestampType    => unix_micros(col("ts"))
+        case other => throw new IllegalStateException(
+          s"events.ts has unsupported type $other; expected nanos-as-Long, TIMESTAMP_NTZ, or TIMESTAMP")
+      }
+      raw.withColumn("ts_us", tsUs).drop("ts")
     } else {
       spark.read.parquet(s"$sfDir/$name.parquet")
     }
