@@ -1,8 +1,9 @@
 package graft.queries
 
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
 import graft.core.Lakehouse
-import graft.operators.Multimodal
+import graft.operators.{Multimodal, PipeTool}
 import graft.sources.{DirtyJson, Fasta}
 import graft.streaming.EventStream
 
@@ -143,6 +144,25 @@ object IngestQueries {
           col("sum_sq"), col("ds_samples"), col("ds_len"))
     }),
 
+    // External-tool pipe boundary (reference: skani/MMseqs2 subprocess
+    // over FASTA, berdl/berdl/tools/skani.py:5-32, pangenome.py:116-152):
+    // each partition streams as FASTA through a subprocess whose TSV
+    // stdout parses back to typed rows — one tool instance PER
+    // PARTITION, so 1000 executors run 1000 tool copies with no driver
+    // funnel. The stand-in tool is awk computing per-record sequence
+    // length + GC count (deterministic, so DuckDB can oracle it); a
+    // real deployment swaps argv for the skani/mmseqs binary.
+    "pipe_tool" -> ((s, d) => {
+      val docs = tbl(s, d, "documents").select(
+        concat(lit("doc_"), col("doc_id")).as("id"),
+        upper(regexp_replace(col("text"), "[^A-Za-z]", "")).as("seq"))
+      val out = StructType(Seq(
+        StructField("id", StringType),
+        StructField("seq_len", LongType),
+        StructField("gc", LongType)))
+      PipeTool.pipeFasta(docs, "id", "seq", Seq("awk", GcToolScript), out)
+    }),
+
     // Streaming-shaped tumbling-window aggregation (batch equivalence;
     // the readStream path is exercised in StreamingSpec).
     "stream_window_counts" -> ((s, d) => {
@@ -180,7 +200,21 @@ object IngestQueries {
           col("event_id"), col("ts_us"))
     }))
 
+  /** The deterministic FASTA→TSV stand-in tool: per record, emit
+    * `id<TAB>len(seq)<TAB>count(G|C)` (classic GC content). */
+  private[queries] val GcToolScript: String =
+    """function emit() { if (id != "") { l = length(s); n = gsub(/[GC]/, "", s); print id "\t" l "\t" n } }
+      |/^>/ { emit(); id = substr($0, 2); s = ""; next }
+      |{ s = s $0 }
+      |END { emit() }""".stripMargin
+
   val oracles: Map[String, String] = Map(
+    "pipe_tool" ->
+      """SELECT 'doc_' || doc_id AS id,
+           length(seq) AS seq_len,
+           length(seq) - length(regexp_replace(seq, '[GC]', '', 'g')) AS gc
+         FROM (SELECT doc_id, upper(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS seq
+               FROM documents) t""",
     "fasta_roundtrip" ->
       """SELECT 'doc_' || doc_id AS id, 'lang=' || lang AS description,
            upper(replace(text, ' ', '')) AS seq
