@@ -163,6 +163,46 @@ object TableBuild {
       .orderBy(col("ontology_prefix"), col("identifier"))
   }
 
+  /** EC cross-reference column for `ontology_terms` (reference:
+    * KBDatalakeUtils.py:2555-2660): per prefix —
+    *   KEGG → pipe-joined ECs from the KO→EC mapping file;
+    *   GO   → pipe-joined ECs from `oio:hasDbXref` statements;
+    *   seed.role → `(EC x)` / `(TC x)` patterns extracted from the
+    *   label (reference regexes :2610-2611, EC matches before TC);
+    *   EC   → the identifier itself; anything else → ''.
+    * Where the reference's list order is nondeterministic
+    * (`list(set(...))` at :2604, file order at :2570-2575) this joins
+    * SORTED DISTINCT values so the result is engine-reproducible.
+    *
+    * `koToEc` is (ko_id, ec_id) long form; `goToEc` (go_id, ec_id).
+    * Both are reference-file-small → broadcast; the term table side
+    * never shuffles for the enrichment. */
+  def withEcColumn(terms: DataFrame, koToEc: DataFrame, goToEc: DataFrame): DataFrame = {
+    def pipeJoined(m: DataFrame, idCol: String, out: String) =
+      m.groupBy(col(idCol))
+        .agg(concat_ws("|", array_sort(collect_set(col("ec_id")))).as(out))
+    val ecLabel = transform(
+      regexp_extract_all(col("label"), lit("\\(EC\\s*([\\d.-]+)\\)"), lit(1)),
+      m => concat(lit("EC:"), m))
+    val tcLabel = transform(
+      regexp_extract_all(col("label"), lit("\\(TC\\s*([\\d.\\w]+)\\)"), lit(1)),
+      m => concat(lit("TC:"), m))
+    terms
+      .join(broadcast(pipeJoined(koToEc, "ko_id", "__ko_ec")),
+        col("identifier") === col("ko_id"), "left").drop("ko_id")
+      .join(broadcast(pipeJoined(goToEc, "go_id", "__go_ec")),
+        col("identifier") === col("go_id"), "left").drop("go_id")
+      .withColumn("ec",
+        when(col("ontology_prefix") === "KEGG", coalesce(col("__ko_ec"), lit("")))
+          .when(col("ontology_prefix") === "GO", coalesce(col("__go_ec"), lit("")))
+          .when(col("ontology_prefix") === "seed.role",
+            array_join(concat(ecLabel, tcLabel), "|"))
+          .when(col("ontology_prefix") === "EC", col("identifier"))
+          .otherwise(lit("")))
+      .drop("__ko_ec", "__go_ec")
+      .orderBy(col("ontology_prefix"), col("identifier"))
+  }
+
   // ---------------------------------------------------------------
   // Per-table output builders (reference: datalake_table.py:84-751) —
   // each reproduces its table's fixed DDL column set, order and types.

@@ -75,6 +75,51 @@ object OntologyQueries {
       TableBuild.ontologyRelationships(statements, termIds)
     }),
 
+    // The third ontology dimension table (reference:
+    // KBDatalakeUtils.py:2693-2728 — drop_duplicates(['identifier']) +
+    // sort_values(['ontology_prefix','identifier'])), fed by the full
+    // enrichment chain: harvested ids (4 colliding shapes so the dedup
+    // is exercised) → label/definition lookup from a triple store →
+    // EC column (KO map, GO hasDbXref, seed.role label regex, EC copy).
+    "tbl_ontology_terms" -> ((s, d) => {
+      val pk = col("p_partkey")
+      val harvested = tbl(s, d, "part").select(explode(array(
+        concat(lit("GO:"), lpad((pk % 400).cast("string"), 7, "0")),
+        concat(lit("KEGG:K"), lpad((pk % 300).cast("string"), 5, "0")),
+        concat(lit("EC:1.1."), (pk % 50).cast("string"), lit("."), (pk % 7).cast("string")),
+        concat(lit("seed.role:"), lpad((pk % 200).cast("string"), 13, "0"))))
+        .as("identifier"))
+      val k = col("id")
+      val goLabels = s.range(0, 400).filter(k % 2 === 0).select(
+        concat(lit("GO:"), lpad(k.cast("string"), 7, "0")).as("subject"),
+        lit("rdfs:label").as("predicate"),
+        concat(lit("go label "), k.cast("string")).as("object"))
+      val goDefs = s.range(0, 400).filter(k % 3 === 0).select(
+        concat(lit("GO:"), lpad(k.cast("string"), 7, "0")).as("subject"),
+        lit("IAO:0000115").as("predicate"),
+        concat(lit("go def "), k.cast("string")).as("object"))
+      val roleLabels = s.range(0, 200).filter(k % 2 === 0).select(
+        concat(lit("seed.role:"), lpad(k.cast("string"), 13, "0")).as("subject"),
+        lit("rdfs:label").as("predicate"),
+        concat(lit("role "), k.cast("string"),
+          when(k % 4 === 0, concat(lit(" (EC 1.2.3."), (k % 6).cast("string"), lit(")")))
+            .otherwise(lit("")),
+          when(k % 8 === 0, concat(lit(" (TC 9.A."), (k % 5).cast("string"), lit(")")))
+            .otherwise(lit(""))).as("object"))
+      val statements = goLabels.unionByName(goDefs).unionByName(roleLabels)
+      val koToEc = s.range(0, 300).filter(k % 3 === 0).select(
+        concat(lit("KEGG:K"), lpad(k.cast("string"), 5, "0")).as("ko_id"),
+        concat(lit("EC:3.4."), (k % 11).cast("string"), lit(".1")).as("ec_id"))
+        .unionByName(s.range(0, 300).filter(k % 6 === 0).select(
+          concat(lit("KEGG:K"), lpad(k.cast("string"), 5, "0")).as("ko_id"),
+          lit("EC:3.4.99.-").as("ec_id")))
+      val goToEc = s.range(0, 400).filter(k % 5 === 0).select(
+        concat(lit("GO:"), lpad(k.cast("string"), 7, "0")).as("go_id"),
+        concat(lit("EC:2.7.1."), (k % 9).cast("string")).as("ec_id"))
+      TableBuild.withEcColumn(
+        TableBuild.ontologyTerms(harvested, statements), koToEc, goToEc)
+    }),
+
     "ontology_defs" -> ((s, d) => {
       val terms = tbl(s, d, "nation").select(
         when(pmod(col("n_nationkey"), lit(3)) === 0, "GO")
@@ -88,6 +133,69 @@ object OntologyQueries {
       .map { case (p, d) => s"('$p', '$d')" }.mkString(", ")
 
   val oracles: Map[String, String] = Map(
+    "tbl_ontology_terms" ->
+      """WITH harvested AS (
+           SELECT unnest([
+             'GO:' || lpad(CAST(p_partkey % 400 AS VARCHAR), 7, '0'),
+             'KEGG:K' || lpad(CAST(p_partkey % 300 AS VARCHAR), 5, '0'),
+             'EC:1.1.' || CAST(p_partkey % 50 AS VARCHAR) || '.' || CAST(p_partkey % 7 AS VARCHAR),
+             'seed.role:' || lpad(CAST(p_partkey % 200 AS VARCHAR), 13, '0')
+           ]) AS identifier FROM part),
+         ids AS (SELECT DISTINCT identifier FROM harvested),
+         go_labels AS (
+           SELECT 'GO:' || lpad(CAST(k AS VARCHAR), 7, '0') AS subject,
+                  'go label ' || CAST(k AS VARCHAR) AS object
+           FROM range(0, 400) t(k) WHERE k % 2 = 0),
+         go_defs AS (
+           SELECT 'GO:' || lpad(CAST(k AS VARCHAR), 7, '0') AS subject,
+                  'go def ' || CAST(k AS VARCHAR) AS object
+           FROM range(0, 400) t(k) WHERE k % 3 = 0),
+         role_labels AS (
+           SELECT 'seed.role:' || lpad(CAST(k AS VARCHAR), 13, '0') AS subject,
+                  'role ' || CAST(k AS VARCHAR)
+                    || CASE WHEN k % 4 = 0 THEN ' (EC 1.2.3.' || CAST(k % 6 AS VARCHAR) || ')' ELSE '' END
+                    || CASE WHEN k % 8 = 0 THEN ' (TC 9.A.' || CAST(k % 5 AS VARCHAR) || ')' ELSE '' END AS object
+           FROM range(0, 200) t(k) WHERE k % 2 = 0),
+         labels AS (
+           SELECT subject, min(object) AS label FROM
+             (SELECT subject, object FROM go_labels
+              UNION ALL SELECT subject, object FROM role_labels)
+           GROUP BY subject),
+         defs AS (SELECT subject, min(object) AS def FROM go_defs GROUP BY subject),
+         ko_joined AS (
+           SELECT ko_id, string_agg(DISTINCT ec_id, '|' ORDER BY ec_id) AS ec FROM (
+             SELECT 'KEGG:K' || lpad(CAST(k AS VARCHAR), 5, '0') AS ko_id,
+                    'EC:3.4.' || CAST(k % 11 AS VARCHAR) || '.1' AS ec_id
+             FROM range(0, 300) t(k) WHERE k % 3 = 0
+             UNION ALL
+             SELECT 'KEGG:K' || lpad(CAST(k AS VARCHAR), 5, '0'), 'EC:3.4.99.-'
+             FROM range(0, 300) t(k) WHERE k % 6 = 0)
+           GROUP BY ko_id),
+         go_joined AS (
+           SELECT go_id, string_agg(DISTINCT ec_id, '|' ORDER BY ec_id) AS ec FROM (
+             SELECT 'GO:' || lpad(CAST(k AS VARCHAR), 7, '0') AS go_id,
+                    'EC:2.7.1.' || CAST(k % 9 AS VARCHAR) AS ec_id
+             FROM range(0, 400) t(k) WHERE k % 5 = 0)
+           GROUP BY go_id),
+         base AS (
+           SELECT split_part(i.identifier, ':', 1) AS ontology_prefix, i.identifier,
+                  coalesce(l.label, '') AS label, coalesce(d.def, '') AS definition
+           FROM ids i
+           LEFT JOIN labels l ON i.identifier = l.subject
+           LEFT JOIN defs d ON i.identifier = d.subject)
+         SELECT ontology_prefix, identifier, label, definition,
+           CASE WHEN ontology_prefix = 'KEGG' THEN coalesce(k.ec, '')
+                WHEN ontology_prefix = 'GO' THEN coalesce(g.ec, '')
+                WHEN ontology_prefix = 'seed.role' THEN
+                  coalesce(array_to_string(list_concat(
+                    list_transform(regexp_extract_all(label, '\(EC\s*([\d.-]+)\)', 1), x -> 'EC:' || x),
+                    list_transform(regexp_extract_all(label, '\(TC\s*([\d.\w]+)\)', 1), x -> 'TC:' || x)), '|'), '')
+                WHEN ontology_prefix = 'EC' THEN identifier
+                ELSE '' END AS ec
+         FROM base b
+         LEFT JOIN ko_joined k ON b.identifier = k.ko_id
+         LEFT JOIN go_joined g ON b.identifier = g.go_id
+         ORDER BY ontology_prefix, identifier""",
     "c15_rast_map" ->
       """WITH labels AS (
            SELECT p_name AS label,

@@ -164,6 +164,30 @@ class PipelineSpec extends SparkTestBase {
     assert(go1.getAs[String]("label") == "alpha" && go1.getAs[String]("def") == "first")
   }
 
+  test("TableBuild.withEcColumn enriches per prefix (KO map, GO xref, label regex, EC copy)") {
+    val terms = Seq(
+      ("KEGG", "KEGG:K00001", "", ""),
+      ("KEGG", "KEGG:K00002", "", ""),
+      ("GO", "GO:0000001", "", ""),
+      ("seed.role", "seed.role:1", "kinase (EC 2.7.1.1) (TC 9.A.4)", ""),
+      ("seed.role", "seed.role:2", "no patterns here", ""),
+      ("EC", "EC:1.1.1.1", "", ""),
+      ("PFAM", "PFAM:PF00001", "", ""))
+      .toDF("ontology_prefix", "identifier", "label", "definition")
+    val ko = Seq(("KEGG:K00001", "EC:9.9.9.9"), ("KEGG:K00001", "EC:1.2.3.4"),
+      ("KEGG:K00001", "EC:9.9.9.9")).toDF("ko_id", "ec_id")
+    val go = Seq(("GO:0000001", "EC:5.5.5.5")).toDF("go_id", "ec_id")
+    val out = TableBuild.withEcColumn(terms, ko, go)
+      .collect().map(r => r.getAs[String]("identifier") -> r.getAs[String]("ec")).toMap
+    assert(out("KEGG:K00001") == "EC:1.2.3.4|EC:9.9.9.9") // sorted distinct
+    assert(out("KEGG:K00002") == "")
+    assert(out("GO:0000001") == "EC:5.5.5.5")
+    assert(out("seed.role:1") == "EC:2.7.1.1|TC:9.A.4")   // EC matches before TC
+    assert(out("seed.role:2") == "")
+    assert(out("EC:1.1.1.1") == "EC:1.1.1.1")
+    assert(out("PFAM:PF00001") == "")
+  }
+
   test("TableBuild.writeCladePartitioned lays out clade directories") {
     val df = Seq(("g1", "cA"), ("g2", "cB")).toDF("genome_id", "clade_id")
     val path = s"${sys.props("java.io.tmpdir")}/graft_clade_part_test"
