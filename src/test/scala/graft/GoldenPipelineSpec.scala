@@ -12,6 +12,137 @@ import graft.pipeline._
 class GoldenPipelineSpec extends SparkTestBase {
 
   import spark.implicits._
+  import graft.core.Lakehouse
+
+  // ---- committed-golden end-to-end run over the sf0.001 fixtures ----
+  // Regenerate goldens with: GRAFT_GOLDEN_REGEN=true sbt "testOnly graft.GoldenPipelineSpec"
+  // (env var, not sysprop — tests run in a forked JVM)
+  private val regen = sys.env.get("GRAFT_GOLDEN_REGEN").contains("true") ||
+    sys.props.get("graft.golden.regen").contains("true")
+  private val goldenRoot = "src/test/resources/golden"
+
+  private def checkGolden(name: String, df: org.apache.spark.sql.DataFrame): Unit = {
+    val dir = new java.io.File(s"$goldenRoot/$name")
+    if (regen) {
+      df.coalesce(1).write.mode("overwrite").parquet(dir.getAbsolutePath)
+      dir.listFiles().filter(f => f.getName == "_SUCCESS" || f.getName.endsWith(".crc"))
+        .foreach(_.delete())
+    } else {
+      assert(dir.isDirectory, s"golden $name missing — run with -Dgraft.golden.regen=true")
+      val golden = spark.read.parquet(dir.getAbsolutePath)
+      // nullability-insensitive: the parquet round-trip legitimately
+      // widens NOT NULL columns to nullable
+      def shape(s: org.apache.spark.sql.types.StructType) =
+        s.fields.map(f => (f.name, f.dataType.sql)).toSeq
+      assert(shape(df.schema) == shape(golden.schema),
+        s"$name schema drifted:\n got ${df.schema.toDDL}\n exp ${golden.schema.toDDL}")
+      val extra = df.exceptAll(golden).count()
+      val missing = golden.exceptAll(df).count()
+      assert(extra == 0 && missing == 0,
+        s"$name drifted from golden: $extra extra rows, $missing missing rows")
+    }
+  }
+
+  /** The five pipeline stages chained over frames derived
+    * deterministically from the sf0.001 gate tables (no synthesized
+    * inputs beyond arithmetic on keys), mirroring the reference flow
+    * prep → annotate → pangenome → phenotype → table build
+    * (berdl/berdl/prep_genome_set.py, query_ontology_local.py,
+    * pangenome/pangenome.py, KBDatalakeUtils.py:579-623 + 369-501). */
+  private def pipelineOutputs(sfDir: String): Seq[(String, org.apache.spark.sql.DataFrame)] = {
+    val pk = col("p_partkey")
+
+    // stage 1: ANI tool output (3 candidate refs per user genome, one
+    // deliberate self-pair that aniTransform must drop) → top clade
+    val sup = Lakehouse.table(spark, sfDir, "supplier")
+    val skani = sup.select(col("s_suppkey"),
+        explode(array(lit(0), lit(1), lit(2), lit(3))).as("ri"))
+      .select(
+        concat(lit("/work/user_"), col("s_suppkey"), lit(".fna")).as("query_file"),
+        when(col("ri") === 3, concat(lit("/work/user_"), col("s_suppkey"), lit(".fna")))
+          .otherwise(concat(lit("/refs/GCF_"),
+            pmod(col("s_suppkey") + col("ri") * 7, lit(20)).cast("string"),
+            lit(".fna"))).as("ref_file"),
+        (lit(90.0) + col("ri") * 3 + pmod(col("s_suppkey"), lit(3))).cast("string").as("ani"),
+        lit("0.9").as("align_fraction_ref"),
+        lit("0.85").as("align_fraction_query"))
+    val cladeMap = Lakehouse.table(spark, sfDir, "nation")
+      .select(concat(lit("GCF_"), col("n_nationkey").cast("string")).as("genome_id"),
+        col("n_name").as("clade_id"))
+    val assigned = GenomePrep.matchTopClade(GenomePrep.aniTransform(skani), cladeMap)
+
+    // stage 2: part-derived features, content-addressed annotation
+    val part = Lakehouse.table(spark, sfDir, "part")
+    val feats = part.select(pk.as("p_partkey"),
+      concat(lit("user_"), pmod(pk, lit(100)).cast("string")).as("genome_id"),
+      concat(lit("f"), pk.cast("string")).as("feature_id"),
+      upper(regexp_replace(col("p_name"), "[^A-Za-z]", "")).as("seq"))
+    val hashed = Annotate.withProteinHash(feats, "seq")
+    val store = hashed.filter(pmod(pk, lit(5)) === 0)
+      .select(col("protein_hash").as("_id")).distinct()
+      .select(col("_id"), array(
+        concat(lit("K"), substring(col("_id"), 1, 4)),
+        concat(lit("K"), substring(col("_id"), 5, 4))).as("kos"))
+    val annotated = Annotate.hashAnnotate(hashed, store, "kos", "ko_terms")
+
+    // stage 3: cluster extension by hash identity + core flags
+    val clusterMembers = hashed.filter(pmod(pk, lit(3)) === 0)
+      .select(col("protein_hash").as("member_hash"),
+        concat(lit("c"), pmod(pk, lit(20)).cast("string")).as("cluster_id"))
+      .distinct()
+    val extended = Pangenome.extendClusters(hashed, clusterMembers)
+    val members = part.select(
+      concat(lit("c"), pmod(pk, lit(20)).cast("string")).as("cluster_id"),
+      concat(lit("refG"), pmod(col("p_size"), lit(4)).cast("string")).as("genome_id"))
+      .distinct()
+    val core = Pangenome.coreGenes(members)
+
+    // stage 4: phenotype confusion summary over orders-derived classes
+    val sim = Lakehouse.table(spark, sfDir, "orders").select(
+      concat(lit("user_"), pmod(col("o_custkey"), lit(100)).cast("string")).as("genome_id"),
+      element_at(array(lit("CP"), lit("CN"), lit("FP"), lit("FN")),
+        (pmod(col("o_orderkey"), lit(4)) + 1).cast("int")).as("class"))
+    val pheno = PhenotypeTables.confusionSummary(sim)
+
+    // stage 5: the user_feature output table (swap, hash, profile, pivot)
+    val tsv = part.select(
+      concat(lit("user_"), pmod(pk, lit(100)).cast("string")).as("genome"),
+      concat(lit("ctg"), pmod(pk, lit(10)).cast("string")).as("contig"),
+      concat(lit("f"), pk.cast("string")).as("gene_id"),
+      col("p_brand").as("aliases"),
+      when(pmod(pk, lit(2)) === 1, pk * 10 + 500).otherwise(pk * 10)
+        .cast("long").as("start"),
+      when(pmod(pk, lit(2)) === 1, pk * 10).otherwise(pk * 10 + 300)
+        .cast("long").as("end"),
+      when(pmod(pk, lit(2)) === 1, lit("-")).otherwise(lit("+")).as("strand"),
+      lit("CDS").as("type"),
+      lit("ACGT").as("dna_sequence"),
+      upper(regexp_replace(col("p_name"), "[^A-Za-z]", "")).as("protein_translation"))
+    val profile = extended.join(core, "cluster_id")
+      .select(col("feature_id"), col("cluster_id").as("pangenome_cluster"),
+        col("is_core").cast("int").as("is_core"))
+    val ann = annotated.filter(length(col("ko_terms")) > 0)
+      .select(col("feature_id"), lit("KO").as("term"),
+        explode(split(col("ko_terms"), "; ")).as("value"))
+    val userFeature = TableBuild.userFeatureTable(tsv, profile, ann)
+
+    Seq(
+      "clade_assignment" -> assigned,
+      "annotated_features" -> annotated.drop("p_partkey", "seq"),
+      "cluster_extension" -> extended,
+      "core_flags" -> core,
+      "phenotype_summary" -> pheno,
+      "user_feature" -> userFeature)
+  }
+
+  test("sf0.001 end-to-end pipeline matches committed Parquet goldens") {
+    val outputs = pipelineOutputs(sfSmoke)
+    outputs.foreach { case (name, df) =>
+      assert(df.count() > 0, s"$name produced no rows")
+      checkGolden(name, df)
+    }
+    if (regen) fail("golden regeneration mode — goldens rewritten; rerun without GRAFT_GOLDEN_REGEN")
+  }
 
   test("genome prep -> annotate -> pangenome -> table build, end to end") {
     // --- stage 1: ANI tool output -> clade assignment
