@@ -25,38 +25,11 @@ import graft.functions.Hashes
   */
 object Dedup {
 
-  /** Spread a small-file scan across the session's shuffle parallelism —
-    * but ONLY when the scan is actually under-parallel. The corpus
-    * fixtures arrive as one file = one scan partition, which would
-    * serialize every downstream explode/probe/partial-agg into a single
-    * task; one cheap round-robin exchange fixes that. A production-scale
-    * scan is already thousands of partitions, and an unconditional
-    * repartition there would round-robin the ENTIRE corpus through a
-    * pure-waste shuffle — so the exchange is gated on the physical
-    * partition count.
-    *
-    * The partition probe (`toRdd.getNumPartitions`) runs ONLY on
-    * exchange-free plans, where forcing AQE's final plan executes
-    * nothing (raw scans, filters/projections, localCheckpoints). On a
-    * plan containing an exchange the probe itself would materialize the
-    * upstream shuffle stages — running the job once for the probe and
-    * again at execution — and a post-shuffle frame already sits at
-    * shuffle parallelism, so such inputs pass through untouched. */
-  private[operators] def spread(df: DataFrame): DataFrame = {
-    val target = df.sparkSession.sessionState.conf.numShufflePartitions
-    val plan = df.queryExecution.executedPlan match {
-      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
-        a.inputPlan // collect/exists do not descend into AQE roots
-      case p => p
-    }
-    val hasExchange = plan.exists {
-      case _: org.apache.spark.sql.execution.exchange.Exchange => true
-      case _ => false
-    }
-    if (hasExchange) df
-    else if (df.queryExecution.toRdd.getNumPartitions < target) df.repartition(target)
-    else df
-  }
+  /** Spread a small-file scan across the session's shuffle parallelism
+    * before the shingling/probe stages — see
+    * [[Relational.computeRebalance]] for the gating rationale. */
+  private[operators] def spread(df: DataFrame): DataFrame =
+    Relational.computeRebalance(df)
 
   /** Exact dedup: keep the lowest-`idCol` row per normalized content
     * hash (reference content-hash dedup before expensive compute:

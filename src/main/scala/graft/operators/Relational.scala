@@ -22,6 +22,40 @@ object Relational {
       broadcast(df)
     else df.hint("shuffle_hash")
 
+  /** Decouple scan parallelism from compute parallelism for per-row-
+    * compute-heavy stages (regex banks, shingling, tokenization):
+    * parquet parallelizes at ROW-GROUP granularity, so a few large
+    * single-row-group files serialize all downstream per-row work into
+    * as many tasks as there are row groups, regardless of cores. One
+    * cheap round-robin exchange fixes that — but ONLY when the scan is
+    * actually under-parallel: a production-scale layout already
+    * delivers partitions ≥ cores, and an unconditional repartition
+    * there would round-robin the ENTIRE corpus through a pure-waste
+    * shuffle, so the exchange is gated on the physical partition count.
+    *
+    * The partition probe (`toRdd.getNumPartitions`) runs ONLY on
+    * exchange-free plans, where forcing AQE's final plan executes
+    * nothing (raw scans, filters/projections, localCheckpoints). On a
+    * plan containing an exchange the probe itself would materialize the
+    * upstream shuffle stages — running the job once for the probe and
+    * again at execution — and a post-shuffle frame already sits at
+    * shuffle parallelism, so such inputs pass through untouched. */
+  def computeRebalance(df: DataFrame): DataFrame = {
+    val target = df.sparkSession.sessionState.conf.numShufflePartitions
+    val plan = df.queryExecution.executedPlan match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+        a.inputPlan // collect/exists do not descend into AQE roots
+      case p => p
+    }
+    val hasExchange = plan.exists {
+      case _: org.apache.spark.sql.execution.exchange.Exchange => true
+      case _ => false
+    }
+    if (hasExchange) df
+    else if (df.queryExecution.toRdd.getNumPartitions < target) df.repartition(target)
+    else df
+  }
+
   /** A constant window-partition key the optimizer CANNOT fold away,
     * for windows that deliberately run on one partition because their
     * frame is bounded-small (a vocabulary head, a size histogram —

@@ -63,7 +63,7 @@ object MLQueries {
     "ml_quality_filter" -> ((s, d) => {
       val score = round4(ModelScoring.hashedTextScore(
         col("text"), QBuckets, QScale, QBias))
-      tbl(s, d, "documents").select(col("doc_id"), score.as("score"),
+      tblSpread(s, d, "documents").select(col("doc_id"), score.as("score"),
         (score >= 0.5).as("keep"))
     }))
 

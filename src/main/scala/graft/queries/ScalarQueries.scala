@@ -32,7 +32,7 @@ object ScalarQueries {
       val ann = concat(lit("hydrolase (EC 1.2.3."), col("l_linenumber"),
         lit(") GO:000"), pmod(col("l_orderkey"), lit(97)),
         lit(" ko:K"), lpad(pmod(col("l_orderkey"), lit(1000)).cast("string"), 5, "0"))
-      tbl(s, d, "lineitem").select(
+      tblSpread(s, d, "lineitem").select(
         col("l_orderkey"), col("l_linenumber"),
         concat_ws(";", TermExtract.ecFromRast(ann)).as("ec_terms"),
         concat_ws(";", TermExtract.extractAll(ann, "GO")).as("go_terms"),

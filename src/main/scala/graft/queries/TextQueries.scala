@@ -28,13 +28,13 @@ object TextQueries {
     }),
 
     "text_quality" -> ((s, d) => {
-      tbl(s, d, "documents").select(
+      tblSpread(s, d, "documents").select(
         col("doc_id"),
         TextAnalysis.qualityScore(col("text")).as("quality"))
     }),
 
     "text_langid" -> ((s, d) => {
-      tbl(s, d, "documents").select(
+      tblSpread(s, d, "documents").select(
         col("doc_id"),
         TextAnalysis.langId(col("text")).as("lang_pred"))
     }),
