@@ -22,6 +22,36 @@ object Sampling {
   def uniformSample(df: DataFrame, idCol: String, rate: Double): DataFrame =
     df.filter(keepHash(col(idCol)) < (rate * Denominator).toLong)
 
+  /** Deterministic per-key quota — the crawl-curation "at most `cap`
+    * documents per domain/source" rule: rows rank inside each key by
+    * the uniform keep-hash (id tiebreak), ranks ≤ cap survive. The
+    * hash ranking makes the kept set a uniform sample of each key's
+    * rows and stable under reruns.
+    *
+    * Scale shape: a single rank window would funnel EVERY row of a hot
+    * domain into one task (the classic quota-skew failure at crawl
+    * scale, where one domain can be 10⁸ pages). Ranking here is
+    * two-phase: a salted local top-cap per (key, salt-of-id) bounds
+    * any key's survivors at cap·`salts` rows, then an exact top-cap
+    * window runs over just those survivors — same ordering both
+    * phases, so the final set is exactly the single-window answer
+    * (the global top-cap is a subset of every salt bucket's local
+    * top-cap). The salt is derived from the id, so the plan stays
+    * deterministic and replayable. */
+  def perKeyCap(df: DataFrame, keyCol: String, idCol: String, cap: Int,
+                salts: Int = 16): DataFrame = {
+    require(cap > 0 && salts > 0)
+    import org.apache.spark.sql.expressions.Window
+    def order(w: org.apache.spark.sql.expressions.WindowSpec) =
+      w.orderBy(keepHash(col(idCol)).asc, col(idCol).asc)
+    val w1 = order(Window.partitionBy(col(keyCol),
+      pmod(xxhash64(col(idCol)), lit(salts))))
+    val w2 = order(Window.partitionBy(col(keyCol)))
+    df.withColumn("__r1", row_number().over(w1)).filter(col("__r1") <= cap)
+      .withColumn("__r2", row_number().over(w2)).filter(col("__r2") <= cap)
+      .drop("__r1", "__r2")
+  }
+
   /** Deterministic weighted corpus mix: given named sources and target
     * mixture weights, keep the largest total corpus that realizes the
     * exact mixture — T = min over sources of n_s/w_s rows in total,

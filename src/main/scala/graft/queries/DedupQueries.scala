@@ -81,6 +81,15 @@ object DedupQueries {
 
     // Deterministic stratified sampling (corpus-mixing weights):
     // hash-threshold keep, reproducible across engines and runs.
+    // Per-source quota ("at most N docs per domain", the crawl-curation
+    // cap): deterministic hash-ranked keep, two-phase salted window so
+    // a hot domain never lands in one task (Sampling.perKeyCap).
+    "sample_source_cap" -> ((s, d) => {
+      graft.operators.Sampling.perKeyCap(
+        tbl(s, d, "documents"), "source", "doc_id", cap = 15)
+        .select(col("doc_id"), col("source"))
+    }),
+
     "sample_stratified" -> ((s, d) => {
       graft.operators.Sampling.stratifiedSample(
         tbl(s, d, "documents"), "doc_id", "lang",
@@ -269,6 +278,13 @@ object DedupQueries {
       s"""SELECT a.vec_id AS id_a, b.vec_id AS id_b
           FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
           WHERE ${cosSql("a.embedding", "b.embedding")} >= $CosineThreshold""",
+    "sample_source_cap" ->
+      """SELECT doc_id, source FROM (
+           SELECT doc_id, source, row_number() OVER (PARTITION BY source
+             ORDER BY ('0x' || substring(md5(doc_id::VARCHAR), 1, 15))::BIGINT % 10000,
+                      doc_id) AS r
+           FROM documents) t
+         WHERE r <= 15""",
     "sample_stratified" ->
       """SELECT doc_id, lang FROM documents
          WHERE (('0x' || substring(md5(doc_id::VARCHAR), 1, 15))::BIGINT % 10000)

@@ -101,6 +101,27 @@ class SketchSpec extends SparkTestBase {
       s"heavy $heavyRate not enriched over light $lightRate")
   }
 
+  test("perKeyCap: ≤cap per key, salted two-phase equals single-window answer") {
+    val df = (0L until 3000L).map(i =>
+      (i, if (i % 3 == 0) "hot" else s"k${i % 10}")).toDF("doc_id", "source")
+    val capped = Sampling.perKeyCap(df, "source", "doc_id", cap = 25, salts = 8)
+    val byKey = capped.groupBy("source").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(byKey.values.forall(_ <= 25), s"cap exceeded: $byKey")
+    assert(byKey("hot") == 25) // 1000 rows in the hot key → exactly cap survive
+    // two-phase == single-window (salts = 1 is the unsalted plan)
+    val exact = Sampling.perKeyCap(df, "source", "doc_id", cap = 25, salts = 1)
+    assert(capped.exceptAll(exact).isEmpty && exact.exceptAll(capped).isEmpty)
+    // determinism under repartition: the kept SET is partition-insensitive
+    val reshuffled = Sampling.perKeyCap(df.repartition(13), "source", "doc_id", 25, 8)
+    assert(capped.exceptAll(reshuffled).isEmpty && reshuffled.exceptAll(capped).isEmpty)
+  }
+
+  test("perKeyCap keeps everything when a key is under its cap") {
+    val df = (0L until 40L).map(i => (i, s"k${i % 4}")).toDF("doc_id", "source")
+    assert(Sampling.perKeyCap(df, "source", "doc_id", cap = 100).count() == 40L)
+  }
+
   test("weightedSample fails loudly past the exact-integer bound") {
     // sum(weight) > Long.Max/10^4 used to wrap silently and corrupt the
     // keep set; the in-plan guard must raise instead
