@@ -191,6 +191,26 @@ object IngestQueries {
           round2(col("max_value")).as("max_value"))
     }),
 
+    // Stream-stream interval join: attribute each purchase to every
+    // click by the same user within the 12-hour lookback (the
+    // watermark-evictable join shape; StreamingSpec runs the same
+    // function over two memory streams with watermarks).
+    "stream_attribution" -> ((s, d) => {
+      val ev = tbl(s, d, "events")
+      val clicks = ev.filter(col("event_type") === "click").select(
+        col("user_id"), col("event_id").as("click_id"),
+        col("ts_us").as("click_us"),
+        Lakehouse.eventTime(col("ts_us")).as("click_ts"))
+      val purchases = ev.filter(col("event_type") === "purchase").select(
+        col("user_id"), col("event_id").as("purchase_id"),
+        col("ts_us").as("purchase_us"),
+        Lakehouse.eventTime(col("ts_us")).as("purchase_ts"))
+      EventStream.intervalJoin(clicks, purchases, "user_id",
+        "click_ts", "purchase_ts", "12 hours")
+        .select(col("user_id"), col("click_id"), col("purchase_id"),
+          expr("(purchase_us - click_us) div 1000000").as("lag_s"))
+    }),
+
     // Stateful streaming dedup: first event per (user, type), later
     // duplicates suppressed by GroupState (StreamingSpec runs the same
     // function over a file-source stream).
@@ -221,6 +241,14 @@ object IngestQueries {
          FROM documents""",
     "dirty_json_repair" ->
       "SELECT event_id, CAST(json_extract_string(props, '$.k') AS BIGINT) AS k FROM events",
+    "stream_attribution" ->
+      """WITH e AS (SELECT event_id, user_id, event_type, epoch_us(ts) AS us FROM events)
+         SELECT c.user_id, c.event_id AS click_id, p.event_id AS purchase_id,
+                (p.us - c.us) // 1000000 AS lag_s
+         FROM (SELECT * FROM e WHERE event_type = 'click') c
+         JOIN (SELECT * FROM e WHERE event_type = 'purchase') p
+           ON c.user_id = p.user_id
+          AND p.us >= c.us AND p.us <= c.us + 12::BIGINT * 3600000000""",
     "multimodal_meta" ->
       """SELECT doc_id, octet_length(encode(text)) AS byte_len,
            CAST(octet_length(encode(text)) * 3 % 640 + 16 AS INTEGER) AS width,

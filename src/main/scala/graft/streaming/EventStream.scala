@@ -37,6 +37,32 @@ object EventStream {
       .agg(count(lit(1)).as("n"))
       .select(col(keyCol), col("w.start").as("session_start"), col("n"))
 
+  /** Stream-stream interval join (event attribution): pair each `right`
+    * row with every same-key `left` row whose timestamp precedes it by
+    * at most `maxDelay` — "attribute each purchase to the clicks within
+    * the lookback window". The join condition is exactly the shape
+    * Structured Streaming's stream-stream join supports for state
+    * cleanup: key equality plus a bounded time range, so with
+    * watermarks on BOTH input streams Spark evicts buffered rows as the
+    * watermark passes `leftTs + maxDelay` — state stays
+    * O(window × rate), not unbounded. Batch inputs run the identical
+    * plan (a range-predicate hash join), which is what the oracle gate
+    * checks; at scale the equi-key keeps it a plain shuffled hash join,
+    * never a cartesian.
+    *
+    * Column names must already be disjoint between the two sides except
+    * for `key` (rename upstream); the output carries left columns, then
+    * right columns minus its key. */
+  def intervalJoin(left: DataFrame, right: DataFrame, key: String,
+                   leftTs: String, rightTs: String, maxDelay: String): DataFrame = {
+    val rKey = right.withColumnRenamed(key, "__rkey")
+    left.join(rKey,
+      col(key) === col("__rkey") &&
+        col(rightTs) >= col(leftTs) &&
+        col(rightTs) <= col(leftTs) + expr(s"INTERVAL $maxDelay"))
+      .drop("__rkey")
+  }
+
   case class UserEvent(user_id: Long, value: Double)
   case class UserStats(user_id: Long, n_events: Long, max_value: Double)
 

@@ -47,6 +47,35 @@ class StreamingSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("intervalJoin pairs purchases with in-window clicks over two streams") {
+    implicit val sqlCtx = spark.sqlContext
+    val clicks = MemoryStream[(Long, Long, Timestamp)]
+    val purchases = MemoryStream[(Long, Long, Timestamp)]
+    val l = clicks.toDF().toDF("user_id", "click_id", "click_ts")
+      .withWatermark("click_ts", "1 hour")
+    val r = purchases.toDF().toDF("user_id", "purchase_id", "purchase_ts")
+      .withWatermark("purchase_ts", "1 hour")
+
+    val q = EventStream.intervalJoin(l, r, "user_id",
+      "click_ts", "purchase_ts", "30 minutes")
+      .select(col("click_id"), col("purchase_id"))
+      .writeStream.format("memory").queryName("attrib")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      clicks.addData((1L, 10L, ts("2024-01-01 00:00:00")),
+        (1L, 11L, ts("2024-01-01 00:20:00")),
+        (2L, 12L, ts("2024-01-01 00:00:00")))
+      purchases.addData((1L, 100L, ts("2024-01-01 00:25:00")))
+      q.processAllAvailable()
+      // second micro-batch: in-window for click 11 only; user 2 never buys
+      purchases.addData((1L, 101L, ts("2024-01-01 00:45:00")))
+      q.processAllAvailable()
+
+      val got = spark.table("attrib").as[(Long, Long)].collect().toSet
+      assert(got == Set((10L, 100L), (11L, 100L), (11L, 101L)))
+    } finally q.stop()
+  }
+
   test("sessionCounts merges events within the gap across micro-batches") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[(Timestamp, Long)]
