@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 import graft.functions.TextAnalysis
@@ -39,5 +39,37 @@ object Profiling {
         countDistinct(col("__h")).as("n_distinct"),
         ((count(lit(1)) - countDistinct(col("__h"))).cast("double") /
           count(lit(1)).cast("double")).as("dup_rate"))
+  }
+
+  /** Snapshot-to-snapshot distribution drift over a bucketed feature —
+    * the monitoring report a recurring crawl/ingest pipeline runs
+    * before promoting a new corpus snapshot: per-bucket reference vs
+    * current proportions, absolute difference, and the chi-square
+    * contribution ((p_cur − p_ref)² / p_ref, null on an empty reference
+    * bucket). The chi-square form is used instead of PSI's log-ratio
+    * deliberately: it is pure rational arithmetic (+,−,×,÷), which
+    * IEEE-754 rounds identically in every engine, so the report is
+    * differentially checkable bit-for-bit — `ln` implementations are
+    * libm-dependent.
+    *
+    * `grpCol` must evaluate to 0 (reference) or 1 (current); `binCol`
+    * to the bucket id. Scale shape: ONE partial-agg groupBy over the
+    * union (the exchange carries per-bucket counts only), then the
+    * totals come from a window over the BUCKET-sized aggregate — the
+    * corpus is never re-scanned and nothing corpus-sized shuffles. */
+  def distributionDrift(df: DataFrame, binCol: Column, grpCol: Column): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(Relational.singlePartitionKey())
+    val agg = df.select(binCol.as("bin"), grpCol.as("__grp"))
+      .groupBy(col("bin"))
+      .agg(sum(when(col("__grp") === 0, 1L).otherwise(0L)).as("n_ref"),
+        sum(when(col("__grp") === 1, 1L).otherwise(0L)).as("n_cur"))
+    val p = agg
+      .withColumn("p_ref", col("n_ref").cast("double") / sum(col("n_ref")).over(w))
+      .withColumn("p_cur", col("n_cur").cast("double") / sum(col("n_cur")).over(w))
+    val d = col("p_cur") - col("p_ref")
+    p.select(col("bin"), col("n_ref"), col("n_cur"), col("p_ref"), col("p_cur"),
+      abs(d).as("abs_diff"),
+      when(col("p_ref") > 0, d * d / col("p_ref")).as("chi2_term"))
   }
 }

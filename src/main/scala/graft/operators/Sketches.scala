@@ -49,6 +49,35 @@ object Sketches {
       .agg(org.apache.spark.sql.graftx.KllSketch
         .sketchAgg(valueCol, k).as("qsketch"))
 
+  /** Per-bucket frequent-items (heavy-hitters) sketches over a string
+    * column — the third leg of the sketch cube next to HLL distinct and
+    * KLL quantiles ([[org.apache.spark.sql.graftx.FreqSketch]],
+    * DataSketches frequencies). `maxMapSize` (power of two) bounds both
+    * state (fixed bytes per bucket) and error (≈3.5·n/maxMapSize). The
+    * shuffle carries fixed-size summaries, never token streams. */
+  def freqSketch(df: DataFrame, bucketCols: Seq[Column],
+                 valueCol: Column, maxMapSize: Int = 64): DataFrame =
+    df.groupBy(bucketCols: _*)
+      .agg(org.apache.spark.sql.graftx.FreqSketch
+        .sketchAgg(valueCol, maxMapSize).as("fsketch"))
+
+  /** Heavy hitters at a coarser grain from unions of the stored bucket
+    * sketches — never rescans raw data. Emits the sorted item array
+    * whose frequency LOWER bound clears `minFraction` of the merged
+    * stream (NO_FALSE_POSITIVES): every item truly above
+    * minFraction + error is guaranteed present, everything truly below
+    * minFraction guaranteed absent, so with separated hitters the set
+    * is deterministic under any merge order. */
+  def rollupHeavyHitters(sketches: DataFrame, rollupCols: Seq[Column],
+                         minFraction: Double, maxMapSize: Int = 64): DataFrame = {
+    import org.apache.spark.sql.graftx.FreqSketch
+    sketches.groupBy(rollupCols: _*)
+      .agg(FreqSketch.unionAgg(col("fsketch"), maxMapSize).as("__merged"))
+      .select(rollupCols ++ Seq(FreqSketch.heavyHitters(col("__merged"),
+        floor(FreqSketch.streamLength(col("__merged")) * minFraction)
+          .cast("long")).as("heavy")): _*)
+  }
+
   /** Quantile estimates at a coarser grain from unions of the stored
     * bucket sketches — never rescans raw data. One `estimate` column
     * per requested quantile `p`, named `q<100p>` (q50, q95, ...). */

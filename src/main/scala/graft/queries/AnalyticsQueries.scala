@@ -219,6 +219,25 @@ object AnalyticsQueries {
     // persistable/re-mergeable); the serialized KLL sketch is. The
     // oracle pins the exact month row counts and asserts the accuracy
     // flags as ground truth.
+    // Frequent-items cube: per-returnflag heavy-hitter sketches rolled
+    // up globally; output = items whose frequency LOWER bound clears
+    // 1/8 of the stream (NO_FALSE_POSITIVES). The stream is synthesized
+    // skewed (3 hot items ≈1/6 each, ~30k cold items ≪ threshold) so
+    // the guaranteed-in/guaranteed-out bands leave no ambiguity and the
+    // set matches exact SQL under any merge order.
+    "sketch_topk" -> ((s, d) => {
+      val li = tbl(s, d, "lineitem").select(col("l_returnflag").as("bucket"),
+        when(pmod(col("l_orderkey"), lit(2)) === 0,
+          concat(lit("hot_"), pmod(col("l_orderkey"), lit(3)).cast("string")))
+          .otherwise(concat(lit("cold_"),
+            pmod(col("l_orderkey"), lit(30011)).cast("string"))).as("item"))
+      val perBucket = Sketches.freqSketch(li, Seq(col("bucket")), col("item"),
+        maxMapSize = 128)
+      Sketches.rollupHeavyHitters(perBucket, Seq.empty, minFraction = 0.125,
+        maxMapSize = 128)
+        .select(explode(col("heavy")).as("item"))
+    }),
+
     "sketch_quantile" -> ((s, d) => {
       val orders = tbl(s, d, "orders")
         .withColumn("o_month", date_format(col("o_orderdate"), "yyyy-MM"))
@@ -258,6 +277,16 @@ object AnalyticsQueries {
            true AS sketch_ok, true AS merge_ok
          FROM orders GROUP BY 1""",
 
+    "sketch_topk" ->
+      """WITH s AS (
+           SELECT CASE WHEN l_orderkey % 2 = 0
+                       THEN 'hot_' || CAST(l_orderkey % 3 AS VARCHAR)
+                       ELSE 'cold_' || CAST(l_orderkey % 30011 AS VARCHAR) END AS item
+           FROM lineitem),
+         t AS (SELECT count(*)::BIGINT AS n FROM s)
+         SELECT item FROM s CROSS JOIN t
+         GROUP BY item, n
+         HAVING count(*) >= floor(n * 0.125)""",
     "sketch_quantile" ->
       """SELECT strftime(o_orderdate, '%Y-%m') AS o_month,
            CAST(count(*) AS BIGINT) AS n_rows,

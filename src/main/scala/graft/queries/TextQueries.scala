@@ -19,6 +19,16 @@ object TextQueries {
         tbl(s, d, "documents"), "lang", "text")
     }),
 
+    // Snapshot drift report: even doc_ids stand in for the reference
+    // snapshot, odd for the current; n_chars bucketed in 64-char bins.
+    // Chi-square contributions instead of PSI's log-ratio so the
+    // report is bit-exact across engines (see Profiling.scala).
+    "drift_report" -> ((s, d) => {
+      graft.operators.Profiling.distributionDrift(
+        tbl(s, d, "documents"),
+        expr("n_chars div 64"), pmod(col("doc_id"), lit(2)))
+    }),
+
     "text_tokens" -> ((s, d) => {
       tbl(s, d, "documents").select(
         col("doc_id"),
@@ -279,6 +289,24 @@ object TextQueries {
            count(DISTINCT md5(text)) AS n_distinct,
            (count(*) - count(DISTINCT md5(text)))::DOUBLE / count(*) AS dup_rate
          FROM documents GROUP BY lang""",
+    "drift_report" ->
+      """WITH b AS (
+           SELECT n_chars // 64 AS bin, doc_id % 2 AS grp FROM documents),
+         agg AS (
+           SELECT bin,
+             sum(CASE WHEN grp = 0 THEN 1 ELSE 0 END)::BIGINT AS n_ref,
+             sum(CASE WHEN grp = 1 THEN 1 ELSE 0 END)::BIGINT AS n_cur
+           FROM b GROUP BY bin),
+         p AS (
+           SELECT bin, n_ref, n_cur,
+             n_ref::DOUBLE / sum(n_ref) OVER () AS p_ref,
+             n_cur::DOUBLE / sum(n_cur) OVER () AS p_cur
+           FROM agg)
+         SELECT bin, n_ref, n_cur, p_ref, p_cur,
+           abs(p_cur - p_ref) AS abs_diff,
+           CASE WHEN p_ref > 0
+             THEN (p_cur - p_ref) * (p_cur - p_ref) / p_ref END AS chi2_term
+         FROM p""",
     "text_tokens" ->
       """SELECT doc_id, len(string_split_regex(trim(text), '\s+')) AS n_ws,
            len(regexp_extract_all(text, '\w+|[^\w\s]')) AS n_bpe,

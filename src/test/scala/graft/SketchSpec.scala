@@ -101,6 +101,33 @@ class SketchSpec extends SparkTestBase {
       s"heavy $heavyRate not enriched over light $lightRate")
   }
 
+  test("freq sketch cube: heavy hitters survive purging, rollup, and reshuffling") {
+    import graft.operators.Sketches
+    // 2 hot items (~25% each) + 5000 cold singletons-ish, far beyond
+    // maxMapSize=64 so the sketch genuinely purges
+    val rows = (0L until 20000L).map { i =>
+      val item = if (i % 4 == 0) "hotA" else if (i % 4 == 1) "hotB" else s"cold_${i % 5003}"
+      (if (i % 2 == 0) "x" else "y", item)
+    }
+    val df = rows.toDF("bucket", "item")
+    def hitters(input: org.apache.spark.sql.DataFrame): Seq[String] = {
+      val perBucket = Sketches.freqSketch(input, Seq(col("bucket")), col("item"), 64)
+      Sketches.rollupHeavyHitters(perBucket, Seq.empty, minFraction = 0.125, 64)
+        .select(explode(col("heavy")).as("item")).as[String].collect().toSeq
+    }
+    assert(hitters(df) == Seq("hotA", "hotB"))
+    // merge-order insensitivity of the SET: different physical layout
+    assert(hitters(df.repartition(17)) == Seq("hotA", "hotB"))
+  }
+
+  test("freq sketch streamLength counts every merged row") {
+    import org.apache.spark.sql.graftx.FreqSketch
+    val df = (0L until 1000L).map(i => s"i${i % 7}").toDF("item")
+    val n = df.agg(FreqSketch.streamLength(
+      FreqSketch.sketchAgg(col("item"), 32)).as("n")).as[Long].head()
+    assert(n == 1000L)
+  }
+
   test("perKeyCap: ≤cap per key, salted two-phase equals single-window answer") {
     val df = (0L until 3000L).map(i =>
       (i, if (i % 3 == 0) "hot" else s"k${i % 10}")).toDF("doc_id", "source")
