@@ -45,7 +45,57 @@ object GraftExtensions {
     (FunctionIdentifier("bloom_filter_agg"),
       info("bloom_filter_agg",
         "_FUNC_(xxhash64_value[, expected_items[, num_bits]]) - aggregate values into a serialized Bloom filter"),
-      BloomScreen.bloomAggBuilder _))
+      BloomScreen.bloomAggBuilder _),
+    (FunctionIdentifier("kll_sketch_agg"),
+      info("kll_sketch_agg",
+        "_FUNC_(value[, k]) - fold doubles into a serialized mergeable KLL quantile sketch"),
+      (args: Seq[Expression]) => args match {
+        case Seq(v)    => KllSketchAgg(v).toAggregateExpression()
+        case Seq(v, k) => KllSketchAgg(v, intLit(k, "k")).toAggregateExpression()
+        case _ => throw new IllegalArgumentException("kll_sketch_agg(value[, k])")
+      }),
+    (FunctionIdentifier("kll_union_agg"),
+      info("kll_union_agg",
+        "_FUNC_(sketch[, k]) - merge serialized KLL sketches (rollup)"),
+      (args: Seq[Expression]) => args match {
+        case Seq(v)    => KllUnionAgg(v).toAggregateExpression()
+        case Seq(v, k) => KllUnionAgg(v, intLit(k, "k")).toAggregateExpression()
+        case _ => throw new IllegalArgumentException("kll_union_agg(sketch[, k])")
+      }),
+    (FunctionIdentifier("kll_quantile"),
+      info("kll_quantile",
+        "_FUNC_(sketch, p) - read the p-quantile (0..1) out of a serialized KLL sketch"),
+      (args: Seq[Expression]) => KllQuantile(args(0), args(1))),
+    (FunctionIdentifier("freq_sketch_agg"),
+      info("freq_sketch_agg",
+        "_FUNC_(value[, maxMapSize]) - fold strings into a serialized mergeable frequent-items sketch"),
+      (args: Seq[Expression]) => args match {
+        case Seq(v)    => FreqSketchAgg(v).toAggregateExpression()
+        case Seq(v, m) => FreqSketchAgg(v, intLit(m, "maxMapSize")).toAggregateExpression()
+        case _ => throw new IllegalArgumentException("freq_sketch_agg(value[, maxMapSize])")
+      }),
+    (FunctionIdentifier("freq_union_agg"),
+      info("freq_union_agg",
+        "_FUNC_(sketch[, maxMapSize]) - merge serialized frequent-items sketches (rollup)"),
+      (args: Seq[Expression]) => args match {
+        case Seq(v)    => FreqUnionAgg(v).toAggregateExpression()
+        case Seq(v, m) => FreqUnionAgg(v, intLit(m, "maxMapSize")).toAggregateExpression()
+        case _ => throw new IllegalArgumentException("freq_union_agg(sketch[, maxMapSize])")
+      }),
+    (FunctionIdentifier("freq_heavy_hitters"),
+      info("freq_heavy_hitters",
+        "_FUNC_(sketch, min_lb) - sorted items whose frequency lower bound >= min_lb (no false positives)"),
+      (args: Seq[Expression]) => FreqHeavyHitters(args(0), args(1))),
+    (FunctionIdentifier("freq_stream_length"),
+      info("freq_stream_length",
+        "_FUNC_(sketch) - total item count folded into a frequent-items sketch"),
+      (args: Seq[Expression]) => FreqStreamLength(args(0))))
+
+  private def intLit(e: Expression, what: String): Int = e match {
+    case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, _) => v
+    case other => throw new IllegalArgumentException(
+      s"$what must be an integer literal, got $other")
+  }
 
   /** Register into an ALREADY-built session (e.g. one handed to a
     * library entry point after construction — too late for

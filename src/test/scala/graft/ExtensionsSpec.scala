@@ -38,6 +38,29 @@ class ExtensionsSpec extends AnyFunSuite {
     assert(d == 11.0)
   }
 
+  test("kll sketch cube is buildable from raw SQL") {
+    val q50 = spark.sql(
+      """WITH base AS (SELECT id % 4 AS b, CAST(id AS DOUBLE) AS v FROM range(0, 1000)),
+         cube AS (SELECT b, kll_sketch_agg(v, 200) AS s FROM base GROUP BY b)
+         SELECT kll_quantile(kll_union_agg(s, 200), 0.5D) AS q50 FROM cube""")
+      .collect().head.getDouble(0)
+    assert(q50 > 400 && q50 < 600, s"median of 0..999 ≈ 500, got $q50")
+  }
+
+  test("frequent-items cube is buildable from raw SQL") {
+    val items = spark.sql(
+      """WITH base AS (
+           SELECT CASE WHEN id % 3 = 0 THEN 'hot' ELSE concat('c', id) END AS item,
+                  id % 2 AS b
+           FROM range(0, 3000)),
+         cube AS (SELECT b, freq_sketch_agg(item, 32) AS s FROM base GROUP BY b),
+         m AS (SELECT freq_union_agg(s, 32) AS ms FROM cube)
+         SELECT freq_heavy_hitters(ms, CAST(freq_stream_length(ms) / 10 AS BIGINT)) AS hh
+         FROM m""")
+      .collect().head.getSeq[String](0)
+    assert(items == Seq("hot"))
+  }
+
   test("might_contain pairs with the built-in bloom_filter_agg in SQL") {
     val rows = spark.sql(
       """WITH f AS (SELECT bloom_filter_agg(xxhash64(x), 8L, 64L) AS bf
