@@ -172,6 +172,18 @@ object Similarity {
     val base = spread(sampled).select(col(idCol), col(vecCol).as("v"))
       .withColumn("vn", VectorOps.norm(col("v")))
       .localCheckpoint() // reused every round: don't re-scan per iteration
+    kmeansFitOnBase(base, df, idCol, vecCol, k, iters)
+  }
+
+  /** [[kmeansFit]] over an ALREADY-materialized (idCol, v, vn) base —
+    * lets a caller that needs the same projection for the search itself
+    * (ivfTopK and friends) materialize ONCE instead of paying a second
+    * localCheckpoint job for the training slice; a narrow filter over
+    * the shared checkpoint replaces it. Identical arithmetic, identical
+    * centroids. */
+  private def kmeansFitOnBase(base: DataFrame, df: DataFrame, idCol: String,
+                              vecCol: String, k: Int,
+                              iters: Int): Seq[(Long, Seq[Double])] = {
     var centroids: Seq[(Long, Seq[Double])] = df.filter(col(idCol) < k)
       .select(col(idCol).cast("long"), col(vecCol).cast("array<double>"))
       .collect().map(r => (r.getLong(0), r.getSeq[Double](1).toSeq))
@@ -212,11 +224,14 @@ object Similarity {
   def ivfTopKMultiProbe(df: DataFrame, idCol: String, vecCol: String, k: Int,
                         nCentroids: Int, nprobe: Int,
                         kmeansIters: Int = 2, trainSampleMod: Int = 1): DataFrame = {
-    val centroids = kmeansFit(df, idCol, vecCol, nCentroids, kmeansIters, trainSampleMod)
-    val bc = bcBook(df, centroids)
+    // one materialization for training slice + probe + corpus sides
     val base = spread(df).select(col(idCol), col(vecCol).as("v"))
       .withColumn("vn", VectorOps.norm(col("v")))
       .localCheckpoint() // feeds probe and corpus sides
+    val train =
+      if (trainSampleMod > 1) base.filter(col(idCol) % trainSampleMod === 0) else base
+    val centroids = kmeansFitOnBase(train, df, idCol, vecCol, nCentroids, kmeansIters)
+    val bc = bcBook(df, centroids)
     val corpus = base
       .withColumn("cell", assignCell(col("v"), bc))
       .select(col("cell"), col(idCol).as("neighbor_id"),
@@ -536,12 +551,18 @@ object Similarity {
     * The cells shard the O(n²) space like an inverted file does. */
   def ivfTopK(df: DataFrame, idCol: String, vecCol: String, k: Int,
               nCentroids: Int, kmeansIters: Int = 2, trainSampleMod: Int = 1): DataFrame = {
-    val centroids = kmeansFit(df, idCol, vecCol, nCentroids, kmeansIters, trainSampleMod)
-    // feeds both sides of the within-cell self-join: materialize once
-    val cells = spread(df).select(col(idCol), col(vecCol).as("v"))
+    // ONE materialization feeds k-means training (a narrow filter over
+    // the checkpoint selects the training sample) AND both sides of the
+    // within-cell self-join — the training slice never pays its own
+    // checkpoint job.
+    val base = spread(df).select(col(idCol), col(vecCol).as("v"))
       .withColumn("vn", VectorOps.norm(col("v")))
-      .withColumn("cell", assignCell(col("v"), bcBook(df, centroids)))
       .localCheckpoint()
+    val train =
+      if (trainSampleMod > 1) base.filter(col(idCol) % trainSampleMod === 0) else base
+    val centroids = kmeansFitOnBase(train, df, idCol, vecCol, nCentroids, kmeansIters)
+    val cells = base
+      .withColumn("cell", assignCell(col("v"), bcBook(df, centroids)))
     // search within the cell
     val a = cells.select(col("cell"), col(idCol).as("query_id"),
       col("v").as("qv"), col("vn").as("qn"))
