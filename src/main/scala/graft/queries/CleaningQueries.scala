@@ -103,7 +103,10 @@ object CleaningQueries {
     // dedup window are the only wide ops), so this is the library's
     // "switch your prep job to one query" surface.
     "corpus_pipeline" -> ((s, d) => {
-      val normed = tblSpread(s, d, "documents").select(
+      // NOTE: deliberately NOT tblSpread — the pipeline's first wide op
+      // (the dedup window) reshuffles anyway, so a scan rebalance here
+      // just adds an exchange (measured +0.8 s at sf0.1).
+      val normed = tbl(s, d, "documents").select(
         col("doc_id"), col("lang"), col("n_chars"),
         Cleaning.normalizeText(col("text")).as("text_norm"))
       val banded = Cleaning.lengthBandFilter(normed, "n_chars", 2, 98)
