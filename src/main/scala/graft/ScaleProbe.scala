@@ -339,7 +339,126 @@ object ScaleProbe {
     probe("upsert feed 1/2 (backfill)", 2)
   }
 
+  /** `runMain graft.ScaleProbe quota7` — perKeyCap skew defense
+    * (SCALE.md round 7): 20M rows where ONE key holds 50% of the
+    * corpus (the hot-domain worst case of "cap docs per domain").
+    * Reported: wall + max single task for the salted two-phase vs the
+    * single-window plan, and set equality between the two. */
+  private def quota7(spark: SparkSession): Unit = {
+    import graft.operators.Sampling
+    spark.sparkContext.addSparkListener(MaxTask)
+    val rows = spark.range(0, 20000000L).select(col("id").as("doc_id"),
+      when(pmod(col("id"), lit(2)) === 0, lit("hot.example.com"))
+        .otherwise(concat(lit("d"), pmod(col("id"), lit(100000)).cast("string")))
+        .as("domain"))
+      .localCheckpoint()
+    def time(label: String)(f: => Long): Unit = {
+      MaxTask.reset()
+      val t0 = System.nanoTime(); val n = f
+      val s = (System.nanoTime() - t0) / 1e9
+      println(f"""{"probe":"$label","rows":$n,"sec":$s%.2f,"max_task_sec":${MaxTask.max.get() / 1000.0}%.2f}""")
+    }
+    time("perKeyCap cap=50 salts=1 (single window: hot key on one task)") {
+      Sampling.perKeyCap(rows, "domain", "doc_id", 50, salts = 1).count()
+    }
+    time("perKeyCap cap=50 salts=32 (two-phase: hot key bounded at cap*salts)") {
+      Sampling.perKeyCap(rows, "domain", "doc_id", 50, salts = 32).count()
+    }
+    val a = Sampling.perKeyCap(rows, "domain", "doc_id", 50, salts = 1)
+    val b = Sampling.perKeyCap(rows, "domain", "doc_id", 50, salts = 32)
+    println(s"""{"probe":"salted == unsalted set","equal":${
+      a.exceptAll(b).isEmpty && b.exceptAll(a).isEmpty}}""")
+  }
+
+  /** `runMain graft.ScaleProbe pipe7` — external-tool pipe throughput
+    * (SCALE.md round 7): 200k FASTA records through one awk process per
+    * partition. The per-partition process count and rows/sec show the
+    * boundary's scaling shape: spawn cost amortizes over the partition,
+    * throughput scales with partitions (≈ executor slots at 100 TB). */
+  private def pipe7(spark: SparkSession): Unit = {
+    import graft.operators.PipeTool
+    import org.apache.spark.sql.types._
+    val docs = spark.range(0, 200000L).select(
+      concat(lit("s"), col("id").cast("string")).as("id"),
+      concat_ws("", (0 until 8).map(i =>
+        md5(concat(col("id").cast("string"), lit(s"#$i")))): _*).as("seq"))
+      .localCheckpoint()
+    val out = StructType(Seq(StructField("id", StringType),
+      StructField("seq_len", LongType), StructField("gc", LongType)))
+    val tool = Seq("awk",
+      """function emit() { if (id != "") { l = length(s); n = gsub(/[GC]/, "", s); print id "\t" l "\t" n } }
+        |/^>/ { emit(); id = substr($0, 2); s = ""; next }
+        |{ s = s $0 }
+        |END { emit() }""".stripMargin)
+    for (parts <- Seq(1, 8, 32)) {
+      val in = docs.repartition(parts)
+      val t0 = System.nanoTime()
+      val n = PipeTool.pipeFasta(in, "id", "seq", tool, out)
+        .queryExecution.toRdd.count()
+      val s = (System.nanoTime() - t0) / 1e9
+      println(f"""{"probe":"pipeFasta 200k recs, $parts process(es)","rows":$n,"sec":$s%.2f,"rows_per_sec":${n / s}%.0f}""")
+    }
+  }
+
+  /** `runMain graft.ScaleProbe freq7` — frequent-items cube (SCALE.md
+    * round 7): 20M skewed tokens, 256 buckets; per-bucket fixed-size
+    * summaries vs the exact groupBy. The cube's shuffle carries one
+    * summary per bucket×partition; the exact path reshuffles 20M
+    * tokens for every grain asked. */
+  private def freq7(spark: SparkSession): Unit = {
+    import graft.operators.Sketches
+    import org.apache.spark.sql.DataFrame
+    val rows = spark.range(0, 20000000L).select(
+      pmod(hash(col("id")), lit(256)).as("bucket"),
+      when(pmod(col("id"), lit(5)) < 2,
+        concat(lit("hot_"), pmod(col("id"), lit(4)).cast("string")))
+        .otherwise(concat(lit("c"), pmod(col("id"), lit(1000003)).cast("string")))
+        .as("item"))
+      .localCheckpoint()
+    def time(label: String)(f: => Long): Unit = {
+      val t0 = System.nanoTime(); val n = f
+      val s = (System.nanoTime() - t0) / 1e9
+      println(f"""{"probe":"$label","rows":$n,"sec":$s%.2f}""")
+    }
+    var cube: DataFrame = null
+    time("build per-bucket freq sketches (one pass, fixed-size summaries)") {
+      cube = Sketches.freqSketch(rows, Seq(col("bucket")), col("item"), 256)
+        .localCheckpoint()
+      cube.count()
+    }
+    time("exact global heavy hitters from raw (reshuffles 20M tokens)") {
+      val t = rows.count()
+      rows.groupBy(col("item")).count()
+        .filter(col("count") >= (t * 0.07).toLong).count()
+    }
+    time("global heavy hitters from cube (256 sketch rows, no rescan)") {
+      Sketches.rollupHeavyHitters(cube, Seq.empty, minFraction = 0.07, 256)
+        .select(explode(col("heavy"))).count()
+    }
+    val got = Sketches.rollupHeavyHitters(cube, Seq.empty, minFraction = 0.07, 256)
+      .select(explode(col("heavy")).as("item"))
+      .collect().map(_.getString(0)).toSeq
+    println(s"""{"probe":"heavy set","items":"${got.mkString(",")}"}""")
+  }
+
   def main(args: Array[String]): Unit = {
+    if (args.headOption.contains("quota7") || args.headOption.contains("pipe7") ||
+        args.headOption.contains("freq7")) {
+      val spark = SparkSession.builder()
+        .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")}]")
+        .config("spark.sql.shuffle.partitions",
+          sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"))
+        .config("spark.ui.enabled", "false")
+        .getOrCreate()
+      spark.sparkContext.setLogLevel("WARN")
+      args.head match {
+        case "quota7" => quota7(spark)
+        case "pipe7"  => pipe7(spark)
+        case "freq7"  => freq7(spark)
+      }
+      spark.stop()
+      return
+    }
     if (args.headOption.contains("winnow5")) {
       val spark = SparkSession.builder()
         .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")}]")
