@@ -103,4 +103,38 @@ object TextAnalysis {
     aggregate(toks, lit(0), (acc, t) => acc + length(t)).cast("double") /
       greatest(size(toks), lit(1)).cast("double")
   }
+
+  /** Gopher-style rule battery (Rae et al. 2021, table A1 — the
+    * document-level subset that needs no line structure): each rule a
+    * boolean column, `keep` their conjunction. All exact rational
+    * arithmetic on counts, so differential results are bit-stable.
+    *  - word count within [minWords, maxWords]
+    *  - mean word length within [3, 10] chars
+    *  - '#' symbols ≤ 10% of words
+    *  - '...' occurrences ≤ 10% of words
+    *  - ≥ 80% of words contain at least one alphabetic character
+    *  - ≥ 2 distinct English stop words present
+    */
+  def gopherRules(text: Column, minWords: Int = 50,
+                  maxWords: Int = 100000): Column = {
+    val toks = wsTokens(lower(text))
+    val n = size(toks)
+    val nd = n.cast("double")
+    val meanLen = aggregate(toks, lit(0), (acc, t) => acc + length(t))
+      .cast("double") / greatest(n, lit(1)).cast("double")
+    def occurrences(needle: String, width: Int) =
+      ((length(text) - length(regexp_replace(text,
+        java.util.regex.Pattern.quote(needle), ""))) / width).cast("double")
+    val alphaWords = size(filter(toks, t => t.rlike("[a-z]"))).cast("double")
+    val stops = array(langMarkers.toMap.apply("en").map(lit): _*)
+    val stopHits = size(array_intersect(array_distinct(toks), stops))
+    val rules = Seq(
+      (n >= minWords && n <= maxWords).as("word_count_ok"),
+      (meanLen >= 3.0 && meanLen <= 10.0).as("mean_word_len_ok"),
+      (occurrences("#", 1) <= nd * 0.1).as("hash_ratio_ok"),
+      (occurrences("...", 3) <= nd * 0.1).as("ellipsis_ratio_ok"),
+      (alphaWords >= nd * 0.8).as("alpha_word_ratio_ok"),
+      (stopHits >= 2).as("stop_word_ok"))
+    struct(rules :+ rules.map(r => r: Column).reduce(_ && _).as("keep"): _*)
+  }
 }

@@ -43,6 +43,15 @@ object TextQueries {
         TextAnalysis.qualityScore(col("text")).as("quality"))
     }),
 
+    // Gopher-style rule battery (document-level subset, exact counts).
+    "quality_gopher" -> ((s, d) => {
+      tblSpread(s, d, "documents").select(col("doc_id"),
+        TextAnalysis.gopherRules(col("text")).as("g"))
+        .select(col("doc_id"), col("g.word_count_ok"), col("g.mean_word_len_ok"),
+          col("g.hash_ratio_ok"), col("g.ellipsis_ratio_ok"),
+          col("g.alpha_word_ratio_ok"), col("g.stop_word_ok"), col("g.keep"))
+    }),
+
     "text_langid" -> ((s, d) => {
       tblSpread(s, d, "documents").select(
         col("doc_id"),
@@ -289,6 +298,32 @@ object TextQueries {
            count(DISTINCT md5(text)) AS n_distinct,
            (count(*) - count(DISTINCT md5(text)))::DOUBLE / count(*) AS dup_rate
          FROM documents GROUP BY lang""",
+    "quality_gopher" ->
+      """WITH t AS (
+           SELECT doc_id, text,
+             string_split_regex(trim(lower(text)), '\s+') AS toks
+           FROM documents),
+         m AS (
+           SELECT doc_id, text, toks, len(toks) AS n,
+             list_sum(list_transform(toks, x -> len(x)))::DOUBLE
+               / greatest(len(toks), 1) AS mean_len,
+             (len(text) - len(replace(text, '#', '')))::DOUBLE AS n_hash,
+             ((len(text) - len(replace(text, '...', ''))) / 3)::DOUBLE AS n_ellipsis,
+             len(list_filter(toks, x -> regexp_matches(x, '[a-z]')))::DOUBLE AS n_alpha,
+             len(list_intersect(list_distinct(toks),
+               ['the', 'a', 'and', 'of', 'to', 'is'])) AS n_stops
+           FROM t)
+         SELECT doc_id,
+           n >= 50 AND n <= 100000 AS word_count_ok,
+           mean_len >= 3.0 AND mean_len <= 10.0 AS mean_word_len_ok,
+           n_hash <= n * 0.1 AS hash_ratio_ok,
+           n_ellipsis <= n * 0.1 AS ellipsis_ratio_ok,
+           n_alpha >= n * 0.8 AS alpha_word_ratio_ok,
+           n_stops >= 2 AS stop_word_ok,
+           (n >= 50 AND n <= 100000) AND (mean_len >= 3.0 AND mean_len <= 10.0)
+             AND n_hash <= n * 0.1 AND n_ellipsis <= n * 0.1
+             AND n_alpha >= n * 0.8 AND n_stops >= 2 AS keep
+         FROM m""",
     "drift_report" ->
       """WITH b AS (
            SELECT n_chars // 64 AS bin, doc_id % 2 AS grp FROM documents),
