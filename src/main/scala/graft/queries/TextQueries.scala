@@ -43,6 +43,17 @@ object TextQueries {
         TextAnalysis.qualityScore(col("text")).as("quality"))
     }),
 
+    // Corpus grep: exact substring search through a trigram posting
+    // index (candidates = docs holding ALL pattern trigrams, then a
+    // verify fetch) — identical result set to a full-scan contains(),
+    // which is exactly what the oracle runs.
+    "grep_search" -> ((s, d) => {
+      import graft.operators.GrepIndex
+      val docs = tbl(s, d, "documents")
+      val index = GrepIndex.build(docs, "doc_id", "text")
+      GrepIndex.search(index, docs, "doc_id", "text", "the customer")
+    }),
+
     // Gopher-style rule battery (document-level subset, exact counts).
     "quality_gopher" -> ((s, d) => {
       tblSpread(s, d, "documents").select(col("doc_id"),
@@ -298,6 +309,8 @@ object TextQueries {
            count(DISTINCT md5(text)) AS n_distinct,
            (count(*) - count(DISTINCT md5(text)))::DOUBLE / count(*) AS dup_rate
          FROM documents GROUP BY lang""",
+    "grep_search" ->
+      "SELECT doc_id FROM documents WHERE contains(text, 'the customer')",
     "quality_gopher" ->
       """WITH t AS (
            SELECT doc_id, text,
