@@ -35,9 +35,12 @@ object GrepIndex {
         i => text.substr(i, lit(3)))))
       .otherwise(array().cast("array<string>"))
 
-  /** (id, trigram) posting table over the corpus. */
+  /** (id, trigram) posting table over the corpus. The explode fans a
+    * ~300× row expansion out of the scan — rebalance first when the
+    * scan is under-parallel ([[Relational.computeRebalance]] gates it). */
   def build(df: DataFrame, idCol: String, textCol: String): DataFrame =
-    df.select(col(idCol), explode(trigramsOf(col(textCol))).as("trigram"))
+    Relational.computeRebalance(df)
+      .select(col(idCol), explode(trigramsOf(col(textCol))).as("trigram"))
 
   /** Exact substring search: all ids whose text contains `pattern`,
     * resolved through the posting index + a verify fetch. Patterns
