@@ -32,6 +32,31 @@ object VectorOps {
     transform(a, x => x.cast("double") / n)
   }
 
+  /** Symmetric per-vector int8 quantization — the 4× (vs float32)
+    * storage/IO cut a 100 TB embedding store takes before ANN serving:
+    * scale = max|v|/127, code_i = floor(v_i/scale + 0.5) clamped to
+    * [-127, 127] (the floor(+0.5) form is the engine-portable rounding
+    * used across this repo's oracles; zero vectors quantize to zero
+    * codes with scale 0). Returns struct(scale double, codes
+    * array<int>). Dequantize = code_i · scale; the reconstruction
+    * error per element is ≤ scale/2, so downstream cosine degrades by
+    * O(1/254) per dim — SketchSpec-style bounds are pinned in
+    * VectorQuantSpec. */
+  def quantizeInt8(v: Column): Column = {
+    val maxAbs = aggregate(v, lit(0.0d),
+      (acc, x) => greatest(acc, abs(x.cast("double"))))
+    val scale = maxAbs / 127.0d
+    val codes = transform(v, x =>
+      when(lit(true) && scale === 0.0d, lit(0))
+        .otherwise(greatest(lit(-127),
+          least(lit(127), floor(x.cast("double") / scale + 0.5d).cast("int")))))
+    struct(scale.as("scale"), codes.as("codes"))
+  }
+
+  /** Dequantized vector from a [[quantizeInt8]] struct. */
+  def dequantizeInt8(q: Column): Column =
+    transform(q.getField("codes"), c => c.cast("double") * q.getField("scale"))
+
   /** Sign-bit string of `v` against a fixed list of hyperplanes — the
     * random-hyperplane LSH bucket key (Charikar SimHash for cosine).
     * Hyperplanes are passed as literal arrays so the expression is

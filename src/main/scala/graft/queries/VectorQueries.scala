@@ -37,6 +37,24 @@ object VectorQueries {
   private lazy val dedupPlanes: Seq[Seq[Double]] = Similarity.hyperplanes(NDedupPlanes, Dim)
 
   val queries: Map[String, QueryFn] = Map(
+    // Symmetric per-vector int8 quantization (the 4x embedding-store
+    // compression before ANN serving): scale + first/last codes +
+    // worst-element reconstruction error, all engine-portable floor
+    // arithmetic.
+    "embed_quantize" -> ((s, d) => {
+      import graft.functions.VectorOps
+      val e = tbl(s, d, "embeddings")
+        .withColumn("q", VectorOps.quantizeInt8(col("embedding")))
+      e.select(col("vec_id"),
+        round4(col("q.scale")).as("scale"),
+        col("q.codes").getItem(0).as("code0"),
+        col("q.codes").getItem(Dim - 1).as("code_last"),
+        round4(aggregate(
+          zip_with(VectorOps.dequantizeInt8(col("q")), col("embedding"),
+            (dq, x) => abs(dq - x.cast("double"))),
+          lit(0.0d), (acc, err) => greatest(acc, err))).as("max_err"))
+    }),
+
     // Exact top-k for a small query set against the full corpus.
     "ann_bruteforce_topk" -> ((s, d) => {
       val e = tbl(s, d, "embeddings")
@@ -98,6 +116,24 @@ object VectorQueries {
     }.mkString(" || ")
 
   val oracles: Map[String, String] = Map(
+    "embed_quantize" ->
+      s"""WITH q AS (
+           SELECT vec_id, embedding,
+             list_max(list_transform(embedding, x -> abs(x::DOUBLE))) / 127.0 AS scale
+           FROM embeddings),
+         c AS (
+           SELECT vec_id, embedding, scale,
+             list_transform(embedding, x -> CASE WHEN scale = 0 THEN 0
+               ELSE greatest(-127, least(127, floor(x::DOUBLE / scale + 0.5)::INTEGER)) END) AS codes
+           FROM q)
+         SELECT vec_id,
+           floor(scale * 10000 + 0.5) / 10000 AS scale,
+           codes[1] AS code0,
+           codes[$Dim] AS code_last,
+           floor(list_max(list_transform(range(1, ${Dim + 1}),
+             i -> abs(codes[i]::DOUBLE * scale - embedding[i]::DOUBLE))) * 10000 + 0.5) / 10000
+             AS max_err
+         FROM c""",
     "ann_bruteforce_topk" ->
       s"""SELECT query_id, rank, neighbor_id FROM (
             SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
