@@ -67,4 +67,31 @@ object Packing {
       .withColumn("shard_pos", row_number().over(w))
       .drop("__h")
   }
+
+  /** Dataset-export shard manifest — the ship-the-dataset audit
+    * artifact: per shard (trainingOrder's hash sharding), the row
+    * count, payload bytes, and an ORDER-INDEPENDENT content checksum
+    * (sum of the rows' md5-prefix hashes mod 10^9 — commutative, so
+    * any executor/partition order yields the same digest, and
+    * engine-portable so a consumer can re-verify a shard in SQL).
+    * Verifying a delivered shard = recompute (rows, bytes, checksum)
+    * over the files and compare — no re-download of the whole set,
+    * per-shard granularity. */
+  def shardManifest(df: DataFrame, idCol: String, payloadCol: String,
+                    nShards: Int): DataFrame = {
+    require(nShards > 0, "nShards must be positive")
+    val M = 1000000000L
+    val rowHash = conv(substring(md5(
+      concat(col(idCol).cast("string"), lit("|"), col(payloadCol))), 1, 15), 16, 10)
+      .cast("long") % M
+    df.select(
+      pmod(conv(substring(md5(col(idCol).cast("string")), 1, 15), 16, 10)
+        .cast("long"), lit(nShards.toLong)).as("shard"),
+      length(col(payloadCol)).cast("long").as("__bytes"),
+      rowHash.as("__h"))
+      .groupBy(col("shard"))
+      .agg(count(lit(1)).as("n_rows"),
+        sum(col("__bytes")).as("n_bytes"),
+        (sum(col("__h")) % M).as("content_hash"))
+  }
 }

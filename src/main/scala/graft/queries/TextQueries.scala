@@ -88,6 +88,13 @@ object TextQueries {
         .select(col("doc_id"), col("shard"), col("shard_pos"))
     }),
 
+    // Dataset-export shard manifest: rows/bytes/order-independent
+    // content checksum per hash shard — the delivery audit artifact.
+    "shard_manifest" -> ((s, d) => {
+      graft.operators.Packing.shardManifest(
+        tbl(s, d, "documents"), "doc_id", "text", nShards = 8)
+    }),
+
     // Per-doc TF-IDF top terms (corpus keyword extraction).
     "tfidf_topk" -> ((s, d) => {
       graft.operators.TfIdf.topTerms(tbl(s, d, "documents"),
@@ -311,6 +318,13 @@ object TextQueries {
          FROM documents GROUP BY lang""",
     "grep_search" ->
       "SELECT doc_id FROM documents WHERE contains(text, 'the customer')",
+    "shard_manifest" ->
+      """SELECT ('0x' || substring(md5(doc_id::VARCHAR), 1, 15))::BIGINT % 8 AS shard,
+           count(*) AS n_rows,
+           sum(len(text))::BIGINT AS n_bytes,
+           sum(('0x' || substring(md5(doc_id::VARCHAR || '|' || text), 1, 15))::BIGINT
+               % 1000000000) % 1000000000 AS content_hash
+         FROM documents GROUP BY 1""",
     "quality_gopher" ->
       """WITH t AS (
            SELECT doc_id, text,
