@@ -44,6 +44,42 @@ class PlanGuardSpec extends SparkTestBase {
     }
   }
 
+  test("grep search: postings filtered before the candidate agg, no cartesian") {
+    val p = plan("grep_search")
+    // the pattern's trigram IN-filter must sit on the posting build
+    // side (candidates bounded by the pattern's postings, never the
+    // corpus), and the verify fetch is an equi-join
+    assert(p.contains("trigram") && p.contains(" IN ") || p.contains("INSET"),
+      s"trigram filter must prune the postings:\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"verify fetch must stay an equi-join:\n$p")
+  }
+
+  test("int8 quantization is map-side only (no keyed exchange)") {
+    val p = plan("embed_quantize")
+    assert(!p.contains("Exchange hashpartitioning") &&
+      !p.contains("Exchange rangepartitioning"),
+      s"quantization must not shuffle on a key:\n$p")
+  }
+
+  test("shard manifest is one partial-agg pass") {
+    val p = plan("shard_manifest")
+    // exactly one hash exchange (the shard groupBy), with a partial
+    // aggregate below it so the map side combines
+    assert("Exchange hashpartitioning".r.findAllIn(p).size == 1,
+      s"manifest must shuffle once:\n$p")
+    assert(p.contains("partial_"), s"map-side combine required:\n$p")
+  }
+
+  test("interval join keeps pushed event-type filters and an equi-key join") {
+    val p = plan("stream_attribution")
+    assert(p.contains("EqualTo(event_type,click)") &&
+      p.contains("EqualTo(event_type,purchase)"),
+      s"event filters must reach both scans:\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"the range condition must ride the equi-key hash join:\n$p")
+  }
+
   test("hashed quality scorer is map-side only (no keyed exchange)") {
     val p = plan("ml_quality_filter")
     // The scoring itself must never shuffle: no hash/range exchange.
