@@ -343,6 +343,62 @@ class PropertySpec extends SparkTestBase {
     assert(salted == direct && direct.nonEmpty)
   }
 
+  test("perKeyCap properties: subset of input, ≤cap per key, salt-invariant") {
+    import graft.operators.Sampling
+    val rows = sample(Gen.zip(Gen.chooseNum(0L, 100000L), Gen.chooseNum(0, 7)), 500)
+      .distinct.map { case (id, k) => (id, s"k$k") }
+    val df = rows.toDF("doc_id", "source")
+    for (cap <- Seq(1, 7, 40)) {
+      val out = Sampling.perKeyCap(df, "source", "doc_id", cap, salts = 4)
+      assert(out.exceptAll(df).isEmpty, "output must be a subset of input")
+      assert(out.groupBy("source").count().filter(col("count") > cap).count() == 0)
+      val unsalted = Sampling.perKeyCap(df, "source", "doc_id", cap, salts = 1)
+      assert(out.exceptAll(unsalted).isEmpty && unsalted.exceptAll(out).isEmpty,
+        s"salted != unsalted at cap=$cap")
+      // keys under their cap keep everything
+      val small = df.groupBy("source").count().filter(col("count") <= cap)
+        .select("source").as[String].collect().toSet
+      val kept = out.groupBy("source").count()
+        .as[(String, Long)].collect().toMap
+      val full = df.groupBy("source").count().as[(String, Long)].collect().toMap
+      small.foreach(k => assert(kept.getOrElse(k, 0L) == full(k)))
+    }
+  }
+
+  test("quantizeInt8 properties: codes in [-127,127], error ≤ scale/2, sign-preserving") {
+    import graft.functions.VectorOps
+    val vecGen = Gen.listOfN(16, Gen.chooseNum(-1e6f, 1e6f))
+    val rows = sample(vecGen, 200).zipWithIndex.map { case (v, i) => (i.toLong, v.toArray) }
+    val df = rows.toDF("id", "v")
+      .withColumn("q", VectorOps.quantizeInt8(col("v")))
+    val checked = df.select(
+      aggregate(col("q.codes"), lit(true),
+        (acc, c) => acc && c >= -127 && c <= 127).as("in_range"),
+      aggregate(zip_with(VectorOps.dequantizeInt8(col("q")), col("v"),
+        (dq, x) => abs(dq - x.cast("double"))), lit(0.0d),
+        (a, e) => greatest(a, e)).as("max_err"),
+      col("q.scale").as("scale"),
+      aggregate(zip_with(col("q.codes"), col("v"),
+        (c, x) => (c === 0) || (c > 0) === (x > 0)), lit(true),
+        (a, b) => a && b).as("signs_ok"))
+    assert(checked.filter(!col("in_range")).count() == 0)
+    assert(checked.filter(col("max_err") > col("scale") * 0.5 + 1e-9).count() == 0)
+    assert(checked.filter(!col("signs_ok")).count() == 0)
+  }
+
+  test("trigramsOf matches the definitional sliding window") {
+    import graft.operators.GrepIndex
+    val txtGen = Gen.listOf(Gen.oneOf(('a' to 'e') :+ ' ')).map(_.mkString)
+    val rows = sample(txtGen, 300).zipWithIndex.map { case (t, i) => (i.toLong, t) }
+    val df = rows.toDF("id", "text")
+    val got = df.select(col("id"), GrepIndex.trigramsOf(col("text")).as("tg"))
+      .as[(Long, Seq[String])].collect().toMap
+    rows.foreach { case (id, t) =>
+      val expect = if (t.length < 3) Seq.empty else t.sliding(3).toSeq.distinct
+      assert(got(id).sorted == expect.sorted, s"text '$t'")
+    }
+  }
+
   test("groupedSplit: total, deterministic, and constant within a group") {
     import graft.operators.Sampling
     val gkGen = Gen.chooseNum(0L, 60L)
