@@ -34,6 +34,59 @@ object Expectations {
   def inSet(c: Column, accepted: Seq[String]): Column =
     avg(c.isin(accepted: _*).cast("double"))
 
+  /** Attach the suite as OBSERVED metrics: the checks piggyback on
+    * whatever job next materializes `df` — zero additional scans, even
+    * at 100 TB — and the metric row is delivered asynchronously to a
+    * QueryExecutionListener (batch) or per micro-batch in
+    * `StreamingQueryProgress.observedMetrics` (streaming). This is the
+    * production instrumentation mode: [[run]] answers "audit this table
+    * now" with its own pass; `observed` answers "measure every batch of
+    * the pipeline I am already running" for free.
+    *
+    * Metric columns are named `<name>__metric`; read them back with
+    * [[verdicts]]. Constraint inherited from `observe`: metrics must be
+    * non-distinct aggregates (so [[uniqueness]] belongs to [[run]],
+    * not the observed path). */
+  def observed(df: DataFrame, observationName: String,
+               checks: Seq[Expectation]): DataFrame = {
+    require(checks.nonEmpty, "empty expectation suite")
+    val metricCols = observedMetricCols(checks)
+    df.observe(observationName, metricCols.head, metricCols.tail: _*)
+  }
+
+  /** [[observed]] with a handle for synchronous batch readback
+    * (`obs.get` blocks until the consuming action finishes). */
+  def observed(df: DataFrame, obs: org.apache.spark.sql.Observation,
+               checks: Seq[Expectation]): DataFrame = {
+    require(checks.nonEmpty, "empty expectation suite")
+    val metricCols = observedMetricCols(checks)
+    df.observe(obs, metricCols.head, metricCols.tail: _*)
+  }
+
+  private def observedMetricCols(checks: Seq[Expectation]): Seq[Column] =
+    checks.map(c => c.metric.cast("double").as(s"${c.name}__metric"))
+
+  /** Turn an observation's metric map (`Observation.get`, a streaming
+    * progress's `observedMetrics` row via `getValuesMap`, or a
+    * QueryExecutionListener row) into (check_name, metric, passed)
+    * verdicts. */
+  def verdicts(metrics: Map[String, Any],
+               checks: Seq[Expectation]): Seq[(String, Double, Boolean)] =
+    checks.map { c =>
+      val m = metrics.get(s"${c.name}__metric") match {
+        case Some(d: Double) => d
+        case Some(n: Number) => n.doubleValue()
+        case _ => Double.NaN
+      }
+      // evaluate the pass predicate on a literal via a 1-row local frame
+      (c.name, m, m == m && passOnValue(c, m))
+    }
+
+  private def passOnValue(c: Expectation, m: Double): Boolean = {
+    val spark = org.apache.spark.sql.SparkSession.active
+    spark.range(1).select(c.pass(lit(m)).as("p")).head().getBoolean(0)
+  }
+
   /** Evaluate the suite in one pass. Output columns:
     * check_name (string), metric (double), passed (boolean). */
   def run(df: DataFrame, checks: Seq[Expectation]): DataFrame = {

@@ -151,4 +151,21 @@ class AnalyticsSpec extends SparkTestBase {
     assert(!byName("impossible_negative_size"),
       "a false check must produce passed=false")
   }
+
+  test("observed expectations piggyback on the consuming job and read back") {
+    val docs = graft.core.Lakehouse.table(spark, sfSmoke, "documents")
+    val obs = new org.apache.spark.sql.Observation("dq_obs")
+    val checks = Seq(
+      Expectation("text_complete", Expectations.completeness(col("text")),
+        m => m >= 0.99),
+      Expectation("rows", count(lit(1)).cast("double"), m => m > 0.0),
+      Expectation("impossible", count(lit(1)).cast("double"), m => m < 0.0))
+    val instrumented = Expectations.observed(docs, obs, checks)
+    val n = instrumented.count() // the only action — metrics ride this job
+    val v = Expectations.verdicts(obs.get, checks)
+      .map { case (k, m, p) => k -> ((m, p)) }.toMap
+    assert(v("rows") == ((n.toDouble, true)))
+    assert(v("text_complete")._2)
+    assert(!v("impossible")._2)
+  }
 }
