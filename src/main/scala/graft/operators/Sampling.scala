@@ -22,6 +22,45 @@ object Sampling {
   def uniformSample(df: DataFrame, idCol: String, rate: Double): DataFrame =
     df.filter(keepHash(col(idCol)) < (rate * Denominator).toLong)
 
+  /** Deterministic negative sampling for contrastive training: for
+    * each anchor, `k` corpus rows drawn by the engine-portable hash
+    * `md5(anchor:j) mod |corpus|` (j = 1..overdraw·k candidate slots),
+    * excluding the anchor itself and any candidate sharing its
+    * `labelCol` (the positives), first k distinct survivors in slot
+    * order. Fully replayable — same corpus, same negatives — which is
+    * what makes a training run reproducible and the oracle exact.
+    *
+    * Scale shape: candidates materialize as (anchor, candidate_id)
+    * keys — k·overdraw rows per anchor — and resolve through ONE hash
+    * equi-join against the corpus; no per-anchor scan, no cartesian.
+    * Ids must be dense 0..n-1 (the export convention; `zipWithIndex`-
+    * style densification upstream otherwise). */
+  def negativeSample(corpus: DataFrame, idCol: String, labelCol: String,
+                     k: Int, overdraw: Int = 3): DataFrame = {
+    require(k > 0 && overdraw > 0)
+    import org.apache.spark.sql.expressions.Window
+    val n = corpus.select(count(lit(1)).as("__n"))
+    val anchors = corpus.select(col(idCol).as("anchor_id"),
+      col(labelCol).as("__alabel"))
+    val cands = anchors.crossJoin(broadcast(n))
+      .select(col("anchor_id"), col("__alabel"), col("__n"),
+        explode(sequence(lit(1), lit(k * overdraw))).as("j"))
+      .withColumn("cand_id",
+        conv(substring(md5(concat(col("anchor_id").cast("string"), lit(":"),
+          col("j").cast("string"))), 1, 15), 16, 10).cast("long") % col("__n"))
+      .filter(col("cand_id") =!= col("anchor_id"))
+      .groupBy(col("anchor_id"), col("__alabel"), col("cand_id"))
+      .agg(min(col("j")).as("j")) // dedup repeated draws, keep first slot
+    val resolved = cands.join(
+      corpus.select(col(idCol).as("cand_id"), col(labelCol).as("__clabel")),
+      Seq("cand_id"))
+      .filter(col("__clabel") =!= col("__alabel"))
+    val w = Window.partitionBy(col("anchor_id")).orderBy(col("j"), col("cand_id"))
+    resolved.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("anchor_id"), col("rank"), col("cand_id").as("negative_id"))
+  }
+
   /** Deterministic per-key quota — the crawl-curation "at most `cap`
     * documents per domain/source" rule: rows rank inside each key by
     * the uniform keep-hash (id tiebreak), ranks ≤ cap survive. The

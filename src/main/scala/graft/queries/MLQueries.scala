@@ -32,6 +32,15 @@ object MLQueries {
   private lazy val fixtureTrees = (0 until 4).map(fixtureTree)
 
   val queries: Map[String, QueryFn] = Map(
+    // Deterministic negative sampling for contrastive training: k
+    // hash-drawn corpus negatives per anchor, same-label positives
+    // excluded, replayable (same corpus -> same negatives).
+    "ml_negatives" -> ((s, d) => {
+      graft.operators.Sampling.negativeSample(
+        tbl(s, d, "embeddings").select(col("vec_id"), col("label")),
+        "vec_id", "label", k = 4)
+    }),
+
     // KNN genome-classifier surface: broadcast labeled training set,
     // cosine top-k, majority vote.
     "ml_knn_predict" -> ((s, d) => {
@@ -76,6 +85,28 @@ object MLQueries {
   private def weightLit: String = weights.mkString("[", ", ", "]")
 
   val oracles: Map[String, String] = Map(
+    "ml_negatives" ->
+      """WITH n AS (SELECT count(*)::BIGINT AS n FROM embeddings),
+         cands AS (
+           SELECT a.vec_id AS anchor_id, a.label AS alabel,
+             min(j) AS j,
+             ('0x' || substring(md5(a.vec_id::VARCHAR || ':' || j::VARCHAR), 1, 15))::BIGINT
+               % (SELECT n FROM n) AS cand_id
+           FROM embeddings a CROSS JOIN unnest(generate_series(1, 12)) t(j)
+           WHERE ('0x' || substring(md5(a.vec_id::VARCHAR || ':' || j::VARCHAR), 1, 15))::BIGINT
+               % (SELECT n FROM n) <> a.vec_id
+           GROUP BY a.vec_id, a.label,
+             ('0x' || substring(md5(a.vec_id::VARCHAR || ':' || j::VARCHAR), 1, 15))::BIGINT
+               % (SELECT n FROM n)),
+         resolved AS (
+           SELECT c.anchor_id, c.j, c.cand_id
+           FROM cands c JOIN embeddings e ON c.cand_id = e.vec_id
+           WHERE e.label <> c.alabel)
+         SELECT anchor_id, rank, negative_id FROM (
+           SELECT anchor_id, cand_id AS negative_id,
+             row_number() OVER (PARTITION BY anchor_id ORDER BY j, cand_id) AS rank
+           FROM resolved) t
+         WHERE rank <= 4""",
     "ml_knn_predict" ->
       s"""WITH t AS (
             SELECT vec_id % 4 AS label, embedding FROM embeddings WHERE vec_id < $NTrain),
