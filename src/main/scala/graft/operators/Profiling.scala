@@ -41,6 +41,36 @@ object Profiling {
           count(lit(1)).cast("double")).as("dup_rate"))
   }
 
+  /** Robust per-group outlier report — median/MAD instead of mean/σ,
+    * so a contaminated column cannot mask its own outliers (the
+    * breakdown point of the mean is 0%; of the median, 50%). Per
+    * group: the exact median, the median absolute deviation, and the
+    * count of rows with |x − med| > k·MAD.
+    *
+    * Scale shape: two grouped EXACT percentile passes (Spark's
+    * counts-map `percentile` — state bounded by distinct values per
+    * group, not rows) plus one counting pass, each a partial-agg
+    * groupBy; the tiny (group, med, mad) frames broadcast back. A
+    * zero-MAD group (>50% identical values) reports outliers as rows
+    * differing from the median at all. */
+  def robustOutliers(df: DataFrame, groupCol: Column, valueCol: Column,
+                     k: Double = 5.0): DataFrame = {
+    val base = df.select(groupCol.as("grp"), valueCol.cast("double").as("v"))
+    val med = base.groupBy(col("grp"))
+      .agg(percentile(col("v"), lit(0.5)).as("med"))
+    val withMed = base.join(broadcast(med), Seq("grp"))
+      .withColumn("absdev", abs(col("v") - col("med")))
+    val mad = withMed.groupBy(col("grp"))
+      .agg(percentile(col("absdev"), lit(0.5)).as("mad"))
+    withMed.join(broadcast(mad), Seq("grp"))
+      .groupBy(col("grp"), col("med"), col("mad"))
+      .agg(count(lit(1)).as("n_rows"),
+        sum(when(
+          (col("mad") > 0 && col("absdev") > col("mad") * k) ||
+            (col("mad") === 0 && col("absdev") > 0), 1L).otherwise(0L))
+          .as("n_outliers"))
+  }
+
   /** Snapshot-to-snapshot distribution drift over a bucketed feature —
     * the monitoring report a recurring crawl/ingest pipeline runs
     * before promoting a new corpus snapshot: per-bucket reference vs

@@ -219,6 +219,16 @@ object AnalyticsQueries {
     // persistable/re-mergeable); the serialized KLL sketch is. The
     // oracle pins the exact month row counts and asserts the accuracy
     // flags as ground truth.
+    // Robust per-group outlier report (median/MAD, 50% breakdown
+    // point): medians are EXACT counts-map percentiles, k=5 fence.
+    "dq_outliers" -> ((s, d) => {
+      graft.operators.Profiling.robustOutliers(
+        tbl(s, d, "lineitem"), col("l_returnflag"), col("l_extendedprice"))
+        .select(col("grp").as("l_returnflag"),
+          round4(col("med")).as("med"), round4(col("mad")).as("mad"),
+          col("n_rows"), col("n_outliers"))
+    }),
+
     // Frequent-items cube: per-returnflag heavy-hitter sketches rolled
     // up globally; output = items whose frequency LOWER bound clears
     // 1/8 of the stream (NO_FALSE_POSITIVES). The stream is synthesized
@@ -277,6 +287,23 @@ object AnalyticsQueries {
            true AS sketch_ok, true AS merge_ok
          FROM orders GROUP BY 1""",
 
+    "dq_outliers" ->
+      """WITH b AS (
+           SELECT l_returnflag AS grp, l_extendedprice::DOUBLE AS v FROM lineitem),
+         med AS (SELECT grp, quantile_cont(v, 0.5) AS med FROM b GROUP BY grp),
+         dev AS (
+           SELECT b.grp, med, abs(v - med) AS absdev
+           FROM b JOIN med ON b.grp = med.grp),
+         mad AS (SELECT grp, quantile_cont(absdev, 0.5) AS mad FROM dev GROUP BY grp)
+         SELECT dev.grp AS l_returnflag,
+           floor(med * 10000 + 0.5) / 10000 AS med,
+           floor(mad * 10000 + 0.5) / 10000 AS mad,
+           count(*) AS n_rows,
+           sum(CASE WHEN (mad > 0 AND absdev > mad * 5.0)
+                      OR (mad = 0 AND absdev > 0) THEN 1 ELSE 0 END)::BIGINT
+             AS n_outliers
+         FROM dev JOIN mad ON dev.grp = mad.grp
+         GROUP BY dev.grp, med, mad""",
     "sketch_topk" ->
       """WITH s AS (
            SELECT CASE WHEN l_orderkey % 2 = 0
