@@ -23,6 +23,24 @@ import org.apache.spark.sql.functions._
   */
 object TimeSeries {
 
+  /** Reporting gaps in a per-key event stream — the missing-data audit
+    * of time-series quality (sensor dropout, ingestion outage): one
+    * `lag` window pass emits a row per consecutive-event pair whose
+    * spacing exceeds `thresholdUs`, with the gap's bounds and width.
+    * One shuffle on the key; the window frame is a single preceding
+    * row, so state is O(1) per task regardless of key size. */
+  def gaps(df: DataFrame, keyCol: Column, tsUsCol: Column,
+           thresholdUs: Long): DataFrame = {
+    val w = Window.partitionBy(col("key")).orderBy(col("ts_us"))
+    df.select(keyCol.as("key"), tsUsCol.as("ts_us"))
+      .withColumn("prev_us", lag(col("ts_us"), 1).over(w))
+      .filter(col("prev_us").isNotNull &&
+        col("ts_us") - col("prev_us") > thresholdUs)
+      .select(col("key"), col("prev_us").as("gap_start_us"),
+        col("ts_us").as("gap_end_us"),
+        (col("ts_us") - col("prev_us")).as("gap_us"))
+  }
+
   /** Adds `z` (trailing z-score) to rows with at least `minObs`
     * history rows and positive variance; rows without enough history
     * are dropped (a real monitor can't score them).

@@ -219,6 +219,15 @@ object AnalyticsQueries {
     // persistable/re-mergeable); the serialized KLL sketch is. The
     // oracle pins the exact month row counts and asserts the accuracy
     // flags as ground truth.
+    // Per-user event-stream gap audit: one lag() pass, rows where
+    // consecutive events are >36h apart (sensor-dropout detection).
+    "ts_gaps" -> ((s, d) => {
+      TimeSeries.gaps(tbl(s, d, "events"), col("user_id"), col("ts_us"),
+        thresholdUs = 36L * 3600 * 1000000)
+        .select(col("key").as("user_id"), col("gap_start_us"),
+          col("gap_end_us"), col("gap_us"))
+    }),
+
     // Robust per-group outlier report (median/MAD, 50% breakdown
     // point): medians are EXACT counts-map percentiles, k=5 fence.
     "dq_outliers" -> ((s, d) => {
@@ -287,6 +296,15 @@ object AnalyticsQueries {
            true AS sketch_ok, true AS merge_ok
          FROM orders GROUP BY 1""",
 
+    "ts_gaps" ->
+      """WITH e AS (
+           SELECT user_id, epoch_us(ts) AS t,
+             lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY epoch_us(ts)) AS prev
+           FROM events)
+         SELECT user_id, prev AS gap_start_us, t AS gap_end_us,
+                t - prev AS gap_us
+         FROM e
+         WHERE prev IS NOT NULL AND t - prev > 36::BIGINT * 3600 * 1000000""",
     "dq_outliers" ->
       """WITH b AS (
            SELECT l_returnflag AS grp, l_extendedprice::DOUBLE AS v FROM lineitem),
