@@ -20,6 +20,22 @@ object Verify {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
+    // Fixture provenance: snapshot every input file's (size, mtime,
+    // sha256) before the first query and again after the last. If the
+    // driver's compare later reds a hash while the two snapshots
+    // differ, the fixtures were regenerated mid-run (the r6/r7
+    // `events`/`shard_manifest` failure mode) — provable, not inferred.
+    def fixtureStamp(): String = {
+      val files = java.nio.file.Files.list(Paths.get(sfDir)).toArray
+        .map(_.asInstanceOf[java.nio.file.Path])
+        .filter(_.toString.endsWith(".parquet")).sortBy(_.toString)
+      files.map { p =>
+        val md = java.security.MessageDigest.getInstance("SHA-256")
+        val digest = md.digest(Files.readAllBytes(p)).map("%02x".format(_)).mkString
+        s"""    "${p.getFileName}": {"size": ${Files.size(p)}, "mtime_ms": ${Files.getLastModifiedTime(p).toMillis}, "sha256": "$digest"}"""
+      }.mkString("{\n", ",\n", "\n}")
+    }
+    Files.writeString(Paths.get(s"$outDir/_fixtures_pre.json"), fixtureStamp())
     // A query that crashes must be VISIBLY red, never silently absent:
     // write an `_ERROR` marker file into its output slot and exit
     // non-zero at the end. (Round-6 lesson: 29 analysis crashes were
@@ -54,6 +70,7 @@ object Verify {
     val json = SparkEntry.oracleSql
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    Files.writeString(Paths.get(s"$outDir/_fixtures_post.json"), fixtureStamp())
     spark.stop()
     if (failed.nonEmpty) {
       System.err.println(

@@ -128,6 +128,23 @@ object PipeTool {
                            parseLine: String => Option[Row]): Iterator[Row] = {
     val proc = new ProcessBuilder(cmd.asJava).start()
 
+    // If the task ends without draining the output iterator (limit(),
+    // downstream failure, parse error), the subprocess and its feeder
+    // threads would otherwise outlive the task on a long-lived
+    // executor. Tie process lifetime to the task, as Spark's own
+    // PipedRDD does.
+    Option(org.apache.spark.TaskContext.get()).foreach { tc =>
+      tc.addTaskCompletionListener[Unit] { _ =>
+        if (proc.isAlive) proc.destroyForcibly()
+        try proc.getOutputStream.close() catch { case _: java.io.IOException => () }
+        try proc.getInputStream.close() catch { case _: java.io.IOException => () }
+        try proc.getErrorStream.close() catch { case _: java.io.IOException => () }
+      }
+      tc.addTaskFailureListener { (_, _) =>
+        if (proc.isAlive) proc.destroyForcibly(); ()
+      }
+    }
+
     // stderr drain: keep only a bounded tail for diagnostics.
     val errTail = new java.util.concurrent.ConcurrentLinkedDeque[String]()
     val errThread = new Thread(() => {
@@ -172,6 +189,10 @@ object PipeTool {
             out.close()
             inThread.join()
             val code = proc.waitFor()
+            // Let the stderr drain finish before reading its tail, or
+            // the diagnostic can race the drain thread and come back
+            // truncated. Bounded join: a wedged drain can't hang the task.
+            errThread.join(2000)
             if (code != 0)
               throw new RuntimeException(
                 s"external tool exited $code: ${cmd.mkString(" ")}\n" +
@@ -193,9 +214,20 @@ object PipeTool {
     * task/partition on that executor.
     */
   private object LibraryFiles {
-    private val cache = new java.util.concurrent.ConcurrentHashMap[Int, Path]()
+    private val cache = new java.util.concurrent.ConcurrentHashMap[String, Path]()
+    // Content digest, not Seq.hashCode: a 32-bit hash collision between
+    // two distinct libraries in one executor JVM would silently hand the
+    // tool the wrong library file.
+    private def digest(lib: Seq[(String, String)]): String = {
+      val md = java.security.MessageDigest.getInstance("SHA-256")
+      lib.foreach { case (id, seq) =>
+        md.update(id.getBytes(UTF_8)); md.update(0.toByte)
+        md.update(seq.getBytes(UTF_8)); md.update(1.toByte)
+      }
+      md.digest().map("%02x".format(_)).mkString
+    }
     def materialize(lib: Seq[(String, String)]): Path =
-      cache.computeIfAbsent(lib.hashCode, _ => {
+      cache.computeIfAbsent(digest(lib), _ => {
         val p = Files.createTempFile("graft_pipe_lib_", ".fasta")
         p.toFile.deleteOnExit()
         val text = lib.map { case (id, seq) => s">$id\n$seq" }.mkString("", "\n", "\n")

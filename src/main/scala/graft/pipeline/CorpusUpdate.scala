@@ -53,7 +53,12 @@ object CorpusUpdate {
     val vsSelf = Dedup.lshCandidatePairs(batch, idCol, textCol)
       .select(greatest(col("id_a"), col("id_b")).as("__dup")).distinct()
     val dups = vsCorpus.unionByName(vsSelf).distinct()
+    // Checkpoint here: the LSH probe/self-join is the expensive lineage,
+    // and the three downstream counts would each re-execute it otherwise.
+    // After this, nRuled/nAdmitted recompute only map-side stages over
+    // batch-sized checkpointed data.
     val deduped = batch.join(dups, batch(idCol) === dups("__dup"), "left_anti")
+      .localCheckpoint()
     val nDeduped = deduped.count()
 
     // 2: rule battery (map-side)

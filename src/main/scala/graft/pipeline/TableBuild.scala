@@ -13,10 +13,15 @@ import graft.operators.Relational
   */
 object TableBuild {
 
-  /** ANI table from several JSON-derived sources with the reference's
-    * first-wins conflict policy, source order = priority
-    * (datalake_table.py:216-257: kepangenomes → fitness → phenotypes →
-    * members). */
+  /** ANI table from several JSON-derived sources, callers pass sources
+    * in EFFECTIVE priority order (highest first). Note the reference's
+    * conflict policy is mixed (datalake_table.py:216-257): the
+    * kepangenomes / fitness / phenotypes dicts each assign
+    * `ani_rows[pk] = ...` unconditionally — so among those three the
+    * LAST loaded wins (phenotypes > fitness > kepangenomes) — while
+    * ani_members.json alone is gated on `pk not in ani_rows` (fills
+    * gaps only). Expressed here as one first-wins merge with sources
+    * pre-ordered [phenotypes, fitness, kepangenomes, members]. */
   def aniMerge(sources: Seq[DataFrame]): DataFrame =
     Relational.firstWinsMerge(sources, Seq("genome1_id", "genome2_id"),
       tieBreak = Seq(col("ani")))

@@ -315,9 +315,80 @@ object TableQueries {
       raw.coalesce(1).write.mode("overwrite")
         .option("sep", "\t").option("header", "true").csv(path)
       TableBuild.dynamicTsvTable(s, path)
+    }),
+
+    // ani: the 4-source merge (datalake_table.py:216-282). The three
+    // user-genome sources (kepangenomes/fitness/phenotypes JSONs) carry
+    // dict-OVERWRITE semantics — last loaded wins, so effective
+    // priority is phenotypes > fitness > kepangenomes — and the
+    // pangenome ani_members source alone fills only absent pairs.
+    // Each source models its reference shape: the user sources are
+    // filtered to the input-genome set and `user_`-prefixed
+    // (datalake_table.py:220-244); members carries raw pangenome ids
+    // (already user_-prefixed for user members, :245-257). Rendered in
+    // the `ani` DDL order genome1..af2 with REAL values rounded to 4
+    // places (build_ani_table, :259-282).
+    "tbl_ani" -> ((s, d) => {
+      val cust = tbl(s, d, "customer")
+      val ck = col("c_custkey")
+      def src(mod: Int, off: Int, userSide: Boolean) = {
+        val base = cust.filter(ck % mod === 0)
+        val inSet = if (userSide) base.filter(ck % 12 < 9) else base
+        inSet.select(
+            concat(lit("user_g"), (ck % 12).cast("string")).as("genome1_id"),
+            concat(lit("gB"), (ck % 7).cast("string")).as("genome2_id"),
+            col("c_acctbal"), ck.as("__ck"))
+          .groupBy("genome1_id", "genome2_id")
+          .agg(
+            round4((min(col("c_acctbal")) + off) / 1000).as("ani"),
+            round4((max(col("c_acctbal")) + off) / 2000).as("af1"),
+            round4((min(col("__ck")) % 1000).cast("double") / 1000 + off).as("af2"))
+      }
+      TableBuild.aniMerge(Seq(
+        src(5, 300, userSide = true),  // phenotypes (highest: last dict write)
+        src(4, 200, userSide = true),  // fitness
+        src(3, 100, userSide = true),  // kepangenomes
+        src(2, 0, userSide = false)))  // members (fills absent pairs only)
+        .select(col("genome1_id").as("genome1"), col("genome2_id").as("genome2"),
+          col("ani"), col("af1"), col("af2"))
     }))
 
   val oracles: Map[String, String] = Map(
+    "tbl_ani" ->
+      """WITH src AS (
+           SELECT 1 AS prio,
+                  'user_g' || (c_custkey % 12) AS genome1,
+                  'gB' || (c_custkey % 7) AS genome2,
+                  floor(((min(c_acctbal) + 300) / 1000) * 10000 + 0.5) / 10000 AS ani,
+                  floor(((max(c_acctbal) + 300) / 2000) * 10000 + 0.5) / 10000 AS af1,
+                  floor((CAST(min(c_custkey) % 1000 AS DOUBLE) / 1000 + 300) * 10000 + 0.5) / 10000 AS af2
+           FROM customer WHERE c_custkey % 5 = 0 AND c_custkey % 12 < 9 GROUP BY 2, 3
+           UNION ALL
+           SELECT 2,
+                  'user_g' || (c_custkey % 12), 'gB' || (c_custkey % 7),
+                  floor(((min(c_acctbal) + 200) / 1000) * 10000 + 0.5) / 10000,
+                  floor(((max(c_acctbal) + 200) / 2000) * 10000 + 0.5) / 10000,
+                  floor((CAST(min(c_custkey) % 1000 AS DOUBLE) / 1000 + 200) * 10000 + 0.5) / 10000
+           FROM customer WHERE c_custkey % 4 = 0 AND c_custkey % 12 < 9 GROUP BY 2, 3
+           UNION ALL
+           SELECT 3,
+                  'user_g' || (c_custkey % 12), 'gB' || (c_custkey % 7),
+                  floor(((min(c_acctbal) + 100) / 1000) * 10000 + 0.5) / 10000,
+                  floor(((max(c_acctbal) + 100) / 2000) * 10000 + 0.5) / 10000,
+                  floor((CAST(min(c_custkey) % 1000 AS DOUBLE) / 1000 + 100) * 10000 + 0.5) / 10000
+           FROM customer WHERE c_custkey % 3 = 0 AND c_custkey % 12 < 9 GROUP BY 2, 3
+           UNION ALL
+           SELECT 4,
+                  'user_g' || (c_custkey % 12), 'gB' || (c_custkey % 7),
+                  floor(((min(c_acctbal) + 0) / 1000) * 10000 + 0.5) / 10000,
+                  floor(((max(c_acctbal) + 0) / 2000) * 10000 + 0.5) / 10000,
+                  floor((CAST(min(c_custkey) % 1000 AS DOUBLE) / 1000 + 0) * 10000 + 0.5) / 10000
+           FROM customer WHERE c_custkey % 2 = 0 GROUP BY 2, 3),
+         ranked AS (
+           SELECT *, row_number() OVER (
+             PARTITION BY genome1, genome2 ORDER BY prio, ani) AS rn
+           FROM src)
+         SELECT genome1, genome2, ani, af1, af2 FROM ranked WHERE rn = 1""",
     "tbl_user_feature" ->
       """WITH tsv AS (
            SELECT 'g' || (p_partkey % 5) AS genome,

@@ -49,7 +49,7 @@ class PlanGuardSpec extends SparkTestBase {
     // the pattern's trigram IN-filter must sit on the posting build
     // side (candidates bounded by the pattern's postings, never the
     // corpus), and the verify fetch is an equi-join
-    assert(p.contains("trigram") && p.contains(" IN ") || p.contains("INSET"),
+    assert(p.contains("trigram") && (p.contains(" IN ") || p.contains("INSET")),
       s"trigram filter must prune the postings:\n$p")
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
       s"verify fetch must stay an equi-join:\n$p")
