@@ -71,6 +71,34 @@ object Profiling {
           .as("n_outliers"))
   }
 
+  /** The 100-TB form of [[robustOutliers]]: ONE scan, ONE shuffle,
+    * bounded state. The exact path's counts-map `percentile` holds every
+    * distinct value per group — on a continuous-valued column that
+    * buffer approaches row count — and the med→mad data dependency
+    * forces it to scan the base twice more. Here each group folds into
+    * one KLL sketch (fixed size, mergeable, map-side combined) and the
+    * median, the MAD, and the outlier count are all answered from that
+    * sketch ([[org.apache.spark.sql.graftx.KllAbsDevStats]] reads the
+    * retained-item sorted view), so the fact table is read once and the
+    * exchange carries one sketch per group.
+    *
+    * Approximation: KLL rank error ≈ 1.65%·(200/k)^0.9 — the median and
+    * MAD are value-quantile approximations and `n_outliers` is a
+    * weighted tail estimate. ProfilingSketchSpec bounds all three
+    * against [[robustOutliers]]; the exact form remains the oracle
+    * path. */
+  def robustOutliersSketch(df: DataFrame, groupCol: Column, valueCol: Column,
+                           k: Double = 5.0, sketchK: Int = 800): DataFrame = {
+    import org.apache.spark.sql.graftx.KllSketch
+    val base = df.select(groupCol.as("grp"), valueCol.cast("double").as("v"))
+    base.groupBy(col("grp"))
+      .agg(KllSketch.sketchAgg(col("v"), sketchK).as("__sk"))
+      .withColumn("med", KllSketch.quantile(col("__sk"), lit(0.5)))
+      .withColumn("__s", KllSketch.absDevStats(col("__sk"), col("med"), lit(k)))
+      .select(col("grp"), col("med"), col("__s.mad").as("mad"),
+        col("__s.n_rows").as("n_rows"), col("__s.n_outliers").as("n_outliers"))
+  }
+
   /** Snapshot-to-snapshot distribution drift over a bucketed feature —
     * the monitoring report a recurring crawl/ingest pipeline runs
     * before promoting a new corpus snapshot: per-bucket reference vs

@@ -83,11 +83,21 @@ final class ResponseCache(ttlMs: Long = 300000L, maxEntries: Int = 256,
 /** Cache-fronted page serving: compile + run the scan only on miss. */
 object CachedScanner {
 
-  /** One viewer page through the cache. The key is (table, request) —
-    * ScanRequest equality covers every field of the payload. */
+  /** Server-side page-size ceiling. The reference viewer always pages
+    * (50 rows), but the endpoint must not trust the client: a request
+    * with `limit=None` (or an absurd limit) would otherwise collect the
+    * whole filtered table onto the serving driver — at 100 TB that is
+    * an OOM, not a slow page. */
+  val MaxPageRows: Int = 10000
+
+  /** One viewer page through the cache, with the limit clamped to
+    * `maxRows`. The cache key is the CLAMPED request, so an unlimited
+    * request and an explicit `limit=maxRows` share an entry. */
   def scanPage(cache: ResponseCache, df: org.apache.spark.sql.DataFrame,
-               req: ScanRequest): Seq[Row] =
-    cache.getOrCompute((req.table, req)) {
-      TableScanner.scan(df, req).collect().toSeq
+               req: ScanRequest, maxRows: Int = MaxPageRows): Seq[Row] = {
+    val bounded = req.copy(limit = Some(req.limit.fold(maxRows)(math.min(_, maxRows))))
+    cache.getOrCompute((bounded.table, bounded)) {
+      TableScanner.scan(df, bounded).collect().toSeq
     }
+  }
 }

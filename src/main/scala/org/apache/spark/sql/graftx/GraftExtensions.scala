@@ -66,6 +66,14 @@ object GraftExtensions {
       info("kll_quantile",
         "_FUNC_(sketch, p) - read the p-quantile (0..1) out of a serialized KLL sketch"),
       (args: Seq[Expression]) => KllQuantile(args(0), args(1))),
+    (FunctionIdentifier("kll_rank"),
+      info("kll_rank",
+        "_FUNC_(sketch, x) - normalized rank (CDF) of x in a serialized KLL sketch"),
+      (args: Seq[Expression]) => KllRank(args(0), args(1))),
+    (FunctionIdentifier("kll_absdev_stats"),
+      info("kll_absdev_stats",
+        "_FUNC_(sketch, med, k) - struct(mad, n_outliers, n_rows) of |value-med| from a KLL sketch"),
+      (args: Seq[Expression]) => KllAbsDevStats(args(0), args(1), args(2))),
     (FunctionIdentifier("freq_sketch_agg"),
       info("freq_sketch_agg",
         "_FUNC_(value[, maxMapSize]) - fold strings into a serialized mergeable frequent-items sketch"),

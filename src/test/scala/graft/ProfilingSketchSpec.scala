@@ -1,0 +1,82 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.Profiling
+
+/** Bounds the one-pass sketch outlier report against the exact
+  * median/MAD path on real data (lineitem prices — continuous-valued,
+  * exactly the cardinality profile the exact counts-map percentile
+  * struggles with at scale) and on a constructed degenerate group.
+  *
+  * KLL rank error at k=800 is ≈0.47% (1.65%·(200/k)^0.9, 99% conf.), so
+  * the recovered median/MAD sit within a ±1%-rank window of the exact
+  * values and the tail count within a few rank-epsilons of n. The
+  * assertions below use 3·ε-grade slack, far tighter than the report's
+  * decision use (flagging drifted/contaminated groups).
+  */
+class ProfilingSketchSpec extends SparkTestBase {
+
+  import spark.implicits._
+
+  test("sketch report tracks the exact median/MAD/outlier report") {
+    val df = spark.read.parquet(s"$sfSmoke/lineitem.parquet")
+    val exact = Profiling.robustOutliers(df, col("l_returnflag"), col("l_extendedprice"))
+      .collect().map(r => r.getString(0) -> r).toMap
+    val approx = Profiling.robustOutliersSketch(
+      df, col("l_returnflag"), col("l_extendedprice"))
+      .collect().map(r => r.getString(0) -> r).toMap
+
+    assert(approx.keySet == exact.keySet)
+    for ((g, a) <- approx) {
+      val e = exact(g)
+      val (eMed, eMad, eN, eOut) =
+        (e.getDouble(1), e.getDouble(2), e.getLong(3), e.getLong(4))
+      val (aMed, aMad, aN, aOut) =
+        (a.getDouble(1), a.getDouble(2), a.getLong(3), a.getLong(4))
+      assert(aN == eN, s"group $g: exact row count must be preserved")
+      // value-space tolerance: a ±1.5% RANK window around the median of
+      // a price distribution maps to a small relative value window
+      assert(math.abs(aMed - eMed) <= 0.05 * eMad.max(1.0),
+        s"group $g: sketch median $aMed vs exact $eMed (mad $eMad)")
+      assert(math.abs(aMad - eMad) / eMad.max(1.0) <= 0.05,
+        s"group $g: sketch MAD $aMad vs exact $eMad")
+      // tail estimate: within 1.5% of the group size of the exact count
+      assert(math.abs(aOut - eOut) <= (0.015 * eN).max(2.0),
+        s"group $g: outlier estimate $aOut vs exact $eOut of $eN rows")
+    }
+  }
+
+  test("zero-MAD degenerate group counts any deviation, like the exact path") {
+    // >50% identical values → MAD 0; outliers = rows off the median
+    val rows = Seq.fill(60)(("g", 5.0)) ++ Seq.tabulate(10)(i => ("g", 100.0 + i))
+    val df = rows.toDF("grp", "v")
+    val out = Profiling.robustOutliersSketch(df, col("grp"), col("v")).collect()
+    assert(out.length == 1)
+    val r = out.head
+    assert(r.getDouble(1) == 5.0 && r.getDouble(2) == 0.0,
+      "median 5, MAD 0 expected")
+    assert(r.getLong(4) == 10, "the 10 non-median rows are all outliers")
+  }
+
+  test("monotone: a wider k flags no more outliers than a narrower k") {
+    val df = spark.read.parquet(s"$sfSmoke/lineitem.parquet")
+    def outliers(k: Double) = Profiling.robustOutliersSketch(
+      df, col("l_returnflag"), col("l_quantity"), k = k)
+      .agg(sum("n_outliers")).as[Long].head()
+    assert(outliers(3.0) >= outliers(5.0),
+      "tightening the cut must not reduce flagged rows")
+  }
+
+  test("SQL surface: kll_rank and kll_absdev_stats are registered") {
+    org.apache.spark.sql.graftx.GraftExtensions.install(spark)
+    Seq(1.0, 2.0, 3.0, 4.0).toDF("v").createOrReplaceTempView("kll_probe")
+    val r = spark.sql(
+      """SELECT kll_rank(sk, 2.0) AS rank_2,
+                kll_absdev_stats(sk, kll_quantile(sk, 0.5), 2.0).mad AS mad
+         FROM (SELECT kll_sketch_agg(v) AS sk FROM kll_probe)""").head()
+    assert(r.getDouble(0) == 0.5, "rank of 2.0 in {1,2,3,4} is 0.5")
+    assert(r.getDouble(1) >= 0.5 && r.getDouble(1) <= 1.5,
+      "MAD of {1,2,3,4} about its median")
+  }
+}

@@ -72,4 +72,20 @@ class ResponseCacheSpec extends SparkTestBase {
     CachedScanner.scanPage(cache, df, req.copy(limit = Some(1)))
     assert(cache.misses == 2)
   }
+
+  test("un-paged request is clamped to the server-side page ceiling") {
+    val df = (1L to 20L).toSeq.toDF("id")
+    val cache = new ResponseCache(ttlMs = 1000000L)
+    val unlimited = ScanRequest(table = "t", limit = None, sortColumn = Some("id"))
+    assert(CachedScanner.scanPage(cache, df, unlimited, maxRows = 5).size == 5,
+      "limit=None must not collect the whole table")
+    // an oversized explicit limit is clamped too…
+    assert(CachedScanner.scanPage(cache, df, unlimited.copy(limit = Some(1000)),
+      maxRows = 5).size == 5)
+    // …and both normalize to the same cache entry as an explicit max
+    assert(CachedScanner.scanPage(cache, df, unlimited.copy(limit = Some(5)),
+      maxRows = 5).size == 5)
+    assert(cache.misses == 1 && cache.hits == 2,
+      "clamped requests must share one cache entry")
+  }
 }
