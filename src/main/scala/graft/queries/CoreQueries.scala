@@ -139,6 +139,32 @@ object CoreQueries {
         .agg(count(lit(1)).as("n"), sum(col("l_orderkey")).as("sum_ok"),
           min(col("l_extendedprice")).as("min_price"),
           max(col("l_extendedprice")).as("max_price"))
+    }),
+
+    // The amortized form of layout_file_skip: the z-ordered layout and
+    // its min/max file stats are built once per input (IndexCache) and
+    // every later invocation times the PRUNED READ alone — the number a
+    // lakehouse actually pays per query once the layout job has run.
+    "layout_skip_probe" -> ((s, d) => {
+      import graft.operators.{IndexCache, Layout}
+      val path = IndexCache.getOrBuild(s"layout:$d") {
+        val p = s"${sys.props("java.io.tmpdir")}/graft_fskip_amort_${math.abs(d.hashCode)}"
+        Layout.zorderBy(
+          tbl(s, d, "lineitem")
+            .select(col("l_orderkey"), col("l_partkey"), col("l_extendedprice")),
+          Seq("l_orderkey", "l_partkey"), bits = 8, nSplits = 16)
+          .drop("zval")
+          .write.mode("overwrite").parquet(p)
+        p
+      }
+      val stats = IndexCache.getOrBuild(s"layout_stats:$d") {
+        Layout.fileStats(s, path, Seq("l_orderkey")).localCheckpoint()
+      }
+      Layout.prunedRead(s, path, stats,
+        Seq(("l_orderkey", lit(20000L), lit(30000L))))
+        .agg(count(lit(1)).as("n"), sum(col("l_orderkey")).as("sum_ok"),
+          min(col("l_extendedprice")).as("min_price"),
+          max(col("l_extendedprice")).as("max_price"))
     }))
 
   val oracles: Map[String, String] = Map(
@@ -192,5 +218,9 @@ object CoreQueries {
     "layout_file_skip" ->
       """SELECT CAST(count(*) AS BIGINT) AS n, CAST(sum(l_orderkey) AS BIGINT) AS sum_ok,
            min(l_extendedprice) AS min_price, max(l_extendedprice) AS max_price
-         FROM lineitem WHERE l_orderkey BETWEEN 5000 AND 15000""")
+         FROM lineitem WHERE l_orderkey BETWEEN 5000 AND 15000""",
+    "layout_skip_probe" ->
+      """SELECT CAST(count(*) AS BIGINT) AS n, CAST(sum(l_orderkey) AS BIGINT) AS sum_ok,
+           min(l_extendedprice) AS min_price, max(l_extendedprice) AS max_price
+         FROM lineitem WHERE l_orderkey BETWEEN 20000 AND 30000""")
 }

@@ -54,6 +54,20 @@ object TextQueries {
       GrepIndex.search(index, docs, "doc_id", "text", "the customer")
     }),
 
+    // The amortized form of grep_search: the posting index is built
+    // once per input (IndexCache, localCheckpoint'ed) and reused, so
+    // this query's steady-state timing is the PROBE alone — the
+    // serving-path cost an index exists to deliver. Same exact-search
+    // semantics, same full-scan oracle.
+    "grep_probe" -> ((s, d) => {
+      import graft.operators.{GrepIndex, IndexCache}
+      val docs = tbl(s, d, "documents")
+      val index = IndexCache.getOrBuild(s"grep:$d") {
+        GrepIndex.build(docs, "doc_id", "text").localCheckpoint()
+      }
+      GrepIndex.search(index, docs, "doc_id", "text", "customer query")
+    }),
+
     // Gopher-style rule battery (document-level subset, exact counts).
     "quality_gopher" -> ((s, d) => {
       tblSpread(s, d, "documents").select(col("doc_id"),
@@ -318,6 +332,8 @@ object TextQueries {
          FROM documents GROUP BY lang""",
     "grep_search" ->
       "SELECT doc_id FROM documents WHERE contains(text, 'the customer')",
+    "grep_probe" ->
+      "SELECT doc_id FROM documents WHERE contains(text, 'customer query')",
     "shard_manifest" ->
       """SELECT ('0x' || substring(md5(doc_id::VARCHAR), 1, 15))::BIGINT % 8 AS shard,
            count(*) AS n_rows,
