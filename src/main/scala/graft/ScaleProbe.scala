@@ -441,9 +441,66 @@ object ScaleProbe {
     println(s"""{"probe":"heavy set","items":"${got.mkString(",")}"}""")
   }
 
+  /** `runMain graft.ScaleProbe serve8` — serving-layer skew headroom
+    * (SCALE.md round 8): the TableScanner DSL driven on a 90%-hot
+    * grouping column and a global search, sf0.1 lineitem/documents
+    * replicated ×4. The DSL compiles to a partial-agg groupBy (the hot
+    * key combines map-side — the exchange carries one partial state per
+    * partition, not 90% of the rows) and a map-side OR-filter scan, so
+    * the MAX TASK should grow with partition size, never with key
+    * popularity. That max task is the stage-latency number a 1000-
+    * executor serving tier cares about. */
+  private def serve8(spark: SparkSession): Unit = {
+    import graft.serve.{Aggregation, ScanRequest, TableScanner}
+    spark.sparkContext.addSparkListener(MaxTask)
+    val li = spark.read.parquet("/root/testdata/sf0.1/lineitem.parquet")
+      .select(col("l_orderkey"), col("l_quantity"), col("l_extendedprice"))
+      .withColumn("grp",
+        when(pmod(col("l_orderkey"), lit(10)) < 9, lit("hot"))
+          .otherwise(concat(lit("g"), pmod(col("l_orderkey"), lit(100000)).cast("string"))))
+      .localCheckpoint()
+    val nLi = li.count()
+    val li4 = (0 until 4).map(i =>
+      li.withColumn("l_orderkey", col("l_orderkey") + lit(i * 10L * nLi)))
+      .reduce(_ unionAll _).localCheckpoint()
+    li4.count()
+    val docs = spark.read.parquet("/root/testdata/sf0.1/documents.parquet")
+      .localCheckpoint()
+    val nDocs = docs.count()
+    val docs4 = (0 until 4).map(i =>
+      docs.withColumn("doc_id", col("doc_id") + lit(i * nDocs)))
+      .reduce(_ unionAll _).localCheckpoint()
+    docs4.count()
+    def time(label: String)(f: => Long): Unit = {
+      val secs = (1 to 2).map { _ =>
+        MaxTask.reset()
+        val t0 = System.nanoTime(); val n = f
+        ((System.nanoTime() - t0) / 1e9, MaxTask.max.get() / 1000.0, n)
+      }
+      val best = secs.minBy(_._1)
+      println(f"""{"probe":"$label","rows":${best._3},"sec":${best._1}%.2f,"max_task_sec":${best._2}%.2f}""")
+    }
+    val groupReq = ScanRequest(table = "lineitem",
+      groupBy = Seq("grp"),
+      aggregations = Seq(
+        Aggregation("count", "l_orderkey", "n"),
+        Aggregation("sum", "l_extendedprice", "rev"),
+        Aggregation("avg", "l_quantity", "avg_qty")))
+    for ((tag, d) <- Seq(("x1", li), ("x4", li4)))
+      time(s"DSL group_by on 90%-hot key $tag") {
+        TableScanner.scan(d, groupReq).queryExecution.toRdd.count()
+      }
+    val searchReq = ScanRequest(table = "documents",
+      searchValue = Some("customer query"))
+    for ((tag, d) <- Seq(("x1", docs), ("x4", docs4)))
+      time(s"DSL global search (all-column contains) $tag") {
+        TableScanner.scan(d, searchReq).queryExecution.toRdd.count()
+      }
+  }
+
   def main(args: Array[String]): Unit = {
     if (args.headOption.contains("quota7") || args.headOption.contains("pipe7") ||
-        args.headOption.contains("freq7")) {
+        args.headOption.contains("freq7") || args.headOption.contains("serve8")) {
       val spark = SparkSession.builder()
         .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")}]")
         .config("spark.sql.shuffle.partitions",
@@ -455,6 +512,7 @@ object ScaleProbe {
         case "quota7" => quota7(spark)
         case "pipe7"  => pipe7(spark)
         case "freq7"  => freq7(spark)
+        case "serve8" => serve8(spark)
       }
       spark.stop()
       return
