@@ -163,6 +163,45 @@ class RecallSpec extends SparkTestBase {
       s"re-rank should approach the IVF candidate ceiling ($rRerank vs $rCeiling)")
   }
 
+  test("recall is monotone in nprobe and clears 0.6 by nprobe=8") {
+    // The recall knob: each probed cell adds candidates and never
+    // removes any, so recall must be non-decreasing in nprobe; at
+    // nprobe = nCentroids the candidate set IS the corpus and IVF
+    // recall is exact (1.0) — the remaining loss in the gated query is
+    // budget choice, not a structural ceiling. On this ISOTROPIC
+    // fixture (random vectors, no cluster structure) cell membership
+    // barely correlates with cosine order, so small nprobe recalls are
+    // intrinsically low — real embedding corpora are clustered and sit
+    // far above these floors at the same nprobe.
+    val bf = Similarity.bruteForceTopK(embeddings, embeddings,
+      "vec_id", "embedding", 5)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val recalls = Seq(1, 2, 4, 8).map { np =>
+      val got = Similarity.ivfTopKMultiProbe(embeddings, "vec_id", "embedding",
+        5, nCentroids = 8, nprobe = np)
+        .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+      np -> (bf & got).size.toDouble / bf.size
+    }
+    info(recalls.map { case (np, r) => f"nprobe=$np $r%.2f" }.mkString(" -> "))
+    recalls.sliding(2).foreach { case Seq((np1, r1), (np2, r2)) =>
+      assert(r2 >= r1, s"recall regressed from nprobe=$np1 ($r1) to nprobe=$np2 ($r2)")
+    }
+    assert(recalls.last._2 >= 0.99,
+      s"nprobe=nCentroids probes every cell: IVF recall must be exact, got ${recalls.last._2}")
+    assert(recalls.find(_._1 == 4).get._2 >= 0.6,
+      "half the cells probed must clear 0.6 even on isotropic data")
+    // The full pipeline (IVF + PQ + exact re-rank) at the same budget:
+    // the re-rank stage must hold ≥0.6 at nprobe=4 too — the ADC loss
+    // is recovered by the exact stage, leaving only the IVF truncation.
+    val rerank = Similarity.ivfPqRerankTopK(embeddings, "vec_id", "embedding",
+      5, nCentroids = 8, nprobe = 4, m = 8, subDim = 8, ksub = 32,
+      shortlist = 50, trainSampleMod = 2)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val rRerank = (bf & rerank).size.toDouble / bf.size
+    info(f"ivf_pq rerank(50) recall@5 at nprobe=4 = $rRerank%.2f")
+    assert(rRerank >= 0.6, s"re-ranked IVF-PQ at nprobe=4 must clear 0.6: $rRerank")
+  }
+
   test("trained k-means beats the untrained id<k quantizer on cell balance") {
     // The round-1 quantizer used the first k corpus vectors verbatim;
     // two k-means rounds must not leave a degenerate single-cell fit.
