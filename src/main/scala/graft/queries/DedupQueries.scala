@@ -107,6 +107,28 @@ object DedupQueries {
         .select(col("doc_id"), col("n_chars"))
     }),
 
+    // Temperature-DERIVED mixing weights — the multilingual sampling
+    // rule p_s ∝ n_s^α that upweights low-resource corpora (corpus_mix
+    // takes a target mixture as GIVEN; this computes one). α = 0.5:
+    // sqrt is exactly rounded under IEEE-754 so both engines agree
+    // bit-for-bit, where pow(x, 0.7) is libm-dependent. The per-corpus
+    // sqrt is scaled to an integer BEFORE the normalizing sum so the
+    // reduction is associative — no FP-order sensitivity at any
+    // partition count. One corpus-sized groupBy; everything after runs
+    // on the language-count-sized frame.
+    "sample_temperature" -> ((s, d) => {
+      val counts = tbl(s, d, "documents").groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"))
+      val scaled = counts.withColumn("__s",
+        floor(sqrt(col("n_docs")) * 1000000 + lit(0.5)).cast("long"))
+      val z = scaled.agg(sum(col("__s")).as("__z"))
+      scaled.crossJoin(broadcast(z))
+        .select(col("lang"), col("n_docs"),
+          round4(col("__s").cast("double") / col("__z")).as("weight"),
+          floor(col("__s").cast("double") / col("__z") * 100000 + lit(0.5))
+            .cast("long").as("expected_per_100k"))
+    }),
+
     // Weighted corpus mixing: three language corpora mixed to a
     // 0.5/0.3/0.2 target — the bottleneck corpus (de) used in full,
     // the others hash-sampled down to the exact mixture.
@@ -294,6 +316,18 @@ object DedupQueries {
          SELECT doc_id, n_chars FROM documents CROSS JOIN t
          WHERE (('0x' || substring(md5(doc_id::VARCHAR), 1, 15))::BIGINT % 10000)
              * w_total < 500 * n_chars * 10000""",
+    "sample_temperature" ->
+      """WITH c AS (
+           SELECT lang, count(*)::BIGINT AS n_docs FROM documents GROUP BY lang),
+         s AS (
+           SELECT lang, n_docs,
+             CAST(floor(sqrt(n_docs) * 1000000 + 0.5) AS BIGINT) AS sc
+           FROM c),
+         z AS (SELECT sum(sc)::BIGINT AS z FROM s)
+         SELECT lang, n_docs,
+           floor(sc::DOUBLE / z * 10000 + 0.5) / 10000 AS weight,
+           CAST(floor(sc::DOUBLE / z * 100000 + 0.5) AS BIGINT) AS expected_per_100k
+         FROM s CROSS JOIN z""",
     "corpus_mix" ->
       """WITH n AS (
            SELECT lang, count(*)::BIGINT AS n,

@@ -66,6 +66,24 @@ object MLQueries {
           col("embedding"), fixtureTrees, TreeBias)).as("score"))
     }),
 
+    // Reliability diagram for the scorer — the calibration report a
+    // quality-filter threshold is chosen from: fixed-width score bins
+    // (conventional for calibration curves, and unlike ntile-deciles it
+    // needs NO global sort / partition-less window — the binning is
+    // map-side and the report is one partial-agg groupBy), per bin the
+    // count, mean score, and observed positive rate against the
+    // fixture label.
+    "ml_calibration" -> ((s, d) => {
+      val scored = tbl(s, d, "embeddings").select(
+        (col("label") >= 2).cast("int").as("pos"),
+        round4(ModelScoring.linearScore(col("embedding"), weights, Bias)).as("score"))
+      scored
+        .groupBy(least(floor(col("score") * 10), lit(9.0)).cast("int").as("bin"))
+        .agg(count(lit(1)).as("n"),
+          round4(avg(col("score"))).as("mean_score"),
+          round4(avg(col("pos").cast("double"))).as("pos_rate"))
+    }),
+
     // fastText-style learned quality filter: hashed uni+bigram bag,
     // mean-pooled bucket weights, logistic head. keep is derived from
     // the ROUNDED score so both sides threshold the same value.
@@ -135,6 +153,16 @@ object MLQueries {
             floor((${ModelScoring.treeEnsembleSql("embedding", fixtureTrees, TreeBias)})
               * 10000 + 0.5) / 10000 AS score
           FROM embeddings""",
+    "ml_calibration" ->
+      s"""WITH s AS (
+            SELECT (label >= 2)::INT AS pos,
+              floor((1.0 / (1.0 + exp(-(${dotSql("embedding", weightLit)} + $Bias)))) * 10000 + 0.5) / 10000 AS score
+            FROM embeddings)
+          SELECT CAST(least(floor(score * 10), 9) AS INT) AS bin,
+            count(*)::BIGINT AS n,
+            floor(avg(score) * 10000 + 0.5) / 10000 AS mean_score,
+            floor(avg(pos::DOUBLE) * 10000 + 0.5) / 10000 AS pos_rate
+          FROM s GROUP BY 1""",
     "ml_quality_filter" ->
       s"""WITH t AS (
             SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS tok

@@ -68,6 +68,26 @@ object TextQueries {
       GrepIndex.search(index, docs, "doc_id", "text", "customer query")
     }),
 
+    // Lexical repetition metrics — the within-document counterpart of
+    // the Gopher battery (its repetition rules are the single biggest
+    // web-crawl killer): type-token ratio and the top word's share of
+    // the document. One explode + two doc-keyed partial-agg groupBys;
+    // state is bounded by distinct words per document, never corpus
+    // vocabulary. The flag thresholds the ROUNDED share so both
+    // engines decide identically at the boundary.
+    "quality_repetition" -> ((s, d) => {
+      val toks = tblSpread(s, d, "documents").select(col("doc_id"),
+        explode(split(trim(lower(col("text"))), "\\s+")).as("word"))
+      val perWord = toks.groupBy(col("doc_id"), col("word"))
+        .agg(count(lit(1)).as("c"))
+      perWord.groupBy(col("doc_id"))
+        .agg(sum(col("c")).cast("long").as("n_words"),
+          count(lit(1)).as("n_distinct"),
+          round4(count(lit(1)).cast("double") / sum(col("c"))).as("ttr"),
+          round4(max(col("c")).cast("double") / sum(col("c"))).as("top_share"))
+        .withColumn("repetitive", col("top_share") > 0.1)
+    }),
+
     // Gopher-style rule battery (document-level subset, exact counts).
     "quality_gopher" -> ((s, d) => {
       tblSpread(s, d, "documents").select(col("doc_id"),
@@ -334,6 +354,20 @@ object TextQueries {
       "SELECT doc_id FROM documents WHERE contains(text, 'the customer')",
     "grep_probe" ->
       "SELECT doc_id FROM documents WHERE contains(text, 'customer query')",
+    "quality_repetition" ->
+      """WITH toks AS (
+           SELECT doc_id,
+             unnest(string_split_regex(trim(lower(text)), '\s+')) AS word
+           FROM documents),
+         pw AS (
+           SELECT doc_id, word, count(*)::BIGINT AS c
+           FROM toks GROUP BY doc_id, word)
+         SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_words,
+           count(*)::BIGINT AS n_distinct,
+           floor(count(*)::DOUBLE / sum(c) * 10000 + 0.5) / 10000 AS ttr,
+           floor(max(c)::DOUBLE / sum(c) * 10000 + 0.5) / 10000 AS top_share,
+           floor(max(c)::DOUBLE / sum(c) * 10000 + 0.5) / 10000 > 0.1 AS repetitive
+         FROM pw GROUP BY doc_id""",
     "shard_manifest" ->
       """SELECT ('0x' || substring(md5(doc_id::VARCHAR), 1, 15))::BIGINT % 8 AS shard,
            count(*) AS n_rows,
