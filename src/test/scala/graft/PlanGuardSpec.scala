@@ -55,6 +55,34 @@ class PlanGuardSpec extends SparkTestBase {
       s"verify fetch must stay an equi-join:\n$p")
   }
 
+  test("tbl_ani merge: broadcast-free window on the pair key, no cartesian") {
+    val p = plan("tbl_ani")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"4-source merge must stay a union + window:\n$p")
+    assert(p.contains("row_number"), s"first-wins rank must be a window:\n$p")
+  }
+
+  test("ml_calibration: map-side binning, no window, one agg exchange") {
+    val p = plan("ml_calibration")
+    assert(!p.contains("WindowExec") && !p.contains("Window "),
+      s"fixed-width bins must not need a sort/ntile window:\n$p")
+    assert(p.contains("HashAggregate"), s"report must be a hash aggregate:\n$p")
+  }
+
+  test("sample_temperature: normalizer broadcasts back, corpus scanned once") {
+    val p = plan("sample_temperature")
+    assert(p.contains("BroadcastExchange"),
+      s"the 1-row normalizer must broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin"),
+      s"language-count frame must never sort-merge:\n$p")
+  }
+
+  test("quality_repetition: doc-keyed partial aggs, no corpus-global window") {
+    val p = plan("quality_repetition")
+    assert(!p.contains("WindowExec"), s"repetition metrics need no window:\n$p")
+    assert(p.contains("partial_"), s"both stages must map-side combine:\n$p")
+  }
+
   test("int8 quantization is map-side only (no keyed exchange)") {
     val p = plan("embed_quantize")
     assert(!p.contains("Exchange hashpartitioning") &&
