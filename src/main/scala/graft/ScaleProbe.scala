@@ -498,9 +498,65 @@ object ScaleProbe {
       }
   }
 
+  /** `runMain graft.ScaleProbe outlier8` — the robust-outlier report's
+    * exact vs sketch path (SCALE.md round 8) on a HIGH-CARDINALITY
+    * continuous column (every value distinct, the exact counts-map
+    * percentile's worst case): 20M rows, 8 groups. The exact path scans
+    * the base three times (med → mad → count) and its per-group state
+    * is the distinct-value map; the sketch path is one scan carrying a
+    * fixed-size KLL per group. Reported: wall, max task, and the
+    * sketch's relative error on each group's median/MAD. */
+  private def outlier8(spark: SparkSession, exact20: Boolean): Unit = {
+    import graft.operators.Profiling
+    spark.sparkContext.addSparkListener(MaxTask)
+    // skewed lognormal-ish continuous values, all distinct
+    val rows = spark.range(0, 20000000L).select(
+      col("id"),
+      pmod(col("id"), lit(8)).as("grp"),
+      (exp((pmod(hash(col("id")), lit(1000000)).cast("double") / 250000.0))
+        * (col("id").cast("double") / 1e12 + 1.0)).as("v"))
+      .localCheckpoint()
+    def time(label: String)(f: => Long): Unit = {
+      MaxTask.reset()
+      val t0 = System.nanoTime(); val n = f
+      val s = (System.nanoTime() - t0) / 1e9
+      println(f"""{"probe":"$label","rows":$n,"sec":$s%.2f,"max_task_sec":${MaxTask.max.get() / 1000.0}%.2f}""")
+    }
+    // The exact path DOES NOT SURVIVE this input at the default 8g
+    // heap: 2.5M distinct values per group × per-task partial
+    // counts-maps OOMs the JVM (observed: sbt runner exit 52).
+    // `runMain graft.ScaleProbe outlier8 exact20` reproduces the crash
+    // deliberately; the default probe measures the sketch at 20M and
+    // both paths at 2M, where exact still fits.
+    if (exact20) {
+      time("exact robustOutliers 20M (EXPECTED OOM at 8g)") {
+        Profiling.robustOutliers(rows, col("grp"), col("v")).count()
+      }
+      return
+    }
+    time("sketch robustOutliersSketch 20M distinct (1 scan, KLL per group)") {
+      Profiling.robustOutliersSketch(rows, col("grp"), col("v")).count()
+    }
+    val small = rows.filter(col("id") % 10 === 0).localCheckpoint()
+    time("exact robustOutliers 2M distinct (3 scans, counts-map)") {
+      Profiling.robustOutliers(small, col("grp"), col("v")).count()
+    }
+    time("sketch robustOutliersSketch 2M distinct") {
+      Profiling.robustOutliersSketch(small, col("grp"), col("v")).count()
+    }
+    val e = Profiling.robustOutliers(small, col("grp"), col("v"))
+      .collect().map(r => r.getLong(0) -> (r.getDouble(1), r.getDouble(2))).toMap
+    val a = Profiling.robustOutliersSketch(small, col("grp"), col("v"))
+      .collect().map(r => r.getLong(0) -> (r.getDouble(1), r.getDouble(2))).toMap
+    val medErr = e.keys.map(g => math.abs(a(g)._1 - e(g)._1) / e(g)._1).max
+    val madErr = e.keys.map(g => math.abs(a(g)._2 - e(g)._2) / e(g)._2).max
+    println(f"""{"probe":"sketch relative error at 2M","max_med_err":$medErr%.4f,"max_mad_err":$madErr%.4f}""")
+  }
+
   def main(args: Array[String]): Unit = {
     if (args.headOption.contains("quota7") || args.headOption.contains("pipe7") ||
-        args.headOption.contains("freq7") || args.headOption.contains("serve8")) {
+        args.headOption.contains("freq7") || args.headOption.contains("serve8") ||
+        args.headOption.contains("outlier8")) {
       val spark = SparkSession.builder()
         .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")}]")
         .config("spark.sql.shuffle.partitions",
@@ -513,6 +569,7 @@ object ScaleProbe {
         case "pipe7"  => pipe7(spark)
         case "freq7"  => freq7(spark)
         case "serve8" => serve8(spark)
+        case "outlier8" => outlier8(spark, args.lift(1).contains("exact20"))
       }
       spark.stop()
       return
