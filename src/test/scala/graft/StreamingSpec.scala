@@ -333,4 +333,64 @@ class StreamingSpec extends SparkTestBase {
       }
     }
   }
+
+  test("streaming KLL quantile monitor: exact below k, state survives batches") {
+    implicit val sqlCtx = spark.sqlContext
+    val providerKey = "spark.sql.streaming.stateStore.providerClass"
+    val prevProvider = spark.conf.getOption(providerKey)
+    spark.conf.set(providerKey,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    // 2 keys × 60 values each — far below k=200, so the per-key sketch
+    // retains every value and the readout is EXACT (inclusive-rank
+    // definition), comparable 1:1 against a local sort.
+    val rows = (0 until 120).map(i => (i.toLong % 2, (i * 37 % 120).toDouble))
+    def exactQ(vs: Seq[Double], q: Double): Double = {
+      val s = vs.sorted
+      s(math.ceil(q * s.length).toInt - 1)
+    }
+    val mem = MemoryStream[(Long, Double)]
+    val q = graft.streaming.StreamQuantiles.quantiles(
+      mem.toDF().toDF("key", "value"))
+      .writeStream.format("memory").queryName("stream_kll")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      val (h1, h2) = rows.splitAt(60)
+      mem.addData(h1: _*); q.processAllAvailable()
+      val firstN = spark.table("stream_kll")
+        .groupBy("key").agg(max("n").as("n"))
+        .as[(Long, Long)].collect().toMap
+      mem.addData(h2: _*); q.processAllAvailable()
+      // latest emission per key = the one with the largest n
+      val last = spark.table("stream_kll")
+        .withColumn("rk", row_number().over(
+          org.apache.spark.sql.expressions.Window
+            .partitionBy(col("key")).orderBy(col("n").desc)))
+        .filter(col("rk") === 1)
+        .select("key", "n", "p50", "p95")
+        .as[(Long, Long, Double, Double)].collect()
+        .map(r => r._1 -> (r._2, r._3, r._4)).toMap
+      for ((key, vs) <- rows.groupBy(_._1).view.mapValues(_.map(_._2))) {
+        val (n, p50, p95) = last(key)
+        assert(n == vs.length, s"key $key must have folded all ${vs.length} values")
+        assert(firstN(key) < n, "sketch state must carry across micro-batches")
+        assert(p50 == exactQ(vs, 0.5), s"key $key p50 exact below k")
+        assert(p95 == exactQ(vs, 0.95), s"key $key p95 exact below k")
+      }
+      // the streamed state interoperates with the batch cube contract:
+      // same (key → quantile) answers as kll_sketch_agg over the same data
+      org.apache.spark.sql.graftx.GraftExtensions.install(spark)
+      val batch = rows.toDF("key", "value")
+        .groupBy("key")
+        .agg(expr("kll_quantile(kll_sketch_agg(value), 0.5)").as("p50"))
+        .as[(Long, Double)].collect().toMap
+      for ((key, (_, p50, _)) <- last)
+        assert(batch(key) == p50, s"key $key: stream p50 must equal batch cube p50")
+    } finally {
+      q.stop()
+      prevProvider match {
+        case Some(v) => spark.conf.set(providerKey, v)
+        case None    => spark.conf.unset(providerKey)
+      }
+    }
+  }
 }
