@@ -70,6 +70,59 @@ object Cleaning {
           .as("contamination"))
   }
 
+  /** Span-level contamination audit — the removal/review artifact
+    * behind [[contamination]]'s doc-level counts: every (train doc,
+    * token window) whose word n-gram appears in the eval set, as
+    * 1-based inclusive token coordinates plus the matched gram. A
+    * pipeline that SURGICALLY cuts contaminated windows (rather than
+    * dropping whole documents) consumes exactly this frame.
+    *
+    * Same scale shape as the count form — eval grams broadcast (or see
+    * [[contaminationBloom]] for the sketch screen), the corpus side is
+    * one posexplode with no distinct (positions must survive), and the
+    * join output is hit-sized. */
+  def contaminationSpans(train: DataFrame, evalSet: DataFrame, idCol: String,
+                         textCol: String, n: Int): DataFrame = {
+    val evalGrams = evalSet
+      .withColumn("__toks", split(trim(col(textCol)), "\\s+"))
+      .select(explode_outer(wordGramsOf(col("__toks"), n)).as("gram")).distinct()
+    val positioned = Dedup.spread(train)
+      .withColumn("__toks", split(trim(col(textCol)), "\\s+"))
+      .select(col(idCol), posexplode_outer(transform(
+        sequence(lit(1), greatest(size(col("__toks")) - (n - 1), lit(1))),
+        i => concat_ws(" ", slice(col("__toks"), i, lit(n)))))
+        .as(Seq("__p", "gram")))
+    positioned.join(broadcast(evalGrams), Seq("gram"))
+      .select(col(idCol), (col("__p") + 1).cast("long").as("tok_start"),
+        (col("__p") + n).cast("long").as("tok_end"), col("gram"))
+  }
+
+  /** Apply a [[contaminationSpans]] frame: cut every covered token
+    * window out of the text and reassemble — surgical decontamination,
+    * keeping the rest of a document a whole-doc drop would lose.
+    *
+    * Scale shape: the span frame aggregates to one row per CONTAMINATED
+    * doc (hit-sized, usually a sliver of the corpus), left-joins back,
+    * and the cut itself is a map-side higher-order `filter` over the
+    * token array — coverage is tested per token with `exists`, so
+    * overlapping spans need no merging and the span list's collect
+    * order is irrelevant. Untouched docs pass through the left join
+    * with their token stream intact. */
+  def cutSpans(docs: DataFrame, spans: DataFrame, idCol: String,
+               textCol: String): DataFrame = {
+    val ranges = spans.groupBy(col(idCol))
+      .agg(collect_list(struct(col("tok_start"), col("tok_end"))).as("__spans"))
+    docs.join(ranges, Seq(idCol), "left")
+      .withColumn("__toks", split(trim(col(textCol)), "\\s+"))
+      .withColumn("__kept",
+        when(col("__spans").isNull, col("__toks")).otherwise(
+          filter(col("__toks"), (_, i) => !exists(col("__spans"),
+            s => i + 1 >= s("tok_start") && i + 1 <= s("tok_end")))))
+      .select(col(idCol),
+        concat_ws(" ", col("__kept")).as("text_clean"),
+        (size(col("__toks")) - size(col("__kept"))).cast("long").as("n_removed"))
+  }
+
   /** [[contamination]]'s scale path for when the eval-gram set outgrows
     * a broadcast hash table (a full benchmark suite at 8-grams runs to
     * billions of grams — far past `autoBroadcastJoinThreshold`, but a

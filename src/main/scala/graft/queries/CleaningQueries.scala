@@ -45,6 +45,27 @@ object CleaningQueries {
         "doc_id", "text", n = GramN)
     }),
 
+    // Span-level audit of the same screen: WHERE each contaminated
+    // window sits (1-based inclusive token coords), for surgical
+    // removal instead of whole-document drops.
+    "decontaminate_spans" -> ((s, d) => {
+      val docs = tbl(s, d, "documents")
+      Cleaning.contaminationSpans(
+        docs.filter(col("doc_id") % EvalMod =!= 0),
+        docs.filter(col("doc_id") % EvalMod === 0),
+        "doc_id", "text", n = GramN)
+    }),
+
+    // The cut applied: contaminated windows excised token-wise, the
+    // rest of each document reassembled (single-space normalized).
+    "decontaminate_cut" -> ((s, d) => {
+      val docs = tbl(s, d, "documents")
+      val train = docs.filter(col("doc_id") % EvalMod =!= 0)
+      val spans = Cleaning.contaminationSpans(train,
+        docs.filter(col("doc_id") % EvalMod === 0), "doc_id", "text", n = GramN)
+      Cleaning.cutSpans(train, spans, "doc_id", "text")
+    }),
+
     // Drop tokens present in >= 80% of all docs, reassemble in order.
     "strip_boilerplate" -> ((s, d) => {
       Cleaning.stripBoilerplate(tbl(s, d, "documents"), "doc_id", "text",
@@ -133,6 +154,51 @@ object CleaningQueries {
             floor(count(*)::DOUBLE / total * 10000 + 0.5) / 10000 AS contamination
           FROM tr JOIN ev USING (gram)
           GROUP BY doc_id, total""",
+    "decontaminate_spans" ->
+      s"""WITH tok AS (
+            SELECT doc_id, string_split_regex(trim(text), '\\s+') AS w FROM documents),
+          g AS (SELECT doc_id,
+                  list_transform(generate_series(1, greatest(len(w) - ${GramN - 1}, 1)),
+                    i -> array_to_string(w[i:i + ${GramN - 1}], ' ')) AS grams
+                FROM tok),
+          ev AS (SELECT DISTINCT unnest(grams) AS gram FROM g WHERE doc_id % $EvalMod = 0),
+          tr AS (SELECT doc_id, unnest(grams) AS gram,
+                   unnest(generate_series(1, len(grams))) AS p
+                 FROM g WHERE doc_id % $EvalMod <> 0)
+          SELECT doc_id, CAST(p AS BIGINT) AS tok_start,
+            CAST(p + ${GramN - 1} AS BIGINT) AS tok_end, gram
+          FROM tr JOIN ev USING (gram)""",
+    "decontaminate_cut" ->
+      s"""WITH tok AS (
+            SELECT doc_id, string_split_regex(trim(text), '\\s+') AS w FROM documents),
+          g AS (SELECT doc_id,
+                  list_transform(generate_series(1, greatest(len(w) - ${GramN - 1}, 1)),
+                    i -> array_to_string(w[i:i + ${GramN - 1}], ' ')) AS grams
+                FROM tok),
+          ev AS (SELECT DISTINCT unnest(grams) AS gram FROM g WHERE doc_id % $EvalMod = 0),
+          spans AS (
+            SELECT tr.doc_id, tr.p AS tok_start, tr.p + ${GramN - 1} AS tok_end
+            FROM (SELECT doc_id, unnest(grams) AS gram,
+                    unnest(generate_series(1, len(grams))) AS p
+                  FROM g WHERE doc_id % $EvalMod <> 0) tr
+            JOIN ev USING (gram)),
+          pos AS (
+            SELECT doc_id, unnest(w) AS word,
+              unnest(generate_series(1, len(w))) AS p
+            FROM tok WHERE doc_id % $EvalMod <> 0),
+          kept AS (
+            SELECT p.doc_id, p.word, p.p FROM pos p
+            WHERE NOT EXISTS (
+              SELECT 1 FROM spans s
+              WHERE s.doc_id = p.doc_id AND p.p BETWEEN s.tok_start AND s.tok_end)),
+          agg AS (
+            SELECT doc_id, string_agg(word, ' ' ORDER BY p) AS text_clean,
+              count(*)::BIGINT AS n_kept
+            FROM kept GROUP BY doc_id)
+          SELECT t.doc_id, coalesce(a.text_clean, '') AS text_clean,
+            CAST(len(t.w) - coalesce(a.n_kept, 0) AS BIGINT) AS n_removed
+          FROM tok t LEFT JOIN agg a USING (doc_id)
+          WHERE t.doc_id % $EvalMod <> 0""",
     // Bloom pre-screen changes the plan, not the result set.
     "decontaminate_bloom" ->
       s"""WITH tok AS (
