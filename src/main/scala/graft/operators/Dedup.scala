@@ -488,4 +488,40 @@ object Dedup {
       .filter(col("id_a") < col("id_b"))
       .select(col("id_a"), col("id_b")).distinct()
   }
+
+  /** Containment pairs: `id_inner`'s text is (fingerprint-)contained
+    * in `id_outer`'s — every winnowing fingerprint of the inner doc
+    * also occurs in the outer doc. Pairwise Jaccard misses this case
+    * by construction (a snippet quoted inside a much larger page has
+    * near-zero Jaccard with it); containment is the dedup relation for
+    * quote-inclusion, page-within-crawl, and doc-within-concatenation
+    * duplication (Broder's resemblance/containment distinction, 1997).
+    * Exact-equal docs are mutually contained and appear in both
+    * directions.
+    *
+    * Scale shape: candidate pairs never leave shared-fingerprint
+    * buckets (the same salted self-join as [[substringDupPairs]] —
+    * boilerplate fingerprints shared by thousands of docs are the hot
+    * buckets, salted `salts` ways), the intersection size is a
+    * partial-agg count over those pairs, and the subset test is a
+    * per-inner-doc fingerprint-count equi-join. No all-pairs stage
+    * anywhere. */
+  def containmentPairs(df: DataFrame, idCol: String, textCol: String,
+                       k: Int = 20, w: Int = 10, salts: Int = 4): DataFrame = {
+    val fps = winnowFingerprints(df, idCol, textCol, k, w).localCheckpoint()
+    val nfp = fps.groupBy(col(idCol)).agg(count(lit(1)).as("__nfp"))
+      .select(col(idCol).as("id_inner"), col("__nfp"))
+    val a = fps.select(col("fp"), col(idCol).as("id_inner"))
+      .withColumn("salt", pmod(xxhash64(col("id_inner")), lit(salts)).cast("int"))
+    val b = fps.select(col("fp"), col(idCol).as("id_outer"))
+      .withColumn("salt",
+        explode(sequence(lit(0), lit(salts - 1)).cast("array<int>")))
+    a.join(b, Seq("fp", "salt"))
+      .filter(col("id_inner") =!= col("id_outer"))
+      .groupBy(col("id_inner"), col("id_outer"))
+      .agg(count(lit(1)).as("__shared"))
+      .join(nfp, Seq("id_inner"))
+      .filter(col("__shared") === col("__nfp"))
+      .select(col("id_inner"), col("id_outer"))
+  }
 }

@@ -80,4 +80,51 @@ object LangModel {
     val (counts, context, vocab) = bigramModel(corpus, idCol, textCol)
     scoreAvgLog2(corpus, idCol, textCol, counts, context, vocab, k)
   }
+
+  /** DSIR-style importance weights (Xie et al., "Data Selection for
+    * Language Models via Importance Resampling", NeurIPS 2023): score
+    * every corpus document by its average log2 likelihood-ratio under
+    * a target-domain unigram LM vs the raw-corpus unigram LM —
+    * `avg_lr = avg(log2 p_target(w) - log2 p_raw(w)))` over the doc's
+    * token instances, add-k smoothing over the raw vocabulary on both
+    * sides. High `avg_lr` = "looks like the target domain"; sampling
+    * proportional to the exponentiated ratio is the DSIR recipe for
+    * tilting a web crawl toward a trusted corpus.
+    *
+    * `targetPred` marks the target-domain rows (e.g. `lang === "en"`
+    * or a trusted-source predicate) — a predicate, not a second
+    * corpus, so the tokenize happens ONCE.
+    *
+    * Scale shape: one exploded token pass (localCheckpoint'ed — it
+    * feeds both count tables and the scoring join, replacing three
+    * scan+explode lineages), two vocabulary-sized partial-agg
+    * groupBys, and a scoring join by SHUFFLE-HASH on the token (a
+    * real corpus vocabulary outgrows a broadcast); scalar totals ride
+    * a 1-row broadcast. The per-doc average is a final partial agg
+    * keyed by doc. */
+  def dsirWeights(corpus: DataFrame, idCol: String, textCol: String,
+                  targetPred: Column, k: Double = 0.5): DataFrame = {
+    val tok = corpus
+      .select(col(idCol), targetPred.as("__tgt"),
+        explode(toks(col(textCol))).as("w"))
+      .localCheckpoint()
+    val raw = tok.groupBy(col("w")).agg(count(lit(1)).as("nr"))
+    val tgt = tok.filter(col("__tgt")).groupBy(col("w"))
+      .agg(count(lit(1)).as("nt"))
+    val totals = raw.agg(
+      sum(col("nr")).cast("double").as("n_raw"),
+      count(lit(1)).cast("double").as("v"))
+    val tgtTotal = tgt.agg(sum(col("nt")).cast("double").as("n_tgt"))
+    tok.join(raw.hint("shuffle_hash"), Seq("w"))
+      .join(tgt.hint("shuffle_hash"), Seq("w"), "left")
+      .crossJoin(broadcast(totals))
+      .crossJoin(broadcast(tgtTotal))
+      .select(col(idCol),
+        (log2((coalesce(col("nt"), lit(0L)) + lit(k)) /
+            (col("n_tgt") + lit(k) * col("v"))) -
+          log2((col("nr") + lit(k)) /
+            (col("n_raw") + lit(k) * col("v")))).as("lr"))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_tokens"), avg(col("lr")).as("avg_lr"))
+  }
 }

@@ -181,4 +181,52 @@ object Sampling {
     }
     df.filter(keepHash(col(idCol)) < threshold)
   }
+
+  /** Exact greedy token-budget selection — "take the best documents
+    * until the token budget is spent", the curation step that turns a
+    * scored corpus into a fixed-size training set. The greedy order is
+    * (score DESC, keepHash(id), id): the hash jitter makes ties inside
+    * a coarse score (quality rubrics emit a handful of levels) an
+    * unbiased uniform draw instead of an id-order artifact. A row is
+    * kept iff the running token total up to and including it fits the
+    * budget (= `frac` of the corpus's total tokens).
+    *
+    * Scale shape: the naive form is ONE global cumulative-sum window —
+    * every row through a single task. Here the cumsum is split
+    * hierarchically: per-bin token totals (bin = (score, jitter), a
+    * partial-agg groupBy) feed a prefix-sum window over the BIN DOMAIN
+    * (bounded: |score levels| x 10^4 jitter values, independent of row
+    * count — the only single-partition step), and each row only needs
+    * its WITHIN-bin running sum (a window partitioned by bin, max task
+    * = max bin size ~ n/|bins|). `cum_before(bin) + within_cum(row)`
+    * reassembles the exact global running total, so the kept set is
+    * bit-identical to the single-window answer the oracle runs. */
+  def tokenBudgetSelect(df: DataFrame, idCol: String, scoreCol: String,
+                        tokensCol: String, frac: Double): DataFrame = {
+    require(frac > 0 && frac <= 1, s"frac must be in (0,1], got $frac")
+    import org.apache.spark.sql.expressions.Window
+    val base = df.select(col(idCol), col(scoreCol).as("__score"),
+      keepHash(col(idCol)).as("__jit"),
+      col(tokensCol).cast("long").as("__tok"))
+      .localCheckpoint() // feeds the bin agg AND the final pass
+    val budget = base.agg(
+      floor(sum(col("__tok")) * frac).cast("long").as("__budget"))
+    val bins = base.groupBy(col("__score"), col("__jit"))
+      .agg(sum(col("__tok")).as("__bin_tok"))
+    val overBins = Window.orderBy(col("__score").desc, col("__jit").asc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val binsCum = bins
+      .withColumn("__cum_before",
+        coalesce(sum(col("__bin_tok")).over(overBins), lit(0L)))
+      .select(col("__score"), col("__jit"), col("__cum_before"))
+    val within = Window.partitionBy(col("__score"), col("__jit"))
+      .orderBy(col(idCol).asc)
+    base.withColumn("__wcum", sum(col("__tok")).over(within))
+      .join(broadcast(binsCum), Seq("__score", "__jit"))
+      .crossJoin(broadcast(budget))
+      .filter(col("__cum_before") + col("__wcum") <= col("__budget"))
+      .select(col(idCol), col("__score").as(scoreCol),
+        col("__tok").as(tokensCol),
+        (col("__cum_before") + col("__wcum")).as("cum_tokens"))
+  }
 }

@@ -30,6 +30,32 @@ object DedupQueries {
   private val winnowPow1 = winnowPows(org.apache.spark.sql.graftx.WinnowFingerprints.B1)
   private val winnowPow2 = winnowPows(org.apache.spark.sql.graftx.WinnowFingerprints.B2)
 
+  /** Shared winnowing-fingerprint CTE chain ending in
+    * `fps(doc_id, fp)` — used by both substring-duplication oracles. */
+  private lazy val winnowFpsCte: String =
+    s"""pos AS (
+            SELECT doc_id, text,
+              greatest(len(text) - ${WinnowK - 1}, 1) AS n1,
+              unnest(generate_series(1, greatest(len(text) - ${WinnowK - 1}, 1))) AS pos
+            FROM documents),
+          h AS (
+            SELECT doc_id, pos, n1,
+              (list_sum(list_transform(range(0, $WinnowK), i ->
+                 greatest(unicode(substring(text, pos + i, 1)), 0) * ($winnowPow1)[i + 1]))
+               % $WinnowM) * 2147483648
+              + (list_sum(list_transform(range(0, $WinnowK), i ->
+                 greatest(unicode(substring(text, pos + i, 1)), 0) * ($winnowPow2)[i + 1]))
+               % $WinnowM) AS hh
+            FROM pos),
+          mins AS (
+            SELECT doc_id, pos, n1,
+              min(hh) OVER (PARTITION BY doc_id ORDER BY pos
+                ROWS BETWEEN CURRENT ROW AND ${WinnowW - 1} FOLLOWING) AS fp
+            FROM h),
+          fps AS (
+            SELECT DISTINCT doc_id, fp FROM mins
+            WHERE pos <= greatest(n1 - ${WinnowW - 1}, 1))"""
+
   val queries: Map[String, QueryFn] = Map(
     "dedup_exact" -> ((s, d) => {
       Dedup.exact(tbl(s, d, "documents"), "text", "doc_id")
@@ -71,6 +97,14 @@ object DedupQueries {
     // fingerprints: pairs sharing any verbatim run of >= k+w-1 chars.
     "dedup_substring" -> ((s, d) => {
       Dedup.substringDupPairs(tbl(s, d, "documents"), "doc_id", "text",
+        k = WinnowK, w = WinnowW)
+    }),
+
+    // Containment direction of the same fingerprints: id_inner's every
+    // fingerprint occurs in id_outer — the quote-inclusion/doc-within-
+    // concatenation duplication Jaccard can't see (Broder 1997).
+    "dedup_containment" -> ((s, d) => {
+      Dedup.containmentPairs(tbl(s, d, "documents"), "doc_id", "text",
         k = WinnowK, w = WinnowW)
     }),
 
@@ -272,30 +306,18 @@ object DedupQueries {
             ON n.band = o.band AND n.band_sig = o.band_sig
           WHERE n.doc_id % 2 = 1 AND o.doc_id % 2 = 0""",
     "dedup_substring" ->
-      s"""WITH pos AS (
-            SELECT doc_id, text,
-              greatest(len(text) - ${WinnowK - 1}, 1) AS n1,
-              unnest(generate_series(1, greatest(len(text) - ${WinnowK - 1}, 1))) AS pos
-            FROM documents),
-          h AS (
-            SELECT doc_id, pos, n1,
-              (list_sum(list_transform(range(0, $WinnowK), i ->
-                 greatest(unicode(substring(text, pos + i, 1)), 0) * ($winnowPow1)[i + 1]))
-               % $WinnowM) * 2147483648
-              + (list_sum(list_transform(range(0, $WinnowK), i ->
-                 greatest(unicode(substring(text, pos + i, 1)), 0) * ($winnowPow2)[i + 1]))
-               % $WinnowM) AS hh
-            FROM pos),
-          mins AS (
-            SELECT doc_id, pos, n1,
-              min(hh) OVER (PARTITION BY doc_id ORDER BY pos
-                ROWS BETWEEN CURRENT ROW AND ${WinnowW - 1} FOLLOWING) AS fp
-            FROM h),
-          fps AS (
-            SELECT DISTINCT doc_id, fp FROM mins
-            WHERE pos <= greatest(n1 - ${WinnowW - 1}, 1))
+      s"""WITH $winnowFpsCte
           SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
           FROM fps a JOIN fps b ON a.fp = b.fp AND a.doc_id < b.doc_id""",
+    "dedup_containment" ->
+      s"""WITH $winnowFpsCte,
+          cnt AS (SELECT doc_id, count(*)::BIGINT AS nfp FROM fps GROUP BY doc_id),
+          shared AS (
+            SELECT a.doc_id AS id_inner, b.doc_id AS id_outer, count(*)::BIGINT AS sh
+            FROM fps a JOIN fps b ON a.fp = b.fp AND a.doc_id <> b.doc_id
+            GROUP BY 1, 2)
+          SELECT id_inner, id_outer
+          FROM shared JOIN cnt ON cnt.doc_id = shared.id_inner AND sh = nfp""",
     "dedup_embed_cosine" ->
       s"""SELECT a.vec_id AS id_a, b.vec_id AS id_b
           FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id

@@ -197,6 +197,74 @@ object TextQueries {
       graft.operators.TfIdf.invertedIndex(
         tbl(s, d, "documents"), "doc_id", "text",
         minDf = 3L, maxDfFrac = 0.79)
+    }),
+
+    // DSIR importance weights (Xie et al. 2023): avg log2 unigram-LM
+    // likelihood-ratio of the English target domain vs the raw corpus
+    // per doc — the tilt-toward-trusted-data selection signal.
+    "dsir_weights" -> ((s, d) => {
+      graft.operators.LangModel.dsirWeights(
+        tbl(s, d, "documents").select(col("doc_id"), col("lang"), col("text")),
+        "doc_id", "text", col("lang") === "en")
+        .select(col("doc_id"), col("n_tokens"),
+          round4(col("avg_lr")).as("avg_lr"))
+    }),
+
+    // Token-budget curation: greedily keep the best-quality docs until
+    // 25% of the corpus's tokens are spent. Hierarchical cumsum — see
+    // Sampling.tokenBudgetSelect for why this never runs a global
+    // row-level window.
+    "select_token_budget" -> ((s, d) => {
+      val scored = tbl(s, d, "documents").select(col("doc_id"),
+        TextAnalysis.qualityScore(col("text")).as("quality"),
+        TextAnalysis.tokenCount(col("text")).cast("long").as("tokens"))
+      graft.operators.Sampling.tokenBudgetSelect(
+        scored, "doc_id", "quality", "tokens", frac = 0.25)
+    }),
+
+    // Tokenizer-fertility profile per language: BPE-ish pieces and
+    // characters per whitespace word — the "how expensive is this
+    // language under the tokenizer" planning table. One partial agg.
+    "token_fertility" -> ((s, d) => {
+      tbl(s, d, "documents")
+        .select(col("lang"),
+          TextAnalysis.tokenCount(col("text")).cast("long").as("ws"),
+          size(TextAnalysis.bpeishTokens(col("text"))).cast("long").as("bpe"),
+          length(col("text")).cast("long").as("chars"))
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("ws")).as("n_ws"),
+          sum(col("bpe")).as("n_bpe"),
+          sum(col("chars")).as("n_chars"),
+          round4(sum(col("bpe")).cast("double") /
+            sum(col("ws")).cast("double")).as("bpe_per_ws"),
+          round4(sum(col("chars")).cast("double") /
+            sum(col("ws")).cast("double")).as("chars_per_ws"))
+    }),
+
+    // N-gram novelty: fraction of each doc's distinct word trigrams
+    // that occur in NO other doc — near-1 means genuinely new text,
+    // near-0 means assembled from corpus-common phrasing. Same
+    // vocabulary-join shape as PMI (trigram df can't broadcast).
+    "novelty_ngram" -> ((s, d) => {
+      val docs = tbl(s, d, "documents")
+      val tris = docs
+        .withColumn("__toks", split(trim(lower(col("text"))), "\\s+"))
+        .filter(size(col("__toks")) >= 3)
+        .select(col("doc_id"), explode(transform(
+          sequence(lit(1), size(col("__toks")) - 2),
+          i => concat_ws(" ", element_at(col("__toks"), i),
+            element_at(col("__toks"), i + 1),
+            element_at(col("__toks"), i + 2)))).as("tri"))
+        .distinct()
+        .localCheckpoint() // feeds the df agg AND the per-doc average
+      val dfreq = tris.groupBy(col("tri"))
+        .agg(count(lit(1)).as("__df"))
+      tris.join(dfreq.hint("shuffle_hash"), Seq("tri"))
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_tri"),
+          round4(avg(when(col("__df") === 1, 1.0).otherwise(0.0)))
+            .as("novelty"))
     }))
 
   private def listLit(words: Seq[String]): String =
@@ -469,5 +537,70 @@ object TextQueries {
              / greatest(len(toks), 1)::DOUBLE AS top_share,
            list_sum(list_transform(toks, t -> length(t)))::DOUBLE
              / greatest(len(toks), 1)::DOUBLE AS mean_tok_len
-         FROM (SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks FROM documents)""")
+         FROM (SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks FROM documents)""",
+    "dsir_weights" ->
+      """WITH tok AS (
+           SELECT doc_id, lang, unnest(string_split_regex(trim(lower(text)), '\s+')) AS w
+           FROM documents),
+         raw AS (SELECT w, count(*)::BIGINT AS nr FROM tok GROUP BY w),
+         tgt AS (SELECT w, count(*)::BIGINT AS nt FROM tok WHERE lang = 'en' GROUP BY w),
+         tot AS (SELECT sum(nr)::DOUBLE AS n_raw, count(*)::DOUBLE AS v FROM raw),
+         ttot AS (SELECT sum(nt)::DOUBLE AS n_tgt FROM tgt),
+         sc AS (SELECT doc_id,
+             log2((coalesce(nt, 0) + 0.5) / (n_tgt + 0.5 * v))
+           - log2((nr + 0.5) / (n_raw + 0.5 * v)) AS lr
+           FROM tok JOIN raw USING (w) LEFT JOIN tgt USING (w)
+           CROSS JOIN tot CROSS JOIN ttot)
+         SELECT doc_id, count(*)::BIGINT AS n_tokens,
+           floor(avg(lr) * 10000 + 0.5) / 10000 AS avg_lr
+         FROM sc GROUP BY doc_id""",
+    "select_token_budget" ->
+      s"""WITH base AS (
+            SELECT doc_id,
+              (CASE WHEN n >= 10 AND n <= 1000 THEN 1.0 ELSE 0.0 END
+             + CASE WHEN pc / greatest(chars, 1) <= 0.2 THEN 1.0 ELSE 0.0 END
+             + CASE WHEN sw >= 0.01 THEN 1.0 ELSE 0.0 END) / 3.0 AS quality,
+              CAST(nt AS BIGINT) AS tokens,
+              ('0x' || substring(md5(doc_id::VARCHAR), 1, 15))::BIGINT % 10000 AS jit
+            FROM (SELECT doc_id, len(toks) AS nt,
+                len(toks)::DOUBLE AS n,
+                len(regexp_extract_all(text, '[^\\w\\s]'))::DOUBLE AS pc,
+                length(text)::DOUBLE AS chars,
+                ${ratioSql(TextAnalysis.langMarkers.toMap.apply("en"))} AS sw
+              FROM (SELECT doc_id, text, string_split_regex(trim(text), '\\s+') AS toks
+                    FROM documents))),
+          tot AS (SELECT CAST(floor(sum(tokens) * 0.25) AS BIGINT) AS budget FROM base),
+          c AS (SELECT doc_id, quality, tokens,
+              CAST(sum(tokens) OVER (ORDER BY quality DESC, jit, doc_id) AS BIGINT)
+                AS cum_tokens
+            FROM base)
+          SELECT doc_id, quality, tokens, cum_tokens
+          FROM c CROSS JOIN tot WHERE cum_tokens <= budget""",
+    "token_fertility" ->
+      """SELECT lang, count(*)::BIGINT AS n_docs,
+           CAST(sum(ws) AS BIGINT) AS n_ws,
+           CAST(sum(bpe) AS BIGINT) AS n_bpe,
+           CAST(sum(chars) AS BIGINT) AS n_chars,
+           floor(sum(bpe)::DOUBLE / sum(ws)::DOUBLE * 10000 + 0.5) / 10000 AS bpe_per_ws,
+           floor(sum(chars)::DOUBLE / sum(ws)::DOUBLE * 10000 + 0.5) / 10000 AS chars_per_ws
+         FROM (SELECT lang,
+             len(string_split_regex(trim(text), '\s+')) AS ws,
+             len(regexp_extract_all(text, '\w+|[^\w\s]')) AS bpe,
+             length(text) AS chars
+           FROM documents)
+         GROUP BY lang""",
+    "novelty_ngram" ->
+      """WITH tok AS (
+           SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS w
+           FROM documents),
+         ok AS (SELECT doc_id, w FROM tok WHERE len(w) >= 3),
+         idx AS (SELECT doc_id, w, unnest(generate_series(1, len(w) - 2)) AS i FROM ok),
+         tr AS (SELECT DISTINCT doc_id,
+             w[i] || ' ' || w[i + 1] || ' ' || w[i + 2] AS tri FROM idx),
+         dfreq AS (SELECT tri, count(*)::BIGINT AS df FROM tr GROUP BY tri)
+         SELECT doc_id, count(*)::BIGINT AS n_tri,
+           floor(avg(CASE WHEN df = 1 THEN 1.0 ELSE 0.0 END) * 10000 + 0.5) / 10000
+             AS novelty
+         FROM tr JOIN dfreq USING (tri)
+         GROUP BY doc_id""")
 }
