@@ -213,7 +213,11 @@ object Sampling {
       floor(sum(col("__tok")) * frac).cast("long").as("__budget"))
     val bins = base.groupBy(col("__score"), col("__jit"))
       .agg(sum(col("__tok")).as("__bin_tok"))
-    val overBins = Window.orderBy(col("__score").desc, col("__jit").asc)
+    // explicit single-partition key (opaque: survives
+    // EliminateWindowPartitions): the frame is the bounded BIN domain,
+    // never corpus rows — see Relational.singlePartitionKey
+    val overBins = Window.partitionBy(Relational.singlePartitionKey())
+      .orderBy(col("__score").desc, col("__jit").asc)
       .rowsBetween(Window.unboundedPreceding, -1)
     val binsCum = bins
       .withColumn("__cum_before",

@@ -228,6 +228,30 @@ class PlanGuardSpec extends SparkTestBase {
       s"the corpus-sized observation side must not broadcast:\n$p")
   }
 
+  test("dsir: vocabulary-sized count sides join by shuffle, never broadcast") {
+    val p = plan("dsir_weights")
+    // raw + target unigram tables are vocab-sized: like the lm/tfidf/pmi
+    // pins, they must come in via ShuffledHashJoin; the only broadcasts
+    // are the 1-row totals
+    assert(p.contains("ShuffledHashJoin"),
+      s"count tables must shuffle-hash join:\n$p")
+    assert(!p.contains("CartesianProduct"), s"no cartesian:\n$p")
+  }
+
+  test("containment dedup: pairs stay inside fingerprint buckets") {
+    val p = plan("dedup_containment")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"),
+      s"candidate generation must stay an equi-join on (fp, salt):\n$p")
+  }
+
+  test("token budget: bin table broadcasts back, no row-level global window") {
+    val p = plan("select_token_budget")
+    assert(p.contains("BroadcastHashJoin"),
+      s"the bin-domain cumsum table must broadcast onto the rows:\n$p")
+    // the partition-less-window sweep below proves no global row window
+  }
+
   test("no query plans a partition-less WindowExec") {
     import org.apache.spark.sql.execution.window.WindowExec
     // A window with an empty partition spec funnels ALL rows into one

@@ -416,4 +416,67 @@ class PropertySpec extends SparkTestBase {
       df.withColumn("split", split).collect()
         .map(r => (r.getLong(0), r.getString(2))).toSet)
   }
+
+  test("tokenBudgetSelect == naive global-window greedy selection") {
+    import graft.operators.Sampling
+    import org.apache.spark.sql.expressions.Window
+    // coarse 4-level scores (the quality-rubric shape the jitter exists
+    // for) over random token counts
+    val rowGen = Gen.zip(Gen.chooseNum(1L, 5000L),
+      Gen.chooseNum(0, 3).map(_ / 3.0), Gen.chooseNum(1, 50))
+    val rows = sample(rowGen, 350).distinctBy(_._1)
+    val df = rows.toDF("id", "score", "tok")
+    val frac = 0.3
+    val got = Sampling.tokenBudgetSelect(df, "id", "score", "tok", frac)
+      .collect().map(r => (r.getLong(0), r.getLong(3))).toMap
+    val budget = df.agg(floor(sum(col("tok")) * frac).cast("long"))
+      .head.getLong(0)
+    val w = Window.partitionBy(lit(0)).orderBy(col("score").desc,
+      Sampling.keepHash(col("id")).asc, col("id").asc)
+    val naive = df
+      .withColumn("cum", sum(col("tok").cast("long")).over(w))
+      .filter(col("cum") <= budget)
+      .collect().map(r => (r.getLong(0), r.getLong(3))).toMap
+    assert(got == naive && got.nonEmpty,
+      s"hierarchical cumsum diverged: got ${got.size}, naive ${naive.size}")
+  }
+
+  test("containmentPairs: substrings contained, exact dups mutual, disjoint absent") {
+    import graft.operators.Dedup
+    val rnd = new scala.util.Random(11)
+    def randText(n: Int) = (1 to n).map(_ => ('a' + rnd.nextInt(26)).toChar).mkString
+    val outer = randText(240)
+    val inner = outer.substring(60, 180) // verbatim substring
+    val stranger = randText(240)
+    val dupA = randText(200)
+    val docs = Seq((1L, outer), (2L, inner), (3L, stranger),
+      (4L, dupA), (5L, dupA)).toDF("doc_id", "text")
+    val pairs = Dedup.containmentPairs(docs, "doc_id", "text", k = 20, w = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((2L, 1L)), s"substring doc must be contained: $pairs")
+    assert(pairs.contains((4L, 5L)) && pairs.contains((5L, 4L)),
+      s"exact dups must be mutually contained: $pairs")
+    assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L),
+      s"disjoint doc must pair with nothing: $pairs")
+    assert(!pairs.contains((1L, 2L)),
+      s"the longer doc must not be 'contained' in its own substring: $pairs")
+  }
+
+  test("dsirWeights: target-vocab docs score above off-domain docs") {
+    import graft.operators.LangModel
+    // two disjoint vocabularies; target predicate marks vocab-A docs
+    val aWords = Seq("alpha", "beta", "gamma", "delta")
+    val bWords = Seq("omega", "sigma", "tau", "rho")
+    val rnd = new scala.util.Random(5)
+    def doc(ws: Seq[String]) = (1 to 30).map(_ => ws(rnd.nextInt(ws.size))).mkString(" ")
+    val docs = ((1L to 10L).map(i => (i, "a", doc(aWords))) ++
+      (11L to 20L).map(i => (i, "b", doc(bWords)))).toDF("id", "dom", "text")
+    val scored = LangModel.dsirWeights(docs, "id", "text", col("dom") === "a")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(scored.length == 20 && scored.forall(_._2 == 30L))
+    val aAvg = scored.filter(_._1 <= 10L).map(_._3).sum / 10
+    val bAvg = scored.filter(_._1 > 10L).map(_._3).sum / 10
+    assert(aAvg > 0 && bAvg < 0 && aAvg > bAvg,
+      s"target-domain docs must carry positive log-ratio: a=$aAvg b=$bAvg")
+  }
 }
