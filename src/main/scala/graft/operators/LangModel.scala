@@ -108,9 +108,14 @@ object LangModel {
       .select(col(idCol), targetPred.as("__tgt"),
         explode(toks(col(textCol))).as("w"))
       .localCheckpoint()
+    // vocab-sized count tables, checkpointed: each feeds BOTH its
+    // scalar-totals aggregate and the scoring join without re-counting
+    // the token table
     val raw = tok.groupBy(col("w")).agg(count(lit(1)).as("nr"))
+      .localCheckpoint()
     val tgt = tok.filter(col("__tgt")).groupBy(col("w"))
       .agg(count(lit(1)).as("nt"))
+      .localCheckpoint()
     val totals = raw.agg(
       sum(col("nr")).cast("double").as("n_raw"),
       count(lit(1)).cast("double").as("v"))
