@@ -553,7 +553,57 @@ object ScaleProbe {
     println(f"""{"probe":"sketch relative error at 2M","max_med_err":$medErr%.4f,"max_mad_err":$madErr%.4f}""")
   }
 
+  /** `runMain graft.ScaleProbe budget8` — token-budget selection's
+    * hierarchical cumsum vs the naive global window (SCALE.md round
+    * 8) on 20M scored rows with 4 quality levels. The naive form
+    * funnels every row through ONE window task; the hierarchical form
+    * bounds the per-task frame at the largest (score, jitter) bin
+    * (~n / 4·10⁴). Both produce the identical kept set (pinned by
+    * PropertySpec); this probe pins the max-task gap. */
+  private def budget8(spark: SparkSession): Unit = {
+    import graft.operators.{Relational, Sampling}
+    import org.apache.spark.sql.expressions.Window
+    spark.sparkContext.addSparkListener(MaxTask)
+    val rows = spark.range(0, 20000000L).select(
+      col("id"),
+      (pmod(hash(col("id")), lit(4)).cast("double") / 3.0).as("score"),
+      (pmod(hash(col("id") + 7), lit(50)) + 1).cast("long").as("tok"))
+      .localCheckpoint()
+    def time(label: String)(f: => Long): Unit = {
+      MaxTask.reset()
+      val t0 = System.nanoTime(); val n = f
+      val s = (System.nanoTime() - t0) / 1e9
+      println(f"""{"probe":"$label","rows":$n,"sec":$s%.2f,"max_task_sec":${MaxTask.max.get() / 1000.0}%.2f}""")
+    }
+    time("token budget hierarchical cumsum 20M") {
+      Sampling.tokenBudgetSelect(rows, "id", "score", "tok", 0.25)
+        .queryExecution.toRdd.count()
+    }
+    time("token budget naive global window 20M") {
+      val budget = rows.agg(floor(sum(col("tok")) * 0.25).cast("long"))
+        .head.getLong(0)
+      val w = Window.partitionBy(Relational.singlePartitionKey())
+        .orderBy(col("score").desc, Sampling.keepHash(col("id")).asc,
+          col("id").asc)
+      rows.withColumn("cum", sum(col("tok")).over(w))
+        .filter(col("cum") <= budget)
+        .queryExecution.toRdd.count()
+    }
+  }
+
   def main(args: Array[String]): Unit = {
+    if (args.headOption.contains("budget8")) {
+      val spark = SparkSession.builder()
+        .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")}]")
+        .config("spark.sql.shuffle.partitions",
+          sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"))
+        .config("spark.ui.enabled", "false")
+        .getOrCreate()
+      spark.sparkContext.setLogLevel("WARN")
+      budget8(spark)
+      spark.stop()
+      return
+    }
     if (args.headOption.contains("quota7") || args.headOption.contains("pipe7") ||
         args.headOption.contains("freq7") || args.headOption.contains("serve8") ||
         args.headOption.contains("outlier8")) {
