@@ -183,6 +183,18 @@ object DedupQueries {
       Dedup.duplicateClusters(pairs)
     }),
 
+    // Duplication-structure report: how many clusters of each size the
+    // near-dup graph contains (+ implied removable-row count downstream
+    // of any keep-1 policy). Two tiny aggs on top of the CC output.
+    "cluster_size_hist" -> ((s, d) => {
+      val pairs = Similarity.cosineNearDupPairs(tbl(s, d, "embeddings"),
+        "vec_id", "embedding", CosineThreshold)
+      Dedup.duplicateClusters(pairs)
+        .groupBy(col("cluster_id")).agg(count(lit(1)).as("size"))
+        .groupBy(col("size")).agg(count(lit(1)).as("n_clusters"),
+          sum(col("size") - 1).as("n_removable"))
+    }),
+
     // The final keep-set: cluster representatives + rows never paired.
     "dedup_keep_set" -> ((s, d) => {
       val emb = tbl(s, d, "embeddings")
@@ -376,6 +388,24 @@ object DedupQueries {
             UNION
             SELECT e.src, r.label FROM edges e JOIN reach r ON e.dst = r.id)
           SELECT id, min(label) AS cluster_id FROM reach GROUP BY id""",
+    "cluster_size_hist" ->
+      s"""WITH RECURSIVE pairs AS (
+            SELECT a.vec_id AS id_a, b.vec_id AS id_b
+            FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+            WHERE ${cosSql("a.embedding", "b.embedding")} >= $CosineThreshold),
+          edges AS (
+            SELECT id_a AS src, id_b AS dst FROM pairs
+            UNION SELECT id_b, id_a FROM pairs),
+          reach(id, label) AS (
+            SELECT src, src FROM edges
+            UNION
+            SELECT e.src, r.label FROM edges e JOIN reach r ON e.dst = r.id),
+          clusters AS (SELECT id, min(label) AS cluster_id FROM reach GROUP BY id),
+          sizes AS (SELECT cluster_id, count(*)::BIGINT AS size
+                    FROM clusters GROUP BY cluster_id)
+          SELECT size, count(*)::BIGINT AS n_clusters,
+            CAST(sum(size - 1) AS BIGINT) AS n_removable
+          FROM sizes GROUP BY size""",
     "dedup_keep_set" ->
       s"""WITH RECURSIVE pairs AS (
             SELECT a.vec_id AS id_a, b.vec_id AS id_b

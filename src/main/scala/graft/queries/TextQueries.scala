@@ -242,6 +242,25 @@ object TextQueries {
             sum(col("ws")).cast("double")).as("chars_per_ws"))
     }),
 
+    // Tokenizer-coverage audit: per-doc OOV rate against the corpus
+    // frequency vocabulary (count >= 5, the vocab_topk band without
+    // the top-k cap). The vocab is vocabulary-sized -> shuffle-hash
+    // join, same pin as tfidf/lm/dsir.
+    "vocab_oov" -> ((s, d) => {
+      val tok = tbl(s, d, "documents")
+        .select(col("doc_id"),
+          explode(split(trim(lower(col("text"))), "\\s+")).as("w"))
+        .localCheckpoint() // feeds the vocab count AND the coverage join
+      val voc = tok.groupBy(col("w")).agg(count(lit(1)).as("__n"))
+        .filter(col("__n") >= 5)
+        .select(col("w"), lit(true).as("__in"))
+      tok.join(voc.hint("shuffle_hash"), Seq("w"), "left")
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_tokens"),
+          round4(avg(when(col("__in").isNull, 1.0).otherwise(0.0)))
+            .as("oov_rate"))
+    }),
+
     // N-gram novelty: fraction of each doc's distinct word trigrams
     // that occur in NO other doc — near-1 means genuinely new text,
     // near-0 means assembled from corpus-common phrasing. Same
@@ -589,6 +608,16 @@ object TextQueries {
              length(text) AS chars
            FROM documents)
          GROUP BY lang""",
+    "vocab_oov" ->
+      """WITH tok AS (
+           SELECT doc_id, unnest(string_split_regex(trim(lower(text)), '\s+')) AS w
+           FROM documents),
+         voc AS (SELECT w FROM tok GROUP BY w HAVING count(*) >= 5)
+         SELECT doc_id, count(*)::BIGINT AS n_tokens,
+           floor(avg(CASE WHEN v.w IS NULL THEN 1.0 ELSE 0.0 END) * 10000 + 0.5) / 10000
+             AS oov_rate
+         FROM tok LEFT JOIN voc v ON tok.w = v.w
+         GROUP BY doc_id""",
     "novelty_ngram" ->
       """WITH tok AS (
            SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS w
