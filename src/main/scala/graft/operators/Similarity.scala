@@ -89,6 +89,37 @@ object Similarity {
       .select(col("query_id"), col("rank"), col("neighbor_id"))
   }
 
+  /** Hard-negative mining for contrastive/embedding training: for
+    * each anchor, the top-`k` most-cosine-similar vectors carrying a
+    * DIFFERENT label, drawn from the anchor's LSH bucket — the
+    * "semantically close but wrong" examples that make a contrastive
+    * batch informative (in-batch random negatives are mostly easy).
+    * Same scale shape as [[lshTopK]]: candidates never leave the
+    * hyperplane bucket, labels ride the bucketed frame so the
+    * different-label filter applies before the ranking window. */
+  def hardNegativesLsh(df: DataFrame, idCol: String, vecCol: String,
+                       labelCol: String, k: Int,
+                       planes: Seq[Seq[Double]]): DataFrame = {
+    val bucketed = spread(df).select(col(idCol), col(vecCol).as("v"),
+      col(labelCol).as("lbl"))
+      .withColumn("bucket", VectorOps.hyperplaneBucket(col("v"), planes))
+      .withColumn("vn", VectorOps.norm(col("v")))
+    val a = bucketed.select(col("bucket"), col(idCol).as("anchor_id"),
+      col("v").as("qv"), col("vn").as("qn"), col("lbl").as("albl"))
+    val b = bucketed.select(col("bucket"), col(idCol).as("negative_id"),
+      col("v").as("cv"), col("vn").as("cn"), col("lbl").as("nlbl"))
+    val scored = a.join(b, Seq("bucket"))
+      .filter(col("anchor_id") =!= col("negative_id") &&
+        col("albl") =!= col("nlbl"))
+      .withColumn("cosine",
+        VectorOps.dot(col("qv"), col("cv")) / (col("qn") * col("cn")))
+    val w = Window.partitionBy(col("anchor_id"))
+      .orderBy(col("cosine").desc, col("negative_id").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("anchor_id"), col("rank"), col("negative_id"), col("cosine"))
+  }
+
   /** Multi-probe LSH ANN: each query also probes the Hamming-1
     * neighbors of its own hyperplane bucket — the recall knob of
     * `lshTopK` (a near neighbor split across a single plane's boundary

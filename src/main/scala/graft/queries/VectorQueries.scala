@@ -73,6 +73,17 @@ object VectorQueries {
         "embedding", K, planes)
     }),
 
+    // Hard-negative mining for contrastive training: per anchor, the
+    // top-3 most-similar DIFFERENT-label vectors from its LSH bucket
+    // (3-plane buckets: rich candidate sets; filter precedes the
+    // ranking window).
+    "ml_hard_negatives" -> ((s, d) => {
+      Similarity.hardNegativesLsh(tbl(s, d, "embeddings"), "vec_id",
+        "embedding", "label", k = 3, dedupPlanes)
+        .select(col("anchor_id"), col("rank"), col("negative_id"),
+          round4(col("cosine")).as("cosine"))
+    }),
+
     // IVF ANN: k-means-trained coarse quantizer, search within the cell.
     "ann_ivf_topk" -> ((s, d) => {
       Similarity.ivfTopK(tbl(s, d, "embeddings"), "vec_id", "embedding", K,
@@ -152,6 +163,20 @@ object VectorQueries {
             FROM bucketed a JOIN bucketed b
               ON a.bucket = b.bucket AND a.vec_id <> b.vec_id)
           WHERE rank <= $K""",
+    "ml_hard_negatives" ->
+      s"""WITH bucketed AS (
+            SELECT vec_id, embedding, label,
+              ${bucketSql("embedding", dedupPlanes)} AS bucket FROM embeddings)
+          SELECT anchor_id, rank, negative_id, cosine FROM (
+            SELECT a.vec_id AS anchor_id, b.vec_id AS negative_id,
+              floor(${cosSql("a.embedding", "b.embedding")} * 10000 + 0.5) / 10000
+                AS cosine,
+              row_number() OVER (PARTITION BY a.vec_id
+                ORDER BY ${cosSql("a.embedding", "b.embedding")} DESC, b.vec_id) AS rank
+            FROM bucketed a JOIN bucketed b
+              ON a.bucket = b.bucket AND a.vec_id <> b.vec_id
+                 AND a.label <> b.label)
+          WHERE rank <= 3""",
     "ann_lsh_multiprobe" -> {
       val flips = (1 to NPlanes).map { i =>
         s"substring(bucket, 1, ${i - 1}) || (CASE WHEN substring(bucket, $i, 1) = '1' THEN '0' ELSE '1' END) || substring(bucket, ${i + 1}, ${NPlanes - i})"
