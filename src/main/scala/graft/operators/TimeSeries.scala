@@ -41,6 +41,25 @@ object TimeSeries {
         (col("ts_us") - col("prev_us")).as("gap_us"))
   }
 
+  /** Event debounce — drop a row when the SAME key fired within the
+    * previous `windowUs` (double-submit clicks, retried webhooks,
+    * at-least-once ingest replays). Lag-based: a row survives iff it
+    * is its key's first event or arrived more than `windowUs` after
+    * the immediately preceding one — the standard retrigger-window
+    * rule (each event refreshes the window, so a burst collapses to
+    * its first row per quiet period... strictly: rows closer than the
+    * window to their PREDECESSOR drop, the scalable stateless form).
+    * Same O(1)-per-task shape as [[gaps]]: one lag pass, one shuffle
+    * on the key, `idCol` tiebreak for same-microsecond events. */
+  def debounce(df: DataFrame, keyCols: Seq[Column], tsUsCol: Column,
+               idCol: Column, windowUs: Long): DataFrame = {
+    val w = Window.partitionBy(keyCols: _*).orderBy(tsUsCol.asc, idCol.asc)
+    df.withColumn("__prev_us", lag(tsUsCol, 1).over(w))
+      .filter(col("__prev_us").isNull ||
+        tsUsCol - col("__prev_us") > windowUs)
+      .drop("__prev_us")
+  }
+
   /** Adds `z` (trailing z-score) to rows with at least `minObs`
     * history rows and positive variance; rows without enough history
     * are dropped (a real monitor can't score them).

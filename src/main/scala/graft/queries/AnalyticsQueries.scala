@@ -228,6 +228,17 @@ object AnalyticsQueries {
           col("gap_end_us"), col("gap_us"))
     }),
 
+    // Event debounce: drop (user, type) repeats arriving within 6h of
+    // their predecessor — the double-submit/at-least-once-replay
+    // cleaner. One lag pass, O(1) state per task.
+    "ts_debounce" -> ((s, d) => {
+      TimeSeries.debounce(tbl(s, d, "events"),
+        Seq(col("user_id"), col("event_type")), col("ts_us"),
+        col("event_id"), windowUs = 6L * 3600 * 1000000)
+        .select(col("event_id"), col("user_id"), col("event_type"),
+          col("ts_us"))
+    }),
+
     // Robust per-group outlier report (median/MAD, 50% breakdown
     // point): medians are EXACT counts-map percentiles, k=5 fence.
     "dq_outliers" -> ((s, d) => {
@@ -305,6 +316,15 @@ object AnalyticsQueries {
                 t - prev AS gap_us
          FROM e
          WHERE prev IS NOT NULL AND t - prev > 36::BIGINT * 3600 * 1000000""",
+    "ts_debounce" ->
+      """WITH e AS (
+           SELECT event_id, user_id, event_type, epoch_us(ts) AS ts_us,
+             lag(epoch_us(ts)) OVER (PARTITION BY user_id, event_type
+               ORDER BY epoch_us(ts), event_id) AS prev
+           FROM events)
+         SELECT event_id, user_id, event_type, ts_us
+         FROM e
+         WHERE prev IS NULL OR ts_us - prev > 6::BIGINT * 3600 * 1000000""",
     "dq_outliers" ->
       """WITH b AS (
            SELECT l_returnflag AS grp, l_extendedprice::DOUBLE AS v FROM lineitem),
