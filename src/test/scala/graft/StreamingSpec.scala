@@ -393,4 +393,47 @@ class StreamingSpec extends SparkTestBase {
       }
     }
   }
+
+  test("streaming debounce == batch debounce on in-order arrival") {
+    implicit val sqlCtx = spark.sqlContext
+    val providerKey = "spark.sql.streaming.stateStore.providerClass"
+    val prevProvider = spark.conf.getOption(providerKey)
+    spark.conf.set(providerKey,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val windowUs = 1000000L // 1 s
+    // bursts: key a fires every 300 ms (collapses), key b every 1.5 s
+    // (all survive); a same-timestamp pair exercises the id tiebreak
+    val events = (0 until 20).map(i => ("a", i * 300000L, i.toLong)) ++
+      (0 until 6).map(i => ("b", i * 1500000L, (100 + i).toLong)) ++
+      Seq(("c", 0L, 200L), ("c", 0L, 201L), ("c", 2000000L, 202L))
+    val batchKept = graft.operators.TimeSeries.debounce(
+      events.toDF("key", "ts_us", "id"),
+      Seq(col("key")), col("ts_us"), col("id"), windowUs)
+      .select("id").as[Long].collect().toSet
+    val mem = MemoryStream[(String, Long, Long)]
+    val q = graft.streaming.StreamDebounce.debounce(
+      mem.toDF().toDF("key", "ts_us", "id"), windowUs)
+      .writeStream.format("memory").queryName("stream_debounce")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      // in ts order, split mid-burst so state must carry across batches
+      val ordered = events.sortBy(e => (e._2, e._3))
+      val (h1, h2) = ordered.splitAt(ordered.length / 2)
+      mem.addData(h1: _*); q.processAllAvailable()
+      val afterFirst = spark.table("stream_debounce").count()
+      mem.addData(h2: _*); q.processAllAvailable()
+      val streamKept = spark.table("stream_debounce")
+        .select("id").as[Long].collect().toSet
+      assert(afterFirst > 0 && afterFirst < streamKept.size,
+        "emission must span both micro-batches")
+      assert(streamKept == batchKept,
+        s"stream/batch debounce diverged: stream=$streamKept batch=$batchKept")
+    } finally {
+      q.stop()
+      prevProvider match {
+        case Some(v) => spark.conf.set(providerKey, v)
+        case None    => spark.conf.unset(providerKey)
+      }
+    }
+  }
 }
