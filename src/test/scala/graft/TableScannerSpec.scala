@@ -134,4 +134,25 @@ class TableScannerSpec extends SparkTestBase {
       "1995-01-01").count()
     assert(n == want && n > 0)
   }
+
+  test("SqlEndpoint pages a raw SQL query with an exact has_more flag") {
+    import graft.serve.SqlEndpoint
+    SqlEndpoint.register(spark, sfSmoke)
+    val sql = "SELECT n_nationkey, n_name FROM nation ORDER BY n_nationkey"
+    val full = spark.sql(sql).collect().map(_.get(0).toString).toSeq
+    assert(full.size == 25)
+    // walk the endpoint the way the reference client loop does
+    var offset = 0
+    val limit = 10
+    var pages = List.empty[SqlEndpoint.Page]
+    var more = true
+    while (more) {
+      val p = SqlEndpoint.page(spark, sql, limit, offset)
+      pages ::= p; more = p.hasMore; offset += limit
+    }
+    val walked = pages.reverse.flatMap(_.rows.map(_.get(0).toString))
+    assert(walked == full, "concatenated pages must equal the full result")
+    assert(pages.reverse.map(_.hasMore) == List(true, true, false))
+    assert(pages.head.rows.size == 5, "last page carries the remainder only")
+  }
 }
