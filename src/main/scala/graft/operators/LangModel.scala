@@ -119,7 +119,10 @@ object LangModel {
     val totals = raw.agg(
       sum(col("nr")).cast("double").as("n_raw"),
       count(lit(1)).cast("double").as("v"))
-    val tgtTotal = tgt.agg(sum(col("nt")).cast("double").as("n_tgt"))
+    // coalesce: an empty target domain must yield the smoothing-only
+    // numerator, not a null that blanks every score
+    val tgtTotal = tgt.agg(
+      coalesce(sum(col("nt")).cast("double"), lit(0.0)).as("n_tgt"))
     tok.join(raw.hint("shuffle_hash"), Seq("w"))
       .join(tgt.hint("shuffle_hash"), Seq("w"), "left")
       .crossJoin(broadcast(totals))
