@@ -592,21 +592,8 @@ object ScaleProbe {
   }
 
   def main(args: Array[String]): Unit = {
-    if (args.headOption.contains("budget8")) {
-      val spark = SparkSession.builder()
-        .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")}]")
-        .config("spark.sql.shuffle.partitions",
-          sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"))
-        .config("spark.ui.enabled", "false")
-        .getOrCreate()
-      spark.sparkContext.setLogLevel("WARN")
-      budget8(spark)
-      spark.stop()
-      return
-    }
-    if (args.headOption.contains("quota7") || args.headOption.contains("pipe7") ||
-        args.headOption.contains("freq7") || args.headOption.contains("serve8") ||
-        args.headOption.contains("outlier8")) {
+    if (args.headOption.exists(Set("quota7", "pipe7", "freq7", "serve8",
+        "outlier8", "budget8"))) {
       val spark = SparkSession.builder()
         .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")}]")
         .config("spark.sql.shuffle.partitions",
@@ -620,6 +607,7 @@ object ScaleProbe {
         case "freq7"  => freq7(spark)
         case "serve8" => serve8(spark)
         case "outlier8" => outlier8(spark, args.lift(1).contains("exact20"))
+        case "budget8" => budget8(spark)
       }
       spark.stop()
       return

@@ -26,12 +26,19 @@ object Verify {
     // differ, the fixtures were regenerated mid-run (the r6/r7
     // `events`/`shard_manifest` failure mode) — provable, not inferred.
     def fixtureStamp(): String = {
-      val files = java.nio.file.Files.list(Paths.get(sfDir)).toArray
-        .map(_.asInstanceOf[java.nio.file.Path])
-        .filter(_.toString.endsWith(".parquet")).sortBy(_.toString)
+      val listing = java.nio.file.Files.list(Paths.get(sfDir))
+      val files =
+        try listing.toArray.map(_.asInstanceOf[java.nio.file.Path])
+          .filter(_.toString.endsWith(".parquet")).sortBy(_.toString)
+        finally listing.close()
       files.map { p =>
+        // streamed digest: O(buffer) memory, not a whole-file byte[]
         val md = java.security.MessageDigest.getInstance("SHA-256")
-        val digest = md.digest(Files.readAllBytes(p)).map("%02x".format(_)).mkString
+        val in = new java.security.DigestInputStream(
+          new java.io.BufferedInputStream(Files.newInputStream(p)), md)
+        try { val buf = new Array[Byte](1 << 16); while (in.read(buf) >= 0) () }
+        finally in.close()
+        val digest = md.digest().map("%02x".format(_)).mkString
         s"""    "${p.getFileName}": {"size": ${Files.size(p)}, "mtime_ms": ${Files.getLastModifiedTime(p).toMillis}, "sha256": "$digest"}"""
       }.mkString("{\n", ",\n", "\n}")
     }

@@ -12,10 +12,34 @@ package graft.operators
   *
   * Values are small handles: a localCheckpoint'ed index frame or a
   * written directory path — never raw corpus data.
+  *
+  * Lifetime: entries are scoped to the SparkContext that built them —
+  * a checkpointed frame's blocks die with its context, so a new
+  * session in the same JVM (spec suites, notebook restarts) must
+  * rebuild rather than query a dead handle. Staleness against the
+  * UNDERLYING FILES is, as in any secondary index, the caller's
+  * contract: regenerate the data, call [[invalidate]] (or rebuild the
+  * session). The in-repo fixture dirs are read-only by convention.
   */
 object IndexCache {
-  private val cache = new java.util.concurrent.ConcurrentHashMap[String, AnyRef]()
+  private val cache =
+    new java.util.concurrent.ConcurrentHashMap[String, (String, AnyRef)]()
 
-  def getOrBuild[T <: AnyRef](key: String)(build: => T): T =
-    cache.computeIfAbsent(key, _ => build).asInstanceOf[T]
+  private def contextEpoch(): String = {
+    val sc = org.apache.spark.sql.SparkSession.active.sparkContext
+    s"${sc.applicationId}/${sc.applicationAttemptId.getOrElse("0")}"
+  }
+
+  def getOrBuild[T <: AnyRef](key: String)(build: => T): T = {
+    val epoch = contextEpoch()
+    cache.compute(key, (_, prev) =>
+      if (prev != null && prev._1 == epoch) prev else (epoch, build)
+    )._2.asInstanceOf[T]
+  }
+
+  /** Drop a key (underlying data changed) or everything (key = None). */
+  def invalidate(key: Option[String] = None): Unit = key match {
+    case Some(k) => cache.remove(k)
+    case None    => cache.clear()
+  }
 }

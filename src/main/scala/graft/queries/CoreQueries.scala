@@ -148,7 +148,11 @@ object CoreQueries {
     "layout_skip_probe" -> ((s, d) => {
       import graft.operators.{IndexCache, Layout}
       val path = IndexCache.getOrBuild(s"layout:$d") {
-        val p = s"${sys.props("java.io.tmpdir")}/graft_fskip_amort_${math.abs(d.hashCode)}"
+        // content-strength dir key (md5 prefix): hashCode collisions
+        // between two data dirs in one JVM would cross their layouts
+        val dirKey = java.security.MessageDigest.getInstance("MD5")
+          .digest(d.getBytes("UTF-8")).take(8).map("%02x".format(_)).mkString
+        val p = s"${sys.props("java.io.tmpdir")}/graft_fskip_amort_$dirKey"
         Layout.zorderBy(
           tbl(s, d, "lineitem")
             .select(col("l_orderkey"), col("l_partkey"), col("l_extendedprice")),

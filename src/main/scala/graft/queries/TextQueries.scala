@@ -564,7 +564,7 @@ object TextQueries {
          raw AS (SELECT w, count(*)::BIGINT AS nr FROM tok GROUP BY w),
          tgt AS (SELECT w, count(*)::BIGINT AS nt FROM tok WHERE lang = 'en' GROUP BY w),
          tot AS (SELECT sum(nr)::DOUBLE AS n_raw, count(*)::DOUBLE AS v FROM raw),
-         ttot AS (SELECT sum(nt)::DOUBLE AS n_tgt FROM tgt),
+         ttot AS (SELECT coalesce(sum(nt)::DOUBLE, 0.0) AS n_tgt FROM tgt),
          sc AS (SELECT doc_id,
              log2((coalesce(nt, 0) + 0.5) / (n_tgt + 0.5 * v))
            - log2((nr + 0.5) / (n_raw + 0.5 * v)) AS lr

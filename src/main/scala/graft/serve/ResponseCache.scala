@@ -90,14 +90,24 @@ object CachedScanner {
     * an OOM, not a slow page. */
   val MaxPageRows: Int = 10000
 
+  /** A served page plus whether the ceiling cut it short — without the
+    * flag, a clamped un-limited group-by would be indistinguishable
+    * from a complete result (and then cached as one). */
+  final case class Page(rows: Seq[Row], truncated: Boolean)
+
   /** One viewer page through the cache, with the limit clamped to
     * `maxRows`. The cache key is the CLAMPED request, so an unlimited
-    * request and an explicit `limit=maxRows` share an entry. */
+    * request and an explicit `limit=maxRows` share an entry. The scan
+    * fetches ONE row past the page (the [[SqlEndpoint]] trick) so
+    * `truncated` is exact and costs no count(). */
   def scanPage(cache: ResponseCache, df: org.apache.spark.sql.DataFrame,
-               req: ScanRequest, maxRows: Int = MaxPageRows): Seq[Row] = {
-    val bounded = req.copy(limit = Some(req.limit.fold(maxRows)(math.min(_, maxRows))))
-    cache.getOrCompute((bounded.table, bounded)) {
-      TableScanner.scan(df, bounded).collect().toSeq
+               req: ScanRequest, maxRows: Int = MaxPageRows): Page = {
+    val pageLimit = req.limit.fold(maxRows)(math.min(_, maxRows))
+    val bounded = req.copy(limit = Some(pageLimit))
+    val got = cache.getOrCompute((bounded.table, bounded)) {
+      TableScanner.scan(df, bounded.copy(limit = Some(pageLimit + 1)))
+        .collect().toSeq
     }
+    Page(got.take(pageLimit), got.size > pageLimit)
   }
 }

@@ -12,10 +12,11 @@ import org.apache.spark.sql.streaming.{OutputMode, StatefulProcessor, TTLConfig,
   *
   * State per key is ONE microsecond timestamp (a `ValueState[Last]`) —
   * a key that has seen a billion events costs the same 8 bytes as one
-  * that has seen two. (Under processing-time mode a TTL ≥ `windowUs`
-  * is safe to add: an evicted key's next event is debounce-first
-  * anyway, so eviction cannot change the output.) Within a micro-batch
-  * rows are
+  * that has seen two. No TTL: the debounce window is EVENT time while
+  * a state TTL ticks in processing time, so eviction could resurrect
+  * exactly the late replay (hours later on the wall clock, micro-
+  * seconds later in `ts_us`) this operator exists to drop — bound
+  * state by key cardinality, not by TTL. Within a micro-batch rows are
   * folded in (ts, id) order, so when events arrive in timestamp order
   * across batches the emitted set is exactly the batch operator's —
   * the parity StreamingSpec pins.

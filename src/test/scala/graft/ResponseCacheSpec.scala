@@ -65,7 +65,7 @@ class ResponseCacheSpec extends SparkTestBase {
       sortColumn = Some("id"),
       filters = Seq(ColumnFilter("tag", "eq", Some("x"))))
     val first = CachedScanner.scanPage(cache, df, req)
-    assert(first.map(_.getLong(0)) == Seq(1L, 3L))
+    assert(first.rows.map(_.getLong(0)) == Seq(1L, 3L) && !first.truncated)
     assert(CachedScanner.scanPage(cache, df, req) == first)
     assert(cache.hits == 1 && cache.misses == 1)
     // a structurally different request is its own entry
@@ -77,15 +77,19 @@ class ResponseCacheSpec extends SparkTestBase {
     val df = (1L to 20L).toSeq.toDF("id")
     val cache = new ResponseCache(ttlMs = 1000000L)
     val unlimited = ScanRequest(table = "t", limit = None, sortColumn = Some("id"))
-    assert(CachedScanner.scanPage(cache, df, unlimited, maxRows = 5).size == 5,
-      "limit=None must not collect the whole table")
+    val p1 = CachedScanner.scanPage(cache, df, unlimited, maxRows = 5)
+    assert(p1.rows.size == 5 && p1.truncated,
+      "limit=None must clamp AND report the cut")
     // an oversized explicit limit is clamped too…
     assert(CachedScanner.scanPage(cache, df, unlimited.copy(limit = Some(1000)),
-      maxRows = 5).size == 5)
+      maxRows = 5).rows.size == 5)
     // …and both normalize to the same cache entry as an explicit max
     assert(CachedScanner.scanPage(cache, df, unlimited.copy(limit = Some(5)),
-      maxRows = 5).size == 5)
+      maxRows = 5).rows.size == 5)
     assert(cache.misses == 1 && cache.hits == 2,
       "clamped requests must share one cache entry")
+    // a page that fits under the ceiling is NOT flagged
+    val small = CachedScanner.scanPage(cache, df, unlimited, maxRows = 50)
+    assert(small.rows.size == 20 && !small.truncated)
   }
 }
