@@ -314,8 +314,15 @@ object Dedup {
     val edges = pairs.select(col(idA).as("src"), col(idB).as("dst"))
       .unionByName(pairs.select(col(idB).as("src"), col(idA).as("dst")))
       .distinct().localCheckpoint()
-    var labels = edges.select(col("src").as("id")).distinct()
-      .withColumn("label", col("id")).localCheckpoint()
+    // Fused first round: starting from identity labels, round 1's
+    // neighbor-min is just min(id, min neighbor id) — computable in the
+    // same aggregation that enumerates the nodes, saving that round's
+    // two label joins. Still a valid start state (every label is a node
+    // id of the same component), so the fixpoint is unchanged.
+    var labels = edges.groupBy(col("src"))
+      .agg(least(col("src"), min(col("dst"))).as("label"))
+      .select(col("src").as("id"), col("label"))
+      .localCheckpoint()
     var iter = 0
     var changed = 1L
     while (changed > 0 && iter < maxIters) {
