@@ -394,6 +394,56 @@ class StreamingSpec extends SparkTestBase {
     }
   }
 
+  test("streaming heavy hitters match the batch freq cube and carry state") {
+    implicit val sqlCtx = spark.sqlContext
+    val providerKey = "spark.sql.streaming.stateStore.providerClass"
+    val prevProvider = spark.conf.getOption(providerKey)
+    spark.conf.set(providerKey,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    // key 1: 'hot' is 40% of the stream (clears the 12.5% floor by far
+    // more than the sketch error), tail items are ~1% each; key 2: all
+    // unique, no hitters. Well-separated -> deterministic output set.
+    val rnd = new scala.util.Random(3)
+    val k1 = (0 until 200).map(i =>
+      (1L, if (i % 5 < 2) "hot" else s"tail${rnd.nextInt(60)}"))
+    val k2 = (0 until 100).map(i => (2L, s"uniq$i"))
+    val all = rnd.shuffle(k1 ++ k2)
+    val mem = MemoryStream[(Long, String)]
+    val q = graft.streaming.StreamHeavyHitters.heavyHitters(
+      mem.toDF().toDF("key", "item"), maxMapSize = 64, minFrac = 0.125)
+      .writeStream.format("memory").queryName("stream_hh")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      val (h1, h2) = all.splitAt(all.length / 2)
+      mem.addData(h1: _*); q.processAllAvailable()
+      mem.addData(h2: _*); q.processAllAvailable()
+      // final emission per key = rows carrying the largest n
+      val last = spark.table("stream_hh")
+        .withColumn("mx", max("n").over(
+          org.apache.spark.sql.expressions.Window.partitionBy(col("key"))))
+        .filter(col("n") === col("mx"))
+        .select("key", "item").as[(Long, String)].collect().toSet
+      // batch reference: the SQL-registered cube on the same rows
+      val batch = all.toDF("key", "item")
+      batch.createOrReplaceTempView("hh_in")
+      val want = spark.sql(
+        """SELECT key, explode(freq_heavy_hitters(s,
+             CAST(floor(freq_stream_length(s) * 0.125) AS BIGINT))) AS item
+           FROM (SELECT key, freq_sketch_agg(item, 64) AS s
+                 FROM hh_in GROUP BY key)""")
+        .as[(Long, String)].collect().toSet
+      assert(want.contains((1L, "hot")) && !want.exists(_._1 == 2L))
+      assert(last == want,
+        s"stream/batch heavy hitters diverged: stream=$last batch=$want")
+    } finally {
+      q.stop()
+      prevProvider match {
+        case Some(v) => spark.conf.set(providerKey, v)
+        case None    => spark.conf.unset(providerKey)
+      }
+    }
+  }
+
   test("streaming debounce == batch debounce on in-order arrival") {
     implicit val sqlCtx = spark.sqlContext
     val providerKey = "spark.sql.streaming.stateStore.providerClass"
