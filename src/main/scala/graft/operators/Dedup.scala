@@ -531,4 +531,45 @@ object Dedup {
       .filter(col("__shared") === col("__nfp"))
       .select(col("id_inner"), col("id_outer"))
   }
+
+  /** Cross-source duplication matrix: for every pair of corpus sources,
+    * the shingle-fingerprint overlap (|A∩B|), Jaccard, and directional
+    * containments — the "which crawls/dumps duplicate each other"
+    * report a corpus-curation pass runs BEFORE choosing mixing weights
+    * (a source 0.9-contained in another contributes little novelty at
+    * full weight).
+    *
+    * Scale shape: fingerprints are 60-bit hashes (never shingle
+    * strings) and the per-source fingerprint SETS are built by one
+    * partial-agg distinct — the corpus is touched once. The pair join
+    * shuffles only the deduped (group, fp) table on fp; a fingerprint
+    * present in g of G groups emits C(g,2) ≤ C(G,2) pairs, so the
+    * output and the join fan-out are bounded by the GROUP count (tiny),
+    * not the corpus. */
+  def sourceOverlap(df: DataFrame, groupCol: String, textCol: String,
+                    n: Int): DataFrame = {
+    val fp = shingleTable(df.select(col(groupCol), col(textCol)),
+        groupCol, textCol, n)
+      .select(col(groupCol), shingleBaseHash(col("shingle")).as("fp"))
+      .distinct()
+      .localCheckpoint() // feeds sizes + both join sides: hash once
+    val sizes = fp.groupBy(col(groupCol)).agg(count(lit(1)).as("n_fp"))
+    val a = fp.select(col(groupCol).as("source_a"), col("fp"))
+    val b = fp.select(col(groupCol).as("source_b"), col("fp"))
+    a.join(b, Seq("fp")).filter(col("source_a") < col("source_b"))
+      .groupBy(col("source_a"), col("source_b"))
+      .agg(count(lit(1)).as("n_common"))
+      .join(broadcast(sizes.withColumnRenamed(groupCol, "source_a")
+        .withColumnRenamed("n_fp", "n_a")), Seq("source_a"))
+      .join(broadcast(sizes.withColumnRenamed(groupCol, "source_b")
+        .withColumnRenamed("n_fp", "n_b")), Seq("source_b"))
+      .select(col("source_a"), col("source_b"), col("n_common"),
+        (col("n_common").cast("double") /
+          (col("n_a") + col("n_b") - col("n_common")).cast("double"))
+          .as("jaccard"),
+        (col("n_common").cast("double") / col("n_a").cast("double"))
+          .as("containment_a"),
+        (col("n_common").cast("double") / col("n_b").cast("double"))
+          .as("containment_b"))
+  }
 }

@@ -273,4 +273,82 @@ object Relational {
     }
     filled.filter(col("__side") === 1).drop("__side")
   }
+
+  /** Contiguous 0..n−1 ids in `order`-order WITHOUT the single-partition
+    * global window `row_number() OVER (ORDER BY …)` plans to — on a
+    * 100 TB table that window funnels every row through ONE task. Here
+    * the global order is decomposed into (range partition, within-
+    * partition rank, partition offset):
+    *
+    *  1. range-partition on `order` + within-partition local sort (the
+    *     same shape a global sort plans — P parallel sorted runs, no
+    *     single task),
+    *  2. the within-partition record index — P independent parallel
+    *     counters, no exchange,
+    *  3. per-partition row counts (one partial-agg job over the pinned
+    *     frame, P rows to the driver — bounded by partition count, not
+    *     data) prefix-summed into start offsets and re-entered as a
+    *     map literal, so `id = offset(pid) + local_index`.
+    *
+    * Step 2 rides `monotonically_increasing_id()`'s documented layout
+    * (partition id ≪ 33 | within-partition record index) over the
+    * CHECKPOINTED sorted partitions, so no window, no within-partition
+    * re-sort, and — unlike a `row_number() OVER (PARTITION BY pid)`
+    * formulation — no second exchange to re-cluster what the range
+    * exchange already clustered. The `localCheckpoint` pins partition
+    * ids and iteration order so the count pass and the final pass see
+    * the same layout and the range shuffle runs once. `order` must be
+    * a total order (include a unique tiebreaker) or ids are
+    * nondeterministic within ties. */
+  def contiguousIds(df: DataFrame, order: Seq[Column],
+                    idName: String = "seq_id"): DataFrame = {
+    val p = df.sparkSession.sessionState.conf.numShufflePartitions
+    val ranged = df.repartitionByRange(p, order: _*)
+      .sortWithinPartitions(order: _*)
+      .localCheckpoint()
+    val counts = ranged.groupBy(spark_partition_id().as("__pid"))
+      .agg(count(lit(1)).as("c"))
+      .collect().map(r => (r.getInt(0), r.getLong(1))).sortBy(_._1)
+    val offsets = counts.scanLeft((0, 0L)) { case ((_, acc), (pid, c)) =>
+      (pid + 1, acc + c)
+    }.init.zip(counts).map { case ((_, off), (pid, _)) => (pid, off) }
+    val offMap = map(offsets.flatMap { case (pid, off) =>
+      Seq(lit(pid), lit(off)) }.toSeq: _*)
+    ranged
+      .withColumn(idName,
+        element_at(offMap, spark_partition_id()) +
+          (monotonically_increasing_id() bitwiseAND ((1L << 33) - 1)))
+  }
+
+  /** Exact percentile-rank normalization of `scoreCol` (the quality-
+    * score → corpus-percentile map a curation pipeline thresholds on):
+    * `pct = |{rows with score < s}| / (n − 1)` — the `percent_rank()`
+    * value, without `percent_rank() OVER (ORDER BY score)`'s single
+    * row-bounded partition. The global order collapses to the DISTINCT
+    * VALUE table: one partial-agg groupBy (V rows, V = distinct scores
+    * ≪ n for discrete scores), a value-bounded running-sum window over
+    * it, and a broadcast-guarded join back. At 100 TB with a truly
+    * continuous score, V approaches n — use the KLL CDF surface
+    * (`kll_rank`) there; this is the exact path for bounded-V scores.
+    * Appends `<outCol>` (raw 0..1 double) — callers round for
+    * engine-portable output. */
+  def percentileRank(df: DataFrame, scoreCol: String,
+                     outCol: String = "pct_rank"): DataFrame = {
+    // Checkpoint the V-row value table: the window AND the total-count
+    // aggregate both derive from it, so the corpus is scanned ONCE.
+    val counts = df.groupBy(col(scoreCol)).agg(count(lit(1)).as("__c"))
+      .localCheckpoint()
+    val vw = Window.partitionBy(singlePartitionKey()).orderBy(col(scoreCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val ranked = counts
+      .withColumn("__below", sum(col("__c")).over(vw) - col("__c"))
+    val n = ranked.agg(sum(col("__c")).as("__n"))
+    val withN = ranked.crossJoin(broadcast(n))
+      .withColumn(outCol,
+        col("__below").cast("double") / (col("__n") - 1).cast("double"))
+      .select(col(scoreCol), col(outCol))
+    // Value-bounded by construction (V rows), so broadcast outright —
+    // stats on the windowed plan are too pessimistic for the auto path.
+    df.join(broadcast(withN), Seq(scoreCol))
+  }
 }

@@ -670,4 +670,35 @@ object Similarity {
       .filter(col("cosine") >= threshold)
       .select(col("id_a"), col("id_b"))
   }
+
+  /** Embedding-level decontamination: flag every train vector within
+    * cosine `threshold` of ANY eval vector (the semantic sibling of the
+    * n-gram `Cleaning.decontaminate` — catches paraphrased eval
+    * leakage that exact n-grams miss).
+    *
+    * The eval side is broadcast and the train corpus streams through
+    * ONE map-side pass — deliberately a broadcast nested-loop, not an
+    * LSH bucket join: an eval benchmark is thousands of rows (always
+    * broadcastable), train is the 100 TB side, and an LSH screen here
+    * would trade false-negative LEAKAGE for a shuffle we don't need.
+    * Per-row cost is |eval| codegen'd dot products
+    * ([[graft.functions.VectorOps.dot]] → NumericArrayDot); the
+    * threshold filter runs before the per-id aggregation, so the
+    * shuffle carries only contaminated ids (partial-agg'd map-side). */
+  def broadcastCosineScreen(train: DataFrame, eval: DataFrame,
+                            idCol: String, vecCol: String,
+                            threshold: Double): DataFrame = {
+    val ev = broadcast(eval.select(col(vecCol).as("__evec"))
+      .withColumn("__enorm", VectorOps.norm(col("__evec"))))
+    spread(train).select(col(idCol), col(vecCol))
+      .withColumn("__tnorm", VectorOps.norm(col(vecCol)))
+      .crossJoin(ev)
+      .withColumn("__cos",
+        VectorOps.dot(col(vecCol), col("__evec")) /
+          (col("__tnorm") * col("__enorm")))
+      .filter(col("__cos") >= threshold)
+      .groupBy(col(idCol))
+      .agg(max(col("__cos")).as("max_eval_cos"),
+        count(lit(1)).as("n_hits"))
+  }
 }

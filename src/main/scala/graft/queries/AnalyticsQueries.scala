@@ -2,7 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.functions._
 
-import graft.operators.{Cohorts, Expectations, Experiments, Funnel, Paths, RecordLinkage, Sketches, Skew, TimeSeries}
+import graft.operators.{Cohorts, Expectations, Experiments, Funnel, Paths, RecordLinkage, Relational, Sketches, Skew, TimeSeries}
 import graft.operators.Expectations.Expectation
 
 /** Event/entity analytics beyond the reference's own surface: ordered
@@ -297,9 +297,28 @@ object AnalyticsQueries {
         .select(col("o_month"), col("n_rows"),
           col("__q50_direct").between(col("__lo"), col("__hi")).as("sketch_ok"),
           col("__q50_merged").between(col("__lo"), col("__hi")).as("merge_ok"))
+    }),
+
+    // Exact percentile-rank normalization of a quality score (the
+    // score → corpus-percentile map curation thresholds ride on),
+    // computed over the DISTINCT-VALUE table instead of a corpus-sized
+    // single-partition percent_rank window (Relational.percentileRank).
+    "score_percentile" -> ((s, d) => {
+      Relational.percentileRank(
+        tbl(s, d, "documents").select(col("doc_id"), col("n_chars")),
+        "n_chars", "pct_rank")
+        .select(col("doc_id"), col("n_chars"),
+          round4(col("pct_rank")).as("pct_rank"))
     }))
 
   val oracles: Map[String, String] = Map(
+
+    "score_percentile" ->
+      """SELECT doc_id, n_chars,
+           floor(((rank() OVER (ORDER BY n_chars)) - 1)::DOUBLE
+                 / ((count(*) OVER ()) - 1)::DOUBLE * 10000 + 0.5) / 10000
+             AS pct_rank
+         FROM documents""",
 
     "sketch_distinct" ->
       """SELECT strftime(o_orderdate, '%Y-%m') AS o_month,

@@ -1,7 +1,7 @@
 package graft.queries
 
 import org.apache.spark.sql.functions._
-import graft.operators.Cleaning
+import graft.operators.{Cleaning, Similarity}
 
 /** Corpus-hygiene queries over `documents`: eval-set decontamination
   * (word-n-gram collision against the held-out benchmark split) and
@@ -22,6 +22,11 @@ object CleaningQueries {
   private val PipeScale = 8.0
   private val PipeBias = 0.0
   private val PipeKeep = 0.45
+  // Embedding-level decontamination: same cosine bar as the embed
+  // near-dup dedup family (a paraphrase that would be deduped within
+  // train is equally a leak when it straddles the eval split).
+  private val EmbedCos = 0.45
+  private val EmbedDim = 64
 
   val queries: Map[String, QueryFn] = Map(
     // Train docs sharing >= 1 word 8-gram with the eval split — the
@@ -136,6 +141,20 @@ object CleaningQueries {
         round4(graft.operators.ModelScoring.hashedTextScore(
           col("text_norm"), PipeBuckets, PipeScale, PipeBias)).as("score"))
         .filter(col("score") >= PipeKeep)
+    }),
+
+    // Semantic decontamination: train vectors within cosine 0.45 of ANY
+    // eval vector (paraphrased leakage the n-gram screen misses). The
+    // eval split is broadcast; train streams through one map-side pass
+    // (Similarity.broadcastCosineScreen).
+    "decontaminate_embed" -> ((s, d) => {
+      val e = tbl(s, d, "embeddings")
+      Similarity.broadcastCosineScreen(
+        e.filter(col("vec_id") % EvalMod =!= 0),
+        e.filter(col("vec_id") % EvalMod === 0),
+        "vec_id", "embedding", EmbedCos)
+        .select(col("vec_id"),
+          round4(col("max_eval_cos")).as("max_eval_cos"), col("n_hits"))
     }))
 
   private val gramsSql =
@@ -199,6 +218,22 @@ object CleaningQueries {
             CAST(len(t.w) - coalesce(a.n_kept, 0) AS BIGINT) AS n_removed
           FROM tok t LEFT JOIN agg a USING (doc_id)
           WHERE t.doc_id % $EvalMod <> 0""",
+    "decontaminate_embed" -> {
+      def dotSql(x: String, y: String) =
+        s"list_sum(list_transform(generate_series(1, $EmbedDim), i -> $x[i]::DOUBLE * $y[i]::DOUBLE))"
+      def cosSql(a: String, b: String) =
+        s"${dotSql(a, b)} / (sqrt(${dotSql(a, a)}) * sqrt(${dotSql(b, b)}))"
+      s"""WITH ev AS (
+            SELECT embedding AS e FROM embeddings WHERE vec_id % $EvalMod = 0),
+          tr AS (
+            SELECT vec_id, embedding AS t FROM embeddings WHERE vec_id % $EvalMod <> 0),
+          p AS (
+            SELECT vec_id, ${cosSql("t", "e")} AS c FROM tr CROSS JOIN ev)
+          SELECT vec_id, floor(max(c) * 10000 + 0.5) / 10000 AS max_eval_cos,
+            CAST(count(*) AS BIGINT) AS n_hits
+          FROM p WHERE c >= $EmbedCos
+          GROUP BY vec_id"""
+    },
     // Bloom pre-screen changes the plan, not the result set.
     "decontaminate_bloom" ->
       s"""WITH tok AS (

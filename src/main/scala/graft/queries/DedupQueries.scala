@@ -230,6 +230,18 @@ object DedupQueries {
         n = ShingleN, k = MinhashK, bands = Bands)
       Dedup.keepSetBy(docs.select(col("doc_id"), col("n_chars")),
         "doc_id", "n_chars", pairs)
+    }),
+
+    // Cross-source duplication matrix: which sources duplicate each
+    // other (Jaccard + directional containments over 60-bit shingle
+    // fingerprints) — the report a curation pass reads BEFORE setting
+    // per-source mixing weights.
+    "source_overlap" -> ((s, d) => {
+      Dedup.sourceOverlap(tbl(s, d, "documents"), "source", "text", ShingleN)
+        .select(col("source_a"), col("source_b"), col("n_common"),
+          round4(col("jaccard")).as("jaccard"),
+          round4(col("containment_a")).as("containment_a"),
+          round4(col("containment_b")).as("containment_b"))
     }))
 
   /** Shared SQL fragment: distinct character shingles of `text`. */
@@ -473,5 +485,25 @@ object DedupQueries {
           SELECT id FROM reps
           UNION ALL
           SELECT doc_id AS id FROM documents
-          WHERE doc_id NOT IN (SELECT id FROM clusters)""")
+          WHERE doc_id NOT IN (SELECT id FROM clusters)""",
+    "source_overlap" ->
+      s"""WITH sh0 AS (
+            SELECT source, unnest($shinglesSql) AS shingle FROM documents),
+          sh AS (SELECT DISTINCT source, $baseHashSql AS fp FROM sh0),
+          sz AS (SELECT source, count(*) AS n FROM sh GROUP BY source),
+          ov AS (
+            SELECT a.source AS source_a, b.source AS source_b,
+              CAST(count(*) AS BIGINT) AS n_common
+            FROM sh a JOIN sh b ON a.fp = b.fp AND a.source < b.source
+            GROUP BY 1, 2)
+          SELECT source_a, source_b, n_common,
+            floor(n_common::DOUBLE / (sa.n + sb.n - n_common)::DOUBLE
+              * 10000 + 0.5) / 10000 AS jaccard,
+            floor(n_common::DOUBLE / sa.n::DOUBLE * 10000 + 0.5) / 10000
+              AS containment_a,
+            floor(n_common::DOUBLE / sb.n::DOUBLE * 10000 + 0.5) / 10000
+              AS containment_b
+          FROM ov
+          JOIN sz sa ON ov.source_a = sa.source
+          JOIN sz sb ON ov.source_b = sb.source""")
 }

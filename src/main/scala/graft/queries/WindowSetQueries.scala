@@ -90,6 +90,16 @@ object WindowSetQueries {
       val o = tbl(s, d, "orders")
       o.filter(col("o_totalprice") > 55000).select(col("o_custkey"))
         .except(o.filter(col("o_orderstatus") === "P").select(col("o_custkey")))
+    }),
+
+    // Contiguous global ids (training-example numbering, sorted-export
+    // row addressing) WITHOUT the single-partition window the naive
+    // row_number() plans to: range partition → parallel per-partition
+    // windows → broadcast prefix offsets (Relational.contiguousIds).
+    "ids_contiguous" -> ((s, d) => {
+      Relational.contiguousIds(
+        tbl(s, d, "documents").select(col("doc_id"), col("source")),
+        Seq(col("doc_id")), "seq_id")
     }))
 
   val oracles: Map[String, String] = Map(
@@ -122,5 +132,9 @@ object WindowSetQueries {
          INTERSECT SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'""",
     "u4_except" ->
       """SELECT o_custkey FROM orders WHERE o_totalprice > 55000
-         EXCEPT SELECT o_custkey FROM orders WHERE o_orderstatus = 'P'""")
+         EXCEPT SELECT o_custkey FROM orders WHERE o_orderstatus = 'P'""",
+    "ids_contiguous" ->
+      """SELECT doc_id, source,
+           row_number() OVER (ORDER BY doc_id) - 1 AS seq_id
+         FROM documents""")
 }

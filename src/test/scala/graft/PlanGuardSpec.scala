@@ -252,6 +252,37 @@ class PlanGuardSpec extends SparkTestBase {
     // the partition-less-window sweep below proves no global row window
   }
 
+  test("ids_contiguous: final pass is a pure projection (no window, no exchange)") {
+    val p = plan("ids_contiguous")
+    assert(!p.contains("Window") && !p.contains("Exchange"),
+      s"global id assignment must not re-shuffle or window after the range sort:\n$p")
+    assert(p.contains("monotonically_increasing_id"),
+      s"ids must derive from the partition-local record index:\n$p")
+  }
+
+  test("score_percentile: one corpus scan, value table broadcasts back") {
+    val p = plan("score_percentile")
+    assert(p.contains("BroadcastHashJoin"),
+      s"the V-row percentile table must broadcast onto the corpus:\n$p")
+    assert("FileScan".r.findAllIn(p).size === 1,
+      s"the corpus must be scanned exactly once (counts ride the checkpoint):\n$p")
+  }
+
+  test("decontaminate_embed: eval broadcasts, screen aggregates map-side") {
+    val p = plan("decontaminate_embed")
+    assert(p.contains("BroadcastNestedLoopJoin BuildRight"),
+      s"the eval split must broadcast under the streaming train scan:\n$p")
+    assert(p.contains("partial_max"),
+      s"per-id max must partial-agg before the exchange:\n$p")
+  }
+
+  test("source_overlap: no cartesian; per-source sizes broadcast") {
+    val p = plan("source_overlap")
+    assert(!p.contains("CartesianProduct"), s"pair join degraded:\n$p")
+    assert(p.contains("BroadcastHashJoin"),
+      s"size dims must broadcast:\n$p")
+  }
+
   test("no query plans a partition-less WindowExec") {
     import org.apache.spark.sql.execution.window.WindowExec
     // A window with an empty partition spec funnels ALL rows into one

@@ -53,6 +53,95 @@ class RelationalSpec extends SparkTestBase {
       .as[(String, Long, Long)].collect().toSet
     assert(got === Set(("+", 100L, 109L), ("-", 91L, 100L)))
   }
+
+  test("contiguousIds matches the global row_number, zero post-shuffle exchanges") {
+    import org.apache.spark.sql.expressions.Window
+    // Scrambled layout + duplicate keys: the (k, payload) pair is the
+    // total order; ids must equal the single-partition window's.
+    val df = spark.range(0, 500)
+      .select((col("id") * 2654435761L % 97).as("k"), col("id").as("payload"))
+      .repartition(7)
+    val got = Relational.contiguousIds(df, Seq(col("k"), col("payload")), "seq")
+    val want = df.withColumn("seq",
+      row_number().over(Window.orderBy(col("k"), col("payload"))).cast("long") - 1)
+    assert(got.except(want).isEmpty && want.except(got).isEmpty)
+    // The final pass is a pure projection over the pinned sorted runs:
+    // no window, no exchange beyond the one range shuffle (which sits
+    // behind the localCheckpoint).
+    val p = got.queryExecution.executedPlan.toString
+    assert(!p.contains("Exchange") && !p.contains("Window"),
+      s"final pass must be exchange- and window-free:\n$p")
+  }
+
+  test("percentileRank matches percent_rank over duplicated values") {
+    val df = Seq(5, 1, 3, 3, 9, 1, 7).toDF("s")
+    val got = Relational.percentileRank(df, "s")
+      .select("s", "pct_rank").as[(Int, Double)].collect().toMap
+    // sorted: 1,1,3,3,5,7,9 → strictly-below counts 0,2,4,5,6 over n−1=6
+    assert(got === Map(1 -> 0.0, 3 -> 2.0 / 6, 5 -> 4.0 / 6,
+      7 -> 5.0 / 6, 9 -> 1.0))
+    val p = Relational.percentileRank(df, "s")
+      .queryExecution.executedPlan.toString
+    assert(p.contains("BroadcastHashJoin"),
+      s"value-table join-back must broadcast:\n$p")
+  }
+}
+
+/** Cross-source fingerprint overlap on a hand fixture. */
+class SourceOverlapSpec extends SparkTestBase {
+  import spark.implicits._
+
+  test("sourceOverlap reports jaccard + containments, omits zero-overlap pairs") {
+    val docs = Seq(
+      (1L, "A", "abcdef"), // shingles(3): abc bcd cde def
+      (2L, "B", "abcdef"), // identical set
+      (3L, "B", "xyzabc"), // adds xyz yza zab + abc
+      (4L, "C", "qqqqqq")  // qqq only — disjoint from A and B
+    ).toDF("doc_id", "source", "text")
+    val got = graft.operators.Dedup.sourceOverlap(docs, "source", "text", 3)
+      .select("source_a", "source_b", "n_common", "jaccard",
+        "containment_a", "containment_b")
+      .as[(String, String, Long, Double, Double, Double)].collect()
+    assert(got.length === 1) // (A,C) and (B,C) share nothing → absent
+    val (a, b, common, jac, ca, cb) = got.head
+    assert((a, b) === ("A", "B"))
+    assert(common === 4L)           // A's 4 shingles all appear in B
+    assert(jac === 4.0 / 7)         // |A∪B| = 4 + 7 − 4
+    assert(ca === 1.0)              // A fully contained in B
+    assert(cb === 4.0 / 7)
+  }
+}
+
+/** Embedding-level decontamination screen on a hand fixture. */
+class EmbedScreenSpec extends SparkTestBase {
+  import spark.implicits._
+
+  test("broadcastCosineScreen flags train vectors near any eval vector") {
+    val train = Seq(
+      (1L, Array(1f, 0f)),     // cos vs eval = 1.0
+      (2L, Array(0f, 1f)),     // cos = 0 → clean
+      (3L, Array(0.8f, 0.6f)), // cos = 0.8
+      (4L, Array(-1f, 0f))     // cos = −1 → clean
+    ).toDF("vec_id", "embedding")
+    val eval = Seq((100L, Array(1f, 0f))).toDF("vec_id", "embedding")
+    val got = graft.operators.Similarity
+      .broadcastCosineScreen(train, eval, "vec_id", "embedding", 0.7)
+      .as[(Long, Double, Long)].collect()
+      .map { case (id, c, n) => id -> ((math.rint(c * 1e6) / 1e6, n)) }.toMap
+    assert(got === Map(1L -> ((1.0, 1L)), 3L -> ((0.8, 1L))))
+  }
+
+  test("the eval side broadcasts; the aggregation is partial map-side") {
+    val train = Seq((1L, Array(1f, 0f))).toDF("vec_id", "embedding")
+    val eval = Seq((2L, Array(1f, 0f))).toDF("vec_id", "embedding")
+    val p = graft.operators.Similarity
+      .broadcastCosineScreen(train, eval, "vec_id", "embedding", 0.5)
+      .queryExecution.executedPlan.toString
+    assert(p.contains("BroadcastNestedLoopJoin BuildRight"),
+      s"eval must broadcast under the train stream:\n$p")
+    assert(p.contains("partial_max"),
+      s"per-id max must partial-agg before the exchange:\n$p")
+  }
 }
 
 /** Connected-components dedup clustering on hand fixtures. */

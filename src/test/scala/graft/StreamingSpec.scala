@@ -486,4 +486,58 @@ class StreamingSpec extends SparkTestBase {
       }
     }
   }
+
+  test("StreamDrift matches the batch chi-square report per closed window") {
+    implicit val sqlCtx = spark.sqlContext
+    // Reference: 50/30/20 over bins x/y/z.
+    val ref = Seq(("x", 0.5), ("y", 0.3), ("z", 0.2)).toDF("bin", "p_ref")
+    // Window 1 (10:00): 8 rows → x:4 y:2 z:2. Window 2 (11:00): 5 rows
+    // → x:1 y:4 (z absent → no row, batch-report parity not asserted
+    // for absent bins).
+    val w1 = Seq.fill(4)("x") ++ Seq.fill(2)("y") ++ Seq.fill(2)("z")
+    val w2 = Seq.fill(1)("x") ++ Seq.fill(4)("y")
+    val rows =
+      w1.zipWithIndex.map { case (b, i) => (ts(s"2024-01-01 10:00:${10 + i}"), b) } ++
+      w2.zipWithIndex.map { case (b, i) => (ts(s"2024-01-01 11:00:${10 + i}"), b) }
+
+    val mem = MemoryStream[(Timestamp, String)]
+    val q = graft.streaming.StreamDrift.drift(
+      mem.toDF().toDF("ts", "bin"), "ts", col("bin"), ref,
+      windowDur = "1 hour", watermark = "30 minutes")
+      .writeStream.format("memory").queryName("stream_drift")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      val (h1, h2) = rows.splitAt(6) // split inside window 1
+      mem.addData(h1: _*); q.processAllAvailable()
+      mem.addData(h2: _*); q.processAllAvailable()
+      // sentinel far ahead: pushes the watermark past both windows so
+      // append mode closes them (its own window never emits)
+      mem.addData((ts("2024-01-02 09:00:00"), "x")); q.processAllAvailable()
+
+      val got = spark.table("stream_drift")
+        .select(col("window_start"), col("bin"), col("n_cur"),
+          col("p_cur"), col("chi2_term"))
+        .as[(Timestamp, String, Long, Double, Double)].collect()
+        .map(r => (r._1.toString.take(13), r._2) -> ((r._3, r._4, r._5))).toMap
+      // both windows closed, bucket rows correct
+      assert(got.keySet === Set(
+        ("2024-01-01 10", "x"), ("2024-01-01 10", "y"), ("2024-01-01 10", "z"),
+        ("2024-01-01 11", "x"), ("2024-01-01 11", "y")))
+      assert(got(("2024-01-01 10", "x")) === ((4L, 0.5, 0.0)))
+      assert(got(("2024-01-01 11", "y")) ===
+        ((4L, 0.8, (0.8 - 0.3) * (0.8 - 0.3) / 0.3)))
+      // same terms as the batch report over the same window-1 slice
+      val batch = graft.operators.Profiling.distributionDrift(
+        (w1.map(b => (b, 1)) ++
+         Seq("x", "x", "x", "x", "x", "y", "y", "y", "z", "z")
+           .map(b => (b, 0))).toDF("b", "grp"),
+        col("b"), col("grp"))
+        .select(col("bin"), col("p_cur"), col("chi2_term"))
+        .as[(String, Double, Double)].collect()
+        .map(r => r._1 -> ((r._2, r._3))).toMap
+      for (b <- Seq("x", "y", "z"))
+        assert(got(("2024-01-01 10", b))._2 === batch(b)._1,
+          s"stream/batch p_cur diverged on $b")
+    } finally q.stop()
+  }
 }
