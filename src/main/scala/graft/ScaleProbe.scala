@@ -591,9 +591,41 @@ object ScaleProbe {
     }
   }
 
+  /** `runMain graft.ScaleProbe ids8` — contiguous-id assignment at 20M
+    * rows: the range-partition + local-index decomposition
+    * (Relational.contiguousIds) vs the naive global `row_number()`
+    * window. Total wall-clock AND max task duration: the naive form's
+    * single-partition window concentrates ALL rows in one task, which
+    * is the number that explodes on a cluster. */
+  private def ids8(spark: SparkSession): Unit = {
+    import graft.operators.Relational
+    import org.apache.spark.sql.expressions.Window
+    spark.sparkContext.addSparkListener(MaxTask)
+    // scrambled layout: ids are assigned by a hashed sort key
+    val rows = spark.range(0, 20000000L).select(
+      col("id"), hash(col("id")).as("k"))
+      .localCheckpoint()
+    def time(label: String)(f: => Long): Unit = {
+      MaxTask.reset()
+      val t0 = System.nanoTime(); val n = f
+      val s = (System.nanoTime() - t0) / 1e9
+      println(f"""{"probe":"$label","rows":$n,"sec":$s%.2f,"max_task_sec":${MaxTask.max.get() / 1000.0}%.2f}""")
+    }
+    time("contiguous ids range+local-index 20M") {
+      Relational.contiguousIds(rows, Seq(col("k"), col("id")), "seq")
+        .queryExecution.toRdd.count()
+    }
+    time("contiguous ids naive global window 20M") {
+      val w = Window.partitionBy(Relational.singlePartitionKey())
+        .orderBy(col("k"), col("id"))
+      rows.withColumn("seq", row_number().over(w).cast("long") - 1)
+        .queryExecution.toRdd.count()
+    }
+  }
+
   def main(args: Array[String]): Unit = {
     if (args.headOption.exists(Set("quota7", "pipe7", "freq7", "serve8",
-        "outlier8", "budget8"))) {
+        "outlier8", "budget8", "ids8"))) {
       val spark = SparkSession.builder()
         .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")}]")
         .config("spark.sql.shuffle.partitions",
@@ -608,6 +640,7 @@ object ScaleProbe {
         case "serve8" => serve8(spark)
         case "outlier8" => outlier8(spark, args.lift(1).contains("exact20"))
         case "budget8" => budget8(spark)
+        case "ids8" => ids8(spark)
       }
       spark.stop()
       return

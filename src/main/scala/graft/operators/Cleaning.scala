@@ -289,4 +289,40 @@ object Cleaning {
       .filter(col(sizeCol) >= col("__lo") && col(sizeCol) <= col("__hi"))
       .drop("__lo", "__hi")
   }
+
+  /** Explainable curation decision log — the audit artifact a governed
+    * training-data pipeline emits INSTEAD of silently dropping rows:
+    * every input doc appears with a per-rule verdict column, the
+    * decisive (highest-priority failing) rule as `reason`, and the
+    * final `kept` flag. Rule priority is declaration order, `setRules`
+    * (structural verdicts — dup membership, contamination — given as
+    * frames of FAILING ids) ahead of `scalarRules` (map-side
+    * predicates over the doc's own columns; true = fail).
+    *
+    * Scale shape: scalar verdicts are pure projections; each set rule
+    * is one left join on the id (broadcast while the failing set is
+    * provably small, shuffle-hash past that — `broadcastIfSmall`).
+    * The log adds no pass the underlying rule computations didn't
+    * already need, and never aggregates. */
+  def curationDecisions(docs: DataFrame, idCol: String,
+                        setRules: Seq[(String, DataFrame)],
+                        scalarRules: Seq[(String, Column)]): DataFrame = {
+    val withSet = setRules.foldLeft(docs) { case (d, (name, fails)) =>
+      d.join(
+        Relational.broadcastIfSmall(fails.select(col(idCol)).distinct()
+          .withColumn(s"fail_$name", lit(true))),
+        Seq(idCol), "left")
+    }
+    val withAll = scalarRules.foldLeft(withSet) { case (d, (name, pred)) =>
+      d.withColumn(s"fail_$name", coalesce(pred, lit(false)))
+    }
+    val names = setRules.map(_._1) ++ scalarRules.map(_._1)
+    val flags = names.map(n => coalesce(col(s"fail_$n"), lit(false)))
+    val reason = coalesce(
+      names.zip(flags).map { case (n, f) => when(f, lit(n)) } :+ lit("kept"): _*)
+    val outCols = col(idCol) +:
+      names.zip(flags).map { case (n, f) => f.as(s"fail_$n") } :+
+      reason.as("reason") :+ (reason === lit("kept")).as("kept")
+    withAll.select(outCols: _*)
+  }
 }

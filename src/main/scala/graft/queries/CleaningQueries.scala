@@ -1,7 +1,7 @@
 package graft.queries
 
 import org.apache.spark.sql.functions._
-import graft.operators.{Cleaning, Similarity}
+import graft.operators.{Cleaning, Dedup, Similarity}
 
 /** Corpus-hygiene queries over `documents`: eval-set decontamination
   * (word-n-gram collision against the held-out benchmark split) and
@@ -27,6 +27,10 @@ object CleaningQueries {
   // train is equally a leak when it straddles the eval split).
   private val EmbedCos = 0.45
   private val EmbedDim = 64
+  // curation_decisions rule thresholds
+  private val CurMinChars = 60
+  private val CurMaxChars = 520
+  private val CurTopShare = 0.1
 
   val queries: Map[String, QueryFn] = Map(
     // Train docs sharing >= 1 word 8-gram with the eval split — the
@@ -155,6 +159,33 @@ object CleaningQueries {
         "vec_id", "embedding", EmbedCos)
         .select(col("vec_id"),
           round4(col("max_eval_cos")).as("max_eval_cos"), col("n_hits"))
+    }),
+
+    // Explainable curation: every train doc with per-rule verdicts,
+    // the decisive rule, and the final keep flag — exact-dup loser,
+    // eval contamination, top-word repetition, then length bounds.
+    "curation_decisions" -> ((s, d) => {
+      val docs = tbl(s, d, "documents")
+      val train = docs.filter(col("doc_id") % EvalMod =!= 0)
+      val dupLosers = train.join(
+        Dedup.exact(train, "text", "doc_id").select("doc_id"),
+        Seq("doc_id"), "left_anti").select("doc_id")
+      val contaminated = Cleaning.contamination(train,
+        docs.filter(col("doc_id") % EvalMod === 0), "doc_id", "text", GramN)
+        .select("doc_id")
+      val repetitive = tblSpread(s, d, "documents")
+        .filter(col("doc_id") % EvalMod =!= 0)
+        .select(col("doc_id"),
+          explode(split(trim(lower(col("text"))), "\\s+")).as("word"))
+        .groupBy(col("doc_id"), col("word")).agg(count(lit(1)).as("c"))
+        .groupBy(col("doc_id"))
+        .agg((max(col("c")).cast("double") / sum(col("c"))).as("__ts"))
+        .filter(col("__ts") > CurTopShare).select("doc_id")
+      Cleaning.curationDecisions(train, "doc_id",
+        Seq("exact_dup" -> dupLosers, "contaminated" -> contaminated,
+          "repetitive" -> repetitive),
+        Seq("too_short" -> (col("n_chars") < CurMinChars),
+          "too_long" -> (col("n_chars") > CurMaxChars)))
     }))
 
   private val gramsSql =
@@ -218,6 +249,46 @@ object CleaningQueries {
             CAST(len(t.w) - coalesce(a.n_kept, 0) AS BIGINT) AS n_removed
           FROM tok t LEFT JOIN agg a USING (doc_id)
           WHERE t.doc_id % $EvalMod <> 0""",
+    "curation_decisions" ->
+      s"""WITH train AS (
+            SELECT doc_id, text, n_chars FROM documents WHERE doc_id % $EvalMod <> 0),
+          keepers AS (SELECT doc_id FROM (
+              SELECT doc_id,
+                row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn
+              FROM train) WHERE rn = 1),
+          tok AS (
+            SELECT doc_id, string_split_regex(trim(text), '\\s+') AS w FROM documents),
+          g AS (SELECT doc_id, $gramsSql AS grams FROM tok),
+          ev AS (SELECT DISTINCT unnest(grams) AS gram FROM g
+                 WHERE doc_id % $EvalMod = 0),
+          cont AS (SELECT DISTINCT doc_id FROM (
+              SELECT doc_id, unnest(grams) AS gram FROM g
+              WHERE doc_id % $EvalMod <> 0) tr JOIN ev USING (gram)),
+          lt AS (SELECT doc_id,
+              unnest(string_split_regex(trim(lower(text)), '\\s+')) AS word
+            FROM train),
+          pw AS (SELECT doc_id, word, count(*) AS c FROM lt GROUP BY 1, 2),
+          repn AS (SELECT doc_id FROM (
+              SELECT doc_id, max(c)::DOUBLE / sum(c) AS ts FROM pw GROUP BY doc_id)
+            WHERE ts > $CurTopShare),
+          flags AS (SELECT t.doc_id,
+              t.doc_id NOT IN (SELECT doc_id FROM keepers) AS fail_exact_dup,
+              t.doc_id IN (SELECT doc_id FROM cont) AS fail_contaminated,
+              t.doc_id IN (SELECT doc_id FROM repn) AS fail_repetitive,
+              t.n_chars < $CurMinChars AS fail_too_short,
+              t.n_chars > $CurMaxChars AS fail_too_long
+            FROM train t)
+          SELECT doc_id, fail_exact_dup, fail_contaminated, fail_repetitive,
+            fail_too_short, fail_too_long,
+            CASE WHEN fail_exact_dup THEN 'exact_dup'
+                 WHEN fail_contaminated THEN 'contaminated'
+                 WHEN fail_repetitive THEN 'repetitive'
+                 WHEN fail_too_short THEN 'too_short'
+                 WHEN fail_too_long THEN 'too_long'
+                 ELSE 'kept' END AS reason,
+            NOT (fail_exact_dup OR fail_contaminated OR fail_repetitive
+                 OR fail_too_short OR fail_too_long) AS kept
+          FROM flags""",
     "decontaminate_embed" -> {
       def dotSql(x: String, y: String) =
         s"list_sum(list_transform(generate_series(1, $EmbedDim), i -> $x[i]::DOUBLE * $y[i]::DOUBLE))"

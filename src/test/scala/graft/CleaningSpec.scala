@@ -105,4 +105,26 @@ class CleaningSpec extends SparkTestBase {
     val out = df.select(Cleaning.normalizeText(col("t"))).as[String].head()
     assert(out == "a b c d")
   }
+
+  test("curationDecisions: first failing rule wins, every doc appears") {
+    val docs = Seq(
+      (1L, "clean doc", 9L),   // passes everything
+      (2L, "dup text", 8L),    // rep of the dup pair → kept
+      (3L, "dup text", 4L),    // dup loser AND short → reason = exact_dup
+      (4L, "tiny", 4L),        // short only
+      (5L, "long doc", 999L)   // long only
+    ).toDF("doc_id", "text", "n_chars")
+    val losers = Seq(3L).toDF("doc_id")
+    val got = Cleaning.curationDecisions(docs, "doc_id",
+      Seq("exact_dup" -> losers),
+      Seq("too_short" -> (col("n_chars") < 5),
+        "too_long" -> (col("n_chars") > 100)))
+      .select("doc_id", "reason", "kept")
+      .as[(Long, String, Boolean)].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(got === Map(
+      1L -> (("kept", true)), 2L -> (("kept", true)),
+      3L -> (("exact_dup", false)), 4L -> (("too_short", false)),
+      5L -> (("too_long", false))))
+  }
 }
