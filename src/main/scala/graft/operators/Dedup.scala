@@ -218,6 +218,42 @@ object Dedup {
       .select(col("id_a"), col("id_b"))
   }
 
+  /** MinHash Jaccard ESTIMATE over the LSH candidate pairs: the
+    * fraction of the k signature components that agree (P[component
+    * match] = J(A,B), so the mean over k seeds is the unbiased
+    * estimator, sd √(J(1−J)/k)). The point at scale: candidate
+    * generation AND verification both stay in SIGNATURE space — k
+    * longs per doc, text read exactly once to build signatures —
+    * where the exact verifier (`jaccardPairs`) re-reads both
+    * documents' shingle sets per pair. Rank/filter candidates on the
+    * estimate; run the exact form only on survivors (or as the
+    * oracle). Estimates are exact multiples of 1/k, so differential
+    * comparison needs no rounding when k is a power of two. */
+  def minhashEstimatePairs(df: DataFrame, idCol: String, textCol: String,
+                           n: Int = 5, k: Int = 16, bands: Int = 4,
+                           salts: Int = 8): DataFrame = {
+    val rows = k / bands
+    // one signature build feeds banding AND both estimate sides
+    val sig = minhashSignature(df, idCol, textCol, n, k).localCheckpoint()
+    val withSigs = sig.select(col(idCol), array((0 until bands).map { b =>
+      val cols = (b * rows until (b + 1) * rows).map(i => col(s"mh$i"))
+      md5(concat_ws(",", cols: _*))
+    }: _*).as("band_sigs"))
+    val pairs = saltedBucketPairs(withSigs, idCol, bands, salts)
+    val sigArr = sig.select(col(idCol),
+      array((0 until k).map(i => col(s"mh$i")): _*).as("__sig"))
+    val matches = (0 until k).map(i =>
+      when(element_at(col("__sa"), i + 1) === element_at(col("__sb"), i + 1),
+        1).otherwise(0)).reduce(_ + _)
+    pairs
+      .join(sigArr.select(col(idCol).as("id_a"), col("__sig").as("__sa")),
+        Seq("id_a"))
+      .join(sigArr.select(col(idCol).as("id_b"), col("__sig").as("__sb")),
+        Seq("id_b"))
+      .select(col("id_a"), col("id_b"),
+        (matches.cast("double") / k).as("est_jaccard"))
+  }
+
   /** Ascending-sorted 64-bit shingle hashes — the per-row form the
     * pairwise Jaccard verifier consumes. Hashing shingles to longs once
     * per row (xxhash64) makes each pair comparison a primitive merge

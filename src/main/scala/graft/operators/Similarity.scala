@@ -609,6 +609,48 @@ object Similarity {
       .select(col("query_id"), col("rank"), col("neighbor_id"))
   }
 
+  /** Incremental IVF probe — the operational ANN form at ingest time:
+    * the NEW batch's vectors are assigned to the cells of a quantizer
+    * trained on the PERSISTED index side and search only the index
+    * members of their cell. The index is scanned once and never
+    * self-joins; training, seeding, and assignment follow the exact
+    * `ivfTopK` protocol (seed ids < nCentroids drawn from the INDEX,
+    * Lloyd rounds over the index's 1-in-`trainSampleMod` sample) so a
+    * SQL oracle reproduces the cells bit-for-bit. The batch side is
+    * ingest-sized — `broadcastIfSmall` guards the cell join, so a
+    * normal ingest broadcasts and the 100 TB index never shuffles
+    * (the IVF sibling of `Dedup.lshProbePairs`). */
+  def ivfProbeTopK(index: DataFrame, batch: DataFrame, idCol: String,
+                   vecCol: String, k: Int, nCentroids: Int,
+                   kmeansIters: Int = 2, trainSampleMod: Int = 1): DataFrame = {
+    val idxBase = spread(index).select(col(idCol), col(vecCol).as("v"))
+      .withColumn("vn", VectorOps.norm(col("v")))
+      .localCheckpoint() // feeds k-means training AND the searched side
+    val train =
+      if (trainSampleMod > 1) idxBase.filter(col(idCol) % trainSampleMod === 0)
+      else idxBase
+    val centroids = kmeansFitOnBase(train, index, idCol, vecCol,
+      nCentroids, kmeansIters)
+    val book = bcBook(index, centroids)
+    val idxCells = idxBase
+      .withColumn("cell", assignCell(col("v"), book))
+      .select(col("cell"), col(idCol).as("neighbor_id"),
+        col("v").as("cv2"), col("vn").as("cn2"))
+    val batchCells = batch.select(col(idCol), col(vecCol).as("v"))
+      .withColumn("vn", VectorOps.norm(col("v")))
+      .withColumn("cell", assignCell(col("v"), book))
+      .select(col("cell"), col(idCol).as("query_id"),
+        col("v").as("qv"), col("vn").as("qn"))
+    val pairs = Relational.broadcastIfSmall(batchCells).join(idxCells, Seq("cell"))
+      .withColumn("cosine",
+        VectorOps.dot(col("qv"), col("cv2")) / (col("qn") * col("cn2")))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("neighbor_id").asc)
+    pairs.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("neighbor_id"))
+  }
+
   /** LSH-bucketed cosine near-dup pairs: hyperplane buckets generate
     * candidates, the exact threshold verifies — the scale path of
     * `cosineNearDupPairs` (recall < 1 by construction, tunable via

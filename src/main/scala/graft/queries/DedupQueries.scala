@@ -232,6 +232,15 @@ object DedupQueries {
         "doc_id", "n_chars", pairs)
     }),
 
+    // Signature-space Jaccard estimate for the LSH candidate pairs:
+    // matching-component fraction of the k minhashes — candidates are
+    // ranked WITHOUT re-reading any document text (the exact verify
+    // only runs on survivors at scale).
+    "dedup_minhash_estimate" -> ((s, d) => {
+      Dedup.minhashEstimatePairs(tbl(s, d, "documents"), "doc_id", "text",
+        n = ShingleN, k = MinhashK, bands = Bands)
+    }),
+
     // Cross-source duplication matrix: which sources duplicate each
     // other (Jaccard + directional containments over 60-bit shingle
     // fingerprints) — the report a curation pass reads BEFORE setting
@@ -486,6 +495,25 @@ object DedupQueries {
           UNION ALL
           SELECT doc_id AS id FROM documents
           WHERE doc_id NOT IN (SELECT id FROM clusters)""",
+    "dedup_minhash_estimate" -> {
+      val matchSum = (0 until MinhashK)
+        .map(i => s"(CASE WHEN a.mh$i = b.mh$i THEN 1 ELSE 0 END)")
+        .mkString(" + ")
+      s"""WITH sh AS (SELECT doc_id, unnest($shinglesSql) AS shingle FROM documents),
+          shh AS (SELECT doc_id, $baseHashSql AS hm FROM sh),
+          mh AS (SELECT doc_id, $minhashAggs FROM shh GROUP BY doc_id),
+          bands AS ($bandSelects),
+          pairs AS (
+            SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+            FROM bands a JOIN bands b
+              ON a.band = b.band AND a.band_sig = b.band_sig
+                 AND a.doc_id < b.doc_id)
+          SELECT p.id_a, p.id_b,
+            ($matchSum)::DOUBLE / $MinhashK AS est_jaccard
+          FROM pairs p
+          JOIN mh a ON p.id_a = a.doc_id
+          JOIN mh b ON p.id_b = b.doc_id"""
+    },
     "source_overlap" ->
       s"""WITH sh0 AS (
             SELECT source, unnest($shinglesSql) AS shingle FROM documents),

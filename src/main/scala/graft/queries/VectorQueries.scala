@@ -33,6 +33,10 @@ object VectorQueries {
   private val PqM = 8
   private val PqSubDim = 8
   private val PqKsub = 32
+  // Incremental IVF probe: seeds come from the INDEX (even ids), so a
+  // 16-id seed window yields 8 effective cells — same cell count as
+  // ann_ivf_topk's full-corpus seeding.
+  private val ProbeCentroids = 16
   private lazy val planes: Seq[Seq[Double]] = Similarity.hyperplanes(NPlanes, Dim)
   private lazy val dedupPlanes: Seq[Seq[Double]] = Similarity.hyperplanes(NDedupPlanes, Dim)
 
@@ -98,6 +102,18 @@ object VectorQueries {
         m = PqM, subDim = PqSubDim, ksub = PqKsub, iters = KmeansIters,
         trainSampleMod = TrainMod)
       Similarity.pqEncode(e, "vec_id", "embedding", books, PqSubDim)
+    }),
+
+    // Incremental IVF: the odd-id "new batch" probes the quantizer +
+    // inverted cells built from the even-id "persisted index" — the
+    // ingest-time ANN form (index never re-trains or self-joins).
+    "ann_ivf_probe" -> ((s, d) => {
+      val e = tbl(s, d, "embeddings")
+      Similarity.ivfProbeTopK(
+        e.filter(col("vec_id") % 2 === 0),
+        e.filter(col("vec_id") % 2 =!= 0),
+        "vec_id", "embedding", K, nCentroids = ProbeCentroids,
+        kmeansIters = KmeansIters, trainSampleMod = 1)
     }),
 
     // LSH-candidate + exact-verify near-dup pairs (scale path of
@@ -228,6 +244,43 @@ object VectorQueries {
                 ORDER BY ${cosSql("a.embedding", "b.embedding")} DESC, b.vec_id) AS rank
             FROM cells a JOIN cells b
               ON a.cell = b.cell AND a.vec_id <> b.vec_id)
+          WHERE rank <= $K"""
+    },
+    "ann_ivf_probe" -> {
+      // Mirrors ivfProbeTopK: quantizer seeded and trained on the
+      // even-id INDEX only (same assign/mean protocol as ann_ivf_topk),
+      // then index cells are searched by the odd-id batch's assignments.
+      def assignCte(cIn: String, src: String): String =
+        s"""SELECT vec_id, embedding, cell FROM (
+              SELECT v.vec_id, v.embedding, c.cell,
+                row_number() OVER (PARTITION BY v.vec_id
+                  ORDER BY ${cosSql("v.embedding", "c.cv")} DESC, c.cell) AS rn
+              FROM $src v CROSS JOIN $cIn c)
+            WHERE rn = 1"""
+      def meanCte(aIn: String): String =
+        s"""SELECT cell, list(m ORDER BY i) AS cv FROM (
+              SELECT cell, i, floor(avg(embedding[i]::DOUBLE) * 1000000 + 0.5) / 1000000 AS m
+              FROM $aIn CROSS JOIN generate_series(1, $Dim) AS g(i)
+              GROUP BY cell, i)
+            GROUP BY cell"""
+      s"""WITH idx AS (
+            SELECT vec_id, embedding FROM embeddings WHERE vec_id % 2 = 0),
+          bat AS (
+            SELECT vec_id, embedding FROM embeddings WHERE vec_id % 2 <> 0),
+          c0 AS (
+            SELECT vec_id AS cell, list_transform(embedding, x -> x::DOUBLE) AS cv
+            FROM idx WHERE vec_id < $ProbeCentroids),
+          a0 AS (${assignCte("c0", "idx")}),
+          c1 AS (${meanCte("a0")}),
+          a1 AS (${assignCte("c1", "idx")}),
+          c2 AS (${meanCte("a1")}),
+          icells AS (${assignCte("c2", "idx")}),
+          bcells AS (${assignCte("c2", "bat")})
+          SELECT query_id, rank, neighbor_id FROM (
+            SELECT q.vec_id AS query_id, x.vec_id AS neighbor_id,
+              row_number() OVER (PARTITION BY q.vec_id
+                ORDER BY ${cosSql("q.embedding", "x.embedding")} DESC, x.vec_id) AS rank
+            FROM bcells q JOIN icells x ON q.cell = x.cell)
           WHERE rank <= $K"""
     },
     "pq_codes" -> {

@@ -283,6 +283,23 @@ class PlanGuardSpec extends SparkTestBase {
       s"size dims must broadcast:\n$p")
   }
 
+  test("ann_ivf_probe: batch side broadcasts into the index cells") {
+    val p = plan("ann_ivf_probe")
+    assert(p.contains("BroadcastHashJoin"),
+      s"the ingest batch must broadcast; the index never shuffles:\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"cell search degraded to a cartesian shape:\n$p")
+  }
+
+  test("dedup_minhash_estimate: stays in signature space, no cartesian") {
+    val p = plan("dedup_minhash_estimate")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"estimate join degraded:\n$p")
+    // both estimate sides read the checkpointed signature table, not text
+    assert(!p.contains("FileScan"),
+      s"estimate must not re-scan the corpus (signatures are pinned):\n$p")
+  }
+
   test("no query plans a partition-less WindowExec") {
     import org.apache.spark.sql.execution.window.WindowExec
     // A window with an empty partition spec funnels ALL rows into one
