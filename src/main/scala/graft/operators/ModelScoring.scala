@@ -138,4 +138,52 @@ object ModelScoring {
       acc => acc.getField("s") / acc.getField("c"))
     lit(1.0) / (lit(1.0) + exp(-(mean * scale + bias)))
   }
+
+  /** Distributed full-batch logistic-regression TRAINING as iterated
+    * aggregations — the quality-classifier fit that usually gets
+    * shipped off to a single-node sklearn job, expressed so the corpus
+    * never leaves the cluster: each GD step is ONE partial-agg pass
+    * computing the k gradient sums; the driver holds only the k
+    * weights (collect of 1 row per iteration, like the BPE argmax
+    * loop).
+    *
+    * Cross-engine-exact by construction: predictions round to 2⁻²⁰
+    * (binary rounding — representable exactly), so with features that
+    * are small dyadic rationals every gradient TERM is an exact
+    * double and the sums are order-independent — Spark's partial aggs
+    * and a sequential engine produce bit-identical gradients. The
+    * learning step divides by n then scales by a power of two, both
+    * single deterministic ops. Only `exp` is libm-dependent; the 2⁻²⁰
+    * rounding absorbs its ulp variation.
+    *
+    * `features` must be dyadic-rational columns (integer / power of
+    * two), ≲ 20 significant bits each; returns the trained weights. */
+  def logregTrainGD(base: DataFrame, k: Int, iters: Int,
+                    lrNum: Double = 0.25): Seq[Double] = {
+    val n = base.count()
+    var w = Seq.fill(k)(0.0)
+    for (_ <- 0 until iters) {
+      val z = w.zipWithIndex.map { case (wi, i) => lit(wi) * col(s"x$i") }
+        .reduce(_ + _)
+      val p = roundP(lit(1.0) / (lit(1.0) + exp(-z)))
+      val gradCols = (0 until k).map(i =>
+        sum((p - col("y")) * col(s"x$i")).as(s"g$i"))
+      val g = base.agg(gradCols.head, gradCols.tail: _*).head()
+      w = w.zipWithIndex.map { case (wi, i) =>
+        wi - (g.getDouble(i) / n) * lrNum
+      }
+    }
+    w
+  }
+
+  /** Binary 2⁻²⁰ rounding: exactly representable, engine-portable. */
+  def roundP(p: Column): Column =
+    floor(p * (1 << 20) + 0.5) / (1 << 20)
+
+  /** The sigmoid prediction for a trained `logregTrainGD` weight
+    * vector, with the same rounding the training loop used. */
+  def logregPredict(w: Seq[Double]): Column =
+    roundP(lit(1.0) / (lit(1.0) +
+      exp(-w.zipWithIndex.map { case (wi, i) => lit(wi) * col(s"x$i") }
+        .reduce(_ + _))))
 }

@@ -320,6 +320,40 @@ object Relational {
           (monotonically_increasing_id() bitwiseAND ((1L << 33) - 1)))
   }
 
+  /** Exact ordered prefix sum — the weighted generalization of
+    * [[contiguousIds]] (which is the weight-1 case): running total of
+    * `weight` in `order`-order, without the single-partition global
+    * window `sum() OVER (ORDER BY …)` plans to. Range partition +
+    * local sort + checkpoint, per-partition totals prefix-summed on
+    * the driver (P longs), then a per-partition running-sum window.
+    * Unlike contiguousIds the within-partition RUNNING SUM cannot ride
+    * the record index, so this pays one pid-hash exchange for the
+    * window's clustering — two narrow shuffles total, still no
+    * single-task stage. `order` must be a total order; `weight` must
+    * be a non-null integral column (exact long arithmetic end-to-end).
+    * Appends `outCol` = inclusive running total. */
+  def orderedPrefixSum(df: DataFrame, order: Seq[Column], weight: Column,
+                       outCol: String): DataFrame = {
+    val p = df.sparkSession.sessionState.conf.numShufflePartitions
+    val ranged = df.repartitionByRange(p, order: _*)
+      .withColumn("__w", weight.cast("long"))
+      .withColumn("__pid", spark_partition_id())
+      .localCheckpoint()
+    val totals = ranged.groupBy(col("__pid")).agg(sum(col("__w")).as("s"))
+      .collect().map(r => (r.getInt(0), r.getLong(1))).sortBy(_._1)
+    val offsets = totals.scanLeft((0, 0L)) { case ((_, acc), (pid, s)) =>
+      (pid + 1, acc + s)
+    }.init.zip(totals).map { case ((_, off), (pid, _)) => (pid, off) }
+    val offMap = map(offsets.flatMap { case (pid, off) =>
+      Seq(lit(pid), lit(off)) }.toSeq: _*)
+    val w = Window.partitionBy(col("__pid")).orderBy(order: _*)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    ranged
+      .withColumn(outCol,
+        element_at(offMap, col("__pid")) + sum(col("__w")).over(w))
+      .drop("__pid", "__w")
+  }
+
   /** Exact percentile-rank normalization of `scoreCol` (the quality-
     * score → corpus-percentile map a curation pipeline thresholds on):
     * `pct = |{rows with score < s}| / (n − 1)` — the `percent_rank()`

@@ -92,6 +92,30 @@ object MLQueries {
         col("text"), QBuckets, QScale, QBias))
       tblSpread(s, d, "documents").select(col("doc_id"), score.as("score"),
         (score >= 0.5).as("keep"))
+    }),
+
+    // Distributed logistic-regression TRAINING: 3 full-batch GD steps
+    // over dyadic-rational features (order-independent exact gradient
+    // sums — see ModelScoring.logregTrainGD), then the trained
+    // weights + training accuracy in one summary row.
+    "ml_logreg_train" -> ((s, d) => {
+      val base = tbl(s, d, "documents").select(
+        lit(1.0).as("x0"),
+        (col("n_chars").cast("double") / 512).as("x1"),
+        (size(split(trim(col("text")), "\\s+")).cast("double") / 128).as("x2"),
+        when(col("n_chars") >= 250, 1.0).otherwise(0.0).as("y"))
+        .localCheckpoint()
+      val w = ModelScoring.logregTrainGD(base, k = 3, iters = 3)
+      val p = ModelScoring.logregPredict(w)
+      base.agg(
+        count(lit(1)).as("n"),
+        round4(sum(when((p >= 0.5) === (col("y") === 1.0), 1L).otherwise(0L))
+          .cast("double") / count(lit(1))).as("accuracy"))
+        .select(col("n"),
+          (floor(lit(w(0)) * 1000000 + 0.5) / 1000000).as("w0"),
+          (floor(lit(w(1)) * 1000000 + 0.5) / 1000000).as("w1"),
+          (floor(lit(w(2)) * 1000000 + 0.5) / 1000000).as("w2"),
+          col("accuracy"))
     }))
 
   private def dotSql(x: String, y: String): String =
@@ -103,6 +127,53 @@ object MLQueries {
   private def weightLit: String = weights.mkString("[", ", ", "]")
 
   val oracles: Map[String, String] = Map(
+    "ml_logreg_train" -> {
+      // mirrors logregTrainGD: 3 unrolled full-batch GD steps, p
+      // rounded to 2^-20 so every gradient term (and hence each sum)
+      // is an exact double in both engines
+      def pExpr(w0: String, w1: String, w2: String) =
+        s"floor((1/(1 + exp(-($w0*x0 + $w1*x1 + $w2*x2)))) * 1048576 + 0.5) / 1048576"
+      def grads(src: String) =
+        s"""SELECT sum((p - y) * x0) AS ga, sum((p - y) * x1) AS gb,
+              sum((p - y) * x2) AS gc FROM $src"""
+      s"""WITH d AS (
+            SELECT 1.0 AS x0, n_chars::DOUBLE / 512 AS x1,
+              len(string_split_regex(trim(text), '\\s+'))::DOUBLE / 128 AS x2,
+              (CASE WHEN n_chars >= 250 THEN 1.0 ELSE 0.0 END) AS y
+            FROM documents),
+          nn AS (SELECT count(*)::BIGINT AS n FROM d),
+          p1 AS (SELECT d.*, ${pExpr("0.0", "0.0", "0.0")} AS p FROM d),
+          gr1 AS (${grads("p1")}),
+          wt1 AS (SELECT 0.0 - (ga / n) * 0.25 AS wa,
+                    0.0 - (gb / n) * 0.25 AS wb,
+                    0.0 - (gc / n) * 0.25 AS wc FROM gr1 CROSS JOIN nn),
+          p2 AS (SELECT d.*, ${pExpr("wa", "wb", "wc")} AS p
+                 FROM d CROSS JOIN wt1),
+          gr2 AS (${grads("p2")}),
+          wt2 AS (SELECT wa - (ga / n) * 0.25 AS wa,
+                    wb - (gb / n) * 0.25 AS wb,
+                    wc - (gc / n) * 0.25 AS wc
+                  FROM gr2 CROSS JOIN wt1 CROSS JOIN nn),
+          p3 AS (SELECT d.*, ${pExpr("wa", "wb", "wc")} AS p
+                 FROM d CROSS JOIN wt2),
+          gr3 AS (${grads("p3")}),
+          wt3 AS (SELECT wa - (ga / n) * 0.25 AS wa,
+                    wb - (gb / n) * 0.25 AS wb,
+                    wc - (gc / n) * 0.25 AS wc
+                  FROM gr3 CROSS JOIN wt2 CROSS JOIN nn),
+          pf AS (SELECT d.*, ${pExpr("wa", "wb", "wc")} AS p
+                 FROM d CROSS JOIN wt3),
+          acc AS (SELECT count(*)::BIGINT AS n,
+                    sum(CASE WHEN (p >= 0.5) = (y = 1) THEN 1 ELSE 0 END)::BIGINT
+                      AS correct
+                  FROM pf)
+          SELECT n,
+            floor(wa * 1000000 + 0.5) / 1000000 AS w0,
+            floor(wb * 1000000 + 0.5) / 1000000 AS w1,
+            floor(wc * 1000000 + 0.5) / 1000000 AS w2,
+            floor(correct::DOUBLE / n * 10000 + 0.5) / 10000 AS accuracy
+          FROM wt3 CROSS JOIN acc"""
+    },
     "ml_negatives" ->
       """WITH n AS (SELECT count(*)::BIGINT AS n FROM embeddings),
          cands AS (

@@ -113,6 +113,25 @@ object TextQueries {
         .select(col("doc_id"), col("lang"), col("bin"), col("bin_offset"))
     }),
 
+    // GPT-style context-window packing: docs concatenated in a
+    // deterministic hash-shuffled GLOBAL order, cut into fixed
+    // 256-token windows; each doc's global token offset + the window
+    // span it lands in. The global running total is
+    // Relational.orderedPrefixSum — range-partitioned, never a
+    // single-partition window.
+    "pack_context_windows" -> ((s, d) => {
+      val docs = tbl(s, d, "documents").select(col("doc_id"),
+        size(split(trim(col("text")), "\\s+")).cast("long").as("n_tok"),
+        md5(col("doc_id").cast("string")).as("__ord"))
+      graft.operators.Relational.orderedPrefixSum(docs,
+        Seq(col("__ord"), col("doc_id")), col("n_tok"), "cum_tok")
+        .select(col("doc_id"), col("n_tok"),
+          (col("cum_tok") - col("n_tok")).as("tok_start"),
+          floor((col("cum_tok") - col("n_tok")).cast("double") / 256)
+            .as("win_start"),
+          floor((col("cum_tok") - 1).cast("double") / 256).as("win_end"))
+    }),
+
     // Deterministic global training-order shuffle: hash-mod shard +
     // dense in-shard position, reproducible across engines/clusters.
     "train_order" -> ((s, d) => {
@@ -416,6 +435,21 @@ object TextQueries {
          SELECT doc_id, lang,
            CAST(floor(cum_before / 2048) AS BIGINT) AS bin,
            CAST(cum_before % 2048 AS BIGINT) AS bin_offset
+         FROM c""",
+    "pack_context_windows" ->
+      """WITH t AS (
+           SELECT doc_id,
+             len(string_split_regex(trim(text), '\s+'))::BIGINT AS n_tok,
+             md5(doc_id::VARCHAR) AS ord
+           FROM documents),
+         c AS (
+           SELECT doc_id, n_tok,
+             sum(n_tok) OVER (ORDER BY ord, doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_tok
+           FROM t)
+         SELECT doc_id, n_tok, cum_tok - n_tok AS tok_start,
+           floor((cum_tok - n_tok)::DOUBLE / 256)::BIGINT AS win_start,
+           floor((cum_tok - 1)::DOUBLE / 256)::BIGINT AS win_end
          FROM c""",
     "train_order" ->
       """WITH h AS (

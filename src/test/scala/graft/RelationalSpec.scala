@@ -73,6 +73,39 @@ class RelationalSpec extends SparkTestBase {
       s"final pass must be exchange- and window-free:\n$p")
   }
 
+  test("orderedPrefixSum matches the global running-sum window") {
+    import org.apache.spark.sql.expressions.Window
+    val df = spark.range(0, 300)
+      .select((col("id") * 2654435761L % 37).as("k"), col("id").as("tiebreak"),
+        (pmod(col("id") * 7, lit(50)) + 1).as("w"))
+      .repartition(5)
+    val got = Relational.orderedPrefixSum(df,
+      Seq(col("k"), col("tiebreak")), col("w"), "cum")
+    val want = df.withColumn("cum",
+      sum(col("w")).over(Window.orderBy(col("k"), col("tiebreak"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    assert(got.except(want).isEmpty && want.except(got).isEmpty)
+    assert(!got.queryExecution.executedPlan.toString.contains("SinglePartition"),
+      "prefix sum must never plan a single-partition stage")
+  }
+
+  test("logregTrainGD weights are bit-identical across partitionings") {
+    import graft.operators.ModelScoring
+    def base(parts: Int) = spark.range(0, 400)
+      .select(lit(1.0).as("x0"),
+        (pmod(col("id") * 31, lit(512)).cast("double") / 512).as("x1"),
+        (pmod(col("id") * 17, lit(128)).cast("double") / 128).as("x2"),
+        when(pmod(col("id"), lit(3)) === 0, 1.0).otherwise(0.0).as("y"))
+      .repartition(parts).localCheckpoint()
+    val w1 = ModelScoring.logregTrainGD(base(1), k = 3, iters = 3)
+    val w7 = ModelScoring.logregTrainGD(base(7), k = 3, iters = 3)
+    // order-independent EXACT gradient sums: not approximately equal —
+    // the same bits regardless of how partial aggregation splits
+    assert(w1.map(java.lang.Double.doubleToLongBits) ===
+      w7.map(java.lang.Double.doubleToLongBits))
+    assert(w1.exists(_ != 0.0), "training must move the weights")
+  }
+
   test("percentileRank matches percent_rank over duplicated values") {
     val df = Seq(5, 1, 3, 3, 9, 1, 7).toDF("s")
     val got = Relational.percentileRank(df, "s")
