@@ -180,6 +180,52 @@ object ModelScoring {
   def roundP(p: Column): Column =
     floor(p * (1 << 20) + 0.5) / (1 << 20)
 
+  /** GROUPED logistic-regression training — one independent model per
+    * `groupCol` value (the per-domain/per-language quality-classifier
+    * fleet), all fitted simultaneously: each GD step is STILL one
+    * aggregation pass, now keyed by the group, so fitting G models
+    * costs the same scans as fitting one. Driver state is G×k weights
+    * (bounded by group count — the centroid-collect pattern); the
+    * per-step weight table re-enters as a broadcast join. Same exact
+    * dyadic-rational arithmetic as [[logregTrainGD]] — every group's
+    * weights are order-independent and bit-reproducible.
+    *
+    * `base` needs columns x0..x{k−1}, y, and a string `groupCol`.
+    * Returns (groupCol, w0..w{k−1}). */
+  def logregTrainGDGrouped(base: DataFrame, groupCol: String, k: Int,
+                           iters: Int, lrNum: Double = 0.25): DataFrame = {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types.{DoubleType, StringType, StructField, StructType}
+    val spark = base.sparkSession
+    val counts = base.groupBy(col(groupCol)).agg(count(lit(1)).as("__n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    var w: Map[String, Array[Double]] =
+      counts.keys.map(_ -> Array.fill(k)(0.0)).toMap
+    val schema = StructType(StructField(groupCol, StringType) +:
+      (0 until k).map(i => StructField(s"__w$i", DoubleType)))
+    def wFrame: DataFrame = spark.createDataFrame(
+      spark.sparkContext.parallelize(
+        w.toSeq.sortBy(_._1).map { case (g, ws) => Row.fromSeq(g +: ws.toSeq) }, 1),
+      schema)
+    for (_ <- 0 until iters) {
+      val joined = base.join(broadcast(wFrame), Seq(groupCol))
+      val z = (0 until k).map(i => col(s"__w$i") * col(s"x$i")).reduce(_ + _)
+      val p = roundP(lit(1.0) / (lit(1.0) + exp(-z)))
+      val gradCols = (0 until k).map(i =>
+        sum((p - col("y")) * col(s"x$i")).as(s"g$i"))
+      val g = joined.groupBy(col(groupCol)).agg(gradCols.head, gradCols.tail: _*)
+        .collect()
+      w = g.map { r =>
+        val grp = r.getString(0)
+        val n = counts(grp)
+        grp -> w(grp).zipWithIndex.map { case (wi, i) =>
+          wi - (r.getDouble(i + 1) / n) * lrNum
+        }
+      }.toMap
+    }
+    wFrame.toDF((groupCol +: (0 until k).map(i => s"w$i")): _*)
+  }
+
   /** The sigmoid prediction for a trained `logregTrainGD` weight
     * vector, with the same rounding the training loop used. */
   def logregPredict(w: Seq[Double]): Column =

@@ -116,6 +116,30 @@ object MLQueries {
           (floor(lit(w(1)) * 1000000 + 0.5) / 1000000).as("w1"),
           (floor(lit(w(2)) * 1000000 + 0.5) / 1000000).as("w2"),
           col("accuracy"))
+    }),
+
+    // The per-group fleet: one independent logistic model per language,
+    // all fitted in the SAME per-step aggregation pass (G models for
+    // the scans of one). Per-lang weights + training accuracy.
+    "ml_logreg_by_group" -> ((s, d) => {
+      val base = tbl(s, d, "documents").select(
+        col("lang"),
+        lit(1.0).as("x0"),
+        (col("n_chars").cast("double") / 512).as("x1"),
+        (size(split(trim(col("text")), "\\s+")).cast("double") / 128).as("x2"),
+        when(col("n_chars") >= 250, 1.0).otherwise(0.0).as("y"))
+        .localCheckpoint()
+      val wDf = ModelScoring.logregTrainGDGrouped(base, "lang", k = 3, iters = 3)
+      val joined = base.join(broadcast(wDf), Seq("lang"))
+      val z = (0 until 3).map(i => col(s"w$i") * col(s"x$i")).reduce(_ + _)
+      val p = ModelScoring.roundP(lit(1.0) / (lit(1.0) + exp(-z)))
+      joined.groupBy(col("lang")).agg(
+        count(lit(1)).as("n"),
+        (floor(first(col("w0")) * 1000000 + 0.5) / 1000000).as("w0"),
+        (floor(first(col("w1")) * 1000000 + 0.5) / 1000000).as("w1"),
+        (floor(first(col("w2")) * 1000000 + 0.5) / 1000000).as("w2"),
+        round4(sum(when((p >= 0.5) === (col("y") === 1.0), 1L).otherwise(0L))
+          .cast("double") / count(lit(1))).as("accuracy"))
     }))
 
   private def dotSql(x: String, y: String): String =
@@ -173,6 +197,51 @@ object MLQueries {
             floor(wc * 1000000 + 0.5) / 1000000 AS w2,
             floor(correct::DOUBLE / n * 10000 + 0.5) / 10000 AS accuracy
           FROM wt3 CROSS JOIN acc"""
+    },
+    "ml_logreg_by_group" -> {
+      def pExpr(w0: String, w1: String, w2: String) =
+        s"floor((1/(1 + exp(-($w0*x0 + $w1*x1 + $w2*x2)))) * 1048576 + 0.5) / 1048576"
+      def grads(src: String) =
+        s"""SELECT lang, sum((p - y) * x0) AS ga, sum((p - y) * x1) AS gb,
+              sum((p - y) * x2) AS gc FROM $src GROUP BY lang"""
+      s"""WITH d AS (
+            SELECT lang, 1.0 AS x0, n_chars::DOUBLE / 512 AS x1,
+              len(string_split_regex(trim(text), '\\s+'))::DOUBLE / 128 AS x2,
+              (CASE WHEN n_chars >= 250 THEN 1.0 ELSE 0.0 END) AS y
+            FROM documents),
+          nn AS (SELECT lang, count(*)::BIGINT AS n FROM d GROUP BY lang),
+          p1 AS (SELECT d.*, ${pExpr("0.0", "0.0", "0.0")} AS p FROM d),
+          gr1 AS (${grads("p1")}),
+          wt1 AS (SELECT lang, 0.0 - (ga / n) * 0.25 AS wa,
+                    0.0 - (gb / n) * 0.25 AS wb,
+                    0.0 - (gc / n) * 0.25 AS wc
+                  FROM gr1 JOIN nn USING (lang)),
+          p2 AS (SELECT d.*, ${pExpr("wa", "wb", "wc")} AS p
+                 FROM d JOIN wt1 USING (lang)),
+          gr2 AS (${grads("p2")}),
+          wt2 AS (SELECT lang, wa - (ga / n) * 0.25 AS wa,
+                    wb - (gb / n) * 0.25 AS wb,
+                    wc - (gc / n) * 0.25 AS wc
+                  FROM gr2 JOIN wt1 USING (lang) JOIN nn USING (lang)),
+          p3 AS (SELECT d.*, ${pExpr("wa", "wb", "wc")} AS p
+                 FROM d JOIN wt2 USING (lang)),
+          gr3 AS (${grads("p3")}),
+          wt3 AS (SELECT lang, wa - (ga / n) * 0.25 AS wa,
+                    wb - (gb / n) * 0.25 AS wb,
+                    wc - (gc / n) * 0.25 AS wc
+                  FROM gr3 JOIN wt2 USING (lang) JOIN nn USING (lang)),
+          pf AS (SELECT d.*, ${pExpr("wa", "wb", "wc")} AS p
+                 FROM d JOIN wt3 USING (lang)),
+          acc AS (SELECT lang, count(*)::BIGINT AS n,
+                    sum(CASE WHEN (p >= 0.5) = (y = 1) THEN 1 ELSE 0 END)::BIGINT
+                      AS correct
+                  FROM pf GROUP BY lang)
+          SELECT lang, n,
+            floor(wa * 1000000 + 0.5) / 1000000 AS w0,
+            floor(wb * 1000000 + 0.5) / 1000000 AS w1,
+            floor(wc * 1000000 + 0.5) / 1000000 AS w2,
+            floor(correct::DOUBLE / n * 10000 + 0.5) / 10000 AS accuracy
+          FROM wt3 JOIN acc USING (lang)"""
     },
     "ml_negatives" ->
       """WITH n AS (SELECT count(*)::BIGINT AS n FROM embeddings),

@@ -487,6 +487,40 @@ class StreamingSpec extends SparkTestBase {
     }
   }
 
+  test("StreamContamination matches the batch screen per arriving doc") {
+    implicit val sqlCtx = spark.sqlContext
+    val docs = graft.core.Lakehouse.table(spark, sfSmoke, "documents")
+      .select(col("doc_id"), col("text"))
+    val eval = docs.filter(col("doc_id") % 10 === 0)
+    val train = docs.filter(col("doc_id") % 10 =!= 0)
+    val batch = graft.operators.Cleaning
+      .contamination(train, eval, "doc_id", "text", n = 8)
+      .as[(Long, Long, Double)].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(batch.nonEmpty, "fixture must contain planted contamination")
+
+    val rows = train.as[(Long, String)].collect().toSeq
+    val mem = MemoryStream[(Long, String)]
+    val q = graft.streaming.StreamContamination.screen(
+      mem.toDF().toDF("doc_id", "text"), eval, "doc_id", "text", n = 8)
+      .writeStream.format("memory").queryName("stream_contam")
+      .outputMode(OutputMode.Update()).start()
+    try {
+      val (h1, h2) = rows.splitAt(rows.length / 2)
+      mem.addData(h1: _*); q.processAllAvailable()
+      val afterFirst = spark.table("stream_contam").count()
+      mem.addData(h2: _*); q.processAllAvailable()
+      val streamed = spark.table("stream_contam")
+        .select("doc_id", "hits", "contamination")
+        .as[(Long, Long, Double)].collect()
+        .map(r => r._1 -> ((r._2, r._3))).toMap
+      assert(afterFirst > 0 && afterFirst < streamed.size,
+        "verdicts must land in the arrival micro-batch of each half")
+      assert(streamed == batch,
+        s"stream/batch contamination diverged: stream=$streamed batch=$batch")
+    } finally q.stop()
+  }
+
   test("StreamDrift matches the batch chi-square report per closed window") {
     implicit val sqlCtx = spark.sqlContext
     // Reference: 50/30/20 over bins x/y/z.
