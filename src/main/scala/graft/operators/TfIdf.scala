@@ -108,4 +108,55 @@ object TfIdf {
         col("df") <= col("__n_docs") * maxDfFrac)
       .drop("__n_docs")
   }
+
+  /** Sparse TF-IDF cosine document-pair similarity — the inverted-
+    * index similarity join (the sparse sibling of the dense
+    * `Similarity.lshCosineNearDupPairs`): documents become tf-idf
+    * vectors over character `n`-gram terms, pairs are generated ONLY
+    * through shared posting lists, and the df-cap (`maxDfFrac`) is the
+    * fan-out bound — a term in df docs contributes C(df,2) pair
+    * tuples, so dropping the stop-gram head keeps the join linear in
+    * the posting mass instead of quadratic in the corpus. Cosine is
+    * computed over the CAPPED feature space (standard for this join —
+    * stop-grams carry no signal).
+    *
+    * Cross-engine-exact: weights quantize to 2⁻¹⁰ dyadic rationals, so
+    * every dot/norm term is an exact double and the per-pair sums are
+    * order-independent — the threshold filter sees identical bits in
+    * Spark's partial aggs and a sequential engine (the `ln` of idf is
+    * pre-quantization, its ulp variation absorbed like logreg's exp).
+    * One tokenize pass; (doc, term, w) is checkpointed and feeds the
+    * norms AND both posting sides. */
+  def sparseCosinePairs(df: DataFrame, idCol: String, textCol: String,
+                        n: Int, maxDfFrac: Double,
+                        threshold: Double): DataFrame = {
+    val grams = Dedup.spread(df).select(col(idCol),
+      explode_outer(transform(
+        sequence(lit(1), greatest(length(col(textCol)) - (n - 1), lit(1))),
+        i => col(textCol).substr(i, lit(n)))).as("term"))
+    val tf = grams.groupBy(col(idCol), col("term")).agg(count(lit(1)).as("tf"))
+      .localCheckpoint()
+    val dfreq = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val nDocs = tf.select(countDistinct(col(idCol)).as("n_docs"))
+    val idf = dfreq.crossJoin(broadcast(nDocs))
+      .filter(col("df") <= col("n_docs").cast("double") * maxDfFrac)
+      .select(col("term"),
+        (log((col("n_docs") + 1).cast("double") / (col("df") + 1)) + 1).as("idf"))
+    val wts = tf.join(idf.hint("shuffle_hash"), Seq("term"))
+      .select(col(idCol), col("term"),
+        (floor(col("tf") * col("idf") * 1024 + lit(0.5)) / 1024).as("w"))
+      .localCheckpoint() // feeds norms + both posting sides
+    val norms = wts.groupBy(col(idCol)).agg(sqrt(sum(col("w") * col("w"))).as("nrm"))
+    val a = wts.select(col("term"), col(idCol).as("id_a"), col("w").as("wa"))
+    val b = wts.select(col("term"), col(idCol).as("id_b"), col("w").as("wb"))
+    val dots = a.join(b, Seq("term")).filter(col("id_a") < col("id_b"))
+      .groupBy(col("id_a"), col("id_b")).agg(sum(col("wa") * col("wb")).as("dot"))
+    dots
+      .join(norms.select(col(idCol).as("id_a"), col("nrm").as("na")), Seq("id_a"))
+      .join(norms.select(col(idCol).as("id_b"), col("nrm").as("nb")), Seq("id_b"))
+      .withColumn("cosine", col("dot") / (col("na") * col("nb")))
+      .filter(col("cosine") >= threshold)
+      .select(col("id_a"), col("id_b"),
+        (floor(col("cosine") * 10000 + lit(0.5)) / 10000).as("cosine"))
+  }
 }

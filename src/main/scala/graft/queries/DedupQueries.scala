@@ -241,6 +241,15 @@ object DedupQueries {
         n = ShingleN, k = MinhashK, bands = Bands)
     }),
 
+    // Sparse tf-idf cosine similarity join over character-5-gram
+    // postings: pair generation bounded by the df-cap (stop-gram head
+    // dropped), weights 2^-10-quantized so the pair sums are exact
+    // cross-engine (TfIdf.sparseCosinePairs).
+    "sparse_cosine_pairs" -> ((s, d) => {
+      graft.operators.TfIdf.sparseCosinePairs(tbl(s, d, "documents"),
+        "doc_id", "text", n = ShingleN, maxDfFrac = 0.02, threshold = 0.6)
+    }),
+
     // Cross-source duplication matrix: which sources duplicate each
     // other (Jaccard + directional containments over 60-bit shingle
     // fingerprints) — the report a curation pass reads BEFORE setting
@@ -495,6 +504,33 @@ object DedupQueries {
           UNION ALL
           SELECT doc_id AS id FROM documents
           WHERE doc_id NOT IN (SELECT id FROM clusters)""",
+    "sparse_cosine_pairs" ->
+      s"""WITH g AS (
+            SELECT doc_id,
+              unnest(list_transform(
+                generate_series(1, greatest(length(text) - ${ShingleN - 1}, 1)),
+                i -> substring(text, i, $ShingleN))) AS term
+            FROM documents),
+          tf AS (SELECT doc_id, term, count(*)::BIGINT AS tf FROM g GROUP BY 1, 2),
+          dfq AS (SELECT term, count(*)::BIGINT AS df FROM tf GROUP BY term),
+          nd AS (SELECT count(DISTINCT doc_id)::BIGINT AS n_docs FROM tf),
+          idf AS (
+            SELECT term, ln((n_docs + 1)::DOUBLE / (df + 1)) + 1 AS idf
+            FROM dfq CROSS JOIN nd WHERE df <= n_docs::DOUBLE * 0.02),
+          wts AS (
+            SELECT doc_id, term, floor(tf * idf * 1024 + 0.5) / 1024 AS w
+            FROM tf JOIN idf USING (term)),
+          nrm AS (SELECT doc_id, sqrt(sum(w * w)) AS nrm FROM wts GROUP BY doc_id),
+          dots AS (
+            SELECT a.doc_id AS id_a, b.doc_id AS id_b, sum(a.w * b.w) AS dot
+            FROM wts a JOIN wts b ON a.term = b.term AND a.doc_id < b.doc_id
+            GROUP BY 1, 2)
+          SELECT id_a, id_b,
+            floor(dot / (na.nrm * nb.nrm) * 10000 + 0.5) / 10000 AS cosine
+          FROM dots
+          JOIN nrm na ON id_a = na.doc_id
+          JOIN nrm nb ON id_b = nb.doc_id
+          WHERE dot / (na.nrm * nb.nrm) >= 0.6""",
     "dedup_minhash_estimate" -> {
       val matchSum = (0 until MinhashK)
         .map(i => s"(CASE WHEN a.mh$i = b.mh$i THEN 1 ELSE 0 END)")

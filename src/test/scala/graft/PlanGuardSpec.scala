@@ -300,6 +300,16 @@ class PlanGuardSpec extends SparkTestBase {
       s"estimate must not re-scan the corpus (signatures are pinned):\n$p")
   }
 
+  test("sparse_cosine_pairs: pairs stay inside posting lists, no cartesian") {
+    // (the vocabulary-sized idf join sits behind the wts checkpoint —
+    // its shuffle_hash pin is the same as tfidf's, asserted there)
+    val p = plan("sparse_cosine_pairs")
+    assert(p.contains("Join [term"), // equi-join keyed on the term
+      s"pair generation must be the posting-list equi-join:\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"pair generation degraded to a cartesian shape:\n$p")
+  }
+
   test("no query plans a partition-less WindowExec") {
     import org.apache.spark.sql.execution.window.WindowExec
     // A window with an empty partition spec funnels ALL rows into one
