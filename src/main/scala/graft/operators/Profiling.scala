@@ -115,6 +115,36 @@ object Profiling {
     * union (the exchange carries per-bucket counts only), then the
     * totals come from a window over the BUCKET-sized aggregate — the
     * corpus is never re-scanned and nothing corpus-sized shuffles. */
+  /** Exact equi-depth histogram (the stats-viewer "8 equal-count bins
+    * with their bounds" readout): bucket j holds the rows whose
+    * strictly-below count lands in [j·n/B, (j+1)·n/B) — ties share a
+    * below-count, so equal values never split across buckets (the
+    * boundary-based semantics a distributed engine can compute without
+    * `ntile()`'s corpus-sized single-partition sort). One partial-agg
+    * pass to the DISTINCT-VALUE table, a value-bounded running-sum
+    * window, integer-exact bucket arithmetic, and a B-row aggregate —
+    * the corpus is scanned once. For continuous values at 100 TB
+    * (V → n) the KLL quantile cube is the sketch fallback. */
+  def equiDepthHistogram(df: DataFrame, valueCol: Column,
+                         buckets: Int): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(Relational.singlePartitionKey())
+      .orderBy(col("v"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    val counts = df.select(valueCol.as("v"))
+      .groupBy(col("v")).agg(count(lit(1)).as("cnt"))
+      .localCheckpoint() // feeds the window AND the total: one scan
+    val cum = counts.withColumn("below", sum(col("cnt")).over(w) - col("cnt"))
+    val n = counts.agg(sum(col("cnt")).as("n"))
+    cum.crossJoin(broadcast(n))
+      .withColumn("bucket",
+        floor((col("below") * buckets).cast("double") / col("n")))
+      .groupBy(col("bucket"))
+      .agg(sum(col("cnt")).as("n_rows"),
+        min(col("v")).as("lo"), max(col("v")).as("hi"))
+  }
+
   def distributionDrift(df: DataFrame, binCol: Column, grpCol: Column): DataFrame = {
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(Relational.singlePartitionKey())

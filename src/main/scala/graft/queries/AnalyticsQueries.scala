@@ -299,6 +299,15 @@ object AnalyticsQueries {
           col("__q50_merged").between(col("__lo"), col("__hi")).as("merge_ok"))
     }),
 
+    // Exact equi-depth histogram of the length distribution: 8
+    // equal-count bins with bounds, from ONE corpus scan over the
+    // distinct-value table (Profiling.equiDepthHistogram — no ntile
+    // single-partition sort).
+    "hist_equidepth" -> ((s, d) => {
+      graft.operators.Profiling.equiDepthHistogram(
+        tbl(s, d, "documents"), col("n_chars"), buckets = 8)
+    }),
+
     // Exact percentile-rank normalization of a quality score (the
     // score → corpus-percentile map curation thresholds ride on),
     // computed over the DISTINCT-VALUE table instead of a corpus-sized
@@ -312,6 +321,20 @@ object AnalyticsQueries {
     }))
 
   val oracles: Map[String, String] = Map(
+
+    "hist_equidepth" ->
+      """WITH c AS (
+           SELECT n_chars AS v, count(*)::BIGINT AS cnt
+           FROM documents GROUP BY 1),
+         cum AS (
+           SELECT v, cnt,
+             sum(cnt) OVER (ORDER BY v
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - cnt AS below
+           FROM c),
+         nn AS (SELECT count(*)::BIGINT AS n FROM documents)
+         SELECT CAST(floor((below * 8)::DOUBLE / n) AS BIGINT) AS bucket,
+           sum(cnt) AS n_rows, min(v) AS lo, max(v) AS hi
+         FROM cum CROSS JOIN nn GROUP BY 1""",
 
     "score_percentile" ->
       """SELECT doc_id, n_chars,
