@@ -299,7 +299,9 @@ object Relational {
     * ids and iteration order so the count pass and the final pass see
     * the same layout and the range shuffle runs once. `order` must be
     * a total order (include a unique tiebreaker) or ids are
-    * nondeterministic within ties. */
+    * nondeterministic within ties. Bound: < 2³³ rows per range
+    * partition (the record-index field width — also
+    * monotonically_increasing_id's own limit). */
   def contiguousIds(df: DataFrame, order: Seq[Column],
                     idName: String = "seq_id"): DataFrame = {
     val p = df.sparkSession.sessionState.conf.numShufflePartitions
@@ -365,7 +367,8 @@ object Relational {
     * continuous score, V approaches n — use the KLL CDF surface
     * (`kll_rank`) there; this is the exact path for bounded-V scores.
     * Appends `<outCol>` (raw 0..1 double) — callers round for
-    * engine-portable output. */
+    * engine-portable output. Null scores drop (the join-back is inner
+    * on the score, matching `percent_rank`'s null-excluding order). */
   def percentileRank(df: DataFrame, scoreCol: String,
                      outCol: String = "pct_rank"): DataFrame = {
     // Checkpoint the V-row value table: the window AND the total-count

@@ -609,6 +609,34 @@ object Similarity {
       .select(col("query_id"), col("rank"), col("neighbor_id"))
   }
 
+  /** Reciprocal-rank fusion of retrieval rankings — the hybrid-search
+    * combiner (dense + sparse, or two dense rankers with different
+    * recall profiles): per (query, candidate), score = Σ 1/(c + rank)
+    * over the rankings that surfaced it, re-ranked to top-`k`. Rank
+    * lists are (query_id, rank, neighbor_id) frames — top-k-sized per
+    * query, so every join here is over already-bounded inputs, never
+    * the corpus. The per-ranker contributions are summed in fixed
+    * declaration order (coalesced column adds, not a grouped float
+    * sum), so fused scores are deterministic across engines and
+    * partitionings. */
+  def rrfFuse(rankings: Seq[DataFrame], k: Int, c: Int = 60): DataFrame = {
+    val tagged = rankings.zipWithIndex.map { case (r, i) =>
+      r.select(col("query_id"), col("neighbor_id"),
+        (lit(1.0) / (col("rank") + c)).as(s"__s$i"))
+    }
+    val joined = tagged.reduce((a, b) =>
+      a.join(b, Seq("query_id", "neighbor_id"), "full_outer"))
+    val score = tagged.indices
+      .map(i => coalesce(col(s"__s$i"), lit(0.0))).reduce(_ + _)
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("__rrf").desc, col("neighbor_id").asc)
+    joined.withColumn("__rrf", score)
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("neighbor_id"),
+        (floor(col("__rrf") * 1000000 + lit(0.5)) / 1000000).as("rrf"))
+  }
+
   /** Incremental IVF probe — the operational ANN form at ingest time:
     * the NEW batch's vectors are assigned to the cells of a quantizer
     * trained on the PERSISTED index side and search only the index

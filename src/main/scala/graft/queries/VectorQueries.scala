@@ -104,6 +104,19 @@ object VectorQueries {
       Similarity.pqEncode(e, "vec_id", "embedding", books, PqSubDim)
     }),
 
+    // Hybrid-retrieval fusion: reciprocal-rank fusion of the LSH and
+    // IVF rankers (different recall profiles) into one top-k —
+    // rankings join on bounded top-k frames, contributions summed in
+    // fixed order (Similarity.rrfFuse).
+    "ann_hybrid_rrf" -> ((s, d) => {
+      val e = tbl(s, d, "embeddings")
+      Similarity.rrfFuse(Seq(
+        Similarity.lshTopK(e, "vec_id", "embedding", K, planes),
+        Similarity.ivfTopK(e, "vec_id", "embedding", K,
+          nCentroids = NCentroids, kmeansIters = KmeansIters,
+          trainSampleMod = TrainMod)), K)
+    }),
+
     // Incremental IVF: the odd-id "new batch" probes the quantizer +
     // inverted cells built from the even-id "persisted index" — the
     // ingest-time ANN form (index never re-trains or self-joins).
@@ -244,6 +257,67 @@ object VectorQueries {
                 ORDER BY ${cosSql("a.embedding", "b.embedding")} DESC, b.vec_id) AS rank
             FROM cells a JOIN cells b
               ON a.cell = b.cell AND a.vec_id <> b.vec_id)
+          WHERE rank <= $K"""
+    },
+    "ann_hybrid_rrf" -> {
+      // lshr = the ann_lsh_topk chain; ivfr = the ann_ivf_topk chain;
+      // fusion is a full-outer join of the two bounded top-k lists with
+      // fixed-order coalesced contributions.
+      def assignCte(cIn: String, src: String): String =
+        s"""SELECT vec_id, embedding, cell FROM (
+              SELECT v.vec_id, v.embedding, c.cell,
+                row_number() OVER (PARTITION BY v.vec_id
+                  ORDER BY ${cosSql("v.embedding", "c.cv")} DESC, c.cell) AS rn
+              FROM $src v CROSS JOIN $cIn c)
+            WHERE rn = 1"""
+      def meanCte(aIn: String): String =
+        s"""SELECT cell, list(m ORDER BY i) AS cv FROM (
+              SELECT cell, i, floor(avg(embedding[i]::DOUBLE) * 1000000 + 0.5) / 1000000 AS m
+              FROM $aIn CROSS JOIN generate_series(1, $Dim) AS g(i)
+              GROUP BY cell, i)
+            GROUP BY cell"""
+      s"""WITH bucketed AS (
+            SELECT vec_id, embedding, ${bucketSql("embedding")} AS bucket FROM embeddings),
+          lshr AS (
+            SELECT query_id, rank, neighbor_id FROM (
+              SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+                row_number() OVER (PARTITION BY a.vec_id
+                  ORDER BY ${cosSql("a.embedding", "b.embedding")} DESC, b.vec_id) AS rank
+              FROM bucketed a JOIN bucketed b
+                ON a.bucket = b.bucket AND a.vec_id <> b.vec_id)
+            WHERE rank <= $K),
+          train AS (
+            SELECT vec_id, embedding FROM embeddings WHERE vec_id % $TrainMod = 0),
+          c0 AS (
+            SELECT vec_id AS cell, list_transform(embedding, x -> x::DOUBLE) AS cv
+            FROM embeddings WHERE vec_id < $NCentroids),
+          a0 AS (${assignCte("c0", "train")}),
+          c1 AS (${meanCte("a0")}),
+          a1 AS (${assignCte("c1", "train")}),
+          c2 AS (${meanCte("a1")}),
+          cells AS (${assignCte("c2", "embeddings")}),
+          ivfr AS (
+            SELECT query_id, rank, neighbor_id FROM (
+              SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+                row_number() OVER (PARTITION BY a.vec_id
+                  ORDER BY ${cosSql("a.embedding", "b.embedding")} DESC, b.vec_id) AS rank
+              FROM cells a JOIN cells b
+                ON a.cell = b.cell AND a.vec_id <> b.vec_id)
+            WHERE rank <= $K),
+          fused AS (
+            SELECT coalesce(a.query_id, b.query_id) AS query_id,
+              coalesce(a.neighbor_id, b.neighbor_id) AS neighbor_id,
+              coalesce(1.0 / (a.rank + 60), 0) + coalesce(1.0 / (b.rank + 60), 0)
+                AS rrf
+            FROM lshr a FULL OUTER JOIN ivfr b
+              ON a.query_id = b.query_id AND a.neighbor_id = b.neighbor_id)
+          SELECT query_id, rank, neighbor_id,
+            floor(rrf * 1000000 + 0.5) / 1000000 AS rrf
+          FROM (
+            SELECT query_id, neighbor_id, rrf,
+              row_number() OVER (PARTITION BY query_id
+                ORDER BY rrf DESC, neighbor_id) AS rank
+            FROM fused)
           WHERE rank <= $K"""
     },
     "ann_ivf_probe" -> {
