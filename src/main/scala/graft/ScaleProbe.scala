@@ -623,9 +623,45 @@ object ScaleProbe {
     }
   }
 
+  /** `runMain graft.ScaleProbe aqe8` — the §7.4 "1B-row junction join"
+    * rule demonstrated: a 90%-one-key fact joined to a dim by
+    * sort-merge, with AQE skew-join OFF vs ON. The skewed partition is
+    * one task without AQE; with it, AQE splits the oversized partition
+    * at runtime (plan shows `skew=true`) and the max task drops. */
+  private def aqe8(spark: SparkSession): Unit = {
+    spark.sparkContext.addSparkListener(MaxTask)
+    // thresholds scaled down so the local fixture trips the same code
+    // path a 256MB-partition cluster job would
+    spark.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "4m")
+    spark.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "2")
+    spark.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "1m")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1") // force SMJ
+    val fact = spark.range(0, 20000000L).select(
+      when(col("id") % 10 =!= 0, pmod(col("id"), lit(1000))).otherwise(0L).as("k"),
+      col("id").as("v")).localCheckpoint()
+    val dim = spark.range(0, 1000).select(col("id").as("k"),
+      (col("id") * 2).as("w")).localCheckpoint()
+    def time(label: String, skewOn: Boolean): Unit = {
+      spark.conf.set("spark.sql.adaptive.skewJoin.enabled", skewOn.toString)
+      MaxTask.reset()
+      // no agg on the join key downstream: a same-key consumer would
+      // force AQE to keep the join's partitioning and suppress the
+      // skew split (the real junction join feeds key-free writes)
+      val j = fact.join(dim.hint("merge"), Seq("k"))
+        .select((col("v") + col("w")).as("o"))
+      val t0 = System.nanoTime()
+      val n = j.queryExecution.toRdd.count()
+      val s = (System.nanoTime() - t0) / 1e9
+      val skewed = j.queryExecution.executedPlan.toString.contains("skew=true")
+      println(f"""{"probe":"$label","rows":$n,"sec":$s%.2f,"max_task_sec":${MaxTask.max.get() / 1000.0}%.2f,"skew_split":$skewed}""")
+    }
+    time("junction join skewJoin OFF 20M (90% one key)", skewOn = false)
+    time("junction join skewJoin ON 20M", skewOn = true)
+  }
+
   def main(args: Array[String]): Unit = {
     if (args.headOption.exists(Set("quota7", "pipe7", "freq7", "serve8",
-        "outlier8", "budget8", "ids8"))) {
+        "outlier8", "budget8", "ids8", "aqe8"))) {
       val spark = SparkSession.builder()
         .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")}]")
         .config("spark.sql.shuffle.partitions",
@@ -641,6 +677,7 @@ object ScaleProbe {
         case "outlier8" => outlier8(spark, args.lift(1).contains("exact20"))
         case "budget8" => budget8(spark)
         case "ids8" => ids8(spark)
+        case "aqe8" => aqe8(spark)
       }
       spark.stop()
       return

@@ -215,4 +215,28 @@ class LayoutSpec extends SparkTestBase {
     val row = z.limit(1).select("l_orderkey", "l_partkey", "zval").head()
     assert(row.getLong(2) >= 0L)
   }
+
+  test("schema evolution: merged read null-fills, pre-flight names type breaks") {
+    import graft.sources.SchemaEvolution
+    val dir = s"${sys.props("java.io.tmpdir")}/graft_evolve"
+    def rm(f: java.io.File): Unit = {
+      if (f.isDirectory) f.listFiles().foreach(rm); f.delete()
+    }
+    rm(new java.io.File(dir))
+    // batch 1: (id, a); batch 2 adds b — written months apart into
+    // ingest-date partitions (the usual append layout)
+    Seq((1L, "x")).toDF("id", "a").write.parquet(s"$dir/batch=1")
+    Seq((2L, "y", 9.5)).toDF("id", "a", "b").write.parquet(s"$dir/batch=2")
+    val merged = SchemaEvolution.readEvolved(spark, dir)
+    assert(merged.columns.toSet === Set("id", "a", "b", "batch"))
+    val rows = merged.select("id", "a", "b")
+      .as[(Long, String, Option[Double])].collect().toSet
+    assert(rows === Set((1L, "x", None), (2L, "y", Some(9.5))))
+
+    // pre-flight: added column fine; id long -> string is breaking
+    val cur = merged.schema
+    val incoming = Seq(("3", "z", 1.0, true)).toDF("id", "a", "b", "c").schema
+    val breaks = SchemaEvolution.breakingChanges(cur, incoming)
+    assert(breaks.map(_._1) === Seq("id"))
+  }
 }
