@@ -145,6 +145,32 @@ object Profiling {
         min(col("v")).as("lo"), max(col("v")).as("hi"))
   }
 
+  /** The 100-TB form of [[equiDepthHistogram]] for continuous values
+    * (V → n kills the exact distinct-value table): ONE KLL sketch over
+    * the corpus answers all B boundaries (quantile read-out) and the
+    * per-bucket counts (CDF differences scaled by n). One scan, one
+    * 1-row aggregate; bucket count error is bounded by twice the KLL
+    * rank error (ProfilingSketchSpec bounds it against the exact
+    * histogram, which stays the oracle path). */
+  def equiDepthHistogramSketch(df: DataFrame, valueCol: Column,
+                               buckets: Int, sketchK: Int = 800): DataFrame = {
+    import org.apache.spark.sql.graftx.KllSketch
+    val sk = df.select(valueCol.cast("double").as("v"))
+      .agg(KllSketch.sketchAgg(col("v"), sketchK).as("__sk"),
+        count(col("v")).as("n"))
+    sk.select(col("__sk"), col("n"),
+        explode(sequence(lit(0), lit(buckets - 1))).as("bucket"))
+      .withColumn("lo",
+        KllSketch.quantile(col("__sk"), col("bucket").cast("double") / buckets))
+      .withColumn("hi",
+        KllSketch.quantile(col("__sk"), (col("bucket") + 1).cast("double") / buckets))
+      .withColumn("n_rows",
+        floor((KllSketch.rank(col("__sk"), col("hi"))
+          - KllSketch.rank(col("__sk"), col("lo"))) * col("n") + 0.5)
+          .cast("long"))
+      .select(col("bucket"), col("n_rows"), col("lo"), col("hi"))
+  }
+
   def distributionDrift(df: DataFrame, binCol: Column, grpCol: Column): DataFrame = {
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(Relational.singlePartitionKey())

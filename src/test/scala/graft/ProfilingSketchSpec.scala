@@ -68,6 +68,31 @@ class ProfilingSketchSpec extends SparkTestBase {
       "tightening the cut must not reduce flagged rows")
   }
 
+  test("sketch equi-depth histogram tracks the exact one on a continuous column") {
+    // 200k all-distinct values: the exact path's worst case, the
+    // sketch path's target
+    val df = spark.range(0, 200000)
+      .select((hash(col("id")).cast("double") / 1000).as("v"))
+    val n = 200000L
+    val got = Profiling.equiDepthHistogramSketch(df, col("v"), buckets = 8)
+      .orderBy("bucket")
+      .as[(Int, Long, Double, Double)].collect()
+    assert(got.length == 8)
+    // equal-depth within twice the KLL rank-error budget (k=800 →
+    // ~0.47% rank error; allow 2% of n per bucket to stay stable)
+    for ((bucket, rows, lo, hi) <- got) {
+      assert(math.abs(rows - n / 8.0) <= n * 0.02,
+        s"bucket $bucket depth $rows strays from ${n / 8}")
+      assert(lo <= hi, s"bucket $bucket bounds inverted")
+    }
+    // boundaries tile the value range monotonically
+    got.sliding(2).foreach { case Array(a, b) =>
+      assert(a._4 <= b._3 + 1e-9, s"buckets ${a._1},${b._1} overlap")
+    }
+    assert(math.abs(got.map(_._2).sum - n) <= n * 0.02,
+      "bucket depths must re-assemble ~n")
+  }
+
   test("SQL surface: kll_rank and kll_absdev_stats are registered") {
     org.apache.spark.sql.graftx.GraftExtensions.install(spark)
     Seq(1.0, 2.0, 3.0, 4.0).toDF("v").createOrReplaceTempView("kll_probe")
