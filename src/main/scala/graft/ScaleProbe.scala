@@ -637,7 +637,8 @@ object ScaleProbe {
     spark.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "1m")
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1") // force SMJ
     val fact = spark.range(0, 20000000L).select(
-      when(col("id") % 10 =!= 0, pmod(col("id"), lit(1000))).otherwise(0L).as("k"),
+      // 90% of rows on key 0; the rest spread over 1000 keys
+      when(col("id") % 10 === 0, pmod(col("id"), lit(1000))).otherwise(0L).as("k"),
       col("id").as("v")).localCheckpoint()
     val dim = spark.range(0, 1000).select(col("id").as("k"),
       (col("id") * 2).as("w")).localCheckpoint()

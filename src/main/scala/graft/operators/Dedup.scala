@@ -64,7 +64,15 @@ object Dedup {
 
   /** 60-bit md5 prefix of the shingle, reduced mod p. */
   def shingleBaseHash(shingle: Column): Column =
-    conv(substring(md5(shingle), 1, 15), 16, 10).cast("long") % MinhashPrime
+    shingleFingerprint60(shingle) % MinhashPrime
+
+  /** The UNREDUCED 60-bit md5 prefix — for set-membership fingerprints
+    * (overlap/containment reports), where the minhash family's mod-p
+    * reduction to 31 bits would add ~|A|·|B|/2³¹ cross-set collision
+    * noise at corpus scale. Only the affine mixes need the prime
+    * field. */
+  def shingleFingerprint60(shingle: Column): Column =
+    conv(substring(md5(shingle), 1, 15), 16, 10).cast("long")
 
   def seedHash(baseHash: Column, seed: Int): Column =
     (baseHash * minhashSeedA(seed) + minhashSeedB(seed)) % MinhashPrime
@@ -169,12 +177,21 @@ object Dedup {
     // two branches here, so without this the whole signature aggregation
     // runs twice.
     val sig = minhashSignature(df, idCol, textCol, n, k).localCheckpoint()
-    val withSigs = sig.select(col(idCol), array((0 until bands).map { b =>
-      val cols = (b * rows until (b + 1) * rows).map(i => col(s"mh$i"))
-      md5(concat_ws(",", cols: _*))
-    }: _*).as("band_sigs"))
+    val withSigs = sig.select(col(idCol),
+      minhashBandSigs(bands, k / bands).as("band_sigs"))
     saltedBucketPairs(withSigs, idCol, bands, salts)
   }
+
+  /** The banded bucket-signature array over a minhash signature frame
+    * (columns mh0..mh{k−1}): band b's signature is the md5 of its
+    * `rows` components joined by "," — the ONE protocol (slicing +
+    * delimiter + hash) the LSH oracles reproduce, so every banded
+    * consumer must build it here, not inline. */
+  private[operators] def minhashBandSigs(bands: Int, rows: Int): Column =
+    array((0 until bands).map { b =>
+      val cols = (b * rows until (b + 1) * rows).map(i => col(s"mh$i"))
+      md5(concat_ws(",", cols: _*))
+    }: _*)
 
   /** Salted same-bucket pair generation shared by the banded candidate
     * operators. Input: (id, band_sigs) with one bucket signature per
@@ -232,13 +249,10 @@ object Dedup {
   def minhashEstimatePairs(df: DataFrame, idCol: String, textCol: String,
                            n: Int = 5, k: Int = 16, bands: Int = 4,
                            salts: Int = 8): DataFrame = {
-    val rows = k / bands
     // one signature build feeds banding AND both estimate sides
     val sig = minhashSignature(df, idCol, textCol, n, k).localCheckpoint()
-    val withSigs = sig.select(col(idCol), array((0 until bands).map { b =>
-      val cols = (b * rows until (b + 1) * rows).map(i => col(s"mh$i"))
-      md5(concat_ws(",", cols: _*))
-    }: _*).as("band_sigs"))
+    val withSigs = sig.select(col(idCol),
+      minhashBandSigs(bands, k / bands).as("band_sigs"))
     val pairs = saltedBucketPairs(withSigs, idCol, bands, salts)
     val sigArr = sig.select(col(idCol),
       array((0 until k).map(i => col(s"mh$i")): _*).as("__sig"))
@@ -586,7 +600,7 @@ object Dedup {
                     n: Int): DataFrame = {
     val fp = shingleTable(df.select(col(groupCol), col(textCol)),
         groupCol, textCol, n)
-      .select(col(groupCol), shingleBaseHash(col("shingle")).as("fp"))
+      .select(col(groupCol), shingleFingerprint60(col("shingle")).as("fp"))
       .distinct()
       .localCheckpoint() // feeds sizes + both join sides: hash once
     val sizes = fp.groupBy(col(groupCol)).agg(count(lit(1)).as("n_fp"))

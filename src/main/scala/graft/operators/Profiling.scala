@@ -115,6 +115,22 @@ object Profiling {
     * union (the exchange carries per-bucket counts only), then the
     * totals come from a window over the BUCKET-sized aggregate — the
     * corpus is never re-scanned and nothing corpus-sized shuffles. */
+  def distributionDrift(df: DataFrame, binCol: Column, grpCol: Column): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(Relational.singlePartitionKey())
+    val agg = df.select(binCol.as("bin"), grpCol.as("__grp"))
+      .groupBy(col("bin"))
+      .agg(sum(when(col("__grp") === 0, 1L).otherwise(0L)).as("n_ref"),
+        sum(when(col("__grp") === 1, 1L).otherwise(0L)).as("n_cur"))
+    val p = agg
+      .withColumn("p_ref", col("n_ref").cast("double") / sum(col("n_ref")).over(w))
+      .withColumn("p_cur", col("n_cur").cast("double") / sum(col("n_cur")).over(w))
+    val d = col("p_cur") - col("p_ref")
+    p.select(col("bin"), col("n_ref"), col("n_cur"), col("p_ref"), col("p_cur"),
+      abs(d).as("abs_diff"),
+      when(col("p_ref") > 0, d * d / col("p_ref")).as("chi2_term"))
+  }
+
   /** Exact equi-depth histogram (the stats-viewer "8 equal-count bins
     * with their bounds" readout): bucket j holds the rows whose
     * strictly-below count lands in [j·n/B, (j+1)·n/B) — ties share a
@@ -123,8 +139,10 @@ object Profiling {
     * `ntile()`'s corpus-sized single-partition sort). One partial-agg
     * pass to the DISTINCT-VALUE table, a value-bounded running-sum
     * window, integer-exact bucket arithmetic, and a B-row aggregate —
-    * the corpus is scanned once. For continuous values at 100 TB
-    * (V → n) the KLL quantile cube is the sketch fallback. */
+    * the corpus is scanned once. Null values are excluded (they would
+    * otherwise sort into the lowest bucket and shift every rank). For
+    * continuous values at 100 TB (V → n) use
+    * [[equiDepthHistogramSketch]]. */
   def equiDepthHistogram(df: DataFrame, valueCol: Column,
                          buckets: Int): DataFrame = {
     val w = org.apache.spark.sql.expressions.Window
@@ -133,6 +151,7 @@ object Profiling {
       .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
         org.apache.spark.sql.expressions.Window.currentRow)
     val counts = df.select(valueCol.as("v"))
+      .filter(col("v").isNotNull)
       .groupBy(col("v")).agg(count(lit(1)).as("cnt"))
       .localCheckpoint() // feeds the window AND the total: one scan
     val cum = counts.withColumn("below", sum(col("cnt")).over(w) - col("cnt"))
@@ -149,9 +168,12 @@ object Profiling {
     * (V → n kills the exact distinct-value table): ONE KLL sketch over
     * the corpus answers all B boundaries (quantile read-out) and the
     * per-bucket counts (CDF differences scaled by n). One scan, one
-    * 1-row aggregate; bucket count error is bounded by twice the KLL
-    * rank error (ProfilingSketchSpec bounds it against the exact
-    * histogram, which stays the oracle path). */
+    * 1-row aggregate. The CDF read is INCLUSIVE, so bucket 0's lower
+    * CDF is pinned to 0 — subtracting rank(min) would silently drop
+    * the entire mass tied at the minimum (a heavy-tie column would
+    * lose whole buckets); the telescoped depths then re-assemble n
+    * exactly up to rank error. ProfilingSketchSpec bounds the depths
+    * against the exact histogram, which stays the oracle path. */
   def equiDepthHistogramSketch(df: DataFrame, valueCol: Column,
                                buckets: Int, sketchK: Int = 800): DataFrame = {
     import org.apache.spark.sql.graftx.KllSketch
@@ -166,24 +188,10 @@ object Profiling {
         KllSketch.quantile(col("__sk"), (col("bucket") + 1).cast("double") / buckets))
       .withColumn("n_rows",
         floor((KllSketch.rank(col("__sk"), col("hi"))
-          - KllSketch.rank(col("__sk"), col("lo"))) * col("n") + 0.5)
+          - when(col("bucket") === 0, lit(0.0))
+            .otherwise(KllSketch.rank(col("__sk"), col("lo"))))
+          * col("n") + 0.5)
           .cast("long"))
       .select(col("bucket"), col("n_rows"), col("lo"), col("hi"))
-  }
-
-  def distributionDrift(df: DataFrame, binCol: Column, grpCol: Column): DataFrame = {
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(Relational.singlePartitionKey())
-    val agg = df.select(binCol.as("bin"), grpCol.as("__grp"))
-      .groupBy(col("bin"))
-      .agg(sum(when(col("__grp") === 0, 1L).otherwise(0L)).as("n_ref"),
-        sum(when(col("__grp") === 1, 1L).otherwise(0L)).as("n_cur"))
-    val p = agg
-      .withColumn("p_ref", col("n_ref").cast("double") / sum(col("n_ref")).over(w))
-      .withColumn("p_cur", col("n_cur").cast("double") / sum(col("n_cur")).over(w))
-    val d = col("p_cur") - col("p_ref")
-    p.select(col("bin"), col("n_ref"), col("n_cur"), col("p_ref"), col("p_cur"),
-      abs(d).as("abs_diff"),
-      when(col("p_ref") > 0, d * d / col("p_ref")).as("chi2_term"))
   }
 }

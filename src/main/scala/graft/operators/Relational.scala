@@ -7,7 +7,10 @@ import org.apache.spark.sql.functions._
 /** Reusable relational operators mirroring SURVEY §2.3–2.5.
   *
   * Each is a pure DataFrame→DataFrame function, declarative so Catalyst
-  * keeps pushdown/pruning/AQE; none collects to the driver.
+  * keeps pushdown/pruning/AQE. None collects DATA to the driver; the
+  * two prefix-sum decompositions (`contiguousIds`, `orderedPrefixSum`)
+  * eagerly collect P per-partition counters — driver traffic bounded by
+  * partition count, by design.
   */
 object Relational {
 
@@ -373,7 +376,11 @@ object Relational {
                      outCol: String = "pct_rank"): DataFrame = {
     // Checkpoint the V-row value table: the window AND the total-count
     // aggregate both derive from it, so the corpus is scanned ONCE.
-    val counts = df.groupBy(col(scoreCol)).agg(count(lit(1)).as("__c"))
+    // Null scores are excluded from BOTH the below-counts and n (they
+    // already drop from the output via the inner join-back) — without
+    // this filter a null group sorts first and inflates every rank.
+    val counts = df.filter(col(scoreCol).isNotNull)
+      .groupBy(col(scoreCol)).agg(count(lit(1)).as("__c"))
       .localCheckpoint()
     val vw = Window.partitionBy(singlePartitionKey()).orderBy(col(scoreCol))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)

@@ -325,7 +325,7 @@ object AnalyticsQueries {
     "hist_equidepth" ->
       """WITH c AS (
            SELECT n_chars AS v, count(*)::BIGINT AS cnt
-           FROM documents GROUP BY 1),
+           FROM documents WHERE n_chars IS NOT NULL GROUP BY 1),
          cum AS (
            SELECT v, cnt,
              sum(cnt) OVER (ORDER BY v

@@ -553,7 +553,8 @@ object DedupQueries {
     "source_overlap" ->
       s"""WITH sh0 AS (
             SELECT source, unnest($shinglesSql) AS shingle FROM documents),
-          sh AS (SELECT DISTINCT source, $baseHashSql AS fp FROM sh0),
+          sh AS (SELECT DISTINCT source,
+            ('0x' || substring(md5(shingle), 1, 15))::BIGINT AS fp FROM sh0),
           sz AS (SELECT source, count(*) AS n FROM sh GROUP BY source),
           ov AS (
             SELECT a.source AS source_a, b.source AS source_b,
