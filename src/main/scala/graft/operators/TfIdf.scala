@@ -127,6 +127,57 @@ object TfIdf {
     * pre-quantization, its ulp variation absorbed like logreg's exp).
     * One tokenize pass; (doc, term, w) is checkpointed and feeds the
     * norms AND both posting sides. */
+  /** Incremental form of [[sparseCosinePairs]] — the ingest-time
+    * screen (the sparse sibling of `Dedup.lshProbePairs` /
+    * `Similarity.ivfProbeTopK`): the NEW batch is weighted with the
+    * PERSISTED index's idf model (df/n from the index corpus only —
+    * the statistics don't shift under the batch) and probes the
+    * index's posting lists; batch terms unseen in the index carry no
+    * weight, exactly as querying any inverted index. The batch side is
+    * ingest-sized and broadcasts into the term join when stats allow —
+    * the index postings never reshuffle. Emits (batch id, index id,
+    * cosine) above `threshold`, cosine over each side's capped feature
+    * space, same 2⁻¹⁰ exact-sum quantization as the batch form. */
+  def sparseCosineProbe(index: DataFrame, batch: DataFrame, idCol: String,
+                        textCol: String, n: Int, maxDfFrac: Double,
+                        threshold: Double): DataFrame = {
+    def tfOf(d: DataFrame) = Dedup.spread(d).select(col(idCol),
+      explode_outer(transform(
+        sequence(lit(1), greatest(length(col(textCol)) - (n - 1), lit(1))),
+        i => col(textCol).substr(i, lit(n)))).as("term"))
+      .groupBy(col(idCol), col("term")).agg(count(lit(1)).as("tf"))
+    val idxTf = tfOf(index).localCheckpoint()
+    val dfreq = idxTf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val nDocs = idxTf.select(countDistinct(col(idCol)).as("n_docs"))
+    val idf = dfreq.crossJoin(broadcast(nDocs))
+      .filter(col("df") <= col("n_docs").cast("double") * maxDfFrac)
+      .select(col("term"),
+        (log((col("n_docs") + 1).cast("double") / (col("df") + 1)) + 1).as("idf"))
+      .localCheckpoint() // the persisted model: weighs BOTH sides
+    def weigh(tf: DataFrame) = tf.join(idf.hint("shuffle_hash"), Seq("term"))
+      .select(col(idCol), col("term"),
+        (floor(col("tf") * col("idf") * 1024 + lit(0.5)) / 1024).as("w"))
+    val idxW = weigh(idxTf).localCheckpoint()
+    val batW = weigh(tfOf(batch)).localCheckpoint()
+    def normsOf(w: DataFrame) = w.groupBy(col(idCol))
+      .agg(sqrt(sum(col("w") * col("w"))).as("nrm"))
+    val dots = Relational.broadcastIfSmall(
+        batW.select(col("term"), col(idCol).as("id_batch"), col("w").as("wb")))
+      .join(idxW.select(col("term"), col(idCol).as("id_index"), col("w").as("wi")),
+        Seq("term"))
+      .groupBy(col("id_batch"), col("id_index"))
+      .agg(sum(col("wb") * col("wi")).as("dot"))
+    dots
+      .join(normsOf(batW).select(col(idCol).as("id_batch"), col("nrm").as("nb")),
+        Seq("id_batch"))
+      .join(normsOf(idxW).select(col(idCol).as("id_index"), col("nrm").as("ni")),
+        Seq("id_index"))
+      .withColumn("cosine", col("dot") / (col("nb") * col("ni")))
+      .filter(col("cosine") >= threshold)
+      .select(col("id_batch"), col("id_index"),
+        (floor(col("cosine") * 10000 + lit(0.5)) / 10000).as("cosine"))
+  }
+
   def sparseCosinePairs(df: DataFrame, idCol: String, textCol: String,
                         n: Int, maxDfFrac: Double,
                         threshold: Double): DataFrame = {

@@ -250,6 +250,18 @@ object DedupQueries {
         "doc_id", "text", n = ShingleN, maxDfFrac = 0.02, threshold = 0.6)
     }),
 
+    // Incremental sparse screen: the odd-id "new batch" weighted with
+    // the even-id index's persisted idf model probes its posting lists
+    // (TfIdf.sparseCosineProbe) — the sparse sibling of dedup_lsh_probe
+    // and ann_ivf_probe.
+    "sparse_probe" -> ((s, d) => {
+      val docs = tbl(s, d, "documents")
+      graft.operators.TfIdf.sparseCosineProbe(
+        docs.filter(col("doc_id") % 2 === 0),
+        docs.filter(col("doc_id") % 2 =!= 0),
+        "doc_id", "text", n = ShingleN, maxDfFrac = 0.02, threshold = 0.6)
+    }),
+
     // Cross-source duplication matrix: which sources duplicate each
     // other (Jaccard + directional containments over 60-bit shingle
     // fingerprints) — the report a curation pass reads BEFORE setting
@@ -504,6 +516,45 @@ object DedupQueries {
           UNION ALL
           SELECT doc_id AS id FROM documents
           WHERE doc_id NOT IN (SELECT id FROM clusters)""",
+    "sparse_probe" ->
+      s"""WITH gi AS (
+            SELECT doc_id,
+              unnest(list_transform(
+                generate_series(1, greatest(length(text) - ${ShingleN - 1}, 1)),
+                i -> substring(text, i, $ShingleN))) AS term
+            FROM documents WHERE doc_id % 2 = 0),
+          gb AS (
+            SELECT doc_id,
+              unnest(list_transform(
+                generate_series(1, greatest(length(text) - ${ShingleN - 1}, 1)),
+                i -> substring(text, i, $ShingleN))) AS term
+            FROM documents WHERE doc_id % 2 <> 0),
+          tfi AS (SELECT doc_id, term, count(*)::BIGINT AS tf FROM gi GROUP BY 1, 2),
+          tfb AS (SELECT doc_id, term, count(*)::BIGINT AS tf FROM gb GROUP BY 1, 2),
+          dfq AS (SELECT term, count(*)::BIGINT AS df FROM tfi GROUP BY term),
+          nd AS (SELECT count(DISTINCT doc_id)::BIGINT AS n_docs FROM tfi),
+          idf AS (
+            SELECT term, ln((n_docs + 1)::DOUBLE / (df + 1)) + 1 AS idf
+            FROM dfq CROSS JOIN nd WHERE df <= n_docs::DOUBLE * 0.02),
+          wi AS (
+            SELECT doc_id, term, floor(tf * idf * 1024 + 0.5) / 1024 AS w
+            FROM tfi JOIN idf USING (term)),
+          wb AS (
+            SELECT doc_id, term, floor(tf * idf * 1024 + 0.5) / 1024 AS w
+            FROM tfb JOIN idf USING (term)),
+          ni AS (SELECT doc_id, sqrt(sum(w * w)) AS nrm FROM wi GROUP BY doc_id),
+          nb AS (SELECT doc_id, sqrt(sum(w * w)) AS nrm FROM wb GROUP BY doc_id),
+          dots AS (
+            SELECT b.doc_id AS id_batch, i.doc_id AS id_index,
+              sum(b.w * i.w) AS dot
+            FROM wb b JOIN wi i ON b.term = i.term
+            GROUP BY 1, 2)
+          SELECT id_batch, id_index,
+            floor(dot / (nb.nrm * ni.nrm) * 10000 + 0.5) / 10000 AS cosine
+          FROM dots
+          JOIN nb ON id_batch = nb.doc_id
+          JOIN ni ON id_index = ni.doc_id
+          WHERE dot / (nb.nrm * ni.nrm) >= 0.6""",
     "sparse_cosine_pairs" ->
       s"""WITH g AS (
             SELECT doc_id,
