@@ -140,13 +140,35 @@ object TfIdf {
     * space, same 2⁻¹⁰ exact-sum quantization as the batch form. */
   def sparseCosineProbe(index: DataFrame, batch: DataFrame, idCol: String,
                         textCol: String, n: Int, maxDfFrac: Double,
-                        threshold: Double): DataFrame = {
-    def tfOf(d: DataFrame) = Dedup.spread(d).select(col(idCol),
+                        threshold: Double): DataFrame =
+    probeSparseIndex(
+      buildSparseIndex(index, idCol, textCol, n, maxDfFrac),
+      batch, idCol, textCol, n, threshold)
+
+  /** The persisted artifacts of a sparse similarity index: the idf
+    * model, the weighted postings, and the per-doc norms — all
+    * checkpointed (in production: written tables). */
+  final case class SparseIndex(idf: DataFrame, weights: DataFrame,
+                               norms: DataFrame)
+
+  private def tfOf(d: DataFrame, idCol: String, textCol: String,
+                   n: Int): DataFrame =
+    Dedup.spread(d).select(col(idCol),
       explode_outer(transform(
         sequence(lit(1), greatest(length(col(textCol)) - (n - 1), lit(1))),
         i => col(textCol).substr(i, lit(n)))).as("term"))
       .groupBy(col(idCol), col("term")).agg(count(lit(1)).as("tf"))
-    val idxTf = tfOf(index).localCheckpoint()
+
+  private def weigh(tf: DataFrame, idf: DataFrame, idCol: String): DataFrame =
+    tf.join(idf.hint("shuffle_hash"), Seq("term"))
+      .select(col(idCol), col("term"),
+        (floor(col("tf") * col("idf") * 1024 + lit(0.5)) / 1024).as("w"))
+
+  /** Build-once half of [[sparseCosineProbe]] (amortized across every
+    * later batch — route through `IndexCache` on a serving path). */
+  def buildSparseIndex(index: DataFrame, idCol: String, textCol: String,
+                       n: Int, maxDfFrac: Double): SparseIndex = {
+    val idxTf = tfOf(index, idCol, textCol, n).localCheckpoint()
     val dfreq = idxTf.groupBy(col("term")).agg(count(lit(1)).as("df"))
     val nDocs = idxTf.select(countDistinct(col(idCol)).as("n_docs"))
     val idf = dfreq.crossJoin(broadcast(nDocs))
@@ -154,23 +176,33 @@ object TfIdf {
       .select(col("term"),
         (log((col("n_docs") + 1).cast("double") / (col("df") + 1)) + 1).as("idf"))
       .localCheckpoint() // the persisted model: weighs BOTH sides
-    def weigh(tf: DataFrame) = tf.join(idf.hint("shuffle_hash"), Seq("term"))
-      .select(col(idCol), col("term"),
-        (floor(col("tf") * col("idf") * 1024 + lit(0.5)) / 1024).as("w"))
-    val idxW = weigh(idxTf).localCheckpoint()
-    val batW = weigh(tfOf(batch)).localCheckpoint()
-    def normsOf(w: DataFrame) = w.groupBy(col(idCol))
+    val idxW = weigh(idxTf, idf, idCol).localCheckpoint()
+    val idxNorms = idxW.groupBy(col(idCol))
+      .agg(sqrt(sum(col("w") * col("w"))).as("nrm")).localCheckpoint()
+    SparseIndex(idf, idxW, idxNorms)
+  }
+
+  /** Probe-only half: weigh the batch with the index's idf (unseen
+    * terms weigh zero) and join its posting lists — the steady-state
+    * serving cost. */
+  def probeSparseIndex(ix: SparseIndex, batch: DataFrame, idCol: String,
+                       textCol: String, n: Int,
+                       threshold: Double): DataFrame = {
+    // batch is ingest-sized: recomputing its tokenization for the
+    // norms pass is cheaper than a checkpoint materialization
+    val batW = weigh(tfOf(batch, idCol, textCol, n), ix.idf, idCol)
+    val batNorms = batW.groupBy(col(idCol))
       .agg(sqrt(sum(col("w") * col("w"))).as("nrm"))
     val dots = Relational.broadcastIfSmall(
         batW.select(col("term"), col(idCol).as("id_batch"), col("w").as("wb")))
-      .join(idxW.select(col("term"), col(idCol).as("id_index"), col("w").as("wi")),
-        Seq("term"))
+      .join(ix.weights.select(col("term"), col(idCol).as("id_index"),
+        col("w").as("wi")), Seq("term"))
       .groupBy(col("id_batch"), col("id_index"))
       .agg(sum(col("wb") * col("wi")).as("dot"))
     dots
-      .join(normsOf(batW).select(col(idCol).as("id_batch"), col("nrm").as("nb")),
+      .join(batNorms.select(col(idCol).as("id_batch"), col("nrm").as("nb")),
         Seq("id_batch"))
-      .join(normsOf(idxW).select(col(idCol).as("id_index"), col("nrm").as("ni")),
+      .join(ix.norms.select(col(idCol).as("id_index"), col("nrm").as("ni")),
         Seq("id_index"))
       .withColumn("cosine", col("dot") / (col("nb") * col("ni")))
       .filter(col("cosine") >= threshold)

@@ -262,6 +262,21 @@ object DedupQueries {
         "doc_id", "text", n = ShingleN, maxDfFrac = 0.02, threshold = 0.6)
     }),
 
+    // Amortized form: the sparse index (idf + postings + norms) is
+    // built once per session (IndexCache) so this times the PROBE
+    // alone — the steady-state serving cost. Same result by
+    // construction; shares sparse_probe's oracle.
+    "sparse_probe_amortized" -> ((s, d) => {
+      import graft.operators.{IndexCache, TfIdf}
+      val docs = tbl(s, d, "documents")
+      val ix = IndexCache.getOrBuild(s"sparse:$d") {
+        TfIdf.buildSparseIndex(docs.filter(col("doc_id") % 2 === 0),
+          "doc_id", "text", n = ShingleN, maxDfFrac = 0.02)
+      }
+      TfIdf.probeSparseIndex(ix, docs.filter(col("doc_id") % 2 =!= 0),
+        "doc_id", "text", n = ShingleN, threshold = 0.6)
+    }),
+
     // Cross-source duplication matrix: which sources duplicate each
     // other (Jaccard + directional containments over 60-bit shingle
     // fingerprints) — the report a curation pass reads BEFORE setting
@@ -319,6 +334,49 @@ object DedupQueries {
       s"list_sum(list_transform(generate_series(1, len($a)), i -> $x[i]::DOUBLE * $y[i]::DOUBLE))"
     s"${dot(a, b)} / (sqrt(${dot(a, a)}) * sqrt(${dot(b, b)}))"
   }
+
+  /** Shared by sparse_probe and sparse_probe_amortized (same result by
+    * construction — the amortized path only skips rebuilding the
+    * index artifacts). */
+  private lazy val sparseProbeSql: String =
+    s"""WITH gi AS (
+          SELECT doc_id,
+            unnest(list_transform(
+              generate_series(1, greatest(length(text) - ${ShingleN - 1}, 1)),
+              i -> substring(text, i, $ShingleN))) AS term
+          FROM documents WHERE doc_id % 2 = 0),
+        gb AS (
+          SELECT doc_id,
+            unnest(list_transform(
+              generate_series(1, greatest(length(text) - ${ShingleN - 1}, 1)),
+              i -> substring(text, i, $ShingleN))) AS term
+          FROM documents WHERE doc_id % 2 <> 0),
+        tfi AS (SELECT doc_id, term, count(*)::BIGINT AS tf FROM gi GROUP BY 1, 2),
+        tfb AS (SELECT doc_id, term, count(*)::BIGINT AS tf FROM gb GROUP BY 1, 2),
+        dfq AS (SELECT term, count(*)::BIGINT AS df FROM tfi GROUP BY term),
+        nd AS (SELECT count(DISTINCT doc_id)::BIGINT AS n_docs FROM tfi),
+        idf AS (
+          SELECT term, ln((n_docs + 1)::DOUBLE / (df + 1)) + 1 AS idf
+          FROM dfq CROSS JOIN nd WHERE df <= n_docs::DOUBLE * 0.02),
+        wi AS (
+          SELECT doc_id, term, floor(tf * idf * 1024 + 0.5) / 1024 AS w
+          FROM tfi JOIN idf USING (term)),
+        wb AS (
+          SELECT doc_id, term, floor(tf * idf * 1024 + 0.5) / 1024 AS w
+          FROM tfb JOIN idf USING (term)),
+        ni AS (SELECT doc_id, sqrt(sum(w * w)) AS nrm FROM wi GROUP BY doc_id),
+        nb AS (SELECT doc_id, sqrt(sum(w * w)) AS nrm FROM wb GROUP BY doc_id),
+        dots AS (
+          SELECT b.doc_id AS id_batch, i.doc_id AS id_index,
+            sum(b.w * i.w) AS dot
+          FROM wb b JOIN wi i ON b.term = i.term
+          GROUP BY 1, 2)
+        SELECT id_batch, id_index,
+          floor(dot / (nb.nrm * ni.nrm) * 10000 + 0.5) / 10000 AS cosine
+        FROM dots
+        JOIN nb ON id_batch = nb.doc_id
+        JOIN ni ON id_index = ni.doc_id
+        WHERE dot / (nb.nrm * ni.nrm) >= 0.6"""
 
   val oracles: Map[String, String] = Map(
     "dedup_exact" ->
@@ -516,45 +574,10 @@ object DedupQueries {
           UNION ALL
           SELECT doc_id AS id FROM documents
           WHERE doc_id NOT IN (SELECT id FROM clusters)""",
-    "sparse_probe" ->
-      s"""WITH gi AS (
-            SELECT doc_id,
-              unnest(list_transform(
-                generate_series(1, greatest(length(text) - ${ShingleN - 1}, 1)),
-                i -> substring(text, i, $ShingleN))) AS term
-            FROM documents WHERE doc_id % 2 = 0),
-          gb AS (
-            SELECT doc_id,
-              unnest(list_transform(
-                generate_series(1, greatest(length(text) - ${ShingleN - 1}, 1)),
-                i -> substring(text, i, $ShingleN))) AS term
-            FROM documents WHERE doc_id % 2 <> 0),
-          tfi AS (SELECT doc_id, term, count(*)::BIGINT AS tf FROM gi GROUP BY 1, 2),
-          tfb AS (SELECT doc_id, term, count(*)::BIGINT AS tf FROM gb GROUP BY 1, 2),
-          dfq AS (SELECT term, count(*)::BIGINT AS df FROM tfi GROUP BY term),
-          nd AS (SELECT count(DISTINCT doc_id)::BIGINT AS n_docs FROM tfi),
-          idf AS (
-            SELECT term, ln((n_docs + 1)::DOUBLE / (df + 1)) + 1 AS idf
-            FROM dfq CROSS JOIN nd WHERE df <= n_docs::DOUBLE * 0.02),
-          wi AS (
-            SELECT doc_id, term, floor(tf * idf * 1024 + 0.5) / 1024 AS w
-            FROM tfi JOIN idf USING (term)),
-          wb AS (
-            SELECT doc_id, term, floor(tf * idf * 1024 + 0.5) / 1024 AS w
-            FROM tfb JOIN idf USING (term)),
-          ni AS (SELECT doc_id, sqrt(sum(w * w)) AS nrm FROM wi GROUP BY doc_id),
-          nb AS (SELECT doc_id, sqrt(sum(w * w)) AS nrm FROM wb GROUP BY doc_id),
-          dots AS (
-            SELECT b.doc_id AS id_batch, i.doc_id AS id_index,
-              sum(b.w * i.w) AS dot
-            FROM wb b JOIN wi i ON b.term = i.term
-            GROUP BY 1, 2)
-          SELECT id_batch, id_index,
-            floor(dot / (nb.nrm * ni.nrm) * 10000 + 0.5) / 10000 AS cosine
-          FROM dots
-          JOIN nb ON id_batch = nb.doc_id
-          JOIN ni ON id_index = ni.doc_id
-          WHERE dot / (nb.nrm * ni.nrm) >= 0.6""",
+    "sparse_probe" -> sparseProbeSql,
+    // identical result by construction: the amortized path only skips
+    // rebuilding the index artifacts
+    "sparse_probe_amortized" -> sparseProbeSql,
     "sparse_cosine_pairs" ->
       s"""WITH g AS (
             SELECT doc_id,
