@@ -487,6 +487,40 @@ class StreamingSpec extends SparkTestBase {
     }
   }
 
+  test("observed expectations surface per micro-batch on a stream") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.operators.Expectations
+    import graft.operators.Expectations.Expectation
+    // the SAME suite the batch path runs (AnalyticsSpec) rides a
+    // stream's micro-batch jobs and reads back via
+    // StreamingQueryProgress.observedMetrics — zero-extra-scan DQ at
+    // ingest time
+    val checks = Seq(
+      Expectation("text_complete", Expectations.completeness(col("text")),
+        m => m >= 0.99),
+      Expectation("rows", count(lit(1)).cast("double"), m => m > 0.0))
+    val mem = MemoryStream[(Long, String)]
+    val q = Expectations.observed(
+      mem.toDF().toDF("doc_id", "text"), "stream_dq", checks)
+      .writeStream.format("memory").queryName("stream_dq_sink")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      mem.addData((1L, "a"), (2L, "b")); q.processAllAvailable()
+      mem.addData((3L, null.asInstanceOf[String])); q.processAllAvailable()
+      val batches = q.recentProgress.toSeq
+        .flatMap(p => Option(p.observedMetrics.get("stream_dq")))
+        .map(row => Expectations.verdicts(
+          row.getValuesMap[Any](row.schema.fieldNames), checks)
+          .map { case (k, m, pass) => k -> ((m, pass)) }.toMap)
+      assert(batches.size >= 2, "each micro-batch must carry its metrics")
+      val clean = batches.find(_.apply("rows")._1 == 2.0).get
+      val dirty = batches.find(_.apply("rows")._1 == 1.0).get
+      assert(clean("text_complete") === ((1.0, true)))
+      assert(dirty("text_complete") === ((0.0, false)),
+        "the null-text batch must fail completeness IN ITS OWN BATCH")
+    } finally q.stop()
+  }
+
   test("StreamContamination matches the batch screen per arriving doc") {
     implicit val sqlCtx = spark.sqlContext
     val docs = graft.core.Lakehouse.table(spark, sfSmoke, "documents")
