@@ -102,4 +102,28 @@ object Expectations {
     }
     oneRow.select(explode(array(verdicts: _*)).as("__v")).select(col("__v.*"))
   }
+
+  /** Cross-table referential integrity — the expectation dimension the
+    * single-table suite can't express: child rows whose key has no
+    * parent (orphans), plus the coverage fraction. One left-anti-
+    * shaped aggregation: the child shuffles on the key once, the
+    * parent reduces to its distinct keys first (partial-agg), and a
+    * dimension-sized parent broadcasts. Null child keys count as
+    * orphans only when `nullIsOrphan` (SQL FK semantics say no). */
+  def referential(child: DataFrame, parent: DataFrame,
+                  childKey: Column, parentKey: Column,
+                  nullIsOrphan: Boolean = false): DataFrame = {
+    val p = Relational.broadcastIfSmall(
+      parent.select(parentKey.as("__pk")).distinct()
+        .withColumn("__hit", lit(true)))
+    child.select(childKey.as("__ck"))
+      .join(p, col("__ck") === col("__pk"), "left")
+      .agg(count(lit(1)).as("n_child"),
+        sum(when(col("__hit").isNull &&
+          (lit(nullIsOrphan) || col("__ck").isNotNull), 1L).otherwise(0L))
+          .as("n_orphans"))
+      .select(col("n_child"), col("n_orphans"),
+        (floor((col("n_child") - col("n_orphans")).cast("double")
+          / col("n_child") * 10000 + lit(0.5)) / 10000).as("coverage"))
+  }
 }

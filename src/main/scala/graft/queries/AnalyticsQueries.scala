@@ -299,6 +299,17 @@ object AnalyticsQueries {
           col("__q50_merged").between(col("__lo"), col("__hi")).as("merge_ok"))
     }),
 
+    // Cross-table referential integrity (the DQ dimension the
+    // single-table suite can't express): orders whose customer is
+    // missing from a deliberately punctured dimension — orphan count +
+    // coverage in one left-anti-shaped pass.
+    "dq_referential" -> ((s, d) => {
+      Expectations.referential(
+        tbl(s, d, "orders"),
+        tbl(s, d, "customer").filter(col("c_custkey") % 3 =!= 0),
+        col("o_custkey"), col("c_custkey"))
+    }),
+
     // Exact equi-depth histogram of the length distribution: 8
     // equal-count bins with bounds, from ONE corpus scan over the
     // distinct-value table (Profiling.equiDepthHistogram — no ntile
@@ -321,6 +332,17 @@ object AnalyticsQueries {
     }))
 
   val oracles: Map[String, String] = Map(
+
+    "dq_referential" ->
+      """WITH p AS (
+           SELECT DISTINCT c_custkey FROM customer WHERE c_custkey % 3 <> 0)
+         SELECT count(*)::BIGINT AS n_child,
+           sum(CASE WHEN p.c_custkey IS NULL AND o_custkey IS NOT NULL
+                 THEN 1 ELSE 0 END)::BIGINT AS n_orphans,
+           floor((count(*) - sum(CASE WHEN p.c_custkey IS NULL
+                   AND o_custkey IS NOT NULL THEN 1 ELSE 0 END))::DOUBLE
+               / count(*) * 10000 + 0.5) / 10000 AS coverage
+         FROM orders o LEFT JOIN p ON o.o_custkey = p.c_custkey""",
 
     "hist_equidepth" ->
       """WITH c AS (

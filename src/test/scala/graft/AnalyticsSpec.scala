@@ -152,6 +152,19 @@ class AnalyticsSpec extends SparkTestBase {
       "a false check must produce passed=false")
   }
 
+  test("referential: SQL FK null semantics, orphan count and coverage") {
+    import spark.implicits._
+    val child = Seq(Tuple1(Option(1)), Tuple1(Option(2)),
+      Tuple1(None: Option[Int])).toDF("k")
+    val parent = Seq(Tuple1(1)).toDF("pk")
+    val r = Expectations.referential(child, parent, col("k"), col("pk"))
+      .as[(Long, Long, Double)].head()
+    assert(r === ((3L, 1L, math.floor(2.0 / 3 * 10000 + 0.5) / 10000)))
+    val strict = Expectations.referential(child, parent, col("k"), col("pk"),
+      nullIsOrphan = true).as[(Long, Long, Double)].head()
+    assert(strict._2 === 2L, "null keys count as orphans only when asked")
+  }
+
   test("observed expectations piggyback on the consuming job and read back") {
     val docs = graft.core.Lakehouse.table(spark, sfSmoke, "documents")
     val obs = new org.apache.spark.sql.Observation("dq_obs")
