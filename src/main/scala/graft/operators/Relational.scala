@@ -150,6 +150,25 @@ object Relational {
   def page(df: DataFrame, order: Seq[Column], limit: Int, offset: Int): DataFrame =
     df.orderBy(order: _*).offset(offset).limit(limit)
 
+  /** Keyset (cursor) pagination — the serving form that survives deep
+    * scrolling at 100 TB: `page(offset=N)` must order-and-discard N
+    * rows to serve page N+1, while the keyset form filters
+    * `(k1, k2) > (after1, after2)` FIRST — a pushdown-eligible
+    * predicate — and TakeOrdered's per-partition heaps keep only
+    * `limit` rows each. Cursor = the last row's values of the
+    * (ascending, totally-ordering) key columns; the tuple comparison
+    * is expanded to the strict lexicographic form so each conjunct
+    * can reach the scan. */
+  def keysetPage(df: DataFrame, keys: Seq[(Column, Column)],
+                 limit: Int): DataFrame = {
+    val after = keys.indices.map { i =>
+      val eqPrefix = keys.take(i).map { case (k, a) => k === a }
+      val strict = keys(i) match { case (k, a) => k > a }
+      (eqPrefix :+ strict).reduce(_ && _)
+    }.reduce(_ || _)
+    df.filter(after).orderBy(keys.map(_._1): _*).limit(limit)
+  }
+
   /** Dynamic long→wide pivot with deterministic, bounded pivot values
     * (SURVEY §1.3 dynamic ontology columns: datalake_table.py:310-316;
     * §7.4 hard-part 1: "collect distinct terms, sort, cap with

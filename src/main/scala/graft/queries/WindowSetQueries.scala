@@ -92,6 +92,19 @@ object WindowSetQueries {
         .except(o.filter(col("o_orderstatus") === "P").select(col("o_custkey")))
     }),
 
+    // W6: keyset (cursor) pagination — the deep-scroll-safe serving
+    // form: "the 50 orders after cursor (o_orderdate, o_orderkey) =
+    // (1995-06-01, 400)" filters first (pushdown-eligible) instead of
+    // ordering-and-discarding an offset prefix.
+    "w6_keyset_page" -> ((s, d) => {
+      Relational.keysetPage(tbl(s, d, "orders"),
+        Seq(col("o_orderdate") -> lit("1995-06-01").cast("timestamp"),
+          col("o_orderkey") -> lit(400L)), limit = 50)
+        .select(col("o_orderkey"),
+          date_format(col("o_orderdate"), "yyyy-MM-dd").as("order_date"),
+          round2(col("o_totalprice")).as("price"))
+    }),
+
     // Contiguous global ids (training-example numbering, sorted-export
     // row addressing) WITHOUT the single-partition window the naive
     // row_number() plans to: range partition → parallel per-partition
@@ -133,6 +146,13 @@ object WindowSetQueries {
     "u4_except" ->
       """SELECT o_custkey FROM orders WHERE o_totalprice > 55000
          EXCEPT SELECT o_custkey FROM orders WHERE o_orderstatus = 'P'""",
+    "w6_keyset_page" ->
+      """SELECT o_orderkey, strftime(o_orderdate, '%Y-%m-%d') AS order_date,
+           floor((o_totalprice) * 100 + 0.5) / 100 AS price
+         FROM orders
+         WHERE o_orderdate > TIMESTAMP '1995-06-01'
+            OR (o_orderdate = TIMESTAMP '1995-06-01' AND o_orderkey > 400)
+         ORDER BY o_orderdate, o_orderkey LIMIT 50""",
     "ids_contiguous" ->
       """SELECT doc_id, source,
            row_number() OVER (ORDER BY doc_id) - 1 AS seq_id

@@ -310,6 +310,14 @@ class PlanGuardSpec extends SparkTestBase {
       s"pair generation degraded to a cartesian shape:\n$p")
   }
 
+  test("w6 keyset page: cursor predicate reaches the scan, TakeOrdered limit") {
+    val p = plan("w6_keyset_page")
+    assert(p.contains("GreaterThan(o_orderdate"),
+      s"the cursor predicate must push to the parquet scan:\n$p")
+    assert(p.contains("TakeOrderedAndProject"),
+      s"the page must come from per-partition heaps, not a global sort:\n$p")
+  }
+
   test("no query plans a partition-less WindowExec") {
     import org.apache.spark.sql.execution.window.WindowExec
     // A window with an empty partition spec funnels ALL rows into one
