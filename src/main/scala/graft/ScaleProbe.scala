@@ -660,9 +660,49 @@ object ScaleProbe {
     time("junction join skewJoin ON 20M", skewOn = true)
   }
 
+  private object ShuffleBytes extends SparkListener {
+    val bytes = new java.util.concurrent.atomic.AtomicLong(0)
+    override def onTaskEnd(t: SparkListenerTaskEnd): Unit =
+      bytes.addAndGet(t.taskMetrics.shuffleReadMetrics.totalBytesRead)
+    def reset(): Unit = bytes.set(0)
+  }
+
+  /** `runMain graft.ScaleProbe rtfilter8` — runtime (bloom) row-filter
+    * demonstration: a 20M fact joined to a 1%-selective dim by
+    * sort-merge; with the injected bloom filter the fact side is
+    * pre-filtered BEFORE its shuffle, so shuffle-read bytes collapse.
+    * This is the optimizer feature that replaces hand-written semi-join
+    * reductions at 100 TB. */
+  private def rtfilter8(spark: SparkSession): Unit = {
+    spark.sparkContext.addSparkListener(ShuffleBytes)
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    spark.conf.set(
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold", "0")
+    val fact = spark.range(0, 20000000L).select(
+      pmod(col("id"), lit(1000000L)).as("k"),
+      (col("id") * 3).as("v")).localCheckpoint()
+    val dim = spark.range(0, 1000000L).select(col("id").as("k"),
+      pmod(hash(col("id")), lit(100)).as("tag")).localCheckpoint()
+    def time(label: String, bloomOn: Boolean): Unit = {
+      spark.conf.set("spark.sql.optimizer.runtime.bloomFilter.enabled",
+        bloomOn.toString)
+      ShuffleBytes.reset()
+      val j = fact.join(dim.filter(col("tag") === 0), Seq("k"))
+        .select((col("v") + col("tag")).as("o"))
+      val t0 = System.nanoTime()
+      val n = j.queryExecution.toRdd.count()
+      val s = (System.nanoTime() - t0) / 1e9
+      val hasBloom = j.queryExecution.executedPlan.toString
+        .contains("might_contain")
+      println(f"""{"probe":"$label","rows":$n,"sec":$s%.2f,"shuffle_mb":${ShuffleBytes.bytes.get() / 1048576.0}%.1f,"bloom":$hasBloom}""")
+    }
+    time("runtime filter OFF 20M fact, 1-pct dim", bloomOn = false)
+    time("runtime filter ON 20M fact, 1-pct dim", bloomOn = true)
+  }
+
   def main(args: Array[String]): Unit = {
     if (args.headOption.exists(Set("quota7", "pipe7", "freq7", "serve8",
-        "outlier8", "budget8", "ids8", "aqe8"))) {
+        "outlier8", "budget8", "ids8", "aqe8", "rtfilter8"))) {
       val spark = SparkSession.builder()
         .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")}]")
         .config("spark.sql.shuffle.partitions",
@@ -679,6 +719,7 @@ object ScaleProbe {
         case "budget8" => budget8(spark)
         case "ids8" => ids8(spark)
         case "aqe8" => aqe8(spark)
+        case "rtfilter8" => rtfilter8(spark)
       }
       spark.stop()
       return
