@@ -660,6 +660,39 @@ object ScaleProbe {
     time("junction join skewJoin ON 20M", skewOn = true)
   }
 
+  /** `runMain graft.ScaleProbe prefix8` — weighted ordered prefix sum
+    * (the pack_context_windows backbone) at 20M rows vs the naive
+    * global running-sum window. Unlike ids8's pure projection, the
+    * running sum needs the per-partition window (one pid-hash
+    * exchange) — the probe shows that still beats the global window's
+    * single task by an order of magnitude. */
+  private def prefix8(spark: SparkSession): Unit = {
+    import graft.operators.Relational
+    import org.apache.spark.sql.expressions.Window
+    spark.sparkContext.addSparkListener(MaxTask)
+    val rows = spark.range(0, 20000000L).select(
+      col("id"), hash(col("id")).as("k"),
+      (pmod(col("id") * 7, lit(50)) + 1).as("w"))
+      .localCheckpoint()
+    def time(label: String)(f: => Long): Unit = {
+      MaxTask.reset()
+      val t0 = System.nanoTime(); val n = f
+      val s = (System.nanoTime() - t0) / 1e9
+      println(f"""{"probe":"$label","rows":$n,"sec":$s%.2f,"max_task_sec":${MaxTask.max.get() / 1000.0}%.2f}""")
+    }
+    time("ordered prefix sum range+pid-window 20M") {
+      Relational.orderedPrefixSum(rows, Seq(col("k"), col("id")), col("w"), "cum")
+        .queryExecution.toRdd.count()
+    }
+    time("ordered prefix sum naive global window 20M") {
+      val wn = Window.partitionBy(Relational.singlePartitionKey())
+        .orderBy(col("k"), col("id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      rows.withColumn("cum", sum(col("w")).over(wn))
+        .queryExecution.toRdd.count()
+    }
+  }
+
   private object ShuffleBytes extends SparkListener {
     val bytes = new java.util.concurrent.atomic.AtomicLong(0)
     override def onTaskEnd(t: SparkListenerTaskEnd): Unit =
@@ -702,7 +735,7 @@ object ScaleProbe {
 
   def main(args: Array[String]): Unit = {
     if (args.headOption.exists(Set("quota7", "pipe7", "freq7", "serve8",
-        "outlier8", "budget8", "ids8", "aqe8", "rtfilter8"))) {
+        "outlier8", "budget8", "ids8", "aqe8", "rtfilter8", "prefix8"))) {
       val spark = SparkSession.builder()
         .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")}]")
         .config("spark.sql.shuffle.partitions",
@@ -720,6 +753,7 @@ object ScaleProbe {
         case "ids8" => ids8(spark)
         case "aqe8" => aqe8(spark)
         case "rtfilter8" => rtfilter8(spark)
+        case "prefix8" => prefix8(spark)
       }
       spark.stop()
       return
