@@ -12,6 +12,18 @@ import graft.operators.Relational
 object AggQueries {
 
   val queries: Map[String, QueryFn] = Map(
+    // A14: CUBE grouping sets — sub/grand totals in ONE pass (the
+    // OLAP form the viewer's per-dimension totals would otherwise
+    // re-query per dimension); grouping_id disambiguates a real NULL
+    // group from a rolled-up one.
+    "a14_cube" -> ((s, d) => {
+      tbl(s, d, "lineitem")
+        .cube(col("l_returnflag"), col("l_linestatus"))
+        .agg(grouping_id().cast("long").as("gid"),
+          count(lit(1)).as("n"),
+          round2(sum(col("l_extendedprice"))).as("revenue"))
+    }),
+
     // The flagship: TPC-H Q1-shaped pricing summary (reference grouped
     // aggregation shape: KBDatalakeUtils.py:717-731).
     "q1_agg" -> ((s, d) => {
@@ -171,6 +183,12 @@ object AggQueries {
     }))
 
   val oracles: Map[String, String] = Map(
+    "a14_cube" ->
+      """SELECT l_returnflag, l_linestatus,
+           CAST(GROUPING(l_returnflag, l_linestatus) AS BIGINT) AS gid,
+           count(*)::BIGINT AS n,
+           floor((sum(l_extendedprice)) * 100 + 0.5) / 100 AS revenue
+         FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)""",
     "q1_agg" ->
       """SELECT l_returnflag, l_linestatus, floor((sum(l_quantity)) * 100 + 0.5) / 100 AS sum_qty,
            floor((sum(l_extendedprice)) * 100 + 0.5) / 100 AS sum_base, floor((avg(l_discount)) * 10000 + 0.5) / 10000 AS avg_disc, count(*) AS n
