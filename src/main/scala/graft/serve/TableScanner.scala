@@ -37,7 +37,11 @@ final case class ScanRequest(
     filters: Seq[ColumnFilter] = Nil,
     groupBy: Seq[String] = Nil,
     aggregations: Seq[Aggregation] = Nil,
-    searchValue: Option[String] = None)
+    searchValue: Option[String] = None,
+    // group_by with sub/grand total rows (ROLLUP); the appended
+    // `grouping_level` column disambiguates total rows from real NULL
+    // groups — 0 = leaf group, > 0 = rolled-up margin.
+    withTotals: Boolean = false)
 
 object TableScanner {
 
@@ -51,7 +55,14 @@ object TableScanner {
         if (req.aggregations.nonEmpty) req.aggregations.map(a => compileAgg(df.schema, a))
         else Seq(count(lit(1)).as("count"))
       out =
-        if (req.groupBy.nonEmpty)
+        if (req.groupBy.nonEmpty && req.withTotals) {
+          // ROLLUP: one pass yields the leaf groups plus every margin
+          // up to the grand total — the viewer's "totals row" without a
+          // second aggregation query per level
+          val withLevel = aggs :+ grouping_id().cast("long").as("grouping_level")
+          out.rollup(req.groupBy.map(col): _*)
+            .agg(withLevel.head, withLevel.tail: _*)
+        } else if (req.groupBy.nonEmpty)
           out.groupBy(req.groupBy.map(col): _*).agg(aggs.head, aggs.tail: _*)
         else out.agg(aggs.head, aggs.tail: _*)
     }

@@ -64,6 +64,20 @@ class TableScannerSpec extends SparkTestBase {
     assert(m.size == 4 && m.values.sum == 4L) // incl. the null group
   }
 
+  test("with_totals: leaf groups plus the grand-total margin in one pass") {
+    val got = TableScanner.scan(df, ScanRequest("t",
+      groupBy = Seq("name"), withTotals = true))
+      .select("name", "count", "grouping_level")
+      .as[(Option[String], Long, Long)].collect()
+    val leaves = got.filter(_._3 == 0L)
+    val totals = got.filter(_._3 == 1L)
+    assert(leaves.length == 4 && leaves.map(_._2).sum == 4L)
+    assert(totals.toSeq == Seq((None, 4L, 1L)),
+      "exactly one grand-total row, count = all rows")
+    // grouping_level separates the REAL null group from the total row
+    assert(leaves.exists(l => l._1.isEmpty && l._2 == 1L))
+  }
+
   test("distinct_count aggregation and the stats-viewer endpoint") {
     val got = TableScanner.scan(df, ScanRequest("t",
       aggregations = Seq(Aggregation("distinct_count", "name", "n_names"))))
