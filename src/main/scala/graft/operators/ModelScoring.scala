@@ -232,4 +232,67 @@ object ModelScoring {
     roundP(lit(1.0) / (lit(1.0) +
       exp(-w.zipWithIndex.map { case (wi, i) => lit(wi) * col(s"x$i") }
         .reduce(_ + _))))
+
+  /** K-fold CROSS-VALIDATED logistic training — all k leave-one-fold-
+    * out models fitted simultaneously: each GD step joins the corpus
+    * to the k-row weight table on `fold ≠ model` (a row contributes a
+    * gradient term to every model whose validation fold it is NOT in)
+    * and reduces per model — ONE aggregation pass trains all k models,
+    * so model selection costs the same scans as a single fit. The
+    * readout scores each model on ITS OWN held-out fold. Same exact
+    * dyadic arithmetic as [[logregTrainGD]]: per-model sums are
+    * order-independent, weights bit-reproducible.
+    *
+    * `base` needs x0..x{d−1}, y, and an integer fold column in
+    * [0, k). Returns (fold, n_train, n_val, w0.., val_accuracy). */
+  def logregTrainCV(base: DataFrame, foldCol: String, k: Int, d: Int,
+                    iters: Int, lrNum: Double = 0.25): DataFrame = {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types.{DoubleType, IntegerType, StructField, StructType}
+    val spark = base.sparkSession
+    val foldSizes = base.groupBy(col(foldCol)).agg(count(lit(1)).as("c"))
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    val nTot = foldSizes.values.sum
+    var w: Map[Int, Array[Double]] =
+      (0 until k).map(_ -> Array.fill(d)(0.0)).toMap
+    val schema = StructType(StructField("__fold", IntegerType) +:
+      (0 until d).map(i => StructField(s"__w$i", DoubleType)))
+    def wFrame = spark.createDataFrame(
+      spark.sparkContext.parallelize(
+        w.toSeq.sortBy(_._1).map { case (f, ws) => Row.fromSeq(f +: ws.toSeq) }, 1),
+      schema)
+    val z = (0 until d).map(i => col(s"__w$i") * col(s"x$i")).reduce(_ + _)
+    val p = roundP(lit(1.0) / (lit(1.0) + exp(-z)))
+    for (_ <- 0 until iters) {
+      val joined = base.join(broadcast(wFrame),
+        col(foldCol) =!= col("__fold"))
+      val gradCols = (0 until d).map(i =>
+        sum((p - col("y")) * col(s"x$i")).as(s"g$i"))
+      val g = joined.groupBy(col("__fold")).agg(gradCols.head, gradCols.tail: _*)
+        .collect()
+      w = g.map { r =>
+        val f = r.getInt(0)
+        val nc = nTot - foldSizes.getOrElse(f, 0L) // complement size
+        f -> w(f).zipWithIndex.map { case (wi, i) =>
+          wi - (r.getDouble(i + 1) / nc) * lrNum
+        }
+      }.toMap
+    }
+    // score each model on its OWN held-out fold
+    base.join(broadcast(wFrame), col(foldCol) === col("__fold"))
+      .groupBy(col("__fold"))
+      .agg(count(lit(1)).as("n_val"),
+        sum(when((p >= 0.5) === (col("y") === 1.0), 1L).otherwise(0L))
+          .as("__correct"))
+      .join(broadcast(wFrame), Seq("__fold"))
+      .select(col("__fold").as("fold") +:
+        lit(nTot).as("__ntot") +:
+        (0 until d).map(i =>
+          (floor(col(s"__w$i") * 1000000 + lit(0.5)) / 1000000).as(s"w$i")) :+
+        col("n_val") :+
+        (floor(col("__correct").cast("double") / col("n_val") * 10000
+          + lit(0.5)) / 10000).as("val_accuracy"): _*)
+      .withColumn("n_train", col("__ntot") - col("n_val"))
+      .drop("__ntot")
+  }
 }

@@ -118,6 +118,21 @@ object MLQueries {
           col("accuracy"))
     }),
 
+    // K-fold cross-validated training: all 4 leave-one-fold-out models
+    // fitted in SHARED aggregation passes (fold ≠ model join), each
+    // scored on its own held-out fold — model selection for the scans
+    // of one fit.
+    "ml_logreg_cv" -> ((s, d) => {
+      val base = tbl(s, d, "documents").select(
+        pmod(col("doc_id"), lit(4)).cast("int").as("fold"),
+        lit(1.0).as("x0"),
+        (col("n_chars").cast("double") / 512).as("x1"),
+        (size(split(trim(col("text")), "\\s+")).cast("double") / 128).as("x2"),
+        when(col("n_chars") >= 250, 1.0).otherwise(0.0).as("y"))
+        .localCheckpoint()
+      ModelScoring.logregTrainCV(base, "fold", k = 4, d = 3, iters = 3)
+    }),
+
     // The per-group fleet: one independent logistic model per language,
     // all fitted in the SAME per-step aggregation pass (G models for
     // the scans of one). Per-lang weights + training accuracy.
@@ -197,6 +212,54 @@ object MLQueries {
             floor(wc * 1000000 + 0.5) / 1000000 AS w2,
             floor(correct::DOUBLE / n * 10000 + 0.5) / 10000 AS accuracy
           FROM wt3 CROSS JOIN acc"""
+    },
+    "ml_logreg_cv" -> {
+      def pExpr(w0: String, w1: String, w2: String) =
+        s"floor((1/(1 + exp(-($w0*x0 + $w1*x1 + $w2*x2)))) * 1048576 + 0.5) / 1048576"
+      def stepCtes(t: Int): String = {
+        val prev = if (t == 1) "wt0" else s"wt${t - 1}"
+        s"""g$t AS (
+              SELECT mfold AS fold, sum((p - y) * x0) AS ga,
+                sum((p - y) * x1) AS gb, sum((p - y) * x2) AS gc
+              FROM (SELECT d.x0, d.x1, d.x2, d.y, w.fold AS mfold,
+                      ${pExpr("w.wa", "w.wb", "w.wc")} AS p
+                    FROM d JOIN $prev w ON w.fold <> d.fold) q
+              GROUP BY mfold),
+            wt$t AS (
+              SELECT w.fold, w.wa - (g.ga / nc.nc) * 0.25 AS wa,
+                w.wb - (g.gb / nc.nc) * 0.25 AS wb,
+                w.wc - (g.gc / nc.nc) * 0.25 AS wc
+              FROM $prev w JOIN g$t g ON w.fold = g.fold
+              JOIN nc ON nc.fold = w.fold)"""
+      }
+      s"""WITH d AS (
+            SELECT (doc_id % 4)::INT AS fold, 1.0 AS x0,
+              n_chars::DOUBLE / 512 AS x1,
+              len(string_split_regex(trim(text), '\\s+'))::DOUBLE / 128 AS x2,
+              (CASE WHEN n_chars >= 250 THEN 1.0 ELSE 0.0 END) AS y
+            FROM documents),
+          fs AS (SELECT fold, count(*)::BIGINT AS c FROM d GROUP BY fold),
+          nt AS (SELECT count(*)::BIGINT AS n FROM d),
+          nc AS (SELECT fold, n - c AS nc FROM fs CROSS JOIN nt),
+          wt0 AS (SELECT * FROM (VALUES (0, 0.0, 0.0, 0.0), (1, 0.0, 0.0, 0.0),
+            (2, 0.0, 0.0, 0.0), (3, 0.0, 0.0, 0.0)) AS t(fold, wa, wb, wc)),
+          ${stepCtes(1)},
+          ${stepCtes(2)},
+          ${stepCtes(3)},
+          acc AS (
+            SELECT q.fold, count(*)::BIGINT AS n_val,
+              sum(CASE WHEN (p >= 0.5) = (y = 1) THEN 1 ELSE 0 END)::BIGINT
+                AS correct
+            FROM (SELECT d.fold, d.y, ${pExpr("w.wa", "w.wb", "w.wc")} AS p
+                  FROM d JOIN wt3 w ON w.fold = d.fold) q
+            GROUP BY q.fold)
+          SELECT w.fold, nt.n - a.n_val AS n_train, a.n_val,
+            floor(w.wa * 1000000 + 0.5) / 1000000 AS w0,
+            floor(w.wb * 1000000 + 0.5) / 1000000 AS w1,
+            floor(w.wc * 1000000 + 0.5) / 1000000 AS w2,
+            floor(a.correct::DOUBLE / a.n_val * 10000 + 0.5) / 10000
+              AS val_accuracy
+          FROM wt3 w JOIN acc a ON w.fold = a.fold CROSS JOIN nt"""
     },
     "ml_logreg_by_group" -> {
       def pExpr(w0: String, w1: String, w2: String) =
