@@ -118,6 +118,32 @@ object MLQueries {
           col("accuracy"))
     }),
 
+    // Feature moments + covariance in ONE pass (the standardization /
+    // PCA-whitening building block): dyadic-rational features make
+    // every raw sum exact, so means and covariances are
+    // bit-reproducible across partitionings and engines.
+    "ml_feature_moments" -> ((s, d) => {
+      val base = tbl(s, d, "documents").select(
+        (col("n_chars").cast("double") / 512).as("x1"),
+        (size(split(trim(col("text")), "\\s+")).cast("double") / 128).as("x2"))
+      def r6(c: org.apache.spark.sql.Column) =
+        floor(c * 1000000 + lit(0.5)) / 1000000
+      base.agg(count(lit(1)).as("n"),
+        sum(col("x1")).as("__s1"), sum(col("x2")).as("__s2"),
+        sum(col("x1") * col("x1")).as("__s11"),
+        sum(col("x1") * col("x2")).as("__s12"),
+        sum(col("x2") * col("x2")).as("__s22"))
+        .select(col("n"),
+          r6(col("__s1") / col("n")).as("mean1"),
+          r6(col("__s2") / col("n")).as("mean2"),
+          r6(col("__s11") / col("n")
+            - (col("__s1") / col("n")) * (col("__s1") / col("n"))).as("cov11"),
+          r6(col("__s12") / col("n")
+            - (col("__s1") / col("n")) * (col("__s2") / col("n"))).as("cov12"),
+          r6(col("__s22") / col("n")
+            - (col("__s2") / col("n")) * (col("__s2") / col("n"))).as("cov22"))
+    }),
+
     // K-fold cross-validated training: all 4 leave-one-fold-out models
     // fitted in SHARED aggregation passes (fold ≠ model join), each
     // scored on its own held-out fold — model selection for the scans
@@ -213,6 +239,22 @@ object MLQueries {
             floor(correct::DOUBLE / n * 10000 + 0.5) / 10000 AS accuracy
           FROM wt3 CROSS JOIN acc"""
     },
+    "ml_feature_moments" ->
+      """WITH d AS (
+           SELECT n_chars::DOUBLE / 512 AS x1,
+             len(string_split_regex(trim(text), '\s+'))::DOUBLE / 128 AS x2
+           FROM documents),
+         s AS (
+           SELECT count(*)::BIGINT AS n, sum(x1) AS s1, sum(x2) AS s2,
+             sum(x1 * x1) AS s11, sum(x1 * x2) AS s12, sum(x2 * x2) AS s22
+           FROM d)
+         SELECT n,
+           floor((s1 / n) * 1000000 + 0.5) / 1000000 AS mean1,
+           floor((s2 / n) * 1000000 + 0.5) / 1000000 AS mean2,
+           floor((s11 / n - (s1 / n) * (s1 / n)) * 1000000 + 0.5) / 1000000 AS cov11,
+           floor((s12 / n - (s1 / n) * (s2 / n)) * 1000000 + 0.5) / 1000000 AS cov12,
+           floor((s22 / n - (s2 / n) * (s2 / n)) * 1000000 + 0.5) / 1000000 AS cov22
+         FROM s""",
     "ml_logreg_cv" -> {
       def pExpr(w0: String, w1: String, w2: String) =
         s"floor((1/(1 + exp(-($w0*x0 + $w1*x1 + $w2*x2)))) * 1048576 + 0.5) / 1048576"
