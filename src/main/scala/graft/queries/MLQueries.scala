@@ -144,6 +144,30 @@ object MLQueries {
             - (col("__s2") / col("n")) * (col("__s2") / col("n"))).as("cov22"))
     }),
 
+    // Standardization applied: per-row z-scores using the one-pass
+    // moments (1-row broadcast) — the map-side half of the
+    // moments/whitening pair.
+    "ml_standardize" -> ((s, d) => {
+      val base = tbl(s, d, "documents").select(col("doc_id"),
+        (col("n_chars").cast("double") / 512).as("x1"),
+        (size(split(trim(col("text")), "\\s+")).cast("double") / 128).as("x2"))
+      val m = base.agg(
+        count(lit(1)).as("__n"),
+        sum(col("x1")).as("__s1"), sum(col("x2")).as("__s2"),
+        sum(col("x1") * col("x1")).as("__s11"),
+        sum(col("x2") * col("x2")).as("__s22"))
+        .select((col("__s1") / col("__n")).as("__m1"),
+          (col("__s2") / col("__n")).as("__m2"),
+          sqrt(col("__s11") / col("__n")
+            - (col("__s1") / col("__n")) * (col("__s1") / col("__n"))).as("__sd1"),
+          sqrt(col("__s22") / col("__n")
+            - (col("__s2") / col("__n")) * (col("__s2") / col("__n"))).as("__sd2"))
+      base.crossJoin(broadcast(m))
+        .select(col("doc_id"),
+          round4((col("x1") - col("__m1")) / col("__sd1")).as("z1"),
+          round4((col("x2") - col("__m2")) / col("__sd2")).as("z2"))
+    }),
+
     // K-fold cross-validated training: all 4 leave-one-fold-out models
     // fitted in SHARED aggregation passes (fold ≠ model join), each
     // scored on its own held-out fold — model selection for the scans
@@ -239,6 +263,24 @@ object MLQueries {
             floor(correct::DOUBLE / n * 10000 + 0.5) / 10000 AS accuracy
           FROM wt3 CROSS JOIN acc"""
     },
+    "ml_standardize" ->
+      """WITH d AS (
+           SELECT doc_id, n_chars::DOUBLE / 512 AS x1,
+             len(string_split_regex(trim(text), '\s+'))::DOUBLE / 128 AS x2
+           FROM documents),
+         s AS (
+           SELECT count(*)::BIGINT AS n, sum(x1) AS s1, sum(x2) AS s2,
+             sum(x1 * x1) AS s11, sum(x2 * x2) AS s22
+           FROM d),
+         m AS (
+           SELECT s1 / n AS m1, s2 / n AS m2,
+             sqrt(s11 / n - (s1 / n) * (s1 / n)) AS sd1,
+             sqrt(s22 / n - (s2 / n) * (s2 / n)) AS sd2
+           FROM s)
+         SELECT doc_id,
+           floor(((x1 - m1) / sd1) * 10000 + 0.5) / 10000 AS z1,
+           floor(((x2 - m2) / sd2) * 10000 + 0.5) / 10000 AS z2
+         FROM d CROSS JOIN m""",
     "ml_feature_moments" ->
       """WITH d AS (
            SELECT n_chars::DOUBLE / 512 AS x1,
