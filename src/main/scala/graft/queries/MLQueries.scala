@@ -168,6 +168,47 @@ object MLQueries {
           round4((col("x2") - col("__m2")) / col("__sd2")).as("z2"))
     }),
 
+    // PCA end-to-end: exact one-pass covariance (dyadic features) +
+    // the CLOSED-FORM 2x2 eigen solution (λ = mean ± sqrt(Δ² + b²)) +
+    // map-side per-row principal-component scores — every step is
+    // deterministic arithmetic, so the whole pipeline is
+    // differentially checkable; a d-dim PCA eigen-solves the same
+    // exact covariance on the driver.
+    "ml_pca_project" -> ((s, d) => {
+      val base = tbl(s, d, "documents").select(col("doc_id"),
+        (col("n_chars").cast("double") / 512).as("x1"),
+        (size(split(trim(col("text")), "\\s+")).cast("double") / 128).as("x2"))
+      val m = base.agg(
+        count(lit(1)).as("__n"),
+        sum(col("x1")).as("__s1"), sum(col("x2")).as("__s2"),
+        sum(col("x1") * col("x1")).as("__s11"),
+        sum(col("x1") * col("x2")).as("__s12"),
+        sum(col("x2") * col("x2")).as("__s22"))
+        .select((col("__s1") / col("__n")).as("m1"),
+          (col("__s2") / col("__n")).as("m2"),
+          (col("__s11") / col("__n")
+            - (col("__s1") / col("__n")) * (col("__s1") / col("__n"))).as("a"),
+          (col("__s12") / col("__n")
+            - (col("__s1") / col("__n")) * (col("__s2") / col("__n"))).as("b"),
+          (col("__s22") / col("__n")
+            - (col("__s2") / col("__n")) * (col("__s2") / col("__n"))).as("c"))
+        .withColumn("lam1",
+          (col("a") + col("c")) / 2
+            + sqrt(((col("a") - col("c")) / 2) * ((col("a") - col("c")) / 2)
+              + col("b") * col("b")))
+        .withColumn("__vnorm",
+          sqrt(col("b") * col("b")
+            + (col("lam1") - col("a")) * (col("lam1") - col("a"))))
+        .withColumn("u1", col("b") / col("__vnorm"))
+        .withColumn("u2", (col("lam1") - col("a")) / col("__vnorm"))
+      base.crossJoin(broadcast(m))
+        .select(col("doc_id"),
+          round4(col("u1") * (col("x1") - col("m1"))
+            + col("u2") * (col("x2") - col("m2"))).as("pc1"),
+          round4(-col("u2") * (col("x1") - col("m1"))
+            + col("u1") * (col("x2") - col("m2"))).as("pc2"))
+    }),
+
     // K-fold cross-validated training: all 4 leave-one-fold-out models
     // fitted in SHARED aggregation passes (fold ≠ model join), each
     // scored on its own held-out fold — model selection for the scans
@@ -263,6 +304,34 @@ object MLQueries {
             floor(correct::DOUBLE / n * 10000 + 0.5) / 10000 AS accuracy
           FROM wt3 CROSS JOIN acc"""
     },
+    "ml_pca_project" ->
+      """WITH d AS (
+           SELECT doc_id, n_chars::DOUBLE / 512 AS x1,
+             len(string_split_regex(trim(text), '\s+'))::DOUBLE / 128 AS x2
+           FROM documents),
+         s AS (
+           SELECT count(*)::BIGINT AS n, sum(x1) AS s1, sum(x2) AS s2,
+             sum(x1 * x1) AS s11, sum(x1 * x2) AS s12, sum(x2 * x2) AS s22
+           FROM d),
+         cov AS (
+           SELECT s1 / n AS m1, s2 / n AS m2,
+             s11 / n - (s1 / n) * (s1 / n) AS a,
+             s12 / n - (s1 / n) * (s2 / n) AS b,
+             s22 / n - (s2 / n) * (s2 / n) AS c
+           FROM s),
+         eig AS (
+           SELECT m1, m2, a, b,
+             (a + c) / 2 + sqrt(((a - c) / 2) * ((a - c) / 2) + b * b) AS lam1
+           FROM cov),
+         pc AS (
+           SELECT m1, m2,
+             b / sqrt(b * b + (lam1 - a) * (lam1 - a)) AS u1,
+             (lam1 - a) / sqrt(b * b + (lam1 - a) * (lam1 - a)) AS u2
+           FROM eig)
+         SELECT doc_id,
+           floor((u1 * (x1 - m1) + u2 * (x2 - m2)) * 10000 + 0.5) / 10000 AS pc1,
+           floor((-u2 * (x1 - m1) + u1 * (x2 - m2)) * 10000 + 0.5) / 10000 AS pc2
+         FROM d CROSS JOIN pc""",
     "ml_standardize" ->
       """WITH d AS (
            SELECT doc_id, n_chars::DOUBLE / 512 AS x1,
