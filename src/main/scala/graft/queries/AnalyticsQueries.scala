@@ -353,7 +353,8 @@ object AnalyticsQueries {
              sum(cnt) OVER (ORDER BY v
                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - cnt AS below
            FROM c),
-         nn AS (SELECT count(*)::BIGINT AS n FROM documents)
+         nn AS (SELECT count(*)::BIGINT AS n FROM documents
+                WHERE n_chars IS NOT NULL)
          SELECT CAST(floor((below * 8)::DOUBLE / n) AS BIGINT) AS bucket,
            sum(cnt) AS n_rows, min(v) AS lo, max(v) AS hi
          FROM cum CROSS JOIN nn GROUP BY 1""",
