@@ -733,9 +733,155 @@ object ScaleProbe {
     time("runtime filter ON 20M fact, 1-pct dim", bloomOn = true)
   }
 
+  /** `runMain graft.ScaleProbe sparse9` — the sparse-similarity-join
+    * fan-out probe behind the round-9 df-cap fix. A 100k-doc corpus
+    * where every doc is 30 unique hex chars (df≈1 grams) plus one of
+    * 64 shared 5-char motifs (df≈1560 — just under the 2% fractional
+    * cap, the pathological "allowed stop-gram"): the frac-cap form's
+    * posting self-join emits C(df,2) tuples PER MOTIF (~78M here, and
+    * growing QUADRATICALLY with corpus size since the cap is a
+    * fraction), while the scalable form's prefix filter sees the motif
+    * as each doc's highest-df (last-ordered) term — outside every
+    * prefix — so its candidate set collapses to the df≈1 head and is
+    * bounded regardless of corpus size. Reports candidate-tuple
+    * counts, wall-clock, and max task for both full queries. */
+  private def sparse9(spark: SparkSession): Unit = {
+    import graft.operators.TfIdf
+    import org.apache.spark.sql.DataFrame
+    spark.sparkContext.addSparkListener(MaxTask)
+    val nDocs = 100000L
+    val motifs = 64
+    // text = md5-derived 30-char unique run + shared 5-char motif
+    val docs = spark.range(0, nDocs).select(col("id").as("doc_id"),
+      concat(substring(md5(col("id").cast("string")), 1, 30),
+        substring(md5(pmod(col("id"), lit(motifs)).cast("string")), 1, 5))
+        .as("text"))
+      .localCheckpoint()
+    // candidate-tuple counts: the same (doc, term, w) construction as
+    // TfIdf.sparseCosinePairs / sparseCosinePairsScalable, counting the
+    // posting join's output instead of reducing it
+    val tf = docs.select(col("doc_id"),
+      explode(transform(
+        sequence(lit(1), greatest(length(col("text")) - 4, lit(1))),
+        i => col("text").substr(i, lit(5)))).as("term"))
+      .groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
+      .localCheckpoint()
+    val dfreq = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+      .filter(col("df") <= nDocs * 0.02).localCheckpoint()
+    val wts = tf.join(dfreq, Seq("term")).localCheckpoint()
+    val fracCand = wts.select(col("term"), col("doc_id").as("a"))
+      .join(wts.select(col("term"), col("doc_id").as("b")), Seq("term"))
+      .filter(col("a") < col("b")).count()
+    // prefix flag mirrors sparseCosinePairsScalable (idf-weighted mass)
+    val idf = dfreq.select(col("term"), col("df"),
+      (log((lit(nDocs) + 1).cast("double") / (col("df") + 1)) + 1).as("idf"))
+    val w2 = tf.join(idf, Seq("term")).select(col("doc_id"), col("term"),
+      col("df"), (floor(col("tf") * col("idf") * 1024 + lit(0.5)) / 1024).as("w"))
+      .localCheckpoint()
+    val nrm2 = w2.groupBy(col("doc_id")).agg(sum(col("w") * col("w")).as("n2"))
+    val wo = org.apache.spark.sql.expressions.Window.partitionBy(col("doc_id"))
+      .orderBy(col("df").asc, col("term").asc)
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    val prefix = w2.join(nrm2, Seq("doc_id"))
+      .withColumn("__b", coalesce(sum(col("w") * col("w")).over(wo), lit(0.0)))
+      .filter(col("__b") <= lit(0.64) * col("n2") * (1 + 1e-12) + 1e-12)
+    val prefCand = prefix.select(col("term"), col("doc_id").as("a"))
+      .join(w2.select(col("term"), col("doc_id").as("b")), Seq("term"))
+      .filter(col("a") < col("b")).count()
+    println(s"""{"probe":"sparse9 candidate tuples 100k docs","frac_cap":$fracCand,"prefix_filter":$prefCand}""")
+    def time(label: String)(f: => DataFrame): Unit = {
+      MaxTask.reset()
+      val t0 = System.nanoTime(); val n = f.count()
+      val s = (System.nanoTime() - t0) / 1e9
+      println(f"""{"probe":"$label","rows":$n,"sec":$s%.2f,"max_task_sec":${MaxTask.max.get() / 1000.0}%.2f}""")
+    }
+    time("sparse pairs frac-cap 100k docs") {
+      TfIdf.sparseCosinePairs(docs, "doc_id", "text", n = 5,
+        maxDfFrac = 0.02, threshold = 0.6)
+    }
+    time("sparse pairs prefix+abs-cap 100k docs") {
+      TfIdf.sparseCosinePairsScalable(docs, "doc_id", "text", n = 5,
+        maxDfFrac = 0.02, maxDfAbs = 100000L, threshold = 0.6)
+    }
+  }
+
+  /** `runMain graft.ScaleProbe interop9` — streaming↔batch sketch
+    * interop at 20M events: 18M "historical" events fold into the
+    * batch KLL cube (`kll_sketch_agg`, one partial-agg pass), 2M
+    * "live" events run through the actual `transformWithState`
+    * RocksDB monitor ([[graft.streaming.StreamQuantiles
+    * .quantileSketches]]), and the monitor's exported state unions
+    * into the cube with `kll_union_agg` — NO rescan of either side.
+    * Pins wall-clock, max task, total exported state bytes, and the
+    * fused p50's worst-key rank error vs the exact readout. */
+  private def interop9(spark: SparkSession): Unit = {
+    import org.apache.spark.sql.graftx.KllSketch
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    spark.sparkContext.addSparkListener(MaxTask)
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val keys = 64
+    // skewed long-tailed values: v = (id*2654435761 mod 100003)^1.3
+    def valueCol = pow(pmod(col("id") * 2654435761L, lit(100003L))
+      .cast("double"), lit(1.3))
+    val hist = spark.range(0, 18000000L).select(
+      pmod(col("id"), lit(keys)).as("key"), valueCol.as("value"))
+      .localCheckpoint()
+    val live = spark.range(18000000L, 20000000L).select(
+      pmod(col("id"), lit(keys)).as("key"), valueCol.as("value"))
+      .localCheckpoint()
+    // batch cube
+    MaxTask.reset()
+    var t0 = System.nanoTime()
+    val cube = hist.groupBy("key")
+      .agg(KllSketch.sketchAgg(col("value"), 400).as("sketch"))
+      .localCheckpoint()
+    println(f"""{"probe":"interop9 batch cube 18M","sec":${(System.nanoTime() - t0) / 1e9}%.2f,"max_task_sec":${MaxTask.max.get() / 1000.0}%.2f}""")
+    // live monitor: the real streaming operator, RocksDB v2 state
+    MaxTask.reset(); t0 = System.nanoTime()
+    val mem = MemoryStream[(Long, Double)]
+    val q = graft.streaming.StreamQuantiles.quantileSketches(
+      mem.toDF().toDF("key", "value"), k = 400)
+      .writeStream.format("memory").queryName("interop9_live")
+      .outputMode(org.apache.spark.sql.streaming.OutputMode.Append()).start()
+    val liveRows = live.as[(Long, Double)].collect()
+    liveRows.grouped(500000).foreach { chunk =>
+      mem.addData(chunk.toSeq: _*); q.processAllAvailable()
+    }
+    val streamState = spark.table("interop9_live")
+      .withColumn("rk", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy(col("key")).orderBy(col("n").desc)))
+      .filter(col("rk") === 1).select("key", "sketch")
+      .localCheckpoint()
+    q.stop()
+    val stateBytes = streamState.select(sum(length(col("sketch"))))
+      .as[Long].head()
+    println(f"""{"probe":"interop9 stream monitor 2M (4 micro-batches)","sec":${(System.nanoTime() - t0) / 1e9}%.2f,"max_task_sec":${MaxTask.max.get() / 1000.0}%.2f,"state_bytes":$stateBytes}""")
+    // fuse: union stream state into the cube, no rescan
+    MaxTask.reset(); t0 = System.nanoTime()
+    val fused = cube.unionByName(streamState)
+      .groupBy("key").agg(KllSketch.quantile(
+        KllSketch.unionAgg(col("sketch"), 400), lit(0.5)).as("p50"))
+      .as[(Long, Double)].collect().toMap
+    val fuseSec = (System.nanoTime() - t0) / 1e9
+    // worst-key true rank of the fused p50 vs the exact 0.5
+    val all = hist.unionByName(live)
+    val fusedDf = fused.toSeq.toDF("key", "p50")
+    val worst = all.join(broadcast(fusedDf), Seq("key"))
+      .groupBy("key").agg(
+        (sum(when(col("value") <= col("p50"), 1L).otherwise(0L))
+          .cast("double") / count(lit(1))).as("r"))
+      .agg(max(abs(col("r") - 0.5))).as[Double].head()
+    println(f"""{"probe":"interop9 fuse + readout","sec":$fuseSec%.2f,"max_task_sec":${MaxTask.max.get() / 1000.0}%.2f,"worst_key_rank_err":$worst%.4f}""")
+  }
+
   def main(args: Array[String]): Unit = {
     if (args.headOption.exists(Set("quota7", "pipe7", "freq7", "serve8",
-        "outlier8", "budget8", "ids8", "aqe8", "rtfilter8", "prefix8"))) {
+        "outlier8", "budget8", "ids8", "aqe8", "rtfilter8", "prefix8",
+        "sparse9", "interop9"))) {
       val spark = SparkSession.builder()
         .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")}]")
         .config("spark.sql.shuffle.partitions",
@@ -754,6 +900,8 @@ object ScaleProbe {
         case "aqe8" => aqe8(spark)
         case "rtfilter8" => rtfilter8(spark)
         case "prefix8" => prefix8(spark)
+        case "sparse9" => sparse9(spark)
+        case "interop9" => interop9(spark)
       }
       spark.stop()
       return

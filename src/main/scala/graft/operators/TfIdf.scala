@@ -109,24 +109,6 @@ object TfIdf {
       .drop("__n_docs")
   }
 
-  /** Sparse TF-IDF cosine document-pair similarity — the inverted-
-    * index similarity join (the sparse sibling of the dense
-    * `Similarity.lshCosineNearDupPairs`): documents become tf-idf
-    * vectors over character `n`-gram terms, pairs are generated ONLY
-    * through shared posting lists, and the df-cap (`maxDfFrac`) is the
-    * fan-out bound — a term in df docs contributes C(df,2) pair
-    * tuples, so dropping the stop-gram head keeps the join linear in
-    * the posting mass instead of quadratic in the corpus. Cosine is
-    * computed over the CAPPED feature space (standard for this join —
-    * stop-grams carry no signal).
-    *
-    * Cross-engine-exact: weights quantize to 2⁻¹⁰ dyadic rationals, so
-    * every dot/norm term is an exact double and the per-pair sums are
-    * order-independent — the threshold filter sees identical bits in
-    * Spark's partial aggs and a sequential engine (the `ln` of idf is
-    * pre-quantization, its ulp variation absorbed like logreg's exp).
-    * One tokenize pass; (doc, term, w) is checkpointed and feeds the
-    * norms AND both posting sides. */
   /** Incremental form of [[sparseCosinePairs]] — the ingest-time
     * screen (the sparse sibling of `Dedup.lshProbePairs` /
     * `Similarity.ivfProbeTopK`): the NEW batch is weighted with the
@@ -210,6 +192,28 @@ object TfIdf {
         (floor(col("cosine") * 10000 + lit(0.5)) / 10000).as("cosine"))
   }
 
+  /** Sparse TF-IDF cosine document-pair similarity — the inverted-
+    * index similarity join (the sparse sibling of the dense
+    * `Similarity.lshCosineNearDupPairs`): documents become tf-idf
+    * vectors over character `n`-gram terms, pairs are generated ONLY
+    * through shared posting lists, and the df-cap (`maxDfFrac`) drops
+    * the stop-gram head (which carries no signal). Cosine is computed
+    * over the CAPPED feature space.
+    *
+    * Cross-engine-exact: weights quantize to 2⁻¹⁰ dyadic rationals, so
+    * every dot/norm term is an exact double and the per-pair sums are
+    * order-independent — the threshold filter sees identical bits in
+    * Spark's partial aggs and a sequential engine (the `ln` of idf is
+    * pre-quantization, its ulp variation absorbed like logreg's exp).
+    * One tokenize pass; (doc, term, w) is checkpointed and feeds the
+    * norms AND both posting sides.
+    *
+    * SCALE WARNING: a FRACTIONAL df cap is not a fan-out bound — the
+    * allowed df grows with the corpus, so a near-cap term emits
+    * C(frac·n, 2) pair tuples, quadratic in corpus size. This form is
+    * the small-corpus ORACLE; the 100-TB path is
+    * [[sparseCosinePairsScalable]] (absolute df ceiling + exact
+    * AllPairs prefix filter), which returns the identical pair set. */
   def sparseCosinePairs(df: DataFrame, idCol: String, textCol: String,
                         n: Int, maxDfFrac: Double,
                         threshold: Double): DataFrame = {
@@ -237,6 +241,78 @@ object TfIdf {
     dots
       .join(norms.select(col(idCol).as("id_a"), col("nrm").as("na")), Seq("id_a"))
       .join(norms.select(col(idCol).as("id_b"), col("nrm").as("nb")), Seq("id_b"))
+      .withColumn("cosine", col("dot") / (col("na") * col("nb")))
+      .filter(col("cosine") >= threshold)
+      .select(col("id_a"), col("id_b"),
+        (floor(col("cosine") * 10000 + lit(0.5)) / 10000).as("cosine"))
+  }
+
+  /** The 100-TB form of [[sparseCosinePairs]] — identical output,
+    * corpus-size-independent fan-out. Two guards replace the
+    * fractional df cap as the bound:
+    *
+    *  1. '''Absolute df ceiling''': the feature space keeps terms with
+    *     `df ≤ min(maxDfFrac·n, maxDfAbs)`, so per-term candidate
+    *     fan-out is ≤ prefixOcc(term)·maxDfAbs at ANY corpus size
+    *     (pass `maxDfAbs ≥ maxDfFrac·n` to reproduce the oracle's
+    *     feature space exactly on a test corpus).
+    *  2. '''Exact AllPairs prefix filter''' (Bayardo et al., WWW'07
+    *     adapted to normalized cosine): order each doc's terms by
+    *     (df asc, term asc) — rarest first — and call a term a PREFIX
+    *     term iff the normalized squared-weight mass strictly before
+    *     it is ≤ 1 − t². If a pair shares no prefix term of either
+    *     side, every shared term sits in a suffix whose norm is < t,
+    *     so cos(x,y) ≤ ‖x̂_suffix‖·‖ŷ‖ < t — hence generating
+    *     candidates from (prefix terms of the smaller id) × (full
+    *     postings) is EXACT, and only the rare-term head of each doc
+    *     probes the index. The boundary test widens by 1e−12 so a
+    *     0.5-ulp rounding of (1−t²)·‖x‖² can only ADD candidates,
+    *     never drop one.
+    *
+    * Candidates then verify by an exact dot over the FULL capped
+    * vectors (candidate-pair join back to the weight table), so every
+    * surviving pair carries the same order-independent dyadic-exact
+    * sum as [[sparseCosinePairs]] — bit-identical cosines. */
+  def sparseCosinePairsScalable(df: DataFrame, idCol: String, textCol: String,
+                                n: Int, maxDfFrac: Double, maxDfAbs: Long,
+                                threshold: Double): DataFrame = {
+    val tf = tfOf(df, idCol, textCol, n).localCheckpoint()
+    val dfreq = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val nDocs = tf.select(countDistinct(col(idCol)).as("n_docs"))
+    val idf = dfreq.crossJoin(broadcast(nDocs))
+      .filter(col("df") <= least(col("n_docs").cast("double") * maxDfFrac,
+        lit(maxDfAbs.toDouble)))
+      .select(col("term"), col("df"),
+        (log((col("n_docs") + 1).cast("double") / (col("df") + 1)) + 1).as("idf"))
+    // carries df so the per-doc prefix ordering needs no second join
+    val wts = tf.join(idf.hint("shuffle_hash"), Seq("term"))
+      .select(col(idCol).as("id"), col("term"), col("df"),
+        (floor(col("tf") * col("idf") * 1024 + lit(0.5)) / 1024).as("w"))
+      .localCheckpoint() // feeds prefix flags, norms, and both verify sides
+    val nrm2 = wts.groupBy(col("id")).agg(sum(col("w") * col("w")).as("nrm_sq"))
+    // doc-vector-bounded window: per-doc cumulative w² strictly before
+    // the current term in (df asc, term asc) order
+    val wOrd = Window.partitionBy(col("id"))
+      .orderBy(col("df").asc, col("term").asc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val probe = wts.join(nrm2, Seq("id"))
+      .withColumn("__before",
+        coalesce(sum(col("w") * col("w")).over(wOrd), lit(0.0)))
+      .filter(col("__before") <=
+        lit(1.0 - threshold * threshold) * col("nrm_sq") * (1 + 1e-12) + 1e-12)
+      .select(col("term"), col("id").as("id_a"))
+    val post = wts.select(col("term"), col("id").as("id_b"))
+    val cand = probe.join(post, Seq("term"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b")).distinct()
+    val wa = wts.select(col("id").as("id_a"), col("term"), col("w").as("wa"))
+    val wb = wts.select(col("id").as("id_b"), col("term"), col("w").as("wb"))
+    val dots = cand.join(wa, Seq("id_a")).join(wb, Seq("id_b", "term"))
+      .groupBy(col("id_a"), col("id_b")).agg(sum(col("wa") * col("wb")).as("dot"))
+    val nrm = nrm2.select(col("id"), sqrt(col("nrm_sq")).as("nrm"))
+    dots
+      .join(nrm.select(col("id").as("id_a"), col("nrm").as("na")), Seq("id_a"))
+      .join(nrm.select(col("id").as("id_b"), col("nrm").as("nb")), Seq("id_b"))
       .withColumn("cosine", col("dot") / (col("na") * col("nb")))
       .filter(col("cosine") >= threshold)
       .select(col("id_a"), col("id_b"),

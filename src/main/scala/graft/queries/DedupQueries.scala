@@ -250,6 +250,18 @@ object DedupQueries {
         "doc_id", "text", n = ShingleN, maxDfFrac = 0.02, threshold = 0.6)
     }),
 
+    // The 100-TB form of the sparse similarity join: absolute df
+    // ceiling (min(frac·n, 100k) — corpus-size-independent fan-out)
+    // plus the exact AllPairs prefix filter (only each doc's
+    // rarest-term head generates candidates; full dots verify).
+    // Identical pair set and bit-identical cosines by construction —
+    // shares sparse_cosine_pairs' oracle.
+    "sparse_pairs_scalable" -> ((s, d) => {
+      graft.operators.TfIdf.sparseCosinePairsScalable(tbl(s, d, "documents"),
+        "doc_id", "text", n = ShingleN, maxDfFrac = 0.02,
+        maxDfAbs = 100000L, threshold = 0.6)
+    }),
+
     // Incremental sparse screen: the odd-id "new batch" weighted with
     // the even-id index's persisted idf model probes its posting lists
     // (TfIdf.sparseCosineProbe) — the sparse sibling of dedup_lsh_probe
@@ -377,6 +389,38 @@ object DedupQueries {
         JOIN nb ON id_batch = nb.doc_id
         JOIN ni ON id_index = ni.doc_id
         WHERE dot / (nb.nrm * ni.nrm) >= 0.6"""
+
+  /** Shared by sparse_cosine_pairs and sparse_pairs_scalable: the
+    * scalable form (absolute df ceiling + exact prefix filter) returns
+    * the identical pair set with bit-identical cosines by
+    * construction, so both compare against this one exact-form SQL. */
+  private lazy val sparsePairsSql: String =
+    s"""WITH g AS (
+          SELECT doc_id,
+            unnest(list_transform(
+              generate_series(1, greatest(length(text) - ${ShingleN - 1}, 1)),
+              i -> substring(text, i, $ShingleN))) AS term
+          FROM documents),
+        tf AS (SELECT doc_id, term, count(*)::BIGINT AS tf FROM g GROUP BY 1, 2),
+        dfq AS (SELECT term, count(*)::BIGINT AS df FROM tf GROUP BY term),
+        nd AS (SELECT count(DISTINCT doc_id)::BIGINT AS n_docs FROM tf),
+        idf AS (
+          SELECT term, ln((n_docs + 1)::DOUBLE / (df + 1)) + 1 AS idf
+          FROM dfq CROSS JOIN nd WHERE df <= n_docs::DOUBLE * 0.02),
+        wts AS (
+          SELECT doc_id, term, floor(tf * idf * 1024 + 0.5) / 1024 AS w
+          FROM tf JOIN idf USING (term)),
+        nrm AS (SELECT doc_id, sqrt(sum(w * w)) AS nrm FROM wts GROUP BY doc_id),
+        dots AS (
+          SELECT a.doc_id AS id_a, b.doc_id AS id_b, sum(a.w * b.w) AS dot
+          FROM wts a JOIN wts b ON a.term = b.term AND a.doc_id < b.doc_id
+          GROUP BY 1, 2)
+        SELECT id_a, id_b,
+          floor(dot / (na.nrm * nb.nrm) * 10000 + 0.5) / 10000 AS cosine
+        FROM dots
+        JOIN nrm na ON id_a = na.doc_id
+        JOIN nrm nb ON id_b = nb.doc_id
+        WHERE dot / (na.nrm * nb.nrm) >= 0.6"""
 
   val oracles: Map[String, String] = Map(
     "dedup_exact" ->
@@ -578,33 +622,12 @@ object DedupQueries {
     // identical result by construction: the amortized path only skips
     // rebuilding the index artifacts
     "sparse_probe_amortized" -> sparseProbeSql,
-    "sparse_cosine_pairs" ->
-      s"""WITH g AS (
-            SELECT doc_id,
-              unnest(list_transform(
-                generate_series(1, greatest(length(text) - ${ShingleN - 1}, 1)),
-                i -> substring(text, i, $ShingleN))) AS term
-            FROM documents),
-          tf AS (SELECT doc_id, term, count(*)::BIGINT AS tf FROM g GROUP BY 1, 2),
-          dfq AS (SELECT term, count(*)::BIGINT AS df FROM tf GROUP BY term),
-          nd AS (SELECT count(DISTINCT doc_id)::BIGINT AS n_docs FROM tf),
-          idf AS (
-            SELECT term, ln((n_docs + 1)::DOUBLE / (df + 1)) + 1 AS idf
-            FROM dfq CROSS JOIN nd WHERE df <= n_docs::DOUBLE * 0.02),
-          wts AS (
-            SELECT doc_id, term, floor(tf * idf * 1024 + 0.5) / 1024 AS w
-            FROM tf JOIN idf USING (term)),
-          nrm AS (SELECT doc_id, sqrt(sum(w * w)) AS nrm FROM wts GROUP BY doc_id),
-          dots AS (
-            SELECT a.doc_id AS id_a, b.doc_id AS id_b, sum(a.w * b.w) AS dot
-            FROM wts a JOIN wts b ON a.term = b.term AND a.doc_id < b.doc_id
-            GROUP BY 1, 2)
-          SELECT id_a, id_b,
-            floor(dot / (na.nrm * nb.nrm) * 10000 + 0.5) / 10000 AS cosine
-          FROM dots
-          JOIN nrm na ON id_a = na.doc_id
-          JOIN nrm nb ON id_b = nb.doc_id
-          WHERE dot / (na.nrm * nb.nrm) >= 0.6""",
+    "sparse_cosine_pairs" -> sparsePairsSql,
+    // identical pair set + bit-identical cosines by construction: the
+    // scalable form only changes HOW candidates are generated (absolute
+    // df ceiling is above frac·n on this corpus; the prefix filter is
+    // exact), never which pairs survive or their sums
+    "sparse_pairs_scalable" -> sparsePairsSql,
     "dedup_minhash_estimate" -> {
       val matchSum = (0 until MinhashK)
         .map(i => s"(CASE WHEN a.mh$i = b.mh$i THEN 1 ELSE 0 END)")
