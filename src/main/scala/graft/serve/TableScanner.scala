@@ -41,7 +41,17 @@ final case class ScanRequest(
     // group_by with sub/grand total rows (ROLLUP); the appended
     // `grouping_level` column disambiguates total rows from real NULL
     // groups — 0 = leaf group, > 0 = rolled-up margin.
-    withTotals: Boolean = false)
+    withTotals: Boolean = false,
+    // Keyset (cursor) pagination — the deep-scroll-safe alternative to
+    // offset: `cursorColumns` are ascending key columns that totally
+    // order the result (include a unique tie-break), `cursor` the last
+    // served row's values for them (string-typed like filter values;
+    // empty cursor = first page). Compiled via the strict-lexicographic
+    // predicate expansion (Relational.keysetPage) so every conjunct is
+    // pushdown-eligible — page N+1 costs O(limit), not O(N·limit).
+    // Mutually exclusive with `offset`/`sortColumn`; requires `limit`.
+    cursorColumns: Seq[String] = Nil,
+    cursor: Seq[String] = Nil)
 
 object TableScanner {
 
@@ -65,6 +75,26 @@ object TableScanner {
         } else if (req.groupBy.nonEmpty)
           out.groupBy(req.groupBy.map(col): _*).agg(aggs.head, aggs.tail: _*)
         else out.agg(aggs.head, aggs.tail: _*)
+    }
+    if (req.cursorColumns.nonEmpty) {
+      // keyset page: filter-first (pushdown-eligible), TakeOrdered
+      // keeps `limit` rows per partition — never order-and-discard
+      require(req.offset.isEmpty && req.sortColumn.isEmpty,
+        "cursor paging replaces offset/sort_column")
+      require(req.cursor.isEmpty || req.cursor.size == req.cursorColumns.size,
+        s"cursor arity ${req.cursor.size} != cursor_columns ${req.cursorColumns.size}")
+      val lim = req.limit.getOrElse(
+        throw new IllegalArgumentException("cursor paging requires limit"))
+      if (req.cursor.isEmpty)
+        out = out.orderBy(req.cursorColumns.map(col): _*).limit(lim)
+      else {
+        val schema = out.schema
+        val keys = req.cursorColumns.zip(req.cursor).map { case (c, v) =>
+          (col(c), typed(v, schema(c).dataType))
+        }
+        out = graft.operators.Relational.keysetPage(out, keys, lim)
+      }
+      return out
     }
     req.sortColumn.foreach { c =>
       val o = if (req.sortOrder.equalsIgnoreCase("DESC")) col(c).desc else col(c).asc

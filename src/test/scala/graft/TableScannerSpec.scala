@@ -169,4 +169,65 @@ class TableScannerSpec extends SparkTestBase {
     assert(pages.reverse.map(_.hasMore) == List(true, true, false))
     assert(pages.head.rows.size == 5, "last page carries the remainder only")
   }
+
+  test("cursor paging: walked pages equal offset paging; predicate is pushed") {
+    import org.apache.spark.sql.functions.col
+    val orders = graft.core.Lakehouse.table(spark, sfSmoke, "orders")
+    val keys = Seq("o_orderdate", "o_orderkey")
+    val full = orders.orderBy(keys.map(col): _*)
+      .select("o_orderkey").collect().map(_.getLong(0)).toSeq
+    // walk by cursor exactly as a deep-scrolling client would
+    var cursor = Seq.empty[String]
+    var walked = Vector.empty[Long]
+    var page = 0
+    while (page == 0 || cursor.nonEmpty) {
+      val got = TableScanner.scan(orders, ScanRequest("orders",
+        limit = Some(40), cursorColumns = keys, cursor = cursor)).collect()
+      walked ++= got.map(_.getAs[Long]("o_orderkey"))
+      cursor =
+        if (got.length < 40) Seq.empty
+        else keys.map(k => got.last.getAs[Any](k).toString)
+      page += 1
+    }
+    assert(walked.take(full.size) == full && page > 2,
+      s"cursor walk diverged after ${walked.size} rows / $page pages")
+    // plan shape at depth: the cursor conjuncts reach the parquet scan
+    // and the page is a TakeOrdered (per-partition heaps), never a
+    // global-sort-then-discard
+    val deep = TableScanner.scan(orders, ScanRequest("orders",
+      limit = Some(40), cursorColumns = keys,
+      cursor = Seq("1997-06-01 00:00:00", "400")))
+    val plan = deep.queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"), s"no TakeOrdered:\n$plan")
+    assert(plan.contains("PushedFilters: [Or(GreaterThan(o_orderdate"),
+      s"cursor predicate not pushed to scan:\n$plan")
+    // first page (empty cursor) is served, ordered, limit-bounded
+    val first = TableScanner.scan(orders, ScanRequest("orders",
+      limit = Some(40), cursorColumns = keys)).collect()
+    assert(first.map(_.getAs[Long]("o_orderkey")).toSeq == full.take(40))
+    // contract violations fail loudly
+    intercept[IllegalArgumentException] {
+      TableScanner.scan(orders, ScanRequest("orders",
+        cursorColumns = keys, cursor = Seq("x"), limit = Some(10)))
+    }
+    intercept[IllegalArgumentException] {
+      TableScanner.scan(orders, ScanRequest("orders", cursorColumns = keys))
+    }
+    intercept[IllegalArgumentException] {
+      TableScanner.scan(orders, ScanRequest("orders", cursorColumns = keys,
+        limit = Some(10), offset = Some(5)))
+    }
+  }
+
+  test("cursor paging composes with the response cache clamp") {
+    val cache = new ResponseCache()
+    val orders = graft.core.Lakehouse.table(spark, sfSmoke, "orders")
+    val req = ScanRequest("orders", limit = Some(25),
+      cursorColumns = Seq("o_orderdate", "o_orderkey"),
+      cursor = Seq("1995-06-01 00:00:00", "400"))
+    val p1 = CachedScanner.scanPage(cache, orders, req)
+    val p2 = CachedScanner.scanPage(cache, orders, req)
+    assert(p1.rows.size == 25 && p1.truncated, "mid-table page must have more")
+    assert(p1.rows == p2.rows && cache.hits == 1 && cache.misses == 1)
+  }
 }
