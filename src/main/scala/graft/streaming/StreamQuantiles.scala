@@ -30,6 +30,7 @@ object StreamQuantiles {
 
   case class MetricIn(key: Long, value: Double)
   case class QOut(key: Long, n: Long, p50: Double, p95: Double)
+  case class SketchOut(key: Long, n: Long, sketch: Array[Byte])
 
   def quantiles(events: DataFrame, k: Int = 200): Dataset[QOut] = {
     val spark = events.sparkSession
@@ -37,6 +38,22 @@ object StreamQuantiles {
     events.select("key", "value").as[MetricIn]
       .groupByKey(_.key)
       .transformWithState(new KllProcessor(k),
+        TimeMode.None(), OutputMode.Append())
+  }
+
+  /** The state-EXPORT form of [[quantiles]]: each micro-batch emits the
+    * key's refreshed serialized sketch instead of a quantile readout —
+    * the checkpoint a streaming monitor publishes so the lakehouse
+    * percentile cube can fold live state into a batch rollup
+    * (`kll_union_agg` over stream bytes ∪ batch bytes, no rescan of
+    * either side). The latest emission per key IS the key's full
+    * streaming history, compressed to O(k·log n) bytes. */
+  def quantileSketches(events: DataFrame, k: Int = 200): Dataset[SketchOut] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    events.select("key", "value").as[MetricIn]
+      .groupByKey(_.key)
+      .transformWithState(new KllSketchExportProcessor(k),
         TimeMode.None(), OutputMode.Append())
   }
 
@@ -59,6 +76,28 @@ object StreamQuantiles {
       else Iterator(QOut(key, sketch.getN,
         sketch.getQuantile(0.5, QuantileSearchCriteria.INCLUSIVE),
         sketch.getQuantile(0.95, QuantileSearchCriteria.INCLUSIVE)))
+    }
+  }
+
+  class KllSketchExportProcessor(k: Int)
+      extends StatefulProcessor[Long, MetricIn, SketchOut] {
+
+    @transient private var sk: ValueState[Array[Byte]] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      sk = getHandle.getValueState[Array[Byte]]("kll", Encoders.BINARY,
+        TTLConfig.NONE)
+
+    override def handleInputRows(key: Long, rows: Iterator[MetricIn],
+                                 timers: TimerValues): Iterator[SketchOut] = {
+      val sketch = Option(sk.get())
+        .map(b => KllDoublesSketch.heapify(Memory.wrap(b)))
+        .getOrElse(KllDoublesSketch.newHeapInstance(k))
+      rows.foreach(m => sketch.update(m.value))
+      val bytes = sketch.toByteArray
+      sk.update(bytes)
+      if (sketch.isEmpty) Iterator.empty
+      else Iterator(SketchOut(key, sketch.getN, bytes))
     }
   }
 }

@@ -394,6 +394,61 @@ class StreamingSpec extends SparkTestBase {
     }
   }
 
+  test("streaming KLL state unions into the batch sketch cube losslessly") {
+    implicit val sqlCtx = spark.sqlContext
+    import org.apache.spark.sql.graftx.KllSketch
+    val providerKey = "spark.sql.streaming.stateStore.providerClass"
+    val prevProvider = spark.conf.getOption(providerKey)
+    spark.conf.set(providerKey,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    // 3 keys × 80 values, half "historical batch", half "live stream";
+    // total per key < k=200, so every sketch retains all values and the
+    // unioned cube's quantiles are EXACT — comparable 1:1 to a sort.
+    val rows = (0 until 240).map(i => (i.toLong % 3, (i * 53 % 240).toDouble))
+    val (hist, live) = rows.splitAt(120)
+    val mem = MemoryStream[(Long, Double)]
+    val q = graft.streaming.StreamQuantiles.quantileSketches(
+      mem.toDF().toDF("key", "value"))
+      .writeStream.format("memory").queryName("stream_kll_export")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      val (l1, l2) = live.splitAt(60)
+      mem.addData(l1: _*); q.processAllAvailable()
+      mem.addData(l2: _*); q.processAllAvailable()
+      // latest exported state per key = that key's full stream history
+      val streamState = spark.table("stream_kll_export")
+        .withColumn("rk", row_number().over(
+          org.apache.spark.sql.expressions.Window
+            .partitionBy(col("key")).orderBy(col("n").desc)))
+        .filter(col("rk") === 1).select("key", "sketch")
+      val batchCube = hist.toDF("key", "value")
+        .groupBy("key").agg(KllSketch.sketchAgg(col("value"), 200).as("sketch"))
+      // the interop contract: stream bytes ∪ batch bytes rolls up by
+      // kll_union_agg with NO rescan of either side
+      val fused = batchCube.unionByName(streamState)
+        .groupBy("key").agg(
+          KllSketch.quantile(
+            KllSketch.unionAgg(col("sketch"), 200), lit(0.5)).as("p50"),
+          KllSketch.quantile(
+            KllSketch.unionAgg(col("sketch"), 200), lit(0.95)).as("p95"))
+        .as[(Long, Double, Double)].collect()
+        .map(r => r._1 -> (r._2, r._3)).toMap
+      def exactQ(vs: Seq[Double], p: Double): Double = {
+        val s = vs.sorted; s(math.ceil(p * s.length).toInt - 1)
+      }
+      for ((key, kv) <- rows.groupBy(_._1).view.mapValues(_.map(_._2))) {
+        assert(fused(key) == ((exactQ(kv, 0.5), exactQ(kv, 0.95))),
+          s"key $key: unioned stream+batch cube must equal the exact readout")
+      }
+    } finally {
+      q.stop()
+      prevProvider match {
+        case Some(v) => spark.conf.set(providerKey, v)
+        case None    => spark.conf.unset(providerKey)
+      }
+    }
+  }
+
   test("streaming heavy hitters match the batch freq cube and carry state") {
     implicit val sqlCtx = spark.sqlContext
     val providerKey = "spark.sql.streaming.stateStore.providerClass"
