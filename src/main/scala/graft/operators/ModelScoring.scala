@@ -244,7 +244,7 @@ object ModelScoring {
     * order-independent, weights bit-reproducible.
     *
     * `base` needs x0..x{d−1}, y, and an integer fold column in
-    * [0, k). Returns (fold, n_train, n_val, w0.., val_accuracy). */
+    * [0, k). Returns (fold, w0..w{d−1}, n_val, val_accuracy, n_train). */
   def logregTrainCV(base: DataFrame, foldCol: String, k: Int, d: Int,
                     iters: Int, lrNum: Double = 0.25): DataFrame = {
     import org.apache.spark.sql.Row

@@ -479,4 +479,97 @@ class PropertySpec extends SparkTestBase {
     assert(aAvg > 0 && bAvg < 0 && aAvg > bAvg,
       s"target-domain docs must carry positive log-ratio: a=$aAvg b=$bAvg")
   }
+
+  // ---- distinct-value decomposition family ------------------------------
+  // percentileRank, equiDepthHistogram, and tokenBudgetSelect all replace a
+  // corpus-sized single-partition window with a distinct-value (or bin)
+  // table + value-bounded window. The naive window formulation is the
+  // specification; the decompositions must match it under nulls, heavy
+  // ties, and empty input.
+
+  private val noisyValsGen: Gen[Option[Long]] = Gen.frequency(
+    3 -> Gen.const(None),                         // nulls
+    10 -> Gen.chooseNum(0L, 12L).map(Some(_)),    // heavy ties
+    5 -> Gen.chooseNum(0L, 100000L).map(Some(_))) // spread tail
+
+  test("percentileRank == naive percent_rank under nulls and ties") {
+    import graft.operators.Relational
+    import org.apache.spark.sql.expressions.Window
+    val rows = sample(noisyValsGen, 400).zipWithIndex
+      .map { case (v, i) => (i.toLong, v) }
+    val df = rows.toDF("id", "v")
+      .select(col("id"), col("v").cast("long").as("v"))
+    val got = Relational.percentileRank(df, "v", "pr")
+      .collect().map(r => (r.getLong(1), r.getDouble(2))).toSet
+    val naive = df.filter(col("v").isNotNull)
+      .withColumn("pr", percent_rank().over(
+        Window.partitionBy(lit(0)).orderBy(col("v"))))
+      .collect().map(r => (r.getLong(0), r.getDouble(2))).toSet
+    assert(got == naive && got.nonEmpty,
+      s"decomposed rank diverged: got ${got.size} naive ${naive.size}")
+    // null scores must DROP, never sort into rank 0
+    assert(!got.exists(_._2 < 0) &&
+      got.size == rows.count(_._2.isDefined))
+  }
+
+  test("equiDepthHistogram == naive rank-window form under nulls and ties") {
+    import graft.operators.Profiling
+    import org.apache.spark.sql.expressions.Window
+    val buckets = 8
+    val rows = sample(noisyValsGen, 400).zipWithIndex
+      .map { case (v, i) => (i.toLong, v) }
+    val df = rows.toDF("id", "v")
+      .select(col("id"), col("v").cast("long").as("v"))
+    val got = Profiling.equiDepthHistogram(df, col("v"), buckets)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toSet
+    val nn = df.filter(col("v").isNotNull)
+    val n = nn.count()
+    val naive = nn
+      .withColumn("below", rank().over(
+        Window.partitionBy(lit(0)).orderBy(col("v"))) - 1)
+      .withColumn("bucket", floor(col("below") * buckets / n.toDouble))
+      .groupBy("bucket")
+      .agg(count(lit(1)).as("n_rows"), min("v").as("lo"), max("v").as("hi"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toSet
+    assert(got == naive && got.nonEmpty,
+      s"equi-depth decomposition diverged:\n got   $got\n naive $naive")
+    // depths re-assemble exactly the NON-NULL count (nulls excluded on
+    // both the cumulative and total sides — the r8 oracle divergence)
+    assert(got.toSeq.map(_._2).sum == n)
+  }
+
+  test("sparseCosinePairsScalable == sparseCosinePairs bit-for-bit") {
+    import graft.operators.TfIdf
+    // small alphabet → colliding n-grams → real candidate pressure on
+    // the prefix filter; near-dup clones guarantee above-threshold pairs
+    val rnd = new scala.util.Random(23)
+    def randText(n: Int) = (1 to n).map(_ => ('a' + rnd.nextInt(6)).toChar).mkString
+    val base = (1L to 40L).map(i => (i, randText(40 + rnd.nextInt(80))))
+    val clones = base.take(10).map { case (i, t) =>
+      (i + 100L, t.patch(rnd.nextInt(t.length - 3), "zz", 2)) }
+    val docs = (base ++ clones).toDF("doc_id", "text")
+    def collectPairs(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1),
+        java.lang.Double.doubleToLongBits(r.getDouble(2)))).toSet
+    val exact = collectPairs(TfIdf.sparseCosinePairs(
+      docs, "doc_id", "text", n = 3, maxDfFrac = 0.5, threshold = 0.6))
+    val scalable = collectPairs(TfIdf.sparseCosinePairsScalable(
+      docs, "doc_id", "text", n = 3, maxDfFrac = 0.5, maxDfAbs = 1000L,
+      threshold = 0.6))
+    assert(exact == scalable && exact.nonEmpty,
+      s"prefix-filtered join diverged: exact ${exact.size}, scalable ${scalable.size}")
+  }
+
+  test("distinct-value family: all-null and empty inputs yield empty results") {
+    import graft.operators.{Profiling, Relational}
+    val allNull = Seq.tabulate(20)(i => (i.toLong, Option.empty[java.lang.Long]))
+      .toDF("id", "v").select(col("id"), col("v").cast("long").as("v"))
+    assert(Relational.percentileRank(allNull, "v", "pr").count() == 0)
+    assert(Profiling.equiDepthHistogram(allNull, col("v"), 8).count() == 0)
+    val empty = allNull.filter(lit(false))
+    assert(Relational.percentileRank(empty, "v", "pr").count() == 0)
+    assert(Profiling.equiDepthHistogram(empty, col("v"), 8).count() == 0)
+  }
 }
