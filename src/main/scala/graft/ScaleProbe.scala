@@ -878,10 +878,57 @@ object ScaleProbe {
     println(f"""{"probe":"interop9 fuse + readout","sec":$fuseSec%.2f,"max_task_sec":${MaxTask.max.get() / 1000.0}%.2f,"worst_key_rank_err":$worst%.4f}""")
   }
 
+  /** `runMain graft.ScaleProbe graph9` — link-graph power iterations at
+    * 20M edges / 2M nodes with a hot-target skew (30% of edges land on
+    * 100 "celebrity" nodes) and a ~5% dangling tail (ids ≥1.9M never
+    * appear as src). Pins the two claims the Graph scaladoc makes:
+    * wall time is LINEAR in iteration count (localCheckpoint truncates
+    * lineage — x3 must cost < 3.5x the x1 run including the shared
+    * edge-dedup setup), and the celebrity in-degree never creates a
+    * straggler (max task stays bounded: the per-dst contribution sum is
+    * a partial aggregate, so the hot key is combined map-side before
+    * the shuffle). */
+  private def graph9(spark: SparkSession): Unit = {
+    import graft.operators.Graph
+    spark.sparkContext.addSparkListener(MaxTask)
+    val edges = spark.range(0, 20000000L).select(
+      pmod(hash(col("id")), lit(1900000)).cast("long").as("src"),
+      when(pmod(col("id"), lit(10)) < 3, pmod(col("id"), lit(100)))
+        .otherwise(pmod(hash(col("id") * 31), lit(2000000)))
+        .cast("long").as("dst"))
+      .localCheckpoint()
+    def time(label: String)(f: => Long): Double = {
+      MaxTask.reset()
+      val t0 = System.nanoTime(); val n = f
+      val s = (System.nanoTime() - t0) / 1e9
+      println(f"""{"probe":"$label","rows":$n,"sec":$s%.2f,"max_task_sec":${MaxTask.max.get() / 1000.0}%.2f}""")
+      s
+    }
+    val s1 = time("graph9 pagerank 20M edges x1 iter") {
+      Graph.pageRank(edges, "src", "dst", iters = 1)
+        .queryExecution.toRdd.count()
+    }
+    val s3 = time("graph9 pagerank 20M edges x3 iters") {
+      Graph.pageRank(edges, "src", "dst", iters = 3)
+        .queryExecution.toRdd.count()
+    }
+    val s6 = time("graph9 pagerank 20M edges x6 iters") {
+      Graph.pageRank(edges, "src", "dst", iters = 6)
+        .queryExecution.toRdd.count()
+    }
+    time("graph9 hits 20M edges x3 iters") {
+      Graph.hits(edges, "src", "dst", iters = 3)
+        .queryExecution.toRdd.count()
+    }
+    // the x1 run carries the one-time edge-dedup/checkpoint setup AND
+    // JIT warm-up; the x6−x3 delta isolates the true per-iteration cost
+    println(f"""{"probe":"graph9 marginal sec/iter (x6-x3)/3","sec":${(s6 - s3) / 3}%.2f,"x3_over_x1":${s3 / s1}%.2f}""")
+  }
+
   def main(args: Array[String]): Unit = {
     if (args.headOption.exists(Set("quota7", "pipe7", "freq7", "serve8",
         "outlier8", "budget8", "ids8", "aqe8", "rtfilter8", "prefix8",
-        "sparse9", "interop9"))) {
+        "sparse9", "interop9", "graph9"))) {
       val spark = SparkSession.builder()
         .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")}]")
         .config("spark.sql.shuffle.partitions",
@@ -902,6 +949,7 @@ object ScaleProbe {
         case "prefix8" => prefix8(spark)
         case "sparse9" => sparse9(spark)
         case "interop9" => interop9(spark)
+        case "graph9" => graph9(spark)
       }
       spark.stop()
       return

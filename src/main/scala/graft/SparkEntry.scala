@@ -34,7 +34,8 @@ object SparkEntry {
       MLQueries.queries ++
       MergeQueries.queries ++
       TableQueries.queries ++
-      AnalyticsQueries.queries
+      AnalyticsQueries.queries ++
+      GraphQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted keys get a rows-only check. */
@@ -54,5 +55,6 @@ object SparkEntry {
       MLQueries.oracles ++
       MergeQueries.oracles ++
       TableQueries.oracles ++
-      AnalyticsQueries.oracles
+      AnalyticsQueries.oracles ++
+      GraphQueries.oracles
 }

@@ -1,0 +1,158 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Link-graph authority scoring — the crawl-curation signal a
+  * web-scale training-data pipeline ranks domains/URLs with before
+  * assigning crawl budgets or per-source mixing weights (the
+  * CommonCrawl-derived corpora weight URLs by exactly this family of
+  * centralities).
+  *
+  * Both operators are POWER ITERATIONS expressed as a fixed number of
+  * relational passes: ranks live in a node-sized frame, each step is
+  * (ranks ⋈ edges on src) → groupBy(dst) → node-sized update — the
+  * edge table is the only corpus-scale input and it is scanned once
+  * per iteration with no driver collect anywhere (the dangling-mass
+  * scalar rides a broadcast 1-row frame). Lineage is truncated per
+  * iteration (localCheckpoint), so the plan stays iteration-sized.
+  *
+  * Cross-engine-exact (the dyadic trick the round-8 trainers use):
+  * every per-edge contribution quantizes to the 2⁻³⁰ grid before
+  * summation, so the sums are exactly representable and
+  * order-independent — Spark's partial aggregates and a sequential
+  * engine produce identical bits; the scalar rank-update expression is
+  * then a fixed-shape IEEE computation on identical inputs. The
+  * damping factor defaults to 7/8 (dyadic) rather than the customary
+  * 0.85 for the same reason.
+  */
+object Graph {
+
+  /** 2⁻³⁰ dyadic grid: exact, order-independent summation. */
+  private val Q = 1073741824.0 // 2^30
+  private def q30(c: org.apache.spark.sql.Column) =
+    floor(c * Q + lit(0.5)) / Q
+
+  /** PageRank with uniform teleport and dangling-mass redistribution:
+    * r'(v) = (1−d)/N + d·(Σ_{u→v} q(r(u)/deg(u)) + D/N), where D is
+    * the summed rank of out-degree-0 nodes and q the 2⁻³⁰ grid.
+    * `edges` rows are directed (src, dst) pairs; duplicates are
+    * collapsed. Returns (id, rank) on the quantized grid. */
+  def pageRank(edges: DataFrame, srcCol: String, dstCol: String,
+               iters: Int, damping: Double = 0.875): DataFrame = {
+    require(iters >= 1 && damping > 0 && damping < 1)
+    val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
+      .distinct().localCheckpoint()
+    val nodes = e.select(col("src").as("id"))
+      .union(e.select(col("dst").as("id"))).distinct().localCheckpoint()
+    val outdeg = e.groupBy(col("src").as("id")).agg(count(lit(1)).as("deg"))
+      .localCheckpoint() // node-sized; joined into ranks every iteration
+    val n = nodes.select(count(lit(1)).cast("double").as("n"))
+    var ranks = nodes.crossJoin(broadcast(n))
+      .select(col("id"), q30(lit(1.0) / col("n")).as("rank"))
+      .localCheckpoint()
+    for (_ <- 1 to iters) {
+      val withDeg = ranks.join(outdeg, Seq("id"), "left")
+      // dangling mass: grid-exact sum over sink nodes (1-row frame)
+      val dm = withDeg.filter(col("deg").isNull)
+        .agg(coalesce(sum(col("rank")), lit(0.0)).as("dm"))
+      val contribs = e.join(withDeg.filter(col("deg").isNotNull)
+          .select(col("id").as("src"), col("rank"), col("deg")), Seq("src"))
+        .select(col("dst"), q30(col("rank") / col("deg")).as("c"))
+        .groupBy(col("dst")).agg(sum(col("c")).as("s"))
+      ranks = nodes
+        .join(contribs.select(col("dst").as("id"), col("s")), Seq("id"), "left")
+        .crossJoin(broadcast(n)).crossJoin(broadcast(dm))
+        .select(col("id"), q30(lit(1.0 - damping) / col("n") +
+          lit(damping) * (coalesce(col("s"), lit(0.0)) + col("dm") / col("n")))
+          .as("rank"))
+        .localCheckpoint()
+    }
+    ranks
+  }
+
+  /** PERSONALIZED PageRank: teleport mass concentrates uniformly on a
+    * seed set instead of all nodes — the "expand a trusted seed set"
+    * curation primitive (seed quality domains, rank the rest of the
+    * crawl by random-walk proximity to them). r'(v) = (1−d)·t(v) +
+    * d·(Σ_{u→v} q(r(u)/deg(u)) + D·t(v)) with t uniform on the seeds
+    * (dangling mass D also re-enters through the seeds, keeping total
+    * mass on the seed-reachable subgraph). Seeds outside the graph are
+    * ignored; ranks start AT the teleport vector. Same 2⁻³⁰-grid
+    * quantization and iteration shape as [[pageRank]]; the extra state
+    * is one node-sized teleport frame built once. */
+  def personalizedPageRank(edges: DataFrame, srcCol: String, dstCol: String,
+                           seeds: DataFrame, seedCol: String, iters: Int,
+                           damping: Double = 0.875): DataFrame = {
+    require(iters >= 1 && damping > 0 && damping < 1)
+    val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
+      .distinct().localCheckpoint()
+    val nodes = e.select(col("src").as("id"))
+      .union(e.select(col("dst").as("id"))).distinct()
+    val seedIds = seeds.select(col(seedCol).as("id")).distinct()
+      .join(nodes, Seq("id"), "left_semi")
+    val sc = seedIds.select(count(lit(1)).cast("double").as("s"))
+    val tele = nodes
+      .join(seedIds.withColumn("__seed", lit(1)), Seq("id"), "left")
+      .crossJoin(broadcast(sc))
+      .select(col("id"), when(col("__seed").isNotNull,
+        q30(lit(1.0) / col("s"))).otherwise(lit(0.0)).as("t"))
+      .localCheckpoint()
+    val outdeg = e.groupBy(col("src").as("id")).agg(count(lit(1)).as("deg"))
+      .localCheckpoint()
+    var ranks = tele.select(col("id"), col("t").as("rank"))
+    for (_ <- 1 to iters) {
+      val withDeg = ranks.join(outdeg, Seq("id"), "left")
+      val dm = withDeg.filter(col("deg").isNull)
+        .agg(coalesce(sum(col("rank")), lit(0.0)).as("dm"))
+      val contribs = e.join(withDeg.filter(col("deg").isNotNull)
+          .select(col("id").as("src"), col("rank"), col("deg")), Seq("src"))
+        .select(col("dst"), q30(col("rank") / col("deg")).as("c"))
+        .groupBy(col("dst")).agg(sum(col("c")).as("s"))
+      ranks = tele
+        .join(contribs.select(col("dst").as("id"), col("s")), Seq("id"), "left")
+        .crossJoin(broadcast(dm))
+        .select(col("id"), q30(lit(1.0 - damping) * col("t") +
+          lit(damping) * (coalesce(col("s"), lit(0.0)) + col("dm") * col("t")))
+          .as("rank"))
+        .localCheckpoint()
+    }
+    ranks
+  }
+
+  /** HITS hubs-and-authorities with L∞ (max) normalization — max is
+    * order-independent, so unlike the customary L2 norm it needs no
+    * exact-sum-of-squares gymnastics: a'(v) = q(Σ_{u→v} h(u)) / max,
+    * h'(u) = q(Σ_{u→v} a(v)) / max, each re-quantized to the grid.
+    * Returns (id, kind 'hub'|'auth', score); a node that is both a
+    * source and a target carries two rows. */
+  def hits(edges: DataFrame, srcCol: String, dstCol: String,
+           iters: Int): DataFrame = {
+    require(iters >= 1)
+    val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
+      .distinct().localCheckpoint()
+    val srcs = e.select(col("src").as("id")).distinct().localCheckpoint()
+    val dsts = e.select(col("dst").as("id")).distinct().localCheckpoint()
+    var hubs = srcs.select(col("id"), lit(1.0).as("h")).localCheckpoint()
+    var auths = dsts.select(col("id"), lit(1.0).as("a")).localCheckpoint()
+    for (_ <- 1 to iters) {
+      val aRaw = e.join(hubs.select(col("id").as("src"), col("h")), Seq("src"))
+        .groupBy(col("dst").as("id")).agg(sum(q30(col("h"))).as("raw"))
+        .localCheckpoint()
+      val aMax = aRaw.agg(max(col("raw")).as("mx"))
+      auths = aRaw.crossJoin(broadcast(aMax))
+        .select(col("id"), q30(col("raw") / col("mx")).as("a"))
+        .localCheckpoint()
+      val hRaw = e.join(auths.select(col("id").as("dst"), col("a")), Seq("dst"))
+        .groupBy(col("src").as("id")).agg(sum(q30(col("a"))).as("raw"))
+        .localCheckpoint()
+      val hMax = hRaw.agg(max(col("raw")).as("mx"))
+      hubs = hRaw.crossJoin(broadcast(hMax))
+        .select(col("id"), q30(col("raw") / col("mx")).as("h"))
+        .localCheckpoint()
+    }
+    hubs.select(col("id"), lit("hub").as("kind"), col("h").as("score"))
+      .unionByName(auths.select(col("id"), lit("auth").as("kind"),
+        col("a").as("score")))
+  }
+}

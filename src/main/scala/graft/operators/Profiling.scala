@@ -164,6 +164,37 @@ object Profiling {
         min(col("v")).as("lo"), max(col("v")).as("hi"))
   }
 
+  /** Exact per-group WEIGHTED median — the token-weighted "median
+    * document length" / quantity-weighted "median price" readout: the
+    * smallest value v whose cumulative weight reaches half the group's
+    * total. Same distinct-value decomposition as
+    * [[equiDepthHistogram]]: one partial-agg pass to the per-(group,
+    * value) weight table, a value-bounded running-sum window, then a
+    * one-row-per-group reduce. The half-total comparison is kept in
+    * INTEGER arithmetic (2·cum ≥ W, never 0.5·W), so ties and odd
+    * totals are bit-identical across engines. Null values and null
+    * weights are excluded; a group that loses all rows drops out. */
+  def weightedMedian(df: DataFrame, groupCol: Column, valueCol: Column,
+                     weightCol: Column): DataFrame = {
+    val base = df.select(groupCol.as("grp"), valueCol.as("v"),
+        weightCol.cast("long").as("w"))
+      .filter(col("v").isNotNull && col("w").isNotNull)
+    val perValue = base.groupBy(col("grp"), col("v"))
+      .agg(sum(col("w")).as("vw"))
+      .localCheckpoint() // feeds the window AND the per-group totals
+    val win = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("grp")).orderBy(col("v"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    val tot = perValue.groupBy(col("grp")).agg(sum(col("vw")).as("tw"))
+    perValue.withColumn("cum", sum(col("vw")).over(win))
+      .join(tot, Seq("grp"))
+      .filter(col("cum") * 2 >= col("tw"))
+      .groupBy(col("grp"), col("tw"))
+      .agg(min(col("v")).as("w_median"))
+      .select(col("grp"), col("w_median"), col("tw").as("total_weight"))
+  }
+
   /** The 100-TB form of [[equiDepthHistogram]] for continuous values
     * (V → n kills the exact distinct-value table): ONE KLL sketch over
     * the corpus answers all B boundaries (quantile read-out) and the

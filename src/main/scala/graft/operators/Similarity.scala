@@ -699,6 +699,44 @@ object Similarity {
       .select(col("id_a"), col("id_b"))
   }
 
+  /** SemDeDup-style SEMANTIC deduplication (Abbas et al. 2023): cluster
+    * the embedding space with the trained coarse quantizer, then drop
+    * every vector that has a LOWER-id within-cluster partner above the
+    * cosine threshold — "keep one representative per semantic
+    * neighborhood" at a cost that is within-cell quadratic, never
+    * corpus-quadratic (the cells shard the O(n²) space exactly like the
+    * IVF index they share the quantizer with).
+    *
+    * Drop rule: b drops iff ∃ a < b in b's cell with cos(a,b) ≥ t —
+    * deterministic and engine-portable (no transitive closure: a chain
+    * a~b~c with cos(a,c) < t still drops c, because CHAINS of near-
+    * duplicates are exactly what semantic dedup prunes). Returns the
+    * surviving ids. */
+  def semanticDedupKeepSet(df: DataFrame, idCol: String, vecCol: String,
+                           nCentroids: Int, threshold: Double,
+                           kmeansIters: Int = 2,
+                           trainSampleMod: Int = 1): DataFrame = {
+    val base = spread(df).select(col(idCol), col(vecCol).as("v"))
+      .withColumn("vn", VectorOps.norm(col("v")))
+      .localCheckpoint() // feeds training AND both sides of the cell join
+    val train =
+      if (trainSampleMod > 1) base.filter(col(idCol) % trainSampleMod === 0) else base
+    val centroids = kmeansFitOnBase(train, df, idCol, vecCol, nCentroids, kmeansIters)
+    val cells = base
+      .withColumn("cell", assignCell(col("v"), bcBook(df, centroids)))
+    val a = cells.select(col("cell"), col(idCol).as("id_a"),
+      col("v").as("va"), col("vn").as("na"))
+    val b = cells.select(col("cell"), col(idCol).as("id_b"),
+      col("v").as("vb"), col("vn").as("nb"))
+    val drops = a.join(b, Seq("cell"))
+      .filter(col("id_a") < col("id_b"))
+      .filter(VectorOps.dot(col("va"), col("vb")) / (col("na") * col("nb"))
+        >= threshold)
+      .select(col("id_b").as("__drop")).distinct()
+    df.join(drops, col(idCol) === col("__drop"), "left_anti")
+      .select(col(idCol))
+  }
+
   /** Multi-probe LSH cosine near-dup pairs: like
     * `lshCosineNearDupPairs` but each vector also probes the Hamming-1
     * neighbors of its bucket, recovering near-dup pairs split across a

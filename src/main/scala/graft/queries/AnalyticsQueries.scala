@@ -319,6 +319,16 @@ object AnalyticsQueries {
         tbl(s, d, "documents"), col("n_chars"), buckets = 8)
     }),
 
+    // Exact per-group weighted median (quantity-weighted median price —
+    // the token-weighted median-length readout shape): the distinct-
+    // value decomposition again, with the half-total comparison in
+    // integer arithmetic (2·cum ≥ W) so ties are engine-exact
+    // (Profiling.weightedMedian).
+    "weighted_median" -> ((s, d) => {
+      graft.operators.Profiling.weightedMedian(tbl(s, d, "lineitem"),
+        col("l_returnflag"), col("l_extendedprice"), col("l_quantity"))
+    }),
+
     // Exact percentile-rank normalization of a quality score (the
     // score → corpus-percentile map curation thresholds ride on),
     // computed over the DISTINCT-VALUE table instead of a corpus-sized
@@ -358,6 +368,22 @@ object AnalyticsQueries {
          SELECT CAST(floor((below * 8)::DOUBLE / n) AS BIGINT) AS bucket,
            sum(cnt) AS n_rows, min(v) AS lo, max(v) AS hi
          FROM cum CROSS JOIN nn GROUP BY 1""",
+
+    "weighted_median" ->
+      """WITH pv AS (
+           SELECT l_returnflag AS grp, l_extendedprice AS v,
+             sum(l_quantity::BIGINT) AS vw
+           FROM lineitem
+           WHERE l_extendedprice IS NOT NULL AND l_quantity IS NOT NULL
+           GROUP BY 1, 2),
+         cum AS (
+           SELECT grp, v, vw, sum(vw) OVER (PARTITION BY grp ORDER BY v
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+           FROM pv),
+         tot AS (SELECT grp, sum(vw) AS tw FROM pv GROUP BY 1)
+         SELECT grp, min(v) AS w_median, tw AS total_weight
+         FROM cum JOIN tot USING (grp)
+         WHERE cum * 2 >= tw GROUP BY grp, tw""",
 
     "score_percentile" ->
       """SELECT doc_id, n_chars,

@@ -1,0 +1,212 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.Graph
+
+/** Link-graph authority queries (crawl-curation signals): PageRank and
+  * HITS over the customer↔supplier purchase graph (orders ⋈ lineitem —
+  * the repo fixture's stand-in for a URL/domain link graph). Both are
+  * fixed-iteration power iterations with 2⁻³⁰-grid contributions, so
+  * the DuckDB oracles (iterations unrolled into chained CTEs) compare
+  * bit-for-bit — see [[graft.operators.Graph]].
+  */
+object GraphQueries {
+
+  private val Iters = 3
+  private val Q = "1073741824.0" // 2^30, the dyadic contribution grid
+
+  val queries: Map[String, QueryFn] = Map(
+
+    // Damped PageRank over the DOUBLED (both-direction) purchase graph
+    // — supplier/customer authority from purchase structure, the
+    // centrality a crawl pipeline budgets sources by.
+    "graph_pagerank" -> ((s, d) => {
+      val o = tbl(s, d, "orders").select(col("o_orderkey"), col("o_custkey"))
+      val l = tbl(s, d, "lineitem").select(col("l_orderkey"), col("l_suppkey"))
+      val pairs = o.join(l, col("o_orderkey") === col("l_orderkey"))
+        .select(col("o_custkey").as("cust"),
+          (col("l_suppkey") + 1000000L).as("supp"))
+        .distinct()
+      val edges = pairs.select(col("cust").as("src"), col("supp").as("dst"))
+        .unionByName(pairs.select(col("supp").as("src"), col("cust").as("dst")))
+      Graph.pageRank(edges, "src", "dst", iters = Iters)
+    }),
+
+    // HITS on the DIRECTED bipartite graph (cust → supp): customers are
+    // hubs, suppliers authorities — the two-sided quality signal for
+    // linker-vs-linked curation.
+    "graph_hits" -> ((s, d) => {
+      val o = tbl(s, d, "orders").select(col("o_orderkey"), col("o_custkey"))
+      val l = tbl(s, d, "lineitem").select(col("l_orderkey"), col("l_suppkey"))
+      val edges = o.join(l, col("o_orderkey") === col("l_orderkey"))
+        .select(col("o_custkey").as("src"),
+          (col("l_suppkey") + 1000000L).as("dst"))
+        .distinct()
+      Graph.hits(edges, "src", "dst", iters = Iters)
+    }),
+
+    // Personalized PageRank from a trusted seed set (BUILDING-segment
+    // customers): teleport mass re-enters only through the seeds, so
+    // rank = random-walk proximity to them — the seed-expansion
+    // primitive crawl curation ranks unlabeled sources with.
+    "graph_ppr" -> ((s, d) => {
+      val o = tbl(s, d, "orders").select(col("o_orderkey"), col("o_custkey"))
+      val l = tbl(s, d, "lineitem").select(col("l_orderkey"), col("l_suppkey"))
+      val pairs = o.join(l, col("o_orderkey") === col("l_orderkey"))
+        .select(col("o_custkey").as("cust"),
+          (col("l_suppkey") + 1000000L).as("supp"))
+        .distinct()
+      val edges = pairs.select(col("cust").as("src"), col("supp").as("dst"))
+        .unionByName(pairs.select(col("supp").as("src"), col("cust").as("dst")))
+      val seeds = tbl(s, d, "customer")
+        .filter(col("c_mktsegment") === "BUILDING")
+        .select(col("c_custkey").as("seed"))
+      Graph.personalizedPageRank(edges, "src", "dst", seeds, "seed",
+        iters = Iters)
+    }),
+
+    // Connected components of a SPARSE purchase subgraph (urgent
+    // orders, near-full-quantity lines): exact min-label fixpoint via
+    // the pointer-jumping propagation the dedup tier already runs —
+    // integer labels, so the DuckDB recursive-CTE closure compares
+    // bit-for-bit (Dedup.duplicateClusters).
+    "graph_components" -> ((s, d) => {
+      val o = tbl(s, d, "orders")
+        .filter(col("o_orderpriority") === "1-URGENT")
+        .select(col("o_orderkey"), col("o_custkey"))
+      val l = tbl(s, d, "lineitem").filter(col("l_quantity") >= 45)
+        .select(col("l_orderkey"), col("l_suppkey"))
+      val pairs = o.join(l, col("o_orderkey") === col("l_orderkey"))
+        .select(col("o_custkey").as("id_a"),
+          (col("l_suppkey") + 1000000L).as("id_b"))
+        .distinct()
+      graft.operators.Dedup.duplicateClusters(pairs, "id_a", "id_b",
+        maxIters = 30)
+    }))
+
+  /** The shared edge CTEs of both oracles. */
+  private val pairsCte =
+    """pairs AS (
+         SELECT DISTINCT o_custkey AS cust, l_suppkey + 1000000 AS supp
+         FROM orders JOIN lineitem ON o_orderkey = l_orderkey)"""
+
+  private def pagerankSql: String = {
+    val iterCtes = (1 to Iters).map { k =>
+      val p = k - 1
+      s"""dm$k AS (
+            SELECT coalesce(sum(rank), 0.0) AS dm
+            FROM r$p r LEFT JOIN outdeg o ON r.id = o.id WHERE o.id IS NULL),
+          c$k AS (
+            SELECT e.dst, sum(floor(r.rank / o.deg * $Q + 0.5) / $Q) AS s
+            FROM edges e JOIN r$p r ON e.src = r.id
+            JOIN outdeg o ON o.id = e.src
+            GROUP BY e.dst),
+          r$k AS (
+            SELECT nodes.id,
+              floor((0.125 / n + 0.875 * (coalesce(c.s, 0.0) + dm / n))
+                * $Q + 0.5) / $Q AS rank
+            FROM nodes CROSS JOIN nn CROSS JOIN dm$k
+            LEFT JOIN c$k c ON c.dst = nodes.id)"""
+    }.mkString(",\n")
+    s"""WITH $pairsCte,
+        edges AS (
+          SELECT cust AS src, supp AS dst FROM pairs
+          UNION
+          SELECT supp AS src, cust AS dst FROM pairs),
+        nodes AS (SELECT src AS id FROM edges UNION SELECT dst FROM edges),
+        outdeg AS (SELECT src AS id, count(*)::BIGINT AS deg FROM edges GROUP BY 1),
+        nn AS (SELECT count(*)::DOUBLE AS n FROM nodes),
+        r0 AS (
+          SELECT id, floor(1.0 / n * $Q + 0.5) / $Q AS rank
+          FROM nodes CROSS JOIN nn),
+        $iterCtes
+        SELECT id, rank FROM r$Iters"""
+  }
+
+  private def hitsSql: String = {
+    val iterCtes = (1 to Iters).map { k =>
+      val p = k - 1
+      s"""ar$k AS (
+            SELECT e.dst AS id, sum(floor(h.h * $Q + 0.5) / $Q) AS raw
+            FROM edges e JOIN h$p h ON e.src = h.id GROUP BY 1),
+          am$k AS (SELECT max(raw) AS mx FROM ar$k),
+          a$k AS (
+            SELECT id, floor(raw / mx * $Q + 0.5) / $Q AS a
+            FROM ar$k CROSS JOIN am$k),
+          hr$k AS (
+            SELECT e.src AS id, sum(floor(a.a * $Q + 0.5) / $Q) AS raw
+            FROM edges e JOIN a$k a ON e.dst = a.id GROUP BY 1),
+          hm$k AS (SELECT max(raw) AS mx FROM hr$k),
+          h$k AS (
+            SELECT id, floor(raw / mx * $Q + 0.5) / $Q AS h
+            FROM hr$k CROSS JOIN hm$k)"""
+    }.mkString(",\n")
+    s"""WITH $pairsCte,
+        edges AS (SELECT cust AS src, supp AS dst FROM pairs),
+        h0 AS (SELECT DISTINCT src AS id, 1.0 AS h FROM edges),
+        $iterCtes
+        SELECT id, 'hub' AS kind, h AS score FROM h$Iters
+        UNION ALL
+        SELECT id, 'auth' AS kind, a AS score FROM a$Iters"""
+  }
+
+  private def pprSql: String = {
+    val iterCtes = (1 to Iters).map { k =>
+      val p = k - 1
+      s"""dm$k AS (
+            SELECT coalesce(sum(rank), 0.0) AS dm
+            FROM r$p r LEFT JOIN outdeg o ON r.id = o.id WHERE o.id IS NULL),
+          c$k AS (
+            SELECT e.dst, sum(floor(r.rank / o.deg * $Q + 0.5) / $Q) AS s
+            FROM edges e JOIN r$p r ON e.src = r.id
+            JOIN outdeg o ON o.id = e.src
+            GROUP BY e.dst),
+          r$k AS (
+            SELECT tele.id,
+              floor((0.125 * t + 0.875 * (coalesce(c.s, 0.0) + dm * t))
+                * $Q + 0.5) / $Q AS rank
+            FROM tele CROSS JOIN dm$k
+            LEFT JOIN c$k c ON c.dst = tele.id)"""
+    }.mkString(",\n")
+    s"""WITH $pairsCte,
+        edges AS (
+          SELECT cust AS src, supp AS dst FROM pairs
+          UNION
+          SELECT supp AS src, cust AS dst FROM pairs),
+        nodes AS (SELECT src AS id FROM edges UNION SELECT dst FROM edges),
+        outdeg AS (SELECT src AS id, count(*)::BIGINT AS deg FROM edges GROUP BY 1),
+        sv AS (
+          SELECT DISTINCT c_custkey AS id FROM customer
+          WHERE c_mktsegment = 'BUILDING'
+          INTERSECT SELECT id FROM nodes),
+        scnt AS (SELECT count(*)::DOUBLE AS sn FROM sv),
+        tele AS (
+          SELECT n.id, CASE WHEN v.id IS NOT NULL
+            THEN floor(1.0 / sn * $Q + 0.5) / $Q ELSE 0.0 END AS t
+          FROM nodes n CROSS JOIN scnt LEFT JOIN sv v ON v.id = n.id),
+        r0 AS (SELECT id, t AS rank FROM tele),
+        $iterCtes
+        SELECT id, rank FROM r$Iters"""
+  }
+
+  private val componentsSql =
+    """WITH RECURSIVE pairs AS (
+         SELECT DISTINCT o_custkey AS a, l_suppkey + 1000000 AS b
+         FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+         WHERE o_orderpriority = '1-URGENT' AND l_quantity >= 45),
+       edges AS (
+         SELECT a AS src, b AS dst FROM pairs
+         UNION SELECT b, a FROM pairs),
+       reach(id, r) AS (
+         SELECT src, dst FROM edges
+         UNION
+         SELECT rc.id, e.dst FROM reach rc JOIN edges e ON rc.r = e.src)
+       SELECT id, least(id, min(r)) AS cluster_id FROM reach GROUP BY id"""
+
+  val oracles: Map[String, String] = Map(
+    "graph_pagerank" -> pagerankSql,
+    "graph_hits" -> hitsSql,
+    "graph_ppr" -> pprSql,
+    "graph_components" -> componentsSql)
+}

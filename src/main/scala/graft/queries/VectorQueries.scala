@@ -135,6 +135,17 @@ object VectorQueries {
     "dedup_embed_lsh" -> ((s, d) => {
       Similarity.lshCosineNearDupPairsMultiProbe(tbl(s, d, "embeddings"),
         "vec_id", "embedding", CosThreshold, dedupPlanes)
+    }),
+
+    // SemDeDup-style semantic dedup: quantizer cells shard the O(n²)
+    // space, a vector drops iff a lower-id within-cell partner clears
+    // the cosine threshold — keep-one-per-semantic-neighborhood
+    // (Similarity.semanticDedupKeepSet).
+    "dedup_semantic" -> ((s, d) => {
+      Similarity.semanticDedupKeepSet(tbl(s, d, "embeddings"),
+        "vec_id", "embedding", nCentroids = NCentroids,
+        threshold = CosThreshold, kmeansIters = KmeansIters,
+        trainSampleMod = TrainMod)
     }))
 
   private def dotSqlN(x: String, y: String, dim: Int): String =
@@ -258,6 +269,39 @@ object VectorQueries {
             FROM cells a JOIN cells b
               ON a.cell = b.cell AND a.vec_id <> b.vec_id)
           WHERE rank <= $K"""
+    },
+    "dedup_semantic" -> {
+      // same kmeans chain as ann_ivf_topk, then the keep-set anti-join
+      def assignCte(cIn: String, src: String): String =
+        s"""SELECT vec_id, embedding, cell FROM (
+              SELECT v.vec_id, v.embedding, c.cell,
+                row_number() OVER (PARTITION BY v.vec_id
+                  ORDER BY ${cosSql("v.embedding", "c.cv")} DESC, c.cell) AS rn
+              FROM $src v CROSS JOIN $cIn c)
+            WHERE rn = 1"""
+      def meanCte(aIn: String): String =
+        s"""SELECT cell, list(m ORDER BY i) AS cv FROM (
+              SELECT cell, i, floor(avg(embedding[i]::DOUBLE) * 1000000 + 0.5) / 1000000 AS m
+              FROM $aIn CROSS JOIN generate_series(1, $Dim) AS g(i)
+              GROUP BY cell, i)
+            GROUP BY cell"""
+      s"""WITH train AS (
+            SELECT vec_id, embedding FROM embeddings WHERE vec_id % $TrainMod = 0),
+          c0 AS (
+            SELECT vec_id AS cell, list_transform(embedding, x -> x::DOUBLE) AS cv
+            FROM embeddings WHERE vec_id < $NCentroids),
+          a0 AS (${assignCte("c0", "train")}),
+          c1 AS (${meanCte("a0")}),
+          a1 AS (${assignCte("c1", "train")}),
+          c2 AS (${meanCte("a1")}),
+          cells AS (${assignCte("c2", "embeddings")}),
+          drops AS (
+            SELECT DISTINCT b.vec_id AS id
+            FROM cells a JOIN cells b
+              ON a.cell = b.cell AND a.vec_id < b.vec_id
+            WHERE ${cosSql("a.embedding", "b.embedding")} >= $CosThreshold)
+          SELECT vec_id FROM embeddings
+          WHERE vec_id NOT IN (SELECT id FROM drops)"""
     },
     "ann_hybrid_rrf" -> {
       // lshr = the ann_lsh_topk chain; ivfr = the ann_ivf_topk chain;

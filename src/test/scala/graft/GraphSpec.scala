@@ -1,0 +1,89 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.Graph
+
+class GraphSpec extends SparkTestBase {
+  import spark.implicits._
+
+  test("pageRank: hub of a star outranks leaves; mass conserved; teleport floor") {
+    // star: every leaf links to the center, center links back to leaf 1
+    val edges = ((1L to 20L).map(i => (i, 0L)) :+ (0L, 1L)).toDF("src", "dst")
+    val ranks = Graph.pageRank(edges, "src", "dst", iters = 5)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(ranks.size == 21)
+    val center = ranks(0L)
+    assert((2L to 20L).forall(i => center > ranks(i)),
+      s"center must outrank plain leaves: $ranks")
+    assert(ranks(1L) > ranks(2L), "the center's sole link target ranks above peers")
+    // total mass stays 1 within quantization (21 nodes x 2^-30 per step)
+    val mass = ranks.values.sum
+    assert(math.abs(mass - 1.0) < 1e-6, s"rank mass drifted: $mass")
+    // teleport floor: every node holds at least (1-d)/N
+    assert(ranks.values.forall(_ >= 0.125 / 21 - 1e-9))
+  }
+
+  test("pageRank: dangling sink's mass redistributes instead of leaking") {
+    // chain into a sink: 1 -> 2 -> 3 (3 has no out-edges)
+    val edges = Seq((1L, 2L), (2L, 3L)).toDF("src", "dst")
+    val ranks = Graph.pageRank(edges, "src", "dst", iters = 8)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val mass = ranks.values.sum
+    assert(math.abs(mass - 1.0) < 1e-6,
+      s"dangling mass must be redistributed, not dropped: $mass")
+    assert(ranks(3L) > ranks(2L) && ranks(2L) > ranks(1L),
+      s"rank must accumulate down the chain: $ranks")
+  }
+
+  test("hits: the authority everyone cites and the hub citing both top their sides") {
+    // hubs 10,11,12 -> auths 1,2; hub 10 cites both, auth 1 cited by all
+    val edges = Seq((10L, 1L), (10L, 2L), (11L, 1L), (12L, 1L))
+      .toDF("src", "dst")
+    val out = Graph.hits(edges, "src", "dst", iters = 4)
+      .collect().map(r => (r.getLong(0), r.getString(1)) -> r.getDouble(2)).toMap
+    assert(out((1L, "auth")) == 1.0, "most-cited node is the max-normalized auth")
+    assert(out((1L, "auth")) > out((2L, "auth")))
+    assert(out((10L, "hub")) == 1.0, "the hub citing both auths normalizes to 1")
+    assert(out((11L, "hub")) == out((12L, "hub")))
+    assert(out((10L, "hub")) > out((11L, "hub")))
+  }
+
+  test("personalized pageRank: mass localizes around the seed set") {
+    // two 4-cycles bridged by one edge; seed sits in the left cycle
+    val left = Seq((0L, 1L), (1L, 2L), (2L, 3L), (3L, 0L))
+    val right = Seq((10L, 11L), (11L, 12L), (12L, 13L), (13L, 10L))
+    val edges = (left ++ right :+ (3L, 10L)).toDF("src", "dst")
+    val seeds = Seq(0L).toDF("seed")
+    val ranks = Graph.personalizedPageRank(edges, "src", "dst", seeds, "seed",
+      iters = 30).collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(ranks.size == 8)
+    val leftMass = Seq(0L, 1L, 2L, 3L).map(ranks).sum
+    val rightMass = Seq(10L, 11L, 12L, 13L).map(ranks).sum
+    // the bridge is one-way (3 -> 10, no return), so the right cycle
+    // drains a sizable share — but the seeded side must still hold more
+    assert(leftMass > rightMass,
+      s"seeded cycle must hold most of the walk mass: $ranks")
+    assert(ranks(0L) == ranks.values.max, "the seed itself ranks highest")
+    // rank decays with distance from the seed along the bridge
+    assert(ranks(10L) > ranks(12L), s"bridge head outranks the far side: $ranks")
+    val mass = ranks.values.sum
+    assert(math.abs(mass - 1.0) < 1e-6, s"walk mass drifted: $mass")
+    // a seed not present in the graph contributes nothing (and the
+    // in-graph seed still normalizes over the INTERSECTED set)
+    val ranks2 = Graph.personalizedPageRank(edges, "src", "dst",
+      Seq(0L, 999L).toDF("seed"), "seed", iters = 30)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(ranks2 == ranks, "off-graph seeds must be ignored, not dilute")
+  }
+
+  test("pageRank plan: ranks stay distributed — no collect, iteration-sized lineage") {
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 1L)).toDF("src", "dst")
+    val ranks = Graph.pageRank(edges, "src", "dst", iters = 2)
+    // localCheckpoint truncation: the final plan must not contain the
+    // full 2-iteration join cascade (checkpointed scans instead)
+    val plan = ranks.queryExecution.executedPlan.toString
+    assert(plan.contains("Scan ExistingRDD") || plan.contains("LocalTableScan"),
+      s"iterations must be lineage-truncated:\n$plan")
+  }
+}

@@ -540,6 +540,24 @@ class PropertySpec extends SparkTestBase {
     assert(got.toSeq.map(_._2).sum == n)
   }
 
+  test("weightedMedian == explicit weight-expansion median under ties") {
+    import graft.operators.Profiling
+    val rowGen = Gen.zip(Gen.oneOf("a", "b", "c"),
+      Gen.chooseNum(0L, 15L), Gen.chooseNum(1, 5))
+    val rows = sample(rowGen, 300)
+    val df = rows.toDF("g", "v", "w")
+    val got = Profiling.weightedMedian(df, col("g"), col("v"), col("w"))
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    // specification: replicate each row w times, lower median =
+    // ceil(W/2)-th smallest
+    for ((g, grp) <- rows.groupBy(_._1)) {
+      val expanded = grp.flatMap { case (_, v, w) => Seq.fill(w)(v) }.sorted
+      val want = expanded((expanded.size + 1) / 2 - 1)
+      assert(got(g) == ((want, expanded.size.toLong)),
+        s"group $g: got ${got(g)}, want ($want, ${expanded.size})")
+    }
+  }
+
   test("sparseCosinePairsScalable == sparseCosinePairs bit-for-bit") {
     import graft.operators.TfIdf
     // small alphabet → colliding n-grams → real candidate pressure on

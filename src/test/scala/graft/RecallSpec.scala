@@ -202,6 +202,32 @@ class RecallSpec extends SparkTestBase {
     assert(rRerank >= 0.6, s"re-ranked IVF-PQ at nprobe=4 must clear 0.6: $rRerank")
   }
 
+  test("semantic dedup keeps one representative per tight cluster") {
+    // 8 tight clusters of 25 near-identical vectors + 40 isolated
+    // vectors: SemDeDup must collapse each cluster to ~1 survivor and
+    // keep every isolated vector.
+    val centers = Similarity.hyperplanes(8, dim, seed = 31L)
+    val noise = Similarity.hyperplanes(240, dim, seed = 7L)
+    val clustered = (0 until 200).map { i =>
+      val c = centers(i % 8)
+      (i.toLong, c.zip(noise(i)).map { case (x, n) => (x + 0.02 * n).toFloat }.toArray)
+    }
+    val isolated = (200 until 240).map { i =>
+      (i.toLong, noise(i).map(_.toFloat).toArray)
+    }
+    val df = (clustered ++ isolated).toDF("vec_id", "embedding")
+    val kept = Similarity.semanticDedupKeepSet(df, "vec_id", "embedding",
+      nCentroids = 8, threshold = 0.9, kmeansIters = 2)
+      .as[Long].collect().toSet
+    val keptClustered = kept.count(_ < 200)
+    assert(keptClustered <= 16,
+      s"8 tight clusters must collapse to ~1 rep each, kept $keptClustered")
+    assert((200L until 240L).forall(kept),
+      "isolated vectors are nobody's duplicate and must all survive")
+    // the survivor of each cluster is its LOWEST id (deterministic rule)
+    assert((0L until 8L).forall(kept), "lowest id per cluster survives")
+  }
+
   test("trained k-means beats the untrained id<k quantizer on cell balance") {
     // The round-1 quantizer used the first k corpus vectors verbatim;
     // two k-means rounds must not leave a degenerate single-cell fit.
