@@ -699,6 +699,43 @@ object Similarity {
       .select(col("id_a"), col("id_b"))
   }
 
+  /** Johnson-Lindenstrauss RANDOM PROJECTION of an embedding column —
+    * the 100-TB dimensionality cut (d → k) that makes every downstream
+    * distance pass (brute-force screens, LSH bucketing, dedup verify)
+    * k/d as expensive while JL bounds the pairwise-distance
+    * distortion. Map-side and shuffle-free: the d×k ±1 sign matrix is
+    * a plan-time literal (Rademacher signs from the md5 parity of
+    * "i_j", reproducible in ANY engine with md5 — no RNG state to
+    * ship), so the projection is one codegen'd expression per output
+    * coordinate.
+    *
+    * Cross-engine-exact: inputs quantize to the 2⁻¹⁰ dyadic grid, the
+    * signed sums are therefore exactly representable (order-
+    * independent), and the JL scale is fixed at 1/√k with k=16 → 0.25,
+    * itself dyadic. Emits (id, j, p) exploded rows — one per output
+    * coordinate. */
+  def randomProject(df: DataFrame, idCol: String, vecCol: String,
+                    dim: Int, k: Int = 16): DataFrame = {
+    require(k >= 1 && (math.sqrt(k) == math.floor(math.sqrt(k))),
+      "k must be a perfect square so 1/sqrt(k) is exact")
+    val scale = 1.0 / math.sqrt(k)
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def sign(i: Int, j: Int): Double = {
+      val hex = md.digest(s"${i}_$j".getBytes("UTF-8"))
+      // first hex nibble parity, matching ('0x'||substring(md5(s),1,1))::BIGINT % 2
+      if (((hex(0) >> 4) & 0xF) % 2 == 0) 1.0 else -1.0
+    }
+    val vq = transform(col(vecCol),
+      x => floor(x.cast("double") * 1024 + lit(0.5)) / 1024)
+    val projections = (0 until k).map { j =>
+      val sj = array((0 until dim).map(i => lit(sign(i, j))): _*)
+      aggregate(zip_with(vq, sj, (x, s) => x * s), lit(0.0),
+        (acc, x) => acc + x) * scale
+    }
+    df.select(col(idCol), posexplode(array(projections: _*)).as(Seq("j", "p")))
+      .withColumn("j", col("j").cast("long"))
+  }
+
   /** SemDeDup-style SEMANTIC deduplication (Abbas et al. 2023): cluster
     * the embedding space with the trained coarse quantizer, then drop
     * every vector that has a LOWER-id within-cluster partner above the

@@ -137,6 +137,15 @@ object VectorQueries {
         "vec_id", "embedding", CosThreshold, dedupPlanes)
     }),
 
+    // JL random projection 64 → 16 dims: plan-time md5-parity sign
+    // matrix, dyadic-exact signed sums, map-side and shuffle-free —
+    // the dimensionality cut that makes downstream distance passes
+    // 4x cheaper (Similarity.randomProject).
+    "embed_project_rp" -> ((s, d) => {
+      Similarity.randomProject(tbl(s, d, "embeddings"),
+        "vec_id", "embedding", dim = Dim, k = 16)
+    }),
+
     // SemDeDup-style semantic dedup: quantizer cells shard the O(n²)
     // space, a vector drops iff a lower-id within-cell partner clears
     // the cosine threshold — keep-one-per-semantic-neighborhood
@@ -270,6 +279,21 @@ object VectorQueries {
               ON a.cell = b.cell AND a.vec_id <> b.vec_id)
           WHERE rank <= $K"""
     },
+    "embed_project_rp" ->
+      s"""WITH signs AS (
+            SELECT i, j, CASE WHEN ('0x' || substring(
+                md5(i::VARCHAR || '_' || j::VARCHAR), 1, 1))::BIGINT % 2 = 0
+              THEN 1.0 ELSE -1.0 END AS s
+            FROM generate_series(0, ${Dim - 1}) AS gi(i)
+            CROSS JOIN generate_series(0, 15) AS gj(j)),
+          vq AS (
+            SELECT vec_id, gi.i,
+              floor(embedding[gi.i + 1]::DOUBLE * 1024 + 0.5) / 1024 AS v
+            FROM embeddings CROSS JOIN generate_series(0, ${Dim - 1}) AS gi(i))
+          SELECT vec_id, j, sum(v * s) * 0.25 AS p
+          FROM vq JOIN signs USING (i)
+          GROUP BY vec_id, j""",
+
     "dedup_semantic" -> {
       // same kmeans chain as ann_ivf_topk, then the keep-set anti-join
       def assignCte(cIn: String, src: String): String =

@@ -202,6 +202,42 @@ class RecallSpec extends SparkTestBase {
     assert(rRerank >= 0.6, s"re-ranked IVF-PQ at nprobe=4 must clear 0.6: $rRerank")
   }
 
+  test("JL projection: shuffle-free, norm-preserving, cluster structure survives") {
+    val centers = Similarity.hyperplanes(8, dim, seed = 31L)
+    val noise = Similarity.hyperplanes(240, dim, seed = 7L)
+    val clustered = (0 until 200).map { i =>
+      val c = centers(i % 8)
+      (i.toLong, c.zip(noise(i)).map { case (x, n) => (x + 0.05 * n).toFloat }.toArray)
+    }
+    val df = clustered.toDF("vec_id", "embedding")
+    val proj = Similarity.randomProject(df, "vec_id", "embedding", dim, k = 16)
+    // the projection itself is map-side: no exchange in the plan
+    val plan = proj.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"projection must be shuffle-free:\n$plan")
+    val pv = proj.collect().groupBy(_.getLong(0)).map { case (id, rows) =>
+      id -> rows.sortBy(_.getLong(1)).map(_.getDouble(2))
+    }
+    def cos(a: Seq[Double], b: Seq[Double]): Double = {
+      val d = a.zip(b).map { case (x, y) => x * y }.sum
+      d / math.sqrt(a.map(x => x * x).sum * b.map(x => x * x).sum)
+    }
+    // JL at k=16 is coarse, but cluster structure must survive: mean
+    // within-cluster projected cosine far above cross-cluster
+    val within = (0 until 192).map(i => cos(pv(i.toLong), pv((i + 8).toLong)))
+    val cross = (0 until 100).map(i => cos(pv(i.toLong), pv((i + 3).toLong)))
+    assert(within.sum / within.size > cross.sum / cross.size + 0.3,
+      s"projected within=${within.sum / within.size} cross=${cross.sum / cross.size}")
+    // norm preservation in the JL sense: median squared-norm ratio near 1
+    val vq = clustered.toMap.map { case (id, v) =>
+      id -> v.map(x => math.floor(x * 1024 + 0.5) / 1024)
+    }
+    val ratios = pv.map { case (id, p) =>
+      p.map(x => x * x).sum / vq(id).map(x => x * x).sum
+    }.toSeq.sorted
+    val med = ratios(ratios.size / 2)
+    assert(med > 0.5 && med < 1.5, s"median norm ratio off: $med")
+  }
+
   test("semantic dedup keeps one representative per tight cluster") {
     // 8 tight clusters of 25 near-identical vectors + 40 isolated
     // vectors: SemDeDup must collapse each cluster to ~1 survivor and
