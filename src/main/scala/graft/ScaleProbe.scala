@@ -925,14 +925,56 @@ object ScaleProbe {
     println(f"""{"probe":"graph9 marginal sec/iter (x6-x3)/3","sec":${(s6 - s3) / 3}%.2f,"x3_over_x1":${s3 / s1}%.2f}""")
   }
 
+  /** `runMain graft.ScaleProbe bucket9` — bucketed-table co-location
+    * at 20M ⋈ 20M: both facts written once bucketed by the join key
+    * (32 buckets, bucket-sorted), then joined + aggregated on that
+    * key. The bucketing metadata satisfies the join's AND the agg's
+    * distribution requirement, so the consuming job runs with ZERO
+    * shuffle — the write paid the partitioning once, instead of every
+    * consuming job re-paying it. The unbucketed twin (same data, plain
+    * parquet) shows the per-job shuffle this avoids. */
+  private def bucket9(spark: SparkSession): Unit = {
+    import graft.operators.Layout
+    spark.sparkContext.addSparkListener(ShuffleBytes)
+    spark.sparkContext.addSparkListener(MaxTask)
+    val fact1 = spark.range(0, 20000000L).select(
+      pmod(hash(col("id")), lit(5000000)).cast("long").as("k"),
+      (col("id") % 97).as("v1"))
+    val fact2 = spark.range(0, 20000000L).select(
+      pmod(hash(col("id") * 13), lit(5000000)).cast("long").as("k"),
+      (col("id") % 89).as("v2"))
+    Seq("bp_f1", "bp_f2", "bp_f1_plain", "bp_f2_plain")
+      .foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
+    Layout.writeBucketed(fact1, "bp_f1", "k", 32, sortCols = Seq("k"))
+    Layout.writeBucketed(fact2, "bp_f2", "k", 32, sortCols = Seq("k"))
+    fact1.write.mode("overwrite").format("parquet").saveAsTable("bp_f1_plain")
+    fact2.write.mode("overwrite").format("parquet").saveAsTable("bp_f2_plain")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    def time(label: String)(f: => Long): Unit = {
+      ShuffleBytes.reset(); MaxTask.reset()
+      val t0 = System.nanoTime(); val n = f
+      val s = (System.nanoTime() - t0) / 1e9
+      println(f"""{"probe":"$label","rows":$n,"sec":$s%.2f,"max_task_sec":${MaxTask.max.get() / 1000.0}%.2f,"shuffle_mb":${ShuffleBytes.bytes.get() / 1048576.0}%.1f}""")
+    }
+    def joinAgg(a: String, b: String): Long =
+      spark.table(a).join(spark.table(b), Seq("k"))
+        .groupBy(col("k")).agg(sum(col("v1") + col("v2")).as("s"))
+        .queryExecution.toRdd.count()
+    time("bucket9 unbucketed join+agg 20Mx20M")(joinAgg("bp_f1_plain", "bp_f2_plain"))
+    time("bucket9 bucketed join+agg 20Mx20M")(joinAgg("bp_f1", "bp_f2"))
+    Seq("bp_f1", "bp_f2", "bp_f1_plain", "bp_f2_plain")
+      .foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
+  }
+
   def main(args: Array[String]): Unit = {
     if (args.headOption.exists(Set("quota7", "pipe7", "freq7", "serve8",
         "outlier8", "budget8", "ids8", "aqe8", "rtfilter8", "prefix8",
-        "sparse9", "interop9", "graph9"))) {
+        "sparse9", "interop9", "graph9", "bucket9"))) {
       val spark = SparkSession.builder()
         .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")}]")
         .config("spark.sql.shuffle.partitions",
           sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"))
+        .config("spark.sql.warehouse.dir", "/tmp/graft_warehouse")
         .config("spark.ui.enabled", "false")
         .getOrCreate()
       spark.sparkContext.setLogLevel("WARN")
@@ -950,6 +992,7 @@ object ScaleProbe {
         case "sparse9" => sparse9(spark)
         case "interop9" => interop9(spark)
         case "graph9" => graph9(spark)
+        case "bucket9" => bucket9(spark)
       }
       spark.stop()
       return

@@ -221,4 +221,25 @@ object Layout {
       .write.mode("overwrite").parquet(outDir)
     n
   }
+
+  /** Bucketed (hash-clustered, optionally bucket-sorted) managed-table
+    * write — the co-location strategy for RECURRING fact-to-fact
+    * joins: two tables bucketed by the same key into the same bucket
+    * count join with NO shuffle on either side (Spark's bucketing
+    * metadata satisfies the join's distribution requirement), and
+    * aggregations on the bucket key skip their exchange too. At
+    * cluster scale this converts the nightly dominant shuffle into a
+    * bucket-wise zip of pre-sorted files; the write pays that shuffle
+    * ONCE instead of per consuming job. `sortBy` additionally makes
+    * each bucket file sort-merge-ready, eliminating the join's sort.
+    * LayoutSpec pins the exchange-free plan; probe bucket9 (SCALE.md)
+    * measures the shuffle-byte collapse at 20M×20M. */
+  def writeBucketed(df: DataFrame, table: String, bucketCol: String,
+                    buckets: Int, sortCols: Seq[String] = Nil): Unit = {
+    val w = df.write.mode("overwrite").format("parquet")
+      .bucketBy(buckets, bucketCol)
+    val ws =
+      if (sortCols.nonEmpty) w.sortBy(sortCols.head, sortCols.tail: _*) else w
+    ws.saveAsTable(table)
+  }
 }

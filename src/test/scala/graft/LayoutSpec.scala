@@ -239,4 +239,41 @@ class LayoutSpec extends SparkTestBase {
     val breaks = SchemaEvolution.breakingChanges(cur, incoming)
     assert(breaks.map(_._1) === Seq("id"))
   }
+
+  test("bucketed co-located join: no exchange on either side, same result") {
+    val orders = spark.read.parquet(s"$sfSmoke/orders.parquet")
+      .select("o_orderkey", "o_custkey", "o_totalprice")
+    val lineitem = spark.read.parquet(s"$sfSmoke/lineitem.parquet")
+      .select("l_orderkey", "l_quantity")
+    spark.sql("DROP TABLE IF EXISTS b_orders")
+    spark.sql("DROP TABLE IF EXISTS b_lineitem")
+    Layout.writeBucketed(orders, "b_orders", "o_orderkey", 8,
+      sortCols = Seq("o_orderkey"))
+    Layout.writeBucketed(lineitem, "b_lineitem", "l_orderkey", 8,
+      sortCols = Seq("l_orderkey"))
+    val prevThresh = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val joined = spark.table("b_orders")
+        .join(spark.table("b_lineitem"),
+          col("o_orderkey") === col("l_orderkey"))
+        .groupBy(col("o_orderkey"))
+        .agg(sum(col("l_quantity")).as("qty"))
+      val plan = joined.queryExecution.executedPlan.toString
+      // bucketing satisfies BOTH the join's and the agg's distribution:
+      // the whole plan runs without a single shuffle
+      assert(!plan.contains("Exchange"),
+        s"bucketed join+agg must be exchange-free:\n$plan")
+      val unbucketed = orders.join(lineitem,
+          col("o_orderkey") === col("l_orderkey"))
+        .groupBy(col("o_orderkey"))
+        .agg(sum(col("l_quantity")).as("qty"))
+      assert(joined.collect().toSet == unbucketed.collect().toSet,
+        "bucketed plan must produce identical results")
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThresh)
+      spark.sql("DROP TABLE IF EXISTS b_orders")
+      spark.sql("DROP TABLE IF EXISTS b_lineitem")
+    }
+  }
 }
