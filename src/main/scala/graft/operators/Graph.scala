@@ -39,7 +39,27 @@ object Graph {
     * `edges` rows are directed (src, dst) pairs; duplicates are
     * collapsed. Returns (id, rank) on the quantized grid. */
   def pageRank(edges: DataFrame, srcCol: String, dstCol: String,
-               iters: Int, damping: Double = 0.875): DataFrame = {
+               iters: Int, damping: Double = 0.875): DataFrame =
+    pageRankFrom(edges, srcCol, dstCol, init = None, iters, damping)
+
+  /** [[pageRank]] with a WARM START — the incremental-update path: on
+    * a steady-state graph, yesterday's converged ranks are an
+    * excellent initial vector for today's slightly-grown edge set, so
+    * the fixpoint is re-reached in 1-3 iterations instead of a cold
+    * power iteration's 10-20 (GraphSpec pins the iteration cut). Ids
+    * in `init` but no longer in the graph drop out; NEW ids (nodes
+    * the fresh edges introduced) start at the uniform teleport value.
+    * Note the fixed-iteration results differ bit-wise from a cold run
+    * of the same length (different start vector) — both converge to
+    * the same fixpoint; the gated oracle query stays the cold form. */
+  def pageRankWarm(edges: DataFrame, srcCol: String, dstCol: String,
+                   prevRanks: DataFrame, iters: Int,
+                   damping: Double = 0.875): DataFrame =
+    pageRankFrom(edges, srcCol, dstCol, init = Some(prevRanks), iters, damping)
+
+  private def pageRankFrom(edges: DataFrame, srcCol: String, dstCol: String,
+                           init: Option[DataFrame], iters: Int,
+                           damping: Double): DataFrame = {
     require(iters >= 1 && damping > 0 && damping < 1)
     val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
       .distinct().localCheckpoint()
@@ -48,9 +68,17 @@ object Graph {
     val outdeg = e.groupBy(col("src").as("id")).agg(count(lit(1)).as("deg"))
       .localCheckpoint() // node-sized; joined into ranks every iteration
     val n = nodes.select(count(lit(1)).cast("double").as("n"))
-    var ranks = nodes.crossJoin(broadcast(n))
-      .select(col("id"), q30(lit(1.0) / col("n")).as("rank"))
-      .localCheckpoint()
+    var ranks = (init match {
+      case None =>
+        nodes.crossJoin(broadcast(n))
+          .select(col("id"), q30(lit(1.0) / col("n")).as("rank"))
+      case Some(prev) =>
+        nodes.join(prev.select(col("id"), col("rank").as("__prev")),
+            Seq("id"), "left")
+          .crossJoin(broadcast(n))
+          .select(col("id"),
+            coalesce(col("__prev"), q30(lit(1.0) / col("n"))).as("rank"))
+    }).localCheckpoint()
     for (_ <- 1 to iters) {
       val withDeg = ranks.join(outdeg, Seq("id"), "left")
       // dangling mass: grid-exact sum over sink nodes (1-row frame)

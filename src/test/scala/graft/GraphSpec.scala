@@ -77,6 +77,32 @@ class GraphSpec extends SparkTestBase {
     assert(ranks2 == ranks, "off-graph seeds must be ignored, not dilute")
   }
 
+  test("warm-start pageRank re-converges in a fraction of the cold iterations") {
+    // steady-state HUB-HEAVY graph (fixpoint far from the uniform cold
+    // start): 40 leaves each cite one of 5 hubs, hubs cycle among
+    // themselves; "today" adds 3 leaf edges
+    val leaves = (10L until 50L).map(i => (i, i % 5))
+    val hubs = (0L until 5L).map(i => (i, (i + 1) % 5))
+    val old = (leaves ++ hubs).toDF("src", "dst")
+    val grown = (leaves ++ hubs ++ Seq((17L, 23L), (31L, 4L), (44L, 12L)))
+      .toDF("src", "dst")
+    def toMap(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    def linf(a: Map[Long, Double], b: Map[Long, Double]): Double =
+      a.keys.map(k => math.abs(a(k) - b(k))).max
+    val prev = Graph.pageRank(old, "src", "dst", iters = 25)
+    val truth = toMap(Graph.pageRank(grown, "src", "dst", iters = 40))
+    val warm2 = toMap(Graph.pageRankWarm(grown, "src", "dst", prev, iters = 2))
+    val cold2 = toMap(Graph.pageRank(grown, "src", "dst", iters = 2))
+    val cold8 = toMap(Graph.pageRank(grown, "src", "dst", iters = 8))
+    assert(linf(warm2, truth) < linf(cold2, truth) / 4,
+      s"warm start must be far closer than a cold run of the same length: " +
+        s"warm2=${linf(warm2, truth)} cold2=${linf(cold2, truth)}")
+    assert(linf(warm2, truth) <= linf(cold8, truth) * 1.2,
+      s"2 warm iterations must match ~8 cold ones: " +
+        s"warm2=${linf(warm2, truth)} cold8=${linf(cold8, truth)}")
+  }
+
   test("pageRank plan: ranks stay distributed — no collect, iteration-sized lineage") {
     val edges = Seq((1L, 2L), (2L, 3L), (3L, 1L)).toDF("src", "dst")
     val ranks = Graph.pageRank(edges, "src", "dst", iters = 2)
