@@ -715,7 +715,20 @@ object Similarity {
     * itself dyadic. Emits (id, j, p) exploded rows — one per output
     * coordinate. */
   def randomProject(df: DataFrame, idCol: String, vecCol: String,
-                    dim: Int, k: Int = 16): DataFrame = {
+                    dim: Int, k: Int = 16): DataFrame =
+    df.select(col(idCol),
+        posexplode(array(projExprs(vecCol, dim, k): _*)).as(Seq("j", "p")))
+      .withColumn("j", col("j").cast("long"))
+
+  /** [[randomProject]] in VECTOR form: (id, pvec) with the k projected
+    * coordinates as one array column — the shape downstream distance
+    * passes consume directly. Same sign matrix, grid, and exact sums
+    * as the exploded form. */
+  def randomProjectVec(df: DataFrame, idCol: String, vecCol: String,
+                       dim: Int, k: Int = 16): DataFrame =
+    df.select(col(idCol), array(projExprs(vecCol, dim, k): _*).as("pvec"))
+
+  private def projExprs(vecCol: String, dim: Int, k: Int): Seq[Column] = {
     require(k >= 1 && (math.sqrt(k) == math.floor(math.sqrt(k))),
       "k must be a perfect square so 1/sqrt(k) is exact")
     val scale = 1.0 / math.sqrt(k)
@@ -727,13 +740,11 @@ object Similarity {
     }
     val vq = transform(col(vecCol),
       x => floor(x.cast("double") * 1024 + lit(0.5)) / 1024)
-    val projections = (0 until k).map { j =>
+    (0 until k).map { j =>
       val sj = array((0 until dim).map(i => lit(sign(i, j))): _*)
       aggregate(zip_with(vq, sj, (x, s) => x * s), lit(0.0),
         (acc, x) => acc + x) * scale
     }
-    df.select(col(idCol), posexplode(array(projections: _*)).as(Seq("j", "p")))
-      .withColumn("j", col("j").cast("long"))
   }
 
   /** SemDeDup-style SEMANTIC deduplication (Abbas et al. 2023): cluster

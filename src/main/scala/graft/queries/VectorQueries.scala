@@ -12,6 +12,7 @@ import graft.operators.Similarity
 object VectorQueries {
 
   private val K = 5
+  private val RpShortlist = 20
   private val NPlanes = 6
   private val Dim = 64
   private val NCentroids = 8
@@ -135,6 +136,29 @@ object VectorQueries {
     "dedup_embed_lsh" -> ((s, d) => {
       Similarity.lshCosineNearDupPairsMultiProbe(tbl(s, d, "embeddings"),
         "vec_id", "embedding", CosThreshold, dedupPlanes)
+    }),
+
+    // Projected-space ANN with exact re-rank: the 16-dim JL shortlist
+    // does the O(n·q) pair work at 1/4 the width, then exact 64-d
+    // cosine re-scores only the 20-candidate shortlist — the
+    // project-once / screen-cheap / verify-exact retrieval shape.
+    "ann_rp_topk" -> ((s, d) => {
+      import graft.functions.VectorOps
+      val e = tbl(s, d, "embeddings")
+      val pv = Similarity.randomProjectVec(e, "vec_id", "embedding", Dim, 16)
+      val shortlist = Similarity.bruteForceTopK(
+        pv.filter(col("vec_id") < 10), pv, "vec_id", "pvec", RpShortlist)
+        .select(col("query_id"), col("neighbor_id"))
+      val q = e.select(col("vec_id").as("query_id"), col("embedding").as("qv"))
+      val n = e.select(col("vec_id").as("neighbor_id"), col("embedding").as("nv"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("query_id"))
+        .orderBy(col("cos").desc, col("neighbor_id").asc)
+      shortlist.join(q, Seq("query_id")).join(n, Seq("neighbor_id"))
+        .withColumn("cos", VectorOps.cosine(col("qv"), col("nv")))
+        .withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= K)
+        .select(col("query_id"), col("rank"), col("neighbor_id"))
     }),
 
     // JL random projection 64 → 16 dims: plan-time md5-parity sign
@@ -279,6 +303,38 @@ object VectorQueries {
               ON a.cell = b.cell AND a.vec_id <> b.vec_id)
           WHERE rank <= $K"""
     },
+    "ann_rp_topk" ->
+      s"""WITH signs AS (
+            SELECT i, j, CASE WHEN ('0x' || substring(
+                md5(i::VARCHAR || '_' || j::VARCHAR), 1, 1))::BIGINT % 2 = 0
+              THEN 1.0 ELSE -1.0 END AS s
+            FROM generate_series(0, ${Dim - 1}) AS gi(i)
+            CROSS JOIN generate_series(0, 15) AS gj(j)),
+          vq AS (
+            SELECT vec_id, gi.i,
+              floor(embedding[gi.i + 1]::DOUBLE * 1024 + 0.5) / 1024 AS v
+            FROM embeddings CROSS JOIN generate_series(0, ${Dim - 1}) AS gi(i)),
+          proj AS (
+            SELECT vec_id, j, sum(v * s) * 0.25 AS p
+            FROM vq JOIN signs USING (i) GROUP BY vec_id, j),
+          pv AS (SELECT vec_id, list(p ORDER BY j) AS pvec FROM proj GROUP BY vec_id),
+          shortlist AS (
+            SELECT query_id, neighbor_id FROM (
+              SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+                row_number() OVER (PARTITION BY a.vec_id
+                  ORDER BY ${cosSqlN("a.pvec", "b.pvec", 16)} DESC, b.vec_id) AS rp
+              FROM pv a JOIN pv b ON a.vec_id <> b.vec_id
+              WHERE a.vec_id < 10)
+            WHERE rp <= $RpShortlist)
+          SELECT query_id, rank, neighbor_id FROM (
+            SELECT sl.query_id, sl.neighbor_id,
+              row_number() OVER (PARTITION BY sl.query_id
+                ORDER BY ${cosSql("q.embedding", "n.embedding")} DESC, sl.neighbor_id) AS rank
+            FROM shortlist sl
+            JOIN embeddings q ON q.vec_id = sl.query_id
+            JOIN embeddings n ON n.vec_id = sl.neighbor_id)
+          WHERE rank <= $K""",
+
     "embed_project_rp" ->
       s"""WITH signs AS (
             SELECT i, j, CASE WHEN ('0x' || substring(

@@ -202,6 +202,33 @@ class RecallSpec extends SparkTestBase {
     assert(rRerank >= 0.6, s"re-ranked IVF-PQ at nprobe=4 must clear 0.6: $rRerank")
   }
 
+  test("RP shortlist + exact re-rank recall on the isotropic corpus") {
+    // The ann_rp_topk shape: 16-dim JL shortlist of 20, exact 64-d
+    // re-rank to top-5. Isotropic data is JL's worst case (all cosines
+    // near 0, so projection noise swamps small true gaps) — the
+    // measured floor documents the budget; clustered corpora sit far
+    // above it (the JL cluster test above).
+    val bf = Similarity.bruteForceTopK(embeddings, embeddings,
+      "vec_id", "embedding", 5)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val pv = Similarity.randomProjectVec(embeddings, "vec_id", "embedding",
+      dim, 16)
+    val shortlist = Similarity.bruteForceTopK(pv, pv, "vec_id", "pvec", 20)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    // shortlist recall@5-in-20: how often the true top-5 survive the
+    // projected screen at 4x width cut
+    val hit = bf.count(shortlist.contains).toDouble / bf.size
+    info(f"RP(16) shortlist-20 contains $hit%.2f of the true top-5")
+    // chance level for a 20-of-500 shortlist is 0.04; measured ≈0.28
+    assert(hit >= 0.25, s"projected shortlist must retain signal: $hit")
+    // widening the shortlist must monotonically improve containment
+    val wide = Similarity.bruteForceTopK(pv, pv, "vec_id", "pvec", 60)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val hitWide = bf.count(wide.contains).toDouble / bf.size
+    info(f"RP(16) shortlist-60 contains $hitWide%.2f")
+    assert(hitWide >= hit, "containment must grow with the shortlist")
+  }
+
   test("JL projection: shuffle-free, norm-preserving, cluster structure survives") {
     val centers = Similarity.hyperplanes(8, dim, seed = 31L)
     val noise = Similarity.hyperplanes(240, dim, seed = 7L)
