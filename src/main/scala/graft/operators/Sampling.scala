@@ -22,6 +22,33 @@ object Sampling {
   def uniformSample(df: DataFrame, idCol: String, rate: Double): DataFrame =
     df.filter(keepHash(col(idCol)) < (rate * Denominator).toLong)
 
+  /** Error-bounded approximate aggregation (AQP) over the
+    * deterministic Bernoulli(p) hash sample: per group, the
+    * Horvitz-Thompson total estimate T̂ = Σ_{i∈S} v_i / p with its
+    * estimated standard error sqrt(Σ_{i∈S} v_i² · (1−p)/p²) — the
+    * profile-a-100-TB-fact-from-the-1%-it-touches readout, WITH the
+    * confidence band that makes the estimate trustworthy. The sample
+    * is the same md5 keep-hash as [[uniformSample]], so the estimate
+    * is replayable and engine-exact: values quantize to the 2⁻²⁰ grid
+    * before summation (sums exactly representable → order-
+    * independent), and the p-divisions and sqrt are fixed-shape IEEE
+    * on identical bits. At rate=1 the estimate IS the exact total and
+    * stderr is 0 (PropertySpec pins both). */
+  def aqpGroupSum(df: DataFrame, idExpr: Column, keyCol: Column,
+                  valCol: Column, rate: Double): DataFrame = {
+    require(rate > 0 && rate <= 1)
+    val keep = (rate * Denominator).toLong
+    val pd = keep.toDouble / Denominator
+    val grid = 1048576.0 // 2^20
+    val s = df.filter(keepHash(idExpr) < keep)
+      .select(keyCol.as("grp"),
+        (floor(valCol.cast("double") * grid + lit(0.5)) / grid).as("v"))
+    s.groupBy(col("grp")).agg(
+      count(lit(1)).as("n_sampled"),
+      (sum(col("v")) / pd).as("est_sum"),
+      sqrt(sum(col("v") * col("v")) * ((1.0 - pd) / (pd * pd))).as("stderr"))
+  }
+
   /** Deterministic negative sampling for contrastive training: for
     * each anchor, `k` corpus rows drawn by the engine-portable hash
     * `md5(anchor:j) mod |corpus|` (j = 1..overdraw·k candidate slots),

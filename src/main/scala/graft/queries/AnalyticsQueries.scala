@@ -319,6 +319,16 @@ object AnalyticsQueries {
         tbl(s, d, "documents"), col("n_chars"), buckets = 8)
     }),
 
+    // Error-bounded approximate aggregation: Horvitz-Thompson group
+    // totals + standard errors from the deterministic 2% hash sample —
+    // profile the fact table from the fraction the sample touches
+    // (Sampling.aqpGroupSum).
+    "aqp_group_sum" -> ((s, d) => {
+      graft.operators.Sampling.aqpGroupSum(tbl(s, d, "lineitem"),
+        col("l_orderkey") * 10 + col("l_linenumber"),
+        col("l_returnflag"), col("l_extendedprice"), rate = 0.02)
+    }),
+
     // Exact per-group weighted median (quantity-weighted median price —
     // the token-weighted median-length readout shape): the distinct-
     // value decomposition again, with the half-total comparison in
@@ -368,6 +378,18 @@ object AnalyticsQueries {
          SELECT CAST(floor((below * 8)::DOUBLE / n) AS BIGINT) AS bucket,
            sum(cnt) AS n_rows, min(v) AS lo, max(v) AS hi
          FROM cum CROSS JOIN nn GROUP BY 1""",
+
+    "aqp_group_sum" ->
+      """WITH s AS (
+           SELECT l_returnflag AS grp,
+             floor(l_extendedprice::DOUBLE * 1048576 + 0.5) / 1048576 AS v
+           FROM lineitem
+           WHERE ('0x' || substring(md5((l_orderkey * 10 + l_linenumber)::VARCHAR),
+               1, 15))::BIGINT % 10000 < 200)
+         SELECT grp, count(*)::BIGINT AS n_sampled,
+           sum(v) / 0.02 AS est_sum,
+           sqrt(sum(v * v) * ((1.0 - 0.02) / (0.02 * 0.02))) AS stderr
+         FROM s GROUP BY grp""",
 
     "weighted_median" ->
       """WITH pv AS (

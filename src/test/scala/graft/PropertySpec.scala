@@ -558,6 +558,32 @@ class PropertySpec extends SparkTestBase {
     }
   }
 
+  test("aqpGroupSum: rate=1 is the exact total with stderr 0; CI covers truth") {
+    import graft.operators.Sampling
+    val rowGen = Gen.zip(Gen.oneOf("a", "b"), Gen.chooseNum(1, 100))
+    val rows = sample(rowGen, 400).zipWithIndex
+      .map { case ((g, v), i) => (i.toLong, g, v) }
+    val df = rows.toDF("id", "g", "v")
+    val exact = rows.groupBy(_._2).map { case (g, grp) =>
+      g -> grp.map(_._3.toDouble).sum // ints on the 2^-20 grid: exact
+    }
+    val full = Sampling.aqpGroupSum(df, col("id"), col("g"), col("v"), 1.0)
+      .collect().map(r => r.getString(0) -> (r.getDouble(2), r.getDouble(3))).toMap
+    for ((g, t) <- exact) {
+      assert(full(g)._1 == t, s"rate=1 must be exact for $g: ${full(g)._1} vs $t")
+      assert(full(g)._2 == 0.0, s"rate=1 stderr must be 0: ${full(g)._2}")
+    }
+    // at 10%, the Horvitz-Thompson estimate sits inside a 4-stderr band
+    // (deterministic given the fixed md5 sample — a pinned fact)
+    val est = Sampling.aqpGroupSum(df, col("id"), col("g"), col("v"), 0.1)
+      .collect().map(r => r.getString(0) -> (r.getDouble(2), r.getDouble(3))).toMap
+    for ((g, t) <- exact; (e, se) <- est.get(g)) {
+      assert(se > 0, s"subsampled stderr must be positive for $g")
+      assert(math.abs(e - t) <= 4 * se,
+        s"estimate out of band for $g: est=$e exact=$t stderr=$se")
+    }
+  }
+
   test("sparseCosinePairsScalable == sparseCosinePairs bit-for-bit") {
     import graft.operators.TfIdf
     // small alphabet → colliding n-grams → real candidate pressure on
