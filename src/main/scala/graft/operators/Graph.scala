@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Link-graph authority scoring — the crawl-curation signal a
@@ -65,20 +65,38 @@ object Graph {
       .distinct().localCheckpoint()
     val nodes = e.select(col("src").as("id"))
       .union(e.select(col("dst").as("id"))).distinct().localCheckpoint()
-    val outdeg = e.groupBy(col("src").as("id")).agg(count(lit(1)).as("deg"))
-      .localCheckpoint() // node-sized; joined into ranks every iteration
     val n = nodes.select(count(lit(1)).cast("double").as("n"))
-    var ranks = (init match {
+    // base carries each node's per-iteration constants (here: n)
+    val base = nodes.crossJoin(broadcast(n)).localCheckpoint()
+    val ranks0 = (init match {
       case None =>
-        nodes.crossJoin(broadcast(n))
-          .select(col("id"), q30(lit(1.0) / col("n")).as("rank"))
+        base.select(col("id"), q30(lit(1.0) / col("n")).as("rank"))
       case Some(prev) =>
-        nodes.join(prev.select(col("id"), col("rank").as("__prev")),
+        base.join(prev.select(col("id"), col("rank").as("__prev")),
             Seq("id"), "left")
-          .crossJoin(broadcast(n))
           .select(col("id"),
             coalesce(col("__prev"), q30(lit(1.0) / col("n"))).as("rank"))
     }).localCheckpoint()
+    // uniform teleport: r' = q((1−d)/n + d·(s + dm/n))
+    powerIterate(e, base, ranks0, iters,
+      q30(lit(1.0 - damping) / col("n") +
+        lit(damping) * (coalesce(col("s"), lit(0.0)) + col("dm") / col("n"))))
+  }
+
+  /** The shared rank-update loop of [[pageRank]] / [[pageRankWarm]] /
+    * [[personalizedPageRank]]: per iteration, the dangling mass (grid-
+    * exact sum over sink nodes, 1-row broadcast frame) and the per-dst
+    * contribution sums, then `rankExpr` — evaluated over `base`'s
+    * per-node constant columns plus (s, dm) — becomes the new rank.
+    * Only the teleport term differs between the variants, and it MUST
+    * stay inside rankExpr verbatim: each form is bit-pinned to its own
+    * unrolled-CTE oracle ((1−d)/n is NOT the same bits as
+    * (1−d)·q30(1/n)). */
+  private def powerIterate(e: DataFrame, base: DataFrame, init: DataFrame,
+                           iters: Int, rankExpr: Column): DataFrame = {
+    val outdeg = e.groupBy(col("src").as("id")).agg(count(lit(1)).as("deg"))
+      .localCheckpoint() // node-sized; joined into ranks every iteration
+    var ranks = init
     for (_ <- 1 to iters) {
       val withDeg = ranks.join(outdeg, Seq("id"), "left")
       // dangling mass: grid-exact sum over sink nodes (1-row frame)
@@ -88,12 +106,10 @@ object Graph {
           .select(col("id").as("src"), col("rank"), col("deg")), Seq("src"))
         .select(col("dst"), q30(col("rank") / col("deg")).as("c"))
         .groupBy(col("dst")).agg(sum(col("c")).as("s"))
-      ranks = nodes
+      ranks = base
         .join(contribs.select(col("dst").as("id"), col("s")), Seq("id"), "left")
-        .crossJoin(broadcast(n)).crossJoin(broadcast(dm))
-        .select(col("id"), q30(lit(1.0 - damping) / col("n") +
-          lit(damping) * (coalesce(col("s"), lit(0.0)) + col("dm") / col("n")))
-          .as("rank"))
+        .crossJoin(broadcast(dm))
+        .select(col("id"), rankExpr.as("rank"))
         .localCheckpoint()
     }
     ranks
@@ -126,26 +142,10 @@ object Graph {
       .select(col("id"), when(col("__seed").isNotNull,
         q30(lit(1.0) / col("s"))).otherwise(lit(0.0)).as("t"))
       .localCheckpoint()
-    val outdeg = e.groupBy(col("src").as("id")).agg(count(lit(1)).as("deg"))
-      .localCheckpoint()
-    var ranks = tele.select(col("id"), col("t").as("rank"))
-    for (_ <- 1 to iters) {
-      val withDeg = ranks.join(outdeg, Seq("id"), "left")
-      val dm = withDeg.filter(col("deg").isNull)
-        .agg(coalesce(sum(col("rank")), lit(0.0)).as("dm"))
-      val contribs = e.join(withDeg.filter(col("deg").isNotNull)
-          .select(col("id").as("src"), col("rank"), col("deg")), Seq("src"))
-        .select(col("dst"), q30(col("rank") / col("deg")).as("c"))
-        .groupBy(col("dst")).agg(sum(col("c")).as("s"))
-      ranks = tele
-        .join(contribs.select(col("dst").as("id"), col("s")), Seq("id"), "left")
-        .crossJoin(broadcast(dm))
-        .select(col("id"), q30(lit(1.0 - damping) * col("t") +
-          lit(damping) * (coalesce(col("s"), lit(0.0)) + col("dm") * col("t")))
-          .as("rank"))
-        .localCheckpoint()
-    }
-    ranks
+    // seeded teleport: r' = q((1−d)·t + d·(s + dm·t))
+    powerIterate(e, tele, tele.select(col("id"), col("t").as("rank")), iters,
+      q30(lit(1.0 - damping) * col("t") +
+        lit(damping) * (coalesce(col("s"), lit(0.0)) + col("dm") * col("t"))))
   }
 
   /** HITS hubs-and-authorities with L∞ (max) normalization — max is

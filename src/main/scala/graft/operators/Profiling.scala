@@ -172,12 +172,15 @@ object Profiling {
     * value) weight table, a value-bounded running-sum window, then a
     * one-row-per-group reduce. The half-total comparison is kept in
     * INTEGER arithmetic (2·cum ≥ W, never 0.5·W), so ties and odd
-    * totals are bit-identical across engines. Null values and null
-    * weights are excluded; a group that loses all rows drops out. */
+    * totals are bit-identical across engines. Weights round HALF-UP to
+    * integers (floor(w + 0.5) — explicit, because a bare long cast
+    * truncates in Spark but rounds in DuckDB, and the two diverge on
+    * any fractional weight). Null values and null weights are
+    * excluded; a group that loses all rows drops out. */
   def weightedMedian(df: DataFrame, groupCol: Column, valueCol: Column,
                      weightCol: Column): DataFrame = {
     val base = df.select(groupCol.as("grp"), valueCol.as("v"),
-        weightCol.cast("long").as("w"))
+        floor(weightCol.cast("double") + lit(0.5)).cast("long").as("w"))
       .filter(col("v").isNotNull && col("w").isNotNull)
     val perValue = base.groupBy(col("grp"), col("v"))
       .agg(sum(col("w")).as("vw"))

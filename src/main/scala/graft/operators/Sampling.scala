@@ -29,24 +29,32 @@ object Sampling {
     * profile-a-100-TB-fact-from-the-1%-it-touches readout, WITH the
     * confidence band that makes the estimate trustworthy. The sample
     * is the same md5 keep-hash as [[uniformSample]], so the estimate
-    * is replayable and engine-exact: values quantize to the 2⁻²⁰ grid
-    * before summation (sums exactly representable → order-
-    * independent), and the p-divisions and sqrt are fixed-shape IEEE
-    * on identical bits. At rate=1 the estimate IS the exact total and
-    * stderr is 0 (PropertySpec pins both). */
+    * is replayable and engine-exact: values become INTEGER units on
+    * the 2⁻⁸ grid, so Σu (long) and Σu² (decimal — u² alone can reach
+    * 2⁵⁰) are exact integers in ANY accumulation order; the divisions
+    * and sqrt are then fixed-shape IEEE on the identical (correctly-
+    * rounded) doubles both engines derive from those integers. A
+    * double sum of v or v·v would NOT be order-independent here — v
+    * reaches 2¹⁷, so v² products round and Spark's partial aggs could
+    * disagree with a sequential engine in the low bits. At rate=1 the
+    * estimate IS the exact total and stderr is 0 (PropertySpec pins
+    * both). */
   def aqpGroupSum(df: DataFrame, idExpr: Column, keyCol: Column,
                   valCol: Column, rate: Double): DataFrame = {
     require(rate > 0 && rate <= 1)
     val keep = (rate * Denominator).toLong
     val pd = keep.toDouble / Denominator
-    val grid = 1048576.0 // 2^20
+    val grid = 256.0 // 2^8: units small enough that u*u stays exact
     val s = df.filter(keepHash(idExpr) < keep)
       .select(keyCol.as("grp"),
-        (floor(valCol.cast("double") * grid + lit(0.5)) / grid).as("v"))
+        floor(valCol.cast("double") * grid + lit(0.5)).cast("long").as("u"))
+    val u2 = col("u").cast("decimal(38,0)") * col("u").cast("decimal(38,0)")
     s.groupBy(col("grp")).agg(
       count(lit(1)).as("n_sampled"),
-      (sum(col("v")) / pd).as("est_sum"),
-      sqrt(sum(col("v") * col("v")) * ((1.0 - pd) / (pd * pd))).as("stderr"))
+      (sum(col("u").cast("decimal(38,0)")).cast("double") / grid / pd)
+        .as("est_sum"),
+      sqrt(sum(u2).cast("double") / (grid * grid) * ((1.0 - pd) / (pd * pd)))
+        .as("stderr"))
   }
 
   /** Deterministic negative sampling for contrastive training: for

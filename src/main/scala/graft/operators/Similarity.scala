@@ -729,8 +729,12 @@ object Similarity {
     df.select(col(idCol), array(projExprs(vecCol, dim, k): _*).as("pvec"))
 
   private def projExprs(vecCol: String, dim: Int, k: Int): Seq[Column] = {
-    require(k >= 1 && (math.sqrt(k) == math.floor(math.sqrt(k))),
-      "k must be a perfect square so 1/sqrt(k) is exact")
+    // power of FOUR, not merely a perfect square: 1/sqrt(k) is dyadic
+    // (exactly representable) only when sqrt(k) is a power of two —
+    // k=9 would pass a square check but 1/3 leaves the grid
+    require(k >= 1 && (k & (k - 1)) == 0
+        && java.lang.Integer.numberOfTrailingZeros(k) % 2 == 0,
+      "k must be a power of 4 so 1/sqrt(k) is exactly representable")
     val scale = 1.0 / math.sqrt(k)
     val md = java.security.MessageDigest.getInstance("MD5")
     def sign(i: Int, j: Int): Double = {

@@ -382,19 +382,19 @@ object AnalyticsQueries {
     "aqp_group_sum" ->
       """WITH s AS (
            SELECT l_returnflag AS grp,
-             floor(l_extendedprice::DOUBLE * 1048576 + 0.5) / 1048576 AS v
+             CAST(floor(l_extendedprice::DOUBLE * 256 + 0.5) AS BIGINT) AS u
            FROM lineitem
            WHERE ('0x' || substring(md5((l_orderkey * 10 + l_linenumber)::VARCHAR),
                1, 15))::BIGINT % 10000 < 200)
          SELECT grp, count(*)::BIGINT AS n_sampled,
-           sum(v) / 0.02 AS est_sum,
-           sqrt(sum(v * v) * ((1.0 - 0.02) / (0.02 * 0.02))) AS stderr
+           sum(u)::DOUBLE / 256.0 / 0.02 AS est_sum,
+           sqrt(sum(u * u)::DOUBLE / 65536.0 * ((1.0 - 0.02) / (0.02 * 0.02))) AS stderr
          FROM s GROUP BY grp""",
 
     "weighted_median" ->
       """WITH pv AS (
            SELECT l_returnflag AS grp, l_extendedprice AS v,
-             sum(l_quantity::BIGINT) AS vw
+             sum(CAST(floor(l_quantity::DOUBLE + 0.5) AS BIGINT)) AS vw
            FROM lineitem
            WHERE l_extendedprice IS NOT NULL AND l_quantity IS NOT NULL
            GROUP BY 1, 2),

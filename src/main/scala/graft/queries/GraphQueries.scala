@@ -28,6 +28,7 @@ object GraphQueries {
         .select(col("o_custkey").as("cust"),
           (col("l_suppkey") + 1000000L).as("supp"))
         .distinct()
+        .localCheckpoint() // feeds BOTH branches of the doubled union
       val edges = pairs.select(col("cust").as("src"), col("supp").as("dst"))
         .unionByName(pairs.select(col("supp").as("src"), col("cust").as("dst")))
       Graph.pageRank(edges, "src", "dst", iters = Iters)
@@ -57,6 +58,7 @@ object GraphQueries {
         .select(col("o_custkey").as("cust"),
           (col("l_suppkey") + 1000000L).as("supp"))
         .distinct()
+        .localCheckpoint() // feeds BOTH branches of the doubled union
       val edges = pairs.select(col("cust").as("src"), col("supp").as("dst"))
         .unionByName(pairs.select(col("supp").as("src"), col("cust").as("dst")))
       val seeds = tbl(s, d, "customer")

@@ -85,9 +85,19 @@ object TableScanner {
         s"cursor arity ${req.cursor.size} != cursor_columns ${req.cursorColumns.size}")
       val lim = req.limit.getOrElse(
         throw new IllegalArgumentException("cursor paging requires limit"))
+      // keyset traversal covers the NON-NULL key space: a NULL cursor
+      // key has no position under strict `>` (every conjunct would be
+      // NULL → page 2 silently empty, the rest of the table unserved),
+      // so null-keyed rows are excluded from every page — fetch them
+      // with an explicit is-null filter. The filter also guarantees a
+      // client can never read a null key off the last row and echo
+      // "null" back as the next cursor.
+      req.cursorColumns.foreach(c => out = out.filter(col(c).isNotNull))
       if (req.cursor.isEmpty)
         out = out.orderBy(req.cursorColumns.map(col): _*).limit(lim)
       else {
+        require(req.cursor.forall(v => v != null && v.nonEmpty),
+          "cursor values must be non-empty (a null/empty key has no keyset position)")
         val schema = out.schema
         val keys = req.cursorColumns.zip(req.cursor).map { case (c, v) =>
           (col(c), typed(v, schema(c).dataType))

@@ -199,8 +199,9 @@ class TableScannerSpec extends SparkTestBase {
       cursor = Seq("1997-06-01 00:00:00", "400")))
     val plan = deep.queryExecution.executedPlan.toString
     assert(plan.contains("TakeOrderedAndProject"), s"no TakeOrdered:\n$plan")
-    assert(plan.contains("PushedFilters: [Or(GreaterThan(o_orderdate"),
-      s"cursor predicate not pushed to scan:\n$plan")
+    assert(plan.contains(
+      "PushedFilters: [IsNotNull(o_orderdate), IsNotNull(o_orderkey), Or(GreaterThan(o_orderdate"),
+      s"cursor predicate (incl. the non-null key guards) not pushed to scan:\n$plan")
     // first page (empty cursor) is served, ordered, limit-bounded
     val first = TableScanner.scan(orders, ScanRequest("orders",
       limit = Some(40), cursorColumns = keys)).collect()
@@ -216,6 +217,39 @@ class TableScannerSpec extends SparkTestBase {
     intercept[IllegalArgumentException] {
       TableScanner.scan(orders, ScanRequest("orders", cursorColumns = keys,
         limit = Some(10), offset = Some(5)))
+    }
+  }
+
+  test("cursor paging on a nullable key serves every non-null row, loses none") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    // nulls sort FIRST ascending: without the non-null guard, page 1
+    // returns null-key rows whose echoed cursor ("null") would turn
+    // every strict conjunct NULL and silently truncate the walk
+    val df = (1L to 200L)
+      .map(i => (i, if (i % 7 == 0) None else Some(i * 3 % 101)))
+      .toDF("id", "k")
+    val keys = Seq("k", "id")
+    val nonNull = df.filter(col("k").isNotNull).orderBy(keys.map(col): _*)
+      .select("id").as[Long].collect().toSeq
+    var cursor = Seq.empty[String]
+    var walked = Vector.empty[Long]
+    var page = 0
+    while (page == 0 || cursor.nonEmpty) {
+      val got = TableScanner.scan(df, ScanRequest("t",
+        limit = Some(30), cursorColumns = keys, cursor = cursor)).collect()
+      walked ++= got.map(_.getAs[Long]("id"))
+      cursor =
+        if (got.length < 30) Seq.empty
+        else keys.map(k => got.last.getAs[Any](k).toString)
+      page += 1
+    }
+    assert(walked == nonNull,
+      s"keyset walk over the non-null key space diverged (page $page)")
+    // an empty cursor value refuses instead of compiling to NULL
+    intercept[IllegalArgumentException] {
+      TableScanner.scan(df, ScanRequest("t", limit = Some(30),
+        cursorColumns = keys, cursor = Seq("", "5")))
     }
   }
 
