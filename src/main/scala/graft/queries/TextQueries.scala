@@ -183,6 +183,22 @@ object TextQueries {
         tbl(s, d, "documents").select(col("text")), "text", nMerges = BpeRounds)
     }),
 
+    // BPE ENCODE with the learned merges: vocab words (encode each
+    // distinct word once — the tokenize-once scale shape) fold through
+    // the 6 merges as literal sentinel-delimited replaces, a map-side
+    // projection. The 6-row merge table is the only driver collect.
+    "bpe_encode" -> ((s, d) => {
+      val docs = tbl(s, d, "documents").select(col("text"))
+      val merges = graft.operators.Bpe.learnMerges(s, docs, "text",
+          nMerges = BpeRounds)
+        .orderBy(col("rank")).collect()
+        .map(r => (r.getString(1), r.getString(2))).toSeq
+      val vocab = docs.select(explode(split(trim(col("text")), "\\s+")).as("w"))
+        .filter(col("w") =!= "").distinct()
+      graft.operators.Bpe.encode(vocab, "w", merges)
+        .select(col("word"), array_join(col("symbols"), " ").as("pieces"))
+    }),
+
     // Unsupervised LM quality signal (CCNet-style): train an add-k
     // smoothed bigram model on the corpus in one partial-agg pass,
     // score each doc's average negative log2 probability under it.
@@ -329,7 +345,9 @@ object TextQueries {
     * leftmost-non-overlapping `replace`, same (weight DESC, lhs, rhs)
     * argmax — generated per round so both engines run the identical
     * algorithm. */
-  private val bpeOracle: String = {
+  /** The shared learn-chain CTEs (w0 → t1..tN): word-freq table plus
+    * one argmax-merge round per rank — the prefix of BOTH bpe oracles. */
+  private val bpeCtes: String = {
     val rounds = (1 to BpeRounds).map { r =>
       s"""p$r AS (
             SELECT substr(sy[i], 2) AS lhs, substr(sy[i + 1], 2) AS rhs,
@@ -344,16 +362,39 @@ object TextQueries {
                     '•' || lhs || rhs || '¶') AS s
                   FROM w${r - 1} CROSS JOIN t$r)"""
     }.mkString(",\n          ")
-    val unions = (1 to BpeRounds)
-      .map(r => s"SELECT CAST($r AS INTEGER) AS rank, lhs, rhs, weight FROM t$r")
-      .mkString(" UNION ALL ")
-    s"""WITH w0 AS (
+    s"""w0 AS (
           SELECT word, CAST(count(*) AS BIGINT) AS freq,
             regexp_replace(word, '(.)', '•\\1¶', 'g') AS s
           FROM (SELECT unnest(string_split_regex(trim(text), '\\s+')) AS word FROM documents)
           WHERE word <> '' GROUP BY word),
-          $rounds
+          $rounds"""
+  }
+
+  private val bpeOracle: String = {
+    val unions = (1 to BpeRounds)
+      .map(r => s"SELECT CAST($r AS INTEGER) AS rank, lhs, rhs, weight FROM t$r")
+      .mkString(" UNION ALL ")
+    s"""WITH $bpeCtes
         $unions"""
+  }
+
+  /** Encode oracle: the learned t1..tN merges fold over each vocab
+    * word as nested replaces — identical non-overlapping left-to-right
+    * semantics to the Spark fold because every symbol carries its own
+    * •/¶ sentinels (a match consumes whole symbol spans, so no two
+    * occurrences can share a boundary). */
+  private val bpeEncodeOracle: String = {
+    val folded = (1 to BpeRounds).foldLeft("s") { (acc, r) =>
+      s"""replace($acc, (SELECT '•' || lhs || '¶•' || rhs || '¶' FROM t$r),
+                  (SELECT '•' || lhs || rhs || '¶' FROM t$r))"""
+    }
+    s"""WITH $bpeCtes,
+        enc AS (SELECT word, $folded AS es FROM w0)
+        SELECT word,
+          array_to_string(list_transform(
+            list_filter(string_split(es, '¶'), x -> x <> ''),
+            x -> substr(x, 2)), ' ') AS pieces
+        FROM enc"""
   }
 
   val oracles: Map[String, String] = Map(
@@ -401,6 +442,7 @@ object TextQueries {
          HAVING count(*) >= 3 AND count(*) <=
            (SELECT count(DISTINCT doc_id) FROM documents) * 0.79""",
     "bpe_merges" -> bpeOracle,
+    "bpe_encode" -> bpeEncodeOracle,
     "lm_perplexity" ->
       """WITH tok AS (
            SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS w
