@@ -78,24 +78,28 @@ object Graph {
             coalesce(col("__prev"), q30(lit(1.0) / col("n"))).as("rank"))
     }).localCheckpoint()
     // uniform teleport: r' = q((1−d)/n + d·(s + dm/n))
-    powerIterate(e, base, ranks0, iters,
+    powerIterate(e, countDeg(e), base, ranks0, iters,
+      q30(col("rank") / col("deg")),
       q30(lit(1.0 - damping) / col("n") +
         lit(damping) * (coalesce(col("s"), lit(0.0)) + col("dm") / col("n"))))
   }
 
   /** The shared rank-update loop of [[pageRank]] / [[pageRankWarm]] /
-    * [[personalizedPageRank]]: per iteration, the dangling mass (grid-
-    * exact sum over sink nodes, 1-row broadcast frame) and the per-dst
-    * contribution sums, then `rankExpr` — evaluated over `base`'s
-    * per-node constant columns plus (s, dm) — becomes the new rank.
-    * Only the teleport term differs between the variants, and it MUST
-    * stay inside rankExpr verbatim: each form is bit-pinned to its own
-    * unrolled-CTE oracle ((1−d)/n is NOT the same bits as
-    * (1−d)·q30(1/n)). */
-  private def powerIterate(e: DataFrame, base: DataFrame, init: DataFrame,
-                           iters: Int, rankExpr: Column): DataFrame = {
-    val outdeg = e.groupBy(col("src").as("id")).agg(count(lit(1)).as("deg"))
-      .localCheckpoint() // node-sized; joined into ranks every iteration
+    * [[personalizedPageRank]] / [[pageRankWeighted]]: per iteration,
+    * the dangling mass (grid-exact sum over sink nodes, 1-row
+    * broadcast frame) and the per-dst contribution sums (`contrib`,
+    * evaluated over the edge row joined with (rank, deg)), then
+    * `rankExpr` — evaluated over `base`'s per-node constant columns
+    * plus (s, dm) — becomes the new rank. Only the teleport and
+    * contribution terms differ between the variants, and they MUST
+    * stay verbatim in the passed expressions: each form is bit-pinned
+    * to its own unrolled-CTE oracle ((1−d)/n is NOT the same bits as
+    * (1−d)·q30(1/n)). `outdeg` is the (id, deg) frame the
+    * contributions divide by — edge count for the uniform forms,
+    * total out-weight for the weighted one. */
+  private def powerIterate(e: DataFrame, outdeg: DataFrame, base: DataFrame,
+                           init: DataFrame, iters: Int, contrib: Column,
+                           rankExpr: Column): DataFrame = {
     var ranks = init
     for (_ <- 1 to iters) {
       val withDeg = ranks.join(outdeg, Seq("id"), "left")
@@ -104,7 +108,7 @@ object Graph {
         .agg(coalesce(sum(col("rank")), lit(0.0)).as("dm"))
       val contribs = e.join(withDeg.filter(col("deg").isNotNull)
           .select(col("id").as("src"), col("rank"), col("deg")), Seq("src"))
-        .select(col("dst"), q30(col("rank") / col("deg")).as("c"))
+        .select(col("dst"), contrib.as("c"))
         .groupBy(col("dst")).agg(sum(col("c")).as("s"))
       ranks = base
         .join(contribs.select(col("dst").as("id"), col("s")), Seq("id"), "left")
@@ -113,6 +117,45 @@ object Graph {
         .localCheckpoint()
     }
     ranks
+  }
+
+  /** (id, deg) out-degree frame: the divisor of the uniform forms. */
+  private def countDeg(e: DataFrame): DataFrame =
+    e.groupBy(col("src").as("id")).agg(count(lit(1)).as("deg"))
+      .localCheckpoint() // node-sized; joined into ranks every iteration
+
+  /** WEIGHTED PageRank — real link graphs are multigraphs (a domain
+    * linking another 500 times is not one edge): contributions split
+    * proportionally to edge weight, r'(v) = (1−d)/N + d·(Σ_{u→v}
+    * q(r(u)·w(u,v)/W(u)) + D/N) with W(u) the node's total out-weight.
+    * Parallel (src,dst) rows pre-aggregate into one weighted edge (the
+    * edge table stays one row per arc); weights quantize to integers
+    * half-up so W is an exact integer sum. Same grid / iteration /
+    * scale shape as [[pageRank]] — the weighted contribution is the
+    * only change, and it rides the same powerIterate loop via a
+    * weight-aware contribution column. */
+  def pageRankWeighted(edges: DataFrame, srcCol: String, dstCol: String,
+                       weightCol: String, iters: Int,
+                       damping: Double = 0.875): DataFrame = {
+    require(iters >= 1 && damping > 0 && damping < 1)
+    val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"),
+        floor(col(weightCol).cast("double") + lit(0.5)).cast("long").as("w"))
+      .filter(col("w") > 0)
+      .groupBy(col("src"), col("dst")).agg(sum(col("w")).as("w"))
+      .localCheckpoint()
+    val nodes = e.select(col("src").as("id"))
+      .union(e.select(col("dst").as("id"))).distinct().localCheckpoint()
+    val n = nodes.select(count(lit(1)).cast("double").as("n"))
+    val base = nodes.crossJoin(broadcast(n)).localCheckpoint()
+    val init = base.select(col("id"), q30(lit(1.0) / col("n")).as("rank"))
+      .localCheckpoint()
+    // out-weight takes the degree slot: contribution = q(r·w/W)
+    val outw = e.groupBy(col("src").as("id")).agg(sum(col("w")).as("deg"))
+      .localCheckpoint()
+    powerIterate(e, outw, base, init, iters,
+      q30(col("rank") * col("w") / col("deg")),
+      q30(lit(1.0 - damping) / col("n") +
+        lit(damping) * (coalesce(col("s"), lit(0.0)) + col("dm") / col("n"))))
   }
 
   /** PERSONALIZED PageRank: teleport mass concentrates uniformly on a
@@ -143,7 +186,9 @@ object Graph {
         q30(lit(1.0) / col("s"))).otherwise(lit(0.0)).as("t"))
       .localCheckpoint()
     // seeded teleport: r' = q((1−d)·t + d·(s + dm·t))
-    powerIterate(e, tele, tele.select(col("id"), col("t").as("rank")), iters,
+    powerIterate(e, countDeg(e), tele,
+      tele.select(col("id"), col("t").as("rank")), iters,
+      q30(col("rank") / col("deg")),
       q30(lit(1.0 - damping) * col("t") +
         lit(damping) * (coalesce(col("s"), lit(0.0)) + col("dm") * col("t"))))
   }

@@ -34,6 +34,26 @@ object GraphQueries {
       Graph.pageRank(edges, "src", "dst", iters = Iters)
     }),
 
+    // WEIGHTED PageRank: the purchase multigraph keeps its edge
+    // multiplicities (one weight unit per order linking the pair) and
+    // contributions split proportionally — the authority signal real
+    // link graphs (domains linking 500× vs once) actually need.
+    "graph_pagerank_w" -> ((s, d) => {
+      val o = tbl(s, d, "orders").select(col("o_orderkey"), col("o_custkey"))
+      val l = tbl(s, d, "lineitem").select(col("l_orderkey"), col("l_suppkey"))
+      val pairs = o.join(l, col("o_orderkey") === col("l_orderkey"))
+        .select(col("o_custkey").as("cust"),
+          (col("l_suppkey") + 1000000L).as("supp"), col("o_orderkey"))
+        .distinct() // one row per (cust, supp, order) = one weight unit
+        .groupBy(col("cust"), col("supp")).agg(count(lit(1)).as("w"))
+        .localCheckpoint() // feeds BOTH branches of the doubled union
+      val edges = pairs
+        .select(col("cust").as("src"), col("supp").as("dst"), col("w"))
+        .unionByName(pairs
+          .select(col("supp").as("src"), col("cust").as("dst"), col("w")))
+      Graph.pageRankWeighted(edges, "src", "dst", "w", iters = Iters)
+    }),
+
     // HITS on the DIRECTED bipartite graph (cust → supp): customers are
     // hubs, suppliers authorities — the two-sided quality signal for
     // linker-vs-linked curation.
@@ -192,6 +212,44 @@ object GraphQueries {
         SELECT id, rank FROM r$Iters"""
   }
 
+  private def pagerankWeightedSql: String = {
+    val iterCtes = (1 to Iters).map { k =>
+      val p = k - 1
+      s"""dm$k AS (
+            SELECT coalesce(sum(rank), 0.0) AS dm
+            FROM r$p r LEFT JOIN outw o ON r.id = o.id WHERE o.id IS NULL),
+          c$k AS (
+            SELECT e.dst, sum(floor(r.rank * e.w / o.deg * $Q + 0.5) / $Q) AS s
+            FROM edges e JOIN r$p r ON e.src = r.id
+            JOIN outw o ON o.id = e.src
+            GROUP BY e.dst),
+          r$k AS (
+            SELECT nodes.id,
+              floor((0.125 / n + 0.875 * (coalesce(c.s, 0.0) + dm / n))
+                * $Q + 0.5) / $Q AS rank
+            FROM nodes CROSS JOIN nn CROSS JOIN dm$k
+            LEFT JOIN c$k c ON c.dst = nodes.id)"""
+    }.mkString(",\n")
+    s"""WITH wpairs AS (
+          SELECT cust, supp, count(*)::BIGINT AS w FROM (
+            SELECT DISTINCT o_custkey AS cust, l_suppkey + 1000000 AS supp,
+              o_orderkey
+            FROM orders JOIN lineitem ON o_orderkey = l_orderkey)
+          GROUP BY 1, 2),
+        edges AS (
+          SELECT cust AS src, supp AS dst, w FROM wpairs
+          UNION ALL
+          SELECT supp AS src, cust AS dst, w FROM wpairs),
+        nodes AS (SELECT src AS id FROM edges UNION SELECT dst FROM edges),
+        outw AS (SELECT src AS id, sum(w)::BIGINT AS deg FROM edges GROUP BY 1),
+        nn AS (SELECT count(*)::DOUBLE AS n FROM nodes),
+        r0 AS (
+          SELECT id, floor(1.0 / n * $Q + 0.5) / $Q AS rank
+          FROM nodes CROSS JOIN nn),
+        $iterCtes
+        SELECT id, rank FROM r$Iters"""
+  }
+
   private val componentsSql =
     """WITH RECURSIVE pairs AS (
          SELECT DISTINCT o_custkey AS a, l_suppkey + 1000000 AS b
@@ -208,6 +266,7 @@ object GraphQueries {
 
   val oracles: Map[String, String] = Map(
     "graph_pagerank" -> pagerankSql,
+    "graph_pagerank_w" -> pagerankWeightedSql,
     "graph_hits" -> hitsSql,
     "graph_ppr" -> pprSql,
     "graph_components" -> componentsSql)

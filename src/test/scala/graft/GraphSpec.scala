@@ -77,6 +77,36 @@ class GraphSpec extends SparkTestBase {
     assert(ranks2 == ranks, "off-graph seeds must be ignored, not dilute")
   }
 
+  test("weighted pageRank: contributions split by weight; unit weights == unweighted") {
+    // node 0 links 1 with weight 9 and 2 with weight 1; 1,2 link back
+    val edges = Seq((0L, 1L, 9L), (0L, 2L, 1L), (1L, 0L, 1L), (2L, 0L, 1L))
+      .toDF("src", "dst", "w")
+    val ranks = Graph.pageRankWeighted(edges, "src", "dst", "w", iters = 10)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(ranks(1L) > ranks(2L),
+      s"the 9x-weighted target must outrank the 1x one: $ranks")
+    assert(math.abs(ranks.values.sum - 1.0) < 1e-6, "mass conserved")
+    // degenerate weights: all-1 weighted run is BIT-IDENTICAL to the
+    // unweighted operator (rank*1/W == rank/deg exactly)
+    val ring = Seq((1L, 2L), (2L, 3L), (3L, 1L), (1L, 3L)).toDF("src", "dst")
+    val unit = ring.withColumn("w", org.apache.spark.sql.functions.lit(1L))
+    val a = Graph.pageRankWeighted(unit, "src", "dst", "w", iters = 4)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val b = Graph.pageRank(ring, "src", "dst", iters = 4)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(a == b, s"unit-weight run must equal the unweighted one: $a vs $b")
+    // parallel edges pre-aggregate: duplicating an edge row with w=1
+    // twice equals one w=2 row
+    val dup = Seq((0L, 1L, 1L), (0L, 1L, 1L), (1L, 0L, 1L))
+      .toDF("src", "dst", "w")
+    val agg = Seq((0L, 1L, 2L), (1L, 0L, 1L)).toDF("src", "dst", "w")
+    val ra = Graph.pageRankWeighted(dup, "src", "dst", "w", iters = 3)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val rb = Graph.pageRankWeighted(agg, "src", "dst", "w", iters = 3)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(ra == rb, "parallel edges must fold into their weight sum")
+  }
+
   test("warm-start pageRank re-converges in a fraction of the cold iterations") {
     // steady-state HUB-HEAVY graph (fixpoint far from the uniform cold
     // start): 40 leaves each cite one of 5 hubs, hubs cycle among
