@@ -966,10 +966,42 @@ object ScaleProbe {
       .foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
   }
 
+  /** `runMain graft.ScaleProbe semdedup9` — SemDeDup cost model at
+    * 200k synthetic 16-dim vectors: the quantizer cells shard the
+    * O(n²) cosine space, so the pair pass costs Σ_cells C(occ, 2) —
+    * QUADRATIC IN OCCUPANCY, linear in corpus at fixed occupancy. The
+    * probe runs the same corpus at 128 vs 512 cells: 4× more cells →
+    * ~16× fewer within-cell pairs → the pair stage collapses, which is
+    * exactly the knob that keeps semantic dedup linear at 100 TB
+    * (cells grow with the corpus; occupancy stays constant). */
+  private def semdedup9(spark: SparkSession): Unit = {
+    import graft.operators.Similarity
+    spark.sparkContext.addSparkListener(MaxTask)
+    val vecs = spark.range(0, 200000L).select(col("id").as("vec_id"),
+      transform(sequence(lit(0), lit(15)),
+        i => ((pmod(hash(col("id") * 131 + i), lit(2000)) - 1000)
+          .cast("double") / 1000.0).cast("float")).as("v"))
+      .localCheckpoint()
+    def time(label: String)(f: => Long): Unit = {
+      MaxTask.reset()
+      val t0 = System.nanoTime(); val n = f
+      val s = (System.nanoTime() - t0) / 1e9
+      println(f"""{"probe":"$label","rows":$n,"sec":$s%.2f,"max_task_sec":${MaxTask.max.get() / 1000.0}%.2f}""")
+    }
+    for (cells <- Seq(128, 512)) {
+      time(s"semdedup9 200k vecs, $cells cells (occ ~${200000 / cells})") {
+        Similarity.semanticDedupKeepSet(vecs, "vec_id", "v",
+          nCentroids = cells, threshold = 0.995, kmeansIters = 1,
+          trainSampleMod = 50)
+          .queryExecution.toRdd.count()
+      }
+    }
+  }
+
   def main(args: Array[String]): Unit = {
     if (args.headOption.exists(Set("quota7", "pipe7", "freq7", "serve8",
         "outlier8", "budget8", "ids8", "aqe8", "rtfilter8", "prefix8",
-        "sparse9", "interop9", "graph9", "bucket9"))) {
+        "sparse9", "interop9", "graph9", "bucket9", "semdedup9"))) {
       val spark = SparkSession.builder()
         .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")}]")
         .config("spark.sql.shuffle.partitions",
@@ -993,6 +1025,7 @@ object ScaleProbe {
         case "interop9" => interop9(spark)
         case "graph9" => graph9(spark)
         case "bucket9" => bucket9(spark)
+        case "semdedup9" => semdedup9(spark)
       }
       spark.stop()
       return
