@@ -193,6 +193,69 @@ object Graph {
         lit(damping) * (coalesce(col("s"), lit(0.0)) + col("dm") * col("t"))))
   }
 
+  /** Per-node triangle counts over an UNDIRECTED edge list — the
+    * local-density signal link-graph curation reads as "is this node
+    * embedded in a real community or a spam farm" (clustering
+    * coefficient's numerator), and the building block of cohesion
+    * metrics over co-occurrence projections.
+    *
+    * Scale shape — DEGREE-ORDERED ORIENTATION: every undirected edge
+    * is directed from its (degree, id)-smaller endpoint to the larger
+    * one, which makes the orientation acyclic and bounds every node's
+    * OUT-degree by O(√m) (a node of degree d > √m can only point at
+    * nodes of degree ≥ d, and there are < 2√m of those). Wedges are
+    * then pairs of out-neighbors of a shared source — Σ C(outdeg, 2) =
+    * O(m^1.5) candidates TOTAL regardless of skew, vs the unoriented
+    * form's Σ C(deg, 2), which a single celebrity node makes
+    * quadratic. Each stage is a plain shuffle join (wedge self-join on
+    * src; closing check a join against the oriented edge set on
+    * (v, w)); nothing is collected and no global sort runs. Counts are
+    * exact integers, so the DuckDB oracle (same orientation spelled in
+    * SQL) compares bit-for-bit.
+    *
+    * Returns (id, tri) for every node on ≥1 triangle; each triangle
+    * counts once at each of its three corners.
+    */
+  def triangleCounts(edges: DataFrame, aCol: String, bCol: String): DataFrame = {
+    // canonical undirected form: lo < hi, self-loops and nulls dropped
+    val canon = edges.select(least(col(aCol), col(bCol)).as("lo"),
+        greatest(col(aCol), col(bCol)).as("hi"))
+      .filter(col("lo").isNotNull && col("lo") < col("hi"))
+      .distinct().localCheckpoint() // feeds degree + both orientation joins
+    val deg = canon.select(col("lo").as("id"))
+      .union(canon.select(col("hi").as("id")))
+      .groupBy(col("id")).agg(count(lit(1)).as("deg")) // union = UNION ALL
+    val toLo = canon
+      .join(deg.select(col("id").as("lo"), col("deg").as("dlo")), Seq("lo"))
+      .join(deg.select(col("id").as("hi"), col("deg").as("dhi")), Seq("hi"))
+    // orient toward the (deg, id)-larger endpoint; keep the dst's deg
+    // so the wedge join can order out-neighbors without re-joining
+    val fwd = col("dlo") < col("dhi") ||
+      (col("dlo") === col("dhi") && col("lo") < col("hi"))
+    val oriented = toLo.select(
+        when(fwd, col("lo")).otherwise(col("hi")).as("src"),
+        when(fwd, col("hi")).otherwise(col("lo")).as("dst"),
+        when(fwd, col("dhi")).otherwise(col("dlo")).as("ddeg"))
+      .localCheckpoint() // feeds both wedge sides and the closing probe
+    val o1 = oriented.select(col("src").as("u"), col("dst").as("v"),
+      col("ddeg").as("dv"))
+    val o2 = oriented.select(col("src").as("u"), col("dst").as("w"),
+      col("ddeg").as("dw"))
+    // wedges (u; v, w) with ord(v) < ord(w): the closing edge, if it
+    // exists, is oriented exactly v -> w
+    val tris = o1.join(o2, Seq("u"))
+      .filter(col("dv") < col("dw") ||
+        (col("dv") === col("dw") && col("v") < col("w")))
+      .join(oriented.select(col("src").as("v"), col("dst").as("w")),
+        Seq("v", "w"))
+      .select(col("u"), col("v"), col("w"))
+      .localCheckpoint() // triangle list feeds three corner projections
+    tris.select(col("u").as("id"))
+      .union(tris.select(col("v").as("id")))
+      .union(tris.select(col("w").as("id")))
+      .groupBy(col("id")).agg(count(lit(1)).as("tri"))
+  }
+
   /** HITS hubs-and-authorities with L∞ (max) normalization — max is
     * order-independent, so unlike the customary L2 norm it needs no
     * exact-sum-of-squares gymnastics: a'(v) = q(Σ_{u→v} h(u)) / max,

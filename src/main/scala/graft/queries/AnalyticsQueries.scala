@@ -339,6 +339,17 @@ object AnalyticsQueries {
         col("l_returnflag"), col("l_extendedprice"), col("l_quantity"))
     }),
 
+    // Pairwise association rules over order baskets (co-purchase
+    // A ⇒ B with support / confidence / lift): a-priori pruning keeps
+    // infrequent items out of the pair expansion entirely, the basket
+    // guard bounds per-basket fan-out, and the scores are fixed-shape
+    // IEEE ops on integer supports — bit-exact without grid rounding
+    // (Association.pairRules).
+    "assoc_rules" -> ((s, d) => {
+      graft.operators.Association.pairRules(tbl(s, d, "lineitem"),
+        "l_orderkey", "l_partkey", minSupport = 2L, k = 100)
+    }),
+
     // Exact percentile-rank normalization of a quality score (the
     // score → corpus-percentile map curation thresholds ride on),
     // computed over the DISTINCT-VALUE table instead of a corpus-sized
@@ -406,6 +417,39 @@ object AnalyticsQueries {
          SELECT grp, min(v) AS w_median, tw AS total_weight
          FROM cum JOIN tot USING (grp)
          WHERE cum * 2 >= tw GROUP BY grp, tw""",
+
+    "assoc_rules" ->
+      """WITH b AS (
+           SELECT DISTINCT l_orderkey AS bk, l_partkey AS it FROM lineitem
+           WHERE l_orderkey IS NOT NULL AND l_partkey IS NOT NULL),
+         nb AS (SELECT count(DISTINCT bk)::BIGINT AS n_baskets FROM b),
+         itemn AS (SELECT it, count(*)::BIGINT AS item_n FROM b GROUP BY 1),
+         freq AS (SELECT it FROM itemn WHERE item_n >= 2),
+         pruned AS (SELECT bk, it FROM b JOIN freq USING (it)),
+         sized AS (
+           SELECT bk, it FROM pruned
+           JOIN (SELECT bk, count(*)::BIGINT AS bn
+                 FROM pruned GROUP BY 1) USING (bk)
+           WHERE bn <= 256),
+         pairs AS (
+           SELECT a.it AS it, b2.it AS it2, count(*)::BIGINT AS pair_n
+           FROM sized a JOIN sized b2 ON a.bk = b2.bk AND a.it < b2.it
+           GROUP BY 1, 2 HAVING count(*) >= 2),
+         rules AS (
+           SELECT it AS ante, it2 AS cons, pair_n FROM pairs
+           UNION ALL
+           SELECT it2 AS ante, it AS cons, pair_n FROM pairs)
+         SELECT r.ante, r.cons, r.pair_n,
+           ia.item_n AS ante_n, ic.item_n AS cons_n,
+           r.pair_n::DOUBLE / ia.item_n::DOUBLE AS conf,
+           (r.pair_n::DOUBLE * n_baskets::DOUBLE)
+             / (ia.item_n::DOUBLE * ic.item_n::DOUBLE) AS lift
+         FROM rules r
+         JOIN itemn ia ON ia.it = r.ante
+         JOIN itemn ic ON ic.it = r.cons
+         CROSS JOIN nb
+         ORDER BY conf DESC, ante, cons
+         LIMIT 100""",
 
     "score_percentile" ->
       """SELECT doc_id, n_chars,

@@ -88,6 +88,26 @@ object GraphQueries {
         iters = Iters)
     }),
 
+    // Per-node triangle counts over the part CO-PURCHASE projection
+    // (parts sharing an order are adjacent; TPC-H baskets are ≤7
+    // lines, so the projection's fan-out is bounded by construction —
+    // the general basket guard lives in Association.pairRules). The
+    // operator's degree-ordered orientation bounds the wedge space at
+    // O(m^1.5) regardless of part popularity skew; counts are exact
+    // integers, so the SQL spelling of the same orientation compares
+    // bit-for-bit. The local-density / community-vs-spam-farm signal
+    // of link-graph curation.
+    "graph_triangles" -> ((s, d) => {
+      val li = tbl(s, d, "lineitem")
+        .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+        .distinct()
+        .localCheckpoint() // both sides of the projection self-join
+      val edges = li.join(li.select(col("ok"), col("pk").as("pk2")), Seq("ok"))
+        .filter(col("pk") < col("pk2"))
+        .select(col("pk").as("a"), col("pk2").as("b"))
+      Graph.triangleCounts(edges, "a", "b")
+    }),
+
     // Connected components of a SPARSE purchase subgraph (urgent
     // orders, near-full-quantity lines): exact min-label fixpoint via
     // the pointer-jumping propagation the dedup tier already runs —
@@ -264,7 +284,41 @@ object GraphQueries {
          SELECT rc.id, e.dst FROM reach rc JOIN edges e ON rc.r = e.src)
        SELECT id, least(id, min(r)) AS cluster_id FROM reach GROUP BY id"""
 
+  /** Same degree-ordered orientation as [[Graph.triangleCounts]],
+    * spelled in SQL: lo<hi holds in canon, so the (deg, id) tie-break
+    * reduces to deg(lo) <= deg(hi). */
+  private val trianglesSql =
+    """WITH li AS (
+         SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
+       canon AS (
+         SELECT DISTINCT a.pk AS lo, b.pk AS hi
+         FROM li a JOIN li b ON a.ok = b.ok AND a.pk < b.pk),
+       deg AS (
+         SELECT id, count(*)::BIGINT AS deg FROM (
+           SELECT lo AS id FROM canon
+           UNION ALL SELECT hi AS id FROM canon) GROUP BY 1),
+       o AS (
+         SELECT CASE WHEN dl.deg <= dh.deg THEN c.lo ELSE c.hi END AS src,
+                CASE WHEN dl.deg <= dh.deg THEN c.hi ELSE c.lo END AS dst,
+                CASE WHEN dl.deg <= dh.deg THEN dh.deg ELSE dl.deg END AS ddeg
+         FROM canon c
+         JOIN deg dl ON dl.id = c.lo
+         JOIN deg dh ON dh.id = c.hi),
+       tri AS (
+         SELECT o1.src AS u, o1.dst AS v, o2.dst AS w
+         FROM o o1
+         JOIN o o2 ON o1.src = o2.src
+           AND (o1.ddeg < o2.ddeg
+                OR (o1.ddeg = o2.ddeg AND o1.dst < o2.dst))
+         JOIN o e ON e.src = o1.dst AND e.dst = o2.dst)
+       SELECT id, count(*)::BIGINT AS tri FROM (
+         SELECT u AS id FROM tri
+         UNION ALL SELECT v AS id FROM tri
+         UNION ALL SELECT w AS id FROM tri)
+       GROUP BY 1"""
+
   val oracles: Map[String, String] = Map(
+    "graph_triangles" -> trianglesSql,
     "graph_pagerank" -> pagerankSql,
     "graph_pagerank_w" -> pagerankWeightedSql,
     "graph_hits" -> hitsSql,

@@ -165,6 +165,30 @@ class AnalyticsSpec extends SparkTestBase {
     assert(strict._2 === 2L, "null keys count as orphans only when asked")
   }
 
+  test("association rules: a-priori prune, both directions, basket guard") {
+    import spark.implicits._
+    val b = Seq(1 -> 1, 1 -> 2, 1 -> 3, 2 -> 1, 2 -> 2, 3 -> 1, 3 -> 2,
+      3 -> 4, 4 -> 3, 4 -> 4, 5 -> 9, /* dup collapses: */ 2 -> 1)
+      .toDF("bk", "it")
+    val rules = graft.operators.Association
+      .pairRules(b, "bk", "it", minSupport = 2L, k = 10)
+      .collect()
+      .map(r => (r.getAs[Int]("ante"), r.getAs[Int]("cons"),
+        r.getAs[Long]("pair_n"), r.getAs[Long]("ante_n"),
+        r.getAs[Long]("cons_n"), r.getAs[Double]("conf"),
+        r.getAs[Double]("lift")))
+    // only the (1,2) pair reaches support 2 (it appears in baskets
+    // 1,2,3); singleton item 9 and all support-1 pairs are pruned
+    assert(rules.toSeq == Seq(
+      (1, 2, 3L, 3L, 3L, 1.0, 3.0 * 5 / (3 * 3)),
+      (2, 1, 3L, 3L, 3L, 1.0, 3.0 * 5 / (3 * 3))),
+      s"unexpected rules: ${rules.mkString(";")}")
+    // basket guard: cap 2 drops the 3-item baskets, killing the pair
+    val guarded = graft.operators.Association
+      .pairRules(b, "bk", "it", minSupport = 2L, k = 10, maxBasketItems = 2)
+    assert(guarded.count() == 0L)
+  }
+
   test("observed expectations piggyback on the consuming job and read back") {
     val docs = graft.core.Lakehouse.table(spark, sfSmoke, "documents")
     val obs = new org.apache.spark.sql.Observation("dq_obs")

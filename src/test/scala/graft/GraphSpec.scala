@@ -133,6 +133,27 @@ class GraphSpec extends SparkTestBase {
         s"warm2=${linf(warm2, truth)} cold8=${linf(cold8, truth)}")
   }
 
+  test("triangles: K4 corners, pendant/self-loop/duplicate/reversal immunity") {
+    // K4 on 1..4 (4 triangles, each node on 3), a pendant 4-5, an
+    // isolated edge 10-11; edges arrive messy: reversed, duplicated,
+    // with a self-loop
+    val edges = Seq((1L, 2L), (2L, 1L), (1L, 3L), (4L, 1L), (2L, 3L),
+      (2L, 4L), (3L, 4L), (4L, 5L), (10L, 11L), (7L, 7L))
+      .toDF("a", "b")
+    val tri = Graph.triangleCounts(edges, "a", "b")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(tri == Map(1L -> 3L, 2L -> 3L, 3L -> 3L, 4L -> 3L),
+      s"K4 must yield 3 triangles per corner and nothing else: $tri")
+    // a skew-shaped star (hub 0 to 50 leaves + one leaf-leaf edge):
+    // exactly one triangle, and the orientation keeps the hub's
+    // out-degree at 0 (everything points AT the high-degree node)
+    val star = ((1L to 50L).map(i => (0L, i)) :+ (1L, 2L)).toDF("a", "b")
+    val striX = Graph.triangleCounts(star, "a", "b")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(striX == Map(0L -> 1L, 1L -> 1L, 2L -> 1L),
+      s"star + chord = one triangle: $striX")
+  }
+
   test("pageRank plan: ranks stay distributed — no collect, iteration-sized lineage") {
     val edges = Seq((1L, 2L), (2L, 3L), (3L, 1L)).toDF("src", "dst")
     val ranks = Graph.pageRank(edges, "src", "dst", iters = 2)
