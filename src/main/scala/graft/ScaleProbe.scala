@@ -998,10 +998,58 @@ object ScaleProbe {
     }
   }
 
+  /** `runMain graft.ScaleProbe tri9` — triangle-counting candidate
+    * space under skew: 10M random edges over 2M nodes PLUS one
+    * 500k-degree celebrity hub. The probe sizes both orientations'
+    * wedge spaces (Σ C(outdeg, 2) — the exact candidate-pair count the
+    * closing join must process): naive id-order orientation hands the
+    * hub its full adjacency as out-edges → C(500k, 2) ≈ 1.25e11
+    * candidates from ONE node (the job that never finishes); the
+    * degree-ordered orientation points every hub edge AT the hub
+    * (out-degree 0) and bounds the total near Σ C(avg-out, 2). Only
+    * the bounded form then actually runs, with max-task reported —
+    * the naive form is priced, not executed. */
+  private def tri9(spark: SparkSession): Unit = {
+    import spark.implicits._
+    import graft.operators.Graph
+    spark.sparkContext.addSparkListener(MaxTask)
+    val rand = spark.range(0, 10000000L).select(
+      pmod(hash(col("id")), lit(2000000)).cast("long").as("a"),
+      pmod(hash(col("id") * 31), lit(2000000)).cast("long").as("b"))
+    val hub = spark.range(0, 500000L).select(lit(0L).as("a"),
+      (pmod(hash(col("id") * 7), lit(1999999)) + 1).cast("long").as("b"))
+    val edges = rand.unionByName(hub).filter(col("a") =!= col("b"))
+      .localCheckpoint()
+    val canon = edges.select(least(col("a"), col("b")).as("lo"),
+        greatest(col("a"), col("b")).as("hi"))
+      .distinct().localCheckpoint()
+    def wedges(outdeg: org.apache.spark.sql.DataFrame): Long =
+      outdeg.agg((sum(col("o") * (col("o") - 1)) / 2).cast("long"))
+        .as[Long].head()
+    val naive = wedges(canon.groupBy(col("lo"))
+      .agg(count(lit(1)).as("o")))
+    val deg = canon.select(col("lo").as("id"))
+      .union(canon.select(col("hi").as("id")))
+      .groupBy(col("id")).agg(count(lit(1)).as("deg"))
+    val fwd = canon
+      .join(deg.select(col("id").as("lo"), col("deg").as("dlo")), Seq("lo"))
+      .join(deg.select(col("id").as("hi"), col("deg").as("dhi")), Seq("hi"))
+      .select(when(col("dlo") <= col("dhi"), col("lo")).otherwise(col("hi"))
+        .as("src"))
+    val ordered = wedges(fwd.groupBy(col("src")).agg(count(lit(1)).as("o")))
+    println(f"""{"probe":"tri9 wedge space, naive id-order","candidates":$naive}""")
+    println(f"""{"probe":"tri9 wedge space, degree-ordered","candidates":$ordered,"collapse_x":${naive.toDouble / ordered}%.1f}""")
+    MaxTask.reset()
+    val t0 = System.nanoTime()
+    val n = Graph.triangleCounts(edges, "a", "b")
+      .queryExecution.toRdd.count()
+    println(f"""{"probe":"tri9 degree-ordered full count (10M+hub edges)","rows":$n,"sec":${(System.nanoTime() - t0) / 1e9}%.2f,"max_task_sec":${MaxTask.max.get() / 1000.0}%.2f}""")
+  }
+
   def main(args: Array[String]): Unit = {
     if (args.headOption.exists(Set("quota7", "pipe7", "freq7", "serve8",
         "outlier8", "budget8", "ids8", "aqe8", "rtfilter8", "prefix8",
-        "sparse9", "interop9", "graph9", "bucket9", "semdedup9"))) {
+        "sparse9", "interop9", "graph9", "bucket9", "semdedup9", "tri9"))) {
       val spark = SparkSession.builder()
         .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")}]")
         .config("spark.sql.shuffle.partitions",
@@ -1026,6 +1074,7 @@ object ScaleProbe {
         case "graph9" => graph9(spark)
         case "bucket9" => bucket9(spark)
         case "semdedup9" => semdedup9(spark)
+        case "tri9" => tri9(spark)
       }
       spark.stop()
       return
