@@ -256,6 +256,48 @@ object Graph {
       .groupBy(col("id")).agg(count(lit(1)).as("tri"))
   }
 
+  /** k-core peel over an UNDIRECTED edge list: iteratively remove
+    * nodes of degree < k until (at most `rounds` rounds of) fixpoint —
+    * the "dense collaborative core vs loosely-attached fringe"
+    * decomposition link-graph curation separates durable communities
+    * from drive-by spam with. Returns (id, core_deg): surviving nodes
+    * with their degree inside the surviving subgraph.
+    *
+    * FIXED-ROUND contract (same as the fixed-iteration PageRank
+    * family): the result after exactly `rounds` synchronous peels is
+    * well-defined whether or not the peel has converged, which is what
+    * lets the DuckDB oracle (the same rounds unrolled into chained
+    * CTEs) compare bit-for-bit; production use sizes `rounds` at the
+    * observed cascade depth (typically O(log n) — each round removes
+    * every node currently below k simultaneously).
+    *
+    * Scale shape: per round, one degree aggregation (node-sized,
+    * partial-agg) and two semi-joins of the edge list against the
+    * surviving-node set — the edge table is touched once per round,
+    * nothing is collected, and lineage truncates per round so the plan
+    * stays round-sized. Integer degrees → engine-exact.
+    */
+  def kCore(edges: DataFrame, aCol: String, bCol: String,
+            k: Long, rounds: Int): DataFrame = {
+    require(k >= 1 && rounds >= 1)
+    var canon = edges.select(least(col(aCol), col(bCol)).as("lo"),
+        greatest(col(aCol), col(bCol)).as("hi"))
+      .filter(col("lo").isNotNull && col("lo") < col("hi"))
+      .distinct().localCheckpoint()
+    def degrees(e: DataFrame): DataFrame =
+      e.select(col("lo").as("id")).union(e.select(col("hi").as("id")))
+        .groupBy(col("id")).agg(count(lit(1)).as("deg"))
+    for (_ <- 1 to rounds) {
+      val keep = degrees(canon).filter(col("deg") >= k)
+        .select(col("id")).localCheckpoint() // node-sized, feeds 2 joins
+      canon = canon
+        .join(keep.select(col("id").as("lo")), Seq("lo"), "left_semi")
+        .join(keep.select(col("id").as("hi")), Seq("hi"), "left_semi")
+        .localCheckpoint()
+    }
+    degrees(canon).select(col("id"), col("deg").as("core_deg"))
+  }
+
   /** HITS hubs-and-authorities with L∞ (max) normalization — max is
     * order-independent, so unlike the customary L2 norm it needs no
     * exact-sum-of-squares gymnastics: a'(v) = q(Σ_{u→v} h(u)) / max,

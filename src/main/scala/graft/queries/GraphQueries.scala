@@ -108,6 +108,23 @@ object GraphQueries {
       Graph.triangleCounts(edges, "a", "b")
     }),
 
+    // k-core peel (k=80, 4 synchronous rounds) of the same
+    // co-purchase projection: each round simultaneously drops every
+    // node currently under 80 neighbors, cascading 1903 → 1858
+    // survivors at sf0.01 — the dense-community-vs-fringe cut
+    // curation budgets crawl depth by. Fixed-round contract keeps the
+    // unrolled-CTE oracle bit-exact (integer degrees).
+    "graph_kcore" -> ((s, d) => {
+      val li = tbl(s, d, "lineitem")
+        .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+        .distinct()
+        .localCheckpoint() // both sides of the projection self-join
+      val edges = li.join(li.select(col("ok"), col("pk").as("pk2")), Seq("ok"))
+        .filter(col("pk") < col("pk2"))
+        .select(col("pk").as("a"), col("pk2").as("b"))
+      Graph.kCore(edges, "a", "b", k = 80L, rounds = 4)
+    }),
+
     // Connected components of a SPARSE purchase subgraph (urgent
     // orders, near-full-quantity lines): exact min-label fixpoint via
     // the pointer-jumping propagation the dedup tier already runs —
@@ -317,7 +334,36 @@ object GraphQueries {
          UNION ALL SELECT w AS id FROM tri)
        GROUP BY 1"""
 
+  /** [[Graph.kCore]]'s synchronous peel rounds unrolled into chained
+    * CTEs; MATERIALIZED pins linear (not re-inlined) evaluation of the
+    * multi-referenced round frames. */
+  private def kcoreSql: String = {
+    val k = 80
+    val rounds = (1 to 4).map { r =>
+      val prev = if (r == 1) "canon" else s"g${r - 1}"
+      s"""d$r AS MATERIALIZED (
+            SELECT id, count(*)::BIGINT AS deg FROM (
+              SELECT lo AS id FROM $prev
+              UNION ALL SELECT hi AS id FROM $prev) GROUP BY 1),
+          k$r AS MATERIALIZED (SELECT id FROM d$r WHERE deg >= $k),
+          g$r AS MATERIALIZED (
+            SELECT c.lo, c.hi FROM $prev c
+            JOIN k$r a ON a.id = c.lo
+            JOIN k$r b ON b.id = c.hi)"""
+    }.mkString(",\n")
+    s"""WITH li AS MATERIALIZED (
+          SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
+        canon AS MATERIALIZED (
+          SELECT DISTINCT a.pk AS lo, b.pk AS hi
+          FROM li a JOIN li b ON a.ok = b.ok AND a.pk < b.pk),
+        $rounds
+        SELECT id, count(*)::BIGINT AS core_deg FROM (
+          SELECT lo AS id FROM g4
+          UNION ALL SELECT hi AS id FROM g4) GROUP BY 1"""
+  }
+
   val oracles: Map[String, String] = Map(
+    "graph_kcore" -> kcoreSql,
     "graph_triangles" -> trianglesSql,
     "graph_pagerank" -> pagerankSql,
     "graph_pagerank_w" -> pagerankWeightedSql,

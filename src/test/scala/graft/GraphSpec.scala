@@ -154,6 +154,25 @@ class GraphSpec extends SparkTestBase {
       s"star + chord = one triangle: $striX")
   }
 
+  test("kCore: cascade peels the chain off a clique, fixed rounds truncate") {
+    // K4 on 1..4 with a pendant chain 4-5-6: the 2-core is exactly the
+    // clique — node 6 (deg 1) falls round 1, which drops 5 to deg 1 so
+    // it falls round 2: a genuine cascade, not a one-shot filter
+    val edges = Seq((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L),
+      (3L, 4L), (4L, 5L), (5L, 6L)).toDF("a", "b")
+    def run(rounds: Int) = Graph.kCore(edges, "a", "b", k = 2L, rounds)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(run(2) == Map(1L -> 3L, 2L -> 3L, 3L -> 3L, 4L -> 3L),
+      s"2 rounds must fully peel the chain: ${run(2)}")
+    // one round is NOT enough: 5 still holds degree 2 (edges to 4, 6)
+    // when 6 falls, so the fixed-round contract is observable
+    val r1 = run(1)
+    assert(r1.contains(5L) && r1(5L) == 1L,
+      s"round 1 keeps 5 with its post-peel degree: $r1")
+    // k above the clique degree empties the graph
+    assert(Graph.kCore(edges, "a", "b", k = 4L, rounds = 3).count() == 0L)
+  }
+
   test("pageRank plan: ranks stay distributed — no collect, iteration-sized lineage") {
     val edges = Seq((1L, 2L), (2L, 3L), (3L, 1L)).toDF("src", "dst")
     val ranks = Graph.pageRank(edges, "src", "dst", iters = 2)
