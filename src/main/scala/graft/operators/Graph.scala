@@ -298,6 +298,53 @@ object Graph {
     degrees(canon).select(col("id"), col("deg").as("core_deg"))
   }
 
+  /** Synchronous label propagation (community detection): every node
+    * starts as its own community, then per round simultaneously adopts
+    * the most frequent label among its in-neighbors (ties → smallest
+    * label; no in-edges → keep the current label). The cheap
+    * communities pass link-graph curation runs when components are too
+    * coarse (everything connected) and modularity methods too heavy —
+    * callers double the edge list for undirected semantics, as with
+    * [[pageRank]].
+    *
+    * FIXED-ROUND, FULLY DETERMINISTIC contract: synchronous update +
+    * integer counts + min-label tie-break make round r a pure function
+    * of the graph, so the unrolled-CTE DuckDB oracle compares
+    * bit-for-bit (classic async LPA is run-order-dependent — useless
+    * under a differential gate).
+    *
+    * Scale shape: per round, (labels ⋈ edges) → per-(node, label)
+    * partial-agg counts → the winning label via min(struct(-n, lab))
+    * — an order-independent partial AGGREGATE, not a per-node window
+    * (no sort, map-side combine on the hot nodes) — then a node-sized
+    * left join to carry isolated nodes. Lineage truncates per round.
+    */
+  def labelPropagation(edges: DataFrame, srcCol: String, dstCol: String,
+                       iters: Int): DataFrame = {
+    require(iters >= 1)
+    val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
+      .distinct().localCheckpoint()
+    val nodes = e.select(col("src").as("id"))
+      .union(e.select(col("dst").as("id"))).distinct()
+    var labels = nodes.select(col("id"), col("id").as("lab"))
+      .localCheckpoint()
+    for (_ <- 1 to iters) {
+      val counts = e
+        .join(labels.select(col("id").as("src"), col("lab")), Seq("src"))
+        .groupBy(col("dst").as("id"), col("lab"))
+        .agg(count(lit(1)).as("n"))
+      val pick = counts
+        .groupBy(col("id"))
+        .agg(min(struct((-col("n")).as("nn"), col("lab").as("lab")))
+          .as("m"))
+        .select(col("id"), col("m.lab").as("__new"))
+      labels = labels.join(pick, Seq("id"), "left")
+        .select(col("id"), coalesce(col("__new"), col("lab")).as("lab"))
+        .localCheckpoint()
+    }
+    labels
+  }
+
   /** HITS hubs-and-authorities with L∞ (max) normalization — max is
     * order-independent, so unlike the customary L2 norm it needs no
     * exact-sum-of-squares gymnastics: a'(v) = q(Σ_{u→v} h(u)) / max,

@@ -108,6 +108,24 @@ object GraphQueries {
       Graph.triangleCounts(edges, "a", "b")
     }),
 
+    // Synchronous label-propagation communities over the DOUBLED
+    // purchase graph: finer than graph_components (which fuses
+    // everything reachable), far cheaper than modularity methods —
+    // the deterministic min-label tie-break + fixed rounds make the
+    // classic run-order-dependent algorithm differentially gateable.
+    "graph_lpa" -> ((s, d) => {
+      val o = tbl(s, d, "orders").select(col("o_orderkey"), col("o_custkey"))
+      val l = tbl(s, d, "lineitem").select(col("l_orderkey"), col("l_suppkey"))
+      val pairs = o.join(l, col("o_orderkey") === col("l_orderkey"))
+        .select(col("o_custkey").as("cust"),
+          (col("l_suppkey") + 1000000L).as("supp"))
+        .distinct()
+        .localCheckpoint() // feeds BOTH branches of the doubled union
+      val edges = pairs.select(col("cust").as("src"), col("supp").as("dst"))
+        .unionByName(pairs.select(col("supp").as("src"), col("cust").as("dst")))
+      Graph.labelPropagation(edges, "src", "dst", iters = Iters)
+    }),
+
     // k-core peel (k=80, 4 synchronous rounds) of the same
     // co-purchase projection: each round simultaneously drops every
     // node currently under 80 neighbors, cascading 1903 → 1858
@@ -362,7 +380,38 @@ object GraphQueries {
           UNION ALL SELECT hi AS id FROM g4) GROUP BY 1"""
   }
 
+  /** [[Graph.labelPropagation]] unrolled: per round, neighbor-label
+    * counts, the (n desc, lab asc) winner via row_number (the Spark
+    * side's min(struct(-n, lab)) picks the identical row), and a
+    * node-sized carry join for in-degree-0 nodes. */
+  private def lpaSql: String = {
+    val iterCtes = (1 to Iters).map { k =>
+      val p = k - 1
+      s"""c$k AS MATERIALIZED (
+            SELECT e.dst AS id, l.lab, count(*)::BIGINT AS n
+            FROM edges e JOIN l$p l ON l.id = e.src GROUP BY 1, 2),
+          p$k AS MATERIALIZED (
+            SELECT id, lab FROM (
+              SELECT id, lab, row_number() OVER (
+                PARTITION BY id ORDER BY n DESC, lab ASC) AS rn
+              FROM c$k) WHERE rn = 1),
+          l$k AS MATERIALIZED (
+            SELECT l.id, coalesce(p.lab, l.lab) AS lab
+            FROM l$p l LEFT JOIN p$k p ON p.id = l.id)"""
+    }.mkString(",\n")
+    s"""WITH $pairsCte,
+        edges AS MATERIALIZED (
+          SELECT cust AS src, supp AS dst FROM pairs
+          UNION
+          SELECT supp AS src, cust AS dst FROM pairs),
+        nodes AS (SELECT src AS id FROM edges UNION SELECT dst FROM edges),
+        l0 AS MATERIALIZED (SELECT id, id AS lab FROM nodes),
+        $iterCtes
+        SELECT id, lab FROM l$Iters"""
+  }
+
   val oracles: Map[String, String] = Map(
+    "graph_lpa" -> lpaSql,
     "graph_kcore" -> kcoreSql,
     "graph_triangles" -> trianglesSql,
     "graph_pagerank" -> pagerankSql,

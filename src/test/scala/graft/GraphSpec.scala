@@ -173,6 +173,26 @@ class GraphSpec extends SparkTestBase {
     assert(Graph.kCore(edges, "a", "b", k = 4L, rounds = 3).count() == 0L)
   }
 
+  test("labelPropagation: bridged cliques resolve to two communities") {
+    // triangles {1,2,3} and {10,11,12} bridged by 3-10; undirected via
+    // doubling. Hand-run of the synchronous min-tie-break dynamics:
+    // round 1 all-distinct ties, round 2 left clique locks to 1, round
+    // 3 the right side unifies on label 3 (imported over the bridge).
+    val und = Seq((1L, 2L), (1L, 3L), (2L, 3L),
+      (10L, 11L), (10L, 12L), (11L, 12L), (3L, 10L))
+    val edges = (und ++ und.map(_.swap)).toDF("src", "dst")
+    val labs = Graph.labelPropagation(edges, "src", "dst", iters = 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(labs == Map(1L -> 1L, 2L -> 1L, 3L -> 1L,
+      10L -> 3L, 11L -> 3L, 12L -> 3L),
+      s"two communities expected: $labs")
+    // an in-degree-0 node keeps its own label (directed edge only out)
+    val withSink = (und ++ und.map(_.swap) :+ (99L, 1L)).toDF("src", "dst")
+    val labs2 = Graph.labelPropagation(withSink, "src", "dst", iters = 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(labs2(99L) == 99L, s"isolated-in node must self-label: $labs2")
+  }
+
   test("pageRank plan: ranks stay distributed — no collect, iteration-sized lineage") {
     val edges = Seq((1L, 2L), (2L, 3L), (3L, 1L)).toDF("src", "dst")
     val ranks = Graph.pageRank(edges, "src", "dst", iters = 2)
