@@ -999,16 +999,19 @@ object ScaleProbe {
   }
 
   /** `runMain graft.ScaleProbe tri9` — triangle-counting candidate
-    * space under skew: 10M random edges over 2M nodes PLUS one
-    * 500k-degree celebrity hub. The probe sizes both orientations'
-    * wedge spaces (Σ C(outdeg, 2) — the exact candidate-pair count the
-    * closing join must process): naive id-order orientation hands the
-    * hub its full adjacency as out-edges → C(500k, 2) ≈ 1.25e11
-    * candidates from ONE node (the job that never finishes); the
-    * degree-ordered orientation points every hub edge AT the hub
-    * (out-degree 0) and bounds the total near Σ C(avg-out, 2). Only
-    * the bounded form then actually runs, with max-task reported —
-    * the naive form is priced, not executed. */
+    * space under skew: 10M random edges over 2M nodes PLUS a celebrity
+    * hub (500k draws ⇒ ~442k DISTINCT neighbors after collisions).
+    * The probe sizes both orientations' wedge spaces (Σ C(outdeg, 2) —
+    * the exact candidate-pair count the closing join must process)
+    * using the OPERATOR'S OWN canonicalization/orientation
+    * ([[graft.operators.Graph.orientByDegree]] — the probe cannot
+    * drift from what ships): naive id-order orientation hands the hub
+    * its full adjacency as out-edges → C(442k, 2) ≈ 9.8e10 candidates
+    * from ONE node (the job that never finishes); the degree-ordered
+    * orientation points every hub edge AT the hub (out-degree 0) and
+    * bounds the total near Σ C(avg-out, 2). Only the bounded form then
+    * actually runs, with max-task reported — the naive form is priced,
+    * not executed. */
   private def tri9(spark: SparkSession): Unit = {
     import spark.implicits._
     import graft.operators.Graph
@@ -1020,23 +1023,14 @@ object ScaleProbe {
       (pmod(hash(col("id") * 7), lit(1999999)) + 1).cast("long").as("b"))
     val edges = rand.unionByName(hub).filter(col("a") =!= col("b"))
       .localCheckpoint()
-    val canon = edges.select(least(col("a"), col("b")).as("lo"),
-        greatest(col("a"), col("b")).as("hi"))
-      .distinct().localCheckpoint()
+    val canon = Graph.canonicalUndirected(edges, "a", "b").localCheckpoint()
     def wedges(outdeg: org.apache.spark.sql.DataFrame): Long =
       outdeg.agg((sum(col("o") * (col("o") - 1)) / 2).cast("long"))
         .as[Long].head()
     val naive = wedges(canon.groupBy(col("lo"))
       .agg(count(lit(1)).as("o")))
-    val deg = canon.select(col("lo").as("id"))
-      .union(canon.select(col("hi").as("id")))
-      .groupBy(col("id")).agg(count(lit(1)).as("deg"))
-    val fwd = canon
-      .join(deg.select(col("id").as("lo"), col("deg").as("dlo")), Seq("lo"))
-      .join(deg.select(col("id").as("hi"), col("deg").as("dhi")), Seq("hi"))
-      .select(when(col("dlo") <= col("dhi"), col("lo")).otherwise(col("hi"))
-        .as("src"))
-    val ordered = wedges(fwd.groupBy(col("src")).agg(count(lit(1)).as("o")))
+    val ordered = wedges(Graph.orientByDegree(canon)
+      .groupBy(col("src")).agg(count(lit(1)).as("o")))
     println(f"""{"probe":"tri9 wedge space, naive id-order","candidates":$naive}""")
     println(f"""{"probe":"tri9 wedge space, degree-ordered","candidates":$ordered,"collapse_x":${naive.toDouble / ordered}%.1f}""")
     MaxTask.reset()

@@ -216,26 +216,45 @@ object Graph {
     * Returns (id, tri) for every node on ≥1 triangle; each triangle
     * counts once at each of its three corners.
     */
-  def triangleCounts(edges: DataFrame, aCol: String, bCol: String): DataFrame = {
-    // canonical undirected form: lo < hi, self-loops and nulls dropped
-    val canon = edges.select(least(col(aCol), col(bCol)).as("lo"),
+  /** Canonical undirected edge form shared by [[triangleCounts]] /
+    * [[kCore]] (and their oracles' `canon` CTE): (lo, hi) with
+    * lo < hi, self-loops and null endpoints dropped, duplicates
+    * collapsed. Callers checkpoint per their own fan-in. */
+  private[graft] def canonicalUndirected(edges: DataFrame, aCol: String,
+                                         bCol: String): DataFrame =
+    edges.select(least(col(aCol), col(bCol)).as("lo"),
         greatest(col(aCol), col(bCol)).as("hi"))
       .filter(col("lo").isNotNull && col("lo") < col("hi"))
-      .distinct().localCheckpoint() // feeds degree + both orientation joins
-    val deg = canon.select(col("lo").as("id"))
-      .union(canon.select(col("hi").as("id")))
-      .groupBy(col("id")).agg(count(lit(1)).as("deg")) // union = UNION ALL
+      .distinct()
+
+  /** (id, deg) undirected degrees of a canonical edge frame —
+    * endpoint union (union = UNION ALL) + partial-agg count. */
+  private[graft] def undirectedDegrees(canon: DataFrame): DataFrame =
+    canon.select(col("lo").as("id")).union(canon.select(col("hi").as("id")))
+      .groupBy(col("id")).agg(count(lit(1)).as("deg"))
+
+  /** Degree-ordered orientation of a canonical edge frame: each edge
+    * directed at its (deg, id)-larger endpoint, dst's degree kept as
+    * `ddeg` so downstream wedge joins can order out-neighbors without
+    * re-joining. THE orientation [[triangleCounts]] runs and the tri9
+    * probe prices — one definition, no drift. */
+  private[graft] def orientByDegree(canon: DataFrame): DataFrame = {
+    val deg = undirectedDegrees(canon)
     val toLo = canon
       .join(deg.select(col("id").as("lo"), col("deg").as("dlo")), Seq("lo"))
       .join(deg.select(col("id").as("hi"), col("deg").as("dhi")), Seq("hi"))
-    // orient toward the (deg, id)-larger endpoint; keep the dst's deg
-    // so the wedge join can order out-neighbors without re-joining
     val fwd = col("dlo") < col("dhi") ||
       (col("dlo") === col("dhi") && col("lo") < col("hi"))
-    val oriented = toLo.select(
-        when(fwd, col("lo")).otherwise(col("hi")).as("src"),
-        when(fwd, col("hi")).otherwise(col("lo")).as("dst"),
-        when(fwd, col("dhi")).otherwise(col("dlo")).as("ddeg"))
+    toLo.select(
+      when(fwd, col("lo")).otherwise(col("hi")).as("src"),
+      when(fwd, col("hi")).otherwise(col("lo")).as("dst"),
+      when(fwd, col("dhi")).otherwise(col("dlo")).as("ddeg"))
+  }
+
+  def triangleCounts(edges: DataFrame, aCol: String, bCol: String): DataFrame = {
+    val canon = canonicalUndirected(edges, aCol, bCol)
+      .localCheckpoint() // feeds degree + both orientation joins
+    val oriented = orientByDegree(canon)
       .localCheckpoint() // feeds both wedge sides and the closing probe
     val o1 = oriented.select(col("src").as("u"), col("dst").as("v"),
       col("ddeg").as("dv"))
@@ -280,22 +299,16 @@ object Graph {
   def kCore(edges: DataFrame, aCol: String, bCol: String,
             k: Long, rounds: Int): DataFrame = {
     require(k >= 1 && rounds >= 1)
-    var canon = edges.select(least(col(aCol), col(bCol)).as("lo"),
-        greatest(col(aCol), col(bCol)).as("hi"))
-      .filter(col("lo").isNotNull && col("lo") < col("hi"))
-      .distinct().localCheckpoint()
-    def degrees(e: DataFrame): DataFrame =
-      e.select(col("lo").as("id")).union(e.select(col("hi").as("id")))
-        .groupBy(col("id")).agg(count(lit(1)).as("deg"))
+    var canon = canonicalUndirected(edges, aCol, bCol).localCheckpoint()
     for (_ <- 1 to rounds) {
-      val keep = degrees(canon).filter(col("deg") >= k)
+      val keep = undirectedDegrees(canon).filter(col("deg") >= k)
         .select(col("id")).localCheckpoint() // node-sized, feeds 2 joins
       canon = canon
         .join(keep.select(col("id").as("lo")), Seq("lo"), "left_semi")
         .join(keep.select(col("id").as("hi")), Seq("hi"), "left_semi")
         .localCheckpoint()
     }
-    degrees(canon).select(col("id"), col("deg").as("core_deg"))
+    undirectedDegrees(canon).select(col("id"), col("deg").as("core_deg"))
   }
 
   /** Synchronous label propagation (community detection): every node

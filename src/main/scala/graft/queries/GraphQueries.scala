@@ -16,23 +16,56 @@ object GraphQueries {
   private val Iters = 3
   private val Q = "1073741824.0" // 2^30, the dyadic contribution grid
 
+  import org.apache.spark.sql.{DataFrame, SparkSession}
+
+  /** The DOUBLED (both-direction) customer↔supplier purchase graph —
+    * the one edge set graph_pagerank / graph_ppr / graph_lpa all walk
+    * (mirrors the shared `pairsCte` on the oracle side; one
+    * definition, no Spark/SQL drift across the three queries). */
+  private def doubledPurchaseEdges(s: SparkSession, d: String): DataFrame = {
+    val o = tbl(s, d, "orders").select(col("o_orderkey"), col("o_custkey"))
+    val l = tbl(s, d, "lineitem").select(col("l_orderkey"), col("l_suppkey"))
+    val pairs = o.join(l, col("o_orderkey") === col("l_orderkey"))
+      .select(col("o_custkey").as("cust"),
+        (col("l_suppkey") + 1000000L).as("supp"))
+      .distinct()
+      .localCheckpoint() // feeds BOTH branches of the doubled union
+    pairs.select(col("cust").as("src"), col("supp").as("dst"))
+      .unionByName(pairs.select(col("supp").as("src"), col("cust").as("dst")))
+  }
+
+  /** The part CO-PURCHASE projection (parts sharing an order are
+    * adjacent) — the undirected graph graph_triangles / graph_kcore
+    * decompose (mirrors `coPurchaseCte`). TPC-H baskets are ≤7 lines,
+    * so the projection's fan-out is bounded by construction — the
+    * general basket guard lives in Association.pairRules. */
+  private def coPurchaseEdges(s: SparkSession, d: String): DataFrame = {
+    val li = tbl(s, d, "lineitem")
+      .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+      .distinct()
+      .localCheckpoint() // both sides of the projection self-join
+    li.join(li.select(col("ok"), col("pk").as("pk2")), Seq("ok"))
+      .filter(col("pk") < col("pk2"))
+      .select(col("pk").as("a"), col("pk2").as("b"))
+  }
+
+  /** SQL spelling of [[coPurchaseEdges]] + canonicalization, shared by
+    * the triangles and k-core oracles. MATERIALIZED pins linear (not
+    * re-inlined) evaluation under the multi-referencing round CTEs. */
+  private val coPurchaseCte =
+    """li AS MATERIALIZED (
+         SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
+       canon AS MATERIALIZED (
+         SELECT DISTINCT a.pk AS lo, b.pk AS hi
+         FROM li a JOIN li b ON a.ok = b.ok AND a.pk < b.pk)"""
+
   val queries: Map[String, QueryFn] = Map(
 
     // Damped PageRank over the DOUBLED (both-direction) purchase graph
     // — supplier/customer authority from purchase structure, the
     // centrality a crawl pipeline budgets sources by.
-    "graph_pagerank" -> ((s, d) => {
-      val o = tbl(s, d, "orders").select(col("o_orderkey"), col("o_custkey"))
-      val l = tbl(s, d, "lineitem").select(col("l_orderkey"), col("l_suppkey"))
-      val pairs = o.join(l, col("o_orderkey") === col("l_orderkey"))
-        .select(col("o_custkey").as("cust"),
-          (col("l_suppkey") + 1000000L).as("supp"))
-        .distinct()
-        .localCheckpoint() // feeds BOTH branches of the doubled union
-      val edges = pairs.select(col("cust").as("src"), col("supp").as("dst"))
-        .unionByName(pairs.select(col("supp").as("src"), col("cust").as("dst")))
-      Graph.pageRank(edges, "src", "dst", iters = Iters)
-    }),
+    "graph_pagerank" -> ((s, d) =>
+      Graph.pageRank(doubledPurchaseEdges(s, d), "src", "dst", iters = Iters)),
 
     // WEIGHTED PageRank: the purchase multigraph keeps its edge
     // multiplicities (one weight unit per order linking the pair) and
@@ -72,20 +105,11 @@ object GraphQueries {
     // rank = random-walk proximity to them — the seed-expansion
     // primitive crawl curation ranks unlabeled sources with.
     "graph_ppr" -> ((s, d) => {
-      val o = tbl(s, d, "orders").select(col("o_orderkey"), col("o_custkey"))
-      val l = tbl(s, d, "lineitem").select(col("l_orderkey"), col("l_suppkey"))
-      val pairs = o.join(l, col("o_orderkey") === col("l_orderkey"))
-        .select(col("o_custkey").as("cust"),
-          (col("l_suppkey") + 1000000L).as("supp"))
-        .distinct()
-        .localCheckpoint() // feeds BOTH branches of the doubled union
-      val edges = pairs.select(col("cust").as("src"), col("supp").as("dst"))
-        .unionByName(pairs.select(col("supp").as("src"), col("cust").as("dst")))
       val seeds = tbl(s, d, "customer")
         .filter(col("c_mktsegment") === "BUILDING")
         .select(col("c_custkey").as("seed"))
-      Graph.personalizedPageRank(edges, "src", "dst", seeds, "seed",
-        iters = Iters)
+      Graph.personalizedPageRank(doubledPurchaseEdges(s, d), "src", "dst",
+        seeds, "seed", iters = Iters)
     }),
 
     // Per-node triangle counts over the part CO-PURCHASE projection
@@ -97,34 +121,17 @@ object GraphQueries {
     // integers, so the SQL spelling of the same orientation compares
     // bit-for-bit. The local-density / community-vs-spam-farm signal
     // of link-graph curation.
-    "graph_triangles" -> ((s, d) => {
-      val li = tbl(s, d, "lineitem")
-        .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
-        .distinct()
-        .localCheckpoint() // both sides of the projection self-join
-      val edges = li.join(li.select(col("ok"), col("pk").as("pk2")), Seq("ok"))
-        .filter(col("pk") < col("pk2"))
-        .select(col("pk").as("a"), col("pk2").as("b"))
-      Graph.triangleCounts(edges, "a", "b")
-    }),
+    "graph_triangles" -> ((s, d) =>
+      Graph.triangleCounts(coPurchaseEdges(s, d), "a", "b")),
 
     // Synchronous label-propagation communities over the DOUBLED
     // purchase graph: finer than graph_components (which fuses
     // everything reachable), far cheaper than modularity methods —
     // the deterministic min-label tie-break + fixed rounds make the
     // classic run-order-dependent algorithm differentially gateable.
-    "graph_lpa" -> ((s, d) => {
-      val o = tbl(s, d, "orders").select(col("o_orderkey"), col("o_custkey"))
-      val l = tbl(s, d, "lineitem").select(col("l_orderkey"), col("l_suppkey"))
-      val pairs = o.join(l, col("o_orderkey") === col("l_orderkey"))
-        .select(col("o_custkey").as("cust"),
-          (col("l_suppkey") + 1000000L).as("supp"))
-        .distinct()
-        .localCheckpoint() // feeds BOTH branches of the doubled union
-      val edges = pairs.select(col("cust").as("src"), col("supp").as("dst"))
-        .unionByName(pairs.select(col("supp").as("src"), col("cust").as("dst")))
-      Graph.labelPropagation(edges, "src", "dst", iters = Iters)
-    }),
+    "graph_lpa" -> ((s, d) =>
+      Graph.labelPropagation(doubledPurchaseEdges(s, d), "src", "dst",
+        iters = Iters)),
 
     // k-core peel (k=80, 4 synchronous rounds) of the same
     // co-purchase projection: each round simultaneously drops every
@@ -132,16 +139,8 @@ object GraphQueries {
     // survivors at sf0.01 — the dense-community-vs-fringe cut
     // curation budgets crawl depth by. Fixed-round contract keeps the
     // unrolled-CTE oracle bit-exact (integer degrees).
-    "graph_kcore" -> ((s, d) => {
-      val li = tbl(s, d, "lineitem")
-        .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
-        .distinct()
-        .localCheckpoint() // both sides of the projection self-join
-      val edges = li.join(li.select(col("ok"), col("pk").as("pk2")), Seq("ok"))
-        .filter(col("pk") < col("pk2"))
-        .select(col("pk").as("a"), col("pk2").as("b"))
-      Graph.kCore(edges, "a", "b", k = 80L, rounds = 4)
-    }),
+    "graph_kcore" -> ((s, d) =>
+      Graph.kCore(coPurchaseEdges(s, d), "a", "b", k = 80L, rounds = 4)),
 
     // Connected components of a SPARSE purchase subgraph (urgent
     // orders, near-full-quantity lines): exact min-label fixpoint via
@@ -322,12 +321,8 @@ object GraphQueries {
   /** Same degree-ordered orientation as [[Graph.triangleCounts]],
     * spelled in SQL: lo<hi holds in canon, so the (deg, id) tie-break
     * reduces to deg(lo) <= deg(hi). */
-  private val trianglesSql =
-    """WITH li AS (
-         SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
-       canon AS (
-         SELECT DISTINCT a.pk AS lo, b.pk AS hi
-         FROM li a JOIN li b ON a.ok = b.ok AND a.pk < b.pk),
+  private def trianglesSql =
+    s"""WITH $coPurchaseCte,
        deg AS (
          SELECT id, count(*)::BIGINT AS deg FROM (
            SELECT lo AS id FROM canon
@@ -369,11 +364,7 @@ object GraphQueries {
             JOIN k$r a ON a.id = c.lo
             JOIN k$r b ON b.id = c.hi)"""
     }.mkString(",\n")
-    s"""WITH li AS MATERIALIZED (
-          SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
-        canon AS MATERIALIZED (
-          SELECT DISTINCT a.pk AS lo, b.pk AS hi
-          FROM li a JOIN li b ON a.ok = b.ok AND a.pk < b.pk),
+    s"""WITH $coPurchaseCte,
         $rounds
         SELECT id, count(*)::BIGINT AS core_deg FROM (
           SELECT lo AS id FROM g4
