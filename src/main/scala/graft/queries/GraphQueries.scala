@@ -133,14 +133,16 @@ object GraphQueries {
       Graph.labelPropagation(doubledPurchaseEdges(s, d), "src", "dst",
         iters = Iters)),
 
-    // k-core peel (k=80, 4 synchronous rounds) of the same
+    // k-core peel (k=70, 4 synchronous rounds) of the same
     // co-purchase projection: each round simultaneously drops every
-    // node currently under 80 neighbors, cascading 1903 → 1858
-    // survivors at sf0.01 — the dense-community-vs-fringe cut
-    // curation budgets crawl depth by. Fixed-round contract keeps the
-    // unrolled-CTE oracle bit-exact (integer degrees).
+    // node currently under 70 neighbors — at sf0.001 the peel
+    // cascades 185 → 177 → 169 → 153 across all four rounds (the
+    // dense-community-vs-fringe cut curation budgets crawl depth by);
+    // k sits below the sf0.001 core so the smoke fixture keeps rows.
+    // Fixed-round contract keeps the unrolled-CTE oracle bit-exact
+    // (integer degrees).
     "graph_kcore" -> ((s, d) =>
-      Graph.kCore(coPurchaseEdges(s, d), "a", "b", k = 80L, rounds = 4)),
+      Graph.kCore(coPurchaseEdges(s, d), "a", "b", k = 70L, rounds = 4)),
 
     // Connected components of a SPARSE purchase subgraph (urgent
     // orders, near-full-quantity lines): exact min-label fixpoint via
@@ -351,7 +353,7 @@ object GraphQueries {
     * CTEs; MATERIALIZED pins linear (not re-inlined) evaluation of the
     * multi-referenced round frames. */
   private def kcoreSql: String = {
-    val k = 80
+    val k = 70
     val rounds = (1 to 4).map { r =>
       val prev = if (r == 1) "canon" else s"g${r - 1}"
       s"""d$r AS MATERIALIZED (
