@@ -67,6 +67,23 @@ object VectorQueries {
         e.filter(col("vec_id") < 10), e, "vec_id", "embedding", K)
     }),
 
+    // In-engine retrieval evaluation: grade the LSH ANN's ranked
+    // top-k against the exact brute-force baseline for the same query
+    // set — per-query recall / MRR / average precision, the numbers
+    // an index-rebuild gate alerts on. Deliberately log-free metrics
+    // (NDCG's log2 would ride libm bits); every fractional term is a
+    // 2⁻³⁰-grid single division, so the whole report is engine-exact
+    // (RetrievalEval.rankMetrics).
+    "eval_retrieval" -> ((s, d) => {
+      val e = tbl(s, d, "embeddings")
+      val truth = Similarity.bruteForceTopK(
+        e.filter(col("vec_id") < 10), e, "vec_id", "embedding", K)
+      val sys = Similarity.lshTopK(e, "vec_id", "embedding", K, planes)
+        .filter(col("query_id") < 10)
+      graft.operators.RetrievalEval.rankMetrics(sys, truth,
+        "query_id", "neighbor_id", "rank")
+    }),
+
     // LSH-bucketed ANN over the whole corpus (within-bucket top-k).
     "ann_lsh_topk" -> ((s, d) => {
       Similarity.lshTopK(tbl(s, d, "embeddings"), "vec_id", "embedding", K, planes)
@@ -226,6 +243,51 @@ object VectorQueries {
             FROM embeddings a JOIN embeddings b ON a.vec_id <> b.vec_id
             WHERE a.vec_id < 10)
           WHERE rank <= $K""",
+    "eval_retrieval" ->
+      s"""WITH truth AS MATERIALIZED (
+            SELECT query_id, rank, neighbor_id FROM (
+              SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+                row_number() OVER (PARTITION BY a.vec_id
+                  ORDER BY ${cosSql("a.embedding", "b.embedding")} DESC, b.vec_id) AS rank
+              FROM embeddings a JOIN embeddings b ON a.vec_id <> b.vec_id
+              WHERE a.vec_id < 10)
+            WHERE rank <= $K),
+          bucketed AS (
+            SELECT vec_id, embedding, ${bucketSql("embedding")} AS bucket FROM embeddings),
+          sys AS MATERIALIZED (
+            SELECT query_id, rank, neighbor_id FROM (
+              SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+                row_number() OVER (PARTITION BY a.vec_id
+                  ORDER BY ${cosSql("a.embedding", "b.embedding")} DESC, b.vec_id) AS rank
+              FROM bucketed a JOIN bucketed b
+                ON a.bucket = b.bucket AND a.vec_id <> b.vec_id)
+            WHERE rank <= $K AND query_id < 10),
+          nrel AS (
+            SELECT query_id, count(*)::BIGINT AS n_rel FROM truth GROUP BY 1),
+          marked AS (
+            SELECT s.query_id, s.rank,
+              CASE WHEN t.neighbor_id IS NOT NULL THEN 1 ELSE 0 END AS rel
+            FROM sys s LEFT JOIN truth t
+              ON t.query_id = s.query_id AND t.neighbor_id = s.neighbor_id),
+          cum AS (
+            SELECT query_id, rank, rel,
+              sum(rel) OVER (PARTITION BY query_id ORDER BY rank
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+            FROM marked),
+          per AS (
+            SELECT query_id, sum(rel)::BIGINT AS hits,
+              min(CASE WHEN rel = 1 THEN rank END) AS first_hit,
+              coalesce(sum(CASE WHEN rel = 1 THEN
+                floor(cum::DOUBLE / rank::DOUBLE * 1073741824.0 + 0.5)
+                  / 1073741824.0 END), 0.0) AS ap_num
+            FROM cum GROUP BY 1)
+          SELECT n.query_id, n.n_rel,
+            coalesce(p.hits, 0)::BIGINT AS hits,
+            coalesce(p.hits, 0)::DOUBLE / n.n_rel::DOUBLE AS recall,
+            coalesce(floor(1.0 / p.first_hit::DOUBLE * 1073741824.0 + 0.5)
+              / 1073741824.0, 0.0) AS mrr,
+            coalesce(p.ap_num, 0.0) / n.n_rel::DOUBLE AS ap
+          FROM nrel n LEFT JOIN per p ON p.query_id = n.query_id""",
     "ann_lsh_topk" ->
       s"""WITH bucketed AS (
             SELECT vec_id, embedding, ${bucketSql("embedding")} AS bucket FROM embeddings)

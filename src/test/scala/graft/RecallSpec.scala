@@ -19,6 +19,28 @@ class RecallSpec extends SparkTestBase {
   private lazy val embeddings =
     graft.core.Lakehouse.table(spark, sf, "embeddings")
 
+  test("rankMetrics: hand-computed AP/MRR/recall; zero-result and missing queries") {
+    // q1: truth {a, b}; system ranks [x, a, y, b, z] -> hits at 2, 4:
+    // recall 1, mrr 1/2, ap = (1/2 + 2/4)/2 = 1/2. q2: truth {a},
+    // system all misses -> zeros. q3: truth {a}, system returned
+    // NOTHING -> still reported, zeros. q4 in system only -> dropped.
+    val system = Seq((1L, "x", 1), (1L, "a", 2), (1L, "y", 3),
+      (1L, "b", 4), (1L, "z", 5),
+      (2L, "x", 1), (2L, "y", 2),
+      (4L, "a", 1)).toDF("query_id", "doc", "rank")
+    val truth = Seq((1L, "a"), (1L, "b"), (2L, "a"), (3L, "a"))
+      .toDF("query_id", "doc")
+    val m = graft.operators.RetrievalEval
+      .rankMetrics(system, truth, "query_id", "doc", "rank")
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getDouble(3), r.getDouble(4),
+          r.getDouble(5)))).toMap
+    assert(m.keySet == Set(1L, 2L, 3L), s"truth queries only: $m")
+    assert(m(1L) == ((2L, 2L, 1.0, 0.5, 0.5)), s"q1 metrics: ${m(1L)}")
+    assert(m(2L) == ((1L, 0L, 0.0, 0.0, 0.0)), s"q2 metrics: ${m(2L)}")
+    assert(m(3L) == ((1L, 0L, 0.0, 0.0, 0.0)), s"q3 metrics: ${m(3L)}")
+  }
+
   test("multi-probe LSH near-dup pairs: non-empty, precise, recall >= 0.5") {
     val exact = Similarity.cosineNearDupPairs(
       embeddings, "vec_id", "embedding", threshold)
