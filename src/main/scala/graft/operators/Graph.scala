@@ -332,6 +332,17 @@ object Graph {
     * (no sort, map-side combine on the hot nodes) — then a node-sized
     * left join to carry isolated nodes. Lineage truncates per round.
     */
+  /** The LPA round's winner pick over (id, lab, n) counts: the
+    * (n desc, lab asc) label via min(struct(-n, lab)) — an
+    * ORDER-INDEPENDENT PARTIAL AGGREGATE (map-side combine on hot
+    * nodes), deliberately not a per-node row_number window (the oracle
+    * spells the same row as a window; the engine must not —
+    * PlanGuardSpec pins this plan shape). */
+  private[graft] def winningLabels(counts: DataFrame): DataFrame =
+    counts.groupBy(col("id"))
+      .agg(min(struct((-col("n")).as("nn"), col("lab").as("lab"))).as("m"))
+      .select(col("id"), col("m.lab").as("__new"))
+
   def labelPropagation(edges: DataFrame, srcCol: String, dstCol: String,
                        iters: Int): DataFrame = {
     require(iters >= 1)
@@ -346,12 +357,7 @@ object Graph {
         .join(labels.select(col("id").as("src"), col("lab")), Seq("src"))
         .groupBy(col("dst").as("id"), col("lab"))
         .agg(count(lit(1)).as("n"))
-      val pick = counts
-        .groupBy(col("id"))
-        .agg(min(struct((-col("n")).as("nn"), col("lab").as("lab")))
-          .as("m"))
-        .select(col("id"), col("m.lab").as("__new"))
-      labels = labels.join(pick, Seq("id"), "left")
+      labels = labels.join(winningLabels(counts), Seq("id"), "left")
         .select(col("id"), coalesce(col("__new"), col("lab")).as("lab"))
         .localCheckpoint()
     }

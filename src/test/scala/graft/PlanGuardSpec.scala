@@ -318,6 +318,36 @@ class PlanGuardSpec extends SparkTestBase {
       s"the page must come from per-partition heaps, not a global sort:\n$p")
   }
 
+  test("graph tier: triangles/kcore stay shuffle-join-shaped, LPA picks without a window") {
+    // triangleCounts' wedge + closing joins and kCore's peel semi-joins
+    // must never degrade to a pair-exploding cartesian/nested-loop
+    for (q <- Seq("graph_triangles", "graph_kcore")) {
+      val p = plan(q)
+      assert(!p.contains("CartesianProduct"), s"$q degraded to cartesian:\n$p")
+      assert(!p.contains("BroadcastNestedLoopJoin"),
+        s"$q degraded to nested-loop:\n$p")
+    }
+    // LPA's winning-label pick is the order-independent min(struct)
+    // PARTIAL AGGREGATE — a refactor to a per-node row_number window
+    // would lose map-side combine on hot nodes (the oracle spells it
+    // as a window; the engine must not). The full LPA plan truncates
+    // per round (localCheckpoint), so the guard pins the pick
+    // sub-plan itself.
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val counts = Seq((1L, 1L, 2L), (1L, 2L, 2L), (2L, 1L, 1L))
+      .toDF("id", "lab", "n")
+    val pick = graft.operators.Graph.winningLabels(counts)
+    val pp = pick.queryExecution.executedPlan.toString
+    assert(!pp.contains("Window"),
+      s"LPA must pick via aggregate, not window:\n$pp")
+    assert(pp.contains("partial_min") || pp.contains("min(struct"),
+      s"LPA pick must be a min-struct partial aggregate:\n$pp")
+    // and the pick itself resolves the documented tie-break
+    assert(pick.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap ==
+      Map(1L -> 1L, 2L -> 1L))
+  }
+
   test("no query plans a partition-less WindowExec") {
     import org.apache.spark.sql.execution.window.WindowExec
     // A window with an empty partition spec funnels ALL rows into one
