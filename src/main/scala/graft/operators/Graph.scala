@@ -251,9 +251,11 @@ object Graph {
       when(fwd, col("dhi")).otherwise(col("dlo")).as("ddeg"))
   }
 
-  def triangleCounts(edges: DataFrame, aCol: String, bCol: String): DataFrame = {
-    val canon = canonicalUndirected(edges, aCol, bCol)
-      .localCheckpoint() // feeds degree + both orientation joins
+  def triangleCounts(edges: DataFrame, aCol: String, bCol: String): DataFrame =
+    triangleCountsFromCanon(canonicalUndirected(edges, aCol, bCol)
+      .localCheckpoint()) // feeds degree + both orientation joins
+
+  private def triangleCountsFromCanon(canon: DataFrame): DataFrame = {
     val oriented = orientByDegree(canon)
       .localCheckpoint() // feeds both wedge sides and the closing probe
     val o1 = oriented.select(col("src").as("u"), col("dst").as("v"),
@@ -273,6 +275,27 @@ object Graph {
       .union(tris.select(col("v").as("id")))
       .union(tris.select(col("w").as("id")))
       .groupBy(col("id")).agg(count(lit(1)).as("tri"))
+  }
+
+  /** Local clustering coefficient per node: coef = 2·tri / (deg·(deg−1))
+    * — what fraction of a node's neighbor pairs are themselves linked,
+    * the per-node community-density readout on top of
+    * [[triangleCounts]] (same canonical frame and orientation, one
+    * extra node-sized left join — the corpus-scale edge work is not
+    * repeated). Nodes of degree < 2 have no neighbor pairs and are
+    * omitted; triangle-less nodes report 0. deg/tri are exact
+    * integers and coef is one fixed-shape IEEE expression on them, so
+    * the oracle compares bit-for-bit. */
+  def clusteringCoefficient(edges: DataFrame, aCol: String,
+                            bCol: String): DataFrame = {
+    val canon = canonicalUndirected(edges, aCol, bCol)
+      .localCheckpoint() // feeds degrees AND the triangle pipeline
+    undirectedDegrees(canon).filter(col("deg") >= 2)
+      .join(triangleCountsFromCanon(canon), Seq("id"), "left")
+      .select(col("id"), col("deg"),
+        coalesce(col("tri"), lit(0L)).as("tri"),
+        ((lit(2.0) * coalesce(col("tri"), lit(0L)).cast("double")) /
+          (col("deg") * (col("deg") - 1)).cast("double")).as("coef"))
   }
 
   /** k-core peel over an UNDIRECTED edge list: iteratively remove

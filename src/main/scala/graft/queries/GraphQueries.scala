@@ -124,6 +124,13 @@ object GraphQueries {
     "graph_triangles" -> ((s, d) =>
       Graph.triangleCounts(coPurchaseEdges(s, d), "a", "b")),
 
+    // Local clustering coefficient (2·tri / deg·(deg−1)) on the same
+    // projection: the per-node fraction of linked neighbor pairs —
+    // community density vs spam-farm sparsity, read per node. Exact
+    // integer inputs, one fixed-shape IEEE expression → bit-exact.
+    "graph_clustering" -> ((s, d) =>
+      Graph.clusteringCoefficient(coPurchaseEdges(s, d), "a", "b")),
+
     // Synchronous label-propagation communities over the DOUBLED
     // purchase graph: finer than graph_components (which fuses
     // everything reachable), far cheaper than modularity methods —
@@ -323,31 +330,48 @@ object GraphQueries {
   /** Same degree-ordered orientation as [[Graph.triangleCounts]],
     * spelled in SQL: lo<hi holds in canon, so the (deg, id) tie-break
     * reduces to deg(lo) <= deg(hi). */
-  private def trianglesSql =
-    s"""WITH $coPurchaseCte,
-       deg AS (
+  /** The degree/orientation/triangle CTE chain both the triangles and
+    * clustering-coefficient oracles share (one SQL spelling of
+    * [[Graph.orientByDegree]] + the wedge-close join). */
+  private val triangleCtes =
+    """deg AS MATERIALIZED (
          SELECT id, count(*)::BIGINT AS deg FROM (
            SELECT lo AS id FROM canon
            UNION ALL SELECT hi AS id FROM canon) GROUP BY 1),
-       o AS (
+       o AS MATERIALIZED (
          SELECT CASE WHEN dl.deg <= dh.deg THEN c.lo ELSE c.hi END AS src,
                 CASE WHEN dl.deg <= dh.deg THEN c.hi ELSE c.lo END AS dst,
                 CASE WHEN dl.deg <= dh.deg THEN dh.deg ELSE dl.deg END AS ddeg
          FROM canon c
          JOIN deg dl ON dl.id = c.lo
          JOIN deg dh ON dh.id = c.hi),
-       tri AS (
+       tri AS MATERIALIZED (
          SELECT o1.src AS u, o1.dst AS v, o2.dst AS w
          FROM o o1
          JOIN o o2 ON o1.src = o2.src
            AND (o1.ddeg < o2.ddeg
                 OR (o1.ddeg = o2.ddeg AND o1.dst < o2.dst))
-         JOIN o e ON e.src = o1.dst AND e.dst = o2.dst)
-       SELECT id, count(*)::BIGINT AS tri FROM (
-         SELECT u AS id FROM tri
-         UNION ALL SELECT v AS id FROM tri
-         UNION ALL SELECT w AS id FROM tri)
-       GROUP BY 1"""
+         JOIN o e ON e.src = o1.dst AND e.dst = o2.dst),
+       tcnt AS MATERIALIZED (
+         SELECT id, count(*)::BIGINT AS tri FROM (
+           SELECT u AS id FROM tri
+           UNION ALL SELECT v AS id FROM tri
+           UNION ALL SELECT w AS id FROM tri)
+         GROUP BY 1)"""
+
+  private def trianglesSql =
+    s"""WITH $coPurchaseCte,
+       $triangleCtes
+       SELECT id, tri FROM tcnt"""
+
+  private def clusteringSql =
+    s"""WITH $coPurchaseCte,
+       $triangleCtes
+       SELECT d.id, d.deg, coalesce(t.tri, 0)::BIGINT AS tri,
+         (2.0 * coalesce(t.tri, 0)::DOUBLE)
+           / (d.deg * (d.deg - 1))::DOUBLE AS coef
+       FROM deg d LEFT JOIN tcnt t ON t.id = d.id
+       WHERE d.deg >= 2"""
 
   /** [[Graph.kCore]]'s synchronous peel rounds unrolled into chained
     * CTEs; MATERIALIZED pins linear (not re-inlined) evaluation of the
@@ -407,6 +431,7 @@ object GraphQueries {
     "graph_lpa" -> lpaSql,
     "graph_kcore" -> kcoreSql,
     "graph_triangles" -> trianglesSql,
+    "graph_clustering" -> clusteringSql,
     "graph_pagerank" -> pagerankSql,
     "graph_pagerank_w" -> pagerankWeightedSql,
     "graph_hits" -> hitsSql,

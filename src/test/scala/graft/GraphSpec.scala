@@ -173,6 +173,22 @@ class GraphSpec extends SparkTestBase {
     assert(Graph.kCore(edges, "a", "b", k = 4L, rounds = 3).count() == 0L)
   }
 
+  test("clusteringCoefficient: clique 1.0, chord-carrier 0.5, chain 0, deg-1 dropped") {
+    // K4 on 1..4 plus a pendant chain 4-5-6 (the kCore fixture):
+    // clique-only nodes are fully clustered; 4 carries an unlinked
+    // neighbor; 5's two neighbors are unlinked; 6 has no neighbor pair
+    val edges = Seq((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L),
+      (3L, 4L), (4L, 5L), (5L, 6L)).toDF("a", "b")
+    val c = Graph.clusteringCoefficient(edges, "a", "b")
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3))))
+      .toMap
+    assert(c == Map(
+      1L -> ((3L, 3L, 1.0)), 2L -> ((3L, 3L, 1.0)), 3L -> ((3L, 3L, 1.0)),
+      4L -> ((4L, 3L, 0.5)), 5L -> ((2L, 0L, 0.0))),
+      s"unexpected coefficients: $c")
+  }
+
   test("labelPropagation: bridged cliques resolve to two communities") {
     // triangles {1,2,3} and {10,11,12} bridged by 3-10; undirected via
     // doubling. Hand-run of the synchronous min-tie-break dynamics:
