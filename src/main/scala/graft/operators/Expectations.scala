@@ -126,4 +126,51 @@ object Expectations {
         (floor((col("n_child") - col("n_orphans")).cast("double")
           / col("n_child") * 10000 + lit(0.5)) / 10000).as("coverage"))
   }
+
+  /** Benford first-digit law expectation — organic multi-scale
+    * magnitudes follow P(d) = log10(1 + 1/d); fabricated or
+    * synthetically generated numeric columns usually don't, which
+    * makes the per-digit chi-square decomposition a cheap
+    * machine-generated-table screen for a data-curation pipeline.
+    * `centsOf` must map the value to a POSITIVE integer magnitude
+    * (e.g. `floor(x*100 + 0.5)` for 2-decimal money); the first digit
+    * comes from the INTEGER's decimal rendering — never from float
+    * formatting, which differs across engines. Returns one row per
+    * digit 1..9: (digit, n_obs, expected, chi_contrib) where expected
+    * = n·P(d) and chi_contrib = (n_obs − expected)²/expected — all
+    * fixed-shape IEEE on exact integer counts and shared decimal
+    * literals, so the oracle compares bit-for-bit. One partial-agg
+    * groupBy over 9 keys; the digit domain frame is literal-sized. */
+  def benford(df: DataFrame, centsOf: Column): DataFrame = {
+    val digits = BenfordP.zipWithIndex
+      .map { case (p, i) => (i + 1, p) }
+    val spark = df.sparkSession
+    import spark.implicits._
+    val dom = digits.toDF("digit", "p")
+    val obs = df.select(centsOf.cast("long").as("__m"))
+      .filter(col("__m") > 0)
+      .select(substring(col("__m").cast("string"), 1, 1).cast("int")
+        .as("digit"))
+      .groupBy(col("digit")).agg(count(lit(1)).as("n_obs"))
+      .localCheckpoint() // feeds the total AND the per-digit join
+    val total = obs.agg(sum(col("n_obs")).as("__n"))
+    dom.join(obs, Seq("digit"), "left")
+      .crossJoin(broadcast(total))
+      .select(col("digit"),
+        coalesce(col("n_obs"), lit(0L)).as("n_obs"),
+        (col("__n").cast("double") * col("p")).as("expected"),
+        (((coalesce(col("n_obs"), lit(0L)).cast("double") -
+          col("__n").cast("double") * col("p")) *
+          (coalesce(col("n_obs"), lit(0L)).cast("double") -
+            col("__n").cast("double") * col("p"))) /
+          (col("__n").cast("double") * col("p"))).as("chi_contrib"))
+  }
+
+  /** log10(1 + 1/d), d = 1..9 — the digit-law masses; the oracle SQL
+    * embeds the SAME decimal literals so both engines compute from
+    * identical doubles. */
+  private[graft] val BenfordP: Seq[Double] = Seq(
+    0.3010299956639812, 0.17609125905568124, 0.12493873660829992,
+    0.09691001300805642, 0.07918124604762482, 0.06694678963061322,
+    0.05799194697768673, 0.05115252244738129, 0.04575749056067514)
 }

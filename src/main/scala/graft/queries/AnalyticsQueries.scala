@@ -339,6 +339,18 @@ object AnalyticsQueries {
         col("l_returnflag"), col("l_extendedprice"), col("l_quantity"))
     }),
 
+    // Benford first-digit screen over the price column: organic
+    // multi-scale magnitudes follow log10(1+1/d); fabricated or
+    // synthetic numeric tables usually don't — the per-digit
+    // chi-square decomposition is the machine-generated-data detector
+    // of the DQ tier. Digits come from the exact integer's decimal
+    // rendering (never float formatting); the law's masses are shared
+    // decimal literals — bit-exact (Expectations.benford).
+    "dq_benford" -> ((s, d) => {
+      Expectations.benford(tbl(s, d, "lineitem"),
+        floor(col("l_extendedprice").cast("double") * 100 + lit(0.5)))
+    }),
+
     // Pairwise association rules over order baskets (co-purchase
     // A ⇒ B with support / confidence / lift): a-priori pruning keeps
     // infrequent items out of the pair expansion entirely, the basket
@@ -417,6 +429,25 @@ object AnalyticsQueries {
          SELECT grp, min(v) AS w_median, tw AS total_weight
          FROM cum JOIN tot USING (grp)
          WHERE cum * 2 >= tw GROUP BY grp, tw""",
+
+    "dq_benford" -> {
+      val vals = graft.operators.Expectations.BenfordP.zipWithIndex
+        .map { case (p, i) => s"(${i + 1}, $p::DOUBLE)" }.mkString(", ")
+      s"""WITH p(digit, p) AS (VALUES $vals),
+         obs AS (
+           SELECT substring(CAST(m AS VARCHAR), 1, 1)::INTEGER AS digit,
+             count(*)::BIGINT AS n_obs
+           FROM (SELECT CAST(floor(l_extendedprice::DOUBLE * 100 + 0.5)
+             AS BIGINT) AS m FROM lineitem)
+           WHERE m > 0 GROUP BY 1),
+         tot AS (SELECT sum(n_obs)::BIGINT AS n FROM obs)
+         SELECT p.digit, coalesce(o.n_obs, 0)::BIGINT AS n_obs,
+           n::DOUBLE * p.p AS expected,
+           ((coalesce(o.n_obs, 0)::DOUBLE - n::DOUBLE * p.p)
+             * (coalesce(o.n_obs, 0)::DOUBLE - n::DOUBLE * p.p))
+             / (n::DOUBLE * p.p) AS chi_contrib
+         FROM p LEFT JOIN obs o ON o.digit = p.digit CROSS JOIN tot"""
+    },
 
     "assoc_rules" ->
       """WITH b AS (

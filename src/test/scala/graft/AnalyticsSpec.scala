@@ -165,6 +165,25 @@ class AnalyticsSpec extends SparkTestBase {
     assert(strict._2 === 2L, "null keys count as orphans only when asked")
   }
 
+  test("benford: integer-exact digits, null/non-positive dropped, mass sums to n") {
+    import spark.implicits._
+    import graft.operators.Expectations
+    // cents: 1999 -> '1', 2 -> '2', 2 -> '2', 999999 -> '9';
+    // zero, negative and null rows must vanish
+    val df = Seq(Option(19.99), Option(0.02), Option(0.02),
+      Option(9999.99), Option(0.0), Option(-5.0), None).toDF("v")
+    val rows = Expectations.benford(df,
+        floor(col("v") * 100 + lit(0.5)))
+      .collect().map(r => r.getInt(0) ->
+        ((r.getLong(1), r.getDouble(2), r.getDouble(3)))).toMap
+    assert(rows.keySet == (1 to 9).toSet, "one row per digit")
+    assert(rows(1)._1 == 1L && rows(2)._1 == 2L && rows(9)._1 == 1L)
+    assert(rows.values.map(_._1).sum == 4L, "only positive ints counted")
+    // expected masses sum to n (the law's probabilities sum to 1)
+    assert(math.abs(rows.values.map(_._2).sum - 4.0) < 1e-9)
+    assert(rows.values.forall(_._3 >= 0.0), "chi contributions non-negative")
+  }
+
   test("association rules: a-priori prune, both directions, basket guard") {
     import spark.implicits._
     val b = Seq(1 -> 1, 1 -> 2, 1 -> 3, 2 -> 1, 2 -> 2, 3 -> 1, 3 -> 2,
