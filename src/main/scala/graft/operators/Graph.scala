@@ -334,6 +334,42 @@ object Graph {
     undirectedDegrees(canon).select(col("id"), col("deg").as("core_deg"))
   }
 
+  /** Degree assortativity (Newman's r): the Pearson correlation of
+    * endpoint degrees over the undirected edge list — assortative
+    * (r > 0) graphs are peer-linked communities, disassortative
+    * (r < 0) ones hub-and-spoke/spam-farm shaped; the one-number
+    * structural fingerprint next to [[clusteringCoefficient]]'s
+    * per-node view. With per-edge endpoint degrees (j, k) and integer
+    * sums S1 = Σ(j+k), S2 = Σ(j²+k²), Sp = Σ jk over the M canonical
+    * edges: r = (Sp/M − (S1/2M)²) / (S2/2M − (S1/2M)²).
+    *
+    * Scale shape: degrees once (node-sized partial agg), two joins to
+    * attach them to edges, ONE global partial-agg producing four
+    * numbers. All four sums are exact integer aggregates
+    * (order-independent by construction), and r is one fixed-shape
+    * IEEE expression on them — bit-exact, no grid. Returns the single
+    * row (n_edges, s_sum, s_sq, s_prod, r); degenerate graphs where
+    * all endpoint degrees are equal (zero variance) report null r —
+    * guarded explicitly, since an IEEE NaN would not hash-compare. */
+  def degreeAssortativity(edges: DataFrame, aCol: String,
+                          bCol: String): DataFrame = {
+    val canon = canonicalUndirected(edges, aCol, bCol).localCheckpoint()
+    val deg = undirectedDegrees(canon).localCheckpoint() // feeds 2 joins
+    val sums = canon
+      .join(deg.select(col("id").as("lo"), col("deg").as("dj")), Seq("lo"))
+      .join(deg.select(col("id").as("hi"), col("deg").as("dk")), Seq("hi"))
+      .agg(count(lit(1)).as("n_edges"),
+        sum(col("dj") + col("dk")).as("s_sum"),
+        sum(col("dj") * col("dj") + col("dk") * col("dk")).as("s_sq"),
+        sum(col("dj") * col("dk")).as("s_prod"))
+    val m = col("n_edges").cast("double")
+    val mu = col("s_sum").cast("double") / (lit(2.0) * m)
+    val variance = col("s_sq").cast("double") / (lit(2.0) * m) - mu * mu
+    sums.select(col("n_edges"), col("s_sum"), col("s_sq"), col("s_prod"),
+      when(variance =!= 0.0,
+        (col("s_prod").cast("double") / m - mu * mu) / variance).as("r"))
+  }
+
   /** Synchronous label propagation (community detection): every node
     * starts as its own community, then per round simultaneously adopts
     * the most frequent label among its in-neighbors (ties → smallest

@@ -131,6 +131,13 @@ object GraphQueries {
     "graph_clustering" -> ((s, d) =>
       Graph.clusteringCoefficient(coPurchaseEdges(s, d), "a", "b")),
 
+    // Degree assortativity of the co-purchase projection: the
+    // one-number peer-community-vs-hub-and-spoke fingerprint. Four
+    // exact integer sums in one partial-agg pass; r is fixed-shape
+    // IEEE on them — bit-exact, no grid.
+    "graph_assortativity" -> ((s, d) =>
+      Graph.degreeAssortativity(coPurchaseEdges(s, d), "a", "b")),
+
     // Synchronous label-propagation communities over the DOUBLED
     // purchase graph: finer than graph_components (which fuses
     // everything reachable), far cheaper than modularity methods —
@@ -427,7 +434,37 @@ object GraphQueries {
         SELECT id, lab FROM l$Iters"""
   }
 
+  /** [[Graph.degreeAssortativity]]'s four integer sums + the closing
+    * Pearson expression, with the same zero-variance null guard. */
+  private def assortativitySql =
+    s"""WITH $coPurchaseCte,
+       deg AS MATERIALIZED (
+         SELECT id, count(*)::BIGINT AS deg FROM (
+           SELECT lo AS id FROM canon
+           UNION ALL SELECT hi AS id FROM canon) GROUP BY 1),
+       sums AS (
+         SELECT count(*)::BIGINT AS n_edges,
+           sum(dj.deg + dk.deg)::BIGINT AS s_sum,
+           sum(dj.deg * dj.deg + dk.deg * dk.deg)::BIGINT AS s_sq,
+           sum(dj.deg * dk.deg)::BIGINT AS s_prod
+         FROM canon c
+         JOIN deg dj ON dj.id = c.lo
+         JOIN deg dk ON dk.id = c.hi)
+       SELECT n_edges, s_sum, s_sq, s_prod,
+         CASE WHEN s_sq::DOUBLE / (2.0 * n_edges::DOUBLE)
+                - (s_sum::DOUBLE / (2.0 * n_edges::DOUBLE))
+                  * (s_sum::DOUBLE / (2.0 * n_edges::DOUBLE)) <> 0.0
+           THEN (s_prod::DOUBLE / n_edges::DOUBLE
+                  - (s_sum::DOUBLE / (2.0 * n_edges::DOUBLE))
+                    * (s_sum::DOUBLE / (2.0 * n_edges::DOUBLE)))
+                / (s_sq::DOUBLE / (2.0 * n_edges::DOUBLE)
+                  - (s_sum::DOUBLE / (2.0 * n_edges::DOUBLE))
+                    * (s_sum::DOUBLE / (2.0 * n_edges::DOUBLE)))
+         END AS r
+       FROM sums"""
+
   val oracles: Map[String, String] = Map(
+    "graph_assortativity" -> assortativitySql,
     "graph_lpa" -> lpaSql,
     "graph_kcore" -> kcoreSql,
     "graph_triangles" -> trianglesSql,

@@ -189,6 +189,25 @@ class GraphSpec extends SparkTestBase {
       s"unexpected coefficients: $c")
   }
 
+  test("degreeAssortativity: path r = -0.5; regular graph degenerates to null") {
+    // path 1-2-3-4: endpoint-degree pairs (1,2),(2,2),(2,1) -> the
+    // textbook r = -1/2 (ends drag the correlation negative)
+    val path = Seq((1L, 2L), (2L, 3L), (3L, 4L)).toDF("a", "b")
+    val row = Graph.degreeAssortativity(path, "a", "b").collect().head
+    assert(row.getLong(0) == 3L && row.getLong(1) == 10L &&
+      row.getLong(2) == 18L && row.getLong(3) == 8L,
+      s"integer sums: $row")
+    // -1/2 in exact arithmetic; the fixed-shape IEEE evaluation lands
+    // within ulps of it (the gate needs bit-STABILITY across engines,
+    // not rational exactness)
+    assert(math.abs(row.getDouble(4) + 0.5) < 1e-12,
+      s"path assortativity: $row")
+    // a triangle is 2-regular: zero degree variance -> guarded null,
+    // never an IEEE NaN (which would not hash-compare)
+    val tri = Seq((1L, 2L), (2L, 3L), (3L, 1L)).toDF("a", "b")
+    assert(Graph.degreeAssortativity(tri, "a", "b").collect().head.isNullAt(4))
+  }
+
   test("labelPropagation: bridged cliques resolve to two communities") {
     // triangles {1,2,3} and {10,11,12} bridged by 3-10; undirected via
     // doubling. Hand-run of the synchronous min-tie-break dynamics:
