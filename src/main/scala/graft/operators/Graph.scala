@@ -238,8 +238,14 @@ object Graph {
     * `ddeg` so downstream wedge joins can order out-neighbors without
     * re-joining. THE orientation [[triangleCounts]] runs and the tri9
     * probe prices — one definition, no drift. */
-  private[graft] def orientByDegree(canon: DataFrame): DataFrame = {
-    val deg = undirectedDegrees(canon)
+  private[graft] def orientByDegree(canon: DataFrame): DataFrame =
+    orientByDegree(canon, undirectedDegrees(canon))
+
+  /** [[orientByDegree]] with the degree frame supplied — so a caller
+    * that also needs degrees ([[clusteringCoefficient]]) aggregates
+    * them ONCE, matching the oracle's single materialized deg CTE. */
+  private[graft] def orientByDegree(canon: DataFrame,
+                                    deg: DataFrame): DataFrame = {
     val toLo = canon
       .join(deg.select(col("id").as("lo"), col("deg").as("dlo")), Seq("lo"))
       .join(deg.select(col("id").as("hi"), col("deg").as("dhi")), Seq("hi"))
@@ -251,13 +257,15 @@ object Graph {
       when(fwd, col("dhi")).otherwise(col("dlo")).as("ddeg"))
   }
 
-  def triangleCounts(edges: DataFrame, aCol: String, bCol: String): DataFrame =
-    triangleCountsFromCanon(canonicalUndirected(edges, aCol, bCol)
-      .localCheckpoint()) // feeds degree + both orientation joins
+  def triangleCounts(edges: DataFrame, aCol: String, bCol: String): DataFrame = {
+    val canon = canonicalUndirected(edges, aCol, bCol)
+      .localCheckpoint() // feeds degree + both orientation joins
+    triangleCountsFromOriented(orientByDegree(canon).localCheckpoint())
+  }
 
-  private def triangleCountsFromCanon(canon: DataFrame): DataFrame = {
-    val oriented = orientByDegree(canon)
-      .localCheckpoint() // feeds both wedge sides and the closing probe
+  /** The wedge-join + corner-count tail of [[triangleCounts]], over an
+    * already-checkpointed oriented frame (it feeds three consumers). */
+  private def triangleCountsFromOriented(oriented: DataFrame): DataFrame = {
     val o1 = oriented.select(col("src").as("u"), col("dst").as("v"),
       col("ddeg").as("dv"))
     val o2 = oriented.select(col("src").as("u"), col("dst").as("w"),
@@ -290,8 +298,13 @@ object Graph {
                             bCol: String): DataFrame = {
     val canon = canonicalUndirected(edges, aCol, bCol)
       .localCheckpoint() // feeds degrees AND the triangle pipeline
-    undirectedDegrees(canon).filter(col("deg") >= 2)
-      .join(triangleCountsFromCanon(canon), Seq("id"), "left")
+    // degrees aggregate ONCE (node-sized, 3 consumers), mirroring the
+    // oracle's single materialized deg CTE
+    val deg = undirectedDegrees(canon).localCheckpoint()
+    val tri = triangleCountsFromOriented(
+      orientByDegree(canon, deg).localCheckpoint())
+    deg.filter(col("deg") >= 2)
+      .join(tri, Seq("id"), "left")
       .select(col("id"), col("deg"),
         coalesce(col("tri"), lit(0L)).as("tri"),
         ((lit(2.0) * coalesce(col("tri"), lit(0L)).cast("double")) /
@@ -323,15 +336,21 @@ object Graph {
             k: Long, rounds: Int): DataFrame = {
     require(k >= 1 && rounds >= 1)
     var canon = canonicalUndirected(edges, aCol, bCol).localCheckpoint()
-    for (_ <- 1 to rounds) {
-      val keep = undirectedDegrees(canon).filter(col("deg") >= k)
-        .select(col("id")).localCheckpoint() // node-sized, feeds 2 joins
-      canon = canon
-        .join(keep.select(col("id").as("lo")), Seq("lo"), "left_semi")
-        .join(keep.select(col("id").as("hi")), Seq("hi"), "left_semi")
-        .localCheckpoint()
-    }
+    for (_ <- 1 to rounds)
+      canon = peelRound(canon, k).localCheckpoint()
     undirectedDegrees(canon).select(col("id"), col("deg").as("core_deg"))
+  }
+
+  /** One synchronous [[kCore]] peel: the survivor set (degree ≥ k,
+    * node-sized) semi-joined against both edge endpoints. Exposed so
+    * PlanGuardSpec can pin the pre-checkpoint join shape — the full
+    * kCore plan truncates per round and would make the guard vacuous. */
+  private[graft] def peelRound(canon: DataFrame, k: Long): DataFrame = {
+    val keep = undirectedDegrees(canon).filter(col("deg") >= k)
+      .select(col("id")).localCheckpoint() // node-sized, feeds 2 joins
+    canon
+      .join(keep.select(col("id").as("lo")), Seq("lo"), "left_semi")
+      .join(keep.select(col("id").as("hi")), Seq("hi"), "left_semi")
   }
 
   /** Degree assortativity (Newman's r): the Pearson correlation of

@@ -51,8 +51,13 @@ object RetrievalEval {
       .join(tru.withColumn("__rel", lit(1L)), Seq("query_id", "doc"), "left")
       .select(col("query_id"), col("rank"),
         coalesce(col("__rel"), lit(0L)).as("rel"))
-    // per-query window: partitions bounded by the system's top-k
+    // per-query window: partitions bounded by the system's top-k.
+    // The ROWS frame is pinned explicitly — Spark's default for an
+    // ordered window is RANGE, which treats tied ranks as peers and
+    // would diverge from the oracle's ROWS spelling if a caller ever
+    // feeds rank()-style ties (ranks are expected unique per query).
     val w = Window.partitionBy(col("query_id")).orderBy(col("rank"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val per = marked.withColumn("cum", sum(col("rel")).over(w))
       .groupBy(col("query_id")).agg(
         sum(col("rel")).as("hits"),

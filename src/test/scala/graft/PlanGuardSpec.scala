@@ -319,13 +319,29 @@ class PlanGuardSpec extends SparkTestBase {
   }
 
   test("graph tier: triangles/kcore stay shuffle-join-shaped, LPA picks without a window") {
-    // triangleCounts' wedge + closing joins and kCore's peel semi-joins
-    // must never degrade to a pair-exploding cartesian/nested-loop
-    for (q <- Seq("graph_triangles", "graph_kcore")) {
-      val p = plan(q)
-      assert(!p.contains("CartesianProduct"), s"$q degraded to cartesian:\n$p")
-      assert(!p.contains("BroadcastNestedLoopJoin"),
-        s"$q degraded to nested-loop:\n$p")
+    // triangleCounts' wedge + closing joins must never degrade to a
+    // pair-exploding cartesian/nested-loop
+    val pt = plan("graph_triangles")
+    assert(!pt.contains("CartesianProduct"),
+      s"graph_triangles degraded to cartesian:\n$pt")
+    assert(!pt.contains("BroadcastNestedLoopJoin"),
+      s"graph_triangles degraded to nested-loop:\n$pt")
+    // kCore's full plan truncates per round (localCheckpoint), so pin
+    // ONE peel round's pre-checkpoint sub-plan: the survivor filter
+    // must reach the edges as equi-keyed LeftSemi joins
+    locally {
+      import spark.implicits._
+      val canon = Seq((1L, 2L), (2L, 3L), (1L, 3L)).toDF("lo", "hi")
+      val peel = graft.operators.Graph.peelRound(canon, k = 2L)
+      val pp = peel.queryExecution.executedPlan.toString
+      assert(pp.contains("LeftSemi"),
+        s"peel must semi-join the survivor set:\n$pp")
+      assert(!pp.contains("CartesianProduct") &&
+        !pp.contains("BroadcastNestedLoopJoin"),
+        s"peel degraded to a pair-exploding join:\n$pp")
+      // and the round itself peels correctly on this fixture
+      assert(peel.count() == 3L)
+      assert(graft.operators.Graph.peelRound(canon, k = 3L).count() == 0L)
     }
     // LPA's winning-label pick is the order-independent min(struct)
     // PARTIAL AGGREGATE — a refactor to a per-node row_number window
