@@ -1040,10 +1040,37 @@ object ScaleProbe {
     println(f"""{"probe":"tri9 degree-ordered full count (10M+hub edges)","rows":$n,"sec":${(System.nanoTime() - t0) / 1e9}%.2f,"max_task_sec":${MaxTask.max.get() / 1000.0}%.2f}""")
   }
 
+  /** `runMain graft.ScaleProbe kcore9` — k-core peel cost at 20M
+    * random edges / 2M nodes (Poisson degree ≈ 20): each round is one
+    * node-sized degree partial-agg + two edge semi-joins, so per-round
+    * cost should stay FLAT in the round index (lineage truncates) and
+    * the max task bounded by edge-partition size, while the k=18 peel
+    * cascades a real survivor shrink. Prints per-round survivors /
+    * wall / max-task. */
+  private def kcore9(spark: SparkSession): Unit = {
+    import spark.implicits._
+    import graft.operators.Graph
+    spark.sparkContext.addSparkListener(MaxTask)
+    val edges = spark.range(0, 20000000L).select(
+      pmod(hash(col("id")), lit(2000000)).cast("long").as("a"),
+      pmod(hash(col("id") * 31), lit(2000000)).cast("long").as("b"))
+    var canon = Graph.canonicalUndirected(edges, "a", "b").localCheckpoint()
+    val m0 = canon.count()
+    println(f"""{"probe":"kcore9 canonical edges","rows":$m0}""")
+    for (round <- 1 to 5) {
+      MaxTask.reset()
+      val t0 = System.nanoTime()
+      canon = Graph.peelRound(canon, k = 18L).localCheckpoint()
+      val m = canon.count()
+      println(f"""{"probe":"kcore9 round $round (k=18)","rows":$m,"sec":${(System.nanoTime() - t0) / 1e9}%.2f,"max_task_sec":${MaxTask.max.get() / 1000.0}%.2f}""")
+    }
+  }
+
   def main(args: Array[String]): Unit = {
     if (args.headOption.exists(Set("quota7", "pipe7", "freq7", "serve8",
         "outlier8", "budget8", "ids8", "aqe8", "rtfilter8", "prefix8",
-        "sparse9", "interop9", "graph9", "bucket9", "semdedup9", "tri9"))) {
+        "sparse9", "interop9", "graph9", "bucket9", "semdedup9", "tri9",
+        "kcore9"))) {
       val spark = SparkSession.builder()
         .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")}]")
         .config("spark.sql.shuffle.partitions",
@@ -1069,6 +1096,7 @@ object ScaleProbe {
         case "bucket9" => bucket9(spark)
         case "semdedup9" => semdedup9(spark)
         case "tri9" => tri9(spark)
+        case "kcore9" => kcore9(spark)
       }
       spark.stop()
       return
