@@ -616,4 +616,38 @@ class PropertySpec extends SparkTestBase {
     assert(Relational.percentileRank(empty, "v", "pr").count() == 0)
     assert(Profiling.equiDepthHistogram(empty, col("v"), 8).count() == 0)
   }
+
+  test("triangleCounts == brute-force enumeration on random multigraphs") {
+    import graft.operators.Graph
+    // random messy edge lists: duplicates, reversals, self-loops —
+    // the degree-ordered oriented count must equal the O(n³) reference
+    val edgeGen: Gen[(Long, Long)] = for {
+      a <- Gen.choose(0L, 24L); b <- Gen.choose(0L, 24L)
+    } yield (a, b)
+    val graphs = (0 until 6).map(g => sample(edgeGen, 60 + 7 * g))
+    for (edges <- graphs) {
+      // reference: adjacency-set triangle scan over canonical edges
+      val adj = edges.filter { case (a, b) => a != b }
+        .flatMap { case (a, b) => Seq(a -> b, b -> a) }
+        .groupBy(_._1).map { case (k, vs) => k -> vs.map(_._2).toSet }
+        .withDefaultValue(Set.empty[Long])
+      val nodes = adj.keys.toSeq.sorted
+      val expected = (for {
+        u <- nodes; v <- nodes if u < v && adj(u)(v)
+        w <- nodes if v < w && adj(u)(w) && adj(v)(w)
+      } yield Seq(u, v, w)).flatten
+        .groupBy(identity).map { case (k, vs) => k -> vs.size.toLong }
+      val got = Graph.triangleCounts(edges.toDF("a", "b"), "a", "b")
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(got == expected,
+        s"triangle mismatch on ${edges.size}-edge graph: $got vs $expected")
+      // clustering coefficient consistency: tri column matches, coef
+      // bounded in [0, 1]
+      val coef = Graph.clusteringCoefficient(edges.toDF("a", "b"), "a", "b")
+        .collect().map(r => (r.getLong(0), r.getLong(2), r.getDouble(3)))
+      assert(coef.forall { case (id, tri, c) =>
+        tri == expected.getOrElse(id, 0L) && c >= 0.0 && c <= 1.0 },
+        s"coef inconsistency: ${coef.mkString(";")}")
+    }
+  }
 }
