@@ -650,4 +650,53 @@ class PropertySpec extends SparkTestBase {
         s"coef inconsistency: ${coef.mkString(";")}")
     }
   }
+
+  test("kCore and labelPropagation == reference synchronous dynamics") {
+    import graft.operators.Graph
+    val edgeGen: Gen[(Long, Long)] = for {
+      a <- Gen.choose(0L, 19L); b <- Gen.choose(0L, 19L)
+    } yield (a, b)
+    for (g <- 0 until 4) {
+      val edges = sample(edgeGen, 45 + 9 * g)
+      var canon = edges.filter { case (a, b) => a != b }
+        .map { case (a, b) => (math.min(a, b), math.max(a, b)) }.toSet
+      // reference peel, synchronous: drop all sub-k nodes per round
+      for (rounds <- 1 to 3; k <- Seq(2L, 3L)) {
+        var ref = canon
+        for (_ <- 1 to rounds) {
+          val deg = ref.toSeq.flatMap(e => Seq(e._1, e._2))
+            .groupBy(identity).map { case (n, xs) => n -> xs.size.toLong }
+          val keep = deg.filter(_._2 >= k).keySet
+          ref = ref.filter(e => keep(e._1) && keep(e._2))
+        }
+        val refDeg = ref.toSeq.flatMap(e => Seq(e._1, e._2))
+          .groupBy(identity).map { case (n, xs) => n -> xs.size.toLong }
+        val got = Graph.kCore(edges.toDF("a", "b"), "a", "b", k, rounds)
+          .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+        assert(got == refDeg,
+          s"kCore mismatch (k=$k rounds=$rounds): $got vs $refDeg")
+      }
+      // reference synchronous LPA over the doubled edge list
+      val dir = canon.toSeq.flatMap(e => Seq(e, e.swap))
+      val inN = dir.groupBy(_._2).map { case (n, es) => n -> es.map(_._1) }
+      val nodes = dir.flatMap(e => Seq(e._1, e._2)).distinct
+      var lab = nodes.map(n => n -> n).toMap
+      for (_ <- 1 to 3) {
+        lab = nodes.map { n =>
+          val nbrs = inN.getOrElse(n, Nil).map(lab)
+          if (nbrs.isEmpty) n -> lab(n)
+          else {
+            val counts = nbrs.groupBy(identity)
+              .map { case (l, xs) => l -> xs.size }
+            val best = counts.toSeq.minBy { case (l, c) => (-c, l) }._1
+            n -> best
+          }
+        }.toMap
+      }
+      val gotLpa = Graph.labelPropagation(
+          dir.toDF("src", "dst"), "src", "dst", iters = 3)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(gotLpa == lab, s"LPA mismatch: $gotLpa vs $lab")
+    }
+  }
 }
