@@ -699,4 +699,37 @@ class PropertySpec extends SparkTestBase {
       assert(gotLpa == lab, s"LPA mismatch: $gotLpa vs $lab")
     }
   }
+
+  test("pairRules == brute-force rule mining on random baskets") {
+    import graft.operators.Association
+    val rowGen: Gen[(Long, Long)] = for {
+      bk <- Gen.choose(0L, 11L); it <- Gen.choose(0L, 7L)
+    } yield (bk, it)
+    for (g <- 0 until 4) {
+      val rows = sample(rowGen, 40 + 11 * g)
+      val baskets = rows.toSet
+      val minSup = 2L
+      val nB = baskets.groupBy(_._1).size
+      val itemN = baskets.groupBy(_._2).map { case (i, xs) => i -> xs.size.toLong }
+      val byBasket = baskets.groupBy(_._1).values.map(_.map(_._2))
+      val pairN = byBasket.toSeq
+        .flatMap(items => items.toSeq.sorted.combinations(2))
+        .groupBy(identity).map { case (p, xs) => (p(0), p(1)) -> xs.size.toLong }
+        .filter { case ((a, b), c) =>
+          c >= minSup && itemN(a) >= minSup && itemN(b) >= minSup }
+      val expected = pairN.toSeq.flatMap { case ((a, b), c) =>
+        Seq((a, b, c), (b, a, c)) }
+        .map { case (ante, cons, c) =>
+          (ante, cons, c, itemN(ante), itemN(cons),
+            c.toDouble / itemN(ante).toDouble,
+            (c.toDouble * nB.toDouble) /
+              (itemN(ante).toDouble * itemN(cons).toDouble)) }.toSet
+      val got = Association.pairRules(rows.toDF("bk", "it"), "bk", "it",
+          minSupport = minSup, k = 1000)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+          r.getLong(3), r.getLong(4), r.getDouble(5), r.getDouble(6))).toSet
+      assert(got == expected,
+        s"rule mismatch on ${rows.size} rows: ${got.diff(expected)} / ${expected.diff(got)}")
+    }
+  }
 }
