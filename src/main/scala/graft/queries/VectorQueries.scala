@@ -84,6 +84,20 @@ object VectorQueries {
         "query_id", "neighbor_id", "rank")
     }),
 
+    // NDCG@k companion: position-discounted grading of the same
+    // LSH-vs-exact pair. The log2 discounts are a k-row constant
+    // table interpolated verbatim into the oracle — no query-time
+    // libm in either engine (RetrievalEval.ndcgAtK).
+    "eval_ndcg" -> ((s, d) => {
+      val e = tbl(s, d, "embeddings")
+      val truth = Similarity.bruteForceTopK(
+        e.filter(col("vec_id") < 10), e, "vec_id", "embedding", K)
+      val sys = Similarity.lshTopK(e, "vec_id", "embedding", K, planes)
+        .filter(col("query_id") < 10)
+      graft.operators.RetrievalEval.ndcgAtK(sys, truth,
+        "query_id", "neighbor_id", "rank", k = K)
+    }),
+
     // LSH-bucketed ANN over the whole corpus (within-bucket top-k).
     "ann_lsh_topk" -> ((s, d) => {
       Similarity.lshTopK(tbl(s, d, "embeddings"), "vec_id", "embedding", K, planes)
@@ -288,6 +302,48 @@ object VectorQueries {
               / 1073741824.0, 0.0) AS mrr,
             coalesce(p.ap_num, 0.0) / n.n_rel::DOUBLE AS ap
           FROM nrel n LEFT JOIN per p ON p.query_id = n.query_id""",
+    "eval_ndcg" -> {
+      val (qd, ladder) = graft.operators.RetrievalEval.ndcgDiscounts(K)
+      val discVals = qd.zipWithIndex
+        .map { case (v, i) => s"(${i + 1}, $v::DOUBLE)" }.mkString(", ")
+      val idcgVals = ladder.zipWithIndex
+        .map { case (v, j) => s"(${j + 1}, $v::DOUBLE)" }.mkString(", ")
+      s"""WITH truth AS MATERIALIZED (
+            SELECT query_id, rank, neighbor_id FROM (
+              SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+                row_number() OVER (PARTITION BY a.vec_id
+                  ORDER BY ${cosSql("a.embedding", "b.embedding")} DESC, b.vec_id) AS rank
+              FROM embeddings a JOIN embeddings b ON a.vec_id <> b.vec_id
+              WHERE a.vec_id < 10)
+            WHERE rank <= $K),
+          bucketed AS (
+            SELECT vec_id, embedding, ${bucketSql("embedding")} AS bucket FROM embeddings),
+          sys AS MATERIALIZED (
+            SELECT query_id, rank, neighbor_id FROM (
+              SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+                row_number() OVER (PARTITION BY a.vec_id
+                  ORDER BY ${cosSql("a.embedding", "b.embedding")} DESC, b.vec_id) AS rank
+              FROM bucketed a JOIN bucketed b
+                ON a.bucket = b.bucket AND a.vec_id <> b.vec_id)
+            WHERE rank <= $K AND query_id < 10),
+          disc(rank, disc) AS (VALUES $discVals),
+          ladder(n_eff, idcg) AS (VALUES $idcgVals),
+          dcg AS (
+            SELECT s.query_id, sum(d.disc) AS dcg
+            FROM sys s
+            JOIN truth t ON t.query_id = s.query_id
+              AND t.neighbor_id = s.neighbor_id
+            JOIN disc d ON d.rank = s.rank
+            GROUP BY 1),
+          nrel AS (
+            SELECT query_id, count(*)::BIGINT AS n_rel FROM truth GROUP BY 1)
+          SELECT n.query_id, n.n_rel,
+            coalesce(g.dcg, 0.0) AS dcg, l.idcg,
+            coalesce(g.dcg, 0.0) / l.idcg AS ndcg
+          FROM nrel n
+          JOIN ladder l ON l.n_eff = least(n.n_rel, $K)
+          LEFT JOIN dcg g ON g.query_id = n.query_id"""
+    },
     "ann_lsh_topk" ->
       s"""WITH bucketed AS (
             SELECT vec_id, embedding, ${bucketSql("embedding")} AS bucket FROM embeddings)

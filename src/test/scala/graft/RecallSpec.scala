@@ -41,6 +41,27 @@ class RecallSpec extends SparkTestBase {
     assert(m(3L) == ((1L, 0L, 0.0, 0.0, 0.0)), s"q3 metrics: ${m(3L)}")
   }
 
+  test("ndcgAtK: perfect ranking is exactly 1.0; later hits discount; misses zero") {
+    import graft.operators.RetrievalEval
+    // q1 perfect (both truths at ranks 1-2), q2 one late hit at rank 5,
+    // q3 one early hit at rank 1, q4 all misses, q5 absent from system
+    val system = Seq((1L, "a", 1), (1L, "b", 2),
+      (2L, "x", 1), (2L, "y", 2), (2L, "z", 3), (2L, "w", 4), (2L, "a", 5),
+      (3L, "a", 1), (3L, "x", 2),
+      (4L, "x", 1)).toDF("query_id", "doc", "rank")
+    val truth = Seq((1L, "a"), (1L, "b"), (2L, "a"), (3L, "a"), (4L, "a"),
+      (5L, "a")).toDF("query_id", "doc")
+    val m = RetrievalEval.ndcgAtK(system, truth, "query_id", "doc", "rank",
+        k = 5)
+      .collect().map(r => r.getLong(0) -> r.getDouble(4)).toMap
+    assert(m.keySet == Set(1L, 2L, 3L, 4L, 5L))
+    assert(m(1L) == 1.0, s"perfect ranking must score exactly 1: $m")
+    assert(m(3L) == 1.0, s"single truth at rank 1 is also perfect: $m")
+    assert(m(2L) > 0.0 && m(2L) < m(3L),
+      s"a rank-5 hit must discount below a rank-1 hit: $m")
+    assert(m(4L) == 0.0 && m(5L) == 0.0, s"misses and absences zero: $m")
+  }
+
   test("multi-probe LSH near-dup pairs: non-empty, precise, recall >= 0.5") {
     val exact = Similarity.cosineNearDupPairs(
       embeddings, "vec_id", "embedding", threshold)
