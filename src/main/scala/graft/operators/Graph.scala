@@ -442,6 +442,46 @@ object Graph {
     labels
   }
 
+  /** Multi-source BFS distances: hop distance from the nearest seed,
+    * bounded at `maxDepth` — the "link distance from trusted sources"
+    * signal crawl curation budgets depth by (and the discrete
+    * companion to [[personalizedPageRank]]'s continuous proximity).
+    * Directed edges; callers double for undirected. Seeds outside the
+    * graph's node set are ignored; returns (id, dist) for every
+    * reached node, dist ∈ [0, maxDepth], exact integers → the
+    * unrolled-CTE oracle compares bit-for-bit.
+    *
+    * Scale shape: classic frontier expansion — per hop, one join of
+    * the (shrinking) frontier against the edge list, a distinct, and
+    * an anti-join against the reached set; the reached frame is
+    * node-sized and each hop's lineage truncates. No collect, no
+    * global sort, and the edge list is touched once per hop. */
+  def bfsDistances(edges: DataFrame, srcCol: String, dstCol: String,
+                   seeds: DataFrame, seedCol: String,
+                   maxDepth: Int): DataFrame = {
+    require(maxDepth >= 1)
+    val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
+      .distinct().localCheckpoint()
+    val nodes = e.select(col("src").as("id"))
+      .union(e.select(col("dst").as("id"))).distinct()
+    var reached = seeds.select(col(seedCol).as("id")).distinct()
+      .join(nodes, Seq("id"), "left_semi")
+      .select(col("id"), lit(0).as("dist"))
+      .localCheckpoint()
+    var frontier = reached.select(col("id"))
+    for (r <- 1 to maxDepth) {
+      frontier = frontier
+        .join(e.select(col("src").as("id"), col("dst")), Seq("id"))
+        .select(col("dst").as("id")).distinct()
+        .join(reached, Seq("id"), "left_anti")
+        .localCheckpoint() // feeds the reached union AND the next hop
+      reached = reached
+        .unionByName(frontier.select(col("id"), lit(r).as("dist")))
+        .localCheckpoint()
+    }
+    reached
+  }
+
   /** HITS hubs-and-authorities with L∞ (max) normalization — max is
     * order-independent, so unlike the customary L2 norm it needs no
     * exact-sum-of-squares gymnastics: a'(v) = q(Σ_{u→v} h(u)) / max,

@@ -131,6 +131,18 @@ object GraphQueries {
     "graph_clustering" -> ((s, d) =>
       Graph.clusteringCoefficient(coPurchaseEdges(s, d), "a", "b")),
 
+    // Multi-source BFS: hop distance from the BUILDING-segment seed
+    // set over the doubled purchase graph, bounded at 3 — the
+    // discrete link-distance companion to graph_ppr's random-walk
+    // proximity (crawl pipelines budget fetch depth by exactly this).
+    "graph_bfs_dist" -> ((s, d) => {
+      val seeds = tbl(s, d, "customer")
+        .filter(col("c_mktsegment") === "BUILDING")
+        .select(col("c_custkey").as("seed"))
+      Graph.bfsDistances(doubledPurchaseEdges(s, d), "src", "dst",
+        seeds, "seed", maxDepth = 3)
+    }),
+
     // Degree assortativity of the co-purchase projection: the
     // one-number peer-community-vs-hub-and-spoke fingerprint. Four
     // exact integer sums in one partial-agg pass; r is fixed-shape
@@ -463,7 +475,37 @@ object GraphQueries {
          END AS r
        FROM sums"""
 
+  /** [[Graph.bfsDistances]]'s hop expansions unrolled: per hop, the
+    * frontier's out-neighbors minus everything already reached. */
+  private def bfsSql: String = {
+    val hops = (1 to 3).map { r =>
+      val p = r - 1
+      s"""f$r AS MATERIALIZED (
+            SELECT DISTINCT e.dst AS id
+            FROM edges e JOIN f$p f ON f.id = e.src
+            WHERE e.dst NOT IN (SELECT id FROM l$p)),
+          l$r AS MATERIALIZED (
+            SELECT id, dist FROM l$p
+            UNION ALL
+            SELECT id, $r AS dist FROM f$r)"""
+    }.mkString(",\n")
+    s"""WITH $pairsCte,
+        edges AS MATERIALIZED (
+          SELECT cust AS src, supp AS dst FROM pairs
+          UNION
+          SELECT supp AS src, cust AS dst FROM pairs),
+        nodes AS (SELECT src AS id FROM edges UNION SELECT dst FROM edges),
+        l0 AS MATERIALIZED (
+          SELECT DISTINCT c_custkey AS id, 0 AS dist FROM customer
+          WHERE c_mktsegment = 'BUILDING'
+            AND c_custkey IN (SELECT id FROM nodes)),
+        f0 AS MATERIALIZED (SELECT id FROM l0),
+        $hops
+        SELECT id, dist FROM l3"""
+  }
+
   val oracles: Map[String, String] = Map(
+    "graph_bfs_dist" -> bfsSql,
     "graph_assortativity" -> assortativitySql,
     "graph_lpa" -> lpaSql,
     "graph_kcore" -> kcoreSql,

@@ -208,6 +208,25 @@ class GraphSpec extends SparkTestBase {
     assert(Graph.degreeAssortativity(tri, "a", "b").collect().head.isNullAt(4))
   }
 
+  test("bfsDistances: nearest-seed hops, depth bound, off-graph seeds ignored") {
+    // chain 1->2->3->4->5 plus a second seed 10 -> 4: node 4 is 3 hops
+    // from seed 1 but 1 hop from seed 10 — min wins; 5 sits at depth 2
+    // via 10; depth bound 2 leaves nothing unreached here except via
+    // the bound itself
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L), (10L, 4L))
+      .toDF("src", "dst")
+    val seeds = Seq(1L, 10L, 999L).toDF("seed") // 999 off-graph
+    val d2 = Graph.bfsDistances(edges, "src", "dst", seeds, "seed", 2)
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(d2 == Map(1L -> 0, 10L -> 0, 2L -> 1, 4L -> 1, 3L -> 2, 5L -> 2),
+      s"2-hop distances: $d2")
+    // depth 1 truncates the far chain
+    val d1 = Graph.bfsDistances(edges, "src", "dst", seeds, "seed", 1)
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(d1 == Map(1L -> 0, 10L -> 0, 2L -> 1, 4L -> 1),
+      s"1-hop distances: $d1")
+  }
+
   test("labelPropagation: bridged cliques resolve to two communities") {
     // triangles {1,2,3} and {10,11,12} bridged by 3-10; undirected via
     // doubling. Hand-run of the synchronous min-tie-break dynamics:
