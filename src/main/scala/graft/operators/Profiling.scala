@@ -198,6 +198,54 @@ object Profiling {
       .select(col("grp"), col("w_median"), col("tw").as("total_weight"))
   }
 
+  /** Exact per-group TRIMMED mean — the robust central-tendency
+    * readout (drop the top and bottom `trimPct`% OCCURRENCES, average
+    * the band) that profiling dashboards quote when outliers poison
+    * the plain mean. Same distinct-value decomposition as
+    * [[weightedMedian]] (per-value counts + a per-group cumulative
+    * window over the DISTINCT-value table, never a corpus-row window),
+    * with the band overlap computed per distinct value in INTEGER
+    * arithmetic: trim = ⌊n·trimPct/100⌋ (spelled floor-of-double on
+    * BOTH engines — Spark's `/` on longs is double division and
+    * DuckDB's integer `/` semantics changed across versions, so the
+    * explicit floor is the only portable integer spelling; the floor
+    * is safe because n·pct/100 is a 1/100-grid rational, never within
+    * an ulp of an integer from below), kept
+    * occurrences of value v = max(0, min(below+cnt, n−trim) −
+    * max(below, trim)). Values quantize to exact cents (2-decimal
+    * money), so Σ v_cents·kept is an exact integer in any order and
+    * the closing two divisions are fixed-shape IEEE — bit-exact.
+    * Returns (grp, n, n_kept, trimmed_mean); groups whose band is
+    * empty (n ≤ 2·trim) report null. */
+  def trimmedMean(df: DataFrame, groupCol: Column, valueCol: Column,
+                  trimPct: Int): DataFrame = {
+    require(trimPct >= 0 && trimPct < 50)
+    val perValue = df.select(groupCol.as("grp"),
+        floor(valueCol.cast("double") * 100 + lit(0.5)).cast("long").as("vc"))
+      .filter(col("vc").isNotNull)
+      .groupBy(col("grp"), col("vc")).agg(count(lit(1)).as("cnt"))
+      .localCheckpoint() // feeds the window AND the per-group totals
+    val win = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("grp")).orderBy(col("vc"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    val tot = perValue.groupBy(col("grp")).agg(sum(col("cnt")).as("n"))
+    val trim = floor(col("n").cast("double") * trimPct / 100.0).cast("long")
+    val kept = greatest(lit(0L),
+      least(col("below") + col("cnt"), col("n") - trim) -
+        greatest(col("below"), trim))
+    perValue
+      .withColumn("below", sum(col("cnt")).over(win) - col("cnt"))
+      .join(tot, Seq("grp"))
+      .groupBy(col("grp"), col("n"))
+      .agg(sum(col("vc") * kept).as("s"),
+        sum(kept).as("n_kept"))
+      .select(col("grp"), col("n"), col("n_kept"),
+        when(col("n_kept") > 0,
+          (col("s").cast("double") / lit(100.0)) /
+            col("n_kept").cast("double")).as("trimmed_mean"))
+  }
+
   /** The 100-TB form of [[equiDepthHistogram]] for continuous values
     * (V → n kills the exact distinct-value table): ONE KLL sketch over
     * the corpus answers all B boundaries (quantile read-out) and the

@@ -362,6 +362,15 @@ object AnalyticsQueries {
         "l_orderkey", "l_partkey", minSupport = 2L, k = 100)
     }),
 
+    // Exact 5%-trimmed mean price per return flag: the robust
+    // central-tendency profile (outlier-immune mean) via the
+    // distinct-value decomposition — integer band overlap per
+    // distinct value, exact cent sums (Profiling.trimmedMean).
+    "agg_trimmed_mean" -> ((s, d) => {
+      graft.operators.Profiling.trimmedMean(tbl(s, d, "lineitem"),
+        col("l_returnflag"), col("l_extendedprice"), trimPct = 5)
+    }),
+
     // Exact percentile-rank normalization of a quality score (the
     // score → corpus-percentile map curation thresholds ride on),
     // computed over the DISTINCT-VALUE table instead of a corpus-sized
@@ -481,6 +490,33 @@ object AnalyticsQueries {
          CROSS JOIN nb
          ORDER BY conf DESC, ante, cons
          LIMIT 100""",
+
+    "agg_trimmed_mean" ->
+      """WITH pv AS (
+           SELECT l_returnflag AS grp,
+             CAST(floor(l_extendedprice::DOUBLE * 100 + 0.5) AS BIGINT) AS vc,
+             count(*)::BIGINT AS cnt
+           FROM lineitem WHERE l_extendedprice IS NOT NULL
+           GROUP BY 1, 2),
+         cum AS (
+           SELECT grp, vc, cnt,
+             sum(cnt) OVER (PARTITION BY grp ORDER BY vc
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - cnt
+               AS below
+           FROM pv),
+         tot AS (SELECT grp, sum(cnt)::BIGINT AS n FROM pv GROUP BY 1),
+         banded AS (
+           SELECT c.grp, t.n, c.vc,
+             greatest(0, least(c.below + c.cnt,
+                 t.n - CAST(floor(t.n::DOUBLE * 5 / 100.0) AS BIGINT))
+               - greatest(c.below,
+                 CAST(floor(t.n::DOUBLE * 5 / 100.0) AS BIGINT))) AS kept
+           FROM cum c JOIN tot t ON t.grp = c.grp)
+         SELECT grp, n, sum(kept)::BIGINT AS n_kept,
+           CASE WHEN sum(kept) > 0 THEN
+             (sum(vc * kept)::DOUBLE / 100.0) / sum(kept)::DOUBLE
+           END AS trimmed_mean
+         FROM banded GROUP BY grp, n""",
 
     "score_percentile" ->
       """SELECT doc_id, n_chars,

@@ -165,6 +165,28 @@ class AnalyticsSpec extends SparkTestBase {
     assert(strict._2 === 2L, "null keys count as orphans only when asked")
   }
 
+  test("trimmedMean: band drops the outlier tails; ties and nulls handled") {
+    import spark.implicits._
+    import graft.operators.Profiling
+    // group a: 1..10 plus a 1000.0 outlier; 10% trim drops exactly the
+    // min and the max occurrence -> mean(2..10) = 6.0
+    val a = (1 to 10).map(v => ("a", Option(v.toDouble))) :+
+      (("a", Option(1000.0))) :+ (("a", None: Option[Double]))
+    // group b: all-tied values — band lands inside the tie, mean = tie
+    val b = (1 to 10).map(_ => ("b", Option(7.5)))
+    val out = Profiling.trimmedMean((a ++ b).toDF("g", "v"),
+        col("g"), col("v"), trimPct = 10)
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    assert(out("a") == ((11L, 9L, 6.0)), s"group a: ${out("a")}")
+    assert(out("b") == ((10L, 8L, 7.5)), s"group b: ${out("b")}")
+    // 0% trim is the plain mean
+    val plain = Profiling.trimmedMean(a.toDF("g", "v"),
+        col("g"), col("v"), trimPct = 0)
+      .collect().head.getDouble(3)
+    assert(math.abs(plain - (55.0 + 1000.0) / 11.0) < 1e-9, s"plain: $plain")
+  }
+
   test("benford: integer-exact digits, null/non-positive dropped, mass sums to n") {
     import spark.implicits._
     import graft.operators.Expectations
