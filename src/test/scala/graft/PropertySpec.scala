@@ -700,6 +700,51 @@ class PropertySpec extends SparkTestBase {
     }
   }
 
+  test("bfsDistances == reference BFS; trimmedMean == sorted-slice reference") {
+    import graft.operators.{Graph, Profiling}
+    val edgeGen: Gen[(Long, Long)] = for {
+      a <- Gen.choose(0L, 17L); b <- Gen.choose(0L, 17L)
+    } yield (a, b)
+    for (g <- 0 until 4) {
+      val edges = sample(edgeGen, 30 + 8 * g).filter { case (a, b) => a != b }
+      val adj = edges.groupBy(_._1)
+        .map { case (k, vs) => k -> vs.map(_._2).toSet }
+        .withDefaultValue(Set.empty[Long])
+      val nodes = edges.flatMap(e => Seq(e._1, e._2)).toSet
+      val seeds = Seq(0L, 5L, 99L) // 99 may be off-graph
+      for (depth <- 1 to 3) {
+        // reference: level-synchronous BFS from the in-graph seeds
+        var dist = seeds.filter(nodes).map(_ -> 0).toMap
+        var frontier = dist.keySet
+        for (r <- 1 to depth) {
+          val next = frontier.flatMap(adj).diff(dist.keySet)
+          dist = dist ++ next.map(_ -> r)
+          frontier = next
+        }
+        val got = Graph.bfsDistances(edges.toDF("src", "dst"), "src", "dst",
+            seeds.toDF("seed"), "seed", depth)
+          .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+        assert(got == dist, s"BFS mismatch depth=$depth: $got vs $dist")
+      }
+    }
+    // trimmed mean vs the sorted-slice reference, over random 2-decimal
+    // values with ties, per trim percentage
+    val valGen: Gen[Double] = Gen.choose(0, 2000).map(_ / 100.0)
+    for (g <- 0 until 3; pct <- Seq(0, 5, 25)) {
+      val vs = sample(valGen, 25 + 10 * g)
+      val cents = vs.map(v => math.floor(v * 100 + 0.5).toLong).sorted
+      val trim = math.floor(cents.size.toDouble * pct / 100.0).toLong.toInt
+      val band = cents.slice(trim, cents.size - trim)
+      val expected = (band.sum.toDouble / 100.0) / band.size.toDouble
+      val got = Profiling.trimmedMean(
+          vs.map(("g", _)).toDF("g", "v"), col("g"), col("v"), pct)
+        .collect().head
+      assert(got.getLong(2) == band.size.toLong &&
+        got.getDouble(3) == expected,
+        s"trimmedMean mismatch pct=$pct: $got vs ($expected, ${band.size})")
+    }
+  }
+
   test("pairRules == brute-force rule mining on random baskets") {
     import graft.operators.Association
     val rowGen: Gen[(Long, Long)] = for {
