@@ -246,6 +246,49 @@ object Profiling {
             col("n_kept").cast("double")).as("trimmed_mean"))
   }
 
+  /** Exact per-group median absolute deviation — the robust SCALE
+    * readout next to [[trimmedMean]]'s robust center (outlier gates
+    * quote median ± k·MAD where stddev would be poisoned by the very
+    * outliers being gated). Two phases of the same distinct-value
+    * decomposition: the per-group lower median of the cent-quantized
+    * values, then the lower median of |v − med| — every intermediate
+    * is an exact integer (absolute deviations of cents are cents), so
+    * both medians use the integer half-total rule (2·cum ≥ n) and the
+    * only IEEE ops are the final /100 rescales — bit-exact. The
+    * deviation pass re-reads the corpus once (unavoidable: deviations
+    * depend on the first pass), but both windows run over
+    * DISTINCT-value tables, never corpus rows.
+    * Returns (grp, n, v_median, mad). */
+  def medianAbsDeviation(df: DataFrame, groupCol: Column,
+                         valueCol: Column): DataFrame = {
+    val base = df.select(groupCol.as("grp"),
+        floor(valueCol.cast("double") * 100 + lit(0.5)).cast("long").as("vc"))
+      .filter(col("vc").isNotNull)
+      .localCheckpoint() // feeds BOTH median phases
+    def lowerMedian(in: DataFrame, out: String): DataFrame = {
+      val pv = in.groupBy(col("grp"), col("vc")).agg(count(lit(1)).as("cnt"))
+        .localCheckpoint() // feeds the window AND the totals
+      val win = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("grp")).orderBy(col("vc"))
+        .rowsBetween(
+          org.apache.spark.sql.expressions.Window.unboundedPreceding,
+          org.apache.spark.sql.expressions.Window.currentRow)
+      val tot = pv.groupBy(col("grp")).agg(sum(col("cnt")).as("n"))
+      pv.withColumn("cum", sum(col("cnt")).over(win))
+        .join(tot, Seq("grp"))
+        .filter(col("cum") * 2 >= col("n"))
+        .groupBy(col("grp"), col("n")).agg(min(col("vc")).as(out))
+    }
+    val med = lowerMedian(base, "med_c").localCheckpoint() // 2 consumers
+    val dev = base.join(med.select(col("grp"), col("med_c")), Seq("grp"))
+      .select(col("grp"), abs(col("vc") - col("med_c")).as("vc"))
+    med.join(lowerMedian(dev, "mad_c").select(col("grp"), col("mad_c")),
+        Seq("grp"))
+      .select(col("grp"), col("n"),
+        (col("med_c").cast("double") / 100.0).as("v_median"),
+        (col("mad_c").cast("double") / 100.0).as("mad"))
+  }
+
   /** The 100-TB form of [[equiDepthHistogram]] for continuous values
     * (V → n kills the exact distinct-value table): ONE KLL sketch over
     * the corpus answers all B boundaries (quantile read-out) and the

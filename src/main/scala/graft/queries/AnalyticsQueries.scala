@@ -362,6 +362,15 @@ object AnalyticsQueries {
         "l_orderkey", "l_partkey", minSupport = 2L, k = 100)
     }),
 
+    // Exact per-group median ± MAD of price: the robust center+scale
+    // pair outlier gates quote (stddev is poisoned by the outliers
+    // being gated). Two distinct-value median passes, integers
+    // throughout (Profiling.medianAbsDeviation).
+    "agg_mad" -> ((s, d) => {
+      graft.operators.Profiling.medianAbsDeviation(tbl(s, d, "lineitem"),
+        col("l_returnflag"), col("l_extendedprice"))
+    }),
+
     // Exact 5%-trimmed mean price per return flag: the robust
     // central-tendency profile (outlier-immune mean) via the
     // distinct-value decomposition — integer band overlap per
@@ -490,6 +499,41 @@ object AnalyticsQueries {
          CROSS JOIN nb
          ORDER BY conf DESC, ante, cons
          LIMIT 100""",
+
+    "agg_mad" ->
+      """WITH base AS MATERIALIZED (
+           SELECT l_returnflag AS grp,
+             CAST(floor(l_extendedprice::DOUBLE * 100 + 0.5) AS BIGINT) AS vc
+           FROM lineitem WHERE l_extendedprice IS NOT NULL),
+         pv1 AS MATERIALIZED (
+           SELECT grp, vc, count(*)::BIGINT AS cnt FROM base GROUP BY 1, 2),
+         cum1 AS (
+           SELECT grp, vc, cnt, sum(cnt) OVER (PARTITION BY grp ORDER BY vc
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+           FROM pv1),
+         tot1 AS (SELECT grp, sum(cnt)::BIGINT AS n FROM pv1 GROUP BY 1),
+         med AS MATERIALIZED (
+           SELECT grp, n, min(vc) AS med_c
+           FROM cum1 JOIN tot1 USING (grp)
+           WHERE cum * 2 >= n GROUP BY grp, n),
+         dev AS MATERIALIZED (
+           SELECT b.grp, abs(b.vc - m.med_c) AS vc
+           FROM base b JOIN med m ON m.grp = b.grp),
+         pv2 AS MATERIALIZED (
+           SELECT grp, vc, count(*)::BIGINT AS cnt FROM dev GROUP BY 1, 2),
+         cum2 AS (
+           SELECT grp, vc, cnt, sum(cnt) OVER (PARTITION BY grp ORDER BY vc
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+           FROM pv2),
+         tot2 AS (SELECT grp, sum(cnt)::BIGINT AS n FROM pv2 GROUP BY 1),
+         mad AS (
+           SELECT grp, min(vc) AS mad_c
+           FROM cum2 JOIN tot2 USING (grp)
+           WHERE cum * 2 >= n GROUP BY grp)
+         SELECT m.grp, m.n,
+           m.med_c::DOUBLE / 100.0 AS v_median,
+           d.mad_c::DOUBLE / 100.0 AS mad
+         FROM med m JOIN mad d ON d.grp = m.grp""",
 
     "agg_trimmed_mean" ->
       """WITH pv AS (

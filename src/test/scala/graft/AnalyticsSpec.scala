@@ -187,6 +187,25 @@ class AnalyticsSpec extends SparkTestBase {
     assert(math.abs(plain - (55.0 + 1000.0) / 11.0) < 1e-9, s"plain: $plain")
   }
 
+  test("MAD: robust to the outlier that poisons stddev; lower-median ties") {
+    import spark.implicits._
+    import graft.operators.Profiling
+    // 1..9 plus a 1e6 outlier: median 5 (lower median of 10), devs
+    // {4,3,2,1,0,1,2,3,4, 999995} -> sorted lower median 2 — the
+    // outlier moves MAD not at all (stddev would explode)
+    val a = ((1 to 9).map(v => ("a", v.toDouble)) :+ (("a", 1000000.0)))
+    val out = Profiling.medianAbsDeviation(a.toDF("g", "v"),
+        col("g"), col("v"))
+      .collect().map(r => (r.getString(0), r.getLong(1),
+        r.getDouble(2), r.getDouble(3))).head
+    assert(out == (("a", 10L, 5.0, 2.0)), s"mad: $out")
+    // all-equal group: MAD 0
+    val b = Seq(("b", 3.33), ("b", 3.33), ("b", 3.33)).toDF("g", "v")
+    val ob = Profiling.medianAbsDeviation(b, col("g"), col("v"))
+      .collect().head
+    assert(ob.getDouble(2) == 3.33 && ob.getDouble(3) == 0.0, s"tied: $ob")
+  }
+
   test("benford: integer-exact digits, null/non-positive dropped, mass sums to n") {
     import spark.implicits._
     import graft.operators.Expectations
