@@ -19,6 +19,43 @@ object Experiments {
   def armOf(unitId: Column): Column =
     when(Sampling.keepHash(unitId) < 5000, lit("A")).otherwise(lit("B"))
 
+  /** Two-sample Kolmogorov–Smirnov statistic — the DISTRIBUTION-drift
+    * companion to [[welchTTest]]'s mean test (a corpus whose mean
+    * holds can still shift shape; KS is what drift gates quote for
+    * "did this feature's distribution move"). D = max over the merged
+    * value domain of |CDF_a − CDF_b|, computed EXACTLY: per-value
+    * counts for both groups in one pass, cumulative counts over the
+    * DISTINCT-value table (the score_percentile window shape — V
+    * rows, explicit single-partition key, never corpus rows), and the
+    * max taken on the INTEGER numerator |cumA·n_b − cumB·n_a| so no
+    * float rounding touches the argmax; the closing ks division is
+    * one fixed-shape IEEE op. Integer-exact while n_a·n_b < 2⁶³
+    * (~3·10⁹ rows per side) — beyond that, sample or pre-bin.
+    * Returns one row (n_a, n_b, d_num, ks). */
+  def ksTest(df: DataFrame, groupCol: Column, valueCol: Column,
+             groupA: String, groupB: String): DataFrame = {
+    val pv = df.select(groupCol.as("g"), valueCol.as("v"))
+      .filter(col("v").isNotNull && col("g").isin(groupA, groupB))
+      .groupBy(col("v")).agg(
+        sum(when(col("g") === groupA, 1L).otherwise(0L)).as("ca"),
+        sum(when(col("g") === groupB, 1L).otherwise(0L)).as("cb"))
+      .localCheckpoint() // feeds the window AND the totals
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(Relational.singlePartitionKey()).orderBy(col("v"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    val tot = pv.agg(sum(col("ca")).as("n_a"), sum(col("cb")).as("n_b"))
+    pv.withColumn("cuma", sum(col("ca")).over(w))
+      .withColumn("cumb", sum(col("cb")).over(w))
+      .crossJoin(broadcast(tot))
+      .groupBy(col("n_a"), col("n_b"))
+      .agg(max(abs(col("cuma") * col("n_b") - col("cumb") * col("n_a")))
+        .as("d_num"))
+      .select(col("n_a"), col("n_b"), col("d_num"),
+        (col("d_num").cast("double") /
+          (col("n_a").cast("double") * col("n_b").cast("double"))).as("ks"))
+  }
+
   /** Welch's t-statistic readout per key: one row per key with both
     * arms' n/mean and the t value (mean difference over the combined
     * standard error; sample variance via the moments identity

@@ -362,6 +362,14 @@ object AnalyticsQueries {
         "l_orderkey", "l_partkey", minSupport = 2L, k = 100)
     }),
 
+    // Two-sample KS drift statistic between return-flag populations:
+    // exact integer numerator over the distinct-value CDF merge — the
+    // shape-shift detector a mean test misses (Experiments.ksTest).
+    "ab_ks_test" -> ((s, d) => {
+      Experiments.ksTest(tbl(s, d, "lineitem"), col("l_returnflag"),
+        col("l_extendedprice"), groupA = "R", groupB = "A")
+    }),
+
     // Exact per-group median ± MAD of price: the robust center+scale
     // pair outlier gates quote (stddev is poisoned by the outliers
     // being gated). Two distinct-value median passes, integers
@@ -499,6 +507,28 @@ object AnalyticsQueries {
          CROSS JOIN nb
          ORDER BY conf DESC, ante, cons
          LIMIT 100""",
+
+    "ab_ks_test" ->
+      """WITH pv AS MATERIALIZED (
+           SELECT l_extendedprice AS v,
+             sum(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END)::BIGINT AS ca,
+             sum(CASE WHEN l_returnflag = 'A' THEN 1 ELSE 0 END)::BIGINT AS cb
+           FROM lineitem
+           WHERE l_extendedprice IS NOT NULL AND l_returnflag IN ('R', 'A')
+           GROUP BY 1),
+         cum AS (
+           SELECT v,
+             sum(ca) OVER (ORDER BY v
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cuma,
+             sum(cb) OVER (ORDER BY v
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cumb
+           FROM pv),
+         tot AS (SELECT sum(ca)::BIGINT AS n_a, sum(cb)::BIGINT AS n_b FROM pv)
+         SELECT n_a, n_b,
+           max(abs(cuma * n_b - cumb * n_a))::BIGINT AS d_num,
+           max(abs(cuma * n_b - cumb * n_a))::DOUBLE
+             / (n_a::DOUBLE * n_b::DOUBLE) AS ks
+         FROM cum CROSS JOIN tot GROUP BY n_a, n_b""",
 
     "agg_mad" ->
       """WITH base AS MATERIALIZED (

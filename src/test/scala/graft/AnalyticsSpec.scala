@@ -187,6 +187,28 @@ class AnalyticsSpec extends SparkTestBase {
     assert(math.abs(plain - (55.0 + 1000.0) / 11.0) < 1e-9, s"plain: $plain")
   }
 
+  test("ksTest: identical samples 0, disjoint 1, known half-shift exact") {
+    import spark.implicits._
+    import graft.operators.Experiments
+    def ks(rows: Seq[(String, Double)]): (Long, Long, Long, Double) = {
+      val r = Experiments.ksTest(rows.toDF("g", "v"),
+        col("g"), col("v"), "A", "B").collect().head
+      (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))
+    }
+    val same = (1 to 8).flatMap(i =>
+      Seq(("A", i.toDouble), ("B", i.toDouble)))
+    assert(ks(same) == ((8L, 8L, 0L, 0.0)), "identical CDFs never separate")
+    val disjoint = (1 to 5).map(i => ("A", i.toDouble)) ++
+      (11 to 15).map(i => ("B", i.toDouble))
+    assert(ks(disjoint) == ((5L, 5L, 25L, 1.0)), "disjoint supports: D = 1")
+    // A = {1..4}, B = {3..6}: max gap at v=2 -> |2*4 - 0*4| = 8, ks = 0.5
+    val shifted = (1 to 4).map(i => ("A", i.toDouble)) ++
+      (3 to 6).map(i => ("B", i.toDouble))
+    assert(ks(shifted) == ((4L, 4L, 8L, 0.5)), s"half overlap: ${ks(shifted)}")
+    // off-domain groups are ignored entirely
+    assert(ks(same ++ Seq(("C", 999.0))) == ((8L, 8L, 0L, 0.0)))
+  }
+
   test("MAD: robust to the outlier that poisons stddev; lower-median ties") {
     import spark.implicits._
     import graft.operators.Profiling
