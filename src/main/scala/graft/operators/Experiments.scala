@@ -56,6 +56,35 @@ object Experiments {
           (col("n_a").cast("double") * col("n_b").cast("double"))).as("ks"))
   }
 
+  /** Chi-square test of independence between two categorical columns
+    * — "did these two labels decouple" for segment×behavior drift and
+    * the categorical sibling of [[ksTest]]. One partial-agg counting
+    * pass over (a, b); margins reduce from the cell table (domain-
+    * sized, broadcast); expected = rowN·colN/n and the per-cell
+    * contribution (obs − exp)²/exp are fixed-shape IEEE on exact
+    * integer counts — bit-exact, no grid. Returns one row per
+    * observed cell: (a, b, n_obs, expected, chi_contrib); the global
+    * statistic is the caller's sum (kept per-cell here so the
+    * differential gate compares the full decomposition). */
+  def chi2Independence(df: DataFrame, aCol: Column,
+                       bCol: Column): DataFrame = {
+    val cells = df.select(aCol.as("a"), bCol.as("b"))
+      .filter(col("a").isNotNull && col("b").isNotNull)
+      .groupBy(col("a"), col("b")).agg(count(lit(1)).as("n_obs"))
+      .localCheckpoint() // feeds margins AND the output join
+    val rowN = cells.groupBy(col("a")).agg(sum(col("n_obs")).as("an"))
+    val colN = cells.groupBy(col("b")).agg(sum(col("n_obs")).as("bn"))
+    val n = cells.agg(sum(col("n_obs")).as("n"))
+    val exp = (col("an").cast("double") * col("bn").cast("double")) /
+      col("n").cast("double")
+    cells.join(broadcast(rowN), Seq("a"))
+      .join(broadcast(colN), Seq("b"))
+      .crossJoin(broadcast(n))
+      .select(col("a"), col("b"), col("n_obs"), exp.as("expected"),
+        (((col("n_obs").cast("double") - exp) *
+          (col("n_obs").cast("double") - exp)) / exp).as("chi_contrib"))
+  }
+
   /** Welch's t-statistic readout per key: one row per key with both
     * arms' n/mean and the t value (mean difference over the combined
     * standard error; sample variance via the moments identity

@@ -362,6 +362,15 @@ object AnalyticsQueries {
         "l_orderkey", "l_partkey", minSupport = 2L, k = 100)
     }),
 
+    // Chi-square independence decomposition of return flag × line
+    // status: the categorical-association drift gate, per-cell so
+    // the differential compare covers the whole table
+    // (Experiments.chi2Independence).
+    "ab_chi2" -> ((s, d) => {
+      Experiments.chi2Independence(tbl(s, d, "lineitem"),
+        col("l_returnflag"), col("l_linestatus"))
+    }),
+
     // Two-sample KS drift statistic between return-flag populations:
     // exact integer numerator over the distinct-value CDF merge — the
     // shape-shift detector a mean test misses (Experiments.ksTest).
@@ -507,6 +516,26 @@ object AnalyticsQueries {
          CROSS JOIN nb
          ORDER BY conf DESC, ante, cons
          LIMIT 100""",
+
+    "ab_chi2" ->
+      """WITH cells AS MATERIALIZED (
+           SELECT l_returnflag AS a, l_linestatus AS b,
+             count(*)::BIGINT AS n_obs
+           FROM lineitem
+           WHERE l_returnflag IS NOT NULL AND l_linestatus IS NOT NULL
+           GROUP BY 1, 2),
+         rn AS (SELECT a, sum(n_obs)::BIGINT AS an FROM cells GROUP BY 1),
+         cn AS (SELECT b, sum(n_obs)::BIGINT AS bn FROM cells GROUP BY 1),
+         tot AS (SELECT sum(n_obs)::BIGINT AS n FROM cells)
+         SELECT c.a, c.b, c.n_obs,
+           (rn.an::DOUBLE * cn.bn::DOUBLE) / n::DOUBLE AS expected,
+           ((c.n_obs::DOUBLE - (rn.an::DOUBLE * cn.bn::DOUBLE) / n::DOUBLE)
+             * (c.n_obs::DOUBLE - (rn.an::DOUBLE * cn.bn::DOUBLE) / n::DOUBLE))
+             / ((rn.an::DOUBLE * cn.bn::DOUBLE) / n::DOUBLE) AS chi_contrib
+         FROM cells c
+         JOIN rn ON rn.a = c.a
+         JOIN cn ON cn.b = c.b
+         CROSS JOIN tot""",
 
     "ab_ks_test" ->
       """WITH pv AS MATERIALIZED (

@@ -187,6 +187,26 @@ class AnalyticsSpec extends SparkTestBase {
     assert(math.abs(plain - (55.0 + 1000.0) / 11.0) < 1e-9, s"plain: $plain")
   }
 
+  test("chi2Independence: independent table zeros, perfect association n") {
+    import spark.implicits._
+    import graft.operators.Experiments
+    // exactly independent 2x2 (margins 10/10 x 10/10, cells all 5):
+    // every expected equals observed -> all contributions 0
+    val ind = Seq.fill(5)(("x", "u")) ++ Seq.fill(5)(("x", "v")) ++
+      Seq.fill(5)(("y", "u")) ++ Seq.fill(5)(("y", "v"))
+    val ci = Experiments.chi2Independence(ind.toDF("a", "b"),
+        col("a"), col("b")).collect()
+    assert(ci.length == 4 && ci.forall(_.getDouble(4) == 0.0),
+      s"independent table must contribute zero: ${ci.mkString(";")}")
+    // perfect association (diagonal only): chi2 = n = 8 and expected
+    // sums to n/2 per observed cell group
+    val diag = Seq.fill(4)(("x", "u")) ++ Seq.fill(4)(("y", "v"))
+    val cd = Experiments.chi2Independence(diag.toDF("a", "b"),
+        col("a"), col("b")).collect()
+    assert(cd.length == 2 && math.abs(cd.map(_.getDouble(4)).sum - 4.0) < 1e-9,
+      s"diagonal observed cells carry chi2 = 2+2: ${cd.mkString(";")}")
+  }
+
   test("ksTest: identical samples 0, disjoint 1, known half-shift exact") {
     import spark.implicits._
     import graft.operators.Experiments
