@@ -434,7 +434,7 @@ object AnalyticsQueries {
          nn AS (SELECT count(*)::BIGINT AS n FROM documents
                 WHERE n_chars IS NOT NULL)
          SELECT CAST(floor((below * 8)::DOUBLE / n) AS BIGINT) AS bucket,
-           sum(cnt) AS n_rows, min(v) AS lo, max(v) AS hi
+           sum(cnt)::BIGINT AS n_rows, min(v) AS lo, max(v) AS hi
          FROM cum CROSS JOIN nn GROUP BY 1""",
 
     "aqp_group_sum" ->
@@ -461,7 +461,7 @@ object AnalyticsQueries {
              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
            FROM pv),
          tot AS (SELECT grp, sum(vw) AS tw FROM pv GROUP BY 1)
-         SELECT grp, min(v) AS w_median, tw AS total_weight
+         SELECT grp, min(v) AS w_median, tw::BIGINT AS total_weight
          FROM cum JOIN tot USING (grp)
          WHERE cum * 2 >= tw GROUP BY grp, tw""",
 

@@ -487,7 +487,7 @@ object TableQueries {
            CASE WHEN event_type = 'purchase' THEN 'P'
                 WHEN event_type = 'error' THEN 'N' ELSE 'A' END AS "class",
            floor((value / 100) * 10000 + 0.5) / 10000 AS simulated_objective,
-           CASE WHEN event_id % 2 = 0 THEN 1.0 ELSE 0.0 END AS observed_objective,
+           CASE WHEN event_id % 2 = 0 THEN 1.0 ELSE 0.0 END::DOUBLE AS observed_objective,
            CAST(event_id % 5 AS INTEGER) AS gap_count,
            'rxn' || (event_id % 7) || ';rxn' || (event_id % 3) AS gapfilled_reactions,
            CAST(event_id % 30 AS INTEGER) AS reaction_count,
@@ -533,8 +533,8 @@ object TableQueries {
            'cpd' || (p_partkey % 60) AS equation_ids,
            CASE WHEN p_partkey % 3 = 0 THEN '=>'
                 WHEN p_partkey % 3 = 1 THEN '<=' ELSE '<=>' END AS directionality,
-           CASE WHEN p_partkey % 3 = 1 THEN 0.0 ELSE 1000.0 END AS upper_bound,
-           CASE WHEN p_partkey % 3 = 0 THEN 0.0 ELSE -1000.0 END AS lower_bound,
+           CASE WHEN p_partkey % 3 = 1 THEN 0.0 ELSE 1000.0 END::DOUBLE AS upper_bound,
+           CASE WHEN p_partkey % 3 = 0 THEN 0.0 ELSE -1000.0 END::DOUBLE AS lower_bound,
            CASE WHEN p_partkey % 4 = 0 THEN 'gapfilled' ELSE 'annotated' END AS gapfilling_status,
            floor((p_retailprice / 100) * 100 + 0.5) / 100 AS rich_media_flux,
            CASE WHEN p_partkey % 3 = 0 THEN 'blocked'
@@ -663,7 +663,7 @@ object TableQueries {
            CASE WHEN event_type = 'purchase' THEN 'P'
                 WHEN event_type = 'error' THEN 'N' ELSE 'A' END AS "class",
            floor((value / 100) * 10000 + 0.5) / 10000 AS simulated_objective,
-           CASE WHEN event_id % 2 = 0 THEN 1.0 ELSE 0.0 END AS observed_objective,
+           CASE WHEN event_id % 2 = 0 THEN 1.0 ELSE 0.0 END::DOUBLE AS observed_objective,
            CAST(event_id % 5 AS INTEGER) AS gap_count,
            'rxn' || (event_id % 7) AS gapfilled_reactions
          FROM events""")

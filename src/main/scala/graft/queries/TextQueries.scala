@@ -489,7 +489,7 @@ object TextQueries {
              sum(n_tok) OVER (ORDER BY ord, doc_id
                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_tok
            FROM t)
-         SELECT doc_id, n_tok, cum_tok - n_tok AS tok_start,
+         SELECT doc_id, n_tok, (cum_tok - n_tok)::BIGINT AS tok_start,
            floor((cum_tok - n_tok)::DOUBLE / 256)::BIGINT AS win_start,
            floor((cum_tok - 1)::DOUBLE / 256)::BIGINT AS win_end
          FROM c""",
@@ -535,8 +535,8 @@ object TextQueries {
       """SELECT ('0x' || substring(md5(doc_id::VARCHAR), 1, 15))::BIGINT % 8 AS shard,
            count(*) AS n_rows,
            sum(len(text))::BIGINT AS n_bytes,
-           sum(('0x' || substring(md5(doc_id::VARCHAR || '|' || text), 1, 15))::BIGINT
-               % 1000000000) % 1000000000 AS content_hash
+           (sum(('0x' || substring(md5(doc_id::VARCHAR || '|' || text), 1, 15))::BIGINT
+               % 1000000000) % 1000000000)::BIGINT AS content_hash
          FROM documents GROUP BY 1""",
     "quality_gopher" ->
       """WITH t AS (

@@ -60,7 +60,10 @@ def strict_hash(df):
 def main():
     sfdir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
     outdir = sys.argv[2] if len(sys.argv) > 2 else "/tmp/verify_out"
-    strict = "--strict" in sys.argv
+    # Strict (driver-parity dtype-sensitive hash) is the DEFAULT as of
+    # round 10: the r7-r9 hash-reds were HUGEINT dtype leaks that only
+    # strict mode catches. --no-strict opts out for quick value checks.
+    strict = "--no-strict" not in sys.argv
     con = duckdb.connect()
     for t in TABLES:
         con.execute(
@@ -87,6 +90,19 @@ def main():
             exp_cols, exp = exp_rel.columns, exp_rel.fetchall()
         except Exception as e:
             print(f"FAIL {name}: oracle SQL error: {e}")
+            n_fail += 1
+            continue
+        # Oracle output-type lint: any HUGEINT/UHUGEINT/DECIMAL output
+        # column becomes pandas float64/object and diverges from Spark's
+        # BIGINT/DOUBLE under the driver's dtype-sensitive hash. Require
+        # every oracle output column to carry an explicit safe type.
+        bad_types = [(c, str(t)) for c, t in zip(exp_rel.columns, exp_rel.types)
+                     if any(k in str(t).upper()
+                            for k in ("HUGEINT", "DECIMAL", "UINTEGER",
+                                      "UBIGINT", "USMALLINT", "UTINYINT"))]
+        if bad_types:
+            print(f"FAIL {name}: oracle output dtype lint: {bad_types} "
+                  f"(add an explicit ::BIGINT/::DOUBLE cast)")
             n_fail += 1
             continue
         cg, ce = canon(got, got_cols), canon(exp, exp_cols)
