@@ -51,7 +51,12 @@ object Bench {
     // any one sample — the MEDIAN absorbs a single outlier in either
     // direction, and interleaving keeps one query's samples minutes
     // apart so a stall window can't take two of them.
+    // Dev-only subset filter (comma-separated name prefixes); the
+    // driver never sets it, so the contract run times every query.
+    val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
+      .map(_.split(',').toSeq.filter(_.nonEmpty))
     val ordered = SparkEntry.queries.toSeq
+      .filter { case (n, _) => only.forall(_.exists(n.startsWith)) }
     val samples = scala.collection.mutable.Map.empty[String, List[Double]]
       .withDefaultValue(Nil)
     for (_ <- 1 to 3; (name, fn) <- ordered) {

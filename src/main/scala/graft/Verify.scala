@@ -5,11 +5,12 @@ import java.nio.file.{Files, Paths}
   * plus oracle_sql.json, for the driver's DuckDB compare. */
 object Verify {
   def main(args: Array[String]): Unit = {
-    // optional 3rd arg: only run queries whose name starts with it
-    // (dev iteration; the driver always passes exactly two)
+    // optional 3rd arg: only run queries whose name starts with one of
+    // the comma-separated prefixes (dev iteration; the driver always
+    // passes exactly two)
     val (sfDir, outDir, only) = args match {
-      case Array(a, b)    => (a, b, Option.empty[String])
-      case Array(a, b, f) => (a, b, Some(f))
+      case Array(a, b)    => (a, b, Option.empty[Seq[String]])
+      case Array(a, b, f) => (a, b, Some(f.split(',').toSeq.filter(_.nonEmpty)))
     }
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = SparkSession.builder()
@@ -79,7 +80,7 @@ object Verify {
       (rendered.length.toLong, md.digest().map("%02x".format(_)).mkString)
     }
     SparkEntry.queries
-      .filter { case (name, _) => only.forall(name.startsWith) }
+      .filter { case (name, _) => only.forall(_.exists(name.startsWith)) }
       .foreach { case (name, fn) =>
       try {
         fn(spark, sfDir).coalesce(1).write.mode("overwrite")

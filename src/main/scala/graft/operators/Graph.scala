@@ -336,21 +336,62 @@ object Graph {
             k: Long, rounds: Int): DataFrame = {
     require(k >= 1 && rounds >= 1)
     var canon = canonicalUndirected(edges, aCol, bCol).localCheckpoint()
-    for (_ <- 1 to rounds)
-      canon = peelRound(canon, k).localCheckpoint()
+    // Early exit at the fixed point: a peel that drops no node leaves
+    // the edge set unchanged, so every remaining round is a no-op —
+    // identical result, without paying rounds× job-scheduling latency
+    // on already-converged graphs. [[peelRound]] signals the fixed
+    // point by returning its input frame unchanged (its drop-count job
+    // is the detector — no extra pass here).
+    var r = 0
+    var converged = false
+    while (r < rounds && !converged) {
+      val next = peelRound(canon, k)
+      if (next eq canon) converged = true
+      else canon = next.localCheckpoint()
+      r += 1
+    }
     undirectedDegrees(canon).select(col("id"), col("deg").as("core_deg"))
   }
 
-  /** One synchronous [[kCore]] peel: the survivor set (degree ≥ k,
-    * node-sized) semi-joined against both edge endpoints. Exposed so
+  /** Node-count ceiling for broadcasting a node-sized frame into an
+    * edge-sized join (4M long ids ≈ 32 MB serialized — comfortably
+    * under executor broadcast budgets). Below it, the per-round joins
+    * of the iterative operators run broadcast-side (the edge table is
+    * never shuffled); above it they fall back to shuffle joins — the
+    * 100-TB shape, where a node frame is itself distributed. */
+  private[graft] val BroadcastNodeLimit = 4000000L
+
+  /** One synchronous [[kCore]] peel. The cheap, common case peels by
+    * the DROP set (nodes that just fell under k): after the first
+    * cascade round it is tiny, so both edge-endpoint filters run as
+    * broadcast ANTI joins and the edge table never shuffles. When a
+    * round drops more than [[BroadcastNodeLimit]] nodes (a huge first
+    * cut on a sparse graph), it falls back to shuffle SEMI joins
+    * against the survivor set — the distributed shape. The drop count
+    * that picks the path is one node-sized job on the materialized
+    * degree frame, and doubles as the caller's convergence signal
+    * (an empty drop set returns `canon` unchanged). Exposed so
     * PlanGuardSpec can pin the pre-checkpoint join shape — the full
-    * kCore plan truncates per round and would make the guard vacuous. */
-  private[graft] def peelRound(canon: DataFrame, k: Long): DataFrame = {
-    val keep = undirectedDegrees(canon).filter(col("deg") >= k)
-      .select(col("id")).localCheckpoint() // node-sized, feeds 2 joins
-    canon
-      .join(keep.select(col("id").as("lo")), Seq("lo"), "left_semi")
-      .join(keep.select(col("id").as("hi")), Seq("hi"), "left_semi")
+    * kCore plan truncates per round and would make the guard vacuous;
+    * `broadcastLimit` is injectable only so the guard can force the
+    * shuffle fallback on a small fixture. */
+  private[graft] def peelRound(canon: DataFrame, k: Long,
+                               broadcastLimit: Long = BroadcastNodeLimit): DataFrame = {
+    val deg = undirectedDegrees(canon).localCheckpoint() // feeds drop + keep
+    val drop = deg.filter(col("deg") < k).select(col("id"))
+    val nDrop = drop.count()
+    if (nDrop == 0L) canon
+    else if (nDrop <= broadcastLimit)
+      canon
+        .join(broadcast(drop.select(col("id").as("lo"))), Seq("lo"), "left_anti")
+        .join(broadcast(drop.select(col("id").as("hi"))), Seq("hi"), "left_anti")
+    else {
+      val keep = deg.filter(col("deg") >= k).select(col("id"))
+        .localCheckpoint() // node-sized, feeds 2 joins
+      canon
+        .join(keep.select(col("id").as("lo")), Seq("lo"), "left_semi")
+        .join(keep.select(col("id").as("hi")), Seq("hi"), "left_semi")
+    }
   }
 
   /** Degree assortativity (Newman's r): the Pearson correlation of
@@ -430,14 +471,32 @@ object Graph {
       .union(e.select(col("dst").as("id"))).distinct()
     var labels = nodes.select(col("id"), col("id").as("lab"))
       .localCheckpoint()
-    for (_ <- 1 to iters) {
+    // Broadcast decision, made ONCE: the label frame's size is the
+    // node count, constant across rounds. Under [[BroadcastNodeLimit]]
+    // the per-round label join runs broadcast-side and the edge table
+    // never shuffles; above it (the 100-TB shape) both sides shuffle.
+    val smallNodes = labels.count() <= BroadcastNodeLimit
+    def side(nodeFrame: DataFrame): DataFrame =
+      if (smallNodes) broadcast(nodeFrame) else nodeFrame
+    // Early exit at the fixed point: synchronous LPA's round r+1 is a
+    // pure function of labels_r, so labels_r == labels_{r-1} pins every
+    // later round to the same frame — stop instead of paying dead
+    // rounds. The change test is an isEmpty (limit-1 probe) on the
+    // just-checkpointed node-sized frame, not a full recompute.
+    var it = 0
+    var converged = false
+    while (it < iters && !converged) {
       val counts = e
-        .join(labels.select(col("id").as("src"), col("lab")), Seq("src"))
+        .join(side(labels.select(col("id").as("src"), col("lab"))), Seq("src"))
         .groupBy(col("dst").as("id"), col("lab"))
         .agg(count(lit(1)).as("n"))
-      labels = labels.join(winningLabels(counts), Seq("id"), "left")
-        .select(col("id"), coalesce(col("__new"), col("lab")).as("lab"))
+      val next = labels.join(side(winningLabels(counts)), Seq("id"), "left")
+        .select(col("id"), col("lab").as("__old"),
+          coalesce(col("__new"), col("lab")).as("lab"))
         .localCheckpoint()
+      converged = next.filter(col("lab") =!= col("__old")).isEmpty
+      labels = next.select(col("id"), col("lab"))
+      it += 1
     }
     labels
   }

@@ -41,41 +41,180 @@ object Profiling {
           count(lit(1)).cast("double")).as("dup_rate"))
   }
 
+  /** Bin count for [[refinedMedian]]'s histogram pass. 2^16 bins keep
+    * the per-(group, bin) count table node-sized while cutting the
+    * refine subset to ~n/65536 rows per group on anything resembling a
+    * continuous distribution. */
+  private[graft] val HistBins = 65536
+
+  /** Exact INTERPOLATED per-group median (quantile_cont semantics:
+    * mean of the rank-⌊(n+1)/2⌋ and rank-⌊n/2⌋+1 values — equal for
+    * odd n) by histogram refinement, the distributed exact-quantile
+    * shape that survives continuous columns.
+    *
+    * Spark's counts-map `percentile` holds EVERY distinct value per
+    * group in one aggregation buffer — on a continuous column that
+    * buffer approaches row count per group (measured 5× the cost of a
+    * plain codegen agg on a money column, and an OOM at 10⁹ distinct).
+    * Here every corpus-sized pass is a plain codegen counting agg:
+    *
+    *  1. per-group min/max/count (`stats`, group-sized);
+    *  2. per-(group, bin) counts over [[HistBins]] uniform bins;
+    *     a bin-sized cumulative-rank window then locates the 1-2 bins
+    *     holding the two middle ranks plus their rank offset;
+    *  3. a refine pass re-scans only rows INSIDE those bins (semi
+    *     join against the broadcast hit set), pre-aggregates them to
+    *     distinct values, and picks the two target ranks off a tiny
+    *     per-group cumulative window.
+    *
+    * Exactness does not depend on the bin width: the hit bins contain
+    * the true rank positions by construction, and the refine step is
+    * an exact rank selection within them (an adversarial distribution
+    * that piles everything into one bin degrades to a rank-select over
+    * that bin — never to a wrong answer). Bit-identical to
+    * `percentile(v, 0.5)` / DuckDB `quantile_cont` (same two ranks,
+    * same mean-of-two arithmetic). Finite values only; a group whose
+    * values are all null is dropped (callers left-join and carry the
+    * null).
+    *
+    * @param base  (grp, v: double) — scanned twice (bin + refine)
+    * @param stats (grp, mn, mx, n ≥ 1, r1, r2) — MATERIALIZED
+    *              group-sized frame (it feeds two broadcast joins;
+    *              a lazy frame would re-run its corpus agg per use)
+    * @return (grp, med) */
+  private[graft] def refinedMedian(rawBase: DataFrame, stats: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    // Null values are invisible to the median (percentile semantics);
+    // unfiltered they'd fall into bin 0 of a width-0 group and shift
+    // the refine window's ranks (nulls sort first).
+    val base = rawBase.filter(col("v").isNotNull)
+    val B = HistBins
+    val width = (col("mx") - col("mn")) / B
+    val binExpr = when(width <= 0, lit(0)).otherwise(
+      least(lit(B - 1), greatest(lit(0),
+        floor((col("v") - col("mn")) / width).cast("int"))))
+    val binned = base.join(broadcast(stats), Seq("grp"))
+      .groupBy(col("grp"), col("n"), col("r1"), col("r2"), binExpr.as("bin"))
+      .agg(count(lit(1)).as("cnt"))
+    val wb = Window.partitionBy(col("grp")).orderBy(col("bin"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    // hit = the 1-2 bins whose expanded rank range [lo, cum] touches
+    // {r1, r2}; contiguous in rank even across absent (empty) bins, so
+    // ranks inside the hit subset are global rank − off + 1
+    val hit = binned
+      .withColumn("cum", sum(col("cnt")).over(wb))
+      .withColumn("lo", col("cum") - col("cnt") + 1)
+      .filter(col("lo") <= col("r2") && col("cum") >= col("r1"))
+      .select(col("grp"), col("bin"), col("lo"))
+      .localCheckpoint() // group-sized; feeds the semi join + offsets
+    val off = hit.groupBy(col("grp")).agg(min(col("lo")).as("off"))
+    val wv = Window.partitionBy(col("grp")).orderBy(col("v"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    base.join(broadcast(stats), Seq("grp"))
+      .withColumn("bin", binExpr)
+      .join(broadcast(hit.select(col("grp"), col("bin"))),
+        Seq("grp", "bin"), "left_semi")
+      .groupBy(col("grp"), col("n"), col("r1"), col("r2"), col("v"))
+      .agg(count(lit(1)).as("cnt")) // distinct-value table of the hit bins
+      .join(broadcast(off), Seq("grp"))
+      .withColumn("t1", col("r1") - col("off") + 1)
+      .withColumn("t2", col("r2") - col("off") + 1)
+      .withColumn("cum", sum(col("cnt")).over(wv))
+      .withColumn("lo", col("cum") - col("cnt") + 1)
+      .groupBy(col("grp"))
+      .agg(
+        min(when(col("lo") <= col("t1") && col("cum") >= col("t1"), col("v")))
+          .as("v1"),
+        min(when(col("lo") <= col("t2") && col("cum") >= col("t2"), col("v")))
+          .as("v2"))
+      .select(col("grp"), ((col("v1") + col("v2")) / 2).as("med"))
+  }
+
   /** Robust per-group outlier report — median/MAD instead of mean/σ,
     * so a contaminated column cannot mask its own outliers (the
     * breakdown point of the mean is 0%; of the median, 50%). Per
-    * group: the exact median, the median absolute deviation, and the
-    * count of rows with |x − med| > k·MAD.
+    * group: the exact interpolated median (quantile_cont semantics:
+    * mean of the rank-⌊(n+1)/2⌋ and rank-⌊n/2⌋+1 values — equal for
+    * odd n), the median absolute deviation, and the count of rows
+    * with |x − med| > k·MAD.
     *
-    * Scale shape: two grouped EXACT percentile passes (Spark's
-    * counts-map `percentile` — state bounded by distinct values per
-    * group, not rows) plus one counting pass, each a partial-agg
-    * groupBy; the tiny (group, med, mad) frames broadcast back. A
+    * ADAPTIVE plan choice, decided by one stats pass (min/max/count +
+    * HLL distinct estimate per group, all codegen, collected as one
+    * group-sized row set):
+    *
+    *  - distinct values per group ≤ `distinctBudget`: three corpus
+    *    passes through Spark's counts-map `percentile` — the cheapest
+    *    exact form when the per-group value-map fits comfortably in an
+    *    aggregation buffer (measured: every multi-stage alternative
+    *    loses to it below ~1M distinct, the map IS the data);
+    *  - above the budget: [[refinedMedian]] histogram refinement —
+    *    every corpus pass a plain counting agg, memory bounded by
+    *    [[HistBins]] regardless of cardinality. The counts-map form
+    *    would hold ~10⁹ distinct doubles per group at the 100-TB
+    *    shape and die; the budget is set where its buffer (~16 B per
+    *    distinct) stays tens of MB. The MAD median's bin range
+    *    [0, max(mx−med, med−mn)] derives from stats — no extra pass.
+    *
+    * Both paths are bit-identical (pinned by ProfilingSketchSpec on
+    * odd/even/duplicate/null fixtures and a randomized sweep). A
     * zero-MAD group (>50% identical values) reports outliers as rows
-    * differing from the median at all. */
+    * differing from the median at all. Null values count in n_rows,
+    * are ignored by both medians, and are never outliers. For a
+    * sketch-precision serving path with ONE scan and ONE shuffle, use
+    * [[robustOutliersSketch]]. */
   def robustOutliers(df: DataFrame, groupCol: Column, valueCol: Column,
-                     k: Double = 5.0): DataFrame = {
+                     k: Double = 5.0,
+                     distinctBudget: Long = 2000000L): DataFrame = {
     val base = df.select(groupCol.as("grp"), valueCol.cast("double").as("v"))
-    val med = base.groupBy(col("grp"))
-      .agg(percentile(col("v"), lit(0.5)).as("med"))
-    val withMed = base.join(broadcast(med), Seq("grp"))
-      .withColumn("absdev", abs(col("v") - col("med")))
-    val mad = withMed.groupBy(col("grp"))
-      .agg(percentile(col("absdev"), lit(0.5)).as("mad"))
-    withMed.join(broadcast(mad), Seq("grp"))
+    val stats = base.groupBy(col("grp"))
+      .agg(min(col("v")).as("mn"), max(col("v")).as("mx"),
+        count(col("v")).as("n"), approx_count_distinct(col("v")).as("nd"))
+      .filter(col("n") > 0)
+      .withColumn("r1", expr("(n + 1) div 2"))
+      .withColumn("r2", expr("n div 2 + 1"))
+      .localCheckpoint() // group-sized; feeds the path choice + broadcasts
+    // group-sized driver read — the plan-choice signal, same class as
+    // a broadcast collect
+    val maxDistinct = Option(stats.agg(max(col("nd"))).head().get(0))
+      .map(_.asInstanceOf[Number].longValue).getOrElse(0L)
+    val (med, mad) =
+      if (maxDistinct <= distinctBudget) {
+        val m = base.groupBy(col("grp"))
+          .agg(percentile(col("v"), lit(0.5)).as("med"))
+          .localCheckpoint()
+        val d = base.join(broadcast(m), Seq("grp"))
+          .groupBy(col("grp"))
+          .agg(percentile(abs(col("v") - col("med")), lit(0.5)).as("mad"))
+          .localCheckpoint()
+        (m, d)
+      } else {
+        val m = refinedMedian(base, stats).localCheckpoint()
+        val devBase = base.join(broadcast(m), Seq("grp"))
+          .select(col("grp"), abs(col("v") - col("med")).as("v"))
+        val devStats = stats.join(m, Seq("grp"))
+          .select(col("grp"), lit(0.0).as("mn"),
+            greatest(col("mx") - col("med"), col("med") - col("mn")).as("mx"),
+            col("n"), col("r1"), col("r2"))
+          .localCheckpoint() // derived group-sized frame, no corpus pass
+        val d = refinedMedian(devBase, devStats)
+          .select(col("grp"), col("med").as("mad")).localCheckpoint()
+        (m, d)
+      }
+    base.join(broadcast(med), Seq("grp"), "left")
+      .join(broadcast(mad), Seq("grp"), "left")
+      .withColumn("dev", abs(col("v") - col("med")))
       .groupBy(col("grp"), col("med"), col("mad"))
       .agg(count(lit(1)).as("n_rows"),
         sum(when(
-          (col("mad") > 0 && col("absdev") > col("mad") * k) ||
-            (col("mad") === 0 && col("absdev") > 0), 1L).otherwise(0L))
+          (col("mad") > 0 && col("dev") > col("mad") * k) ||
+            (col("mad") === 0 && col("dev") > 0), 1L).otherwise(0L))
           .as("n_outliers"))
   }
 
-  /** The 100-TB form of [[robustOutliers]]: ONE scan, ONE shuffle,
-    * bounded state. The exact path's counts-map `percentile` holds every
-    * distinct value per group — on a continuous-valued column that
-    * buffer approaches row count — and the med→mad data dependency
-    * forces it to scan the base twice more. Here each group folds into
+  /** The one-pass form of [[robustOutliers]]: ONE scan, ONE shuffle,
+    * bounded state, sketch precision. The exact path's histogram
+    * refinement is also scale-safe but the med→MAD data dependency
+    * holds it at six corpus passes. Here each group folds into
     * one KLL sketch (fixed size, mergeable, map-side combined) and the
     * median, the MAD, and the outlier count are all answered from that
     * sketch ([[org.apache.spark.sql.graftx.KllAbsDevStats]] reads the
@@ -175,13 +314,17 @@ object Profiling {
     * totals are bit-identical across engines. Weights round HALF-UP to
     * integers (floor(w + 0.5) — explicit, because a bare long cast
     * truncates in Spark but rounds in DuckDB, and the two diverge on
-    * any fractional weight). Null values and null weights are
-    * excluded; a group that loses all rows drops out. */
+    * any fractional weight). Null values, null weights, and rows whose
+    * weight rounds to ≤ 0 are excluded — a zero-rounded or negative
+    * weight contributes nothing to cumulative mass, and keeping such
+    * rows would let an all-zero-weight group (tw = 0) report its
+    * MINIMUM as a vacuous "median"; a group that loses all rows drops
+    * out instead. */
   def weightedMedian(df: DataFrame, groupCol: Column, valueCol: Column,
                      weightCol: Column): DataFrame = {
     val base = df.select(groupCol.as("grp"), valueCol.as("v"),
         floor(weightCol.cast("double") + lit(0.5)).cast("long").as("w"))
-      .filter(col("v").isNotNull && col("w").isNotNull)
+      .filter(col("v").isNotNull && col("w") > 0)
     val perValue = base.groupBy(col("grp"), col("v"))
       .agg(sum(col("w")).as("vw"))
       .localCheckpoint() // feeds the window AND the per-group totals

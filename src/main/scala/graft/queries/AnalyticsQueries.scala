@@ -454,7 +454,8 @@ object AnalyticsQueries {
            SELECT l_returnflag AS grp, l_extendedprice AS v,
              sum(CAST(floor(l_quantity::DOUBLE + 0.5) AS BIGINT)) AS vw
            FROM lineitem
-           WHERE l_extendedprice IS NOT NULL AND l_quantity IS NOT NULL
+           WHERE l_extendedprice IS NOT NULL
+             AND CAST(floor(l_quantity::DOUBLE + 0.5) AS BIGINT) > 0
            GROUP BY 1, 2),
          cum AS (
            SELECT grp, v, vw, sum(vw) OVER (PARTITION BY grp ORDER BY v

@@ -40,13 +40,19 @@ object GraphQueries {
     * so the projection's fan-out is bounded by construction — the
     * general basket guard lives in Association.pairRules. */
   private def coPurchaseEdges(s: SparkSession, d: String): DataFrame = {
-    val li = tbl(s, d, "lineitem")
+    // ONE shuffle: collect_set dedups (order, part) AND groups the
+    // basket in the same exchange, then the ≤7-item basket expands to
+    // its a<b pairs by a shuffle-free double explode — same pair
+    // multiset as the former distinct + self-join spelling, minus a
+    // corpus reshuffle (the old li.distinct hash-partitioned on
+    // (ok, pk), so the ok-keyed self-join repartitioned BOTH sides).
+    tbl(s, d, "lineitem")
       .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
-      .distinct()
-      .localCheckpoint() // both sides of the projection self-join
-    li.join(li.select(col("ok"), col("pk").as("pk2")), Seq("ok"))
-      .filter(col("pk") < col("pk2"))
-      .select(col("pk").as("a"), col("pk2").as("b"))
+      .groupBy(col("ok")).agg(collect_set(col("pk")).as("ps"))
+      .select(explode(col("ps")).as("a"), col("ps"))
+      .select(col("a"), explode(col("ps")).as("b"))
+      .filter(col("a") < col("b"))
+      .select(col("a"), col("b"))
   }
 
   /** SQL spelling of [[coPurchaseEdges]] + canonicalization, shared by

@@ -384,9 +384,16 @@ object TextQueries {
     * •/¶ sentinels (a match consumes whole symbol spans, so no two
     * occurrences can share a boundary). */
   private val bpeEncodeOracle: String = {
+    // Each scalar subquery is coalesce-guarded: on a degenerate corpus
+    // with fewer than BpeRounds learnable merges, t$r is empty and an
+    // unguarded replace(acc, NULL, NULL) would null every word —
+    // '•¶' (an empty symbol) can never occur in s, so the guarded
+    // round is a no-op, matching the Spark fold that simply has fewer
+    // merges to apply.
     val folded = (1 to BpeRounds).foldLeft("s") { (acc, r) =>
-      s"""replace($acc, (SELECT '•' || lhs || '¶•' || rhs || '¶' FROM t$r),
-                  (SELECT '•' || lhs || rhs || '¶' FROM t$r))"""
+      s"""replace($acc,
+                  coalesce((SELECT '•' || lhs || '¶•' || rhs || '¶' FROM t$r), '•¶'),
+                  coalesce((SELECT '•' || lhs || rhs || '¶' FROM t$r), ''))"""
     }
     s"""WITH $bpeCtes,
         enc AS (SELECT word, $folded AS es FROM w0)

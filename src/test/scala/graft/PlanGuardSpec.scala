@@ -327,20 +327,34 @@ class PlanGuardSpec extends SparkTestBase {
     assert(!pt.contains("BroadcastNestedLoopJoin"),
       s"graph_triangles degraded to nested-loop:\n$pt")
     // kCore's full plan truncates per round (localCheckpoint), so pin
-    // ONE peel round's pre-checkpoint sub-plan: the survivor filter
-    // must reach the edges as equi-keyed LeftSemi joins
+    // ONE peel round's pre-checkpoint sub-plan in each of its three
+    // adaptive shapes: fixed point → input frame returned untouched;
+    // small drop set → broadcast LeftAnti (edges never shuffle); huge
+    // drop set (forced via broadcastLimit = 0) → shuffle LeftSemi
+    // against the survivors — the distributed fallback.
     locally {
       import spark.implicits._
-      val canon = Seq((1L, 2L), (2L, 3L), (1L, 3L)).toDF("lo", "hi")
+      // triangle (all deg 2) + pendant 3-4: k=2 drops exactly node 4
+      val canon = Seq((1L, 2L), (2L, 3L), (1L, 3L), (3L, 4L))
+        .toDF("lo", "hi")
+      val stable = Seq((1L, 2L), (2L, 3L), (1L, 3L)).toDF("lo", "hi")
+      assert(graft.operators.Graph.peelRound(stable, k = 2L) eq stable,
+        "a dropless peel must return its input frame (fixed-point signal)")
       val peel = graft.operators.Graph.peelRound(canon, k = 2L)
       val pp = peel.queryExecution.executedPlan.toString
-      assert(pp.contains("LeftSemi"),
-        s"peel must semi-join the survivor set:\n$pp")
-      assert(!pp.contains("CartesianProduct") &&
-        !pp.contains("BroadcastNestedLoopJoin"),
-        s"peel degraded to a pair-exploding join:\n$pp")
-      // and the round itself peels correctly on this fixture
-      assert(peel.count() == 3L)
+      assert(pp.contains("LeftAnti") && pp.contains("BroadcastHashJoin"),
+        s"small-drop peel must broadcast-anti-join the drop set:\n$pp")
+      val peelWide = graft.operators.Graph.peelRound(canon, k = 2L,
+        broadcastLimit = 0L)
+      val pw = peelWide.queryExecution.executedPlan.toString
+      assert(pw.contains("LeftSemi"),
+        s"wide-drop peel must semi-join the survivor set:\n$pw")
+      for (p <- Seq(pp, pw))
+        assert(!p.contains("CartesianProduct") &&
+          !p.contains("BroadcastNestedLoopJoin"),
+          s"peel degraded to a pair-exploding join:\n$p")
+      // and both paths peel identically on this fixture
+      assert(peel.count() == 3L && peelWide.count() == 3L)
       assert(graft.operators.Graph.peelRound(canon, k = 3L).count() == 0L)
     }
     // LPA's winning-label pick is the order-independent min(struct)

@@ -93,6 +93,41 @@ class ProfilingSketchSpec extends SparkTestBase {
       "bucket depths must re-assemble ~n")
   }
 
+  test("histogram-refined exact path is bit-identical to the counts-map path") {
+    // distinctBudget = 0 forces refinedMedian; the default stays on
+    // counts-map percentile for these cardinalities. Fixtures cover
+    // odd/even n, heavy duplicates, a single-value group, nulls, a
+    // negative range, and an all-null group.
+    val fixtures = Seq(
+      "real" -> spark.read.parquet(s"$sfSmoke/lineitem.parquet")
+        .select(col("l_returnflag").as("grp"),
+          col("l_extendedprice").as("v")),
+      "edges" -> (
+        Seq.tabulate(7)(i => ("odd", i.toDouble)) ++
+          Seq.tabulate(8)(i => ("even", i * 2.0)) ++
+          Seq.fill(10)(("dup", 3.0)) ++ Seq(("dup", 9.0), ("dup", -1.0)) ++
+          Seq(("one", 42.0)) ++
+          Seq(("neg", -50.0), ("neg", -2.5), ("neg", -0.25), ("neg", -2.5))
+        ).toDF("grp", "v")
+        .unionByName(Seq(("nulls", Some(1.0)), ("nulls", None),
+          ("allnull", Option.empty[Double])).toDF("grp", "v")),
+      "random" -> {
+        val rng = new scala.util.Random(10)
+        Seq.tabulate(4000)(i =>
+          (s"g${i % 5}", math.floor(rng.nextDouble() * 400) / 8))
+          .toDF("grp", "v")
+      })
+    for ((name, df) <- fixtures) {
+      def canon(rows: Array[org.apache.spark.sql.Row]) =
+        rows.map(_.toSeq.toList).sortBy(_.toString).toList
+      val viaMap = canon(
+        Profiling.robustOutliers(df, col("grp"), col("v")).collect())
+      val viaHist = canon(Profiling.robustOutliers(df, col("grp"), col("v"),
+        distinctBudget = 0L).collect())
+      assert(viaHist == viaMap, s"fixture $name: paths diverge")
+    }
+  }
+
   test("SQL surface: kll_rank and kll_absdev_stats are registered") {
     org.apache.spark.sql.graftx.GraftExtensions.install(spark)
     Seq(1.0, 2.0, 3.0, 4.0).toDF("v").createOrReplaceTempView("kll_probe")
