@@ -11,18 +11,23 @@ import org.apache.spark.sql.functions._
   * the fixture it reads classic co-purchase structure. A pipeline
   * addition beyond the reference surface (like the dedup/ANN tier).
   *
-  * Scale shape — PRUNE BEFORE PAIRING: single-item supports are one
-  * partial-agg groupBy, and only items meeting `minSupport` re-enter
-  * the basket (semi join), so the per-basket pair fan-out is
+  * Scale shape — GUARD, then PRUNE, then PAIR. The `maxBasketItems`
+  * guard drops degenerate mega-baskets FIRST, as a corpus
+  * restriction (a basket holding half the catalog would otherwise
+  * emit a quadratic pair burst — same role as the dedup tier's
+  * hot-bucket caps), so every statistic downstream — pair counts,
+  * item supports, the basket total N — is computed over the SAME
+  * guarded basket universe and confidence/lift stay internally
+  * consistent (scores are exact for the guarded corpus, not deflated
+  * lower bounds of it). Then single-item supports are one partial-agg
+  * groupBy over the guarded set, and only items meeting `minSupport`
+  * re-enter the basket (semi join), so the per-basket pair fan-out is
   * C(frequent-items-in-basket, 2), not C(basket, 2) — the a-priori
   * downward-closure bound (an infrequent item cannot be in a frequent
-  * pair, so pruning loses nothing). A `maxBasketItems` guard drops
-  * degenerate mega-baskets (a basket holding half the catalog would
-  * otherwise emit a quadratic pair burst — same role as the dedup
-  * tier's hot-bucket caps). Pair supports are another partial-agg
-  * groupBy; attaching the two single-item supports is a pair of
-  * item-vocabulary-sized joins; the final top-k is TakeOrdered
-  * (per-partition heaps), never a global sort.
+  * pair, so pruning loses nothing). Pair supports are another
+  * partial-agg groupBy; attaching the two single-item supports is a
+  * pair of item-vocabulary-sized joins; the final top-k is
+  * TakeOrdered (per-partition heaps), never a global sort.
   *
   * Cross-engine-exact: supports are integers; confidence and lift are
   * FIXED-SHAPE IEEE expressions on those integers (one division;
@@ -36,7 +41,9 @@ object Association {
     * cons_n, conf, lift) with conf = pair_n/ante_n and
     * lift = (pair_n·N) / (ante_n·cons_n), N = total baskets.
     * `minSupport` applies to items AND pairs; ordering is
-    * (conf desc, ante, cons) — unique, hence deterministic. */
+    * (conf desc, ante, cons) — unique, hence deterministic. All
+    * counts (pair_n, ante_n, cons_n, N) are over the baskets
+    * surviving the `maxBasketItems` guard. */
   def pairRules(baskets: DataFrame, basketCol: String, itemCol: String,
                 minSupport: Long, k: Int,
                 maxBasketItems: Int = 256): DataFrame = {
@@ -44,23 +51,28 @@ object Association {
     val b = baskets
       .select(col(basketCol).as("bk"), col(itemCol).as("it"))
       .filter(col("bk").isNotNull && col("it").isNotNull)
-      .distinct().localCheckpoint() // feeds N, item supports, pair gen
-    val nB = b.select(col("bk")).distinct()
+      .distinct().localCheckpoint() // feeds the size agg + guard join
+    // mega-basket guard FIRST (corpus restriction): C(n,2) fan-out is
+    // only safe for bounded n, and guarding before any support keeps
+    // pair_n, item supports, and N on the same basket universe —
+    // confidence/lift are exact for the guarded corpus
+    val sized = b
+      .join(b.groupBy(col("bk")).agg(count(lit(1)).as("bn")), Seq("bk"))
+      .filter(col("bn") <= maxBasketItems)
+      .select(col("bk"), col("it"))
+      .localCheckpoint() // feeds N, item supports, pair gen
+    val nB = sized.select(col("bk")).distinct()
       .agg(count(lit(1)).as("n_baskets"))
-    // item supports = basket counts (b is distinct per (bk, it))
-    val itemN = b.groupBy(col("it")).agg(count(lit(1)).as("item_n"))
+    // item supports = basket counts (sized is distinct per (bk, it))
+    val itemN = sized.groupBy(col("it")).agg(count(lit(1)).as("item_n"))
       .localCheckpoint() // feeds the prune and both support joins
     val frequent = itemN.filter(col("item_n") >= minSupport)
     // downward closure: only frequent items can form frequent pairs
-    val pruned = b.join(frequent.select(col("it")), Seq("it"), "left_semi")
-    // mega-basket guard: C(n,2) fan-out is only safe for bounded n
-    val sized = pruned
-      .join(pruned.groupBy(col("bk")).agg(count(lit(1)).as("bn")), Seq("bk"))
-      .filter(col("bn") <= maxBasketItems)
-      .select(col("bk"), col("it"))
+    val pruned = sized
+      .join(frequent.select(col("it")), Seq("it"), "left_semi")
       .localCheckpoint() // both sides of the pair self-join
-    val pairs = sized
-      .join(sized.select(col("bk"), col("it").as("it2")), Seq("bk"))
+    val pairs = pruned
+      .join(pruned.select(col("bk"), col("it").as("it2")), Seq("bk"))
       .filter(col("it") < col("it2"))
       .groupBy(col("it"), col("it2")).agg(count(lit(1)).as("pair_n"))
       .filter(col("pair_n") >= minSupport)

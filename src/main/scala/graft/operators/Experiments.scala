@@ -30,10 +30,15 @@ object Experiments {
     * max taken on the INTEGER numerator |cumA·n_b − cumB·n_a| so no
     * float rounding touches the argmax; the closing ks division is
     * one fixed-shape IEEE op. Integer-exact while n_a·n_b < 2⁶³
-    * (~3·10⁹ rows per side) — beyond that, sample or pre-bin.
+    * (~3·10⁹ rows per side) — beyond that the Long numerator would
+    * silently wrap (non-ANSI), so the plan carries a raise_error
+    * guard on n_a·n_b and FAILS LOUDLY at the documented boundary
+    * instead: sample or pre-bin and re-run. `overflowBound` is
+    * injectable only so the guard is testable without 3·10⁹ rows.
     * Returns one row (n_a, n_b, d_num, ks). */
   def ksTest(df: DataFrame, groupCol: Column, valueCol: Column,
-             groupA: String, groupB: String): DataFrame = {
+             groupA: String, groupB: String,
+             overflowBound: Double = 9.223372036854776e18): DataFrame = {
     val pv = df.select(groupCol.as("g"), valueCol.as("v"))
       .filter(col("v").isNotNull && col("g").isin(groupA, groupB))
       .groupBy(col("v")).agg(
@@ -52,8 +57,15 @@ object Experiments {
       .agg(max(abs(col("cuma") * col("n_b") - col("cumb") * col("n_a")))
         .as("d_num"))
       .select(col("n_a"), col("n_b"), col("d_num"),
-        (col("d_num").cast("double") /
-          (col("n_a").cast("double") * col("n_b").cast("double"))).as("ks"))
+        when(col("n_a").cast("double") * col("n_b").cast("double") >=
+          lit(overflowBound),
+          raise_error(concat(lit("ksTest: n_a*n_b = "),
+            col("n_a"), lit("*"), col("n_b"),
+            lit(" exceeds the exact-integer bound 2^63 — the Long "),
+            lit("numerator would wrap; sample or pre-bin first"))))
+          .otherwise(col("d_num").cast("double") /
+            (col("n_a").cast("double") * col("n_b").cast("double")))
+          .as("ks"))
   }
 
   /** Chi-square test of independence between two categorical columns

@@ -489,18 +489,19 @@ object AnalyticsQueries {
       """WITH b AS (
            SELECT DISTINCT l_orderkey AS bk, l_partkey AS it FROM lineitem
            WHERE l_orderkey IS NOT NULL AND l_partkey IS NOT NULL),
-         nb AS (SELECT count(DISTINCT bk)::BIGINT AS n_baskets FROM b),
-         itemn AS (SELECT it, count(*)::BIGINT AS item_n FROM b GROUP BY 1),
-         freq AS (SELECT it FROM itemn WHERE item_n >= 2),
-         pruned AS (SELECT bk, it FROM b JOIN freq USING (it)),
          sized AS (
-           SELECT bk, it FROM pruned
+           SELECT bk, it FROM b
            JOIN (SELECT bk, count(*)::BIGINT AS bn
-                 FROM pruned GROUP BY 1) USING (bk)
+                 FROM b GROUP BY 1) USING (bk)
            WHERE bn <= 256),
+         nb AS (SELECT count(DISTINCT bk)::BIGINT AS n_baskets FROM sized),
+         itemn AS (SELECT it, count(*)::BIGINT AS item_n
+                   FROM sized GROUP BY 1),
+         freq AS (SELECT it FROM itemn WHERE item_n >= 2),
+         pruned AS (SELECT bk, it FROM sized JOIN freq USING (it)),
          pairs AS (
            SELECT a.it AS it, b2.it AS it2, count(*)::BIGINT AS pair_n
-           FROM sized a JOIN sized b2 ON a.bk = b2.bk AND a.it < b2.it
+           FROM pruned a JOIN pruned b2 ON a.bk = b2.bk AND a.it < b2.it
            GROUP BY 1, 2 HAVING count(*) >= 2),
          rules AS (
            SELECT it AS ante, it2 AS cons, pair_n FROM pairs

@@ -96,10 +96,26 @@ object TableScanner {
       if (req.cursor.isEmpty)
         out = out.orderBy(req.cursorColumns.map(col): _*).limit(lim)
       else {
-        require(req.cursor.forall(v => v != null && v.nonEmpty),
-          "cursor values must be non-empty (a null/empty key has no keyset position)")
+        // Only NULL is positionless; the empty string is a legitimate
+        // key value a STRING column's first page can legally end on,
+        // and an echoed cursor must always be re-submittable. For any
+        // other type an empty or unparseable value would cast to a
+        // NULL literal, turn every strict conjunct NULL, and silently
+        // truncate the walk — refuse those loudly instead.
+        require(req.cursor.forall(_ != null),
+          "cursor values must be non-null (a null key has no keyset position)")
         val schema = out.schema
         val keys = req.cursorColumns.zip(req.cursor).map { case (c, v) =>
+          schema(c).dataType match {
+            case _: StringType => ()
+            case _: NumericType =>
+              require(scala.util.Try(BigDecimal(v)).isSuccess,
+                s"cursor value '$v' for numeric column $c is unparseable " +
+                  "(it would compile to NULL and truncate the walk)")
+            case _ =>
+              require(v.nonEmpty,
+                s"empty cursor value for non-string column $c has no keyset position")
+          }
           (col(c), typed(v, schema(c).dataType))
         }
         out = graft.operators.Relational.keysetPage(out, keys, lim)

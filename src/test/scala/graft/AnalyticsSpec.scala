@@ -227,6 +227,17 @@ class AnalyticsSpec extends SparkTestBase {
     assert(ks(shifted) == ((4L, 4L, 8L, 0.5)), s"half overlap: ${ks(shifted)}")
     // off-domain groups are ignored entirely
     assert(ks(same ++ Seq(("C", 999.0))) == ((8L, 8L, 0L, 0.0)))
+    // past the exact-integer bound the plan fails LOUDLY (injected
+    // tiny bound stands in for n_a*n_b >= 2^63) instead of quietly
+    // wrapping the Long numerator
+    val ex = intercept[Exception] {
+      Experiments.ksTest(shifted.toDF("g", "v"), col("g"), col("v"),
+        "A", "B", overflowBound = 16.0).collect()
+    }
+    assert(ex.getMessage.contains("exceeds the exact-integer bound") ||
+      Option(ex.getCause).exists(_.getMessage
+        .contains("exceeds the exact-integer bound")),
+      s"expected the overflow guard, got: $ex")
   }
 
   test("MAD: robust to the outlier that poisons stddev; lower-median ties") {

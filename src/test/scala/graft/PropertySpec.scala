@@ -750,9 +750,13 @@ class PropertySpec extends SparkTestBase {
     val rowGen: Gen[(Long, Long)] = for {
       bk <- Gen.choose(0L, 11L); it <- Gen.choose(0L, 7L)
     } yield (bk, it)
-    for (g <- 0 until 4) {
+    // cap = 256 never fires (items 0..7); cap = 4 fires on random
+    // baskets and must behave as a corpus restriction — every support
+    // (pair, item, N) computed over the guarded basket set
+    for (g <- 0 until 4; cap <- Seq(256, 4)) {
       val rows = sample(rowGen, 40 + 11 * g)
-      val baskets = rows.toSet
+      val baskets = rows.toSet[(Long, Long)]
+        .groupBy(_._1).filter(_._2.size <= cap).values.flatten.toSet
       val minSup = 2L
       val nB = baskets.groupBy(_._1).size
       val itemN = baskets.groupBy(_._2).map { case (i, xs) => i -> xs.size.toLong }
@@ -770,11 +774,12 @@ class PropertySpec extends SparkTestBase {
             (c.toDouble * nB.toDouble) /
               (itemN(ante).toDouble * itemN(cons).toDouble)) }.toSet
       val got = Association.pairRules(rows.toDF("bk", "it"), "bk", "it",
-          minSupport = minSup, k = 1000)
+          minSupport = minSup, k = 1000, maxBasketItems = cap)
         .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
           r.getLong(3), r.getLong(4), r.getDouble(5), r.getDouble(6))).toSet
       assert(got == expected,
-        s"rule mismatch on ${rows.size} rows: ${got.diff(expected)} / ${expected.diff(got)}")
+        s"rule mismatch on ${rows.size} rows cap=$cap: " +
+          s"${got.diff(expected)} / ${expected.diff(got)}")
     }
   }
 }

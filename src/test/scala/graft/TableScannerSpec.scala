@@ -246,11 +246,35 @@ class TableScannerSpec extends SparkTestBase {
     }
     assert(walked == nonNull,
       s"keyset walk over the non-null key space diverged (page $page)")
-    // an empty cursor value refuses instead of compiling to NULL
+    // an empty / unparseable NUMERIC cursor value refuses instead of
+    // compiling to NULL and silently truncating the walk
     intercept[IllegalArgumentException] {
       TableScanner.scan(df, ScanRequest("t", limit = Some(30),
         cursorColumns = keys, cursor = Seq("", "5")))
     }
+    intercept[IllegalArgumentException] {
+      TableScanner.scan(df, ScanRequest("t", limit = Some(30),
+        cursorColumns = keys, cursor = Seq("abc", "5")))
+    }
+  }
+
+  test("cursor paging: an echoed empty-string key is re-submittable") {
+    import spark.implicits._
+    // the empty string sorts FIRST among strings, so page 1 of this
+    // table legally ends on it; a client echoing ("", "2") back must
+    // get the rest of the table, not an IllegalArgumentException
+    val df = Seq(("", 1L), ("", 2L), ("a", 3L), ("b", 4L), ("c", 5L))
+      .toDF("k", "id")
+    val keys = Seq("k", "id")
+    val p1 = TableScanner.scan(df, ScanRequest("t", limit = Some(2),
+      cursorColumns = keys)).collect()
+    assert(p1.map(_.getAs[Long]("id")).toSeq == Seq(1L, 2L))
+    assert(p1.last.getAs[String]("k") == "")
+    val echoed = keys.map(k => p1.last.getAs[Any](k).toString)
+    val p2 = TableScanner.scan(df, ScanRequest("t", limit = Some(10),
+      cursorColumns = keys, cursor = echoed)).collect()
+    assert(p2.map(_.getAs[Long]("id")).toSeq == Seq(3L, 4L, 5L),
+      "walk stalled on an echoed empty-string cursor")
   }
 
   test("cursor paging composes with the response cache clamp") {
