@@ -499,13 +499,17 @@ object ScaleProbe {
   }
 
   /** `runMain graft.ScaleProbe outlier8` — the robust-outlier report's
-    * exact vs sketch path (SCALE.md round 8) on a HIGH-CARDINALITY
-    * continuous column (every value distinct, the exact counts-map
-    * percentile's worst case): 20M rows, 8 groups. The exact path scans
-    * the base three times (med → mad → count) and its per-group state
-    * is the distinct-value map; the sketch path is one scan carrying a
-    * fixed-size KLL per group. Reported: wall, max task, and the
-    * sketch's relative error on each group's median/MAD. */
+    * exact vs sketch path (SCALE.md rounds 8/10) on a HIGH-CARDINALITY
+    * continuous column (every value distinct — the worst case for any
+    * per-group value map or sort): 20M rows, 8 groups. Round 8's exact
+    * path (counts-map percentile) OOM'd the 8g heap on the 20M input;
+    * round 10's adaptive exact path (HLL stats pass picks histogram
+    * refinement above the distinct budget — bounded bin state, no
+    * per-group value map) survives it — the `exact20` flag that used
+    * to reproduce the crash now records that survival. The sketch
+    * path is one scan
+    * carrying a fixed-size KLL per group. Reported: wall, max task,
+    * and the sketch's relative error on each group's median/MAD. */
   private def outlier8(spark: SparkSession, exact20: Boolean): Unit = {
     import graft.operators.Profiling
     spark.sparkContext.addSparkListener(MaxTask)
@@ -522,14 +526,15 @@ object ScaleProbe {
       val s = (System.nanoTime() - t0) / 1e9
       println(f"""{"probe":"$label","rows":$n,"sec":$s%.2f,"max_task_sec":${MaxTask.max.get() / 1000.0}%.2f}""")
     }
-    // The exact path DOES NOT SURVIVE this input at the default 8g
-    // heap: 2.5M distinct values per group × per-task partial
-    // counts-maps OOMs the JVM (observed: sbt runner exit 52).
-    // `runMain graft.ScaleProbe outlier8 exact20` reproduces the crash
-    // deliberately; the default probe measures the sketch at 20M and
-    // both paths at 2M, where exact still fits.
+    // Round 8's counts-map exact path did NOT survive this input at
+    // the default 8g heap (2.5M distinct per group × per-task partial
+    // counts-maps → JVM OOM, sbt runner exit 52). The round-10
+    // adaptive exact path routes the same input through histogram
+    // refinement (bounded bin state, no per-group value map) and
+    // completes — `exact20` records that survival where it used to
+    // reproduce the crash.
     if (exact20) {
-      time("exact robustOutliers 20M (EXPECTED OOM at 8g)") {
+      time("exact robustOutliers 20M distinct (r8 counts-map OOM'd; adaptive refined path survives)") {
         Profiling.robustOutliers(rows, col("grp"), col("v")).count()
       }
       return
@@ -538,7 +543,7 @@ object ScaleProbe {
       Profiling.robustOutliersSketch(rows, col("grp"), col("v")).count()
     }
     val small = rows.filter(col("id") % 10 === 0).localCheckpoint()
-    time("exact robustOutliers 2M distinct (3 scans, counts-map)") {
+    time("exact robustOutliers 2M distinct (counts-map percentile path)") {
       Profiling.robustOutliers(small, col("grp"), col("v")).count()
     }
     time("sketch robustOutliersSketch 2M distinct") {

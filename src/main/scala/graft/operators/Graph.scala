@@ -501,6 +501,116 @@ object Graph {
     labels
   }
 
+  /** Neighborhood link prediction over an undirected graph: for the
+    * top-`k` NON-adjacent node pairs, the common-neighbor count, the
+    * Resource-Allocation index (Zhou/Lü/Zhang 2009: Σ over common
+    * neighbors w of 1/deg(w) — Adamic–Adar's log replaced by the
+    * plain reciprocal, which both outperforms it in the paper's
+    * benchmarks and keeps the score libm-free), and the neighborhood
+    * Jaccard cn/(deg_a + deg_b − cn). The "which sources co-occur
+    * with my trusted sources but aren't linked yet" crawl-frontier
+    * expansion signal, and the graph sibling of the dedup tier's
+    * candidate generation.
+    *
+    * Scale shape — WEDGES THROUGH CENTERS, capped: candidate pairs
+    * are generated only through shared neighbors (per center w, its
+    * C(deg_w, 2) neighbor pairs), never by node × node. A center's
+    * fan-out is quadratic in ITS degree, so hubs above `maxCenterDeg`
+    * are excluded from centering (documented truncation, same family
+    * as the sparse-cosine df cap — and principled here: a hub
+    * contributes only 1/deg ≈ 0 Resource-Allocation mass and
+    * certifies no meaningful similarity, exactly the stop-gram
+    * argument). Scoring is one partial-agg groupBy over wedge tuples;
+    * adjacency removal is an anti join against the canonical edge
+    * set; the final top-k is TakeOrdered, never a global sort.
+    *
+    * Cross-engine-exact: cn and degrees are integers; each 1/deg(w)
+    * term quantizes to the 2⁻³⁰ grid so the RA sum is exact and
+    * order-independent; Jaccard is one fixed-shape IEEE division.
+    * Ordering (ra desc, cn desc, a, b) is unique per pair — ties
+    * break on the pair itself. Returns (a, b, cn, ra, jaccard). */
+  def linkPrediction(edges: DataFrame, aCol: String, bCol: String,
+                     k: Int, maxCenterDeg: Long = 10000L): DataFrame = {
+    require(k >= 1 && maxCenterDeg >= 2)
+    val canon = canonicalUndirected(edges, aCol, bCol)
+      .localCheckpoint() // feeds degrees, adjacency, the closing anti join
+    val deg = undirectedDegrees(canon)
+      .localCheckpoint() // node-sized; feeds the center cap + endpoint joins
+    val adj = canon.select(col("lo").as("w"), col("hi").as("n"))
+      .union(canon.select(col("hi").as("w"), col("lo").as("n")))
+    val aw = adj
+      .join(deg.select(col("id").as("w"), col("deg").as("dw")), Seq("w"))
+      .filter(col("dw") <= maxCenterDeg)
+      .localCheckpoint() // both sides of the wedge self-join
+    val scored = aw.select(col("w"), col("dw"), col("n").as("lo"))
+      .join(aw.select(col("w"), col("n").as("hi")), Seq("w"))
+      .filter(col("lo") < col("hi"))
+      .groupBy(col("lo"), col("hi"))
+      .agg(count(lit(1)).as("cn"), sum(q30(lit(1.0) / col("dw"))).as("ra"))
+    scored
+      .join(canon, Seq("lo", "hi"), "left_anti") // keep OPEN pairs only
+      .join(deg.select(col("id").as("lo"), col("deg").as("da")), Seq("lo"))
+      .join(deg.select(col("id").as("hi"), col("deg").as("db")), Seq("hi"))
+      .select(col("lo").as("a"), col("hi").as("b"), col("cn"), col("ra"),
+        (col("cn").cast("double") /
+          (col("da") + col("db") - col("cn")).cast("double")).as("jaccard"))
+      .orderBy(col("ra").desc, col("cn").desc, col("a").asc, col("b").asc)
+      .limit(k)
+  }
+
+  /** Bounded-hop weighted shortest distances (synchronous
+    * Bellman–Ford): min total edge cost from the nearest seed over
+    * paths of at most `rounds` edges — [[bfsDistances]]'s weighted
+    * sibling, for graphs where links carry a traversal cost rather
+    * than unit hops. Directed edges; callers double for undirected;
+    * parallel edges collapse to their MIN cost (only the cheapest
+    * matters to any shortest path). Seeds outside the node set are
+    * ignored. Costs must be non-negative integers (exact min-plus
+    * arithmetic → the unrolled-CTE oracle compares bit-for-bit; a
+    * negative cost would also break the ≤r-hop-minimum semantics).
+    *
+    * Scale shape: per round, one join of the node-sized distance
+    * frame against the edge list and a min-reduce — the edge table is
+    * scanned once per round, lineage truncates per round
+    * (localCheckpoint), no driver collect. Early exit at the fixed
+    * point: min-plus updates are monotone, so a round that improves
+    * no distance pins every later round — identical result, fewer
+    * jobs. Returns (id, dist) for every node reachable in ≤ rounds
+    * hops. */
+  def weightedSssp(edges: DataFrame, srcCol: String, dstCol: String,
+                   costCol: String, seeds: DataFrame, seedCol: String,
+                   rounds: Int): DataFrame = {
+    require(rounds >= 1)
+    val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"),
+        col(costCol).cast("long").as("w"))
+      .filter(col("src").isNotNull && col("dst").isNotNull &&
+        col("w").isNotNull && col("w") >= 0)
+      .groupBy(col("src"), col("dst")).agg(min(col("w")).as("w"))
+      .localCheckpoint() // scanned once per round
+    val nodes = e.select(col("src").as("id"))
+      .union(e.select(col("dst").as("id"))).distinct()
+    var dist = seeds.select(col(seedCol).as("id")).distinct()
+      .join(nodes, Seq("id"), "left_semi")
+      .select(col("id"), lit(0L).as("dist"))
+      .localCheckpoint()
+    var r = 0
+    var converged = false
+    while (r < rounds && !converged) {
+      val relaxed = dist
+        .join(e.select(col("src").as("id"), col("dst"), col("w")), Seq("id"))
+        .select(col("dst").as("id"), (col("dist") + col("w")).as("dist"))
+      val next = dist.unionByName(relaxed)
+        .groupBy(col("id")).agg(min(col("dist")).as("dist"))
+        .localCheckpoint()
+      // fixed point: every (id, dist) unchanged — min-plus is
+      // monotone, so no later round can differ either
+      converged = next.join(dist, Seq("id", "dist"), "left_anti").isEmpty
+      dist = next
+      r += 1
+    }
+    dist
+  }
+
   /** Multi-source BFS distances: hop distance from the nearest seed,
     * bounded at `maxDepth` — the "link distance from trusted sources"
     * signal crawl curation budgets depth by (and the discrete

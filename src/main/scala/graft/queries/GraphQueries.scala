@@ -149,6 +149,51 @@ object GraphQueries {
         seeds, "seed", maxDepth = 3)
     }),
 
+    // Link prediction over the bipartite purchase graph: supplier (and
+    // customer) pairs sharing many counterparties but not yet linked,
+    // scored by common neighbors / Resource-Allocation / Jaccard —
+    // the crawl-frontier "sources co-cited with my trusted sources"
+    // expansion signal. Wedge centers cap at degree 500, which here
+    // excludes the supplier hubs (each serving hundreds of customers,
+    // whose wedge fan-out is quadratic and whose 1/deg RA mass ≈ 0)
+    // and keeps the customer centers — the oracle mirrors the cap.
+    "graph_linkpred" -> ((s, d) => {
+      val pairs = tbl(s, d, "orders")
+        .select(col("o_orderkey"), col("o_custkey"))
+        .join(tbl(s, d, "lineitem")
+            .select(col("l_orderkey"), col("l_suppkey")),
+          col("o_orderkey") === col("l_orderkey"))
+        .select(col("o_custkey").as("a"),
+          (col("l_suppkey") + 1000000L).as("b"))
+      Graph.linkPrediction(pairs, "a", "b", k = 100, maxCenterDeg = 500L)
+    }),
+
+    // Bounded-hop WEIGHTED shortest distances (3 synchronous
+    // Bellman-Ford rounds) from the BUILDING seed set, edge cost =
+    // the pair's minimum purchase quantity — graph_bfs_dist's
+    // weighted sibling (nearest trusted source by traversal COST, not
+    // hops). Exact min-plus integers → the unrolled-CTE oracle
+    // compares bit-for-bit.
+    "graph_sssp" -> ((s, d) => {
+      val o = tbl(s, d, "orders").select(col("o_orderkey"), col("o_custkey"))
+      val l = tbl(s, d, "lineitem").select(col("l_orderkey"),
+        col("l_suppkey"), col("l_quantity"))
+      val pairs = o.join(l, col("o_orderkey") === col("l_orderkey"))
+        .groupBy(col("o_custkey").as("cust"),
+          (col("l_suppkey") + 1000000L).as("supp"))
+        .agg(min(floor(col("l_quantity").cast("double") + lit(0.5))
+          .cast("long")).as("w"))
+        .localCheckpoint() // feeds BOTH branches of the doubled union
+      val edges = pairs
+        .select(col("cust").as("src"), col("supp").as("dst"), col("w"))
+        .unionByName(pairs
+          .select(col("supp").as("src"), col("cust").as("dst"), col("w")))
+      val seeds = tbl(s, d, "customer")
+        .filter(col("c_mktsegment") === "BUILDING")
+        .select(col("c_custkey").as("seed"))
+      Graph.weightedSssp(edges, "src", "dst", "w", seeds, "seed", rounds = 3)
+    }),
+
     // Degree assortativity of the co-purchase projection: the
     // one-number peer-community-vs-hub-and-spoke fingerprint. Four
     // exact integer sums in one partial-agg pass; r is fixed-shape
@@ -510,7 +555,75 @@ object GraphQueries {
         SELECT id, dist FROM l3"""
   }
 
+  /** Mirrors Graph.linkPrediction over the bipartite purchase graph:
+    * wedges through degree-≤500 centers, RA terms on the 2⁻³⁰ grid
+    * (1.0 pinned ::DOUBLE — DuckDB types a bare 1.0 DECIMAL, whose
+    * division would diverge from Spark's IEEE bits). `pairs` is
+    * already canonical (cust < 1000000 < supp) and distinct. */
+  private def linkpredSql: String =
+    s"""WITH $pairsCte,
+        canon AS MATERIALIZED (SELECT cust AS lo, supp AS hi FROM pairs),
+        deg AS MATERIALIZED (
+          SELECT id, count(*)::BIGINT AS deg FROM (
+            SELECT lo AS id FROM canon UNION ALL SELECT hi FROM canon)
+          GROUP BY 1),
+        adj AS MATERIALIZED (
+          SELECT lo AS w, hi AS n FROM canon
+          UNION ALL SELECT hi, lo FROM canon),
+        aw AS MATERIALIZED (
+          SELECT a.w, d.deg AS dw, a.n FROM adj a JOIN deg d ON d.id = a.w
+          WHERE d.deg <= 500),
+        scored AS MATERIALIZED (
+          SELECT x.n AS lo, y.n AS hi, count(*)::BIGINT AS cn,
+            sum(floor((1.0::DOUBLE / x.dw) * $Q + 0.5) / $Q)::DOUBLE AS ra
+          FROM aw x JOIN aw y ON x.w = y.w AND x.n < y.n
+          GROUP BY 1, 2)
+        SELECT s.lo AS a, s.hi AS b, s.cn, s.ra,
+          s.cn::DOUBLE / (da.deg + db.deg - s.cn)::DOUBLE AS jaccard
+        FROM scored s
+        JOIN deg da ON da.id = s.lo
+        JOIN deg db ON db.id = s.hi
+        WHERE NOT EXISTS (
+          SELECT 1 FROM canon c WHERE c.lo = s.lo AND c.hi = s.hi)
+        ORDER BY ra DESC, cn DESC, a, b
+        LIMIT 100"""
+
+  /** Mirrors Graph.weightedSssp: 3 unrolled min-plus rounds over the
+    * doubled min-quantity-weighted purchase graph (quantity rounds
+    * HALF-UP through DOUBLE on both engines — a bare DECIMAL→BIGINT
+    * cast rounds in DuckDB but truncates in Spark). */
+  private def ssspSql: String = {
+    val hops = (1 to 3).map { r =>
+      val p = r - 1
+      s"""d$r AS MATERIALIZED (
+            SELECT id, min(dist)::BIGINT AS dist FROM (
+              SELECT id, dist FROM d$p
+              UNION ALL
+              SELECT e.dst AS id, x.dist + e.w AS dist
+              FROM edges e JOIN d$p x ON x.id = e.src)
+            GROUP BY id)"""
+    }.mkString(",\n")
+    s"""WITH wpairs AS MATERIALIZED (
+          SELECT o_custkey AS cust, l_suppkey + 1000000 AS supp,
+            min(CAST(floor(l_quantity::DOUBLE + 0.5) AS BIGINT)) AS w
+          FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+          GROUP BY 1, 2),
+        edges AS MATERIALIZED (
+          SELECT cust AS src, supp AS dst, w FROM wpairs
+          UNION ALL
+          SELECT supp AS src, cust AS dst, w FROM wpairs),
+        nodes AS (SELECT src AS id FROM edges UNION SELECT dst FROM edges),
+        d0 AS MATERIALIZED (
+          SELECT c_custkey AS id, 0::BIGINT AS dist FROM customer
+          WHERE c_mktsegment = 'BUILDING'
+            AND c_custkey IN (SELECT id FROM nodes)),
+        $hops
+        SELECT id, dist FROM d3"""
+  }
+
   val oracles: Map[String, String] = Map(
+    "graph_linkpred" -> linkpredSql,
+    "graph_sssp" -> ssspSql,
     "graph_bfs_dist" -> bfsSql,
     "graph_assortativity" -> assortativitySql,
     "graph_lpa" -> lpaSql,

@@ -247,6 +247,56 @@ class GraphSpec extends SparkTestBase {
     assert(labs2(99L) == 99L, s"isolated-in node must self-label: $labs2")
   }
 
+  test("linkPrediction: CN/RA/Jaccard hand-check, adjacency excluded, hub cap") {
+    // square 1-2-3-4-1 plus chord 1-3: open pairs are only (2,4)
+    // (common neighbors 1 and 3, both deg 3 → RA = 2·q(1/3)), since
+    // (1,3) is closed by the chord. deg(2) = deg(4) = 2.
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 1L), (1L, 3L))
+      .toDF("a", "b")
+    val got = Graph.linkPrediction(edges, "a", "b", k = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3), r.getDouble(4)))
+    val q3 = math.floor((1.0 / 3) * 1073741824.0 + 0.5) / 1073741824.0
+    assert(got.toSeq == Seq((2L, 4L, 2L, 2 * q3, 2.0 / (2 + 2 - 2))),
+      s"unexpected predictions: ${got.mkString(";")}")
+    // hub cap: with maxCenterDeg = 2 the deg-3 centers 1 and 3 are
+    // excluded; centers 2 and 4 each generate only the wedge (1, 3),
+    // which is CLOSED by the chord — nothing survives the anti join
+    val cappedPairs = Graph.linkPrediction(edges, "a", "b", k = 10,
+      maxCenterDeg = 2L).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(cappedPairs.isEmpty, s"cap must drop deg-3 centers: $cappedPairs")
+    // k truncates deterministically: star 0-{1..5} has C(5,2)=10 open
+    // leaf pairs, all identical scores — top-3 is the (a, b) smallest
+    val star = (1L to 5L).map(l => (0L, l)).toDF("a", "b")
+    val top3 = Graph.linkPrediction(star, "a", "b", k = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(top3 == Seq((1L, 2L), (1L, 3L), (1L, 4L)), s"tie order: $top3")
+  }
+
+  test("weightedSssp: min-cost paths, hop bound, min-collapse, early exit") {
+    // 1 →(1) 2 →(1) 3, plus a direct 1 →(5) 3 and a parallel 1 →(9) 3:
+    // dist(3) should be 2 via the two-hop path once rounds ≥ 2, and 5
+    // after round 1 (the parallel 9 collapses to the min 5 first).
+    val edges = Seq((1L, 2L, 1L), (2L, 3L, 1L), (1L, 3L, 5L), (1L, 3L, 9L),
+      (3L, 4L, 1L)).toDF("src", "dst", "w")
+    val seeds = Seq(1L).toDF("seed")
+    def distsAt(rounds: Int) =
+      Graph.weightedSssp(edges, "src", "dst", "w", seeds, "seed", rounds)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(distsAt(1) == Map(1L -> 0L, 2L -> 1L, 3L -> 5L),
+      s"1 round: ${distsAt(1)}")
+    assert(distsAt(3) == Map(1L -> 0L, 2L -> 1L, 3L -> 2L, 4L -> 3L),
+      s"3 rounds: ${distsAt(3)}")
+    // early exit: 10 rounds returns the 3-round fixed point (graph
+    // diameter 3), identical map — and unreached nodes stay absent
+    assert(distsAt(10) == distsAt(3), "fixed point must be stable")
+    // off-graph seeds are ignored; an empty seed set reaches nothing
+    val off = Graph.weightedSssp(edges, "src", "dst", "w",
+      Seq(42L).toDF("seed"), "seed", 2)
+    assert(off.count() == 0L, "off-graph seed must reach nothing")
+  }
+
   test("pageRank plan: ranks stay distributed — no collect, iteration-sized lineage") {
     val edges = Seq((1L, 2L), (2L, 3L), (3L, 1L)).toDF("src", "dst")
     val ranks = Graph.pageRank(edges, "src", "dst", iters = 2)

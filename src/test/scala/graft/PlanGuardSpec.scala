@@ -318,6 +318,21 @@ class PlanGuardSpec extends SparkTestBase {
       s"the page must come from per-partition heaps, not a global sort:\n$p")
   }
 
+  test("graph_linkpred: wedge joins stay equi-keyed, top-k is TakeOrdered") {
+    val p = plan("graph_linkpred")
+    // candidate pairs come ONLY through shared centers (equi-keyed
+    // wedge self-join) — never a pair-exploding cartesian/nested-loop
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"),
+      s"linkpred degraded to a pair-exploding join:\n$p")
+    // existing edges are removed by an anti join, not a driver filter
+    assert(p.contains("LeftAnti"),
+      s"adjacency removal must be an anti join:\n$p")
+    // k rows come from per-partition heaps, not a global sort
+    assert(p.contains("TakeOrderedAndProject"),
+      s"top-k must be TakeOrdered:\n$p")
+  }
+
   test("graph tier: triangles/kcore stay shuffle-join-shaped, LPA picks without a window") {
     // triangleCounts' wedge + closing joins must never degrade to a
     // pair-exploding cartesian/nested-loop
