@@ -1071,11 +1071,47 @@ object ScaleProbe {
     }
   }
 
+  /** `runMain graft.ScaleProbe linkpred10` — link prediction's wedge
+    * space under a hub, priced with the operator's own degree frame
+    * (so the priced cap cannot drift from the shipped one): the same
+    * 10M-random-edges + 500k-degree-hub graph as tri9. Unlike
+    * triangles, link prediction needs FULL wedges (both neighbors of
+    * every center — orientation can't halve the center's fan-out), so
+    * the only defense against the hub is the center cap. Prints the
+    * uncapped vs capped candidate space, then times the full capped
+    * operator. */
+  private def linkpred10(spark: SparkSession): Unit = {
+    import spark.implicits._
+    import graft.operators.Graph
+    spark.sparkContext.addSparkListener(MaxTask)
+    val rand = spark.range(0, 10000000L).select(
+      pmod(hash(col("id")), lit(2000000)).cast("long").as("a"),
+      pmod(hash(col("id") * 31), lit(2000000)).cast("long").as("b"))
+    val hub = spark.range(0, 500000L).select(lit(0L).as("a"),
+      (pmod(hash(col("id") * 7), lit(1999999)) + 1).cast("long").as("b"))
+    val edges = rand.unionByName(hub).filter(col("a") =!= col("b"))
+      .localCheckpoint()
+    val canon = Graph.canonicalUndirected(edges, "a", "b").localCheckpoint()
+    val deg = Graph.undirectedDegrees(canon)
+    def wedges(d: org.apache.spark.sql.DataFrame): Long =
+      d.agg((sum(col("deg") * (col("deg") - 1)) / 2).cast("long"))
+        .as[Long].head()
+    val uncapped = wedges(deg)
+    val capped = wedges(deg.filter(col("deg") <= 10000))
+    println(f"""{"probe":"linkpred10 wedge space, uncapped centers","candidates":$uncapped}""")
+    println(f"""{"probe":"linkpred10 wedge space, deg<=10000 centers","candidates":$capped,"collapse_x":${uncapped.toDouble / capped}%.1f}""")
+    MaxTask.reset()
+    val t0 = System.nanoTime()
+    val n = Graph.linkPrediction(edges, "a", "b", k = 1000)
+      .queryExecution.toRdd.count()
+    println(f"""{"probe":"linkpred10 capped top-1000 (10M+hub edges)","rows":$n,"sec":${(System.nanoTime() - t0) / 1e9}%.2f,"max_task_sec":${MaxTask.max.get() / 1000.0}%.2f}""")
+  }
+
   def main(args: Array[String]): Unit = {
     if (args.headOption.exists(Set("quota7", "pipe7", "freq7", "serve8",
         "outlier8", "budget8", "ids8", "aqe8", "rtfilter8", "prefix8",
         "sparse9", "interop9", "graph9", "bucket9", "semdedup9", "tri9",
-        "kcore9"))) {
+        "kcore9", "linkpred10"))) {
       val spark = SparkSession.builder()
         .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")}]")
         .config("spark.sql.shuffle.partitions",
@@ -1102,6 +1138,7 @@ object ScaleProbe {
         case "semdedup9" => semdedup9(spark)
         case "tri9" => tri9(spark)
         case "kcore9" => kcore9(spark)
+        case "linkpred10" => linkpred10(spark)
       }
       spark.stop()
       return
