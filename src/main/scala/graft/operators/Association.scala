@@ -48,31 +48,38 @@ object Association {
                 minSupport: Long, k: Int,
                 maxBasketItems: Int = 256): DataFrame = {
     require(minSupport >= 1 && k >= 1 && maxBasketItems >= 2)
-    val b = baskets
+    // ONE corpus exchange: collect_set dedups (basket, item) AND
+    // assembles the basket in the same shuffle; the mega-basket guard
+    // is then a per-row size filter (corpus restriction FIRST, so
+    // pair_n, item supports, and N share one basket universe and
+    // confidence/lift are exact for the guarded corpus). Everything
+    // downstream works on the basket-count-sized array frame.
+    val sized = baskets
       .select(col(basketCol).as("bk"), col(itemCol).as("it"))
       .filter(col("bk").isNotNull && col("it").isNotNull)
-      .distinct().localCheckpoint() // feeds the size agg + guard join
-    // mega-basket guard FIRST (corpus restriction): C(n,2) fan-out is
-    // only safe for bounded n, and guarding before any support keeps
-    // pair_n, item supports, and N on the same basket universe —
-    // confidence/lift are exact for the guarded corpus
-    val sized = b
-      .join(b.groupBy(col("bk")).agg(count(lit(1)).as("bn")), Seq("bk"))
-      .filter(col("bn") <= maxBasketItems)
-      .select(col("bk"), col("it"))
-      .localCheckpoint() // feeds N, item supports, pair gen
-    val nB = sized.select(col("bk")).distinct()
-      .agg(count(lit(1)).as("n_baskets"))
-    // item supports = basket counts (sized is distinct per (bk, it))
-    val itemN = sized.groupBy(col("it")).agg(count(lit(1)).as("item_n"))
+      .groupBy(col("bk")).agg(collect_set(col("it")).as("items"))
+      .filter(size(col("items")) <= maxBasketItems)
+      .localCheckpoint() // feeds N, item supports, prune, pair gen
+    val nB = sized.agg(count(lit(1)).as("n_baskets"))
+    // item supports = basket counts (items is a set per basket);
+    // map-side combine reduces the exploded stream to vocabulary size
+    val itemN = sized.select(explode(col("items")).as("it"))
+      .groupBy(col("it")).agg(count(lit(1)).as("item_n"))
       .localCheckpoint() // feeds the prune and both support joins
     val frequent = itemN.filter(col("item_n") >= minSupport)
-    // downward closure: only frequent items can form frequent pairs
-    val pruned = sized
+    // downward closure: only frequent items can form frequent pairs.
+    // The prune is a semi join on the exploded stream — AQE sees the
+    // (vocabulary-sized) frequent side's runtime size and broadcasts
+    // it when it fits, without pinning a hint that a 10⁸-item
+    // vocabulary would OOM. The basket then re-assembles in one more
+    // exchange, after which the a<b pair expansion is a shuffle-free
+    // double explode, bounded by the basket guard.
+    val pruned = sized.select(col("bk"), explode(col("items")).as("it"))
       .join(frequent.select(col("it")), Seq("it"), "left_semi")
-      .localCheckpoint() // both sides of the pair self-join
+      .groupBy(col("bk")).agg(collect_set(col("it")).as("items"))
     val pairs = pruned
-      .join(pruned.select(col("bk"), col("it").as("it2")), Seq("bk"))
+      .select(explode(col("items")).as("it"), col("items"))
+      .select(col("it"), explode(col("items")).as("it2"))
       .filter(col("it") < col("it2"))
       .groupBy(col("it"), col("it2")).agg(count(lit(1)).as("pair_n"))
       .filter(col("pair_n") >= minSupport)
