@@ -414,4 +414,73 @@ object Relational {
     // stats on the windowed plan are too pessimistic for the auto path.
     df.join(broadcast(withN), Seq(scoreCol))
   }
+
+  /** Cross-source QUANTILE NORMALIZATION of `scoreCol` — map each
+    * source's score distribution onto the GLOBAL score distribution,
+    * so scores from sources with incompatible scorers (one length
+    * heuristic, one model logit, one human rubric) become directly
+    * comparable before global filtering or mixing. For a row of
+    * source s with score v: p = r/n_s (r = rank of v's LAST tied
+    * occurrence within s), and the normalized score is the global
+    * value holding rank ⌈p·N⌉ — all INTEGER arithmetic
+    * (t = (r·N + n_s − 1) div n_s), so the map is exact and
+    * engine-portable with no float rank anywhere. A single-source
+    * input maps to itself (t lands back on v's own global range) —
+    * the identity law PropertySpec pins.
+    *
+    * Scale shape: the corpus reduces ONCE to the per-(source, value)
+    * count table; per-source ranks are a window over that table
+    * (partitioned by source) and the global CDF a second value-bounded
+    * window (same explicit single-partition key as
+    * [[percentileRank]], V rows, never corpus rows). The rank lookup
+    * t ∈ [lo, hi] is a BUCKETED equi join: each global range row
+    * explodes to its ⌈span/rankBucket⌉ covering buckets (ΣN/B + V
+    * rows total) and each source row probes its single bucket — never
+    * a non-equi nested loop (PlanGuardSpec pins it). The (source,
+    * value → norm) map is value-bounded and broadcasts back.
+    *
+    * Same exact-integer bound as ksTest: r·N must stay under 2⁶³ —
+    * the plan carries a raise_error guard (injectable for tests) and
+    * fails loudly past it (pre-bin or sample there). Null sources or
+    * scores drop (the join-back is inner). Appends `<outCol>`. */
+  def quantileNormalize(df: DataFrame, sourceCol: String, scoreCol: String,
+                        outCol: String = "norm_score",
+                        rankBucket: Long = 4096L,
+                        overflowBound: Double = 9.223372036854776e18): DataFrame = {
+    require(rankBucket >= 1)
+    val pv = df.filter(col(scoreCol).isNotNull && col(sourceCol).isNotNull)
+      .groupBy(col(sourceCol).as("__src"), col(scoreCol).as("__v"))
+      .agg(count(lit(1)).as("__c"))
+      .localCheckpoint() // V-row table: feeds source ranks AND global CDF
+    val sw = Window.partitionBy(col("__src")).orderBy(col("__v"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val srcTot = pv.groupBy(col("__src")).agg(sum(col("__c")).as("__ns"))
+    val ranked = pv.withColumn("__r", sum(col("__c")).over(sw))
+      .join(broadcast(srcTot), Seq("__src")) // source-count-sized
+    val gw = Window.partitionBy(singlePartitionKey()).orderBy(col("__v"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val g = pv.groupBy(col("__v")).agg(sum(col("__c")).as("__gc"))
+      .withColumn("__hi", sum(col("__gc")).over(gw))
+      .withColumn("__lo", col("__hi") - col("__gc") + 1)
+      .localCheckpoint() // feeds the bucket spans AND the total
+    val nTot = g.agg(max(col("__hi")).as("__n"))
+    val targets = ranked.crossJoin(broadcast(nTot))
+      .withColumn("__t",
+        when(col("__r").cast("double") * col("__n").cast("double") >=
+          lit(overflowBound),
+          raise_error(lit("quantileNormalize: r*N exceeds the " +
+            "exact-integer bound 2^63 — pre-bin or sample first")))
+          .otherwise(expr("(__r * __n + __ns - 1) div __ns")))
+    val spans = g.select(col("__v").as("__gv"), col("__lo"), col("__hi"),
+      explode(sequence(expr(s"(__lo - 1) div ${rankBucket}"),
+        expr(s"(__hi - 1) div ${rankBucket}"))).as("__bkt"))
+    val mapped = targets
+      .withColumn("__bkt", expr(s"(__t - 1) div ${rankBucket}"))
+      .join(spans, Seq("__bkt"))
+      .filter(col("__t") >= col("__lo") && col("__t") <= col("__hi"))
+      .select(col("__src").as(sourceCol), col("__v").as(scoreCol),
+        col("__gv").as(outCol))
+    // value-bounded map (one row per surviving (source, value))
+    df.join(broadcast(mapped), Seq(sourceCol, scoreCol))
+  }
 }

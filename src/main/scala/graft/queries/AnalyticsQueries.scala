@@ -407,6 +407,20 @@ object AnalyticsQueries {
         "n_chars", "pct_rank")
         .select(col("doc_id"), col("n_chars"),
           round4(col("pct_rank")).as("pct_rank"))
+    }),
+
+    // Cross-source quantile normalization: each source's length-score
+    // distribution mapped onto the global one by exact integer rank
+    // arithmetic (t = ceil(r·N / n_s), bucketed CDF lookup) — the
+    // harmonization step before per-source quality scores can share
+    // one global filter threshold (Relational.quantileNormalize).
+    "score_quantile_norm" -> ((s, d) => {
+      Relational.quantileNormalize(
+        tbl(s, d, "documents").select(col("doc_id"), col("source"),
+          col("n_chars")),
+        "source", "n_chars", outCol = "norm_chars")
+        .select(col("doc_id"), col("source"), col("n_chars"),
+          col("norm_chars"))
     }))
 
   val oracles: Map[String, String] = Map(
@@ -629,6 +643,32 @@ object AnalyticsQueries {
                  / ((count(*) OVER ()) - 1)::DOUBLE * 10000 + 0.5) / 10000
              AS pct_rank
          FROM documents""",
+
+    "score_quantile_norm" ->
+      """WITH b AS (
+           SELECT doc_id, source, n_chars FROM documents
+           WHERE n_chars IS NOT NULL AND source IS NOT NULL),
+         pv AS MATERIALIZED (
+           SELECT source, n_chars AS v, count(*)::BIGINT AS c
+           FROM b GROUP BY 1, 2),
+         sr AS (
+           SELECT source, v,
+             sum(c) OVER (PARTITION BY source ORDER BY v)::BIGINT AS r,
+             sum(c) OVER (PARTITION BY source)::BIGINT AS ns
+           FROM pv),
+         gr AS MATERIALIZED (
+           SELECT v, gc, sum(gc) OVER (ORDER BY v)::BIGINT AS hi FROM (
+             SELECT v, sum(c)::BIGINT AS gc FROM pv GROUP BY 1)),
+         g AS (SELECT v, hi - gc + 1 AS lo, hi FROM gr),
+         n AS (SELECT max(hi)::BIGINT AS n FROM gr),
+         t AS (
+           SELECT source, v, ((r * n.n + ns - 1) // ns)::BIGINT AS t
+           FROM sr CROSS JOIN n),
+         m AS (
+           SELECT t.source, t.v, g.v AS norm
+           FROM t JOIN g ON t.t BETWEEN g.lo AND g.hi)
+         SELECT b.doc_id, b.source, b.n_chars, m.norm AS norm_chars
+         FROM b JOIN m ON b.source = m.source AND b.n_chars = m.v""",
 
     "sketch_distinct" ->
       """SELECT strftime(o_orderdate, '%Y-%m') AS o_month,

@@ -318,6 +318,18 @@ class PlanGuardSpec extends SparkTestBase {
       s"the page must come from per-partition heaps, not a global sort:\n$p")
   }
 
+  test("score_quantile_norm: rank lookup is a bucketed equi join, never a nested loop") {
+    // the 1-row total (crossJoin(broadcast(nTot))) legitimately
+    // compiles to a BroadcastNestedLoopJoin, so pin the SHAPE of the
+    // range lookup instead: it must be a hash join KEYED on the rank
+    // bucket, with the [lo, hi] range as a post-join condition
+    val p = plan("score_quantile_norm")
+    assert(!p.contains("CartesianProduct"),
+      s"score_quantile_norm contains a cartesian:\n$p")
+    assert(p.contains("HashJoin [__bkt"),
+      s"the t∈[lo,hi] lookup must be an equi hash join on the bucket:\n$p")
+  }
+
   test("graph_linkpred: wedge joins stay equi-keyed, top-k is TakeOrdered") {
     val p = plan("graph_linkpred")
     // candidate pairs come ONLY through shared centers (equi-keyed

@@ -355,4 +355,48 @@ class SmallOpsSpec extends SparkTestBase {
     // clusters {1,2,3}->1 and {7,8}->7; rows 4,5,6,9,10 untouched
     assert(keep == Set(1L, 4L, 5L, 6L, 7L, 9L, 10L))
   }
+
+  test("quantileNormalize: hand-computed map, ties, identity, null drops, guard") {
+    import graft.operators.Relational
+    // A = {1,2,3,4}, B = {10,20}; global sorted {1,2,3,4,10,20}, N = 6.
+    // t = ceil(r·N/ns): A → ranks 1..4 of 4 → t = 2,3,5,6 → norms
+    // 2,3,10,20; B → ranks 1,2 of 2 → t = 3,6 → norms 3,20.
+    val df = (Seq(("A", 1), ("A", 2), ("A", 3), ("A", 4),
+      ("B", 10), ("B", 20)))
+      .toDF("src", "v")
+    val got = Relational.quantileNormalize(df, "src", "v", outCol = "nv")
+      .collect().map(r => (r.getString(0), r.getInt(1), r.getInt(2))).toSet
+    assert(got == Set(("A", 1, 2), ("A", 2, 3), ("A", 3, 10), ("A", 4, 20),
+      ("B", 10, 3), ("B", 20, 20)), s"map mismatch: $got")
+    // ties rank by their LAST occurrence: A = {5,5,7} → r(5)=2 of 3
+    // → t = ceil(2·3/3) = 2 (global {5,5,7}: 5 spans [1,2]) → 5
+    val tied = Seq(("A", 5), ("A", 5), ("A", 7)).toDF("src", "v")
+    val gotTied = Relational.quantileNormalize(tied, "src", "v", outCol = "nv")
+      .collect().map(r => (r.getInt(1), r.getInt(2))).toSet
+    assert(gotTied == Set((5, 5), (7, 7)), s"tie handling: $gotTied")
+    // a tiny rank bucket exercises multi-bucket spans, same answer
+    val gotB1 = Relational.quantileNormalize(df, "src", "v", outCol = "nv",
+      rankBucket = 1L)
+      .collect().map(r => (r.getString(0), r.getInt(1), r.getInt(2))).toSet
+    assert(gotB1 == got, "bucket size must not change the map")
+    // null source / score rows drop
+    val withNulls = df.unionByName(
+      Seq((null.asInstanceOf[String], 1), ("A", 99)).toDF("src", "v")
+        .withColumn("v", when(col("v") === 99, lit(null)).otherwise(col("v"))
+          .cast("int")))
+    assert(Relational.quantileNormalize(withNulls, "src", "v").count() == 6L)
+    // single source: the map is the identity (t lands on v's own range)
+    val solo = Seq.tabulate(20)(i => ("only", i % 7)).toDF("src", "v")
+    val idm = Relational.quantileNormalize(solo, "src", "v", outCol = "nv")
+      .filter(col("v") =!= col("nv")).count()
+    assert(idm == 0L, "single-source normalization must be the identity")
+    // past the exact-integer bound the plan fails loudly
+    val ex = intercept[Exception] {
+      Relational.quantileNormalize(df, "src", "v", overflowBound = 4.0)
+        .collect()
+    }
+    assert(ex.getMessage.contains("exact-integer bound") ||
+      Option(ex.getCause).exists(_.getMessage.contains("exact-integer bound")),
+      s"expected the overflow guard, got: $ex")
+  }
 }
