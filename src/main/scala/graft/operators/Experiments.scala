@@ -44,15 +44,19 @@ object Experiments {
       .groupBy(col("v")).agg(
         sum(when(col("g") === groupA, 1L).otherwise(0L)).as("ca"),
         sum(when(col("g") === groupB, 1L).otherwise(0L)).as("cb"))
-      .localCheckpoint() // feeds the window AND the totals
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(Relational.singlePartitionKey()).orderBy(col("v"))
-      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
-        org.apache.spark.sql.expressions.Window.currentRow)
-    val tot = pv.agg(sum(col("ca")).as("n_a"), sum(col("cb")).as("n_b"))
+    // cumulative counts AND both totals ride the one value-bounded
+    // sort (two frames of the same single-partition window) — no
+    // checkpoint, no separate totals aggregate, no cross join
+    import org.apache.spark.sql.expressions.Window
+    val key = Relational.singlePartitionKey()
+    val w = Window.partitionBy(key).orderBy(col("v"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wAll = Window.partitionBy(key)
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
     pv.withColumn("cuma", sum(col("ca")).over(w))
       .withColumn("cumb", sum(col("cb")).over(w))
-      .crossJoin(broadcast(tot))
+      .withColumn("n_a", sum(col("ca")).over(wAll))
+      .withColumn("n_b", sum(col("cb")).over(wAll))
       .groupBy(col("n_a"), col("n_b"))
       .agg(max(abs(col("cuma") * col("n_b") - col("cumb") * col("n_a")))
         .as("d_num"))

@@ -284,18 +284,21 @@ object Profiling {
     * [[equiDepthHistogramSketch]]. */
   def equiDepthHistogram(df: DataFrame, valueCol: Column,
                          buckets: Int): DataFrame = {
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(Relational.singlePartitionKey())
-      .orderBy(col("v"))
-      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
-        org.apache.spark.sql.expressions.Window.currentRow)
+    // both sums ride the ONE value-bounded sort: below as a cumulative
+    // frame, the total as an unbounded frame over the same partitioning
+    // — no checkpoint, no separate total aggregate, no join back
+    import org.apache.spark.sql.expressions.Window
+    val key = Relational.singlePartitionKey()
+    val w = Window.partitionBy(key).orderBy(col("v"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wAll = Window.partitionBy(key)
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
     val counts = df.select(valueCol.as("v"))
       .filter(col("v").isNotNull)
       .groupBy(col("v")).agg(count(lit(1)).as("cnt"))
-      .localCheckpoint() // feeds the window AND the total: one scan
-    val cum = counts.withColumn("below", sum(col("cnt")).over(w) - col("cnt"))
-    val n = counts.agg(sum(col("cnt")).as("n"))
-    cum.crossJoin(broadcast(n))
+    counts
+      .withColumn("below", sum(col("cnt")).over(w) - col("cnt"))
+      .withColumn("n", sum(col("cnt")).over(wAll))
       .withColumn("bucket",
         floor((col("below") * buckets).cast("double") / col("n")))
       .groupBy(col("bucket"))
@@ -327,14 +330,18 @@ object Profiling {
       .filter(col("v").isNotNull && col("w") > 0)
     val perValue = base.groupBy(col("grp"), col("v"))
       .agg(sum(col("w")).as("vw"))
-      .localCheckpoint() // feeds the window AND the per-group totals
-    val win = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("grp")).orderBy(col("v"))
-      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
-        org.apache.spark.sql.expressions.Window.currentRow)
-    val tot = perValue.groupBy(col("grp")).agg(sum(col("vw")).as("tw"))
+    // BOTH sums ride the one grp-partitioned sort: the running mass as
+    // a cumulative frame, the group total as an unbounded frame over
+    // the same window partitioning — no checkpoint, no totals join,
+    // no second pass (the former spelling materialized perValue and
+    // joined a separate per-group aggregate back).
+    import org.apache.spark.sql.expressions.Window
+    val win = Window.partitionBy(col("grp")).orderBy(col("v"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val winAll = Window.partitionBy(col("grp"))
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
     perValue.withColumn("cum", sum(col("vw")).over(win))
-      .join(tot, Seq("grp"))
+      .withColumn("tw", sum(col("vw")).over(winAll))
       .filter(col("cum") * 2 >= col("tw"))
       .groupBy(col("grp"), col("tw"))
       .agg(min(col("v")).as("w_median"))
@@ -367,19 +374,20 @@ object Profiling {
         floor(valueCol.cast("double") * 100 + lit(0.5)).cast("long").as("vc"))
       .filter(col("vc").isNotNull)
       .groupBy(col("grp"), col("vc")).agg(count(lit(1)).as("cnt"))
-      .localCheckpoint() // feeds the window AND the per-group totals
-    val win = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("grp")).orderBy(col("vc"))
-      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
-        org.apache.spark.sql.expressions.Window.currentRow)
-    val tot = perValue.groupBy(col("grp")).agg(sum(col("cnt")).as("n"))
+    // below and the group total ride ONE grp-partitioned sort (two
+    // frames of the same window) — no checkpoint, no totals join
+    import org.apache.spark.sql.expressions.Window
+    val win = Window.partitionBy(col("grp")).orderBy(col("vc"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val winAll = Window.partitionBy(col("grp"))
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
     val trim = floor(col("n").cast("double") * trimPct / 100.0).cast("long")
     val kept = greatest(lit(0L),
       least(col("below") + col("cnt"), col("n") - trim) -
         greatest(col("below"), trim))
     perValue
       .withColumn("below", sum(col("cnt")).over(win) - col("cnt"))
-      .join(tot, Seq("grp"))
+      .withColumn("n", sum(col("cnt")).over(winAll))
       .groupBy(col("grp"), col("n"))
       .agg(sum(col("vc") * kept).as("s"),
         sum(kept).as("n_kept"))
@@ -409,16 +417,16 @@ object Profiling {
       .filter(col("vc").isNotNull)
       .localCheckpoint() // feeds BOTH median phases
     def lowerMedian(in: DataFrame, out: String): DataFrame = {
+      // cum and the group total ride ONE grp-partitioned sort (two
+      // frames of the same window) — no checkpoint, no totals join
+      import org.apache.spark.sql.expressions.Window
       val pv = in.groupBy(col("grp"), col("vc")).agg(count(lit(1)).as("cnt"))
-        .localCheckpoint() // feeds the window AND the totals
-      val win = org.apache.spark.sql.expressions.Window
-        .partitionBy(col("grp")).orderBy(col("vc"))
-        .rowsBetween(
-          org.apache.spark.sql.expressions.Window.unboundedPreceding,
-          org.apache.spark.sql.expressions.Window.currentRow)
-      val tot = pv.groupBy(col("grp")).agg(sum(col("cnt")).as("n"))
+      val win = Window.partitionBy(col("grp")).orderBy(col("vc"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val winAll = Window.partitionBy(col("grp"))
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
       pv.withColumn("cum", sum(col("cnt")).over(win))
-        .join(tot, Seq("grp"))
+        .withColumn("n", sum(col("cnt")).over(winAll))
         .filter(col("cum") * 2 >= col("n"))
         .groupBy(col("grp"), col("n")).agg(min(col("vc")).as(out))
     }

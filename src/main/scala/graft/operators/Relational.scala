@@ -393,20 +393,25 @@ object Relational {
     * on the score, matching `percent_rank`'s null-excluding order). */
   def percentileRank(df: DataFrame, scoreCol: String,
                      outCol: String = "pct_rank"): DataFrame = {
-    // Checkpoint the V-row value table: the window AND the total-count
-    // aggregate both derive from it, so the corpus is scanned ONCE.
     // Null scores are excluded from BOTH the below-counts and n (they
     // already drop from the output via the inner join-back) — without
     // this filter a null group sorts first and inflates every rank.
+    // The V-row count table CHECKPOINTS (the broadcast side would
+    // otherwise re-derive it from a second corpus scan); below AND the
+    // total then ride its one value-bounded sort as two frames of the
+    // same single-partition window — no separate total aggregate, no
+    // cross join.
     val counts = df.filter(col(scoreCol).isNotNull)
       .groupBy(col(scoreCol)).agg(count(lit(1)).as("__c"))
       .localCheckpoint()
-    val vw = Window.partitionBy(singlePartitionKey()).orderBy(col(scoreCol))
+    val key = singlePartitionKey()
+    val vw = Window.partitionBy(key).orderBy(col(scoreCol))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val ranked = counts
+    val vAll = Window.partitionBy(key)
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    val withN = counts
       .withColumn("__below", sum(col("__c")).over(vw) - col("__c"))
-    val n = ranked.agg(sum(col("__c")).as("__n"))
-    val withN = ranked.crossJoin(broadcast(n))
+      .withColumn("__n", sum(col("__c")).over(vAll))
       .withColumn(outCol,
         col("__below").cast("double") / (col("__n") - 1).cast("double"))
       .select(col(scoreCol), col(outCol))
