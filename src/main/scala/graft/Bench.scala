@@ -53,8 +53,11 @@ object Bench {
     // apart so a stall window can't take two of them.
     // Dev-only subset filter (comma-separated name prefixes); the
     // driver never sets it, so the contract run times every query.
+    // an empty/blank filter means NO filter — Some(Seq()) would make
+    // forall/exists run zero queries and report a vacuous success
     val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
       .map(_.split(',').toSeq.filter(_.nonEmpty))
+      .filter(_.nonEmpty)
     val ordered = SparkEntry.queries.toSeq
       .filter { case (n, _) => only.forall(_.exists(n.startsWith)) }
     val samples = scala.collection.mutable.Map.empty[String, List[Double]]

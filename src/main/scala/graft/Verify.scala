@@ -8,9 +8,12 @@ object Verify {
     // optional 3rd arg: only run queries whose name starts with one of
     // the comma-separated prefixes (dev iteration; the driver always
     // passes exactly two)
+    // an empty/blank filter means NO filter — Some(Seq()) would dump
+    // zero queries and read as a vacuous success
     val (sfDir, outDir, only) = args match {
       case Array(a, b)    => (a, b, Option.empty[Seq[String]])
-      case Array(a, b, f) => (a, b, Some(f.split(',').toSeq.filter(_.nonEmpty)))
+      case Array(a, b, f) => (a, b,
+        Some(f.split(',').toSeq.filter(_.nonEmpty)).filter(_.nonEmpty))
     }
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = SparkSession.builder()

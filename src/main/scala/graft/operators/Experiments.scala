@@ -38,7 +38,7 @@ object Experiments {
     * Returns one row (n_a, n_b, d_num, ks). */
   def ksTest(df: DataFrame, groupCol: Column, valueCol: Column,
              groupA: String, groupB: String,
-             overflowBound: Double = 9.223372036854776e18): DataFrame = {
+             overflowBound: Double = Relational.ExactIntegerBound): DataFrame = {
     val pv = df.select(groupCol.as("g"), valueCol.as("v"))
       .filter(col("v").isNotNull && col("g").isin(groupA, groupB))
       .groupBy(col("v")).agg(

@@ -547,15 +547,21 @@ object Graph {
       .filter(col("lo") < col("hi"))
       .groupBy(col("lo"), col("hi"))
       .agg(count(lit(1)).as("cn"), sum(q30(lit(1.0) / col("dw"))).as("ra"))
-    scored
+    // TakeOrdered FIRST: the sort key (ra, cn, lo, hi) is complete
+    // before the degree joins, which are lossless (every endpoint is
+    // in deg) — so attach degrees and the Jaccard projection to the k
+    // survivors only, not the candidate-scale open-pair set.
+    val top = scored
       .join(canon, Seq("lo", "hi"), "left_anti") // keep OPEN pairs only
+      .orderBy(col("ra").desc, col("cn").desc, col("lo").asc, col("hi").asc)
+      .limit(k)
+    top
       .join(deg.select(col("id").as("lo"), col("deg").as("da")), Seq("lo"))
       .join(deg.select(col("id").as("hi"), col("deg").as("db")), Seq("hi"))
       .select(col("lo").as("a"), col("hi").as("b"), col("cn"), col("ra"),
         (col("cn").cast("double") /
           (col("da") + col("db") - col("cn")).cast("double")).as("jaccard"))
       .orderBy(col("ra").desc, col("cn").desc, col("a").asc, col("b").asc)
-      .limit(k)
   }
 
   /** Bounded-hop weighted shortest distances (synchronous

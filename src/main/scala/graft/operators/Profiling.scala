@@ -127,7 +127,14 @@ object Profiling {
           .as("v1"),
         min(when(col("lo") <= col("t2") && col("cum") >= col("t2"), col("v")))
           .as("v2"))
-      .select(col("grp"), ((col("v1") + col("v2")) / 2).as("med"))
+      // 0.5·v1 + 0.5·v2, not (v1+v2)/2: multiplication by 0.5 is
+      // exact, so the two forms round identically wherever v1+v2 is
+      // finite — but the sum form overflows to Infinity when the two
+      // middle values sum past DBL_MAX, where this form (and Spark's
+      // counts-map percentile, whose interpolation it mirrors) stays
+      // finite.
+      .select(col("grp"),
+        (col("v1") * lit(0.5) + col("v2") * lit(0.5)).as("med"))
   }
 
   /** Robust per-group outlier report — median/MAD instead of mean/σ,

@@ -14,6 +14,15 @@ import org.apache.spark.sql.functions._
   */
 object Relational {
 
+  /** The shared "exact Long arithmetic" ceiling for operators whose
+    * integer math must not wrap (ksTest's CDF-gap numerator,
+    * quantileNormalize's rank product). Sits ~7.5e13 BELOW 2⁶³ so a
+    * double-rounded product comparison can never miss the boundary by
+    * an ulp (ulp at this magnitude is 2048; the margin dwarfs it) —
+    * the domain given up is negligible and the loud-failure contract
+    * becomes airtight. Injectable per call for tests. */
+  private[graft] val ExactIntegerBound = 9.2233720368547e18
+
   /** Broadcast `df` only while Catalyst's size estimate stays under
     * `maxBytes`; past it, pin a shuffle-hash join so the planner can
     * never broadcast a frame that merely *usually* is small. The
@@ -451,7 +460,7 @@ object Relational {
   def quantileNormalize(df: DataFrame, sourceCol: String, scoreCol: String,
                         outCol: String = "norm_score",
                         rankBucket: Long = 4096L,
-                        overflowBound: Double = 9.223372036854776e18): DataFrame = {
+                        overflowBound: Double = ExactIntegerBound): DataFrame = {
     require(rankBucket >= 1)
     val pv = df.filter(col(scoreCol).isNotNull && col(sourceCol).isNotNull)
       .groupBy(col(sourceCol).as("__src"), col(scoreCol).as("__v"))
@@ -469,12 +478,15 @@ object Relational {
       .withColumn("__lo", col("__hi") - col("__gc") + 1)
       .localCheckpoint() // feeds the bucket spans AND the total
     val nTot = g.agg(max(col("__hi")).as("__n"))
+    // Guard (r+1)·N, not r·N: the computed numerator is r·N + ns − 1
+    // and ns ≤ N, so (r+1)·N bounds it from above — a guard on the
+    // bare product would pass while the +ns−1 tail wraps.
     val targets = ranked.crossJoin(broadcast(nTot))
       .withColumn("__t",
-        when(col("__r").cast("double") * col("__n").cast("double") >=
-          lit(overflowBound),
-          raise_error(lit("quantileNormalize: r*N exceeds the " +
-            "exact-integer bound 2^63 — pre-bin or sample first")))
+        when((col("__r").cast("double") + lit(1.0)) *
+          col("__n").cast("double") >= lit(overflowBound),
+          raise_error(lit("quantileNormalize: (r+1)*N exceeds the " +
+            "exact-integer bound — pre-bin or sample first")))
           .otherwise(expr("(__r * __n + __ns - 1) div __ns")))
     val spans = g.select(col("__v").as("__gv"), col("__lo"), col("__hi"),
       explode(sequence(expr(s"(__lo - 1) div ${rankBucket}"),

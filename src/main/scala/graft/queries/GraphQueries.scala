@@ -46,8 +46,12 @@ object GraphQueries {
     // multiset as the former distinct + self-join spelling, minus a
     // corpus reshuffle (the old li.distinct hash-partitioned on
     // (ok, pk), so the ok-keyed self-join repartitioned BOTH sides).
+    // null keys drop explicitly: the old self-join spelling (and the
+    // oracle's) never equi-joined a NULL orderkey, but groupBy would
+    // happily collect all null-key rows into one phantom basket
     tbl(s, d, "lineitem")
       .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+      .filter(col("ok").isNotNull && col("pk").isNotNull)
       .groupBy(col("ok")).agg(collect_set(col("pk")).as("ps"))
       .select(explode(col("ps")).as("a"), col("ps"))
       .select(col("a"), explode(col("ps")).as("b"))

@@ -108,6 +108,12 @@ object TableScanner {
         val keys = req.cursorColumns.zip(req.cursor).map { case (c, v) =>
           schema(c).dataType match {
             case _: StringType => ()
+            case _: ByteType | _: ShortType | _: IntegerType | _: LongType =>
+              // plain digits only: BigDecimal would also accept "1e5"
+              // or "1.5", which Spark's string→integral cast NULLs out
+              require(v.matches("""[+-]?\d+"""),
+                s"cursor value '$v' for integral column $c is unparseable " +
+                  "(it would compile to NULL and truncate the walk)")
             case _: NumericType =>
               require(scala.util.Try(BigDecimal(v)).isSuccess,
                 s"cursor value '$v' for numeric column $c is unparseable " +
@@ -116,7 +122,20 @@ object TableScanner {
               require(v.nonEmpty,
                 s"empty cursor value for non-string column $c has no keyset position")
           }
-          (col(c), typed(v, schema(c).dataType))
+          // runtime backstop for what driver-side parsing can't see
+          // (integral range overflow, garbage dates/timestamps): a
+          // cast that lands NULL raises instead of silently turning
+          // every strict conjunct NULL and truncating the walk. The
+          // when() over the foldable cast constant-folds to a plain
+          // literal on the valid path, so pushdown is unaffected.
+          val l = typed(v, schema(c).dataType)
+          val guarded = schema(c).dataType match {
+            case _: StringType => l
+            case dt => when(l.isNull, raise_error(lit(
+              s"cursor value '$v' does not parse as ${dt.sql} for column $c")))
+              .otherwise(l)
+          }
+          (col(c), guarded)
         }
         out = graft.operators.Relational.keysetPage(out, keys, lim)
       }

@@ -256,6 +256,40 @@ class TableScannerSpec extends SparkTestBase {
       TableScanner.scan(df, ScanRequest("t", limit = Some(30),
         cursorColumns = keys, cursor = Seq("abc", "5")))
     }
+    // exponent notation parses as BigDecimal but NULLs under Spark's
+    // string→integral cast — it must refuse eagerly too
+    intercept[IllegalArgumentException] {
+      TableScanner.scan(df, ScanRequest("t", limit = Some(30),
+        cursorColumns = keys, cursor = Seq("1e5", "5")))
+    }
+    // integral range overflow passes the digits regex; the in-plan
+    // backstop raises instead of truncating the walk
+    val big = intercept[Exception] {
+      TableScanner.scan(df, ScanRequest("t", limit = Some(30),
+        cursorColumns = keys,
+        cursor = Seq("99999999999999999999999", "5"))).collect()
+    }
+    def loud(e: Throwable): Boolean = {
+      val m = Option(e.getMessage).getOrElse("") +
+        Option(e.getCause).flatMap(c => Option(c.getMessage)).getOrElse("")
+      // either our backstop (non-ANSI sessions, where the cast would
+      // NULL out) or Spark's own ANSI cast error — both are loud
+      m.contains("does not parse") || m.contains("CAST_INVALID_INPUT")
+    }
+    assert(loud(big), s"expected a loud cast failure, got: $big")
+  }
+
+  test("cursor paging: a garbage temporal cursor raises, never truncates") {
+    val orders = graft.core.Lakehouse.table(spark, sfSmoke, "orders")
+    val keys = Seq("o_orderdate", "o_orderkey")
+    val ex = intercept[Exception] {
+      TableScanner.scan(orders, ScanRequest("orders", limit = Some(10),
+        cursorColumns = keys, cursor = Seq("not-a-date", "400"))).collect()
+    }
+    val m = Option(ex.getMessage).getOrElse("") +
+      Option(ex.getCause).flatMap(c => Option(c.getMessage)).getOrElse("")
+    assert(m.contains("does not parse") || m.contains("CAST_INVALID_INPUT"),
+      s"expected a loud cast failure, got: $ex")
   }
 
   test("cursor paging: an echoed empty-string key is re-submittable") {
