@@ -44,19 +44,20 @@ object Experiments {
       .groupBy(col("v")).agg(
         sum(when(col("g") === groupA, 1L).otherwise(0L)).as("ca"),
         sum(when(col("g") === groupB, 1L).otherwise(0L)).as("cb"))
-    // cumulative counts AND both totals ride the one value-bounded
-    // sort (two frames of the same single-partition window) — no
-    // checkpoint, no separate totals aggregate, no cross join
+    // NOT fused like the per-group distinct-value ops: this window is
+    // GLOBAL (single-partition), so a second unbounded-frame window
+    // would buffer V rows again serially in the one window task, while
+    // the checkpoint + 1-row cross join computes the totals in the
+    // PARALLEL aggregation — measured 0.9 vs 1.3 s at sf0.1.
+    val pvc = pv.localCheckpoint() // feeds the window AND the totals
     import org.apache.spark.sql.expressions.Window
-    val key = Relational.singlePartitionKey()
-    val w = Window.partitionBy(key).orderBy(col("v"))
+    val w = Window.partitionBy(Relational.singlePartitionKey())
+      .orderBy(col("v"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val wAll = Window.partitionBy(key)
-      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
-    pv.withColumn("cuma", sum(col("ca")).over(w))
+    val tot = pvc.agg(sum(col("ca")).as("n_a"), sum(col("cb")).as("n_b"))
+    pvc.withColumn("cuma", sum(col("ca")).over(w))
       .withColumn("cumb", sum(col("cb")).over(w))
-      .withColumn("n_a", sum(col("ca")).over(wAll))
-      .withColumn("n_b", sum(col("cb")).over(wAll))
+      .crossJoin(broadcast(tot))
       .groupBy(col("n_a"), col("n_b"))
       .agg(max(abs(col("cuma") * col("n_b") - col("cumb") * col("n_a")))
         .as("d_num"))

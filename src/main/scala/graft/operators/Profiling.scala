@@ -291,21 +291,23 @@ object Profiling {
     * [[equiDepthHistogramSketch]]. */
   def equiDepthHistogram(df: DataFrame, valueCol: Column,
                          buckets: Int): DataFrame = {
-    // both sums ride the ONE value-bounded sort: below as a cumulative
-    // frame, the total as an unbounded frame over the same partitioning
-    // — no checkpoint, no separate total aggregate, no join back
+    // NOT fused like the per-group ops: this window is GLOBAL
+    // (single-partition), so an unbounded-frame total would re-buffer
+    // all V rows serially inside the one window task — the checkpoint
+    // computes the total in the parallel aggregation instead (same
+    // trade measured on ksTest: 0.9 vs 1.3 s at sf0.1).
     import org.apache.spark.sql.expressions.Window
-    val key = Relational.singlePartitionKey()
-    val w = Window.partitionBy(key).orderBy(col("v"))
+    val w = Window.partitionBy(Relational.singlePartitionKey())
+      .orderBy(col("v"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val wAll = Window.partitionBy(key)
-      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
     val counts = df.select(valueCol.as("v"))
       .filter(col("v").isNotNull)
       .groupBy(col("v")).agg(count(lit(1)).as("cnt"))
+      .localCheckpoint() // feeds the window AND the total: one scan
+    val n = counts.agg(sum(col("cnt")).as("n"))
     counts
       .withColumn("below", sum(col("cnt")).over(w) - col("cnt"))
-      .withColumn("n", sum(col("cnt")).over(wAll))
+      .crossJoin(broadcast(n))
       .withColumn("bucket",
         floor((col("below") * buckets).cast("double") / col("n")))
       .groupBy(col("bucket"))

@@ -406,21 +406,19 @@ object Relational {
     // already drop from the output via the inner join-back) — without
     // this filter a null group sorts first and inflates every rank.
     // The V-row count table CHECKPOINTS (the broadcast side would
-    // otherwise re-derive it from a second corpus scan); below AND the
-    // total then ride its one value-bounded sort as two frames of the
-    // same single-partition window — no separate total aggregate, no
-    // cross join.
+    // otherwise re-derive it from a second corpus scan; the total also
+    // reads it in the parallel aggregation — an unbounded-frame window
+    // total would re-buffer all V rows serially inside the one GLOBAL
+    // window task, the trade measured on ksTest).
     val counts = df.filter(col(scoreCol).isNotNull)
       .groupBy(col(scoreCol)).agg(count(lit(1)).as("__c"))
       .localCheckpoint()
-    val key = singlePartitionKey()
-    val vw = Window.partitionBy(key).orderBy(col(scoreCol))
+    val vw = Window.partitionBy(singlePartitionKey()).orderBy(col(scoreCol))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val vAll = Window.partitionBy(key)
-      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    val n = counts.agg(sum(col("__c")).as("__n"))
     val withN = counts
       .withColumn("__below", sum(col("__c")).over(vw) - col("__c"))
-      .withColumn("__n", sum(col("__c")).over(vAll))
+      .crossJoin(broadcast(n))
       .withColumn(outCol,
         col("__below").cast("double") / (col("__n") - 1).cast("double"))
       .select(col(scoreCol), col(outCol))
