@@ -782,4 +782,94 @@ class PropertySpec extends SparkTestBase {
           s"${got.diff(expected)} / ${expected.diff(got)}")
     }
   }
+
+  test("linkPrediction == brute-force CN/RA/Jaccard on random graphs") {
+    import graft.operators.Graph
+    val edgeGen: Gen[(Long, Long)] = for {
+      a <- Gen.choose(0L, 14L); b <- Gen.choose(0L, 14L)
+    } yield (a, b)
+    val Q = 1073741824.0
+    def q30(x: Double) = math.floor(x * Q + 0.5) / Q
+    for (g <- 0 until 3; cap <- Seq(10000L, 4L)) {
+      val raw = sample(edgeGen, 35 + 9 * g)
+      val canon = raw.collect { case (a, b) if a != b =>
+        (math.min(a, b), math.max(a, b)) }.toSet
+      val adj = (canon ++ canon.map(_.swap))
+        .groupBy(_._1).map { case (k, es) => k -> es.map(_._2) }
+      val deg = adj.map { case (k, ns) => k -> ns.size.toLong }
+      // brute force: score every non-adjacent pair through capped
+      // centers, exactly the operator's contract
+      val expected = (for {
+        (w, ns) <- adj.toSeq if deg(w) <= cap
+        a <- ns; b <- ns if a < b && !canon((a, b))
+      } yield ((a, b), w))
+        .groupBy(_._1).map { case ((a, b), ws) =>
+          val cn = ws.size.toLong
+          val ra = ws.map(x => q30(1.0 / deg(x._2))).sum
+          (a, b, cn, ra,
+            cn.toDouble / (deg(a) + deg(b) - cn).toDouble)
+        }.toSet
+      val got = Graph.linkPrediction(raw.toDF("a", "b"), "a", "b",
+          k = 1000, maxCenterDeg = cap)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+          r.getDouble(3), r.getDouble(4))).toSet
+      assert(got == expected,
+        s"linkpred mismatch g=$g cap=$cap: " +
+          s"${got.diff(expected)} / ${expected.diff(got)}")
+    }
+  }
+
+  test("weightedSssp == brute-force hop-bounded min-plus on random graphs") {
+    import graft.operators.Graph
+    val edgeGen: Gen[(Long, Long, Long)] = for {
+      a <- Gen.choose(0L, 11L); b <- Gen.choose(0L, 11L)
+      w <- Gen.choose(0L, 9L)
+    } yield (a, b, w)
+    for (g <- 0 until 3; rounds <- Seq(1, 3, 8)) {
+      val raw = sample(edgeGen, 30 + 7 * g)
+      // operator contract: parallel edges collapse to min cost
+      val e = raw.groupBy(t => (t._1, t._2))
+        .map { case ((a, b), es) => (a, b, es.map(_._3).min) }.toSeq
+      val nodes = e.flatMap(t => Seq(t._1, t._2)).toSet
+      val seeds = Seq(0L, 5L).filter(nodes)
+      // brute force: r rounds of synchronous relaxation
+      var dist = seeds.map(_ -> 0L).toMap
+      for (_ <- 1 to rounds) {
+        val relaxed = e.flatMap { case (a, b, w) =>
+          dist.get(a).map(d => b -> (d + w)) }
+        dist = (dist.toSeq ++ relaxed).groupBy(_._1)
+          .map { case (k, ds) => k -> ds.map(_._2).min }
+      }
+      val got = Graph.weightedSssp(raw.toDF("src", "dst", "w"),
+          "src", "dst", "w", Seq(0L, 5L).toDF("seed"), "seed", rounds)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(got == dist,
+        s"sssp mismatch g=$g rounds=$rounds: $got vs $dist")
+    }
+  }
+
+  test("quantileNormalize == brute-force rank mapping on random scores") {
+    import graft.operators.Relational
+    val rowGen: Gen[(String, Long)] = for {
+      s <- Gen.oneOf("s1", "s2", "s3"); v <- Gen.choose(0L, 19L)
+    } yield (s, v)
+    for (g <- 0 until 3) {
+      val rows = sample(rowGen, 60 + 13 * g)
+      val all = rows.map(_._2).sorted
+      val nTot = all.size.toLong
+      def globalAtRank(t: Long): Long = all((t - 1).toInt)
+      val expected = rows.map { case (s, v) =>
+        val src = rows.filter(_._1 == s).map(_._2)
+        val r = src.count(_ <= v).toLong
+        val t = (r * nTot + src.size - 1) / src.size
+        (s, v, globalAtRank(t))
+      }
+      val got = Relational.quantileNormalize(rows.toDF("src", "v"),
+          "src", "v", outCol = "nv")
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+        .toSeq
+      assert(got.sorted == expected.sorted,
+        s"qnorm mismatch g=$g: ${got.diff(expected)} / ${expected.diff(got)}")
+    }
+  }
 }
