@@ -66,7 +66,7 @@ object Experiments {
           lit(overflowBound),
           raise_error(concat(lit("ksTest: n_a*n_b = "),
             col("n_a"), lit("*"), col("n_b"),
-            lit(" exceeds the exact-integer bound 2^63 — the Long "),
+            lit(" exceeds the exact-integer bound — the Long "),
             lit("numerator would wrap; sample or pre-bin first"))))
           .otherwise(col("d_num").cast("double") /
             (col("n_a").cast("double") * col("n_b").cast("double")))

@@ -127,12 +127,15 @@ object Profiling {
           .as("v1"),
         min(when(col("lo") <= col("t2") && col("cum") >= col("t2"), col("v")))
           .as("v2"))
-      // 0.5·v1 + 0.5·v2, not (v1+v2)/2: multiplication by 0.5 is
-      // exact, so the two forms round identically wherever v1+v2 is
-      // finite — but the sum form overflows to Infinity when the two
-      // middle values sum past DBL_MAX, where this form (and Spark's
-      // counts-map percentile, whose interpolation it mirrors) stays
-      // finite.
+      // 0.5·v1 + 0.5·v2, not (v1+v2)/2: for NORMAL doubles the 0.5
+      // products are exact, so the two forms round identically — but
+      // the sum form overflows to Infinity when the two middle values
+      // sum past DBL_MAX, where this form stays finite. The trade-off
+      // lives at the other extreme: a SUBNORMAL middle value (<2⁻¹⁰²²)
+      // makes 0.5·v inexact, where the sum form would not be — medians
+      // of subnormal-valued columns sit far outside any gated domain,
+      // and the overflow end is the one a real (huge-magnitude score)
+      // column could plausibly touch.
       .select(col("grp"),
         (col("v1") * lit(0.5) + col("v2") * lit(0.5)).as("med"))
   }
@@ -308,8 +311,15 @@ object Profiling {
     counts
       .withColumn("below", sum(col("cnt")).over(w) - col("cnt"))
       .crossJoin(broadcast(n))
+      // pure integer floor-div: no double rounding at any n (the old
+      // (below·B)::DOUBLE/n spelling could shift a boundary past 2^53)
+      // and a loud guard where below·B itself would wrap
       .withColumn("bucket",
-        floor((col("below") * buckets).cast("double") / col("n")))
+        when(col("n").cast("double") * buckets >=
+          lit(Relational.ExactIntegerBound),
+          raise_error(lit("equiDepthHistogram: n*buckets exceeds the " +
+            "exact-integer bound — fewer buckets or pre-bin")))
+          .otherwise(expr(s"(below * $buckets) div n")))
       .groupBy(col("bucket"))
       .agg(sum(col("cnt")).as("n_rows"),
         min(col("v")).as("lo"), max(col("v")).as("hi"))

@@ -16,12 +16,13 @@ object Relational {
 
   /** The shared "exact Long arithmetic" ceiling for operators whose
     * integer math must not wrap (ksTest's CDF-gap numerator,
-    * quantileNormalize's rank product). Sits ~7.5e13 BELOW 2⁶³ so a
-    * double-rounded product comparison can never miss the boundary by
-    * an ulp (ulp at this magnitude is 2048; the margin dwarfs it) —
-    * the domain given up is negligible and the loud-failure contract
-    * becomes airtight. Injectable per call for tests. */
-  private[graft] val ExactIntegerBound = 9.2233720368547e18
+    * quantileNormalize's rank product, equiDepthHistogram's bucket
+    * product). Sits ~7.7e14 BELOW 2⁶³ = 9.2233720368547758e18, so a
+    * double-rounded product comparison (worst-case error a few
+    * thousand at this magnitude) can never miss the boundary — the
+    * domain given up is negligible and the loud-failure contract is
+    * airtight with ~10¹¹× headroom. Injectable per call for tests. */
+  private[graft] val ExactIntegerBound = 9.2226e18
 
   /** Broadcast `df` only while Catalyst's size estimate stays under
     * `maxBytes`; past it, pin a shuffle-hash join so the planner can

@@ -447,7 +447,7 @@ object AnalyticsQueries {
            FROM c),
          nn AS (SELECT count(*)::BIGINT AS n FROM documents
                 WHERE n_chars IS NOT NULL)
-         SELECT CAST(floor((below * 8)::DOUBLE / n) AS BIGINT) AS bucket,
+         SELECT ((below * 8) // n)::BIGINT AS bucket,
            sum(cnt)::BIGINT AS n_rows, min(v) AS lo, max(v) AS hi
          FROM cum CROSS JOIN nn GROUP BY 1""",
 

@@ -5,6 +5,16 @@ import graft.serve._
 class TableScannerSpec extends SparkTestBase {
   import spark.implicits._
 
+  /** Either our in-plan backstop ("does not parse" — non-ANSI
+    * sessions, where the cast would NULL out) or Spark's own ANSI
+    * cast error — both are the loud refusal the cursor contract
+    * promises. Walks the full cause chain. */
+  private def loudCastFailure(e: Throwable): Boolean =
+    Iterator.iterate(e)(_.getCause).takeWhile(_ != null).take(8).exists { t =>
+      val m = Option(t.getMessage).getOrElse("")
+      m.contains("does not parse") || m.contains("CAST_INVALID_INPUT")
+    }
+
   lazy val df = Seq(
     (1L, "alpha", 10.0), (2L, "beta", 20.0), (3L, "gamma", 30.0), (4L, null, 40.0))
     .toDF("id", "name", "score")
@@ -269,14 +279,7 @@ class TableScannerSpec extends SparkTestBase {
         cursorColumns = keys,
         cursor = Seq("99999999999999999999999", "5"))).collect()
     }
-    def loud(e: Throwable): Boolean = {
-      val m = Option(e.getMessage).getOrElse("") +
-        Option(e.getCause).flatMap(c => Option(c.getMessage)).getOrElse("")
-      // either our backstop (non-ANSI sessions, where the cast would
-      // NULL out) or Spark's own ANSI cast error — both are loud
-      m.contains("does not parse") || m.contains("CAST_INVALID_INPUT")
-    }
-    assert(loud(big), s"expected a loud cast failure, got: $big")
+    assert(loudCastFailure(big), s"expected a loud cast failure, got: $big")
   }
 
   test("cursor paging: a garbage temporal cursor raises, never truncates") {
@@ -286,10 +289,7 @@ class TableScannerSpec extends SparkTestBase {
       TableScanner.scan(orders, ScanRequest("orders", limit = Some(10),
         cursorColumns = keys, cursor = Seq("not-a-date", "400"))).collect()
     }
-    val m = Option(ex.getMessage).getOrElse("") +
-      Option(ex.getCause).flatMap(c => Option(c.getMessage)).getOrElse("")
-    assert(m.contains("does not parse") || m.contains("CAST_INVALID_INPUT"),
-      s"expected a loud cast failure, got: $ex")
+    assert(loudCastFailure(ex), s"expected a loud cast failure, got: $ex")
   }
 
   test("cursor paging: an echoed empty-string key is re-submittable") {
