@@ -48,17 +48,28 @@ object Association {
                 minSupport: Long, k: Int,
                 maxBasketItems: Int = 256): DataFrame = {
     require(minSupport >= 1 && k >= 1 && maxBasketItems >= 2)
-    // ONE corpus exchange: collect_set dedups (basket, item) AND
-    // assembles the basket in the same shuffle; the mega-basket guard
-    // is then a per-row size filter (corpus restriction FIRST, so
-    // pair_n, item supports, and N share one basket universe and
-    // confidence/lift are exact for the guarded corpus). Everything
-    // downstream works on the basket-count-sized array frame.
-    val sized = baskets
+    // Guard BEFORE assembling arrays: dedup (basket, item) — per-group
+    // state is the pair key itself, bounded — then a groupBy-count
+    // whose aggregation buffer is one long per basket, and only
+    // baskets passing the size guard (semi join) reach collect_set.
+    // A degenerate mega-basket (half the catalog in one basket — the
+    // exact case the guard exists for) is dropped by its COUNT and
+    // never materializes as a single-buffer array. Every downstream
+    // statistic — pair counts, item supports, N — is computed over
+    // this same guarded basket universe, so confidence/lift are exact
+    // for the guarded corpus.
+    val dedup = baskets
       .select(col(basketCol).as("bk"), col(itemCol).as("it"))
       .filter(col("bk").isNotNull && col("it").isNotNull)
+      .distinct()
+      .localCheckpoint() // feeds the count guard AND the assembly
+    val okBaskets = dedup.groupBy(col("bk"))
+      .agg(count(lit(1)).as("bn"))
+      .filter(col("bn") <= maxBasketItems)
+      .select(col("bk"))
+    val sized = dedup
+      .join(okBaskets, Seq("bk"), "left_semi")
       .groupBy(col("bk")).agg(collect_set(col("it")).as("items"))
-      .filter(size(col("items")) <= maxBasketItems)
       .localCheckpoint() // feeds N, item supports, prune, pair gen
     val nB = sized.agg(count(lit(1)).as("n_baskets"))
     // item supports = basket counts (items is a set per basket);

@@ -354,11 +354,14 @@ object Graph {
   }
 
   /** Node-count ceiling for broadcasting a node-sized frame into an
-    * edge-sized join (4M long ids ≈ 32 MB serialized — comfortably
-    * under executor broadcast budgets). Below it, the per-round joins
-    * of the iterative operators run broadcast-side (the edge table is
-    * never shuffled); above it they fall back to shuffle joins — the
-    * 100-TB shape, where a node frame is itself distributed. */
+    * edge-sized join. Budgeted for the WIDEST frame it gates: label
+    * propagation ships two-column (id, lab) frames, so the worst case
+    * is 4M × 2 longs ≈ 64 MB serialized plus row overhead — still a
+    * small fraction of executor broadcast budgets (a single-column id
+    * frame is half that). Below it, the per-round joins of the
+    * iterative operators run broadcast-side (the edge table is never
+    * shuffled); above it they fall back to shuffle joins — the 100-TB
+    * shape, where a node frame is itself distributed. */
   private[graft] val BroadcastNodeLimit = 4000000L
 
   /** One synchronous [[kCore]] peel. The cheap, common case peels by
@@ -502,12 +505,16 @@ object Graph {
   }
 
   /** Neighborhood link prediction over an undirected graph: for the
-    * top-`k` NON-adjacent node pairs, the common-neighbor count, the
-    * Resource-Allocation index (Zhou/Lü/Zhang 2009: Σ over common
-    * neighbors w of 1/deg(w) — Adamic–Adar's log replaced by the
-    * plain reciprocal, which both outperforms it in the paper's
-    * benchmarks and keeps the score libm-free), and the neighborhood
-    * Jaccard cn/(deg_a + deg_b − cn). The "which sources co-occur
+    * top-`k` NON-adjacent node pairs, the CAPPED-CENTER
+    * common-neighbor count `cn` (common neighbors whose own degree is
+    * ≤ `maxCenterDeg` — hub centers are excluded everywhere, see the
+    * scale paragraph), the Resource-Allocation index over the same
+    * capped centers (Zhou/Lü/Zhang 2009: Σ over common neighbors w of
+    * 1/deg(w) — Adamic–Adar's log replaced by the plain reciprocal,
+    * which both outperforms it in the paper's benchmarks and keeps
+    * the score libm-free), and the neighborhood Jaccard
+    * cn/(deg_a + deg_b − cn) — capped cn over UNCAPPED endpoint
+    * degrees, so pairs adjacent to hubs score conservatively low. The "which sources co-occur
     * with my trusted sources but aren't linked yet" crawl-frontier
     * expansion signal, and the graph sibling of the dedup tier's
     * candidate generation.
@@ -528,7 +535,8 @@ object Graph {
     * term quantizes to the 2⁻³⁰ grid so the RA sum is exact and
     * order-independent; Jaccard is one fixed-shape IEEE division.
     * Ordering (ra desc, cn desc, a, b) is unique per pair — ties
-    * break on the pair itself. Returns (a, b, cn, ra, jaccard). */
+    * break on the pair itself. Returns (a, b, cn, ra, jaccard) with
+    * cn/ra/jaccard all on the capped-center contract above. */
   def linkPrediction(edges: DataFrame, aCol: String, bCol: String,
                      k: Int, maxCenterDeg: Long = 10000L): DataFrame = {
     require(k >= 1 && maxCenterDeg >= 2)

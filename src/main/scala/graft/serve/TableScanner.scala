@@ -114,6 +114,14 @@ object TableScanner {
               require(v.matches("""[+-]?\d+"""),
                 s"cursor value '$v' for integral column $c is unparseable " +
                   "(it would compile to NULL and truncate the walk)")
+            case _: FloatType | _: DoubleType =>
+              // a page can legally end on NaN/Infinity (Spark orders
+              // NaN above every other double), and Spark's string→
+              // double cast parses those special literals — so no
+              // driver-side parse here; the in-plan null-cast backstop
+              // below still refuses genuinely unparseable values, and
+              // every echoed cursor stays re-submittable.
+              ()
             case _: NumericType =>
               require(scala.util.Try(BigDecimal(v)).isSuccess,
                 s"cursor value '$v' for numeric column $c is unparseable " +
@@ -294,11 +302,19 @@ object TableScanner {
 /** Quick-filter text sugar (reference: filter-parser-HXU3E1Qm.js):
   * `null` / `not null` / `!null`; comparator prefixes `<= >= != < > =`
   * on numeric columns; `a,b,c` → in; `!a,b` → not_in;
-  * `between X and Y` / `X..Y` → between; bare text → ilike contains.
+  * `between X and Y` / `X..Y` / `X-Y` → between (the dash form only on
+  * numeric/temporal columns — a hyphen in free text stays an ilike
+  * substring); bare text → ilike contains.
   */
 object FilterParser {
   private val Between = "(?i)^between\\s+(\\S+)\\s+and\\s+(\\S+)$".r
   private val Range   = "^(-?[\\d.]+)\\.\\.(-?[\\d.]+)$".r
+  // dash range: each bound is a number whose OWN leading minus binds to
+  // it, so `-5-5` parses as between(-5, 5) — the separator dash is the
+  // first dash that isn't a bound's sign (the reference's \S+ greedy
+  // backtrack lands on the same split). Date literals (`2024-01-02`)
+  // cannot match: the second bound would have to contain a dash.
+  private val DashRange = "^(-?[\\d.]+)\\s*-\\s*(-?[\\d.]+)$".r
   private val Cmp     = "^(<=|>=|!=|<|>|=)\\s*(.+)$".r
 
   def parse(schema: StructType, column: String, text: String): ColumnFilter = {
@@ -318,6 +334,8 @@ object FilterParser {
     t match {
       case Between(lo, hi) => ColumnFilter(column, "between", Some(lo), Nil, Some(hi))
       case Range(lo, hi)   => ColumnFilter(column, "between", Some(lo), Nil, Some(hi))
+      case DashRange(lo, hi) if numeric =>
+        ColumnFilter(column, "between", Some(lo), Nil, Some(hi))
       case Cmp(op, v) if numeric =>
         val name = op match {
           case "<=" => "lte"; case ">=" => "gte"; case "!=" => "ne"

@@ -48,6 +48,28 @@ class TableScannerSpec extends SparkTestBase {
       ColumnFilter("name", "ilike", Some("%alp%")))
   }
 
+  test("quick-filter X-Y dash range (numeric only, signs bind to bounds)") {
+    val schema = df.schema
+    assert(FilterParser.parse(schema, "score", "10-50") ===
+      ColumnFilter("score", "between", Some("10"), Nil, Some("50")))
+    // each bound's own leading minus binds to it: -5-5 = between(-5, 5)
+    assert(FilterParser.parse(schema, "score", "-5-5") ===
+      ColumnFilter("score", "between", Some("-5"), Nil, Some("5")))
+    assert(FilterParser.parse(schema, "score", "2.5 - 7.5") ===
+      ColumnFilter("score", "between", Some("2.5"), Nil, Some("7.5")))
+    // a hyphen in free text stays an ilike substring, not a range
+    assert(FilterParser.parse(schema, "name", "foo-bar") ===
+      ColumnFilter("name", "ilike", Some("%foo-bar%")))
+    // a lone negative number is an eq, not a half-open range
+    assert(FilterParser.parse(schema, "score", "-5") ===
+      ColumnFilter("score", "eq", Some("-5")))
+    // the range filters rows end-to-end
+    val ids = TableScanner.scan(df, ScanRequest("t",
+      colFilter = Map("score" -> "15-35")))
+      .select("id").as[Long].collect().toSet
+    assert(ids === Set(2L, 3L))
+  }
+
   test("pagination + sort + total_count") {
     val page = TableScanner.scan(df, ScanRequest("t",
       sortColumn = Some("score"), sortOrder = "DESC", limit = Some(2), offset = Some(1)))
@@ -309,6 +331,37 @@ class TableScannerSpec extends SparkTestBase {
       cursorColumns = keys, cursor = echoed)).collect()
     assert(p2.map(_.getAs[Long]("id")).toSeq == Seq(3L, 4L, 5L),
       "walk stalled on an echoed empty-string cursor")
+  }
+
+  test("cursor paging: echoed NaN/Infinity double keys are re-submittable") {
+    import spark.implicits._
+    // Spark orders NaN above every other double and Infinity just
+    // below it, so a page can legally end on either; the echoed
+    // special literal must re-submit (Spark's string→double cast
+    // parses it) instead of failing a driver-side BigDecimal parse
+    val df = Seq((1.0, 1L), (2.0, 2L), (Double.PositiveInfinity, 3L),
+      (Double.NaN, 4L), (Double.NaN, 5L)).toDF("v", "id")
+    val keys = Seq("v", "id")
+    var cursor = Seq.empty[String]
+    var walked = Seq.empty[Long]
+    var page = 0
+    while (page == 0 || cursor.nonEmpty) {
+      val rows = TableScanner.scan(df, ScanRequest("t", limit = Some(2),
+        cursorColumns = keys, cursor = cursor)).collect()
+      walked ++= rows.map(_.getAs[Long]("id"))
+      cursor =
+        if (rows.length < 2) Seq.empty
+        else keys.map(k => rows.last.getAs[Any](k).toString)
+      page += 1
+    }
+    assert(walked == Seq(1L, 2L, 3L, 4L, 5L),
+      s"NaN/Infinity keyset walk diverged: $walked")
+    // garbage still refuses loudly via the in-plan backstop
+    val ex = intercept[Exception] {
+      TableScanner.scan(df, ScanRequest("t", limit = Some(2),
+        cursorColumns = keys, cursor = Seq("not-a-double", "1"))).collect()
+    }
+    assert(loudCastFailure(ex), s"expected a loud cast failure, got: $ex")
   }
 
   test("cursor paging composes with the response cache clamp") {
