@@ -1107,11 +1107,115 @@ object ScaleProbe {
     println(f"""{"probe":"linkpred10 capped top-1000 (10M+hub edges)","rows":$n,"sec":${(System.nanoTime() - t0) / 1e9}%.2f,"max_task_sec":${MaxTask.max.get() / 1000.0}%.2f}""")
   }
 
+  /** `runMain graft.ScaleProbe lpa11` — phase decomposition of the
+    * graph_lpa bench query at sf0.1: setup (edge build) vs per-round
+    * cost, to aim the per-round-overhead work. */
+  private def lpa11(spark: SparkSession): Unit = {
+    import org.apache.spark.sql.DataFrame
+    val d = "/root/testdata/sf0.1"
+    def t[A](label: String)(f: => A): A = {
+      val t0 = System.nanoTime(); val r = f
+      println(f"""{"probe":"lpa11 $label","sec":${(System.nanoTime() - t0) / 1e9}%.2f}""")
+      r
+    }
+    def tbl(n: String): DataFrame = spark.read.parquet(s"$d/$n.parquet")
+    for (rep <- 1 to 2) {
+      val pairs = t(s"r$rep pairs build+ckpt") {
+        tbl("orders").select(col("o_orderkey"), col("o_custkey"))
+          .join(tbl("lineitem").select(col("l_orderkey"), col("l_suppkey")),
+            col("o_orderkey") === col("l_orderkey"))
+          .select(col("o_custkey").as("cust"),
+            (col("l_suppkey") + 1000000L).as("supp"))
+          .distinct().localCheckpoint()
+      }
+      val e0 = pairs.select(col("cust").as("src"), col("supp").as("dst"))
+        .unionByName(pairs.select(col("supp").as("src"), col("cust").as("dst")))
+      val e = t(s"r$rep lpa distinct+ckpt") {
+        e0.select(col("src"), col("dst")).distinct().localCheckpoint()
+      }
+      println(s"""{"probe":"lpa11 edges","rows":${e.count()}}""")
+      var labels = t(s"r$rep labels init") {
+        val nodes = e.select(col("src").as("id"))
+          .union(e.select(col("dst").as("id"))).distinct()
+        nodes.select(col("id"), col("id").as("lab")).localCheckpoint()
+      }
+      t(s"r$rep smallNodes count")(labels.count())
+      for (it <- 1 to 3) {
+        labels = t(s"r$rep round $it") {
+          val counts = e
+            .join(org.apache.spark.sql.functions.broadcast(
+              labels.select(col("id").as("src"), col("lab"))), Seq("src"))
+            .groupBy(col("dst").as("id"), col("lab"))
+            .agg(count(lit(1)).as("n"))
+          val winning = counts.groupBy(col("id"))
+            .agg(min(struct((-col("n")).as("nn"), col("lab").as("lab"))).as("m"))
+            .select(col("id"), col("m.lab").as("__new"))
+          labels.join(org.apache.spark.sql.functions.broadcast(winning),
+              Seq("id"), "left")
+            .select(col("id"), coalesce(col("__new"), col("lab")).as("lab"))
+            .localCheckpoint()
+        }
+      }
+      t(s"r$rep final scan")(labels.queryExecution.toRdd.count())
+    }
+  }
+
+  /** `runMain graft.ScaleProbe sparse11` — phase decomposition of
+    * sparse_cosine_pairs at sf0.1. */
+  private def sparse11(spark: SparkSession): Unit = {
+    import org.apache.spark.sql.DataFrame
+    val docs = spark.read.parquet("/root/testdata/sf0.1/documents.parquet")
+    def t[A](label: String)(f: => A): A = {
+      val t0 = System.nanoTime(); val r = f
+      println(f"""{"probe":"sparse11 $label","sec":${(System.nanoTime() - t0) / 1e9}%.2f}""")
+      r
+    }
+    val n = 5
+    for (rep <- 1 to 2) {
+      val grams = graft.operators.Relational.computeRebalance(docs).select(col("doc_id"),
+        explode_outer(org.apache.spark.sql.functions.transform(
+          sequence(lit(1), greatest(length(col("text")) - (n - 1), lit(1))),
+          i => col("text").substr(i, lit(n)))).as("term"))
+      val tf = t(s"r$rep tf ckpt") {
+        grams.groupBy(col("doc_id"), col("term"))
+          .agg(count(lit(1)).as("tf")).localCheckpoint()
+      }
+      println(s"""{"probe":"sparse11 tf rows","rows":${tf.count()}}""")
+      val dfreq = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+      val nDocs = tf.select(countDistinct(col("doc_id")).as("n_docs"))
+      val idf = dfreq.crossJoin(org.apache.spark.sql.functions.broadcast(nDocs))
+        .filter(col("df") <= col("n_docs").cast("double") * 0.02)
+        .select(col("term"),
+          (log((col("n_docs") + 1).cast("double") / (col("df") + 1)) + 1).as("idf"))
+      val wts = t(s"r$rep wts ckpt") {
+        tf.join(idf.hint("shuffle_hash"), Seq("term"))
+          .select(col("doc_id"), col("term"),
+            (floor(col("tf") * col("idf") * 1024 + lit(0.5)) / 1024).as("w"))
+          .localCheckpoint()
+      }
+      println(s"""{"probe":"sparse11 wts rows","rows":${wts.count()}}""")
+      val norms = wts.groupBy(col("doc_id")).agg(sqrt(sum(col("w") * col("w"))).as("nrm"))
+      val a = wts.select(col("term"), col("doc_id").as("id_a"), col("w").as("wa"))
+      val b = wts.select(col("term"), col("doc_id").as("id_b"), col("w").as("wb"))
+      val dots = a.join(b, Seq("term")).filter(col("id_a") < col("id_b"))
+        .groupBy(col("id_a"), col("id_b")).agg(sum(col("wa") * col("wb")).as("dot"))
+      t(s"r$rep dots only") {
+        dots.queryExecution.toRdd.count()
+      }
+      val out = dots
+        .join(norms.select(col("doc_id").as("id_a"), col("nrm").as("na")), Seq("id_a"))
+        .join(norms.select(col("doc_id").as("id_b"), col("nrm").as("nb")), Seq("id_b"))
+        .withColumn("cosine", col("dot") / (col("na") * col("nb")))
+        .filter(col("cosine") >= 0.6)
+      t(s"r$rep full tail")(out.queryExecution.toRdd.count())
+    }
+  }
+
   def main(args: Array[String]): Unit = {
     if (args.headOption.exists(Set("quota7", "pipe7", "freq7", "serve8",
         "outlier8", "budget8", "ids8", "aqe8", "rtfilter8", "prefix8",
         "sparse9", "interop9", "graph9", "bucket9", "semdedup9", "tri9",
-        "kcore9", "linkpred10"))) {
+        "kcore9", "linkpred10", "lpa11", "sparse11"))) {
       val spark = SparkSession.builder()
         .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")}]")
         .config("spark.sql.shuffle.partitions",
@@ -1139,6 +1243,8 @@ object ScaleProbe {
         case "tri9" => tri9(spark)
         case "kcore9" => kcore9(spark)
         case "linkpred10" => linkpred10(spark)
+        case "lpa11" => lpa11(spark)
+        case "sparse11" => sparse11(spark)
       }
       spark.stop()
       return

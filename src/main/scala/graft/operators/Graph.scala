@@ -340,18 +340,37 @@ object Graph {
     // the edge set unchanged, so every remaining round is a no-op —
     // identical result, without paying rounds× job-scheduling latency
     // on already-converged graphs. [[peelRound]] signals the fixed
-    // point by returning its input frame unchanged (its drop-count job
-    // is the detector — no extra pass here).
+    // point by returning its input frame unchanged (its drop-count
+    // collect is the detector — no extra pass here).
+    //
+    // ONE job per round: peelRound's capped drop collect IS the
+    // round's only action (its local drop set broadcasts without a
+    // job), and the returned anti-joined frame stays LAZY — the next
+    // round's degree scan re-applies the accumulated broadcast anti
+    // joins to the checkpointed base (a hash probe per edge, far
+    // cheaper than re-materializing the edge frame every round). The
+    // chain re-checkpoints every [[PeelCheckpointEvery]] rounds so a
+    // deep peel neither grows an unbounded plan nor re-pays early
+    // rounds forever; the shuffle-fallback path (huge drop set)
+    // checkpoints immediately since a chained shuffle join would
+    // re-shuffle the survivors each later round.
     var r = 0
+    var sinceCkpt = 0
     var converged = false
     while (r < rounds && !converged) {
-      val next = peelRound(canon, k)
+      val (next, wide) = peelRoundLazy(canon, k, BroadcastNodeLimit)
       if (next eq canon) converged = true
-      else canon = next.localCheckpoint()
+      else if (wide || sinceCkpt + 1 >= PeelCheckpointEvery) {
+        canon = next.localCheckpoint(); sinceCkpt = 0
+      } else { canon = next; sinceCkpt += 1 }
       r += 1
     }
     undirectedDegrees(canon).select(col("id"), col("deg").as("core_deg"))
   }
+
+  /** Rounds of lazily-chained broadcast anti joins a [[kCore]] peel
+    * accumulates before truncating the plan with a checkpoint. */
+  private[graft] val PeelCheckpointEvery = 6
 
   /** Node-count ceiling for broadcasting a node-sized frame into an
     * edge-sized join. Budgeted for the WIDEST frame it gates: label
@@ -364,36 +383,51 @@ object Graph {
     * shape, where a node frame is itself distributed. */
   private[graft] val BroadcastNodeLimit = 4000000L
 
-  /** One synchronous [[kCore]] peel. The cheap, common case peels by
-    * the DROP set (nodes that just fell under k): after the first
-    * cascade round it is tiny, so both edge-endpoint filters run as
-    * broadcast ANTI joins and the edge table never shuffles. When a
-    * round drops more than [[BroadcastNodeLimit]] nodes (a huge first
-    * cut on a sparse graph), it falls back to shuffle SEMI joins
-    * against the survivor set — the distributed shape. The drop count
-    * that picks the path is one node-sized job on the materialized
-    * degree frame, and doubles as the caller's convergence signal
-    * (an empty drop set returns `canon` unchanged). Exposed so
-    * PlanGuardSpec can pin the pre-checkpoint join shape — the full
-    * kCore plan truncates per round and would make the guard vacuous;
-    * `broadcastLimit` is injectable only so the guard can force the
-    * shuffle fallback on a small fixture. */
+  /** One synchronous [[kCore]] peel ([[peelRoundLazy]] without the
+    * path flag). Exposed so PlanGuardSpec can pin the pre-checkpoint
+    * join shape — the full kCore plan truncates per round and would
+    * make the guard vacuous; `broadcastLimit` is injectable only so
+    * the guard can force the shuffle fallback on a small fixture. */
   private[graft] def peelRound(canon: DataFrame, k: Long,
-                               broadcastLimit: Long = BroadcastNodeLimit): DataFrame = {
-    val deg = undirectedDegrees(canon).localCheckpoint() // feeds drop + keep
-    val drop = deg.filter(col("deg") < k).select(col("id"))
-    val nDrop = drop.count()
-    if (nDrop == 0L) canon
-    else if (nDrop <= broadcastLimit)
-      canon
-        .join(broadcast(drop.select(col("id").as("lo"))), Seq("lo"), "left_anti")
-        .join(broadcast(drop.select(col("id").as("hi"))), Seq("hi"), "left_anti")
-    else {
-      val keep = deg.filter(col("deg") >= k).select(col("id"))
+                               broadcastLimit: Long = BroadcastNodeLimit): DataFrame =
+    peelRoundLazy(canon, k, broadcastLimit)._1
+
+  /** One peel round as (next frame, took-the-wide-path). The round's
+    * ONLY action is a `broadcastLimit`-capped collect of the drop set
+    * (the nodes that just fell under k): the same node-sized rows a
+    * broadcast join would pull to the driver anyway, fetched once and
+    * reused for the fixed-point signal, the path choice, AND the two
+    * anti-join build sides (as a LocalRelation, which broadcasts
+    * job-free). Only when the collect hits the cap — a huge first cut
+    * on a sparse graph — does it fall back to shuffle SEMI joins
+    * against the survivor set, the distributed shape where the drop
+    * set must never sit on one driver. */
+  private[graft] def peelRoundLazy(canon: DataFrame, k: Long,
+                                   broadcastLimit: Long): (DataFrame, Boolean) = {
+    val deg = undirectedDegrees(canon)
+    val cap = math.min(broadcastLimit, Int.MaxValue - 2L).toInt + 1
+    val dropRows = deg.filter(col("deg") < k).select(col("id"))
+      .limit(cap).collect()
+    if (dropRows.isEmpty) (canon, false)
+    else if (dropRows.length < cap) {
+      val spark = canon.sparkSession
+      val idType = canon.schema("lo").dataType
+      val dropDf = spark.createDataFrame(
+        java.util.Arrays.asList(dropRows: _*),
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("id", idType))))
+      (canon
+        .join(broadcast(dropDf.select(col("id").as("lo"))), Seq("lo"), "left_anti")
+        .join(broadcast(dropDf.select(col("id").as("hi"))), Seq("hi"), "left_anti"),
+        false)
+    } else {
+      val keep = undirectedDegrees(canon).filter(col("deg") >= k)
+        .select(col("id"))
         .localCheckpoint() // node-sized, feeds 2 joins
-      canon
+      (canon
         .join(keep.select(col("id").as("lo")), Seq("lo"), "left_semi")
-        .join(keep.select(col("id").as("hi")), Seq("hi"), "left_semi")
+        .join(keep.select(col("id").as("hi")), Seq("hi"), "left_semi"),
+        true)
     }
   }
 
@@ -465,11 +499,16 @@ object Graph {
       .agg(min(struct((-col("n")).as("nn"), col("lab").as("lab"))).as("m"))
       .select(col("id"), col("m.lab").as("__new"))
 
+  /** @param assumeDistinct the caller vouches `edges` carries no
+    *   duplicate (src, dst) rows, so the multigraph-collapsing
+    *   `distinct` (a full corpus shuffle — a dup edge would otherwise
+    *   double-count its vote) is skipped. The doubled projection the
+    *   bench queries walk is distinct by construction. */
   def labelPropagation(edges: DataFrame, srcCol: String, dstCol: String,
-                       iters: Int): DataFrame = {
+                       iters: Int, assumeDistinct: Boolean = false): DataFrame = {
     require(iters >= 1)
-    val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
-      .distinct().localCheckpoint()
+    val e0 = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
+    val e = (if (assumeDistinct) e0 else e0.distinct()).localCheckpoint()
     val nodes = e.select(col("src").as("id"))
       .union(e.select(col("dst").as("id"))).distinct()
     var labels = nodes.select(col("id"), col("id").as("lab"))
@@ -484,8 +523,10 @@ object Graph {
     // Early exit at the fixed point: synchronous LPA's round r+1 is a
     // pure function of labels_r, so labels_r == labels_{r-1} pins every
     // later round to the same frame — stop instead of paying dead
-    // rounds. The change test is an isEmpty (limit-1 probe) on the
-    // just-checkpointed node-sized frame, not a full recompute.
+    // rounds. The changed-label count RIDES the checkpoint
+    // materialization as an `observe` metric (CollectMetrics folds it
+    // while the rows stream into checkpoint blocks), so each round is
+    // ONE action — no separate convergence probe job.
     var it = 0
     var converged = false
     while (it < iters && !converged) {
@@ -493,12 +534,18 @@ object Graph {
         .join(side(labels.select(col("id").as("src"), col("lab"))), Seq("src"))
         .groupBy(col("dst").as("id"), col("lab"))
         .agg(count(lit(1)).as("n"))
+      val obs = org.apache.spark.sql.Observation()
       val next = labels.join(side(winningLabels(counts)), Seq("id"), "left")
-        .select(col("id"), col("lab").as("__old"),
-          coalesce(col("__new"), col("lab")).as("lab"))
+        .select(col("id"),
+          coalesce(col("__new"), col("lab")).as("lab"),
+          (col("lab") =!= coalesce(col("__new"), col("lab"))).as("__chg"))
+        .observe(obs, sum(when(col("__chg"), 1L).otherwise(0L)).as("changed"))
+        .select(col("id"), col("lab"))
         .localCheckpoint()
-      converged = next.filter(col("lab") =!= col("__old")).isEmpty
-      labels = next.select(col("id"), col("lab"))
+      // sum over an empty node frame is null — an empty graph is
+      // trivially converged
+      converged = obs.get.get("changed").forall(c => c == null || c == 0L)
+      labels = next
       it += 1
     }
     labels

@@ -141,8 +141,17 @@ object TfIdf {
         i => col(textCol).substr(i, lit(n)))).as("term"))
       .groupBy(col(idCol), col("term")).agg(count(lit(1)).as("tf"))
 
+  /** Attach idf weights by an UNHINTED term join: the idf side is the
+    * DF-CAPPED vocabulary, whose size is corpus-dependent — a test
+    * corpus caps to a few thousand terms (broadcast territory), a
+    * 100-TB corpus still holds billions of rare terms (must shuffle).
+    * Leaving the choice to the planner + AQE picks broadcast from the
+    * RUNTIME size when it fits under the broadcast threshold and the
+    * skew-safe shuffle join when it doesn't — a static hint would pin
+    * the wrong plan at one end or the other. (topTerms' idf is
+    * UNCAPPED true-vocabulary-sized and keeps its shuffle pin.) */
   private def weigh(tf: DataFrame, idf: DataFrame, idCol: String): DataFrame =
-    tf.join(idf.hint("shuffle_hash"), Seq("term"))
+    tf.join(idf, Seq("term"))
       .select(col(idCol), col("term"),
         (floor(col("tf") * col("idf") * 1024 + lit(0.5)) / 1024).as("w"))
 
@@ -229,7 +238,9 @@ object TfIdf {
       .filter(col("df") <= col("n_docs").cast("double") * maxDfFrac)
       .select(col("term"),
         (log((col("n_docs") + 1).cast("double") / (col("df") + 1)) + 1).as("idf"))
-    val wts = tf.join(idf.hint("shuffle_hash"), Seq("term"))
+    // unhinted like [[weigh]]: AQE broadcasts the capped idf when its
+    // runtime size fits, shuffles when a 100-TB vocabulary doesn't
+    val wts = tf.join(idf, Seq("term"))
       .select(col(idCol), col("term"),
         (floor(col("tf") * col("idf") * 1024 + lit(0.5)) / 1024).as("w"))
       .localCheckpoint() // feeds norms + both posting sides
@@ -285,35 +296,54 @@ object TfIdf {
       .select(col("term"), col("df"),
         (log((col("n_docs") + 1).cast("double") / (col("df") + 1)) + 1).as("idf"))
     // carries df so the per-doc prefix ordering needs no second join
-    val wts = tf.join(idf.hint("shuffle_hash"), Seq("term"))
+    // (unhinted idf join: see [[weigh]])
+    val wts = tf.join(idf, Seq("term"))
       .select(col(idCol).as("id"), col("term"), col("df"),
         (floor(col("tf") * col("idf") * 1024 + lit(0.5)) / 1024).as("w"))
       .localCheckpoint() // feeds prefix flags, norms, and both verify sides
-    val nrm2 = wts.groupBy(col("id")).agg(sum(col("w") * col("w")).as("nrm_sq"))
     // doc-vector-bounded window: per-doc cumulative w² strictly before
-    // the current term in (df asc, term asc) order
+    // the current term in (df asc, term asc) order. The full-vector
+    // ‖x‖² RIDES THE SAME WINDOW EXCHANGE as an unbounded-frame sum
+    // over the identical partitionBy — no nrm2 join on the probe path
+    // (w² terms are 2⁻²⁰-grid dyadic rationals, so the window's
+    // in-order sum and the groupBy's partial-agg sum are bit-equal).
     val wOrd = Window.partitionBy(col("id"))
       .orderBy(col("df").asc, col("term").asc)
       .rowsBetween(Window.unboundedPreceding, -1)
-    val probe = wts.join(nrm2, Seq("id"))
+    val probe = wts
+      .withColumn("__nrm_sq",
+        sum(col("w") * col("w")).over(Window.partitionBy(col("id"))))
       .withColumn("__before",
         coalesce(sum(col("w") * col("w")).over(wOrd), lit(0.0)))
       .filter(col("__before") <=
-        lit(1.0 - threshold * threshold) * col("nrm_sq") * (1 + 1e-12) + 1e-12)
+        lit(1.0 - threshold * threshold) * col("__nrm_sq") * (1 + 1e-12) + 1e-12)
       .select(col("term"), col("id").as("id_a"))
     val post = wts.select(col("term"), col("id").as("id_b"))
     val cand = probe.join(post, Seq("term"))
       .filter(col("id_a") < col("id_b"))
       .select(col("id_a"), col("id_b")).distinct()
-    val wa = wts.select(col("id").as("id_a"), col("term"), col("w").as("wa"))
-    val wb = wts.select(col("id").as("id_b"), col("term"), col("w").as("wb"))
-    val dots = cand.join(wa, Seq("id_a")).join(wb, Seq("id_b", "term"))
-      .groupBy(col("id_a"), col("id_b")).agg(sum(col("wa") * col("wb")).as("dot"))
-    val nrm = nrm2.select(col("id"), sqrt(col("nrm_sq")).as("nrm"))
-    dots
-      .join(nrm.select(col("id").as("id_a"), col("nrm").as("na")), Seq("id_a"))
-      .join(nrm.select(col("id").as("id_b"), col("nrm").as("nb")), Seq("id_b"))
-      .withColumn("cosine", col("dot") / (col("na") * col("nb")))
+    // Verify by VECTOR LOOKUP, the AllPairs shape: one agg folds each
+    // doc's capped vector into a term→w map (bounded by doc length)
+    // alongside its norm, then each candidate pair joins its two
+    // vectors and the dot is an in-row map-merge — no posting
+    // re-explosion, no per-(pair, term) shuffle, no separate norm
+    // joins. Each w_a·w_b product is a 2⁻²⁰-grid dyadic rational, so
+    // the in-row fold order is exact — bit-identical to the oracle's
+    // join-and-sum spelling.
+    val vecs = wts.groupBy(col("id"))
+      .agg(map_from_entries(collect_list(struct(col("term"), col("w"))))
+          .as("vec"),
+        sqrt(sum(col("w") * col("w"))).as("nrm"))
+      .localCheckpoint() // doc-sized; feeds both sides of the verify join
+    val dot = aggregate(map_entries(col("va")), lit(0.0d),
+      (acc, e) => acc +
+        coalesce(element_at(col("vb"), e("key")), lit(0.0d)) * e("value"))
+    cand
+      .join(vecs.select(col("id").as("id_a"), col("vec").as("va"),
+        col("nrm").as("na")), Seq("id_a"))
+      .join(vecs.select(col("id").as("id_b"), col("vec").as("vb"),
+        col("nrm").as("nb")), Seq("id_b"))
+      .withColumn("cosine", dot / (col("na") * col("nb")))
       .filter(col("cosine") >= threshold)
       .select(col("id_a"), col("id_b"),
         (floor(col("cosine") * 10000 + lit(0.5)) / 10000).as("cosine"))

@@ -211,8 +211,10 @@ object GraphQueries {
     // the deterministic min-label tie-break + fixed rounds make the
     // classic run-order-dependent algorithm differentially gateable.
     "graph_lpa" -> ((s, d) =>
+      // doubled distinct pairs with disjoint cust/supp id ranges are
+      // distinct by construction — skip the multigraph collapse
       Graph.labelPropagation(doubledPurchaseEdges(s, d), "src", "dst",
-        iters = Iters)),
+        iters = Iters, assumeDistinct = true)),
 
     // k-core peel (k=70, 4 synchronous rounds) of the same
     // co-purchase projection: each round simultaneously drops every
