@@ -1211,11 +1211,171 @@ object ScaleProbe {
     }
   }
 
+  /** `runMain graft.ScaleProbe lpa12` — A/B of the LPA round spelling
+    * at sf0.1: the former two-exchange count+argmax rounds (inline)
+    * vs the shipped single-exchange deterministic-mode rounds
+    * (Graph.labelPropagation), interleaved in one warm JVM. */
+  private def lpa12(spark: SparkSession): Unit = {
+    import org.apache.spark.sql.DataFrame
+    val d = "/root/testdata/sf0.1"
+    def tbl(n: String): DataFrame = spark.read.parquet(s"$d/$n.parquet")
+    val pairs = tbl("orders").select(col("o_orderkey"), col("o_custkey"))
+      .join(tbl("lineitem").select(col("l_orderkey"), col("l_suppkey")),
+        col("o_orderkey") === col("l_orderkey"))
+      .select(col("o_custkey").as("cust"),
+        (col("l_suppkey") + 1000000L).as("supp"))
+      .distinct().localCheckpoint()
+    val edges = pairs.select(col("cust").as("src"), col("supp").as("dst"))
+      .unionByName(pairs.select(col("supp").as("src"), col("cust").as("dst")))
+    def oldLpa(): Long = {
+      val e = edges.select(col("src"), col("dst")).localCheckpoint()
+      val nodes = e.select(col("src").as("id"))
+        .union(e.select(col("dst").as("id"))).distinct()
+      var labels = nodes.select(col("id"), col("id").as("lab")).localCheckpoint()
+      labels.count()
+      for (_ <- 1 to 3) {
+        val counts = e
+          .join(org.apache.spark.sql.functions.broadcast(
+            labels.select(col("id").as("src"), col("lab"))), Seq("src"))
+          .groupBy(col("dst").as("id"), col("lab"))
+          .agg(count(lit(1)).as("n"))
+        val winning = counts.groupBy(col("id"))
+          .agg(min(struct((-col("n")).as("nn"), col("lab").as("lab"))).as("m"))
+          .select(col("id"), col("m.lab").as("__new"))
+        labels = labels.join(org.apache.spark.sql.functions.broadcast(winning),
+            Seq("id"), "left")
+          .select(col("id"), coalesce(col("__new"), col("lab")).as("lab"))
+          .localCheckpoint()
+      }
+      labels.queryExecution.toRdd.count()
+    }
+    def newLpa(): Long =
+      graft.operators.Graph.labelPropagation(edges, "src", "dst", iters = 3,
+        assumeDistinct = true).queryExecution.toRdd.count()
+    for (rep <- 1 to 3) {
+      val t0 = System.nanoTime(); val nOld = oldLpa()
+      val t1 = System.nanoTime(); val nNew = newLpa()
+      val t2 = System.nanoTime()
+      println(f"""{"probe":"lpa12 r$rep","old_sec":${(t1 - t0) / 1e9}%.2f,"mode_sec":${(t2 - t1) / 1e9}%.2f,"rows_old":$nOld,"rows_new":$nNew}""")
+    }
+  }
+
+  /** `runMain graft.ScaleProbe crossover12 [replicas]` — the
+    * graph_lpa / graph_kcore scale-crossover measurement, Spark side.
+    * Replicates the sf0.1 purchase-pair and co-purchase edge sets
+    * `replicas`× (default 10) with disjoint id ranges (structure
+    * preserved, scale grown), writes both under
+    * /tmp/graft_crossover/, and times the shipped operators
+    * reading those files — the SAME inputs tools/crossover12.py then
+    * times DuckDB's unrolled-CTE oracle spelling on. Records where
+    * the relational per-round plans overtake the single-process
+    * engine as data grows past the fixed-overhead regime. */
+  private def crossover12(spark: SparkSession, replicas: Int): Unit = {
+    import org.apache.spark.sql.DataFrame
+    val d = "/root/testdata/sf0.1"
+    val out = "/tmp/graft_crossover"
+    def tbl(n: String): DataFrame = spark.read.parquet(s"$d/$n.parquet")
+    def replicate(df: DataFrame, cols: Seq[String]): DataFrame =
+      (0 until replicas).map { r =>
+        val off = r * 10000000L
+        df.select(cols.map(c => (col(c) + off).as(c)): _*)
+      }.reduce(_ unionByName _)
+    val pairs1 = tbl("orders").select(col("o_orderkey"), col("o_custkey"))
+      .join(tbl("lineitem").select(col("l_orderkey"), col("l_suppkey")),
+        col("o_orderkey") === col("l_orderkey"))
+      .select(col("o_custkey").as("cust"),
+        (col("l_suppkey") + 1000000L).as("supp"))
+      .distinct()
+    replicate(pairs1, Seq("cust", "supp"))
+      .write.mode("overwrite").parquet(s"$out/pairs.parquet")
+    val canon1 = tbl("lineitem")
+      .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+      .filter(col("ok").isNotNull && col("pk").isNotNull)
+      .groupBy(col("ok")).agg(collect_set(col("pk")).as("ps"))
+      .select(explode(col("ps")).as("a"), col("ps"))
+      .select(col("a"), explode(col("ps")).as("b"))
+      .filter(col("a") < col("b"))
+      .select(col("a"), col("b"))
+    replicate(canon1, Seq("a", "b"))
+      .write.mode("overwrite").parquet(s"$out/canon.parquet")
+    for (rep <- 1 to 2) {
+      val t0 = System.nanoTime()
+      val pairs = spark.read.parquet(s"$out/pairs.parquet")
+      val edges = pairs.select(col("cust").as("src"), col("supp").as("dst"))
+        .unionByName(pairs.select(col("supp").as("src"), col("cust").as("dst")))
+      val nLpa = graft.operators.Graph.labelPropagation(edges, "src", "dst",
+        iters = 3, assumeDistinct = true).queryExecution.toRdd.count()
+      val t1 = System.nanoTime()
+      val nCore = graft.operators.Graph.kCore(
+        spark.read.parquet(s"$out/canon.parquet"), "a", "b",
+        k = 70L, rounds = 4).queryExecution.toRdd.count()
+      val t2 = System.nanoTime()
+      println(f"""{"probe":"crossover12 spark r$rep","replicas":$replicas,"lpa_sec":${(t1 - t0) / 1e9}%.2f,"lpa_rows":$nLpa,"kcore_sec":${(t2 - t1) / 1e9}%.2f,"kcore_rows":$nCore}""")
+    }
+  }
+
+  /** `runMain graft.ScaleProbe recall12` — recall-vs-cost sweep of the
+    * ANN paths on the sf0.01 embeddings fixture, against the exact
+    * brute-force top-5 / exact near-dup pairs. Cost = candidate rows
+    * entering the verify/score stage (the number that scales with the
+    * corpus). Aims the ≥0.8 recall configs. */
+  private def recall12(spark: SparkSession): Unit = {
+    import spark.implicits._
+    import graft.operators.Similarity
+    val dim = 64
+    val emb = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+      .localCheckpoint()
+    val nVec = emb.count()
+    val bf = Similarity.bruteForceTopK(emb, emb, "vec_id", "embedding", 5)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    println(s"""{"probe":"recall12 corpus","vectors":$nVec,"bf_pairs":${bf.size}}""")
+    // IVF grid: recall@5 + per-query scanned fraction
+    for ((c, np) <- Seq((8, 1), (8, 2), (8, 3), (8, 4), (8, 5), (8, 6),
+      (16, 2), (16, 4), (16, 6), (16, 8), (32, 4), (32, 8), (32, 12))) {
+      val got = Similarity.ivfTopKMultiProbe(emb, "vec_id", "embedding", 5,
+        nCentroids = c, nprobe = np)
+        .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+      val r = (bf & got).size.toDouble / bf.size
+      println(f"""{"probe":"recall12 ivf","cells":$c,"nprobe":$np,"recall5":$r%.3f,"scan_frac":${np.toDouble / c}%.3f}""")
+    }
+    // IVF-PQ + exact rerank at the sharper grids
+    for ((c, np, sl) <- Seq((8, 4, 50), (16, 6, 50), (16, 8, 50), (32, 12, 50))) {
+      val got = Similarity.ivfPqRerankTopK(emb, "vec_id", "embedding", 5,
+        nCentroids = c, nprobe = np, m = 8, subDim = 8, ksub = 32,
+        shortlist = sl, trainSampleMod = 2)
+        .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+      val r = (bf & got).size.toDouble / bf.size
+      println(f"""{"probe":"recall12 ivfpq_rerank","cells":$c,"nprobe":$np,"recall5":$r%.3f}""")
+    }
+    // Near-dup LSH: single-table multi-probe vs OR-amplified tables
+    val thr = 0.45
+    val exact = Similarity.cosineNearDupPairs(emb, "vec_id", "embedding", thr)
+      .as[(Long, Long)].collect().toSet
+    println(s"""{"probe":"recall12 neardup exact","pairs":${exact.size}}""")
+    val seeds = Seq(42L, 101L, 977L, 5323L)
+    for (np <- Seq(2, 3, 4)) {
+      val got = Similarity.lshCosineNearDupPairsMultiProbe(emb, "vec_id",
+        "embedding", thr, Similarity.hyperplanes(np, dim))
+        .as[(Long, Long)].collect().toSet
+      val r = (exact & got).size.toDouble / exact.size
+      println(f"""{"probe":"recall12 neardup 1table","planes":$np,"recall":$r%.3f}""")
+    }
+    for (l <- Seq(2, 3, 4); np <- Seq(3, 4)) {
+      val tables = seeds.take(l).map(Similarity.hyperplanes(np, dim, _))
+      val got = Similarity.lshCosineNearDupPairsMultiTable(emb, "vec_id",
+        "embedding", thr, tables)
+        .as[(Long, Long)].collect().toSet
+      val r = (exact & got).size.toDouble / exact.size
+      println(f"""{"probe":"recall12 neardup ${l}tables","planes":$np,"recall":$r%.3f}""")
+    }
+  }
+
   def main(args: Array[String]): Unit = {
     if (args.headOption.exists(Set("quota7", "pipe7", "freq7", "serve8",
         "outlier8", "budget8", "ids8", "aqe8", "rtfilter8", "prefix8",
         "sparse9", "interop9", "graph9", "bucket9", "semdedup9", "tri9",
-        "kcore9", "linkpred10", "lpa11", "sparse11"))) {
+        "kcore9", "linkpred10", "lpa11", "sparse11", "recall12",
+        "lpa12", "crossover12"))) {
       val spark = SparkSession.builder()
         .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")}]")
         .config("spark.sql.shuffle.partitions",
@@ -1245,6 +1405,9 @@ object ScaleProbe {
         case "linkpred10" => linkpred10(spark)
         case "lpa11" => lpa11(spark)
         case "sparse11" => sparse11(spark)
+        case "recall12" => recall12(spark)
+        case "lpa12" => lpa12(spark)
+        case "crossover12" => crossover12(spark, args.lift(1).map(_.toInt).getOrElse(10))
       }
       spark.stop()
       return

@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Market-basket association-rule mining — pairwise A ⇒ B rules with
@@ -49,26 +50,26 @@ object Association {
                 maxBasketItems: Int = 256): DataFrame = {
     require(minSupport >= 1 && k >= 1 && maxBasketItems >= 2)
     // Guard BEFORE assembling arrays: dedup (basket, item) — per-group
-    // state is the pair key itself, bounded — then a groupBy-count
-    // whose aggregation buffer is one long per basket, and only
-    // baskets passing the size guard (semi join) reach collect_set.
-    // A degenerate mega-basket (half the catalog in one basket — the
-    // exact case the guard exists for) is dropped by its COUNT and
-    // never materializes as a single-buffer array. Every downstream
-    // statistic — pair counts, item supports, N — is computed over
-    // this same guarded basket universe, so confidence/lift are exact
-    // for the guarded corpus.
+    // state is the pair key itself, bounded — then the basket size as
+    // a whole-partition window COUNT over `bk` and a filter on it,
+    // before any collect_set. A degenerate mega-basket (half the
+    // catalog in one basket — the exact case the guard exists for) is
+    // dropped by its COUNT and never materializes as a single-buffer
+    // array: WindowExec buffers one basket's rows in a spillable array
+    // (disk-bounded), never an agg heap buffer. The window's hash
+    // exchange on `bk` is REUSED by the collect_set groupBy (same
+    // key), so the whole guard+assembly costs the distinct exchange
+    // plus ONE basket exchange — no checkpoint, no count table, no
+    // semi join. Every downstream statistic — pair counts, item
+    // supports, N — is computed over this same guarded basket
+    // universe, so confidence/lift are exact for the guarded corpus.
     val dedup = baskets
       .select(col(basketCol).as("bk"), col(itemCol).as("it"))
       .filter(col("bk").isNotNull && col("it").isNotNull)
       .distinct()
-      .localCheckpoint() // feeds the count guard AND the assembly
-    val okBaskets = dedup.groupBy(col("bk"))
-      .agg(count(lit(1)).as("bn"))
-      .filter(col("bn") <= maxBasketItems)
-      .select(col("bk"))
     val sized = dedup
-      .join(okBaskets, Seq("bk"), "left_semi")
+      .withColumn("bn", count(lit(1)).over(Window.partitionBy(col("bk"))))
+      .filter(col("bn") <= maxBasketItems)
       .groupBy(col("bk")).agg(collect_set(col("it")).as("items"))
       .localCheckpoint() // feeds N, item supports, prune, pair gen
     val nB = sized.agg(count(lit(1)).as("n_baskets"))

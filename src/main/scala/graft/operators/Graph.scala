@@ -406,19 +406,33 @@ object Graph {
                                    broadcastLimit: Long): (DataFrame, Boolean) = {
     val deg = undirectedDegrees(canon)
     val cap = math.min(broadcastLimit, Int.MaxValue - 2L).toInt + 1
-    val dropRows = deg.filter(col("deg") < k).select(col("id"))
-      .limit(cap).collect()
-    if (dropRows.isEmpty) (canon, false)
-    else if (dropRows.length < cap) {
-      val spark = canon.sparkSession
-      val idType = canon.schema("lo").dataType
-      val dropDf = spark.createDataFrame(
-        java.util.Arrays.asList(dropRows: _*),
-        org.apache.spark.sql.types.StructType(Seq(
-          org.apache.spark.sql.types.StructField("id", idType))))
+    val spark = canon.sparkSession
+    val idType = canon.schema("lo").dataType
+    val drop = deg.filter(col("deg") < k).select(col("id")).limit(cap)
+    // Driver-heap budget at the cap: long graph ids collect as a
+    // PRIMITIVE Array[Long] — 8 B/id ≈ 32 MB at the 4M cap — and the
+    // LocalRelation build is the only per-id object cost (the former
+    // Row collect held ~50–80 B/id ≈ 200–300 MB of boxed Rows before
+    // the same build). Non-long ids keep the generic Row path.
+    val (nDrop, dropDf) = idType match {
+      case org.apache.spark.sql.types.LongType =>
+        val ids = drop.as(org.apache.spark.sql.Encoders.scalaLong).collect()
+        (ids.length, () => spark.createDataset(
+          scala.collection.immutable.ArraySeq.unsafeWrapArray(ids))(
+          org.apache.spark.sql.Encoders.scalaLong).toDF("id"))
+      case _ =>
+        val rows = drop.collect()
+        (rows.length, () => spark.createDataFrame(
+          java.util.Arrays.asList(rows: _*),
+          org.apache.spark.sql.types.StructType(Seq(
+            org.apache.spark.sql.types.StructField("id", idType)))))
+    }
+    if (nDrop == 0) (canon, false)
+    else if (nDrop < cap) {
+      val dropped = dropDf()
       (canon
-        .join(broadcast(dropDf.select(col("id").as("lo"))), Seq("lo"), "left_anti")
-        .join(broadcast(dropDf.select(col("id").as("hi"))), Seq("hi"), "left_anti"),
+        .join(broadcast(dropped.select(col("id").as("lo"))), Seq("lo"), "left_anti")
+        .join(broadcast(dropped.select(col("id").as("hi"))), Seq("hi"), "left_anti"),
         false)
     } else {
       val keep = undirectedDegrees(canon).filter(col("deg") >= k)
@@ -482,22 +496,30 @@ object Graph {
     * bit-for-bit (classic async LPA is run-order-dependent — useless
     * under a differential gate).
     *
-    * Scale shape: per round, (labels ⋈ edges) → per-(node, label)
-    * partial-agg counts → the winning label via min(struct(-n, lab))
-    * — an order-independent partial AGGREGATE, not a per-node window
-    * (no sort, map-side combine on the hot nodes) — then a node-sized
-    * left join to carry isolated nodes. Lineage truncates per round.
+    * Scale shape: per round, (labels ⋈ edges) → the winning label in
+    * ONE aggregation over the neighbor-label stream —
+    * mode(lab, deterministic) counts multiplicities and breaks ties
+    * to the lowest label inside a single order-independent partial
+    * AGGREGATE (map-side combine on the hot nodes; one exchange per
+    * round, where the count-then-argmax spelling pays two), not a
+    * per-node window — then a node-sized left join to carry isolated
+    * nodes. Lineage truncates per round.
     */
-  /** The LPA round's winner pick over (id, lab, n) counts: the
-    * (n desc, lab asc) label via min(struct(-n, lab)) — an
+  /** The LPA round's winner pick over the raw (id, lab) neighbor-label
+    * multiset: the (count desc, lab asc) label in ONE aggregation —
+    * `mode(lab, deterministic = true)` counts label multiplicities
+    * per node AND resolves ties to the LOWEST label inside a single
     * ORDER-INDEPENDENT PARTIAL AGGREGATE (map-side combine on hot
-    * nodes), deliberately not a per-node row_number window (the oracle
-    * spells the same row as a window; the engine must not —
+    * nodes; the per-group state is one lab→count map, bounded by the
+    * node's distinct in-labels). The former two-level spelling —
+    * groupBy(id, lab).count then min(struct(-n, lab)) — paid a second
+    * node-sized exchange per round for the same row; a per-node
+    * row_number window would additionally lose map-side combine (the
+    * oracle spells it as a window; the engine must not —
     * PlanGuardSpec pins this plan shape). */
-  private[graft] def winningLabels(counts: DataFrame): DataFrame =
-    counts.groupBy(col("id"))
-      .agg(min(struct((-col("n")).as("nn"), col("lab").as("lab"))).as("m"))
-      .select(col("id"), col("m.lab").as("__new"))
+  private[graft] def winningLabels(neighborLabels: DataFrame): DataFrame =
+    neighborLabels.groupBy(col("id"))
+      .agg(mode(col("lab"), deterministic = true).as("__new"))
 
   /** @param assumeDistinct the caller vouches `edges` carries no
     *   duplicate (src, dst) rows, so the multigraph-collapsing
@@ -527,15 +549,25 @@ object Graph {
     // materialization as an `observe` metric (CollectMetrics folds it
     // while the rows stream into checkpoint blocks), so each round is
     // ONE action — no separate convergence probe job.
+    // mode()'s ObjectHashAggregate falls back to sort-based agg after
+    // a (default 128) per-partition key budget — far below a node
+    // frame. Raise it for the rounds so the map-side combine the
+    // mode-pick exists for actually runs; restore after (every round
+    // materializes inside the loop via localCheckpoint, so the
+    // setting never leaks into caller plans).
+    val spark = edges.sparkSession
+    val FallbackKey = "spark.sql.objectHashAggregate.sortBased.fallbackThreshold"
+    val prevFallback = spark.conf.getOption(FallbackKey)
+    spark.conf.set(FallbackKey, "4000000")
+    try {
     var it = 0
     var converged = false
     while (it < iters && !converged) {
-      val counts = e
+      val picked = winningLabels(e
         .join(side(labels.select(col("id").as("src"), col("lab"))), Seq("src"))
-        .groupBy(col("dst").as("id"), col("lab"))
-        .agg(count(lit(1)).as("n"))
+        .select(col("dst").as("id"), col("lab")))
       val obs = org.apache.spark.sql.Observation()
-      val next = labels.join(side(winningLabels(counts)), Seq("id"), "left")
+      val next = labels.join(side(picked), Seq("id"), "left")
         .select(col("id"),
           coalesce(col("__new"), col("lab")).as("lab"),
           (col("lab") =!= coalesce(col("__new"), col("lab"))).as("__chg"))
@@ -549,6 +581,12 @@ object Graph {
       it += 1
     }
     labels
+    } finally {
+      prevFallback match {
+        case Some(v) => spark.conf.set(FallbackKey, v)
+        case None => spark.conf.unset(FallbackKey)
+      }
+    }
   }
 
   /** Neighborhood link prediction over an undirected graph: for the

@@ -82,6 +82,20 @@ object Profiling {
     *              group-sized frame (it feeds two broadcast joins;
     *              a lazy frame would re-run its corpus agg per use)
     * @return (grp, med) */
+  /** Collect a GROUP-SIZED frame once and rebuild it as a
+    * LocalRelation: one job total, and every downstream broadcast
+    * join builds from the local rows without scheduling a
+    * materialization job (the former checkpoint+broadcast spelling
+    * paid a checkpoint job AND still collected the rows to the driver
+    * inside the broadcast build). Callers guarantee the frame is
+    * bounded by the group count — the same contract a broadcast build
+    * side already imposes. */
+  private def localized(df: DataFrame): (DataFrame, Array[org.apache.spark.sql.Row]) = {
+    val rows = df.collect()
+    (df.sparkSession.createDataFrame(
+      java.util.Arrays.asList(rows: _*), df.schema), rows)
+  }
+
   private[graft] def refinedMedian(rawBase: DataFrame, stats: DataFrame): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     // Null values are invisible to the median (percentile semantics);
@@ -176,38 +190,62 @@ object Profiling {
                      k: Double = 5.0,
                      distinctBudget: Long = 2000000L): DataFrame = {
     val base = df.select(groupCol.as("grp"), valueCol.cast("double").as("v"))
-    val stats = base.groupBy(col("grp"))
+    // Every intermediate here is GROUP-SIZED, and every consumer uses
+    // it as a broadcast build side — which ships the rows through the
+    // driver anyway. So collect each one ONCE and rebuild it as a
+    // LocalRelation: the path-choice signal reads the same collected
+    // rows (no separate max() job), and downstream broadcast joins
+    // build job-free from the local rows — no checkpoint
+    // materialization job per intermediate. Driver footprint is
+    // unchanged vs the former checkpoint+broadcast spelling (a
+    // broadcast build collects to the driver regardless); the corpus
+    // passes (stats, median, MAD, outlier count) are untouched.
+    //
+    // The cardinality probe deliberately does NOT ride the median
+    // aggregation as an observe metric: the counts-map percentile is
+    // exactly the plan that must not RUN over the distinct budget
+    // (its agg buffer holds one entry per distinct value — the r8
+    // 20M-distinct OOM), so an optimistic first pass would forfeit
+    // the survival guarantee the adaptive split exists for. The probe
+    // stays a bounded-state stats pass; what the former spelling paid
+    // AROUND it (checkpoint jobs, a second driver read) is gone.
+    val (stats, statsRows) = localized(base.groupBy(col("grp"))
       .agg(min(col("v")).as("mn"), max(col("v")).as("mx"),
         count(col("v")).as("n"), approx_count_distinct(col("v")).as("nd"))
       .filter(col("n") > 0)
       .withColumn("r1", expr("(n + 1) div 2"))
-      .withColumn("r2", expr("n div 2 + 1"))
-      .localCheckpoint() // group-sized; feeds the path choice + broadcasts
-    // group-sized driver read — the plan-choice signal, same class as
-    // a broadcast collect
-    val maxDistinct = Option(stats.agg(max(col("nd"))).head().get(0))
-      .map(_.asInstanceOf[Number].longValue).getOrElse(0L)
+      .withColumn("r2", expr("n div 2 + 1")))
+    val maxDistinct =
+      if (statsRows.isEmpty) 0L
+      else statsRows.iterator.map(_.getAs[Long]("nd")).max
     val (med, mad) =
       if (maxDistinct <= distinctBudget) {
-        val m = base.groupBy(col("grp"))
-          .agg(percentile(col("v"), lit(0.5)).as("med"))
-          .localCheckpoint()
-        val d = base.join(broadcast(m), Seq("grp"))
+        val (m, _) = localized(base.groupBy(col("grp"))
+          .agg(percentile(col("v"), lit(0.5)).as("med")))
+        val (d, _) = localized(base.join(broadcast(m), Seq("grp"))
           .groupBy(col("grp"))
-          .agg(percentile(abs(col("v") - col("med")), lit(0.5)).as("mad"))
-          .localCheckpoint()
+          .agg(percentile(abs(col("v") - col("med")), lit(0.5)).as("mad")))
         (m, d)
       } else {
-        val m = refinedMedian(base, stats).localCheckpoint()
+        val (m, mRows) = localized(refinedMedian(base, stats))
         val devBase = base.join(broadcast(m), Seq("grp"))
           .select(col("grp"), abs(col("v") - col("med")).as("v"))
-        val devStats = stats.join(m, Seq("grp"))
-          .select(col("grp"), lit(0.0).as("mn"),
-            greatest(col("mx") - col("med"), col("med") - col("mn")).as("mx"),
-            col("n"), col("r1"), col("r2"))
-          .localCheckpoint() // derived group-sized frame, no corpus pass
-        val d = refinedMedian(devBase, devStats)
-          .select(col("grp"), col("med").as("mad")).localCheckpoint()
+        // the dev-median's stats derive from rows already on the
+        // driver — plain arithmetic, no job (same IEEE ops as the
+        // former greatest(mx − med, med − mn) column)
+        val medByGrp = mRows.iterator.map(r => r.get(0) -> r.getDouble(1)).toMap
+        val devRows = statsRows.flatMap { s =>
+          medByGrp.get(s.get(0)).map { mv =>
+            org.apache.spark.sql.Row(s.get(0), 0.0,
+              math.max(s.getAs[Double]("mx") - mv, mv - s.getAs[Double]("mn")),
+              s.getAs[Long]("n"), s.getAs[Long]("r1"), s.getAs[Long]("r2"))
+          }
+        }
+        val devStats = base.sparkSession.createDataFrame(
+          java.util.Arrays.asList(devRows: _*), stats.schema
+            .copy(fields = stats.schema.fields.filter(_.name != "nd")))
+        val (d, _) = localized(refinedMedian(devBase, devStats)
+          .select(col("grp"), col("med").as("mad")))
         (m, d)
       }
     base.join(broadcast(med), Seq("grp"), "left")

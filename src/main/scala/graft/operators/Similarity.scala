@@ -813,6 +813,55 @@ object Similarity {
       .select(col("id_a"), col("id_b")).distinct()
   }
 
+  /** OR-amplified multi-TABLE LSH near-dup pairs: `tables` independent
+    * hyperplane sets each bucket the corpus, a pair is a candidate if
+    * ANY table co-buckets it (within Hamming-1 multi-probe), and the
+    * exact cosine verifies. Per-table hit probability p lifts to
+    * 1 − (1 − p)^L — the standard LSH recall amplifier (Indyk/Motwani;
+    * the banding trick of MMDS ch.3) that raises recall WITHOUT
+    * coarsening any single table's buckets (candidate cost grows
+    * linearly in L, never quadratically in bucket size).
+    *
+    * Scale shape: ONE join, not L — every vector emits its L
+    * table-prefixed bucket keys on the corpus side and L·(planes+1)
+    * probe keys on the query side, the join runs on the composite
+    * `t|bits` key, and the verified pairs dedup once at the end. The
+    * corpus is never replicated by more than L; buckets from different
+    * tables can never collide (the `t|` prefix partitions the key
+    * space). */
+  def lshCosineNearDupPairsMultiTable(df: DataFrame, idCol: String,
+                                      vecCol: String, threshold: Double,
+                                      tables: Seq[Seq[Seq[Double]]]): DataFrame = {
+    require(tables.nonEmpty && tables.size <= 9, "1-9 tables (1-char prefix)")
+    val nPlanes = tables.head.size
+    require(tables.forall(_.size == nPlanes), "tables must share a plane count")
+    val base = spread(df).select(col(idCol), col(vecCol).as("v"))
+      .withColumn("buckets", array(tables.zipWithIndex.map { case (p, t) =>
+        concat(lit(s"$t|"), VectorOps.hyperplaneBucket(col("v"), p))
+      }: _*))
+      .withColumn("vn", VectorOps.norm(col("v")))
+      .localCheckpoint() // feeds probe and corpus sides of the join
+    // Hamming-1 variants of a PREFIXED key: flip bit i at offset +2
+    // ("t|" is 2 chars), keeping the table prefix intact.
+    def flip(i: Int) = concat(
+      substring(col("bucket"), 1, i + 1),
+      when(substring(col("bucket"), i + 2, 1) === "1", lit("0"))
+        .otherwise(lit("1")),
+      substring(col("bucket"), i + 3, nPlanes - i))
+    val probes = array(col("bucket") +: (1 to nPlanes).map(flip): _*)
+    val a = base.select(col(idCol).as("id_a"), col("v").as("va"),
+        col("vn").as("na"), explode(col("buckets")).as("bucket"))
+      .select(col("id_a"), col("va"), col("na"),
+        explode(probes).as("bucket"))
+    val b = base.select(explode(col("buckets")).as("bucket"),
+      col(idCol).as("id_b"), col("v").as("vb"), col("vn").as("nb"))
+    a.join(b, Seq("bucket"))
+      .filter(col("id_a") < col("id_b"))
+      .withColumn("cosine", VectorOps.dot(col("va"), col("vb")) / (col("na") * col("nb")))
+      .filter(col("cosine") >= threshold)
+      .select(col("id_a"), col("id_b")).distinct()
+  }
+
   /** EXACT-FOR-VALIDATION — embedding-cosine near-duplicate pairs
     * above a threshold (the semantic-dedup primitive) via an all-pairs
     * theta join: O(n²), a scale-killer at 100 TB. Use it to measure

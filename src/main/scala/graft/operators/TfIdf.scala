@@ -327,17 +327,24 @@ object TfIdf {
     // alongside its norm, then each candidate pair joins its two
     // vectors and the dot is an in-row map-merge — no posting
     // re-explosion, no per-(pair, term) shuffle, no separate norm
-    // joins. Each w_a·w_b product is a 2⁻²⁰-grid dyadic rational, so
-    // the in-row fold order is exact — bit-identical to the oracle's
-    // join-and-sum spelling.
+    // joins. The merge is `map_zip_with` + a sum over its values:
+    // MapZipWith unions the key sets through ONE hash map, so the
+    // per-pair cost is O(|va| + |vb|) — NOT the O(|va|·|vb|) a per-key
+    // `element_at` lookup would pay (element_at on a map is a linear
+    // scan of ArrayBasedMapData; at 100-TB doc lengths that constant
+    // is the verify stage). Each w_a·w_b product is a 2⁻²⁰-grid dyadic
+    // rational, so the in-row fold order is exact — bit-identical to
+    // the oracle's join-and-sum spelling (absent keys contribute an
+    // exact 0.0).
     val vecs = wts.groupBy(col("id"))
       .agg(map_from_entries(collect_list(struct(col("term"), col("w"))))
           .as("vec"),
         sqrt(sum(col("w") * col("w"))).as("nrm"))
       .localCheckpoint() // doc-sized; feeds both sides of the verify join
-    val dot = aggregate(map_entries(col("va")), lit(0.0d),
-      (acc, e) => acc +
-        coalesce(element_at(col("vb"), e("key")), lit(0.0d)) * e("value"))
+    val dot = aggregate(
+      map_values(map_zip_with(col("va"), col("vb"),
+        (_, a, b) => coalesce(a, lit(0.0d)) * coalesce(b, lit(0.0d)))),
+      lit(0.0d), (acc, x) => acc + x)
     cand
       .join(vecs.select(col("id").as("id_a"), col("vec").as("va"),
         col("nrm").as("na")), Seq("id_a"))

@@ -25,9 +25,20 @@ object GraphQueries {
   private def doubledPurchaseEdges(s: SparkSession, d: String): DataFrame = {
     val o = tbl(s, d, "orders").select(col("o_orderkey"), col("o_custkey"))
     val l = tbl(s, d, "lineitem").select(col("l_orderkey"), col("l_suppkey"))
+    // The downstream `assumeDistinct = true` vouches the doubled union
+    // cannot collide, which holds ONLY while cust ids stay strictly
+    // below the supp offset (TPC-H custkey reaches 1e6 at sf≈6.7 —
+    // past that, forward and reverse edges could alias and silently
+    // double-count votes). Guard IN-PLAN: one codegen'd comparison
+    // per row, failing loudly instead of corrupting counts.
+    val SuppOffset = 1000000L
+    val custGuarded = when(col("o_custkey") >= SuppOffset,
+      raise_error(concat(lit(s"custkey overlaps the supp id offset $SuppOffset" +
+        " — doubled edges would alias: "), col("o_custkey").cast("string"))))
+      .otherwise(col("o_custkey"))
     val pairs = o.join(l, col("o_orderkey") === col("l_orderkey"))
-      .select(col("o_custkey").as("cust"),
-        (col("l_suppkey") + 1000000L).as("supp"))
+      .select(custGuarded.as("cust"),
+        (col("l_suppkey") + SuppOffset).as("supp"))
       .distinct()
       .localCheckpoint() // feeds BOTH branches of the doubled union
     pairs.select(col("cust").as("src"), col("supp").as("dst"))

@@ -28,6 +28,15 @@ object VectorQueries {
   // multi-probe covers pairs differing in ≤1 bit: recall ~0.7 with the
   // candidate space still bucket-bounded.
   private val NDedupPlanes = 3
+  // OR-amplified near-dup LSH: L independent 4-plane tables, each
+  // multi-probed at Hamming-1. Finer tables than the single-table
+  // 3-plane config (16 buckets each, so the per-bucket candidate
+  // space HALVES) while the union of two independent tables lifts
+  // recall 1 − (1 − p)² — measured 1.00 vs the single table's 0.64
+  // on the sf0.01 fixture (ScaleProbe recall12; RecallSpec gates
+  // ≥ 0.8).
+  private val NDedupTablePlanes = 4
+  private val DedupTableSeeds = Seq(42L, 101L)
   // Product quantization: 8 subspaces x 8 dims, 32 centroids each
   // (finer quantization: the synthetic near-uniform vectors are the
   // adversarial case for PQ; recall measured in RecallSpec).
@@ -40,6 +49,8 @@ object VectorQueries {
   private val ProbeCentroids = 16
   private lazy val planes: Seq[Seq[Double]] = Similarity.hyperplanes(NPlanes, Dim)
   private lazy val dedupPlanes: Seq[Seq[Double]] = Similarity.hyperplanes(NDedupPlanes, Dim)
+  private lazy val dedupTables: Seq[Seq[Seq[Double]]] =
+    DedupTableSeeds.map(Similarity.hyperplanes(NDedupTablePlanes, Dim, _))
 
   val queries: Map[String, QueryFn] = Map(
     // Symmetric per-vector int8 quantization (the 4x embedding-store
@@ -162,11 +173,13 @@ object VectorQueries {
     }),
 
     // LSH-candidate + exact-verify near-dup pairs (scale path of
-    // dedup_embed_cosine): multi-probe so boundary-split pairs are
-    // still recovered.
+    // dedup_embed_cosine): TWO independent multi-probed hyperplane
+    // tables, OR-amplified — any table may surface a pair, the exact
+    // cosine verifies. Measured recall 1.00 vs brute force at sf0.01
+    // (single 3-plane table: 0.64; RecallSpec gates ≥ 0.8).
     "dedup_embed_lsh" -> ((s, d) => {
-      Similarity.lshCosineNearDupPairsMultiProbe(tbl(s, d, "embeddings"),
-        "vec_id", "embedding", CosThreshold, dedupPlanes)
+      Similarity.lshCosineNearDupPairsMultiTable(tbl(s, d, "embeddings"),
+        "vec_id", "embedding", CosThreshold, dedupTables)
     }),
 
     // Projected-space ANN with exact re-rank: the 16-dim JL shortlist
@@ -638,16 +651,30 @@ object VectorQueries {
           FROM s0cells $joins"""
     },
     "dedup_embed_lsh" -> {
-      val flips = (1 to NDedupPlanes).map { i =>
-        s"substring(bucket, 1, ${i - 1}) || (CASE WHEN substring(bucket, $i, 1) = '1' THEN '0' ELSE '1' END) || substring(bucket, ${i + 1}, ${NDedupPlanes - i})"
+      // Mirrors lshCosineNearDupPairsMultiTable: per table t, the
+      // prefixed key 't|bits'; the probe side unnests each table key
+      // plus its Hamming-1 flips (bit i sits at string offset i+2,
+      // after the 2-char 't|' prefix); candidates from ANY table
+      // OR-union through one DISTINCT after the exact-cosine verify.
+      val nP = NDedupTablePlanes
+      def flipsOf(b: String) = (1 to nP).map { i =>
+        s"substring($b, 1, ${i + 1}) || (CASE WHEN substring($b, ${i + 2}, 1) = '1' THEN '0' ELSE '1' END) || substring($b, ${i + 3}, ${nP - i})"
       }
+      val bucketExprs = dedupTables.zipWithIndex.map { case (ps, t) =>
+        s"'$t|' || ${bucketSql("embedding", ps)} AS b$t"
+      }
+      val bcols = dedupTables.indices.map(t => s"b$t")
+      val probeList = bcols.flatMap(b => b +: flipsOf(b))
       s"""WITH bucketed AS (
-            SELECT vec_id, embedding, ${bucketSql("embedding", dedupPlanes)} AS bucket FROM embeddings),
+            SELECT vec_id, embedding, ${bucketExprs.mkString(", ")} FROM embeddings),
+          corpus AS (
+            SELECT vec_id, embedding, unnest([${bcols.mkString(", ")}]) AS bucket
+            FROM bucketed),
           probes AS (
-            SELECT vec_id, embedding, unnest([bucket, ${flips.mkString(", ")}]) AS pb
+            SELECT vec_id, embedding, unnest([${probeList.mkString(", ")}]) AS pb
             FROM bucketed)
           SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
-          FROM probes a JOIN bucketed b
+          FROM probes a JOIN corpus b
             ON a.pb = b.bucket AND a.vec_id < b.vec_id
           WHERE ${cosSql("a.embedding", "b.embedding")} >= $CosThreshold"""
     })

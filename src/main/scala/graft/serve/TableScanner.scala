@@ -303,8 +303,9 @@ object TableScanner {
   * `null` / `not null` / `!null`; comparator prefixes `<= >= != < > =`
   * on numeric columns; `a,b,c` → in; `!a,b` → not_in;
   * `between X and Y` / `X..Y` / `X-Y` → between (the dash form only on
-  * numeric/temporal columns — a hyphen in free text stays an ilike
-  * substring); bare text → ilike contains.
+  * strictly NUMERIC columns — a hyphen in free text stays an ilike
+  * substring, and a partial date on a temporal column must not split);
+  * bare text → ilike contains.
   */
 object FilterParser {
   private val Between = "(?i)^between\\s+(\\S+)\\s+and\\s+(\\S+)$".r
@@ -326,6 +327,16 @@ object FilterParser {
       case _: NumericType | _: TimestampType | _: TimestampNTZType | _: DateType => true
       case _ => false
     }
+    // The bare dash-range sugar is NUMERIC-ONLY: on a temporal column
+    // a partial-date literal like `2024-01` would otherwise parse as
+    // between('2024', '01') and fail the ANSI string→date cast loudly
+    // (full `yyyy-MM-dd` literals can't match — their second "bound"
+    // would itself contain a dash — but prefixes can). Temporal
+    // ranges keep the explicit `between X and Y` / `X..Y` forms.
+    val strictlyNumeric = schema(column).dataType match {
+      case _: NumericType => true
+      case _ => false
+    }
     t.toLowerCase match {
       case "null"             => return ColumnFilter(column, "is_null")
       case "not null" | "!null" => return ColumnFilter(column, "is_not_null")
@@ -334,7 +345,7 @@ object FilterParser {
     t match {
       case Between(lo, hi) => ColumnFilter(column, "between", Some(lo), Nil, Some(hi))
       case Range(lo, hi)   => ColumnFilter(column, "between", Some(lo), Nil, Some(hi))
-      case DashRange(lo, hi) if numeric =>
+      case DashRange(lo, hi) if strictlyNumeric =>
         ColumnFilter(column, "between", Some(lo), Nil, Some(hi))
       case Cmp(op, v) if numeric =>
         val name = op match {

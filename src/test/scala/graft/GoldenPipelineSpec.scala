@@ -144,6 +144,25 @@ class GoldenPipelineSpec extends SparkTestBase {
     if (regen) fail("golden regeneration mode — goldens rewritten; rerun without GRAFT_GOLDEN_REGEN")
   }
 
+  test("sf0.001 output-table builders match committed Parquet goldens") {
+    // The BUILDER-table surface (reference build_berdl_db.py:1127-1136
+    // — growth_phenotype_summary, gene_reaction_data,
+    // pan_genome_features and siblings): each gated tbl_* query runs
+    // end to end at sf0.001 and pins against a committed golden, so a
+    // builder regression is caught by the committed fixture even
+    // before the sf0.01 oracle gate runs. With the six pipeline-stage
+    // goldens above this holds the committed-golden surface at 12.
+    val names = Seq("tbl_gene_reaction", "tbl_growth_summary",
+      "tbl_pangenome_feature", "tbl_genome", "tbl_ani",
+      "tbl_missing_functions")
+    names.foreach { name =>
+      val df = graft.SparkEntry.queries(name)(spark, sfSmoke)
+      assert(df.count() > 0, s"$name produced no rows at sf0.001")
+      checkGolden(name, df)
+    }
+    if (regen) fail("golden regeneration mode — goldens rewritten; rerun without GRAFT_GOLDEN_REGEN")
+  }
+
   test("genome prep -> annotate -> pangenome -> table build, end to end") {
     // --- stage 1: ANI tool output -> clade assignment
     val skaniOut = Seq(

@@ -384,22 +384,29 @@ class PlanGuardSpec extends SparkTestBase {
       assert(peel.count() == 3L && peelWide.count() == 3L)
       assert(graft.operators.Graph.peelRound(canon, k = 3L).count() == 0L)
     }
-    // LPA's winning-label pick is the order-independent min(struct)
-    // PARTIAL AGGREGATE — a refactor to a per-node row_number window
-    // would lose map-side combine on hot nodes (the oracle spells it
-    // as a window; the engine must not). The full LPA plan truncates
-    // per round (localCheckpoint), so the guard pins the pick
-    // sub-plan itself.
+    // LPA's winning-label pick is ONE order-independent PARTIAL
+    // AGGREGATE over the raw neighbor-label stream — deterministic
+    // mode() counts multiplicities AND breaks ties to the lowest
+    // label in a single exchange (the former count-then-argmax
+    // spelling paid two; a per-node row_number window would
+    // additionally lose map-side combine — the oracle spells it as a
+    // window; the engine must not). The full LPA plan truncates per
+    // round (localCheckpoint), so the guard pins the pick sub-plan
+    // itself.
     import org.apache.spark.sql.functions._
     import spark.implicits._
-    val counts = Seq((1L, 1L, 2L), (1L, 2L, 2L), (2L, 1L, 1L))
-      .toDF("id", "lab", "n")
-    val pick = graft.operators.Graph.winningLabels(counts)
+    // neighbor-label multiset: node 1 sees lab 1 x2 / lab 2 x2 (tie ->
+    // lowest wins), node 2 sees lab 1 once
+    val nbrLabs = Seq((1L, 1L), (1L, 2L), (1L, 1L), (1L, 2L), (2L, 1L))
+      .toDF("id", "lab")
+    val pick = graft.operators.Graph.winningLabels(nbrLabs)
     val pp = pick.queryExecution.executedPlan.toString
     assert(!pp.contains("Window"),
       s"LPA must pick via aggregate, not window:\n$pp")
-    assert(pp.contains("partial_min") || pp.contains("min(struct"),
-      s"LPA pick must be a min-struct partial aggregate:\n$pp")
+    assert(pp.contains("partial_mode") || pp.contains("mode(lab"),
+      s"LPA pick must be a single deterministic-mode partial aggregate:\n$pp")
+    assert(pp.split('\n').count(_.contains("Aggregate")) <= 2,
+      s"LPA pick must be ONE two-phase aggregate, not a count+argmax pair:\n$pp")
     // and the pick itself resolves the documented tie-break
     assert(pick.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap ==
       Map(1L -> 1L, 2L -> 1L))

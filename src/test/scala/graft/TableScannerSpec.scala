@@ -68,6 +68,19 @@ class TableScannerSpec extends SparkTestBase {
       colFilter = Map("score" -> "15-35")))
       .select("id").as[Long].collect().toSet
     assert(ids === Set(2L, 3L))
+    // TEMPORAL columns are excluded from the bare dash form: a
+    // partial-date quick filter like '2024-01' must NOT parse as
+    // between('2024', '01') — it falls through to the pre-existing
+    // comparable-column eq (a full 'yyyy-MM-dd' literal casts fine;
+    // a partial one fails THAT cast loudly, same as before the dash
+    // sugar existed). Explicit range forms remain for dates.
+    val dSchema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("day",
+        org.apache.spark.sql.types.DateType)))
+    assert(FilterParser.parse(dSchema, "day", "2024-01") ===
+      ColumnFilter("day", "eq", Some("2024-01")))
+    assert(FilterParser.parse(dSchema, "day",
+      "between 2024-01-01 and 2024-02-01").op === "between")
   }
 
   test("pagination + sort + total_count") {
