@@ -1314,6 +1314,112 @@ object ScaleProbe {
     }
   }
 
+  /** `runMain graft.ScaleProbe headroom12` — one measured 10× point
+    * for the five heaviest bench graph queries (triangles,
+    * clustering, weighted pagerank, link prediction, k-core), on the
+    * replicated edge sets `crossover12` writes (run it first). Turns
+    * the 20M-row shape arguments into bench-query-shaped sf1-scale
+    * measurements. */
+  private def headroom12(spark: SparkSession): Unit = {
+    spark.sparkContext.addSparkListener(MaxTask)
+    val out = "/tmp/graft_crossover"
+    val d = "/root/testdata/sf0.1"
+    val o = spark.read.parquet(s"$d/orders.parquet")
+      .select(col("o_orderkey"), col("o_custkey"))
+    val l = spark.read.parquet(s"$d/lineitem.parquet")
+      .select(col("l_orderkey"), col("l_suppkey"))
+    val wp1 = o.join(l, col("o_orderkey") === col("l_orderkey"))
+      .select(col("o_custkey").as("cust"),
+        (col("l_suppkey") + 1000000L).as("supp"), col("o_orderkey"))
+      .distinct().groupBy(col("cust"), col("supp")).agg(count(lit(1)).as("w"))
+    val wpairs = (0 until 10).map { r =>
+      val off = r * 10000000L
+      wp1.select((col("cust") + off).as("cust"),
+        (col("supp") + off).as("supp"), col("w"))
+    }.reduce(_ unionByName _).localCheckpoint()
+    val canon = spark.read.parquet(s"$out/canon.parquet")
+    val pairs = spark.read.parquet(s"$out/pairs.parquet")
+    def t(label: String)(f: => Long): Unit = {
+      MaxTask.reset(); val t0 = System.nanoTime(); val n = f
+      println(f"""{"probe":"headroom12 $label","rows":$n,"sec":${(System.nanoTime() - t0) / 1e9}%.2f,"max_task_sec":${MaxTask.max.get() / 1000.0}%.2f}""")
+    }
+    // ONE rep: five heavy operators' checkpoint blocks accumulate in
+    // the single local JVM (a second rep OOMs the 8 GiB heap — blocks
+    // from completed operators are not reclaimed until GC); on a
+    // cluster each would run in its own executors.
+    for (rep <- 1 to 1) {
+      t(s"r$rep triangles 10x") {
+        graft.operators.Graph.triangleCounts(canon, "a", "b")
+          .queryExecution.toRdd.count()
+      }
+      t(s"r$rep clustering 10x") {
+        graft.operators.Graph.clusteringCoefficient(canon, "a", "b")
+          .queryExecution.toRdd.count()
+      }
+      t(s"r$rep pagerank_w 10x") {
+        val edges = wpairs
+          .select(col("cust").as("src"), col("supp").as("dst"), col("w"))
+          .unionByName(wpairs
+            .select(col("supp").as("src"), col("cust").as("dst"), col("w")))
+        graft.operators.Graph.pageRankWeighted(edges, "src", "dst", "w",
+          iters = 3).queryExecution.toRdd.count()
+      }
+      t(s"r$rep linkpred 10x") {
+        graft.operators.Graph.linkPrediction(
+          pairs.select(col("cust").as("a"), col("supp").as("b")), "a", "b",
+          k = 100, maxCenterDeg = 500L).queryExecution.toRdd.count()
+      }
+      t(s"r$rep kcore 10x") {
+        graft.operators.Graph.kCore(canon, "a", "b", k = 70L, rounds = 4)
+          .queryExecution.toRdd.count()
+      }
+    }
+  }
+
+  /** `runMain graft.ScaleProbe sparse12 [replicas]` — sparse-pairs
+    * scale-crossover, Spark side. Replicates the sf0.1 documents
+    * `replicas`× with per-replica consonant rotation (term spaces
+    * become mostly disjoint across replicas, so the candidate space
+    * grows LINEARLY — the production shape of a growing corpus, not a
+    * clone-pair explosion), writes /tmp/graft_crossover/docs.parquet,
+    * and times the shipped exact + scalable operators on it;
+    * tools/sparse_crossover12.py times DuckDB's oracle spelling on
+    * the same file. */
+  private def sparse12(spark: SparkSession, replicas: Int): Unit = {
+    val out = "/tmp/graft_crossover"
+    val docs = spark.read.parquet("/root/testdata/sf0.1/documents.parquet")
+      .select(col("doc_id"), col("text"))
+    // Disjoint letter alphabet per replica (a distinct 26-char unicode
+    // block): replica r's shingles share (almost) no terms with
+    // replica r', so the corpus grows the way a real one does — new
+    // documents about new things, per-term df roughly constant — and
+    // the pair space grows LINEARLY. (A first cut that merely ROTATED
+    // the consonants left replica-shared grams whose df grew 10×
+    // under the 2% frac cap, exploding the posting self-join ~100× —
+    // both engines spilled out; that regime is what the scalable
+    // form's maxDfAbs ceiling exists for, not a growth crossover.)
+    val src = "abcdefghijklmnopqrstuvwxyz"
+    (0 until replicas).map { r =>
+      val dst = if (r == 0) src
+        else (0 until 26).map(i => (0x400 + r * 32 + i).toChar).mkString
+      docs.select((col("doc_id") + r * 10000000L).as("doc_id"),
+        translate(col("text"), src, dst).as("text"))
+    }.reduce(_ unionByName _)
+      .write.mode("overwrite").parquet(s"$out/docs.parquet")
+    val d10 = spark.read.parquet(s"$out/docs.parquet")
+    for (rep <- 1 to 2) {
+      val t0 = System.nanoTime()
+      val nE = graft.operators.TfIdf.sparseCosinePairs(d10, "doc_id", "text",
+        n = 5, maxDfFrac = 0.02, threshold = 0.6).queryExecution.toRdd.count()
+      val t1 = System.nanoTime()
+      val nS = graft.operators.TfIdf.sparseCosinePairsScalable(d10, "doc_id",
+        "text", n = 5, maxDfFrac = 0.02, maxDfAbs = 100000L, threshold = 0.6)
+        .queryExecution.toRdd.count()
+      val t2 = System.nanoTime()
+      println(f"""{"probe":"sparse12 spark r$rep","replicas":$replicas,"exact_sec":${(t1 - t0) / 1e9}%.2f,"exact_rows":$nE,"scalable_sec":${(t2 - t1) / 1e9}%.2f,"scalable_rows":$nS}""")
+    }
+  }
+
   /** `runMain graft.ScaleProbe recall12` — recall-vs-cost sweep of the
     * ANN paths on the sf0.01 embeddings fixture, against the exact
     * brute-force top-5 / exact near-dup pairs. Cost = candidate rows
@@ -1375,7 +1481,7 @@ object ScaleProbe {
         "outlier8", "budget8", "ids8", "aqe8", "rtfilter8", "prefix8",
         "sparse9", "interop9", "graph9", "bucket9", "semdedup9", "tri9",
         "kcore9", "linkpred10", "lpa11", "sparse11", "recall12",
-        "lpa12", "crossover12"))) {
+        "lpa12", "crossover12", "headroom12", "sparse12"))) {
       val spark = SparkSession.builder()
         .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")}]")
         .config("spark.sql.shuffle.partitions",
@@ -1408,6 +1514,8 @@ object ScaleProbe {
         case "recall12" => recall12(spark)
         case "lpa12" => lpa12(spark)
         case "crossover12" => crossover12(spark, args.lift(1).map(_.toInt).getOrElse(10))
+        case "headroom12" => headroom12(spark)
+        case "sparse12" => sparse12(spark, args.lift(1).map(_.toInt).getOrElse(10))
       }
       spark.stop()
       return

@@ -551,14 +551,21 @@ object Graph {
     // ONE action — no separate convergence probe job.
     // mode()'s ObjectHashAggregate falls back to sort-based agg after
     // a (default 128) per-partition key budget — far below a node
-    // frame. Raise it for the rounds so the map-side combine the
-    // mode-pick exists for actually runs; restore after (every round
-    // materializes inside the loop via localCheckpoint, so the
-    // setting never leaks into caller plans).
+    // frame, so the map-side combine the mode-pick exists for never
+    // runs. Raise it for the rounds, but ONLY to a memory-budgeted
+    // cap: each in-map group holds a label→count OpenHashMap with
+    // ~1 KB of fixed overhead, so the per-task worst case is
+    // threshold × ~1 KB (32k ≈ 32 MB/task) — a 4M raise measured
+    // faster at bench scale but OOM'd an 8 GiB heap at 10× data,
+    // because the threshold IS the spill guard. Past the cap the
+    // sort-based fallback aggregates spill-safely — the 100-TB path.
+    // Restored after the rounds (every round materializes inside the
+    // loop via localCheckpoint, so the setting never leaks into
+    // caller plans).
     val spark = edges.sparkSession
     val FallbackKey = "spark.sql.objectHashAggregate.sortBased.fallbackThreshold"
     val prevFallback = spark.conf.getOption(FallbackKey)
-    spark.conf.set(FallbackKey, "4000000")
+    spark.conf.set(FallbackKey, "32768")
     try {
     var it = 0
     var converged = false

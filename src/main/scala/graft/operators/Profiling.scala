@@ -166,11 +166,14 @@ object Profiling {
     * HLL distinct estimate per group, all codegen, collected as one
     * group-sized row set):
     *
-    *  - distinct values per group ≤ `distinctBudget`: three corpus
-    *    passes through Spark's counts-map `percentile` — the cheapest
-    *    exact form when the per-group value-map fits comfortably in an
-    *    aggregation buffer (measured: every multi-stage alternative
-    *    loses to it below ~1M distinct, the map IS the data);
+    *  - distinct values per group ≤ `distinctBudget`: THREE corpus
+    *    passes total — the stats probe, the counts-map `percentile`
+    *    median, and one fused [[org.apache.spark.sql.graftx.MadOutliersAgg]]
+    *    pass answering the MAD and the k·MAD tail count from the same
+    *    deviation counts-map (the cheapest exact form when the
+    *    per-group value-map fits an aggregation buffer; measured:
+    *    every multi-stage alternative loses to it below ~1M distinct,
+    *    the map IS the data);
     *  - above the budget: [[refinedMedian]] histogram refinement —
     *    every corpus pass a plain counting agg, memory bounded by
     *    [[HistBins]] regardless of cardinality. The counts-map form
@@ -218,15 +221,26 @@ object Profiling {
     val maxDistinct =
       if (statsRows.isEmpty) 0L
       else statsRows.iterator.map(_.getAs[Long]("nd")).max
+    if (maxDistinct <= distinctBudget) {
+      // Below the budget the whole report is THREE corpus passes:
+      // the stats probe above, the counts-map median, and ONE fused
+      // pass answering the MAD and the outlier tail count from the
+      // same deviation counts-map (MadOutliersAgg) — the two-agg
+      // spelling paid a fourth pass only because the k·MAD threshold
+      // isn't known until the dev median is. Bit-identical output
+      // (ProfilingSketchSpec pins it against the refined path, which
+      // keeps the separate final pass).
+      val (m, _) = localized(base.groupBy(col("grp"))
+        .agg(percentile(col("v"), lit(0.5)).as("med")))
+      return base.join(broadcast(m), Seq("grp"), "left")
+        .groupBy(col("grp"), col("med"))
+        .agg(org.apache.spark.sql.graftx.MadOutliersAgg
+          .madOutliers(abs(col("v") - col("med")), k).as("s"))
+        .select(col("grp"), col("med"), col("s.mad").as("mad"),
+          col("s.n_rows").as("n_rows"), col("s.n_outliers").as("n_outliers"))
+    }
     val (med, mad) =
-      if (maxDistinct <= distinctBudget) {
-        val (m, _) = localized(base.groupBy(col("grp"))
-          .agg(percentile(col("v"), lit(0.5)).as("med")))
-        val (d, _) = localized(base.join(broadcast(m), Seq("grp"))
-          .groupBy(col("grp"))
-          .agg(percentile(abs(col("v") - col("med")), lit(0.5)).as("mad")))
-        (m, d)
-      } else {
+      {
         val (m, mRows) = localized(refinedMedian(base, stats))
         val devBase = base.join(broadcast(m), Seq("grp"))
           .select(col("grp"), abs(col("v") - col("med")).as("v"))

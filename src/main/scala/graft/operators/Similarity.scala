@@ -248,10 +248,11 @@ object Similarity {
     * `ivfTopK`, but each QUERY searches its `nprobe` nearest cells —
     * the standard IVF recall knob. Only the query side replicates
     * (`nprobe`×); the corpus index is untouched, so the join grows
-    * linearly with probe count, never with corpus size. Not
-    * oracle-gated (the SQL mirror of a second probe adds nothing to
-    * differential confidence); recall-vs-brute-force is asserted in
-    * RecallSpec instead. */
+    * linearly with probe count, never with corpus size. Oracle-gated
+    * at the headline ≥0.8-recall budget (`ann_ivf_multiprobe`,
+    * 16 cells / nprobe=8 — the row_number spelling of
+    * NearestCellsTopN's probe-order tie-break); recall-vs-brute-force
+    * is asserted in RecallSpec. */
   def ivfTopKMultiProbe(df: DataFrame, idCol: String, vecCol: String, k: Int,
                         nCentroids: Int, nprobe: Int,
                         kmeansIters: Int = 2, trainSampleMod: Int = 1): DataFrame = {

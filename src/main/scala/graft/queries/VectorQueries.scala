@@ -47,6 +47,13 @@ object VectorQueries {
   // 16-id seed window yields 8 effective cells — same cell count as
   // ann_ivf_topk's full-corpus seeding.
   private val ProbeCentroids = 16
+  // The HEADLINE multi-probe IVF budget: 16 cells, 8 probed — the
+  // finest grid measured (recall12 sweep) to clear recall@5 ≥ 0.8 on
+  // the isotropic fixture (0.81; RecallSpec gates it). Half the
+  // corpus scanned per query, with the probe ORDER (by centroid
+  // cosine) choosing the half.
+  private val MpCells = 16
+  private val MpProbe = 8
   private lazy val planes: Seq[Seq[Double]] = Similarity.hyperplanes(NPlanes, Dim)
   private lazy val dedupPlanes: Seq[Seq[Double]] = Similarity.hyperplanes(NDedupPlanes, Dim)
   private lazy val dedupTables: Seq[Seq[Seq[Double]]] =
@@ -135,6 +142,18 @@ object VectorQueries {
     "ann_ivf_topk" -> ((s, d) => {
       Similarity.ivfTopK(tbl(s, d, "embeddings"), "vec_id", "embedding", K,
         nCentroids = NCentroids, kmeansIters = KmeansIters, trainSampleMod = TrainMod)
+    }),
+
+    // Multi-probe IVF at the headline recall budget (16 cells, 8
+    // probed → recall@5 0.81 on the fixture): each query searches its
+    // nprobe nearest cells by centroid cosine — the standard IVF
+    // recall knob, differentially gated at the config RecallSpec
+    // records ≥ 0.8 for (the probe-order selection is a custom
+    // codegen'd expression, NearestCellsTopN — worth its own oracle).
+    "ann_ivf_multiprobe" -> ((s, d) => {
+      Similarity.ivfTopKMultiProbe(tbl(s, d, "embeddings"), "vec_id",
+        "embedding", K, nCentroids = MpCells, nprobe = MpProbe,
+        kmeansIters = KmeansIters)
     }),
 
     // Product-quantization codes: 8 subspace codebooks compress each
@@ -431,6 +450,45 @@ object VectorQueries {
               row_number() OVER (PARTITION BY a.vec_id
                 ORDER BY ${cosSql("a.embedding", "b.embedding")} DESC, b.vec_id) AS rank
             FROM cells a JOIN cells b
+              ON a.cell = b.cell AND a.vec_id <> b.vec_id)
+          WHERE rank <= $K"""
+    },
+    "ann_ivf_multiprobe" -> {
+      // Mirrors ivfTopKMultiProbe at (MpCells, MpProbe) with a
+      // full-corpus fit: the same kmeans chain as ann_ivf_topk, then
+      // the corpus keeps its rn=1 cell while each QUERY keeps its
+      // rn ≤ nprobe cells (row_number over cosine desc, cell asc —
+      // the exact NearestCellsTopN tie-break). A neighbor lives in
+      // exactly one cell, so no candidate dedup is needed.
+      def rankCte(cIn: String, src: String): String =
+        s"""SELECT v.vec_id, v.embedding, c.cell,
+              row_number() OVER (PARTITION BY v.vec_id
+                ORDER BY ${cosSql("v.embedding", "c.cv")} DESC, c.cell) AS rn
+            FROM $src v CROSS JOIN $cIn c"""
+      def assignCte(cIn: String, src: String): String =
+        s"SELECT vec_id, embedding, cell FROM (${rankCte(cIn, src)}) WHERE rn = 1"
+      def meanCte(aIn: String): String =
+        s"""SELECT cell, list(m ORDER BY i) AS cv FROM (
+              SELECT cell, i, floor(avg(embedding[i]::DOUBLE) * 1000000 + 0.5) / 1000000 AS m
+              FROM $aIn CROSS JOIN generate_series(1, $Dim) AS g(i)
+              GROUP BY cell, i)
+            GROUP BY cell"""
+      s"""WITH c0 AS (
+            SELECT vec_id AS cell, list_transform(embedding, x -> x::DOUBLE) AS cv
+            FROM embeddings WHERE vec_id < $MpCells),
+          a0 AS (${assignCte("c0", "embeddings")}),
+          c1 AS (${meanCte("a0")}),
+          a1 AS (${assignCte("c1", "embeddings")}),
+          c2 AS (${meanCte("a1")}),
+          cells AS (${assignCte("c2", "embeddings")}),
+          probes AS (
+            SELECT vec_id, embedding, cell FROM (${rankCte("c2", "embeddings")})
+            WHERE rn <= $MpProbe)
+          SELECT query_id, rank, neighbor_id FROM (
+            SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+              row_number() OVER (PARTITION BY a.vec_id
+                ORDER BY ${cosSql("a.embedding", "b.embedding")} DESC, b.vec_id) AS rank
+            FROM probes a JOIN cells b
               ON a.cell = b.cell AND a.vec_id <> b.vec_id)
           WHERE rank <= $K"""
     },

@@ -1,0 +1,148 @@
+package org.apache.spark.sql.graftx
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{Expression, ImplicitCastInputTypes}
+import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
+import org.apache.spark.sql.catalyst.trees.UnaryLike
+import org.apache.spark.sql.classic.ExpressionUtils
+import org.apache.spark.sql.types.{AbstractDataType, DataType, DoubleType, LongType, StructField, StructType}
+import org.apache.spark.util.collection.OpenHashMap
+
+/** EXACT fused MAD + outlier count over a deviation column, in ONE
+  * aggregation: the per-group buffer is the same value→count map an
+  * exact `percentile` holds, but `eval` answers BOTH the interpolated
+  * median of the deviations (the MAD) AND the count of deviations
+  * beyond `k`·MAD from that same buffer — where the two-aggregation
+  * spelling pays a second corpus pass (join the MAD back, re-scan,
+  * count) purely because the threshold isn't known until the median
+  * is. Fusing is sound because the counts map IS the full deviation
+  * distribution: once sorted for the median, the tail count is a walk
+  * over the same keys.
+  *
+  * Exactness contract (pinned by ProfilingSketchSpec against the
+  * two-pass spelling): the median interpolation is bit-identical to
+  * Spark's `percentile(dev, 0.5)` — position p = 0.5·(n−1), result =
+  * lo + (hi − lo)·(p − ⌊p⌋) over the expanded sorted multiset — and
+  * the outlier predicate is the same IEEE comparison
+  * (dev > mad·k, or dev > 0 when mad = 0). Null deviations (null
+  * input values) count in `n_rows`, are invisible to the median, and
+  * are never outliers; an all-null group reports a null MAD. Buffer
+  * state is one entry per DISTINCT deviation — callers route here
+  * only under the same distinct-values budget that gates the exact
+  * counts-map percentile (Profiling.robustOutliers).
+  *
+  * Returns struct(mad, n_outliers, n_rows). */
+case class MadOutliersAgg(child: Expression, k: Double,
+                          mutableAggBufferOffset: Int = 0,
+                          inputAggBufferOffset: Int = 0)
+  extends TypedImperativeAggregate[MadOutliersAgg.Buf]
+  with UnaryLike[Expression] with ImplicitCastInputTypes {
+
+  override def inputTypes: Seq[AbstractDataType] = Seq(DoubleType)
+  override def dataType: DataType = StructType(Seq(
+    StructField("mad", DoubleType, nullable = true),
+    StructField("n_outliers", LongType, nullable = false),
+    StructField("n_rows", LongType, nullable = false)))
+  override def nullable: Boolean = false
+
+  override def createAggregationBuffer(): MadOutliersAgg.Buf =
+    new MadOutliersAgg.Buf(new OpenHashMap[Double, Long](), 0L)
+
+  override def update(buf: MadOutliersAgg.Buf,
+                      input: InternalRow): MadOutliersAgg.Buf = {
+    val v = child.eval(input)
+    if (v == null) buf.nulls += 1
+    else buf.counts.changeValue(v.asInstanceOf[Double], 1L, _ + 1L)
+    buf
+  }
+
+  override def merge(buf: MadOutliersAgg.Buf,
+                     other: MadOutliersAgg.Buf): MadOutliersAgg.Buf = {
+    other.counts.foreach { case (value, cnt) =>
+      buf.counts.changeValue(value, cnt, _ + cnt)
+    }
+    buf.nulls += other.nulls
+    buf
+  }
+
+  override def eval(buf: MadOutliersAgg.Buf): Any = {
+    var n = 0L
+    buf.counts.foreach { case (_, c) => n += c }
+    if (n == 0L) return InternalRow(null, 0L, buf.nulls)
+    // Sort the distinct (value, count) pairs by value under total
+    // double ordering (NaN greatest, -0.0 < 0.0) — the same expanded
+    // multiset Spark's percentile walks. Pairs, not key lookups, so a
+    // pathological NaN key cannot miss itself in the hash map.
+    val pairs = buf.counts.iterator.toArray
+    java.util.Arrays.sort(pairs, (a: (Double, Long), b: (Double, Long)) =>
+      java.lang.Double.compare(a._1, b._1))
+    val pos = 0.5 * (n - 1).toDouble
+    val loRank = math.floor(pos).toLong
+    val hiRank = math.ceil(pos).toLong
+    var lo = 0.0; var hi = 0.0
+    var cum = 0L; var i = 0; var foundLo = false; var foundHi = false
+    while (i < pairs.length && !foundHi) {
+      cum += pairs(i)._2
+      if (!foundLo && cum > loRank) { lo = pairs(i)._1; foundLo = true }
+      if (!foundHi && cum > hiRank) { hi = pairs(i)._1; foundHi = true }
+      i += 1
+    }
+    // Spark Percentile.getPercentile: higher == lower -> the value
+    // itself; else linear interpolation at the fractional position
+    val mad =
+      if (hiRank == loRank || java.lang.Double.compare(lo, hi) == 0) lo
+      else lo + (hi - lo) * (pos - loRank.toDouble)
+    var outliers = 0L
+    var j = 0
+    while (j < pairs.length) {
+      val value = pairs(j)._1
+      val isOut =
+        if (mad > 0) value > mad * k
+        else if (mad == 0) value > 0
+        else false // NaN mad: no comparison can hold, matching SQL
+      if (isOut) outliers += pairs(j)._2
+      j += 1
+    }
+    InternalRow(mad, outliers, n + buf.nulls)
+  }
+
+  override def serialize(buf: MadOutliersAgg.Buf): Array[Byte] = {
+    val bb = java.nio.ByteBuffer.allocate(8 + 4 + buf.counts.size * 16)
+    bb.putLong(buf.nulls)
+    bb.putInt(buf.counts.size)
+    buf.counts.foreach { case (value, c) =>
+      bb.putDouble(value); bb.putLong(c)
+    }
+    bb.array()
+  }
+
+  override def deserialize(storage: Array[Byte]): MadOutliersAgg.Buf = {
+    val bb = java.nio.ByteBuffer.wrap(storage)
+    val nulls = bb.getLong
+    val sz = bb.getInt
+    val m = new OpenHashMap[Double, Long](math.max(sz, 1))
+    var i = 0
+    while (i < sz) { m.update(bb.getDouble, bb.getLong); i += 1 }
+    new MadOutliersAgg.Buf(m, nulls)
+  }
+
+  override def withNewMutableAggBufferOffset(o: Int): MadOutliersAgg =
+    copy(mutableAggBufferOffset = o)
+  override def withNewInputAggBufferOffset(o: Int): MadOutliersAgg =
+    copy(inputAggBufferOffset = o)
+  override protected def withNewChildInternal(c: Expression): MadOutliersAgg =
+    copy(child = c)
+  override def prettyName: String = "mad_outliers"
+}
+
+object MadOutliersAgg {
+  /** Mutable aggregation state: deviation→count plus the null tally. */
+  final class Buf(val counts: OpenHashMap[Double, Long], var nulls: Long)
+
+  /** struct(mad, n_outliers, n_rows) of a deviation column at fence
+    * multiplier `k`. */
+  def madOutliers(dev: Column, k: Double): Column =
+    ExpressionUtils.column(MadOutliersAgg(
+      ExpressionUtils.expression(dev), k).toAggregateExpression())
+}
