@@ -1407,13 +1407,24 @@ object ScaleProbe {
     }.reduce(_ unionByName _)
       .write.mode("overwrite").parquet(s"$out/docs.parquet")
     val d10 = spark.read.parquet(s"$out/docs.parquet")
+    // Hold the ABSOLUTE df head-cut constant as the corpus grows —
+    // the production semantics (a stop-gram is a stop-gram no matter
+    // how big the corpus gets), and precisely what the scalable
+    // form's maxDfAbs ceiling encodes. A frac-only cap loosens 10×
+    // with the corpus (2% of 50k keeps df≤1000 grams the 1× run
+    // dropped at df≤100) and quadratically explodes the posting join
+    // in BOTH engines — measured: >60 GB of spill before this probe
+    // pinned the cut. Exact form gets the equivalent scaled fraction;
+    // the scalable form exercises its absolute ceiling directly.
+    val cap = (0.02 * 5000).toLong // the 1× head cut, held absolute
     for (rep <- 1 to 2) {
       val t0 = System.nanoTime()
       val nE = graft.operators.TfIdf.sparseCosinePairs(d10, "doc_id", "text",
-        n = 5, maxDfFrac = 0.02, threshold = 0.6).queryExecution.toRdd.count()
+        n = 5, maxDfFrac = 0.02 / replicas, threshold = 0.6)
+        .queryExecution.toRdd.count()
       val t1 = System.nanoTime()
       val nS = graft.operators.TfIdf.sparseCosinePairsScalable(d10, "doc_id",
-        "text", n = 5, maxDfFrac = 0.02, maxDfAbs = 100000L, threshold = 0.6)
+        "text", n = 5, maxDfFrac = 0.02, maxDfAbs = cap, threshold = 0.6)
         .queryExecution.toRdd.count()
       val t2 = System.nanoTime()
       println(f"""{"probe":"sparse12 spark r$rep","replicas":$replicas,"exact_sec":${(t1 - t0) / 1e9}%.2f,"exact_rows":$nE,"scalable_sec":${(t2 - t1) / 1e9}%.2f,"scalable_rows":$nS}""")

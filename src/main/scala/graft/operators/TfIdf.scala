@@ -133,13 +133,18 @@ object TfIdf {
   final case class SparseIndex(idf: DataFrame, weights: DataFrame,
                                norms: DataFrame)
 
+  /** (id, term, tf) over codepoint n-grams — counted IN-ROW by
+    * [[org.apache.spark.sql.graftx.ShingleTf]] and exploded at
+    * distinct-gram size, where the former explode-then-groupBy
+    * spelling shuffled one row per gram OCCURRENCE (≈ the corpus's
+    * character volume) just to count within documents. Same rows,
+    * same types (null text still yields a null-term row via
+    * explode_outer, so doc counts see every document); no exchange. */
   private def tfOf(d: DataFrame, idCol: String, textCol: String,
                    n: Int): DataFrame =
     Dedup.spread(d).select(col(idCol),
-      explode_outer(transform(
-        sequence(lit(1), greatest(length(col(textCol)) - (n - 1), lit(1))),
-        i => col(textCol).substr(i, lit(n)))).as("term"))
-      .groupBy(col(idCol), col("term")).agg(count(lit(1)).as("tf"))
+      explode_outer(org.apache.spark.sql.graftx.ShingleTf
+        .shingleTf(col(textCol), n)).as(Seq("term", "tf")))
 
   /** Attach idf weights by an UNHINTED term join: the idf side is the
     * DF-CAPPED vocabulary, whose size is corpus-dependent — a test

@@ -12,7 +12,7 @@ import sys
 import time
 
 N = 5
-MAX_DF_FRAC = 0.02
+DF_CAP = 100  # absolute head cut, held constant as the corpus grows
 THRESHOLD = 0.6
 
 SQL = f"""WITH g AS (
@@ -26,7 +26,7 @@ SQL = f"""WITH g AS (
     nd AS (SELECT count(DISTINCT doc_id)::BIGINT AS n_docs FROM tf),
     idf AS (
       SELECT term, ln((n_docs + 1)::DOUBLE / (df + 1)) + 1 AS idf
-      FROM dfq CROSS JOIN nd WHERE df <= n_docs::DOUBLE * {MAX_DF_FRAC}),
+      FROM dfq CROSS JOIN nd WHERE df <= {DF_CAP}),
     wts AS (
       SELECT doc_id, term, floor(tf * idf * 1024 + 0.5) / 1024 AS w
       FROM tf JOIN idf USING (term)),
