@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Link-graph authority scoring — the crawl-curation signal a
@@ -559,13 +559,13 @@ object Graph {
     // faster at bench scale but OOM'd an 8 GiB heap at 10× data,
     // because the threshold IS the spill guard. Past the cap the
     // sort-based fallback aggregates spill-safely — the 100-TB path.
-    // Restored after the rounds (every round materializes inside the
-    // loop via localCheckpoint, so the setting never leaks into
-    // caller plans).
+    // The raise is session-visible for the duration of the rounds
+    // (other queries running concurrently on the same session also
+    // see it — bounded by the same memory budget); the reentrant
+    // guard makes save/restore safe when LPA calls themselves overlap
+    // (naive save/restore would leak the raised value permanently).
     val spark = edges.sparkSession
-    val FallbackKey = "spark.sql.objectHashAggregate.sortBased.fallbackThreshold"
-    val prevFallback = spark.conf.getOption(FallbackKey)
-    spark.conf.set(FallbackKey, "32768")
+    ModeFallbackGuard.enter(spark)
     try {
     var it = 0
     var converged = false
@@ -589,9 +589,42 @@ object Graph {
     }
     labels
     } finally {
-      prevFallback match {
-        case Some(v) => spark.conf.set(FallbackKey, v)
-        case None => spark.conf.unset(FallbackKey)
+      ModeFallbackGuard.exit(spark)
+    }
+  }
+
+  /** Reentrant, per-session save/set/restore of the
+    * ObjectHashAggregate sort-fallback threshold around
+    * [[labelPropagation]]'s rounds: the OUTERMOST enter saves the
+    * session's prior value and sets the budgeted cap, the matching
+    * outermost exit restores it. Without the depth count, two
+    * overlapping calls on one session interleave save/restore and
+    * leak the raised value into the session permanently. */
+  private object ModeFallbackGuard {
+    private val FallbackKey =
+      "spark.sql.objectHashAggregate.sortBased.fallbackThreshold"
+    private final class State(var depth: Int, var saved: Option[String])
+    private val states =
+      new java.util.IdentityHashMap[SparkSession, State]()
+    def enter(spark: SparkSession): Unit = synchronized {
+      val st = states.get(spark)
+      if (st == null) {
+        states.put(spark,
+          new State(1, spark.conf.getOption(FallbackKey)))
+        spark.conf.set(FallbackKey, "32768")
+      } else st.depth += 1
+    }
+    def exit(spark: SparkSession): Unit = synchronized {
+      val st = states.get(spark)
+      if (st != null) {
+        st.depth -= 1
+        if (st.depth == 0) {
+          states.remove(spark)
+          st.saved match {
+            case Some(v) => spark.conf.set(FallbackKey, v)
+            case None => spark.conf.unset(FallbackKey)
+          }
+        }
       }
     }
   }

@@ -241,23 +241,19 @@ object Profiling {
     }
     val (med, mad) =
       {
-        val (m, mRows) = localized(refinedMedian(base, stats))
+        val (m, _) = localized(refinedMedian(base, stats))
         val devBase = base.join(broadcast(m), Seq("grp"))
           .select(col("grp"), abs(col("v") - col("med")).as("v"))
-        // the dev-median's stats derive from rows already on the
-        // driver — plain arithmetic, no job (same IEEE ops as the
-        // former greatest(mx − med, med − mn) column)
-        val medByGrp = mRows.iterator.map(r => r.get(0) -> r.getDouble(1)).toMap
-        val devRows = statsRows.flatMap { s =>
-          medByGrp.get(s.get(0)).map { mv =>
-            org.apache.spark.sql.Row(s.get(0), 0.0,
-              math.max(s.getAs[Double]("mx") - mv, mv - s.getAs[Double]("mn")),
-              s.getAs[Long]("n"), s.getAs[Long]("r1"), s.getAs[Long]("r2"))
-          }
-        }
-        val devStats = base.sparkSession.createDataFrame(
-          java.util.Arrays.asList(devRows: _*), stats.schema
-            .copy(fields = stats.schema.fields.filter(_.name != "nd")))
+        // dev-stats = stats ⋈ med over two LocalRelations — a
+        // group-sized local join, collected in one trivial job. The
+        // join is SQL, not a driver-side Map keyed on Row.get(0): SQL
+        // group equality is by VALUE for every type, where a Scala
+        // Map over binary group keys (Array[Byte] reference equality)
+        // would silently match nothing.
+        val (devStats, _) = localized(stats.join(m, Seq("grp"))
+          .select(col("grp"), lit(0.0).as("mn"),
+            greatest(col("mx") - col("med"), col("med") - col("mn")).as("mx"),
+            col("n"), col("r1"), col("r2")))
         val (d, _) = localized(refinedMedian(devBase, devStats)
           .select(col("grp"), col("med").as("mad")))
         (m, d)

@@ -135,16 +135,21 @@ object TfIdf {
 
   /** (id, term, tf) over codepoint n-grams — counted IN-ROW by
     * [[org.apache.spark.sql.graftx.ShingleTf]] and exploded at
-    * distinct-gram size, where the former explode-then-groupBy
-    * spelling shuffled one row per gram OCCURRENCE (≈ the corpus's
-    * character volume) just to count within documents. Same rows,
-    * same types (null text still yields a null-term row via
-    * explode_outer, so doc counts see every document); no exchange. */
+    * distinct-gram size, where the former spelling exploded one row
+    * per gram OCCURRENCE (≈ the corpus's character volume) and
+    * hash-aggregated that stream back down. The groupBy stays — an
+    * input carrying the same id on several rows (un-deduped ingest)
+    * must still merge to one (id, term) row, as the old spelling
+    * guaranteed — but both its map-side combine and its exchange now
+    * run at distinct-gram size, and the null-text row survives it
+    * (explode_outer + sum-of-null), so doc counts see every
+    * document. */
   private def tfOf(d: DataFrame, idCol: String, textCol: String,
                    n: Int): DataFrame =
     Dedup.spread(d).select(col(idCol),
       explode_outer(org.apache.spark.sql.graftx.ShingleTf
-        .shingleTf(col(textCol), n)).as(Seq("term", "tf")))
+        .shingleTf(col(textCol), n)).as(Seq("term", "__tf")))
+      .groupBy(col(idCol), col("term")).agg(sum(col("__tf")).as("tf"))
 
   /** Attach idf weights by an UNHINTED term join: the idf side is the
     * DF-CAPPED vocabulary, whose size is corpus-dependent — a test
@@ -231,12 +236,7 @@ object TfIdf {
   def sparseCosinePairs(df: DataFrame, idCol: String, textCol: String,
                         n: Int, maxDfFrac: Double,
                         threshold: Double): DataFrame = {
-    val grams = Dedup.spread(df).select(col(idCol),
-      explode_outer(transform(
-        sequence(lit(1), greatest(length(col(textCol)) - (n - 1), lit(1))),
-        i => col(textCol).substr(i, lit(n)))).as("term"))
-    val tf = grams.groupBy(col(idCol), col("term")).agg(count(lit(1)).as("tf"))
-      .localCheckpoint()
+    val tf = tfOf(df, idCol, textCol, n).localCheckpoint()
     val dfreq = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
     val nDocs = tf.select(countDistinct(col(idCol)).as("n_docs"))
     val idf = dfreq.crossJoin(broadcast(nDocs))

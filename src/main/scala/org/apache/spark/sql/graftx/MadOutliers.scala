@@ -23,7 +23,7 @@ import org.apache.spark.util.collection.OpenHashMap
   * Exactness contract (pinned by ProfilingSketchSpec against the
   * two-pass spelling): the median interpolation is bit-identical to
   * Spark's `percentile(dev, 0.5)` — position p = 0.5·(n−1), result =
-  * lo + (hi − lo)·(p − ⌊p⌋) over the expanded sorted multiset — and
+  * (⌈p⌉ − p)·lo + (p − ⌊p⌋)·hi over the expanded sorted multiset — and
   * the outlier predicate is the same IEEE comparison
   * (dev > mad·k, or dev > 0 when mad = 0). Null deviations (null
   * input values) count in `n_rows`, are invisible to the median, and
@@ -47,20 +47,27 @@ case class MadOutliersAgg(child: Expression, k: Double,
   override def nullable: Boolean = false
 
   override def createAggregationBuffer(): MadOutliersAgg.Buf =
-    new MadOutliersAgg.Buf(new OpenHashMap[Double, Long](), 0L)
+    new MadOutliersAgg.Buf(new OpenHashMap[Long, Long](), 0L)
 
   override def update(buf: MadOutliersAgg.Buf,
                       input: InternalRow): MadOutliersAgg.Buf = {
     val v = child.eval(input)
     if (v == null) buf.nulls += 1
-    else buf.counts.changeValue(v.asInstanceOf[Double], 1L, _ + 1L)
+    // keyed on doubleToLongBits, NOT the primitive double: primitive
+    // NaN != NaN would insert a NEW entry per NaN row (unbounded
+    // state, quadratic probing on identical hashes), while the bits
+    // canonicalize every NaN to one key and keep -0.0/0.0 distinct —
+    // exactly the boxed-Double key semantics Spark's own percentile
+    // buffer has
+    else buf.counts.changeValue(
+      java.lang.Double.doubleToLongBits(v.asInstanceOf[Double]), 1L, _ + 1L)
     buf
   }
 
   override def merge(buf: MadOutliersAgg.Buf,
                      other: MadOutliersAgg.Buf): MadOutliersAgg.Buf = {
-    other.counts.foreach { case (value, cnt) =>
-      buf.counts.changeValue(value, cnt, _ + cnt)
+    other.counts.foreach { case (bits, cnt) =>
+      buf.counts.changeValue(bits, cnt, _ + cnt)
     }
     buf.nulls += other.nulls
     buf
@@ -72,9 +79,10 @@ case class MadOutliersAgg(child: Expression, k: Double,
     if (n == 0L) return InternalRow(null, 0L, buf.nulls)
     // Sort the distinct (value, count) pairs by value under total
     // double ordering (NaN greatest, -0.0 < 0.0) — the same expanded
-    // multiset Spark's percentile walks. Pairs, not key lookups, so a
-    // pathological NaN key cannot miss itself in the hash map.
-    val pairs = buf.counts.iterator.toArray
+    // multiset Spark's percentile walks.
+    val pairs = buf.counts.iterator
+      .map { case (bits, c) => (java.lang.Double.longBitsToDouble(bits), c) }
+      .toArray
     java.util.Arrays.sort(pairs, (a: (Double, Long), b: (Double, Long)) =>
       java.lang.Double.compare(a._1, b._1))
     val pos = 0.5 * (n - 1).toDouble
@@ -88,11 +96,15 @@ case class MadOutliersAgg(child: Expression, k: Double,
       if (!foundHi && cum > hiRank) { hi = pairs(i)._1; foundHi = true }
       i += 1
     }
-    // Spark Percentile.getPercentile: higher == lower -> the value
-    // itself; else linear interpolation at the fractional position
+    // Spark Percentile.getPercentile VERBATIM: higher == lower (or
+    // equal keys) -> the value itself; else the TWO-PRODUCT
+    // interpolation (higher − position)·lo + (position − lower)·hi —
+    // NOT lo + (hi − lo)·frac, which differs in the last ulp for ~9%
+    // of middle-value pairs and would break the bit-identical
+    // contract with the percentile-based spelling and the oracle
     val mad =
       if (hiRank == loRank || java.lang.Double.compare(lo, hi) == 0) lo
-      else lo + (hi - lo) * (pos - loRank.toDouble)
+      else (hiRank.toDouble - pos) * lo + (pos - loRank.toDouble) * hi
     var outliers = 0L
     var j = 0
     while (j < pairs.length) {
@@ -111,8 +123,8 @@ case class MadOutliersAgg(child: Expression, k: Double,
     val bb = java.nio.ByteBuffer.allocate(8 + 4 + buf.counts.size * 16)
     bb.putLong(buf.nulls)
     bb.putInt(buf.counts.size)
-    buf.counts.foreach { case (value, c) =>
-      bb.putDouble(value); bb.putLong(c)
+    buf.counts.foreach { case (bits, c) =>
+      bb.putLong(bits); bb.putLong(c)
     }
     bb.array()
   }
@@ -121,9 +133,9 @@ case class MadOutliersAgg(child: Expression, k: Double,
     val bb = java.nio.ByteBuffer.wrap(storage)
     val nulls = bb.getLong
     val sz = bb.getInt
-    val m = new OpenHashMap[Double, Long](math.max(sz, 1))
+    val m = new OpenHashMap[Long, Long](math.max(sz, 1))
     var i = 0
-    while (i < sz) { m.update(bb.getDouble, bb.getLong); i += 1 }
+    while (i < sz) { m.update(bb.getLong, bb.getLong); i += 1 }
     new MadOutliersAgg.Buf(m, nulls)
   }
 
@@ -138,7 +150,7 @@ case class MadOutliersAgg(child: Expression, k: Double,
 
 object MadOutliersAgg {
   /** Mutable aggregation state: deviation→count plus the null tally. */
-  final class Buf(val counts: OpenHashMap[Double, Long], var nulls: Long)
+  final class Buf(val counts: OpenHashMap[Long, Long], var nulls: Long)
 
   /** struct(mad, n_outliers, n_rows) of a deviation column at fence
     * multiplier `k`. */

@@ -116,6 +116,16 @@ class ProfilingSketchSpec extends SparkTestBase {
         Seq.tabulate(4000)(i =>
           (s"g${i % 5}", math.floor(rng.nextDouble() * 400) / 8))
           .toDF("grp", "v")
+      },
+      // RAW doubles, no dyadic grid: even-count groups interpolate
+      // between two arbitrary middle values, which is exactly where a
+      // wrong interpolation spelling (lo + (hi−lo)·f instead of
+      // percentile's (⌈p⌉−p)·lo + (p−⌊p⌋)·hi) diverges in the last
+      // ulp for ~9% of pairs — the dyadic fixtures above dodge it
+      "nondyadic" -> {
+        val rng = new scala.util.Random(77)
+        Seq.tabulate(4000)(i => (s"g${i % 4}", rng.nextDouble() * 1000))
+          .toDF("grp", "v")
       })
     for ((name, df) <- fixtures) {
       def canon(rows: Array[org.apache.spark.sql.Row]) =
@@ -125,6 +135,40 @@ class ProfilingSketchSpec extends SparkTestBase {
       val viaHist = canon(Profiling.robustOutliers(df, col("grp"), col("v"),
         distinctBudget = 0L).collect())
       assert(viaHist == viaMap, s"fixture $name: paths diverge")
+    }
+  }
+
+  test("fused MAD pass matches the two-agg percentile spelling, incl. NaN devs") {
+    // The below-budget path answers MAD + outlier count from ONE
+    // fused aggregation (MadOutliersAgg); this pins it against the
+    // explicit percentile-then-count spelling it replaced, on
+    // non-dyadic values plus a NaN-carrying group (NaN devs must
+    // neither fragment the buffer — bits-keyed map — nor change the
+    // percentile's NaN-greatest ordering).
+    val rng = new scala.util.Random(5)
+    val df = (Seq.tabulate(900)(i => (s"g${i % 3}", rng.nextDouble() * 100)) ++
+      Seq.fill(40)(("gn", Double.NaN)) ++
+      Seq.tabulate(30)(i => ("gn", i * 1.5))).toDF("grp", "v")
+    val fused = Profiling.robustOutliers(df, col("grp"), col("v"))
+      .collect().map(r => r.getString(0) -> r.toSeq.toList).toMap
+    val med = df.groupBy(col("grp"))
+      .agg(percentile(col("v"), lit(0.5)).as("med"))
+    val twoAgg = df.join(med, Seq("grp"))
+      .withColumn("dev", abs(col("v") - col("med")))
+      .groupBy(col("grp"), col("med"))
+      .agg(percentile(col("dev"), lit(0.5)).as("mad"),
+        count(lit(1)).as("n_rows"))
+      .collect().map(r => r.getString(0) ->
+        ((r.getDouble(1), r.getDouble(2), r.getLong(3)))).toMap
+    def bitsEq(a: Any, b: Double): Boolean =
+      java.lang.Double.doubleToLongBits(a.asInstanceOf[Double]) ==
+        java.lang.Double.doubleToLongBits(b)
+    for ((g, (m, mad, n)) <- twoAgg) {
+      val f = fused(g)
+      // bit equality, not ==: the NaN-dev group's median and MAD are
+      // NaN on BOTH paths, and NaN == NaN is false
+      assert(bitsEq(f(1), m) && bitsEq(f(2), mad) && f(3) == n,
+        s"group $g: fused $f vs two-agg ($m, $mad, $n)")
     }
   }
 

@@ -604,6 +604,18 @@ class PropertySpec extends SparkTestBase {
       threshold = 0.6))
     assert(exact == scalable && exact.nonEmpty,
       s"prefix-filtered join diverged: exact ${exact.size}, scalable ${scalable.size}")
+    // duplicate doc ids (un-deduped ingest) must MERGE per (id, term)
+    // — the in-row ShingleTf counting still re-aggregates across rows
+    // sharing an id, so both forms keep agreeing (and the scalable
+    // form's per-doc term map never sees a duplicate key)
+    val dupDocs = docs.unionByName(docs.limit(7))
+    val exactDup = collectPairs(TfIdf.sparseCosinePairs(
+      dupDocs, "doc_id", "text", n = 3, maxDfFrac = 0.5, threshold = 0.6))
+    val scalableDup = collectPairs(TfIdf.sparseCosinePairsScalable(
+      dupDocs, "doc_id", "text", n = 3, maxDfFrac = 0.5, maxDfAbs = 1000L,
+      threshold = 0.6))
+    assert(exactDup == scalableDup && exactDup.nonEmpty,
+      s"dup-id corpus diverged: exact ${exactDup.size}, scalable ${scalableDup.size}")
   }
 
   test("distinct-value family: all-null and empty inputs yield empty results") {
