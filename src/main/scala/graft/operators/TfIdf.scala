@@ -189,9 +189,13 @@ object TfIdf {
   def probeSparseIndex(ix: SparseIndex, batch: DataFrame, idCol: String,
                        textCol: String, n: Int,
                        threshold: Double): DataFrame = {
-    // batch is ingest-sized: recomputing its tokenization for the
-    // norms pass is cheaper than a checkpoint materialization
+    // batW feeds two consumers (norms + the probe join) and tfOf now
+    // carries the distinct-gram aggregation exchange — materialize
+    // once so the batch's shuffle doesn't run per consumer (the old
+    // "recompute tokenization" trade predates tfOf containing a
+    // shuffle; exchange reuse does not unify separate actions)
     val batW = weigh(tfOf(batch, idCol, textCol, n), ix.idf, idCol)
+      .localCheckpoint()
     val batNorms = batW.groupBy(col(idCol))
       .agg(sqrt(sum(col("w") * col("w"))).as("nrm"))
     val dots = Relational.broadcastIfSmall(
@@ -243,11 +247,8 @@ object TfIdf {
       .filter(col("df") <= col("n_docs").cast("double") * maxDfFrac)
       .select(col("term"),
         (log((col("n_docs") + 1).cast("double") / (col("df") + 1)) + 1).as("idf"))
-    // unhinted like [[weigh]]: AQE broadcasts the capped idf when its
-    // runtime size fits, shuffles when a 100-TB vocabulary doesn't
-    val wts = tf.join(idf, Seq("term"))
-      .select(col(idCol), col("term"),
-        (floor(col("tf") * col("idf") * 1024 + lit(0.5)) / 1024).as("w"))
+    // the shared [[weigh]] helper: unhinted idf join + the 2^-10 grid
+    val wts = weigh(tf, idf, idCol)
       .localCheckpoint() // feeds norms + both posting sides
     val norms = wts.groupBy(col(idCol)).agg(sqrt(sum(col("w") * col("w"))).as("nrm"))
     val a = wts.select(col("term"), col(idCol).as("id_a"), col("w").as("wa"))

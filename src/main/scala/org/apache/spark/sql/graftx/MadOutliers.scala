@@ -102,8 +102,13 @@ case class MadOutliersAgg(child: Expression, k: Double,
     // NOT lo + (hi − lo)·frac, which differs in the last ulp for ~9%
     // of middle-value pairs and would break the bit-identical
     // contract with the percentile-based spelling and the oracle
+    // primitive ==, NOT Double.compare: Spark's equal-keys guard sees
+    // -0.0 == 0.0 as equal and returns lo (-0.0) rather than
+    // interpolating to +0.0 — the bits matter under a differential
+    // gate (NaN middle keys compare unequal either way and fall
+    // through to a NaN interpolation on both sides)
     val mad =
-      if (hiRank == loRank || java.lang.Double.compare(lo, hi) == 0) lo
+      if (hiRank == loRank || lo == hi) lo
       else (hiRank.toDouble - pos) * lo + (pos - loRank.toDouble) * hi
     var outliers = 0L
     var j = 0
