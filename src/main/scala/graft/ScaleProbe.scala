@@ -1431,6 +1431,52 @@ object ScaleProbe {
     }
   }
 
+  /** `runMain graft.ScaleProbe assoc12` — A/B of the basket-guard
+    * spelling inside assoc_rules' guard+assembly prefix at sf0.1:
+    * (w) the shipped whole-partition window count over the distinct
+    * exchange, (c) checkpoint + groupBy-count + semi join (the r11
+    * spelling), (g) a twice-computed distinct with count agg +
+    * broadcast semi join, no checkpoint. Times ONLY through the
+    * guarded collect_set assembly (the downstream rule mining is
+    * identical across spellings). */
+  private def assoc12(spark: SparkSession): Unit = {
+    import org.apache.spark.sql.DataFrame
+    import org.apache.spark.sql.expressions.Window
+    val li = spark.read.parquet("/root/testdata/sf0.1/lineitem.parquet")
+    def dedup0(): DataFrame = li
+      .select(col("l_orderkey").as("bk"), col("l_partkey").as("it"))
+      .filter(col("bk").isNotNull && col("it").isNotNull)
+      .distinct()
+    def viaWindow(): Long = dedup0()
+      .withColumn("bn", count(lit(1)).over(Window.partitionBy(col("bk"))))
+      .filter(col("bn") <= 256)
+      .groupBy(col("bk")).agg(collect_set(col("it")).as("items"))
+      .queryExecution.toRdd.count()
+    def viaCkptSemi(): Long = {
+      val dedup = dedup0().localCheckpoint()
+      val ok = dedup.groupBy(col("bk")).agg(count(lit(1)).as("bn"))
+        .filter(col("bn") <= 256).select(col("bk"))
+      dedup.join(ok, Seq("bk"), "left_semi")
+        .groupBy(col("bk")).agg(collect_set(col("it")).as("items"))
+        .queryExecution.toRdd.count()
+    }
+    def viaLazySemi(): Long = {
+      val dedup = dedup0()
+      val ok = dedup.groupBy(col("bk")).agg(count(lit(1)).as("bn"))
+        .filter(col("bn") <= 256).select(col("bk"))
+      dedup.join(broadcast(ok), Seq("bk"), "left_semi")
+        .groupBy(col("bk")).agg(collect_set(col("it")).as("items"))
+        .queryExecution.toRdd.count()
+    }
+    for (rep <- 1 to 3) {
+      val t0 = System.nanoTime(); val nw = viaWindow()
+      val t1 = System.nanoTime(); val nc = viaCkptSemi()
+      val t2 = System.nanoTime(); val ng = viaLazySemi()
+      val t3 = System.nanoTime()
+      println(f"""{"probe":"assoc12 r$rep","window_sec":${(t1 - t0) / 1e9}%.2f,"ckpt_semi_sec":${(t2 - t1) / 1e9}%.2f,"lazy_bcast_sec":${(t3 - t2) / 1e9}%.2f,"rows":[$nw,$nc,$ng]}""")
+    }
+  }
+
   /** `runMain graft.ScaleProbe recall12` — recall-vs-cost sweep of the
     * ANN paths on the sf0.01 embeddings fixture, against the exact
     * brute-force top-5 / exact near-dup pairs. Cost = candidate rows
@@ -1492,7 +1538,7 @@ object ScaleProbe {
         "outlier8", "budget8", "ids8", "aqe8", "rtfilter8", "prefix8",
         "sparse9", "interop9", "graph9", "bucket9", "semdedup9", "tri9",
         "kcore9", "linkpred10", "lpa11", "sparse11", "recall12",
-        "lpa12", "crossover12", "headroom12", "sparse12"))) {
+        "lpa12", "crossover12", "headroom12", "sparse12", "assoc12"))) {
       val spark = SparkSession.builder()
         .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")}]")
         .config("spark.sql.shuffle.partitions",
@@ -1527,6 +1573,7 @@ object ScaleProbe {
         case "crossover12" => crossover12(spark, args.lift(1).map(_.toInt).getOrElse(10))
         case "headroom12" => headroom12(spark)
         case "sparse12" => sparse12(spark, args.lift(1).map(_.toInt).getOrElse(10))
+        case "assoc12" => assoc12(spark)
       }
       spark.stop()
       return
