@@ -28,6 +28,34 @@ object ScaleProbe {
     def reset(): Unit = max.set(0)
   }
 
+  /** Per-STAGE task stats — MaxTask tells you a straggler exists,
+    * this tells you WHICH exchange owns it (stage name + task
+    * count/mean/max), which is the difference between salting the
+    * right join key and guessing. */
+  private object StageStats extends SparkListener {
+    import org.apache.spark.scheduler.SparkListenerStageCompleted
+    private val stats =
+      scala.collection.concurrent.TrieMap[Int, (Long, Long, Long)]()
+    private val names = scala.collection.concurrent.TrieMap[Int, String]()
+    override def onTaskEnd(t: SparkListenerTaskEnd): Unit = {
+      val d = t.taskInfo.duration
+      stats.updateWith(t.stageId) {
+        case Some((n, tot, mx)) => Some((n + 1, tot + d, math.max(mx, d)))
+        case None => Some((1L, d, d))
+      }
+    }
+    override def onStageCompleted(s: SparkListenerStageCompleted): Unit =
+      names.put(s.stageInfo.stageId, s.stageInfo.name.takeWhile(_ != '\n'))
+    def reset(): Unit = { stats.clear(); names.clear() }
+    /** Top `top` stages by max task ms, one JSON line each. */
+    def report(label: String, top: Int): Unit =
+      stats.toSeq.sortBy(-_._2._3).take(top).foreach {
+        case (sid, (n, tot, mx)) =>
+          val nm = names.getOrElse(sid, "?").replace("\"", "'")
+          println(f"""{"probe":"$label stage","stage":$sid,"name":"$nm","tasks":$n,"mean_ms":${tot / n},"max_ms":$mx}""")
+      }
+  }
+
   /** `runMain graft.ScaleProbe replay3` — replicated-data headroom for
     * the round-3 operators (SCALE.md): sf0.1 documents x1 vs x4 with
     * shifted ids, min-of-2 warm timings per op. */
@@ -1376,6 +1404,31 @@ object ScaleProbe {
     }
   }
 
+  /** `runMain graft.ScaleProbe headroom13` — the round-13 wedge-skew
+    * A/B: triangles + clustering on the crossover12 10× edge set
+    * (run `crossover12` first), with PER-STAGE task stats so the
+    * straggler exchange is named, not guessed. Same shape as
+    * headroom12's two wedge rows plus the stage breakdown. */
+  private def headroom13(spark: SparkSession): Unit = {
+    spark.sparkContext.addSparkListener(MaxTask)
+    spark.sparkContext.addSparkListener(StageStats)
+    val canon = spark.read.parquet("/tmp/graft_crossover/canon.parquet")
+    def t(label: String)(f: => Long): Unit = {
+      MaxTask.reset(); StageStats.reset()
+      val t0 = System.nanoTime(); val n = f
+      println(f"""{"probe":"headroom13 $label","rows":$n,"sec":${(System.nanoTime() - t0) / 1e9}%.2f,"max_task_sec":${MaxTask.max.get() / 1000.0}%.2f}""")
+      StageStats.report(s"headroom13 $label", 6)
+    }
+    t("triangles 10x") {
+      graft.operators.Graph.triangleCounts(canon, "a", "b")
+        .queryExecution.toRdd.count()
+    }
+    t("clustering 10x") {
+      graft.operators.Graph.clusteringCoefficient(canon, "a", "b")
+        .queryExecution.toRdd.count()
+    }
+  }
+
   /** `runMain graft.ScaleProbe sparse12 [replicas]` — sparse-pairs
     * scale-crossover, Spark side. Replicates the sf0.1 documents
     * `replicas`× with per-replica consonant rotation (term spaces
@@ -1538,7 +1591,8 @@ object ScaleProbe {
         "outlier8", "budget8", "ids8", "aqe8", "rtfilter8", "prefix8",
         "sparse9", "interop9", "graph9", "bucket9", "semdedup9", "tri9",
         "kcore9", "linkpred10", "lpa11", "sparse11", "recall12",
-        "lpa12", "crossover12", "headroom12", "sparse12", "assoc12"))) {
+        "lpa12", "crossover12", "headroom12", "sparse12", "assoc12",
+        "headroom13"))) {
       val spark = SparkSession.builder()
         .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")}]")
         .config("spark.sql.shuffle.partitions",
@@ -1572,6 +1626,7 @@ object ScaleProbe {
         case "lpa12" => lpa12(spark)
         case "crossover12" => crossover12(spark, args.lift(1).map(_.toInt).getOrElse(10))
         case "headroom12" => headroom12(spark)
+        case "headroom13" => headroom13(spark)
         case "sparse12" => sparse12(spark, args.lift(1).map(_.toInt).getOrElse(10))
         case "assoc12" => assoc12(spark)
       }

@@ -343,12 +343,15 @@ object Graph {
     // point by returning its input frame unchanged (its drop-count
     // collect is the detector — no extra pass here).
     //
-    // ONE job per round: peelRound's capped drop collect IS the
-    // round's only action (its local drop set broadcasts without a
-    // job), and the returned anti-joined frame stays LAZY — the next
-    // round's degree scan re-applies the accumulated broadcast anti
-    // joins to the checkpointed base (a hash probe per edge, far
-    // cheaper than re-materializing the edge frame every round). The
+    // ONE heavy job per round: peelRound materializes the node-sized
+    // degree frame once (a trivial second job then collects the
+    // capped drop set from its blocks, and the shuffle fallback
+    // derives its survivor set from the same blocks — degrees are
+    // never aggregated twice), and the returned anti-joined frame
+    // stays LAZY — the next round's degree scan re-applies the
+    // accumulated broadcast anti joins to the checkpointed base (a
+    // hash probe per edge, far cheaper than re-materializing the edge
+    // frame every round). The
     // chain re-checkpoints every [[PeelCheckpointEvery]] rounds so a
     // deep peel neither grows an unbounded plan nor re-pays early
     // rounds forever; the shuffle-fallback path (huge drop set)
@@ -393,56 +396,67 @@ object Graph {
     peelRoundLazy(canon, k, broadcastLimit)._1
 
   /** One peel round as (next frame, took-the-wide-path). The round's
-    * ONLY action is a `broadcastLimit`-capped collect of the drop set
-    * (the nodes that just fell under k): the same node-sized rows a
-    * broadcast join would pull to the driver anyway, fetched once and
-    * reused for the fixed-point signal, the path choice, AND the two
-    * anti-join build sides (as a LocalRelation, which broadcasts
-    * job-free). Only when the collect hits the cap — a huge first cut
-    * on a sparse graph — does it fall back to shuffle SEMI joins
-    * against the survivor set, the distributed shape where the drop
-    * set must never sit on one driver. */
+    * one HEAVY job is the degree aggregation, materialized once as a
+    * node-sized checkpoint that then serves the drop-set collect (the
+    * fixed-point signal, the path choice, and the two anti-join build
+    * sides as a LocalRelation, which broadcasts job-free) AND — when
+    * the collect hits the `broadcastLimit` cap, a huge first cut on a
+    * sparse graph — the shuffle-fallback's survivor set, WITHOUT
+    * re-aggregating degrees (the pre-r13 spelling re-ran the degree
+    * pass on the fallback and threw the capped collect away). The
+    * checkpoint blocks are released before returning: neither branch's
+    * result references the degree frame (the LocalRelation is
+    * driver-local; `keep` is itself checkpointed). */
   private[graft] def peelRoundLazy(canon: DataFrame, k: Long,
                                    broadcastLimit: Long): (DataFrame, Boolean) = {
-    val deg = undirectedDegrees(canon)
-    val cap = math.min(broadcastLimit, Int.MaxValue - 2L).toInt + 1
-    val spark = canon.sparkSession
-    val idType = canon.schema("lo").dataType
-    val drop = deg.filter(col("deg") < k).select(col("id")).limit(cap)
-    // Driver-heap budget at the cap: long graph ids collect as a
-    // PRIMITIVE Array[Long] — 8 B/id ≈ 32 MB at the 4M cap — and the
-    // LocalRelation build is the only per-id object cost (the former
-    // Row collect held ~50–80 B/id ≈ 200–300 MB of boxed Rows before
-    // the same build). Non-long ids keep the generic Row path.
-    val (nDrop, dropDf) = idType match {
-      case org.apache.spark.sql.types.LongType =>
-        val ids = drop.as(org.apache.spark.sql.Encoders.scalaLong).collect()
-        (ids.length, () => spark.createDataset(
-          scala.collection.immutable.ArraySeq.unsafeWrapArray(ids))(
-          org.apache.spark.sql.Encoders.scalaLong).toDF("id"))
-      case _ =>
-        val rows = drop.collect()
-        (rows.length, () => spark.createDataFrame(
-          java.util.Arrays.asList(rows: _*),
-          org.apache.spark.sql.types.StructType(Seq(
-            org.apache.spark.sql.types.StructField("id", idType)))))
-    }
-    if (nDrop == 0) (canon, false)
-    else if (nDrop < cap) {
-      val dropped = dropDf()
-      (canon
-        .join(broadcast(dropped.select(col("id").as("lo"))), Seq("lo"), "left_anti")
-        .join(broadcast(dropped.select(col("id").as("hi"))), Seq("hi"), "left_anti"),
-        false)
-    } else {
-      val keep = undirectedDegrees(canon).filter(col("deg") >= k)
-        .select(col("id"))
-        .localCheckpoint() // node-sized, feeds 2 joins
-      (canon
-        .join(keep.select(col("id").as("lo")), Seq("lo"), "left_semi")
-        .join(keep.select(col("id").as("hi")), Seq("hi"), "left_semi"),
-        true)
-    }
+    // the round's one heavy job: degree agg + node-sized block write
+    val deg = undirectedDegrees(canon).localCheckpoint()
+    try {
+      val cap = math.min(broadcastLimit, Int.MaxValue - 2L).toInt + 1
+      val spark = canon.sparkSession
+      val idType = canon.schema("lo").dataType
+      // isNotNull belt-and-braces: canonicalUndirected null-filters
+      // endpoints so no null group key exists today, but the Long fast
+      // path below would THROW on one (Encoders.scalaLong), where the
+      // generic Row path passed it through harmlessly — don't let a
+      // future caller with a nullable id column trip it.
+      val drop = deg.filter(col("deg") < k && col("id").isNotNull)
+        .select(col("id")).limit(cap)
+      // Driver-heap budget at the cap: long graph ids collect as a
+      // PRIMITIVE Array[Long] — 8 B/id ≈ 32 MB at the 4M cap — and the
+      // LocalRelation build is the only per-id object cost (the former
+      // Row collect held ~50–80 B/id ≈ 200–300 MB of boxed Rows before
+      // the same build). Non-long ids keep the generic Row path.
+      val (nDrop, dropDf) = idType match {
+        case org.apache.spark.sql.types.LongType =>
+          val ids = drop.as(org.apache.spark.sql.Encoders.scalaLong).collect()
+          (ids.length, () => spark.createDataset(
+            scala.collection.immutable.ArraySeq.unsafeWrapArray(ids))(
+            org.apache.spark.sql.Encoders.scalaLong).toDF("id"))
+        case _ =>
+          val rows = drop.collect()
+          (rows.length, () => spark.createDataFrame(
+            java.util.Arrays.asList(rows: _*),
+            org.apache.spark.sql.types.StructType(Seq(
+              org.apache.spark.sql.types.StructField("id", idType)))))
+      }
+      if (nDrop == 0) (canon, false)
+      else if (nDrop < cap) {
+        val dropped = dropDf()
+        (canon
+          .join(broadcast(dropped.select(col("id").as("lo"))), Seq("lo"), "left_anti")
+          .join(broadcast(dropped.select(col("id").as("hi"))), Seq("hi"), "left_anti"),
+          false)
+      } else {
+        val keep = deg.filter(col("deg") >= k)
+          .select(col("id"))
+          .localCheckpoint() // node-sized, feeds 2 joins, outlives deg
+        (canon
+          .join(keep.select(col("id").as("lo")), Seq("lo"), "left_semi")
+          .join(keep.select(col("id").as("hi")), Seq("hi"), "left_semi"),
+          true)
+      }
+    } finally deg.unpersist()
   }
 
   /** Degree assortativity (Newman's r): the Pearson correlation of
@@ -529,7 +543,28 @@ object Graph {
   def labelPropagation(edges: DataFrame, srcCol: String, dstCol: String,
                        iters: Int, assumeDistinct: Boolean = false): DataFrame = {
     require(iters >= 1)
-    val e0 = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
+    // mode()'s ObjectHashAggregate falls back to sort-based agg after
+    // a (default 128) per-partition key budget — far below a node
+    // frame, so the map-side combine the mode-pick exists for never
+    // runs. Raise it for the rounds, but ONLY to a memory-budgeted
+    // cap: each in-map group holds a label→count OpenHashMap with
+    // ~1 KB of fixed overhead, so the per-task worst case is
+    // threshold × ~1 KB (32k ≈ 32 MB/task) — a 4M raise measured
+    // faster at bench scale but OOM'd an 8 GiB heap at 10× data,
+    // because the threshold IS the spill guard. Past the cap the
+    // sort-based fallback aggregates spill-safely — the 100-TB path.
+    // The raise is scoped to a CLONED session ([[SessionScope]]): the
+    // rounds' actions all run inside the body and the returned frame
+    // is the last round's checkpoint (a lineage-truncated block scan
+    // that never re-executes the mode agg), so no other query — not
+    // even one running concurrently on the caller's session — ever
+    // sees a 256× in-memory key budget on ITS ObjectHashAggregates,
+    // which the former shared-conf save/set/restore guard leaked for
+    // the whole duration of the rounds.
+    org.apache.spark.sql.graftx.SessionScope.withConf(
+      edges.select(col(srcCol).as("src"), col(dstCol).as("dst")),
+      Map("spark.sql.objectHashAggregate.sortBased.fallbackThreshold" ->
+        "32768")) { e0 =>
     val e = (if (assumeDistinct) e0 else e0.distinct()).localCheckpoint()
     val nodes = e.select(col("src").as("id"))
       .union(e.select(col("dst").as("id"))).distinct()
@@ -549,24 +584,6 @@ object Graph {
     // materialization as an `observe` metric (CollectMetrics folds it
     // while the rows stream into checkpoint blocks), so each round is
     // ONE action — no separate convergence probe job.
-    // mode()'s ObjectHashAggregate falls back to sort-based agg after
-    // a (default 128) per-partition key budget — far below a node
-    // frame, so the map-side combine the mode-pick exists for never
-    // runs. Raise it for the rounds, but ONLY to a memory-budgeted
-    // cap: each in-map group holds a label→count OpenHashMap with
-    // ~1 KB of fixed overhead, so the per-task worst case is
-    // threshold × ~1 KB (32k ≈ 32 MB/task) — a 4M raise measured
-    // faster at bench scale but OOM'd an 8 GiB heap at 10× data,
-    // because the threshold IS the spill guard. Past the cap the
-    // sort-based fallback aggregates spill-safely — the 100-TB path.
-    // The raise is session-visible for the duration of the rounds
-    // (other queries running concurrently on the same session also
-    // see it — bounded by the same memory budget); the reentrant
-    // guard makes save/restore safe when LPA calls themselves overlap
-    // (naive save/restore would leak the raised value permanently).
-    val spark = edges.sparkSession
-    ModeFallbackGuard.enter(spark)
-    try {
     var it = 0
     var converged = false
     while (it < iters && !converged) {
@@ -588,44 +605,6 @@ object Graph {
       it += 1
     }
     labels
-    } finally {
-      ModeFallbackGuard.exit(spark)
-    }
-  }
-
-  /** Reentrant, per-session save/set/restore of the
-    * ObjectHashAggregate sort-fallback threshold around
-    * [[labelPropagation]]'s rounds: the OUTERMOST enter saves the
-    * session's prior value and sets the budgeted cap, the matching
-    * outermost exit restores it. Without the depth count, two
-    * overlapping calls on one session interleave save/restore and
-    * leak the raised value into the session permanently. */
-  private object ModeFallbackGuard {
-    private val FallbackKey =
-      "spark.sql.objectHashAggregate.sortBased.fallbackThreshold"
-    private final class State(var depth: Int, var saved: Option[String])
-    private val states =
-      new java.util.IdentityHashMap[SparkSession, State]()
-    def enter(spark: SparkSession): Unit = synchronized {
-      val st = states.get(spark)
-      if (st == null) {
-        states.put(spark,
-          new State(1, spark.conf.getOption(FallbackKey)))
-        spark.conf.set(FallbackKey, "32768")
-      } else st.depth += 1
-    }
-    def exit(spark: SparkSession): Unit = synchronized {
-      val st = states.get(spark)
-      if (st != null) {
-        st.depth -= 1
-        if (st.depth == 0) {
-          states.remove(spark)
-          st.saved match {
-            case Some(v) => spark.conf.set(FallbackKey, v)
-            case None => spark.conf.unset(FallbackKey)
-          }
-        }
-      }
     }
   }
 

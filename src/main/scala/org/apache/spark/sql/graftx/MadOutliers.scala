@@ -24,8 +24,13 @@ import org.apache.spark.util.collection.OpenHashMap
   * two-pass spelling): the median interpolation is bit-identical to
   * Spark's `percentile(dev, 0.5)` — position p = 0.5·(n−1), result =
   * (⌈p⌉ − p)·lo + (p − ⌊p⌋)·hi over the expanded sorted multiset — and
-  * the outlier predicate is the same IEEE comparison
-  * (dev > mad·k, or dev > 0 when mad = 0). Null deviations (null
+  * the outlier predicate is Spark SQL's double `>` — SQLOrderingUtil
+  * semantics, NOT the JVM primitive: primitive-equal values compare
+  * equal (so -0.0 ≯ 0.0), everything else falls to Double.compare's
+  * total order where NaN is GREATEST — so a NaN deviation in a group
+  * whose MAD is finite and positive IS an outlier, exactly as the
+  * two-aggregation SQL spelling (mad > 0 AND dev > mad·k OR mad = 0
+  * AND dev > 0) counts it. Null deviations (null
   * input values) count in `n_rows`, are invisible to the median, and
   * are never outliers; an all-null group reports a null MAD. Buffer
   * state is one entry per DISTINCT deviation — callers route here
@@ -110,14 +115,26 @@ case class MadOutliersAgg(child: Expression, k: Double,
     val mad =
       if (hiRank == loRank || lo == hi) lo
       else (hiRank.toDouble - pos) * lo + (pos - loRank.toDouble) * hi
+    // Spark SQL's double `>` (SQLOrderingUtil.compareDoubles): equal
+    // primitives are equal (-0.0 == 0.0 → not greater), otherwise
+    // Double.compare's total order — NaN GREATEST. The JVM primitive
+    // `>` this walk first shipped with silently differed on NaN devs
+    // (never outliers primitively; always outliers vs a finite
+    // positive threshold under SQL), breaking bit-parity with the
+    // above-budget SQL predicate for minority-NaN groups.
+    @inline def gtSql(a: Double, b: Double): Boolean =
+      !(a == b) && java.lang.Double.compare(a, b) > 0
+    val thr = mad * k
     var outliers = 0L
     var j = 0
     while (j < pairs.length) {
       val value = pairs(j)._1
-      val isOut =
-        if (mad > 0) value > mad * k
-        else if (mad == 0) value > 0
-        else false // NaN mad: no comparison can hold, matching SQL
+      // the two-agg SQL predicate verbatim: mad > 0 && dev > mad·k
+      // || mad = 0 && dev > 0. NaN mad: SQL's mad > 0 HOLDS (NaN
+      // greatest) but dev > NaN·k = NaN never does — 0 outliers, the
+      // same net result either way.
+      val isOut = (gtSql(mad, 0.0) && gtSql(value, thr)) ||
+        (mad == 0.0 && gtSql(value, 0.0))
       if (isOut) outliers += pairs(j)._2
       j += 1
     }

@@ -147,29 +147,50 @@ class ProfilingSketchSpec extends SparkTestBase {
     // percentile's NaN-greatest ordering).
     val rng = new scala.util.Random(5)
     val df = (Seq.tabulate(900)(i => (s"g${i % 3}", rng.nextDouble() * 100)) ++
+      // NaN-MAJORITY group: median and MAD are themselves NaN
       Seq.fill(40)(("gn", Double.NaN)) ++
-      Seq.tabulate(30)(i => ("gn", i * 1.5))).toDF("grp", "v")
+      Seq.tabulate(30)(i => ("gn", i * 1.5)) ++
+      // NaN-MINORITY group: finite median/MAD, NaN deviations — the
+      // one place the fused walk's comparison semantics are load-
+      // bearing: under Spark SQL's `>` (NaN greatest) every NaN dev
+      // exceeds the finite positive k·MAD fence and COUNTS as an
+      // outlier; a JVM-primitive walk silently reports 0
+      Seq.fill(5)(("gm", Double.NaN)) ++
+      Seq.tabulate(45)(i => ("gm", i * 2.0))).toDF("grp", "v")
     val fused = Profiling.robustOutliers(df, col("grp"), col("v"))
       .collect().map(r => r.getString(0) -> r.toSeq.toList).toMap
     val med = df.groupBy(col("grp"))
       .agg(percentile(col("v"), lit(0.5)).as("med"))
-    val twoAgg = df.join(med, Seq("grp"))
+    val madDf = df.join(med, Seq("grp"))
       .withColumn("dev", abs(col("v") - col("med")))
       .groupBy(col("grp"), col("med"))
       .agg(percentile(col("dev"), lit(0.5)).as("mad"),
         count(lit(1)).as("n_rows"))
+    // the pre-fusion predicate VERBATIM (the above-budget refined
+    // path still runs this SQL) — the fused n_outliers must match it
+    // bit-for-bit, NaN devs included
+    val twoAgg = df.join(madDf, Seq("grp"))
+      .withColumn("dev", abs(col("v") - col("med")))
+      .groupBy(col("grp"), col("med"), col("mad"), col("n_rows"))
+      .agg(sum(when((col("mad") > 0 && col("dev") > col("mad") * 5.0) ||
+        (col("mad") === 0 && col("dev") > 0), 1L).otherwise(0L))
+        .as("n_outliers"))
       .collect().map(r => r.getString(0) ->
-        ((r.getDouble(1), r.getDouble(2), r.getLong(3)))).toMap
+        ((r.getDouble(1), r.getDouble(2), r.getLong(3), r.getLong(4)))).toMap
     def bitsEq(a: Any, b: Double): Boolean =
       java.lang.Double.doubleToLongBits(a.asInstanceOf[Double]) ==
         java.lang.Double.doubleToLongBits(b)
-    for ((g, (m, mad, n)) <- twoAgg) {
+    for ((g, (m, mad, n, out)) <- twoAgg) {
       val f = fused(g)
       // bit equality, not ==: the NaN-dev group's median and MAD are
       // NaN on BOTH paths, and NaN == NaN is false
-      assert(bitsEq(f(1), m) && bitsEq(f(2), mad) && f(3) == n,
-        s"group $g: fused $f vs two-agg ($m, $mad, $n)")
+      assert(bitsEq(f(1), m) && bitsEq(f(2), mad) && f(3) == n &&
+        f(4) == out,
+        s"group $g: fused $f vs two-agg ($m, $mad, $n, $out)")
     }
+    // the minority-NaN group must actually exercise the NaN tail
+    assert(twoAgg("gm")._4 == 5L,
+      "fixture: gm's 5 NaN devs are outliers under SQL ordering")
   }
 
   test("SQL surface: kll_rank and kll_absdev_stats are registered") {
