@@ -264,26 +264,76 @@ object Graph {
   }
 
   /** The wedge-join + corner-count tail of [[triangleCounts]], over an
-    * already-checkpointed oriented frame (it feeds three consumers). */
+    * already-checkpointed oriented frame (it feeds three consumers).
+    *
+    * CLOSING-EDGE BLOOM SCREEN: the O(m^1.5) wedge stream is the
+    * dominant exchange of the whole pipeline — at the measured 10×
+    * point, 413 M wedge rows shuffled+sorted into the closing join
+    * while only 4.6 % of them close into triangles (headroom13,
+    * SCALE.md). A Bloom filter over the oriented edge set — built in
+    * one edge-sized partial agg, probed as a codegen'd bit test on
+    * each wedge BEFORE it reaches the exchange — drops ~95 % of that
+    * shuffle at the cost of one hash per wedge. No false negatives,
+    * so the exact closing join downstream sees every true triangle
+    * and result bits are untouched; false positives only ride the
+    * (now small) exchange and fall out of the join. The sketch is
+    * size-CAPPED ([[WedgeBloomMaxBits]]): past ~100 M edges the fp
+    * rate degrades gracefully toward pass-through — never wrong,
+    * just less selective — which is the right failure mode for a
+    * broadcast-shaped structure at 100-TB edge counts. */
   private def triangleCountsFromOriented(oriented: DataFrame): DataFrame = {
-    val o1 = oriented.select(col("src").as("u"), col("dst").as("v"),
-      col("ddeg").as("dv"))
-    val o2 = oriented.select(col("src").as("u"), col("dst").as("w"),
-      col("ddeg").as("dw"))
-    // wedges (u; v, w) with ord(v) < ord(w): the closing edge, if it
-    // exists, is oriented exactly v -> w
-    val tris = o1.join(o2, Seq("u"))
-      .filter(col("dv") < col("dw") ||
-        (col("dv") === col("dw") && col("v") < col("w")))
-      .join(oriented.select(col("src").as("v"), col("dst").as("w")),
-        Seq("v", "w"))
-      .select(col("u"), col("v"), col("w"))
+    import org.apache.spark.sql.graftx.BloomScreen
+    val m = oriented.count() // cheap: one pass over checkpoint blocks
+    val bits = math.min(math.max(m * 10L, 1L << 20), WedgeBloomMaxBits)
+    val bf = oriented
+      .agg(BloomScreen.bloomAgg(struct(col("src"), col("dst")), m, bits))
+      .head().getAs[Array[Byte]](0)
+    val tris = closedWedges(oriented, bf)
       .localCheckpoint() // triangle list feeds three corner projections
     tris.select(col("u").as("id"))
       .union(tris.select(col("v").as("id")))
       .union(tris.select(col("w").as("id")))
       .groupBy(col("id")).agg(count(lit(1)).as("tri"))
   }
+
+  /** The wedge stream + exact closing join — the (u, v, w) triangle
+    * list [[triangleCountsFromOriented]] checkpoints. Split out so
+    * PlanGuardSpec can pin the PRE-checkpoint shape (the checkpoint
+    * truncates lineage, hiding it from the final plan): wedges
+    * (u; v, w) with ord(v) < ord(w), whose closing edge — if it
+    * exists — is oriented exactly v → w; the Bloom probe (`bf` from
+    * the edge set, no false negatives) runs in the SAME codegen stage
+    * that generates the wedge, so non-closing wedges die before the
+    * exchange. Both joins hint shuffle_hash: sort-merge would SORT
+    * the edge frame twice and — far worse — the wedge stream once,
+    * and a wedge stream is pure fan-out that only needs hashing,
+    * never ordering (per-partition build sides stay edge-sized/N,
+    * well inside task memory; at real scale partition count grows
+    * with the data). */
+  private[graft] def closedWedges(oriented: DataFrame,
+                                  bf: Array[Byte]): DataFrame = {
+    import org.apache.spark.sql.graftx.BloomScreen
+    val o1 = oriented.select(col("src").as("u"), col("dst").as("v"),
+      col("ddeg").as("dv"))
+    val o2 = oriented.select(col("src").as("u"), col("dst").as("w"),
+      col("ddeg").as("dw"))
+    o1.join(o2.hint("shuffle_hash"), Seq("u"))
+      .filter(col("dv") < col("dw") ||
+        (col("dv") === col("dw") && col("v") < col("w")))
+      .filter(BloomScreen.mightContain(bf, struct(col("v"), col("w"))))
+      .join(oriented.select(col("src").as("v"), col("dst").as("w"))
+        .hint("shuffle_hash"),
+        Seq("v", "w"))
+      .select(col("u"), col("v"), col("w"))
+  }
+
+  /** Bit cap for the closing-edge Bloom screen — ~32 MB serialized,
+    * ≈1 % fp at 10·bits-per-edge up to ~27 M edges, degrading
+    * gracefully (toward an ineffective-but-harmless pass-through)
+    * beyond it. The filter ships with the task binary like any plan
+    * literal; capping it is what keeps the wedge pipeline legal when
+    * the edge set is 1000× the local fixture. */
+  private[graft] val WedgeBloomMaxBits = 1L << 28
 
   /** Local clustering coefficient per node: coef = 2·tri / (deg·(deg−1))
     * — what fraction of a node's neighbor pairs are themselves linked,

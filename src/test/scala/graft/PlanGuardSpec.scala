@@ -353,6 +353,31 @@ class PlanGuardSpec extends SparkTestBase {
       s"graph_triangles degraded to cartesian:\n$pt")
     assert(!pt.contains("BroadcastNestedLoopJoin"),
       s"graph_triangles degraded to nested-loop:\n$pt")
+    // The triangle list is checkpointed (lineage truncated), so pin
+    // the PRE-checkpoint wedge/closing sub-plan directly: the
+    // closing-edge Bloom screen must probe the wedge stream map-side,
+    // BEFORE its exchange into the closing join — at the 10× point it
+    // drops ~95% of a 413M-row shuffle (headroom13, SCALE.md) — and
+    // neither wedge-shaped join pays a sort (a wedge stream is pure
+    // fan-out: hashed, never ordered).
+    locally {
+      import spark.implicits._
+      import org.apache.spark.sql.functions.{col, struct}
+      val canon = graft.operators.Graph.canonicalUndirected(
+        Seq((1L, 2L), (2L, 3L), (1L, 3L), (3L, 4L)).toDF("a", "b"), "a", "b")
+      val oriented = graft.operators.Graph.orientByDegree(canon)
+      val bf = oriented.agg(org.apache.spark.sql.graftx.BloomScreen
+        .bloomAgg(struct(col("src"), col("dst")), 4L, 1L << 16))
+        .head().getAs[Array[Byte]](0)
+      val pw = graft.operators.Graph.closedWedges(oriented, bf)
+        .queryExecution.executedPlan.toString
+      assert(pw.contains("might_contain"),
+        s"wedge stream lost the closing-edge bloom screen:\n$pw")
+      assert(pw.contains("ShuffledHashJoin"),
+        s"wedge joins must hash, not sort-merge:\n$pw")
+      assert(!pw.contains("SortMergeJoin"),
+        s"a wedge stream must never be sorted into its joins:\n$pw")
+    }
     // kCore's full plan truncates per round (localCheckpoint), so pin
     // ONE peel round's pre-checkpoint sub-plan in each of its three
     // adaptive shapes: fixed point → input frame returned untouched;
