@@ -1530,6 +1530,77 @@ object ScaleProbe {
     }
   }
 
+  /** `runMain graft.ScaleProbe assoc13` — the round-13 mining-tail
+    * A/B: the SHIPPED adaptive pairRules (which skips the a-priori
+    * semi-join + basket re-assembly when an occurrence-weighted probe
+    * of the item-support table says it removes <5% of the pair
+    * stream, and folds the basket total into the checkpoint's observe
+    * metric) vs the r12 spelling with the prune + count subtree
+    * always on, reconstructed inline. Both over the bench query's
+    * exact parameters (lineitem sf0.1, minSupport 2, k 100); warm,
+    * 3 reps, identical top-100 asserted. */
+  private def assoc13(spark: SparkSession): Unit = {
+    import org.apache.spark.sql.DataFrame
+    import org.apache.spark.sql.expressions.Window
+    val li = spark.read.parquet("/root/testdata/sf0.1/lineitem.parquet")
+    def shipped(): Array[org.apache.spark.sql.Row] =
+      graft.operators.Association.pairRules(li, "l_orderkey", "l_partkey",
+        minSupport = 2L, k = 100).collect()
+    def r12Spelling(): Array[org.apache.spark.sql.Row] = {
+      val minSupport = 2L
+      val dedup = li.select(col("l_orderkey").as("bk"),
+          col("l_partkey").as("it"))
+        .filter(col("bk").isNotNull && col("it").isNotNull).distinct()
+      val sized = dedup
+        .withColumn("bn", count(lit(1)).over(Window.partitionBy(col("bk"))))
+        .filter(col("bn") <= 256)
+        .groupBy(col("bk")).agg(collect_set(col("it")).as("items"))
+        .localCheckpoint()
+      val nB = sized.agg(count(lit(1)).as("n_baskets"))
+      val itemN = sized.select(explode(col("items")).as("it"))
+        .groupBy(col("it")).agg(count(lit(1)).as("item_n"))
+        .localCheckpoint()
+      val frequent = itemN.filter(col("item_n") >= minSupport)
+      val pruned = sized.select(col("bk"), explode(col("items")).as("it"))
+        .join(frequent.select(col("it")), Seq("it"), "left_semi")
+        .groupBy(col("bk")).agg(collect_set(col("it")).as("items"))
+      val pairs = pruned
+        .select(explode(col("items")).as("it"), col("items"))
+        .select(col("it"), explode(col("items")).as("it2"))
+        .filter(col("it") < col("it2"))
+        .groupBy(col("it"), col("it2")).agg(count(lit(1)).as("pair_n"))
+        .filter(col("pair_n") >= minSupport)
+      val rules = pairs.select(col("it").as("ante"), col("it2").as("cons"),
+          col("pair_n"))
+        .unionByName(pairs.select(col("it2").as("ante"),
+          col("it").as("cons"), col("pair_n")))
+        .join(itemN.select(col("it").as("ante"), col("item_n").as("ante_n")),
+          Seq("ante"))
+        .join(itemN.select(col("it").as("cons"), col("item_n").as("cons_n")),
+          Seq("cons"))
+        .crossJoin(broadcast(nB))
+        .select(col("ante"), col("cons"), col("pair_n"), col("ante_n"),
+          col("cons_n"),
+          (col("pair_n").cast("double") / col("ante_n").cast("double"))
+            .as("conf"),
+          ((col("pair_n").cast("double") * col("n_baskets").cast("double")) /
+            (col("ante_n").cast("double") * col("cons_n").cast("double")))
+            .as("lift"))
+      rules.orderBy(col("conf").desc, col("ante").asc, col("cons").asc)
+        .limit(100).collect()
+    }
+    // warm both once, then assert identical results
+    val a = shipped(); val b = r12Spelling()
+    require(a.map(_.toSeq).toSeq == b.map(_.toSeq).toSeq,
+      "adaptive and r12 spellings must produce identical rules")
+    for (rep <- 1 to 3) {
+      val t0 = System.nanoTime(); shipped()
+      val t1 = System.nanoTime(); r12Spelling()
+      val t2 = System.nanoTime()
+      println(f"""{"probe":"assoc13 r$rep","adaptive_sec":${(t1 - t0) / 1e9}%.2f,"r12_prune_sec":${(t2 - t1) / 1e9}%.2f}""")
+    }
+  }
+
   /** `runMain graft.ScaleProbe recall12` — recall-vs-cost sweep of the
     * ANN paths on the sf0.01 embeddings fixture, against the exact
     * brute-force top-5 / exact near-dup pairs. Cost = candidate rows
@@ -1592,7 +1663,7 @@ object ScaleProbe {
         "sparse9", "interop9", "graph9", "bucket9", "semdedup9", "tri9",
         "kcore9", "linkpred10", "lpa11", "sparse11", "recall12",
         "lpa12", "crossover12", "headroom12", "sparse12", "assoc12",
-        "headroom13"))) {
+        "headroom13", "assoc13"))) {
       val spark = SparkSession.builder()
         .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")}]")
         .config("spark.sql.shuffle.partitions",
@@ -1627,6 +1698,7 @@ object ScaleProbe {
         case "crossover12" => crossover12(spark, args.lift(1).map(_.toInt).getOrElse(10))
         case "headroom12" => headroom12(spark)
         case "headroom13" => headroom13(spark)
+        case "assoc13" => assoc13(spark)
         case "sparse12" => sparse12(spark, args.lift(1).map(_.toInt).getOrElse(10))
         case "assoc12" => assoc12(spark)
       }

@@ -393,15 +393,12 @@ object Graph {
     // point by returning its input frame unchanged (its drop-count
     // collect is the detector — no extra pass here).
     //
-    // ONE heavy job per round: peelRound materializes the node-sized
-    // degree frame once (a trivial second job then collects the
-    // capped drop set from its blocks, and the shuffle fallback
-    // derives its survivor set from the same blocks — degrees are
-    // never aggregated twice), and the returned anti-joined frame
-    // stays LAZY — the next round's degree scan re-applies the
-    // accumulated broadcast anti joins to the checkpointed base (a
-    // hash probe per edge, far cheaper than re-materializing the edge
-    // frame every round). The
+    // ONE job per round: peelRound's capped drop collect IS the
+    // round's only action (its local drop set broadcasts without a
+    // job), and the returned anti-joined frame stays LAZY — the next
+    // round's degree scan re-applies the accumulated broadcast anti
+    // joins to the checkpointed base (a hash probe per edge, far
+    // cheaper than re-materializing the edge frame every round). The
     // chain re-checkpoints every [[PeelCheckpointEvery]] rounds so a
     // deep peel neither grows an unbounded plan nor re-pays early
     // rounds forever; the shuffle-fallback path (huge drop set)
@@ -446,67 +443,71 @@ object Graph {
     peelRoundLazy(canon, k, broadcastLimit)._1
 
   /** One peel round as (next frame, took-the-wide-path). The round's
-    * one HEAVY job is the degree aggregation, materialized once as a
-    * node-sized checkpoint that then serves the drop-set collect (the
-    * fixed-point signal, the path choice, and the two anti-join build
-    * sides as a LocalRelation, which broadcasts job-free) AND — when
-    * the collect hits the `broadcastLimit` cap, a huge first cut on a
-    * sparse graph — the shuffle-fallback's survivor set, WITHOUT
-    * re-aggregating degrees (the pre-r13 spelling re-ran the degree
-    * pass on the fallback and threw the capped collect away). The
-    * checkpoint blocks are released before returning: neither branch's
-    * result references the degree frame (the LocalRelation is
-    * driver-local; `keep` is itself checkpointed). */
+    * ONLY action is a `broadcastLimit`-capped collect of the drop set
+    * (the nodes that just fell under k): the same node-sized rows a
+    * broadcast join would pull to the driver anyway, fetched once and
+    * reused for the fixed-point signal, the path choice, AND the two
+    * anti-join build sides (as a LocalRelation, which broadcasts
+    * job-free). Only when the collect hits the cap — a huge first cut
+    * on a sparse graph — does it fall back to shuffle SEMI joins
+    * against the survivor set, the distributed shape where the drop
+    * set must never sit on one driver; that branch re-aggregates
+    * degrees on purpose (see its comment — checkpointing `deg` for
+    * reuse taxed every happy round, measured). */
   private[graft] def peelRoundLazy(canon: DataFrame, k: Long,
                                    broadcastLimit: Long): (DataFrame, Boolean) = {
-    // the round's one heavy job: degree agg + node-sized block write
-    val deg = undirectedDegrees(canon).localCheckpoint()
-    try {
-      val cap = math.min(broadcastLimit, Int.MaxValue - 2L).toInt + 1
-      val spark = canon.sparkSession
-      val idType = canon.schema("lo").dataType
-      // isNotNull belt-and-braces: canonicalUndirected null-filters
-      // endpoints so no null group key exists today, but the Long fast
-      // path below would THROW on one (Encoders.scalaLong), where the
-      // generic Row path passed it through harmlessly — don't let a
-      // future caller with a nullable id column trip it.
-      val drop = deg.filter(col("deg") < k && col("id").isNotNull)
-        .select(col("id")).limit(cap)
-      // Driver-heap budget at the cap: long graph ids collect as a
-      // PRIMITIVE Array[Long] — 8 B/id ≈ 32 MB at the 4M cap — and the
-      // LocalRelation build is the only per-id object cost (the former
-      // Row collect held ~50–80 B/id ≈ 200–300 MB of boxed Rows before
-      // the same build). Non-long ids keep the generic Row path.
-      val (nDrop, dropDf) = idType match {
-        case org.apache.spark.sql.types.LongType =>
-          val ids = drop.as(org.apache.spark.sql.Encoders.scalaLong).collect()
-          (ids.length, () => spark.createDataset(
-            scala.collection.immutable.ArraySeq.unsafeWrapArray(ids))(
-            org.apache.spark.sql.Encoders.scalaLong).toDF("id"))
-        case _ =>
-          val rows = drop.collect()
-          (rows.length, () => spark.createDataFrame(
-            java.util.Arrays.asList(rows: _*),
-            org.apache.spark.sql.types.StructType(Seq(
-              org.apache.spark.sql.types.StructField("id", idType)))))
-      }
-      if (nDrop == 0) (canon, false)
-      else if (nDrop < cap) {
-        val dropped = dropDf()
-        (canon
-          .join(broadcast(dropped.select(col("id").as("lo"))), Seq("lo"), "left_anti")
-          .join(broadcast(dropped.select(col("id").as("hi"))), Seq("hi"), "left_anti"),
-          false)
-      } else {
-        val keep = deg.filter(col("deg") >= k)
-          .select(col("id"))
-          .localCheckpoint() // node-sized, feeds 2 joins, outlives deg
-        (canon
-          .join(keep.select(col("id").as("lo")), Seq("lo"), "left_semi")
-          .join(keep.select(col("id").as("hi")), Seq("hi"), "left_semi"),
-          true)
-      }
-    } finally deg.unpersist()
+    val deg = undirectedDegrees(canon)
+    val cap = math.min(broadcastLimit, Int.MaxValue - 2L).toInt + 1
+    val spark = canon.sparkSession
+    val idType = canon.schema("lo").dataType
+    // isNotNull belt-and-braces: canonicalUndirected null-filters
+    // endpoints so no null group key exists today, but the Long fast
+    // path below would THROW on one (Encoders.scalaLong), where the
+    // generic Row path passed it through harmlessly — don't let a
+    // future caller with a nullable id column trip it.
+    val drop = deg.filter(col("deg") < k && col("id").isNotNull)
+      .select(col("id")).limit(cap)
+    // Driver-heap budget at the cap: long graph ids collect as a
+    // PRIMITIVE Array[Long] — 8 B/id ≈ 32 MB at the 4M cap — and the
+    // LocalRelation build is the only per-id object cost (the former
+    // Row collect held ~50–80 B/id ≈ 200–300 MB of boxed Rows before
+    // the same build). Non-long ids keep the generic Row path.
+    val (nDrop, dropDf) = idType match {
+      case org.apache.spark.sql.types.LongType =>
+        val ids = drop.as(org.apache.spark.sql.Encoders.scalaLong).collect()
+        (ids.length, () => spark.createDataset(
+          scala.collection.immutable.ArraySeq.unsafeWrapArray(ids))(
+          org.apache.spark.sql.Encoders.scalaLong).toDF("id"))
+      case _ =>
+        val rows = drop.collect()
+        (rows.length, () => spark.createDataFrame(
+          java.util.Arrays.asList(rows: _*),
+          org.apache.spark.sql.types.StructType(Seq(
+            org.apache.spark.sql.types.StructField("id", idType)))))
+    }
+    if (nDrop == 0) (canon, false)
+    else if (nDrop < cap) {
+      val dropped = dropDf()
+      (canon
+        .join(broadcast(dropped.select(col("id").as("lo"))), Seq("lo"), "left_anti")
+        .join(broadcast(dropped.select(col("id").as("hi"))), Seq("hi"), "left_anti"),
+        false)
+    } else {
+      // Deliberate re-aggregation, adjudicated by a round-13 A/B: a
+      // spelling that localCheckpoints `deg` so this branch could
+      // reuse it taxed EVERY happy-path round with a block-write
+      // job (kcore +5% at sf0.1) to save one re-agg on a branch hit
+      // only by a giant first cut — and the capped collect above
+      // short-circuits its reduce tasks at `cap` rows, so the work
+      // "thrown away" here is bounded, not a full pass.
+      val keep = undirectedDegrees(canon).filter(col("deg") >= k)
+        .select(col("id"))
+        .localCheckpoint() // node-sized, feeds 2 joins
+      (canon
+        .join(keep.select(col("id").as("lo")), Seq("lo"), "left_semi")
+        .join(keep.select(col("id").as("hi")), Seq("hi"), "left_semi"),
+        true)
+    }
   }
 
   /** Degree assortativity (Newman's r): the Pearson correlation of
