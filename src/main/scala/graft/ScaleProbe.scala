@@ -1427,6 +1427,15 @@ object ScaleProbe {
       graft.operators.Graph.clusteringCoefficient(canon, "a", "b")
         .queryExecution.toRdd.count()
     }
+    // linkpred: headroom12 measured a 7.6 s max task of 14.3 s total;
+    // name the stage that owns it (capped-center scoring vs top-k vs
+    // adjacency build) before deciding whether a center salt pays
+    val pairs = spark.read.parquet("/tmp/graft_crossover/pairs.parquet")
+    t("linkpred 10x") {
+      graft.operators.Graph.linkPrediction(
+        pairs.select(col("cust").as("a"), col("supp").as("b")), "a", "b",
+        k = 100, maxCenterDeg = 500L).queryExecution.toRdd.count()
+    }
   }
 
   /** `runMain graft.ScaleProbe sparse12 [replicas]` — sparse-pairs
@@ -1601,6 +1610,75 @@ object ScaleProbe {
     }
   }
 
+  /** `runMain graft.ScaleProbe sparse13` — does keying the sparse
+    * pipeline's term exchanges on 64-bit gram HASHES (instead of the
+    * gram strings) pay? The experiment the r12 verdict asked for:
+    * every exchange/join downstream of tokenization (doc-term agg, df
+    * agg, idf join, posting self-join) compares 8-byte longs instead
+    * of UTF8Strings. Probe-only variant (xxhash64 applied to the
+    * exploded gram stream); identical pair output ASSERTED at this
+    * scale — note a 64-bit key is NOT shippable as-is at 10¹⁰+ grams
+    * (birthday collisions would silently merge terms and shift idf),
+    * so this measures the CEILING of the win first. */
+  private def sparse13(spark: SparkSession): Unit = {
+    import org.apache.spark.sql.DataFrame
+    val docs = spark.read.parquet("/root/testdata/sf0.1/documents.parquet")
+      .select(col("doc_id"), col("text"))
+    def pairsOf(longKeys: Boolean): Array[(Long, Long, Double)] = {
+      import spark.implicits._
+      val grams = docs
+        .repartition(spark.sparkContext.defaultParallelism)
+        .select(col("doc_id"),
+          explode_outer(org.apache.spark.sql.graftx.ShingleTf
+            .shingleTf(col("text"), 5)).as(Seq("g", "__tf")))
+      val keyed =
+        if (longKeys) grams.select(col("doc_id"),
+          xxhash64(col("g")).as("term"), col("__tf"))
+        else grams.select(col("doc_id"), col("g").as("term"), col("__tf"))
+      val tf = keyed.groupBy(col("doc_id"), col("term"))
+        .agg(sum(col("__tf")).as("tf")).localCheckpoint()
+      val dfreq = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+      val nDocs = tf.select(countDistinct(col("doc_id")).as("n_docs"))
+      val idf = dfreq.crossJoin(broadcast(nDocs))
+        .filter(col("df") <= col("n_docs").cast("double") * 0.02)
+        .select(col("term"),
+          (log((col("n_docs") + 1).cast("double") / (col("df") + 1)) + 1)
+            .as("idf"))
+      val wts = tf.join(idf, Seq("term"))
+        .select(col("term"), col("doc_id"),
+          (floor(col("tf") * col("idf") * 1024 + lit(0.5)) / 1024).as("w"))
+        .localCheckpoint()
+      val norms = wts.groupBy(col("doc_id"))
+        .agg(sqrt(sum(col("w") * col("w"))).as("nrm"))
+      val a = wts.select(col("term"), col("doc_id").as("id_a"),
+        col("w").as("wa"))
+      val b = wts.select(col("term"), col("doc_id").as("id_b"),
+        col("w").as("wb"))
+      val dots = a.join(b, Seq("term")).filter(col("id_a") < col("id_b"))
+        .groupBy(col("id_a"), col("id_b"))
+        .agg(sum(col("wa") * col("wb")).as("dot"))
+      dots
+        .join(norms.select(col("doc_id").as("id_a"), col("nrm").as("na")),
+          Seq("id_a"))
+        .join(norms.select(col("doc_id").as("id_b"), col("nrm").as("nb")),
+          Seq("id_b"))
+        .withColumn("cosine", col("dot") / (col("na") * col("nb")))
+        .filter(col("cosine") >= 0.6)
+        .select(col("id_a"), col("id_b"),
+          (floor(col("cosine") * 10000 + lit(0.5)) / 10000).as("cosine"))
+        .as[(Long, Long, Double)].collect().sortBy(p => (p._1, p._2))
+    }
+    val s0 = pairsOf(longKeys = false); val l0 = pairsOf(longKeys = true)
+    require(s0.toSeq == l0.toSeq,
+      s"long-key and string-key pair sets differ: ${s0.length} vs ${l0.length}")
+    for (rep <- 1 to 3) {
+      val t0 = System.nanoTime(); pairsOf(longKeys = false)
+      val t1 = System.nanoTime(); pairsOf(longKeys = true)
+      val t2 = System.nanoTime()
+      println(f"""{"probe":"sparse13 r$rep","string_sec":${(t1 - t0) / 1e9}%.2f,"long_sec":${(t2 - t1) / 1e9}%.2f,"pairs":${s0.length}}""")
+    }
+  }
+
   /** `runMain graft.ScaleProbe recall12` — recall-vs-cost sweep of the
     * ANN paths on the sf0.01 embeddings fixture, against the exact
     * brute-force top-5 / exact near-dup pairs. Cost = candidate rows
@@ -1663,7 +1741,7 @@ object ScaleProbe {
         "sparse9", "interop9", "graph9", "bucket9", "semdedup9", "tri9",
         "kcore9", "linkpred10", "lpa11", "sparse11", "recall12",
         "lpa12", "crossover12", "headroom12", "sparse12", "assoc12",
-        "headroom13", "assoc13"))) {
+        "headroom13", "assoc13", "sparse13"))) {
       val spark = SparkSession.builder()
         .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")}]")
         .config("spark.sql.shuffle.partitions",
@@ -1699,6 +1777,7 @@ object ScaleProbe {
         case "headroom12" => headroom12(spark)
         case "headroom13" => headroom13(spark)
         case "assoc13" => assoc13(spark)
+        case "sparse13" => sparse13(spark)
         case "sparse12" => sparse12(spark, args.lift(1).map(_.toInt).getOrElse(10))
         case "assoc12" => assoc12(spark)
       }
