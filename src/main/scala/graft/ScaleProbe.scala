@@ -47,6 +47,21 @@ object ScaleProbe {
     override def onStageCompleted(s: SparkListenerStageCompleted): Unit =
       names.put(s.stageInfo.stageId, s.stageInfo.name.takeWhile(_ != '\n'))
     def reset(): Unit = { stats.clear(); names.clear() }
+    /** Listener events are delivered ASYNC — the timed action can
+      * return while the longest task's end event is still queued,
+      * which would understate exactly the straggler this listener
+      * measures. The bus isn't publicly flushable, so wait until two
+      * consecutive snapshots agree (settle ≤ ~2 s). */
+    def quiesce(): Unit = {
+      var prev = (stats.toMap, names.toMap)
+      var i = 0
+      while (i < 20) {
+        Thread.sleep(100)
+        val cur = (stats.toMap, names.toMap)
+        if (cur == prev) return
+        prev = cur; i += 1
+      }
+    }
     /** Top `top` stages by max task ms, one JSON line each. */
     def report(label: String, top: Int): Unit =
       stats.toSeq.sortBy(-_._2._3).take(top).foreach {
@@ -1416,7 +1431,9 @@ object ScaleProbe {
     def t(label: String)(f: => Long): Unit = {
       MaxTask.reset(); StageStats.reset()
       val t0 = System.nanoTime(); val n = f
-      println(f"""{"probe":"headroom13 $label","rows":$n,"sec":${(System.nanoTime() - t0) / 1e9}%.2f,"max_task_sec":${MaxTask.max.get() / 1000.0}%.2f}""")
+      val sec = (System.nanoTime() - t0) / 1e9
+      StageStats.quiesce() // async listener bus: let tail events land
+      println(f"""{"probe":"headroom13 $label","rows":$n,"sec":$sec%.2f,"max_task_sec":${MaxTask.max.get() / 1000.0}%.2f}""")
       StageStats.report(s"headroom13 $label", 6)
     }
     t("triangles 10x") {

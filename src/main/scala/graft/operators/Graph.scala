@@ -282,13 +282,30 @@ object Graph {
     * just less selective — which is the right failure mode for a
     * broadcast-shaped structure at 100-TB edge counts. */
   private def triangleCountsFromOriented(oriented: DataFrame): DataFrame = {
-    import org.apache.spark.sql.graftx.BloomScreen
+    import org.apache.spark.sql.graftx.{BloomScreen, SessionScope}
     val m = oriented.count() // cheap: one pass over checkpoint blocks
     val bits = math.min(math.max(m * 10L, 1L << 20), WedgeBloomMaxBits)
-    val bf = oriented
-      .agg(BloomScreen.bloomAgg(struct(col("src"), col("dst")), m, bits))
-      .head().getAs[Array[Byte]](0)
-    val tris = closedWedges(oriented, bf)
+    // BloomFilterAggregate silently Math.min's BOTH its arguments
+    // against session caps that default far below this pipeline's
+    // sizing (maxNumItems 4M, maxNumBits 2^26) — under the defaults a
+    // 12M-edge build would get a filter calibrated for 4M items and
+    // 67M bits (fp ~20%, not the designed ~1%) with no error. Build
+    // under raised caps scoped to this one action (cloned session);
+    // m is clamped ≥ 1 because the aggregate rejects 0 even over an
+    // empty frame (an empty graph must return an empty result, not
+    // throw analysis).
+    val bf = SessionScope.headUnderConf(
+      oriented.agg(BloomScreen.bloomAgg(struct(col("src"), col("dst")),
+        math.max(m, 1L), bits)),
+      Map("spark.sql.optimizer.runtime.bloomFilter.maxNumItems" ->
+        math.max(m, 1L).toString,
+        "spark.sql.optimizer.runtime.bloomFilter.maxNumBits" ->
+          bits.toString)).getAs[Array[Byte]](0)
+    // shuffle_hash only pays once the edge frame is past broadcast
+    // size: below it the unhinted planner broadcasts the edge side
+    // and the wedge stream never exchanges at all — the better plan,
+    // which an unconditional hint would forbid
+    val tris = closedWedges(oriented, bf, hintShuffleHash = m > WedgeHintMinEdges)
       .localCheckpoint() // triangle list feeds three corner projections
     tris.select(col("u").as("id"))
       .union(tris.select(col("v").as("id")))
@@ -304,35 +321,49 @@ object Graph {
     * exists — is oriented exactly v → w; the Bloom probe (`bf` from
     * the edge set, no false negatives) runs in the SAME codegen stage
     * that generates the wedge, so non-closing wedges die before the
-    * exchange. Both joins hint shuffle_hash: sort-merge would SORT
-    * the edge frame twice and — far worse — the wedge stream once,
-    * and a wedge stream is pure fan-out that only needs hashing,
-    * never ordering (per-partition build sides stay edge-sized/N,
-    * well inside task memory; at real scale partition count grows
-    * with the data). */
-  private[graft] def closedWedges(oriented: DataFrame,
-                                  bf: Array[Byte]): DataFrame = {
+    * exchange. When `hintShuffleHash` (edge frame past broadcast
+    * size, see [[WedgeHintMinEdges]]) both joins hint shuffle_hash:
+    * sort-merge would SORT the edge frame twice and — far worse — the
+    * wedge stream once, and a wedge stream is pure fan-out that only
+    * needs hashing, never ordering (per-partition build sides stay
+    * edge-sized/N, well inside task memory; at real scale partition
+    * count grows with the data). Unhinted, the planner broadcasts the
+    * small edge side and the wedge stream never exchanges. */
+  private[graft] def closedWedges(oriented: DataFrame, bf: Array[Byte],
+                                  hintShuffleHash: Boolean): DataFrame = {
     import org.apache.spark.sql.graftx.BloomScreen
+    def side(edgeFrame: DataFrame): DataFrame =
+      if (hintShuffleHash) edgeFrame.hint("shuffle_hash") else edgeFrame
     val o1 = oriented.select(col("src").as("u"), col("dst").as("v"),
       col("ddeg").as("dv"))
     val o2 = oriented.select(col("src").as("u"), col("dst").as("w"),
       col("ddeg").as("dw"))
-    o1.join(o2.hint("shuffle_hash"), Seq("u"))
+    o1.join(side(o2), Seq("u"))
       .filter(col("dv") < col("dw") ||
         (col("dv") === col("dw") && col("v") < col("w")))
       .filter(BloomScreen.mightContain(bf, struct(col("v"), col("w"))))
-      .join(oriented.select(col("src").as("v"), col("dst").as("w"))
-        .hint("shuffle_hash"),
+      .join(side(oriented.select(col("src").as("v"), col("dst").as("w"))),
         Seq("v", "w"))
       .select(col("u"), col("v"), col("w"))
   }
+
+  /** Edge count past which [[closedWedges]] hints its joins
+    * shuffle_hash. Below it the edge frame is broadcast-sized and the
+    * unhinted planner's BroadcastHashJoin is strictly better (the
+    * wedge stream never exchanges); above it the choice is between
+    * shuffle strategies, where hashing beats sort-merge because a
+    * fan-out stream needs no order. ~500k edges ≈ the 10 MB
+    * autoBroadcastJoinThreshold at ~24 B/edge. */
+  private[graft] val WedgeHintMinEdges = 500000L
 
   /** Bit cap for the closing-edge Bloom screen — ~32 MB serialized,
     * ≈1 % fp at 10·bits-per-edge up to ~27 M edges, degrading
     * gracefully (toward an ineffective-but-harmless pass-through)
     * beyond it. The filter ships with the task binary like any plan
     * literal; capping it is what keeps the wedge pipeline legal when
-    * the edge set is 1000× the local fixture. */
+    * the edge set is 1000× the local fixture. (The session's own
+    * runtime-filter caps default BELOW this sizing and are raised,
+    * scoped to the build action — see triangleCountsFromOriented.) */
   private[graft] val WedgeBloomMaxBits = 1L << 28
 
   /** Local clustering coefficient per node: coef = 2·tri / (deg·(deg−1))

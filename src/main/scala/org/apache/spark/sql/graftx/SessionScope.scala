@@ -24,12 +24,71 @@ import org.apache.spark.sql.{DataFrame, classic}
   * AQE flags…) instead of inheriting them and would silently change
   * every plan built inside the scope. */
 object SessionScope {
+  // One clone per (base session, conf overrides), reused across calls:
+  // a clone is not free to hold forever — its ExecutionListenerBus
+  // stays registered on the shared LiveListenerBus until the clone is
+  // GC'd — so unbounded per-call cloning would accumulate buses over
+  // a long-lived session's many scoped calls. Weak keys let the cache
+  // die with the base session.
+  private val clones =
+    new java.util.WeakHashMap[classic.SparkSession,
+      scala.collection.mutable.Map[Map[String, String],
+        classic.SparkSession]]()
+
+  private def cloneFor(s0: classic.SparkSession,
+                       confs: Map[String, String]): classic.SparkSession =
+    clones.synchronized {
+      val perBase = {
+        val cur = clones.get(s0)
+        if (cur != null) cur
+        else {
+          val m = scala.collection.mutable.Map
+            .empty[Map[String, String], classic.SparkSession]
+          clones.put(s0, m); m
+        }
+      }
+      perBase.getOrElseUpdate(confs, {
+        val s1 = s0.cloneSession()
+        confs.foreach { case (key, value) => s1.conf.set(key, value) }
+        s1
+      })
+    }
+
   def withConf(df: DataFrame, confs: Map[String, String])(
       body: DataFrame => DataFrame): DataFrame = {
     val s0 = df.sparkSession.asInstanceOf[classic.SparkSession]
-    val s1 = s0.cloneSession()
-    confs.foreach { case (key, value) => s1.conf.set(key, value) }
-    val out = body(classic.Dataset.ofRows(s1, df.queryExecution.logical))
+    val out = body(classic.Dataset.ofRows(
+      cloneFor(s0, confs), df.queryExecution.logical))
+    // The override only governs what EXECUTES inside the body — so the
+    // returned frame must already be lineage-truncated (its per-round
+    // actions ran on the clone; what comes back is a block scan / local
+    // rows). A lazy return would silently RE-plan and RE-execute the
+    // body's work under the caller's DEFAULT confs — the exact bug
+    // class this helper exists to close — so refuse it loudly.
+    val truncated = out.queryExecution.analyzed match {
+      case _: org.apache.spark.sql.execution.LogicalRDD => true
+      case _: org.apache.spark.sql.catalyst.plans.logical.LocalRelation => true
+      case p => p.collectLeaves().forall {
+        case _: org.apache.spark.sql.execution.LogicalRDD => true
+        case _: org.apache.spark.sql.catalyst.plans.logical.LocalRelation => true
+        case _ => false
+      }
+    }
+    require(truncated,
+      "SessionScope.withConf body must return a checkpointed/local frame " +
+        "(lineage-truncated); a lazy plan would re-execute under the " +
+        "caller's default confs, silently dropping the overrides")
     classic.Dataset.ofRows(s0, out.queryExecution.logical)
+  }
+
+  /** Evaluate ONE action — `df.head()` — under conf overrides visible
+    * only to that action. No lazy-return hazard: the value, not a
+    * plan, crosses back. For scoped builds of driver-side artifacts
+    * (e.g. a Bloom filter aggregated under raised sketch-size caps). */
+  def headUnderConf(df: DataFrame,
+                    confs: Map[String, String]): org.apache.spark.sql.Row = {
+    val s0 = df.sparkSession.asInstanceOf[classic.SparkSession]
+    classic.Dataset.ofRows(cloneFor(s0, confs),
+      df.queryExecution.logical).head()
   }
 }

@@ -152,6 +152,15 @@ class GraphSpec extends SparkTestBase {
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(striX == Map(0L -> 1L, 1L -> 1L, 2L -> 1L),
       s"star + chord = one triangle: $striX")
+    // a graph with ZERO valid edges (only self-loops/nulls, all
+    // dropped by canonicalization) must return the empty frame, not
+    // throw — the closing-edge Bloom build clamps its item estimate
+    // to 1 because BloomFilterAggregate rejects 0
+    val degenerate = Seq((7L, 7L), (8L, 8L)).toDF("a", "b")
+    assert(Graph.triangleCounts(degenerate, "a", "b").count() == 0L,
+      "self-loop-only graph must yield zero triangle rows")
+    assert(Graph.clusteringCoefficient(degenerate, "a", "b").count() == 0L,
+      "self-loop-only graph must yield zero coefficient rows")
   }
 
   test("kCore: cascade peels the chain off a clique, fixed rounds truncate") {

@@ -369,7 +369,10 @@ class PlanGuardSpec extends SparkTestBase {
       val bf = oriented.agg(org.apache.spark.sql.graftx.BloomScreen
         .bloomAgg(struct(col("src"), col("dst")), 4L, 1L << 16))
         .head().getAs[Array[Byte]](0)
-      val pw = graft.operators.Graph.closedWedges(oriented, bf)
+      // scale shape (edge frame past broadcast size): hash-joined,
+      // never sorted
+      val pw = graft.operators.Graph
+        .closedWedges(oriented, bf, hintShuffleHash = true)
         .queryExecution.executedPlan.toString
       assert(pw.contains("might_contain"),
         s"wedge stream lost the closing-edge bloom screen:\n$pw")
@@ -377,6 +380,15 @@ class PlanGuardSpec extends SparkTestBase {
         s"wedge joins must hash, not sort-merge:\n$pw")
       assert(!pw.contains("SortMergeJoin"),
         s"a wedge stream must never be sorted into its joins:\n$pw")
+      // small shape (edge frame broadcast-sized): the unhinted planner
+      // must broadcast — the wedge stream then never exchanges at all,
+      // which an unconditional shuffle_hash hint would forbid
+      val ps = graft.operators.Graph
+        .closedWedges(oriented, bf, hintShuffleHash = false)
+        .queryExecution.executedPlan.toString
+      assert(ps.contains("might_contain") &&
+        ps.contains("BroadcastHashJoin"),
+        s"small-graph wedge joins must broadcast the edge side:\n$ps")
     }
     // kCore's full plan truncates per round (localCheckpoint), so pin
     // ONE peel round's pre-checkpoint sub-plan in each of its three
