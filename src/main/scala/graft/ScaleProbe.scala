@@ -53,13 +53,18 @@ object ScaleProbe {
       * measures. The bus isn't publicly flushable, so wait until two
       * consecutive snapshots agree (settle ≤ ~2 s). */
     def quiesce(): Unit = {
+      // best-effort: three consecutive stable 200 ms snapshots. A GC
+      // pause longer than the window could still hide a tail event —
+      // acceptable for a probe (the headline sec comes from the timer,
+      // not the listener), noted so readers treat max_task as a floor.
       var prev = (stats.toMap, names.toMap)
+      var stable = 0
       var i = 0
-      while (i < 20) {
-        Thread.sleep(100)
+      while (i < 20 && stable < 3) {
+        Thread.sleep(200)
         val cur = (stats.toMap, names.toMap)
-        if (cur == prev) return
-        prev = cur; i += 1
+        if (cur == prev) stable += 1 else { stable = 0; prev = cur }
+        i += 1
       }
     }
     /** Top `top` stages by max task ms, one JSON line each. */

@@ -284,21 +284,24 @@ object Graph {
   private def triangleCountsFromOriented(oriented: DataFrame): DataFrame = {
     import org.apache.spark.sql.graftx.{BloomScreen, SessionScope}
     val m = oriented.count() // cheap: one pass over checkpoint blocks
+    // Zero valid edges (empty input, or only self-loops/nulls — all
+    // canonicalized away): no triangles, and nothing downstream to
+    // build — skip the Bloom job and the wedge plan entirely
+    // (BloomFilterAggregate also rejects an item estimate of 0).
+    if (m == 0) return oriented
+      .select(col("src").as("id"), lit(0L).as("tri")).limit(0)
     val bits = math.min(math.max(m * 10L, 1L << 20), WedgeBloomMaxBits)
     // BloomFilterAggregate silently Math.min's BOTH its arguments
     // against session caps that default far below this pipeline's
     // sizing (maxNumItems 4M, maxNumBits 2^26) — under the defaults a
     // 12M-edge build would get a filter calibrated for 4M items and
     // 67M bits (fp ~20%, not the designed ~1%) with no error. Build
-    // under raised caps scoped to this one action (cloned session);
-    // m is clamped ≥ 1 because the aggregate rejects 0 even over an
-    // empty frame (an empty graph must return an empty result, not
-    // throw analysis).
+    // under raised caps scoped to this one action (cloned session).
     val bf = SessionScope.headUnderConf(
       oriented.agg(BloomScreen.bloomAgg(struct(col("src"), col("dst")),
-        math.max(m, 1L), bits)),
+        m, bits)),
       Map("spark.sql.optimizer.runtime.bloomFilter.maxNumItems" ->
-        math.max(m, 1L).toString,
+        m.toString,
         "spark.sql.optimizer.runtime.bloomFilter.maxNumBits" ->
           bits.toString)).getAs[Array[Byte]](0)
     // shuffle_hash only pays once the edge frame is past broadcast
@@ -352,8 +355,13 @@ object Graph {
     * unhinted planner's BroadcastHashJoin is strictly better (the
     * wedge stream never exchanges); above it the choice is between
     * shuffle strategies, where hashing beats sort-merge because a
-    * fan-out stream needs no order. ~500k edges ≈ the 10 MB
-    * autoBroadcastJoinThreshold at ~24 B/edge. */
+    * fan-out stream needs no order. The broadcast decision sees the
+    * CHECKPOINTED frame's stats — the materialized (compressed) block
+    * bytes, measured ~3.6 B/edge on the co-purchase fixture, so the
+    * 10 MB autoBroadcastJoinThreshold covers well past this constant
+    * (no unhinted-and-unbroadcastable gap: verified empirically, a
+    * 116k-edge checkpointed frame reports 421 KB and plans
+    * BroadcastHashJoin with zero SortMergeJoin). */
   private[graft] val WedgeHintMinEdges = 500000L
 
   /** Bit cap for the closing-edge Bloom screen — ~32 MB serialized,

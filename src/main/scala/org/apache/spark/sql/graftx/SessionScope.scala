@@ -24,35 +24,26 @@ import org.apache.spark.sql.{DataFrame, classic}
   * AQE flags…) instead of inheriting them and would silently change
   * every plan built inside the scope. */
 object SessionScope {
-  // One clone per (base session, conf overrides), reused across calls:
-  // a clone is not free to hold forever — its ExecutionListenerBus
-  // stays registered on the shared LiveListenerBus until the clone is
-  // GC'd — so unbounded per-call cloning would accumulate buses over
-  // a long-lived session's many scoped calls. Weak keys let the cache
-  // die with the base session.
-  private val clones =
-    new java.util.WeakHashMap[classic.SparkSession,
-      scala.collection.mutable.Map[Map[String, String],
-        classic.SparkSession]]()
-
+  // Per-CALL clone, deliberately uncached. A clone is cheap (a
+  // SessionState copy) and fully GC-able: nothing global pins it —
+  // even the ExecutionListenerBus a body's `observe` may lazily
+  // register on the shared LiveListenerBus holds only the clone's
+  // UUID STRING, never the session (verified against the shipped
+  // spark-sql 4.1.2 bytecode), so the session memory is reclaimed
+  // when the call returns and only that one empty, tagged bus object
+  // outlives it (none at all for bodies that never observe). A cache
+  // was tried and reverted: value→parentSessionState→base-session
+  // back-references defeat weak-key eviction (the textbook WeakHashMap
+  // self-reference leak), data-dependent conf values key unboundedly
+  // many entries, and a cached clone freezes the base session's
+  // runtime confs at first-call time — three bugs for one saved
+  // SessionState copy.
   private def cloneFor(s0: classic.SparkSession,
-                       confs: Map[String, String]): classic.SparkSession =
-    clones.synchronized {
-      val perBase = {
-        val cur = clones.get(s0)
-        if (cur != null) cur
-        else {
-          val m = scala.collection.mutable.Map
-            .empty[Map[String, String], classic.SparkSession]
-          clones.put(s0, m); m
-        }
-      }
-      perBase.getOrElseUpdate(confs, {
-        val s1 = s0.cloneSession()
-        confs.foreach { case (key, value) => s1.conf.set(key, value) }
-        s1
-      })
-    }
+                       confs: Map[String, String]): classic.SparkSession = {
+    val s1 = s0.cloneSession()
+    confs.foreach { case (key, value) => s1.conf.set(key, value) }
+    s1
+  }
 
   def withConf(df: DataFrame, confs: Map[String, String])(
       body: DataFrame => DataFrame): DataFrame = {
@@ -65,14 +56,10 @@ object SessionScope {
     // rows). A lazy return would silently RE-plan and RE-execute the
     // body's work under the caller's DEFAULT confs — the exact bug
     // class this helper exists to close — so refuse it loudly.
-    val truncated = out.queryExecution.analyzed match {
+    val truncated = out.queryExecution.analyzed.collectLeaves().forall {
       case _: org.apache.spark.sql.execution.LogicalRDD => true
       case _: org.apache.spark.sql.catalyst.plans.logical.LocalRelation => true
-      case p => p.collectLeaves().forall {
-        case _: org.apache.spark.sql.execution.LogicalRDD => true
-        case _: org.apache.spark.sql.catalyst.plans.logical.LocalRelation => true
-        case _ => false
-      }
+      case _ => false
     }
     require(truncated,
       "SessionScope.withConf body must return a checkpointed/local frame " +
