@@ -55,8 +55,11 @@ object SessionScope {
     // actions ran on the clone; what comes back is a block scan / local
     // rows). A lazy return would silently RE-plan and RE-execute the
     // body's work under the caller's DEFAULT confs — the exact bug
-    // class this helper exists to close — so refuse it loudly.
-    val truncated = out.queryExecution.analyzed.collectLeaves().forall {
+    // class this helper exists to close — so refuse it loudly. The
+    // check is on the plan ROOT, not its leaves: even one pending
+    // operator over a checkpointed leaf (an aggregate, a join) is
+    // deferred work that would run unscoped.
+    val truncated = out.queryExecution.analyzed match {
       case _: org.apache.spark.sql.execution.LogicalRDD => true
       case _: org.apache.spark.sql.catalyst.plans.logical.LocalRelation => true
       case _ => false
