@@ -156,9 +156,22 @@ object Cleaning {
     val evalGrams = evalSet
       .withColumn("__toks", split(trim(col(textCol)), "\\s+"))
       .select(explode_outer(wordGramsOf(col("__toks"), n)).as("gram")).distinct()
-    val bloomRow = evalGrams
-      .agg(BloomScreen.bloomAgg(col("gram"), expectedGrams, numBits).as("bf"))
-      .head()
+    // Built under raised runtime-filter caps scoped to this one action:
+    // BloomFilterAggregate silently Math.min's its sizing against
+    // session caps defaulting to 4M items / 2^26 bits — the defaults
+    // above fit, but the production sizing this doc recommends
+    // (10 bits/gram at 10⁹+ eval grams) would be clamped to a ~100%-fp
+    // pass-through with no error, and the screen would silently stop
+    // screening (output still exact; the whole corpus gram stream
+    // would just reach the join again).
+    val bloomRow = org.apache.spark.sql.graftx.SessionScope.headUnderConf(
+      evalGrams
+        .agg(BloomScreen.bloomAgg(col("gram"), expectedGrams, numBits)
+          .as("bf")),
+      Map("spark.sql.optimizer.runtime.bloomFilter.maxNumItems" ->
+        math.max(expectedGrams, 1L).toString,
+        "spark.sql.optimizer.runtime.bloomFilter.maxNumBits" ->
+          math.max(numBits, 1L).toString))
     val exploded = Dedup.spread(train)
       .withColumn("__toks", split(trim(col(textCol)), "\\s+"))
       .select(col(idCol), wordGramsOf(col("__toks"), n).as("grams"))
