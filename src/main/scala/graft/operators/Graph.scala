@@ -658,13 +658,17 @@ object Graph {
     val e = (if (assumeDistinct) e0 else e0.distinct()).localCheckpoint()
     val nodes = e.select(col("src").as("id"))
       .union(e.select(col("dst").as("id"))).distinct()
-    var labels = nodes.select(col("id"), col("id").as("lab"))
-      .localCheckpoint()
     // Broadcast decision, made ONCE: the label frame's size is the
     // node count, constant across rounds. Under [[BroadcastNodeLimit]]
     // the per-round label join runs broadcast-side and the edge table
     // never shuffles; above it (the 100-TB shape) both sides shuffle.
-    val smallNodes = labels.count() <= BroadcastNodeLimit
+    // The count RIDES the initial checkpoint materialization as an
+    // observe metric — no separate count job before the rounds.
+    val obs0 = org.apache.spark.sql.Observation()
+    var labels = nodes.select(col("id"), col("id").as("lab"))
+      .observe(obs0, count(lit(1)).as("n"))
+      .localCheckpoint()
+    val smallNodes = obs0.get("n").asInstanceOf[Long] <= BroadcastNodeLimit
     def side(nodeFrame: DataFrame): DataFrame =
       if (smallNodes) broadcast(nodeFrame) else nodeFrame
     // Early exit at the fixed point: synchronous LPA's round r+1 is a
