@@ -55,6 +55,34 @@ class SessionScopeSpec extends SparkTestBase {
     assert(spark.conf.getOption(Key) == before, "no leakage")
   }
 
+  test("headUnderConf: bloom builds past the default runtime-filter caps keep their fp") {
+    // The reason headUnderConf exists: BloomFilterAggregate silently
+    // Math.min's its sizing against session caps defaulting to
+    // 4M items / 2^26 bits. An 8M-item, 80M-bit build exceeds BOTH;
+    // under the defaults the filter comes out hashed for 4M items in
+    // 67M bits (~3.5% fp on the real 8M) — under raised caps it keeps
+    // the designed ~0.8%. Pin the raised behavior with a measured fp
+    // on 100k known NON-members, with margin (< 2%): if a refactor
+    // ever drops the scoped raise, this triples and fails.
+    import org.apache.spark.sql.graftx.{BloomScreen, SessionScope}
+    val items = 8000000L
+    val bits = 80000000L
+    val bf = SessionScope.headUnderConf(
+      spark.range(items).agg(
+        BloomScreen.bloomAgg(col("id"), items, bits).as("bf")),
+      Map("spark.sql.optimizer.runtime.bloomFilter.maxNumItems" ->
+        items.toString,
+        "spark.sql.optimizer.runtime.bloomFilter.maxNumBits" ->
+          bits.toString)).getAs[Array[Byte]](0)
+    val probes = 100000L
+    val falsePos = spark.range(items, items + probes)
+      .filter(BloomScreen.mightContain(bf, col("id"))).count()
+    val fp = falsePos.toDouble / probes
+    assert(fp < 0.02,
+      f"over-cap bloom build lost its sizing: fp $fp%.4f (designed ~0.008; " +
+        "the default-cap clamp measures ~0.035)")
+  }
+
   test("withConf: checkpointed result never re-executes the scoped work") {
     // the returned frame must be a block scan — collecting it twice
     // (and after the scope is gone) yields the same rows with no
