@@ -1701,6 +1701,72 @@ object ScaleProbe {
     }
   }
 
+  /** `runMain graft.ScaleProbe sparse13b` — the one-shot sparse-probe
+    * job-count A/B (round 13): the shipped lazy spelling of
+    * [[graft.operators.TfIdf.sparseCosineProbe]] (persist = false —
+    * build + probe fuse into one action, shared subtrees unified by
+    * ReuseExchange) vs the persisted-index spelling (per-artifact
+    * localCheckpoints, the IndexCache/serving form) on the sf0.1
+    * documents split the bench query uses. Identical pair sets
+    * asserted; the delta is pure job-scheduling overhead. */
+  private def sparse13b(spark: SparkSession): Unit = {
+    import graft.operators.TfIdf
+    val docs = spark.read.parquet("/root/testdata/sf0.1/documents.parquet")
+    val idx = docs.filter(col("doc_id") % 2 === 0)
+    val bat = docs.filter(col("doc_id") % 2 =!= 0)
+    def collectPairs(df: org.apache.spark.sql.DataFrame) = {
+      import spark.implicits._
+      df.as[(Long, Long, Double)].collect().sortBy(p => (p._1, p._2))
+    }
+    def lazyForm() = collectPairs(TfIdf.sparseCosineProbe(
+      idx, bat, "doc_id", "text", n = 5, maxDfFrac = 0.02, threshold = 0.6))
+    def ckptForm() = collectPairs(TfIdf.probeSparseIndex(
+      TfIdf.buildSparseIndex(idx, "doc_id", "text", n = 5, maxDfFrac = 0.02),
+      bat, "doc_id", "text", n = 5, threshold = 0.6))
+    // mixed form: checkpoint ONLY the tokenization aggregates (idxTf,
+    // batW — the frames whose recomputation is corpus-priced) plus the
+    // idf model both sides weigh with; leave the cheap single-action
+    // artifacts (idxW, idxNorms) lazy
+    def mixedForm() = {
+      import graft.operators.TfIdf.SparseIndex
+      val idxTf = {
+        val t = org.apache.spark.sql.graftx.ShingleTf
+          .shingleTf(col("text"), 5)
+        idx.repartition(spark.sparkContext.defaultParallelism)
+          .select(col("doc_id"),
+          explode_outer(t).as(Seq("term", "__tf")))
+          .groupBy(col("doc_id"), col("term"))
+          .agg(sum(col("__tf")).as("tf")).localCheckpoint()
+      }
+      val dfreq = idxTf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+      val nDocs = idxTf.select(countDistinct(col("doc_id")).as("n_docs"))
+      val idf = dfreq.crossJoin(broadcast(nDocs))
+        .filter(col("df") <= col("n_docs").cast("double") * 0.02)
+        .select(col("term"),
+          (log((col("n_docs") + 1).cast("double") / (col("df") + 1)) + 1)
+            .as("idf")).localCheckpoint()
+      def w(tf: org.apache.spark.sql.DataFrame) = tf.join(idf, Seq("term"))
+        .select(col("doc_id"), col("term"),
+          (floor(col("tf") * col("idf") * 1024 + lit(0.5)) / 1024).as("w"))
+      val idxW = w(idxTf)
+      val idxNorms = idxW.groupBy(col("doc_id"))
+        .agg(sqrt(sum(col("w") * col("w"))).as("nrm"))
+      collectPairs(graft.operators.TfIdf.probeSparseIndex(
+        SparseIndex(idf, idxW, idxNorms), bat, "doc_id", "text", n = 5,
+        threshold = 0.6, persistBatch = true))
+    }
+    val a = lazyForm(); val b = ckptForm(); val c = mixedForm()
+    require(a.toSeq == b.toSeq && a.toSeq == c.toSeq,
+      s"probe spellings differ: ${a.length} / ${b.length} / ${c.length}")
+    for (rep <- 1 to 4) {
+      val t0 = System.nanoTime(); lazyForm()
+      val t1 = System.nanoTime(); ckptForm()
+      val t2 = System.nanoTime(); mixedForm()
+      val t3 = System.nanoTime()
+      println(f"""{"probe":"sparse13b r$rep","lazy_sec":${(t1 - t0) / 1e9}%.2f,"ckpt_sec":${(t2 - t1) / 1e9}%.2f,"mixed_sec":${(t3 - t2) / 1e9}%.2f,"pairs":${a.length}}""")
+    }
+  }
+
   /** `runMain graft.ScaleProbe recall12` — recall-vs-cost sweep of the
     * ANN paths on the sf0.01 embeddings fixture, against the exact
     * brute-force top-5 / exact near-dup pairs. Cost = candidate rows
@@ -1763,7 +1829,7 @@ object ScaleProbe {
         "sparse9", "interop9", "graph9", "bucket9", "semdedup9", "tri9",
         "kcore9", "linkpred10", "lpa11", "sparse11", "recall12",
         "lpa12", "crossover12", "headroom12", "sparse12", "assoc12",
-        "headroom13", "assoc13", "sparse13"))) {
+        "headroom13", "assoc13", "sparse13", "sparse13b"))) {
       val spark = SparkSession.builder()
         .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")}]")
         .config("spark.sql.shuffle.partitions",
@@ -1800,6 +1866,7 @@ object ScaleProbe {
         case "headroom13" => headroom13(spark)
         case "assoc13" => assoc13(spark)
         case "sparse13" => sparse13(spark)
+        case "sparse13b" => sparse13b(spark)
         case "sparse12" => sparse12(spark, args.lift(1).map(_.toInt).getOrElse(10))
         case "assoc12" => assoc12(spark)
       }

@@ -63,20 +63,30 @@ object Graph {
     require(iters >= 1 && damping > 0 && damping < 1)
     val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
       .distinct().localCheckpoint()
+    // nodes stays LAZY: its two consumers (the 1-row count under
+    // broadcast and base's main branch) sit inside base's single
+    // checkpoint action, where the distinct's exchange is unified by
+    // ReuseExchange — a separate checkpoint was one pure extra job.
     val nodes = e.select(col("src").as("id"))
-      .union(e.select(col("dst").as("id"))).distinct().localCheckpoint()
+      .union(e.select(col("dst").as("id"))).distinct()
     val n = nodes.select(count(lit(1)).cast("double").as("n"))
     // base carries each node's per-iteration constants (here: n)
     val base = nodes.crossJoin(broadcast(n)).localCheckpoint()
-    val ranks0 = (init match {
+    val ranks0 = init match {
       case None =>
+        // trivial projection of the checkpointed base — each first-
+        // iteration consumer re-projects cached blocks; a checkpoint
+        // here was another whole job to avoid two cheap projections
         base.select(col("id"), q30(lit(1.0) / col("n")).as("rank"))
       case Some(prev) =>
+        // the warm join is NOT trivial to recompute per consumer —
+        // materialize it once
         base.join(prev.select(col("id"), col("rank").as("__prev")),
             Seq("id"), "left")
           .select(col("id"),
             coalesce(col("__prev"), q30(lit(1.0) / col("n"))).as("rank"))
-    }).localCheckpoint()
+          .localCheckpoint()
+    }
     // uniform teleport: r' = q((1−d)/n + d·(s + dm/n))
     powerIterate(e, countDeg(e), base, ranks0, iters,
       q30(col("rank") / col("deg")),
@@ -143,12 +153,14 @@ object Graph {
       .filter(col("w") > 0)
       .groupBy(col("src"), col("dst")).agg(sum(col("w")).as("w"))
       .localCheckpoint()
+    // lazy nodes / lazy init: same single-action exchange-reuse
+    // argument as pageRankFrom (base's checkpoint is the one
+    // materialization both need)
     val nodes = e.select(col("src").as("id"))
-      .union(e.select(col("dst").as("id"))).distinct().localCheckpoint()
+      .union(e.select(col("dst").as("id"))).distinct()
     val n = nodes.select(count(lit(1)).cast("double").as("n"))
     val base = nodes.crossJoin(broadcast(n)).localCheckpoint()
     val init = base.select(col("id"), q30(lit(1.0) / col("n")).as("rank"))
-      .localCheckpoint()
     // out-weight takes the degree slot: contribution = q(r·w/W)
     val outw = e.groupBy(col("src").as("id")).agg(sum(col("w")).as("deg"))
       .localCheckpoint()
@@ -568,8 +580,13 @@ object Graph {
     * guarded explicitly, since an IEEE NaN would not hash-compare. */
   def degreeAssortativity(edges: DataFrame, aCol: String,
                           bCol: String): DataFrame = {
-    val canon = canonicalUndirected(edges, aCol, bCol).localCheckpoint()
-    val deg = undirectedDegrees(canon).localCheckpoint() // feeds 2 joins
+    // Single-action operator: canon's distinct exchange and deg's
+    // aggregation exchange are each shared by their consumers through
+    // ReuseExchange inside the one final aggregation job —
+    // checkpointing either artifact paid an extra job for work the
+    // stage cache already unifies (assort13 A/B).
+    val canon = canonicalUndirected(edges, aCol, bCol)
+    val deg = undirectedDegrees(canon) // feeds 2 joins
     val sums = canon
       .join(deg.select(col("id").as("lo"), col("deg").as("dj")), Seq("lo"))
       .join(deg.select(col("id").as("hi"), col("deg").as("dk")), Seq("hi"))
@@ -814,11 +831,14 @@ object Graph {
       val next = dist.unionByName(relaxed)
         .groupBy(col("id")).agg(min(col("dist")).as("dist"))
         .localCheckpoint()
-      // fixed point: every (id, dist) unchanged — min-plus is
-      // monotone, so no later round can differ either
-      converged = next.join(dist, Seq("id", "dist"), "left_anti").isEmpty
-      dist = next
       r += 1
+      // fixed point: every (id, dist) unchanged — min-plus is
+      // monotone, so no later round can differ either. The probe is
+      // an extra job, so it only runs while a positive answer could
+      // still SAVE a round — on the final round its result is moot.
+      converged = r < rounds &&
+        next.join(dist, Seq("id", "dist"), "left_anti").isEmpty
+      dist = next
     }
     dist
   }
@@ -856,9 +876,12 @@ object Graph {
         .select(col("dst").as("id")).distinct()
         .join(reached, Seq("id"), "left_anti")
         .localCheckpoint() // feeds the reached union AND the next hop
+      // reached stays a LAZY union of the checkpointed levels: every
+      // leg is already materialized, so the per-hop anti-join (and the
+      // final result) just reads their cached blocks — checkpointing
+      // the union again was one pure extra job per hop (bfs13 A/B).
       reached = reached
         .unionByName(frontier.select(col("id"), lit(r).as("dist")))
-        .localCheckpoint()
     }
     reached
   }
@@ -878,6 +901,12 @@ object Graph {
     val dsts = e.select(col("dst").as("id")).distinct().localCheckpoint()
     var hubs = srcs.select(col("id"), lit(1.0).as("h")).localCheckpoint()
     var auths = dsts.select(col("id"), lit(1.0).as("a")).localCheckpoint()
+    // Per half-step the raw-sum frame keeps its own checkpoint: the
+    // lazy spelling (raw frame re-derived under both the broadcast-max
+    // branch and the normalized projection) measured SLOWER in the
+    // round-13 subset A/B (+1.6 s — the e⋈ranks join recomputes under
+    // the max branch; ReuseExchange does not recover it), the same
+    // negative result as sparse13b's all-lazy form.
     for (_ <- 1 to iters) {
       val aRaw = e.join(hubs.select(col("id").as("src"), col("h")), Seq("src"))
         .groupBy(col("dst").as("id")).agg(sum(q30(col("h"))).as("raw"))

@@ -123,8 +123,21 @@ object TfIdf {
   def sparseCosineProbe(index: DataFrame, batch: DataFrame, idCol: String,
                         textCol: String, n: Int, maxDfFrac: Double,
                         threshold: Double): DataFrame =
+    // One-shot form: build + probe are consumed by a SINGLE action, so
+    // the derived artifacts (idxW, idxNorms) stay LAZY — their shared
+    // parents are checkpointed, so each consumer re-runs only a cheap
+    // cached-block projection/agg, and the per-artifact checkpoint
+    // jobs the persisted form pays are skipped. idxTf and idf keep
+    // their checkpoints even here: the sparse13b A/B measured the
+    // ALL-lazy spelling SLOWER than this mixed one (the weigh joins
+    // below the reused tf exchange recompute per consumer, and lazy
+    // stats degrade the probe-side join choice) — med ~2.9 s mixed vs
+    // ~3.1 all-lazy vs ~3.5 all-checkpointed. The fully persisted form
+    // remains the right call when the index outlives one action
+    // (IndexCache / serving).
     probeSparseIndex(
-      buildSparseIndex(index, idCol, textCol, n, maxDfFrac),
+      buildSparseIndex(index, idCol, textCol, n, maxDfFrac,
+        persist = false),
       batch, idCol, textCol, n, threshold)
 
   /** The persisted artifacts of a sparse similarity index: the idf
@@ -166,20 +179,36 @@ object TfIdf {
         (floor(col("tf") * col("idf") * 1024 + lit(0.5)) / 1024).as("w"))
 
   /** Build-once half of [[sparseCosineProbe]] (amortized across every
-    * later batch — route through `IndexCache` on a serving path). */
+    * later batch — route through `IndexCache` on a serving path).
+    *
+    * `persist` (default true) materializes EVERY artifact with
+    * `localCheckpoint` — required whenever the index outlives the
+    * action that builds it (IndexCache, serving), and what "persisted
+    * tables" stand in for in production. Pass false ONLY when the
+    * returned frames are consumed by a single action (the one-shot
+    * [[sparseCosineProbe]]): the tokenization aggregate (idxTf) and
+    * the idf model still checkpoint — they are corpus-priced and feed
+    * consumers in SEPARATE actions — but the derived weights/norms
+    * stay lazy, each consumer re-deriving them from the checkpointed
+    * parents (cheap cached-block work; the sparse13b A/B measured
+    * both the all-lazy and the all-checkpointed spellings slower). */
   def buildSparseIndex(index: DataFrame, idCol: String, textCol: String,
-                       n: Int, maxDfFrac: Double): SparseIndex = {
+                       n: Int, maxDfFrac: Double,
+                       persist: Boolean = true): SparseIndex = {
+    def ckpt(df: DataFrame): DataFrame =
+      if (persist) df.localCheckpoint() else df
     val idxTf = tfOf(index, idCol, textCol, n).localCheckpoint()
     val dfreq = idxTf.groupBy(col("term")).agg(count(lit(1)).as("df"))
     val nDocs = idxTf.select(countDistinct(col(idCol)).as("n_docs"))
     val idf = dfreq.crossJoin(broadcast(nDocs))
       .filter(col("df") <= col("n_docs").cast("double") * maxDfFrac)
       .select(col("term"),
-        (log((col("n_docs") + 1).cast("double") / (col("df") + 1)) + 1).as("idf"))
+        (log((col("n_docs") + 1).cast("double") / (col("df") + 1)) + 1)
+          .as("idf"))
       .localCheckpoint() // the persisted model: weighs BOTH sides
-    val idxW = weigh(idxTf, idf, idCol).localCheckpoint()
-    val idxNorms = idxW.groupBy(col(idCol))
-      .agg(sqrt(sum(col("w") * col("w"))).as("nrm")).localCheckpoint()
+    val idxW = ckpt(weigh(idxTf, idf, idCol))
+    val idxNorms = ckpt(idxW.groupBy(col(idCol))
+      .agg(sqrt(sum(col("w") * col("w"))).as("nrm")))
     SparseIndex(idf, idxW, idxNorms)
   }
 
@@ -187,15 +216,19 @@ object TfIdf {
     * terms weigh zero) and join its posting lists — the steady-state
     * serving cost. */
   def probeSparseIndex(ix: SparseIndex, batch: DataFrame, idCol: String,
-                       textCol: String, n: Int,
-                       threshold: Double): DataFrame = {
+                       textCol: String, n: Int, threshold: Double,
+                       persistBatch: Boolean = true): DataFrame = {
     // batW feeds two consumers (norms + the probe join) and tfOf now
     // carries the distinct-gram aggregation exchange — materialize
     // once so the batch's shuffle doesn't run per consumer (the old
     // "recompute tokenization" trade predates tfOf containing a
-    // shuffle; exchange reuse does not unify separate actions)
-    val batW = weigh(tfOf(batch, idCol, textCol, n), ix.idf, idCol)
-      .localCheckpoint()
+    // shuffle; exchange reuse does not unify separate actions).
+    // `persistBatch = false` keeps batW lazy for callers whose batch
+    // weighting is trivially cheap to re-derive; the default stays
+    // true — the sparse13b A/B kept it checkpointed even on the
+    // one-shot path (the mixed spelling that measured fastest).
+    val batW0 = weigh(tfOf(batch, idCol, textCol, n), ix.idf, idCol)
+    val batW = if (persistBatch) batW0.localCheckpoint() else batW0
     val batNorms = batW.groupBy(col(idCol))
       .agg(sqrt(sum(col("w") * col("w"))).as("nrm"))
     val dots = Relational.broadcastIfSmall(
