@@ -69,23 +69,32 @@ object Packing {
   }
 
   /** Dataset-export shard manifest — the ship-the-dataset audit
-    * artifact: per shard (trainingOrder's hash sharding), the row
-    * count, payload bytes, and an ORDER-INDEPENDENT content checksum
-    * (sum of the rows' md5-prefix hashes mod 10^9 — commutative, so
-    * any executor/partition order yields the same digest, and
-    * engine-portable so a consumer can re-verify a shard in SQL).
-    * Verifying a delivered shard = recompute (rows, bytes, checksum)
-    * over the files and compare — no re-download of the whole set,
-    * per-shard granularity. */
+    * artifact: per hash shard, the row count, payload bytes, and an
+    * ORDER-INDEPENDENT content checksum (sum of the rows' md5-prefix
+    * hashes mod 10^9 — commutative, so any executor/partition order
+    * yields the same digest, and engine-portable so a consumer can
+    * re-verify a shard in SQL). Verifying a delivered shard =
+    * recompute (rows, bytes, checksum) over the files and compare —
+    * no re-download of the whole set, per-shard granularity.
+    *
+    * To manifest an export laid out by [[trainingOrder]], pass the
+    * SAME `seed` — the shard hash then uses trainingOrder's exact
+    * `seed:id` spelling and the manifest's shard ids line up with the
+    * export's. The default (empty seed) hashes the bare id: a
+    * seed-independent delivery sharding that does NOT align with any
+    * seeded trainingOrder layout. */
   def shardManifest(df: DataFrame, idCol: String, payloadCol: String,
-                    nShards: Int): DataFrame = {
+                    nShards: Int, seed: String = ""): DataFrame = {
     require(nShards > 0, "nShards must be positive")
     val M = 1000000000L
+    val shardKey =
+      if (seed.isEmpty) col(idCol).cast("string")
+      else concat(lit(seed), lit(":"), col(idCol).cast("string"))
     val rowHash = conv(substring(md5(
       concat(col(idCol).cast("string"), lit("|"), col(payloadCol))), 1, 15), 16, 10)
       .cast("long") % M
     df.select(
-      pmod(conv(substring(md5(col(idCol).cast("string")), 1, 15), 16, 10)
+      pmod(conv(substring(md5(shardKey), 1, 15), 16, 10)
         .cast("long"), lit(nShards.toLong)).as("shard"),
       length(col(payloadCol)).cast("long").as("__bytes"),
       rowHash.as("__h"))

@@ -143,9 +143,13 @@ object TextQueries {
 
     // Dataset-export shard manifest: rows/bytes/order-independent
     // content checksum per hash shard — the delivery audit artifact.
+    // Seeded with train_order's seed so the manifest's shard ids line
+    // up with that export layout (the alignment the operator
+    // documents).
     "shard_manifest" -> ((s, d) => {
       graft.operators.Packing.shardManifest(
-        tbl(s, d, "documents"), "doc_id", "text", nShards = 8)
+        tbl(s, d, "documents"), "doc_id", "text", nShards = 8,
+        seed = "s42")
     }),
 
     // Per-doc TF-IDF top terms (corpus keyword extraction).
@@ -539,7 +543,7 @@ object TextQueries {
            floor(max(c)::DOUBLE / sum(c) * 10000 + 0.5) / 10000 > 0.1 AS repetitive
          FROM pw GROUP BY doc_id""",
     "shard_manifest" ->
-      """SELECT ('0x' || substring(md5(doc_id::VARCHAR), 1, 15))::BIGINT % 8 AS shard,
+      """SELECT ('0x' || substring(md5('s42:' || doc_id::VARCHAR), 1, 15))::BIGINT % 8 AS shard,
            count(*) AS n_rows,
            sum(len(text))::BIGINT AS n_bytes,
            (sum(('0x' || substring(md5(doc_id::VARCHAR || '|' || text), 1, 15))::BIGINT
