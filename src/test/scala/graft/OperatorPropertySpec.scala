@@ -1,0 +1,241 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+
+import graft.operators.{Cohorts, Experiments, Funnel, Packing, RecordLinkage, Sampling}
+
+/** Brute-force property pins for the operators that had only their
+  * oracle-gated fixture query: randomized inputs (fixed ScalaCheck
+  * seed), a from-first-principles Scala reference, exact comparison.
+  * Numeric fixtures use integer-valued metrics so both sides' sums are
+  * exact and the closing IEEE expressions see identical inputs —
+  * bit-equality, no tolerance. */
+class OperatorPropertySpec extends SparkTestBase {
+
+  import spark.implicits._
+
+  private def sample[A](g: Gen[A], n: Int): Seq[A] =
+    Iterator.from(0)
+      .map(i => g.apply(Gen.Parameters.default, Seed(1313L + i)))
+      .collect { case Some(a) => a }.take(n).toSeq
+
+  private def round2(x: Double): Double = math.floor(x * 100 + 0.5) / 100
+  private def round4(x: Double): Double = math.floor(x * 10000 + 0.5) / 10000
+
+  private def md5Prefix(s: String): Long = {
+    val d = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8"))
+    java.lang.Long.parseLong(d.take(8).map("%02x".format(_)).mkString.take(15), 16)
+  }
+
+  // ---------------------------------------------------------------- Funnel
+
+  test("Funnel.steps == per-user strict-ordered scan (with and without window)") {
+    val stepTypes = Seq("view", "click", "buy")
+    val evGen = Gen.zip(Gen.chooseNum(0L, 19L),
+      Gen.oneOf(stepTypes ++ Seq("noise")), Gen.chooseNum(0L, 4000000L))
+    val events = sample(evGen, 400)
+    val df = events.toDF("user", "etype", "ts_us")
+
+    def brute(windowUs: Option[Long]): Seq[(String, Int, Long, Double)] = {
+      val byUser = events.groupBy(_._1)
+      // per user: earliest completion time of each step, strictly ordered
+      val reached: Map[Long, Seq[(Long, Long)]] = byUser.flatMap {
+        case (u, evs) =>
+          val t0s = evs.filter(_._2 == stepTypes.head).map(_._3)
+          if (t0s.isEmpty) None
+          else {
+            val t0 = t0s.min
+            val times = stepTypes.tail.scanLeft(Option(t0)) {
+              case (Some(prev), st) =>
+                val nexts = evs.filter(e => e._2 == st && e._3 > prev &&
+                  windowUs.forall(w => e._3 < t0 + w)).map(_._3)
+                if (nexts.isEmpty) None else Some(nexts.min)
+              case (None, _) => None
+            }
+            Some(u -> times.takeWhile(_.isDefined).map(t => (t0, t.get)))
+          }
+      }
+      stepTypes.zipWithIndex.map { case (st, i) =>
+        val rows = reached.values.collect {
+          case ts if ts.length > i => ts(i)
+        }.toSeq
+        val n = rows.length.toLong
+        val avg = round2(rows.map { case (t0, t) => t - t0 }.sum.toDouble /
+          n / 1000000)
+        (st, i, n, avg)
+      }
+    }
+
+    for (win <- Seq(None, Some(1500000L))) {
+      val got = Funnel.steps(df, "user", "etype", "ts_us", stepTypes, win)
+        .as[(String, Int, Long, Double)].collect().sortBy(_._2).toSeq
+      assert(got == brute(win), s"window=$win")
+      assert(got.head._3 > 0, "degenerate fixture: nobody entered the funnel")
+    }
+  }
+
+  // --------------------------------------------------------------- Cohorts
+
+  test("Cohorts.retention == per-user first-period scan") {
+    val P = 1000000L
+    val evGen = Gen.zip(Gen.chooseNum(0L, 29L), Gen.chooseNum(0L, 9999999L),
+      Gen.oneOf(0, 1))
+    val events = sample(evGen, 500)
+    val df = events.toDF("user", "ts_us", "act")
+
+    val up = events.filter(_._3 == 1)
+      .map { case (u, ts, _) => (u, ts / P) }.distinct
+    val first = up.groupBy(_._1).map { case (u, ps) => u -> ps.map(_._2).min }
+    val sizes = first.values.groupBy(identity).map { case (c, xs) => c -> xs.size }
+    val expect = up.map { case (u, p) => (first(u), p - first(u)) }
+      .groupBy(identity).map { case ((c, off), xs) =>
+        (c, off, xs.size.toLong, round4(xs.size.toDouble / sizes(c)))
+      }.toSet
+
+    val got = Cohorts.retention(df, "user", "ts_us", P, col("act") === 1)
+      .as[(Long, Long, Long, Double)].collect().toSet
+    assert(got == expect)
+    assert(expect.exists(_._2 > 0), "degenerate fixture: no later-period activity")
+  }
+
+  // ----------------------------------------------------------- welchTTest
+
+  test("Experiments.welchTTest == moments formula on integer metrics") {
+    val rowGen = Gen.zip(Gen.oneOf("k1", "k2", "k3"), Gen.oneOf("A", "B"),
+      Gen.chooseNum(0L, 100L))
+    val rows = sample(rowGen, 600)
+    val df = rows.toDF("key", "arm", "m")
+
+    val expect = rows.groupBy(_._1).flatMap { case (k, xs) =>
+      def side(arm: String) = {
+        val vs = xs.filter(_._2 == arm).map(_._3)
+        (vs.length.toLong, vs.sum, vs.map(v => v * v).sum)
+      }
+      val (na, sa, s2a) = side("A"); val (nb, sb, s2b) = side("B")
+      if (na < 2 || nb < 2) None
+      else {
+        // the operator's exact arithmetic graph on exact integer sums
+        val (nad, nbd) = (na.toDouble, nb.toDouble)
+        val ma = sa / nad; val mb = sb / nbd
+        val va = (s2a - sa.toDouble * sa / nad) / (nad - 1)
+        val vb = (s2b - sb.toDouble * sb / nbd) / (nbd - 1)
+        Some((k, na, nb, ma, mb, (ma - mb) / math.sqrt(va / nad + vb / nbd)))
+      }
+    }.toSet
+
+    val got = Experiments.welchTTest(df, col("key"), col("arm"),
+        col("m").cast("double"))
+      .filter(col("n_a") >= 2 && col("n_b") >= 2)
+      .as[(String, Long, Long, Double, Double, Double)].collect().toSet
+    assert(got == expect && got.nonEmpty)
+  }
+
+  // -------------------------------------------------------- RecordLinkage
+
+  test("RecordLinkage candidates/bestMatch == naive all-pairs within blocks") {
+    def lev(a: String, b: String): Int = {
+      val d = Array.tabulate(a.length + 1, b.length + 1) { (i, j) =>
+        if (i == 0) j else if (j == 0) i else 0
+      }
+      for (i <- 1 to a.length; j <- 1 to b.length)
+        d(i)(j) = math.min(math.min(d(i - 1)(j) + 1, d(i)(j - 1) + 1),
+          d(i - 1)(j - 1) + (if (a(i - 1) == b(j - 1)) 0 else 1))
+      d(a.length)(b.length)
+    }
+    val nameGen = Gen.listOfN(6, Gen.oneOf("abcde".toSeq)).map(_.mkString)
+    val lefts = sample(nameGen, 60).zipWithIndex
+      .map { case (s, i) => (i.toLong, s) }
+    val rights = sample(nameGen.map(_.reverse), 60).zipWithIndex
+      .map { case (s, i) => (i.toLong + 1000, s) }
+    val maxDist = 2
+    val lf = lefts.toDF("lid", "lname")
+    val rf = rights.toDF("rid", "rname")
+    val blocks = Seq(
+      (substring(col("lname"), 1, 1), substring(col("rname"), 1, 1)),
+      (substring(col("lname"), -1, 1), substring(col("rname"), -1, 1)))
+
+    val expect = (for {
+      (li, ln) <- lefts; (ri, rn) <- rights
+      if ln.take(1) == rn.take(1) || ln.takeRight(1) == rn.takeRight(1)
+      d = lev(ln, rn) if d <= maxDist
+    } yield (li, ri, d)).toSet
+    assert(expect.nonEmpty, "degenerate fixture: no candidate pairs")
+
+    val cands = RecordLinkage.candidates(lf, rf, col("lname"), col("rname"),
+      blocks, maxDist)
+    val got = cands.select(col("lid"), col("rid"), col("dist"))
+      .as[(Long, Long, Int)].collect().toSet
+    assert(got == expect)
+
+    val bestExpect = expect.groupBy(_._1).map { case (li, xs) =>
+      val best = xs.toSeq.minBy(p => (p._3, p._2))
+      (li, best._2, best._3, xs.size.toLong)
+    }.toSet
+    val bestGot = RecordLinkage.bestMatch(cands, col("lid"), Seq(col("rid")))
+      .select(col("lid"), col("rid"), col("dist"), col("n_candidates"))
+      .as[(Long, Long, Int, Long)].collect().toSet
+    assert(bestGot == bestExpect)
+  }
+
+  // ------------------------------------------------------- negativeSample
+
+  test("negativeSample: k per anchor when fillable, label-disjoint, self-free, replayable") {
+    val n = 40
+    val corpus = (0 until n).map(i => (i.toLong, s"lab${i % 4}")).toDF("id", "lab")
+    val k = 3
+    val out = Sampling.negativeSample(corpus, "id", "lab", k)
+      .as[(Long, Int, Long)].collect().toSeq
+    val byAnchor = out.groupBy(_._1)
+    assert(byAnchor.size == n, "every anchor drew negatives")
+    val labels = (0 until n).map(i => i.toLong -> s"lab${i % 4}").toMap
+    for ((a, xs) <- byAnchor) {
+      assert(xs.length == k, s"anchor $a: ${xs.length} != $k (overdraw covers this n)")
+      assert(xs.map(_._2).sorted == (1 to k), s"anchor $a: ranks not dense")
+      for ((_, _, neg) <- xs) {
+        assert(neg != a, s"anchor $a drew itself")
+        assert(labels(neg) != labels(a), s"anchor $a drew a positive")
+      }
+    }
+    val replay = Sampling.negativeSample(corpus, "id", "lab", k)
+      .as[(Long, Int, Long)].collect().toSeq
+    assert(replay.sorted == out.sorted, "not replayable")
+  }
+
+  // -------------------------------------------------------- shardManifest
+
+  test("shardManifest == per-row md5 recompute; seeded shards align with trainingOrder") {
+    val docGen = Gen.zip(Gen.chooseNum(0L, 100000L),
+      Gen.listOfN(12, Gen.alphaNumChar).map(_.mkString))
+    val docs = sample(docGen, 200).distinctBy(_._1)
+    val df = docs.toDF("id", "payload")
+    val M = 1000000000L
+    val nShards = 8
+
+    def brute(seed: String) = docs
+      .map { case (id, p) =>
+        val key = if (seed.isEmpty) id.toString else s"$seed:$id"
+        (md5Prefix(key) % nShards, p.length.toLong, md5Prefix(s"$id|$p") % M)
+      }
+      .groupBy(_._1).map { case (s, xs) =>
+        (s, xs.length.toLong, xs.map(_._2).sum, xs.map(_._3).sum % M)
+      }.toSet
+
+    for (seed <- Seq("", "sX")) {
+      val got = Packing.shardManifest(df, "id", "payload", nShards, seed)
+        .as[(Long, Long, Long, Long)].collect().toSet
+      assert(got == brute(seed), s"seed='$seed'")
+    }
+
+    // alignment contract: same seed => manifest shard sizes equal the
+    // trainingOrder export's per-shard row counts
+    val orderCounts = Packing.trainingOrder(df, "id", "sX", nShards)
+      .groupBy(col("shard")).agg(count(lit(1)).as("n"))
+      .as[(Long, Long)].collect().toMap
+    val manifestCounts = Packing.shardManifest(df, "id", "payload", nShards, "sX")
+      .select(col("shard"), col("n_rows")).as[(Long, Long)].collect().toMap
+    assert(orderCounts == manifestCounts)
+  }
+}
