@@ -1767,6 +1767,79 @@ object ScaleProbe {
     }
   }
 
+  /** `runMain graft.ScaleProbe ckpt13x` — 10× validation of the round-13
+    * checkpoint reductions (pagerank / pagerank_w / bfs / sssp /
+    * assortativity): replicates the sf0.1 purchase and co-purchase
+    * graphs 10× with disjoint id ranges (the crossover12 construction)
+    * and times each touched operator end-to-end with the max-task
+    * straggler stat — the guard that a prep frame left lazy does not
+    * recompute corpus-priced work at scale. */
+  private def ckpt13x(spark: SparkSession): Unit = {
+    import org.apache.spark.sql.DataFrame
+    spark.sparkContext.addSparkListener(MaxTask)
+    val d = "/root/testdata/sf0.1"
+    def tbl(n: String): DataFrame = spark.read.parquet(s"$d/$n.parquet")
+    def replicate(df: DataFrame, cols: Seq[String], extra: Seq[String] = Nil): DataFrame =
+      (0 until 10).map { r =>
+        val off = r * 10000000L
+        df.select(cols.map(c => (col(c) + off).as(c)) ++ extra.map(col): _*)
+      }.reduce(_ unionByName _)
+    val o = tbl("orders").select(col("o_orderkey"), col("o_custkey"))
+    val l = tbl("lineitem").select(col("l_orderkey"), col("l_suppkey"),
+      col("l_quantity"))
+    val wp1 = o.join(l, col("o_orderkey") === col("l_orderkey"))
+      .groupBy(col("o_custkey").as("cust"),
+        (col("l_suppkey") + 1000000L).as("supp"))
+      .agg(count(lit(1)).as("w"),
+        min(floor(col("l_quantity").cast("double") + lit(0.5))
+          .cast("long")).as("q"))
+    val pairs = replicate(wp1, Seq("cust", "supp"), Seq("w", "q"))
+      .localCheckpoint()
+    val canon1 = tbl("lineitem")
+      .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+      .filter(col("ok").isNotNull && col("pk").isNotNull)
+      .groupBy(col("ok")).agg(collect_set(col("pk")).as("ps"))
+      .select(explode(col("ps")).as("a"), col("ps"))
+      .select(col("a"), explode(col("ps")).as("b"))
+      .filter(col("a") < col("b"))
+      .select(col("a"), col("b"))
+    val canon = replicate(canon1, Seq("a", "b")).localCheckpoint()
+    val seeds = replicate(tbl("customer")
+      .filter(col("c_mktsegment") === "BUILDING")
+      .select(col("c_custkey").as("seed")), Seq("seed")).localCheckpoint()
+    def doubled(w: String): DataFrame = pairs
+      .select(col("cust").as("src"), col("supp").as("dst"), col(w))
+      .unionByName(pairs
+        .select(col("supp").as("src"), col("cust").as("dst"), col(w)))
+    def t(label: String)(f: => Long): Unit = {
+      MaxTask.reset(); val t0 = System.nanoTime(); val n = f
+      println(f"""{"probe":"ckpt13x $label","rows":$n,"sec":${(System.nanoTime() - t0) / 1e9}%.2f,"max_task_sec":${MaxTask.max.get() / 1000.0}%.2f}""")
+    }
+    for (rep <- 1 to 2) {
+      t(s"r$rep pagerank 10x") {
+        graft.operators.Graph.pageRank(doubled("w").drop("w"), "src", "dst",
+          iters = 3).queryExecution.toRdd.count()
+      }
+      t(s"r$rep pagerank_w 10x") {
+        graft.operators.Graph.pageRankWeighted(doubled("w"), "src", "dst",
+          "w", iters = 3).queryExecution.toRdd.count()
+      }
+      t(s"r$rep bfs 10x") {
+        graft.operators.Graph.bfsDistances(doubled("w").drop("w"),
+          "src", "dst", seeds, "seed", maxDepth = 3)
+          .queryExecution.toRdd.count()
+      }
+      t(s"r$rep sssp 10x") {
+        graft.operators.Graph.weightedSssp(doubled("q"), "src", "dst", "q",
+          seeds, "seed", rounds = 3).queryExecution.toRdd.count()
+      }
+      t(s"r$rep assortativity 10x") {
+        graft.operators.Graph.degreeAssortativity(canon, "a", "b")
+          .queryExecution.toRdd.count()
+      }
+    }
+  }
+
   /** `runMain graft.ScaleProbe recall12` — recall-vs-cost sweep of the
     * ANN paths on the sf0.01 embeddings fixture, against the exact
     * brute-force top-5 / exact near-dup pairs. Cost = candidate rows
@@ -1829,7 +1902,7 @@ object ScaleProbe {
         "sparse9", "interop9", "graph9", "bucket9", "semdedup9", "tri9",
         "kcore9", "linkpred10", "lpa11", "sparse11", "recall12",
         "lpa12", "crossover12", "headroom12", "sparse12", "assoc12",
-        "headroom13", "assoc13", "sparse13", "sparse13b"))) {
+        "headroom13", "assoc13", "sparse13", "sparse13b", "ckpt13x"))) {
       val spark = SparkSession.builder()
         .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")}]")
         .config("spark.sql.shuffle.partitions",
@@ -1867,6 +1940,7 @@ object ScaleProbe {
         case "assoc13" => assoc13(spark)
         case "sparse13" => sparse13(spark)
         case "sparse13b" => sparse13b(spark)
+        case "ckpt13x" => ckpt13x(spark)
         case "sparse12" => sparse12(spark, args.lift(1).map(_.toInt).getOrElse(10))
         case "assoc12" => assoc12(spark)
       }
