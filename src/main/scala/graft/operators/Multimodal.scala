@@ -116,11 +116,15 @@ object Multimodal {
 
   /** Decode image bytes: (width, height, bands), or None if the bytes
     * are not a decodable image. ImageIO's JDK readers cover BMP, PNG,
-    * GIF, JPEG, WBMP — no external libraries. */
+    * GIF, JPEG, WBMP — no external libraries. Note ImageIO.read
+    * returns null for an UNRECOGNIZED payload but THROWS for a
+    * recognized-then-corrupt one (truncated JPEG, lying BMP header) —
+    * both are "not a decodable image" here, never a task failure. */
   def decodeImage(bytes: Array[Byte]): Option[(Int, Int, Int)] = {
     javax.imageio.ImageIO.setUseCache(false) // memory streams, no temp files
-    Option(javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes)))
+    try Option(javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes)))
       .map(img => (img.getWidth, img.getHeight, img.getRaster.getNumBands))
+    catch { case _: java.io.IOException | _: RuntimeException => None }
   }
 
   /** One BMP ImageWriter per partition: `ImageIO.write` does an SPI
@@ -337,7 +341,13 @@ object Multimodal {
       val writer = bmpWriter() // one encoder instance per partition
       rows.map { r =>
         val bytes = r.getAs[Array[Byte]](idx)
-        javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes)) match {
+        // read returns null for unrecognized bytes but THROWS for a
+        // recognized-then-corrupt payload — both are pass-through-null
+        // rows, per the corrupt-rows-must-not-kill-the-batch contract
+        val decoded =
+          try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+          catch { case _: java.io.IOException | _: RuntimeException => null }
+        decoded match {
           case null =>
             Row.fromSeq(r.toSeq ++ Seq(null, null, null, null, null, null, null))
           case img =>

@@ -238,4 +238,25 @@ class OperatorPropertySpec extends SparkTestBase {
       .select(col("shard"), col("n_rows")).as[(Long, Long)].collect().toMap
     assert(orderCounts == manifestCounts)
   }
+
+  // ----------------------------------------------- corrupt media payloads
+
+  test("corrupt-but-recognized image bytes decode to null rows, not task failures") {
+    import graft.operators.Multimodal
+    val good = Multimodal.syntheticBmp(8, 8, 3L)
+    // a RECOGNIZED BMP header whose pixel data is cut off — ImageIO
+    // throws here (it does not return null), the case the pass-through
+    // contract must absorb
+    val truncated = good.take(58)
+    val garbage = Array.fill[Byte](40)(0x7f)
+    assert(Multimodal.decodeImage(good).contains((8, 8, 3)))
+    assert(Multimodal.decodeImage(truncated).isEmpty)
+    assert(Multimodal.decodeImage(garbage).isEmpty)
+    val df = Seq((1L, good), (2L, truncated), (3L, garbage))
+      .toDF("id", "payload")
+    val out = Multimodal.resizeImage(df, "payload", 2)
+      .select(col("id"), col("resized_width")).as[(Long, Option[Int])]
+      .collect().toMap
+    assert(out(1L).contains(4) && out(2L).isEmpty && out(3L).isEmpty)
+  }
 }
