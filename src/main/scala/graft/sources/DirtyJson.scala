@@ -14,9 +14,15 @@ import org.apache.spark.sql.functions._
   */
 object DirtyJson {
 
-  /** Outermost brace span of `c` (greedy), or null if none. */
+  /** Outermost brace span of `c` (greedy), or null if none. DOTALL
+    * ((?s)) so a pretty-printed payload spanning lines still repairs —
+    * Java regex `.` stops at line terminators by default, which would
+    * silently truncate the span to the first line. regexp_extract
+    * signals no-match as an empty string; nullif restores the
+    * documented null so downstream null-handling (coalesce, filters)
+    * sees a real null, not "". */
   def repair(c: Column): Column =
-    regexp_extract(c, "(\\{.*\\})", 1)
+    nullif(regexp_extract(c, "(?s)(\\{.*\\})", 1), lit(""))
 
   /** Repair then extract a JSON path, e.g. `"$.k"`. */
   def repairedField(c: Column, path: String): Column =

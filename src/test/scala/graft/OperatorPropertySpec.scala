@@ -259,4 +259,23 @@ class OperatorPropertySpec extends SparkTestBase {
       .collect().toMap
     assert(out(1L).contains(4) && out(2L).isEmpty && out(3L).isEmpty)
   }
+
+  // -------------------------------------------------------- DirtyJson
+
+  test("DirtyJson.repair spans lines and yields real null on no match") {
+    import graft.sources.DirtyJson
+    val rows = Seq(
+      (1L, """2026-01-01T00:00:00Z stdout: {"k": 7} [eof]"""),
+      (2L, "prefix {\"k\":\n  8,\n  \"x\": 1}\ntrailing"), // pretty-printed
+      (3L, "no json here at all"))
+    val df = rows.toDF("id", "raw")
+    val got = df.select(col("id"),
+        DirtyJson.repairedField(col("raw"), "$.k").cast("long").as("k"),
+        DirtyJson.repair(col("raw")).isNull.as("no_span"))
+      .as[(Long, Option[Long], Boolean)].collect()
+      .map { case (k, v, n) => k -> ((v, n)) }.toMap
+    assert(got(1L) == ((Some(7L), false)))
+    assert(got(2L) == ((Some(8L), false)), "multi-line span must repair")
+    assert(got(3L) == ((None, true)), "no-match must be null, not empty string")
+  }
 }
