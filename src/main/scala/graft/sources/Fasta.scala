@@ -30,9 +30,12 @@ object Fasta {
   }
 
   /** Write a frame of (id, description, seq) as FASTA text (single
-    * file per partition; `coalesce(1)` upstream for one file). */
+    * file per partition; `coalesce(1)` upstream for one file). A null
+    * description writes as a bare header — concat would otherwise
+    * null the whole record line and the text sink rejects null rows. */
   def write(df: DataFrame, path: String): Unit =
-    df.select(concat(lit(">"), col("id"), lit(" "), col("description"),
+    df.select(concat(lit(">"), col("id"), lit(" "),
+      coalesce(col("description"), lit("")),
       lit("\n"), col("seq")).as("value"))
       .write.mode("overwrite").text(path)
 

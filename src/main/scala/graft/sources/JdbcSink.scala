@@ -62,20 +62,24 @@ object JdbcSink {
     * row_number within each partition + broadcast per-partition offsets
     * (the per-partition counts are a tiny driver-side list). Ordering
     * inside a partition follows `orderCols` so the numbering is
-    * deterministic for a deterministic partitioning. */
+    * deterministic for a deterministic partitioning. The offsets attach
+    * by a BROADCAST JOIN on the partition id, not a chained when()
+    * expression — a 10k-partition frame would otherwise codegen a
+    * 10k-deep conditional per row. */
   def withDenseId(df: DataFrame, idCol: String, orderCols: Seq[String]): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
     val withPid = df.withColumn("__pid", spark_partition_id())
     val counts = withPid.groupBy(col("__pid")).count()
       .collect().map(r => (r.getInt(0), r.getLong(1))).sortBy(_._1)
     val offsets = counts.scanLeft(0L)(_ + _._2).zip(counts).map {
       case (off, (pid, _)) => (pid, off)
-    }.toMap
-    val offsetExpr = offsets.foldLeft(lit(0L)) { case (acc, (pid, off)) =>
-      when(col("__pid") === pid, lit(off)).otherwise(acc)
     }
+    val offsetDf = offsets.toSeq.toDF("__pid", "__off")
     val w = Window.partitionBy(col("__pid")).orderBy(orderCols.map(col): _*)
-    withPid.withColumn(idCol, (row_number().over(w).cast("long") + offsetExpr))
-      .drop("__pid")
+    withPid.join(broadcast(offsetDf), Seq("__pid"))
+      .withColumn(idCol, (row_number().over(w).cast("long") + col("__off")))
+      .drop("__pid", "__off")
   }
 
   /** java.sql.Types code matching [[sqlType]] — the writer's setNull
