@@ -584,8 +584,19 @@ object Graph {
     // aggregation exchange are each shared by their consumers through
     // ReuseExchange inside the one final aggregation job —
     // checkpointing either artifact paid an extra job for work the
-    // stage cache already unifies (assort13 A/B).
-    val canon = canonicalUndirected(edges, aCol, bCol)
+    // stage cache already unifies (assort13 A/B). That lazy shape
+    // leans on DETERMINISTIC recomputation — canon appears 3× and deg
+    // 2× in the final plan, and ReuseExchange is best-effort — so a
+    // nondeterministic edges plan (rand()-sampled, uuid()-keyed)
+    // could feed INCONSISTENT rows to the two deg joins and the sums
+    // base, silently skewing r. Such inputs get the one cheap
+    // snapshot pin back; deterministic plans (every gated caller)
+    // keep the job-free shape.
+    val canonRaw = canonicalUndirected(edges, aCol, bCol)
+    val inputDeterministic = edges.queryExecution.analyzed
+      .find(_.expressions.exists(!_.deterministic)).isEmpty
+    val canon = if (inputDeterministic) canonRaw
+                else canonRaw.localCheckpoint()
     val deg = undirectedDegrees(canon) // feeds 2 joins
     val sums = canon
       .join(deg.select(col("id").as("lo"), col("deg").as("dj")), Seq("lo"))

@@ -119,12 +119,19 @@ object Multimodal {
     * GIF, JPEG, WBMP — no external libraries. Note ImageIO.read
     * returns null for an UNRECOGNIZED payload but THROWS for a
     * recognized-then-corrupt one (truncated JPEG, lying BMP header) —
-    * both are "not a decodable image" here, never a task failure. */
+    * both are "not a decodable image" here, never a task failure. A
+    * null payload is guarded EXPLICITLY and the catch is narrowed to
+    * IOException plus ImageIO's known runtime failure modes — a
+    * blanket RuntimeException catch would also swallow genuine code
+    * defects (NPEs, codegen bugs) into silent nulls. */
   def decodeImage(bytes: Array[Byte]): Option[(Int, Int, Int)] = {
+    if (bytes == null) return None
     javax.imageio.ImageIO.setUseCache(false) // memory streams, no temp files
     try Option(javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes)))
       .map(img => (img.getWidth, img.getHeight, img.getRaster.getNumBands))
-    catch { case _: java.io.IOException | _: RuntimeException => None }
+    catch { case _: java.io.IOException | _: java.awt.color.CMMException
+                 | _: IndexOutOfBoundsException | _: NegativeArraySizeException
+                 | _: IllegalArgumentException => None }
   }
 
   /** One BMP ImageWriter per partition: `ImageIO.write` does an SPI
@@ -343,10 +350,17 @@ object Multimodal {
         val bytes = r.getAs[Array[Byte]](idx)
         // read returns null for unrecognized bytes but THROWS for a
         // recognized-then-corrupt payload — both are pass-through-null
-        // rows, per the corrupt-rows-must-not-kill-the-batch contract
+        // rows, per the corrupt-rows-must-not-kill-the-batch contract.
+        // Null payloads are guarded explicitly; the catch is narrowed
+        // to ImageIO's known failure modes so genuine code defects
+        // still fail the task instead of becoming silent null rows.
         val decoded =
-          try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
-          catch { case _: java.io.IOException | _: RuntimeException => null }
+          if (bytes == null) null
+          else try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+          catch { case _: java.io.IOException | _: java.awt.color.CMMException
+                       | _: IndexOutOfBoundsException
+                       | _: NegativeArraySizeException
+                       | _: IllegalArgumentException => null }
         decoded match {
           case null =>
             Row.fromSeq(r.toSeq ++ Seq(null, null, null, null, null, null, null))

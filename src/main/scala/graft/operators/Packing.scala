@@ -54,12 +54,20 @@ object Packing {
     * pick `nShards` large enough that a shard fits a task's sort buffer
     * (at 100 TB and nShards=100k a shard is ~1 GB). An epoch reader
     * streams shards in any order and rows by `shard_pos` — randomized
-    * but reproducible. */
+    * but reproducible.
+    *
+    * Seed spelling: a non-empty seed hashes `seed:id`; an EMPTY seed
+    * hashes the bare id — the same two spellings [[shardManifest]]
+    * uses, so trainingOrder(seed = "") aligns with the DEFAULT
+    * manifest (the earlier `":id"` spelling silently aligned with
+    * neither manifest form). */
   def trainingOrder(df: DataFrame, idCol: String, seed: String,
                     nShards: Int): DataFrame = {
     require(nShards > 0, "nShards must be positive")
-    val h = conv(substring(md5(
-      concat(lit(seed), lit(":"), col(idCol).cast("string"))), 1, 15), 16, 10)
+    val hashKey =
+      if (seed.isEmpty) col(idCol).cast("string")
+      else concat(lit(seed), lit(":"), col(idCol).cast("string"))
+    val h = conv(substring(md5(hashKey), 1, 15), 16, 10)
       .cast("long")
     val w = Window.partitionBy(col("shard")).orderBy(col("__h"), col(idCol))
     df.withColumn("__h", h)
@@ -80,9 +88,10 @@ object Packing {
     * To manifest an export laid out by [[trainingOrder]], pass the
     * SAME `seed` — the shard hash then uses trainingOrder's exact
     * `seed:id` spelling and the manifest's shard ids line up with the
-    * export's. The default (empty seed) hashes the bare id: a
-    * seed-independent delivery sharding that does NOT align with any
-    * seeded trainingOrder layout. */
+    * export's. The default (empty seed) hashes the bare id, the same
+    * spelling trainingOrder uses for an empty seed — so the default
+    * manifest aligns with an unseeded trainingOrder layout and with
+    * no seeded one. */
   def shardManifest(df: DataFrame, idCol: String, payloadCol: String,
                     nShards: Int, seed: String = ""): DataFrame = {
     require(nShards > 0, "nShards must be positive")

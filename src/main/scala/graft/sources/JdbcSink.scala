@@ -65,7 +65,14 @@ object JdbcSink {
     * deterministic for a deterministic partitioning. The offsets attach
     * by a BROADCAST JOIN on the partition id, not a chained when()
     * expression — a 10k-partition frame would otherwise codegen a
-    * 10k-deep conditional per row. */
+    * 10k-deep conditional per row. The join is a LEFT join with a
+    * 0-default offset: the counts collect and the final action are
+    * two separate executions of `df`, and if a nondeterministic
+    * source (or an AQE re-plan) lands rows on a partition id the
+    * counts pass never saw, an inner join would silently DROP them —
+    * the left+coalesce degrades those rows to offset 0 (possibly
+    * non-dense ids, like the old when-chain spelling) but keeps
+    * every row. */
   def withDenseId(df: DataFrame, idCol: String, orderCols: Seq[String]): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
@@ -77,8 +84,9 @@ object JdbcSink {
     }
     val offsetDf = offsets.toSeq.toDF("__pid", "__off")
     val w = Window.partitionBy(col("__pid")).orderBy(orderCols.map(col): _*)
-    withPid.join(broadcast(offsetDf), Seq("__pid"))
-      .withColumn(idCol, (row_number().over(w).cast("long") + col("__off")))
+    withPid.join(broadcast(offsetDf), Seq("__pid"), "left")
+      .withColumn(idCol, (row_number().over(w).cast("long")
+        + coalesce(col("__off"), lit(0L))))
       .drop("__pid", "__off")
   }
 

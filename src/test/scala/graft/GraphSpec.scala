@@ -217,6 +217,19 @@ class GraphSpec extends SparkTestBase {
     assert(Graph.degreeAssortativity(tri, "a", "b").collect().head.isNullAt(4))
   }
 
+  test("degreeAssortativity: nondeterministic edges take the snapshot-pin branch") {
+    // a rand()-filtered edge list would feed INCONSISTENT rows to the
+    // two deg joins under lazy recomputation; the operator must pin one
+    // snapshot. Sampling at p=1.0 keeps the plan nondeterministic (the
+    // rand() predicate is still there) while making the EXPECTED result
+    // exact — the full path fixture, r = -0.5.
+    val nd = Seq((1L, 2L), (2L, 3L), (3L, 4L)).toDF("a", "b")
+      .filter(rand(7L) <= 1.0)
+    val row = Graph.degreeAssortativity(nd, "a", "b").collect().head
+    assert(row.getLong(0) == 3L && math.abs(row.getDouble(4) + 0.5) < 1e-12,
+      s"pinned nondeterministic input: $row")
+  }
+
   test("bfsDistances: nearest-seed hops, depth bound, off-graph seeds ignored") {
     // chain 1->2->3->4->5 plus a second seed 10 -> 4: node 4 is 3 hops
     // from seed 1 but 1 hop from seed 10 — min wins; 5 sits at depth 2
