@@ -472,16 +472,58 @@ object Profiling {
     * values, then the lower median of |v − med| — every intermediate
     * is an exact integer (absolute deviations of cents are cents), so
     * both medians use the integer half-total rule (2·cum ≥ n) and the
-    * only IEEE ops are the final /100 rescales — bit-exact. The
-    * deviation pass re-reads the corpus once (unavoidable: deviations
+    * only IEEE ops are the final /100 rescales — bit-exact.
+    *
+    * ADAPTIVE plan choice, the same split [[robustOutliers]] runs on
+    * (one bounded-state HLL probe decides):
+    *
+    *  - distinct cent values per group ≤ `distinctBudget`: TWO corpus
+    *    passes — the probe and ONE fused
+    *    [[org.apache.spark.sql.graftx.MedianMadAgg]] pass whose
+    *    counts-map buffer answers BOTH integer lower medians at eval
+    *    (deviations of a sorted array around a fixed center are two
+    *    sorted runs — an outward merge, no second map). The two-phase
+    *    spelling paid a checkpoint write plus a second corpus read
+    *    purely because the deviation column isn't known until the
+    *    first median is; the fused buffer IS the distribution, so
+    *    both reads collapse into it.
+    *  - above the budget: the two-phase distinct-value-table spelling
+    *    below — every corpus pass a plain counting agg, window state
+    *    bounded by DISTINCT values, never a corpus-sized buffer (the
+    *    counts map would hold ~10⁹ entries per group on a continuous
+    *    100-TB column and die; the budget sits where 16 B/distinct
+    *    stays tens of MB).
+    *
+    * Both paths are bit-identical (ProfilingSketchSpec pins them on
+    * odd/even/duplicate/negative/single-value fixtures and a
+    * randomized sweep): same cent quantization, same integer
+    * half-total rule, same final /100 rescales. The deviation pass of
+    * the fallback re-reads the corpus once (unavoidable: deviations
     * depend on the first pass), but both windows run over
     * DISTINCT-value tables, never corpus rows.
     * Returns (grp, n, v_median, mad). */
   def medianAbsDeviation(df: DataFrame, groupCol: Column,
-                         valueCol: Column): DataFrame = {
-    val base = df.select(groupCol.as("grp"),
+                         valueCol: Column,
+                         distinctBudget: Long = 2000000L): DataFrame = {
+    val baseRaw = df.select(groupCol.as("grp"),
         floor(valueCol.cast("double") * 100 + lit(0.5)).cast("long").as("vc"))
       .filter(col("vc").isNotNull)
+    // The probe stays its own bounded-state pass, NOT an observe
+    // metric on an optimistic fused attempt — the counts-map plan is
+    // exactly the one that must not RUN over budget (one buffer entry
+    // per distinct value; see robustOutliers' identical reasoning).
+    val maxDistinct = baseRaw.groupBy(col("grp"))
+      .agg(approx_count_distinct(col("vc")).as("nd"))
+      .collect().iterator.map(_.getAs[Long]("nd")).foldLeft(0L)(math.max)
+    if (maxDistinct <= distinctBudget) {
+      return baseRaw.groupBy(col("grp"))
+        .agg(org.apache.spark.sql.graftx.MedianMadAgg
+          .medianMad(col("vc")).as("s"))
+        .select(col("grp"), col("s.n").as("n"),
+          (col("s.med_c").cast("double") / 100.0).as("v_median"),
+          (col("s.mad_c").cast("double") / 100.0).as("mad"))
+    }
+    val base = baseRaw
       .localCheckpoint() // feeds BOTH median phases
     def lowerMedian(in: DataFrame, out: String): DataFrame = {
       // cum and the group total ride ONE grp-partitioned sort (two

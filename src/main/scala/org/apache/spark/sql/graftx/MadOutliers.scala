@@ -180,3 +180,131 @@ object MadOutliersAgg {
     ExpressionUtils.column(MadOutliersAgg(
       ExpressionUtils.expression(dev), k).toAggregateExpression())
 }
+
+/** EXACT fused integer lower-median + lower-MAD in ONE aggregation —
+  * the counts-map fusion of `Profiling.medianAbsDeviation`'s two
+  * distinct-value median passes (reference semantics: robust
+  * center+scale profile over cent-quantized money, KBDatalakeApps'
+  * median±MAD outlier gate). The per-group buffer is one value→count
+  * map over the LONG cent values; `eval` answers BOTH medians from it:
+  * the LOWER median of the values (integer half-total rule — the
+  * smallest v with 2·cum ≥ n, DuckDB's `cum * 2 >= n → min(vc)`
+  * spelling verbatim) and then the lower median of |v − med| by an
+  * outward two-pointer merge over the SAME sorted array — deviations
+  * of a sorted sequence around a fixed center are two sorted runs, so
+  * no second map, no second pass, no re-sort. Every quantity is an
+  * exact integer (absolute deviations of cents are cents); the only
+  * IEEE ops are the callers' final /100 rescales — bit-identical to
+  * the two-pass spelling AND the SQL oracle by construction.
+  *
+  * Null inputs are invisible (callers pre-filter; a defensive skip
+  * keeps the buffer clean regardless); a group with zero non-null
+  * values evals to (0, null, null). Buffer state is one 16-byte entry
+  * per DISTINCT cent value — callers route here only under the same
+  * distinct-values budget that gates [[MadOutliersAgg]]
+  * (Profiling.medianAbsDeviation probes cardinality first and falls
+  * back to the windowed distinct-value-table spelling above it).
+  *
+  * Returns struct(n, med_c, mad_c) — counts and cents, all LONG. */
+case class MedianMadAgg(child: Expression,
+                        mutableAggBufferOffset: Int = 0,
+                        inputAggBufferOffset: Int = 0)
+  extends TypedImperativeAggregate[OpenHashMap[Long, Long]]
+  with UnaryLike[Expression] with ImplicitCastInputTypes {
+
+  override def inputTypes: Seq[AbstractDataType] = Seq(LongType)
+  override def dataType: DataType = StructType(Seq(
+    StructField("n", LongType, nullable = false),
+    StructField("med_c", LongType, nullable = true),
+    StructField("mad_c", LongType, nullable = true)))
+  override def nullable: Boolean = false
+
+  override def createAggregationBuffer(): OpenHashMap[Long, Long] =
+    new OpenHashMap[Long, Long]()
+
+  override def update(buf: OpenHashMap[Long, Long],
+                      input: InternalRow): OpenHashMap[Long, Long] = {
+    val v = child.eval(input)
+    if (v != null) buf.changeValue(v.asInstanceOf[Long], 1L, _ + 1L)
+    buf
+  }
+
+  override def merge(buf: OpenHashMap[Long, Long],
+                     other: OpenHashMap[Long, Long]): OpenHashMap[Long, Long] = {
+    other.foreach { case (k, c) => buf.changeValue(k, c, _ + c) }
+    buf
+  }
+
+  override def eval(buf: OpenHashMap[Long, Long]): Any = {
+    if (buf.size == 0) return InternalRow(0L, null, null)
+    val keys = new Array[Long](buf.size)
+    val cnts = new Array[Long](buf.size)
+    var i = 0
+    buf.foreach { case (k, c) => keys(i) = k; cnts(i) = c; i += 1 }
+    // sort (key, count) pairs by key: index-sort then apply — the
+    // primitive arrays avoid a boxed tuple array per group
+    val order = Array.range(0, keys.length)
+      .sortBy(j => keys(j)) // boxed Integer indices only
+    val sk = order.map(j => keys(j))
+    val sc = order.map(j => cnts(j))
+    var n = 0L
+    i = 0
+    while (i < sc.length) { n += sc(i); i += 1 }
+    // lower median of the values: first index where 2·cum ≥ n
+    var cum = 0L; var iMed = 0
+    while ({ cum += sc(iMed); cum * 2 < n }) iMed += 1
+    val med = sk(iMed)
+    // lower median of |v − med|: merge the two deviation runs (left of
+    // med, descending index = ascending deviation; right of med
+    // likewise) outward from the center. Equal deviations on both
+    // sides are ONE deviation value — take both counts before the
+    // half-total test, exactly as a grouped deviation table would.
+    var dcum = sc(iMed) // deviation 0
+    var mad = 0L
+    if (dcum * 2 < n) {
+      var l = iMed - 1
+      var r = iMed + 1
+      var found = false
+      while (!found) {
+        val devL = if (l >= 0) med - sk(l) else Long.MaxValue
+        val devR = if (r < sk.length) sk(r) - med else Long.MaxValue
+        if (devL <= devR) { dcum += sc(l); l -= 1 }
+        if (devR <= devL) { dcum += sc(r); r += 1 }
+        if (dcum * 2 >= n) { mad = math.min(devL, devR); found = true }
+      }
+    }
+    InternalRow(n, med, mad)
+  }
+
+  override def serialize(buf: OpenHashMap[Long, Long]): Array[Byte] = {
+    val bb = java.nio.ByteBuffer.allocate(4 + buf.size * 16)
+    bb.putInt(buf.size)
+    buf.foreach { case (k, c) => bb.putLong(k); bb.putLong(c) }
+    bb.array()
+  }
+
+  override def deserialize(storage: Array[Byte]): OpenHashMap[Long, Long] = {
+    val bb = java.nio.ByteBuffer.wrap(storage)
+    val sz = bb.getInt
+    val m = new OpenHashMap[Long, Long](math.max(sz, 1))
+    var i = 0
+    while (i < sz) { m.update(bb.getLong, bb.getLong); i += 1 }
+    m
+  }
+
+  override def withNewMutableAggBufferOffset(o: Int): MedianMadAgg =
+    copy(mutableAggBufferOffset = o)
+  override def withNewInputAggBufferOffset(o: Int): MedianMadAgg =
+    copy(inputAggBufferOffset = o)
+  override protected def withNewChildInternal(c: Expression): MedianMadAgg =
+    copy(child = c)
+  override def prettyName: String = "median_mad"
+}
+
+object MedianMadAgg {
+  /** struct(n, med_c, mad_c) — integer lower median and lower MAD of a
+    * LONG (cent-quantized) column in one counts-map aggregation. */
+  def medianMad(vc: Column): Column =
+    ExpressionUtils.column(MedianMadAgg(
+      ExpressionUtils.expression(vc)).toAggregateExpression())
+}

@@ -138,6 +138,45 @@ class ProfilingSketchSpec extends SparkTestBase {
     }
   }
 
+  test("fused median+MAD agg is bit-identical to the windowed two-phase path") {
+    // medianAbsDeviation's below-budget path answers BOTH integer
+    // lower medians from ONE MedianMadAgg counts-map buffer;
+    // distinctBudget = 0 forces the original two-phase distinct-value
+    // window spelling. Same cent quantization, same half-total rule,
+    // same /100 rescales — the comparison is exact equality on the
+    // full rows, doubles included (all values sit on the cent grid,
+    // so no NaN/-0.0 subtleties arise; the allnull group vanishes on
+    // both paths).
+    val fixtures = Seq(
+      "real" -> spark.read.parquet(s"$sfSmoke/lineitem.parquet")
+        .select(col("l_returnflag").as("grp"),
+          col("l_extendedprice").as("v")),
+      "edges" -> (
+        Seq.tabulate(7)(i => ("odd", i.toDouble)) ++
+          Seq.tabulate(8)(i => ("even", i * 2.0)) ++
+          Seq.fill(10)(("dup", 3.0)) ++ Seq(("dup", 9.0), ("dup", -1.0)) ++
+          Seq(("one", 42.0)) ++
+          Seq(("neg", -50.0), ("neg", -2.55), ("neg", -0.25), ("neg", -2.55))
+        ).toDF("grp", "v")
+        .unionByName(Seq(("nulls", Some(1.0)), ("nulls", None),
+          ("allnull", Option.empty[Double])).toDF("grp", "v")),
+      "random" -> {
+        val rng = new scala.util.Random(23)
+        Seq.tabulate(5000)(i =>
+          (s"g${i % 6}", math.floor(rng.nextDouble() * 40000 - 20000) / 100))
+          .toDF("grp", "v")
+      })
+    for ((name, df) <- fixtures) {
+      def canon(rows: Array[org.apache.spark.sql.Row]) =
+        rows.map(_.toSeq.toList).sortBy(_.toString).toList
+      val fused = canon(
+        Profiling.medianAbsDeviation(df, col("grp"), col("v")).collect())
+      val windowed = canon(Profiling.medianAbsDeviation(df, col("grp"),
+        col("v"), distinctBudget = 0L).collect())
+      assert(fused == windowed, s"fixture $name: paths diverge")
+    }
+  }
+
   test("fused MAD pass matches the two-agg percentile spelling, incl. NaN devs") {
     // The below-budget path answers MAD + outlier count from ONE
     // fused aggregation (MadOutliersAgg); this pins it against the
