@@ -237,6 +237,16 @@ class OperatorPropertySpec extends SparkTestBase {
     val manifestCounts = Packing.shardManifest(df, "id", "payload", nShards, "sX")
       .select(col("shard"), col("n_rows")).as[(Long, Long)].collect().toMap
     assert(orderCounts == manifestCounts)
+
+    // the r13-advice hole: an EMPTY seed must also align — both sides
+    // hash the bare id (the old trainingOrder ":id" spelling matched
+    // neither manifest form)
+    val orderCountsUnseeded = Packing.trainingOrder(df, "id", "", nShards)
+      .groupBy(col("shard")).agg(count(lit(1)).as("n"))
+      .as[(Long, Long)].collect().toMap
+    val manifestCountsDefault = Packing.shardManifest(df, "id", "payload", nShards)
+      .select(col("shard"), col("n_rows")).as[(Long, Long)].collect().toMap
+    assert(orderCountsUnseeded == manifestCountsDefault)
   }
 
   // ----------------------------------------------- corrupt media payloads
@@ -252,12 +262,16 @@ class OperatorPropertySpec extends SparkTestBase {
     assert(Multimodal.decodeImage(good).contains((8, 8, 3)))
     assert(Multimodal.decodeImage(truncated).isEmpty)
     assert(Multimodal.decodeImage(garbage).isEmpty)
-    val df = Seq((1L, good), (2L, truncated), (3L, garbage))
+    assert(Multimodal.decodeImage(null).isEmpty,
+      "null payload is a corrupt row, not an NPE")
+    val df = Seq((1L, good), (2L, truncated), (3L, garbage),
+        (4L, null.asInstanceOf[Array[Byte]]))
       .toDF("id", "payload")
     val out = Multimodal.resizeImage(df, "payload", 2)
       .select(col("id"), col("resized_width")).as[(Long, Option[Int])]
       .collect().toMap
-    assert(out(1L).contains(4) && out(2L).isEmpty && out(3L).isEmpty)
+    assert(out(1L).contains(4) && out(2L).isEmpty && out(3L).isEmpty &&
+      out(4L).isEmpty)
   }
 
   // -------------------------------------------------------- DirtyJson
@@ -277,5 +291,195 @@ class OperatorPropertySpec extends SparkTestBase {
     assert(got(1L) == ((Some(7L), false)))
     assert(got(2L) == ((Some(8L), false)), "multi-line span must repair")
     assert(got(3L) == ((None, true)), "no-match must be null, not empty string")
+  }
+
+  // ------------------------------------------------------ Paths.transitions
+
+  test("Paths.transitions == per-key ordered pair scan") {
+    import graft.operators.Paths
+    val evGen = Gen.zip(Gen.chooseNum(0L, 24L), Gen.chooseNum(0L, 999L),
+      Gen.oneOf("view", "click", "buy", "exit"))
+    // unique (user, seq) so the event order is total — the operator's
+    // window order must be deterministic for an exact pin
+    val events = sample(evGen, 600).distinctBy(e => (e._1, e._2))
+    val df = events.toDF("user", "seq", "state")
+    val got = Paths.transitions(df, Seq(col("user")), Seq(col("seq")),
+        col("state"))
+      .as[(String, String, Long, Double)].collect().toSet
+
+    val pairs = events.groupBy(_._1).toSeq.flatMap { case (_, evs) =>
+      val ordered = evs.sortBy(_._2).map(_._3)
+      ordered.zip(ordered.drop(1))
+    }
+    val counts = pairs.groupBy(identity).map { case ((s, d), xs) =>
+      (s, d, xs.length.toLong) }
+    val totals = counts.groupBy(_._1).map { case (s, xs) =>
+      s -> xs.map(_._3).sum }
+    val want = counts.map { case (s, d, n) =>
+      (s, d, n, round4(n.toDouble / totals(s).toDouble)) }.toSet
+    assert(got == want)
+  }
+
+  // ------------------------------------------------------------ Skew.report
+
+  test("Skew.report == sorted frequency table with share / mean-multiple") {
+    import graft.operators.Skew
+    val keyGen = Gen.frequency(
+      5 -> Gen.const("hot"), // a genuinely skewed key
+      3 -> Gen.oneOf("a", "b", "c"),
+      2 -> Gen.chooseNum(0, 40).map(i => s"k$i"))
+    val keys = sample(keyGen, 800)
+    val df = keys.toDF("key")
+    val k = 7
+    val got = Skew.report(df, col("key"), k)
+      .as[(String, Long, Double, Double)].collect().toSet
+
+    val perKey = keys.groupBy(identity).map { case (key, xs) =>
+      (key, xs.length.toLong) }.toSeq
+    val total = perKey.map(_._2).sum
+    val nKeys = perKey.length.toLong
+    val want = perKey.sortBy { case (key, n) => (-n, key) }.take(k)
+      .map { case (key, n) =>
+        (key, n, round4(n.toDouble / total.toDouble),
+          round4(n.toDouble * nKeys.toDouble / total.toDouble)) }.toSet
+    assert(got == want, s"got $got\nwant $want")
+  }
+
+  // -------------------------------------------------- RetrievalEval.ndcgAtK
+
+  test("RetrievalEval.ndcgAtK == per-query discount-table recompute") {
+    import graft.operators.RetrievalEval
+    val k = 10
+    val (qd, ladder) = RetrievalEval.ndcgDiscounts(k)
+    // system: unique ranks 1..12 per query (ranks > k must be cut);
+    // truth: random per-query relevance sets, one query system-less
+    val rng = new scala.util.Random(31)
+    val system = for (q <- 0L to 8L; r <- 1 to 12)
+      yield (q, s"d${rng.nextInt(30)}_$q", r)
+    val sysDedup = system.groupBy(e => (e._1, e._2))
+      .map(_._2.minBy(_._3)).toSeq // one rank per (query, doc)
+    val truth = (for (q <- 0L to 9L; d <- 0 until 30; if rng.nextInt(4) == 0)
+      yield (q, s"d${d}_$q")) :+ ((9L, "d0_9")) // q9 absent from system
+    val got = RetrievalEval.ndcgAtK(
+        sysDedup.toDF("q", "doc", "rank"), truth.toDF("q", "doc"),
+        "q", "doc", "rank", k)
+      .as[(Long, Long, Double, Double, Double)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4, r._5))).toMap
+
+    val truSet = truth.toSet
+    val want = truth.groupBy(_._1).map { case (q, ts) =>
+      val nRel = ts.distinct.length.toLong
+      // grid discounts are exact binary rationals: any summation
+      // order is the same double, so a plain fold matches bit-for-bit
+      val dcg = sysDedup
+        .filter(e => e._1 == q && e._3 <= k && truSet.contains((q, e._2)))
+        .map(e => qd(e._3 - 1)).sum
+      val idcg = ladder(math.min(nRel, k.toLong).toInt - 1)
+      q -> ((nRel, dcg, idcg, dcg / idcg))
+    }
+    assert(got.keySet == want.keySet)
+    for ((q, w) <- want) assert(got(q) == w, s"query $q: ${got(q)} vs $w")
+    assert(got(9L)._2 == 0.0, "system-less truth query scores dcg 0")
+  }
+
+  // ------------------------------------------- TimeSeries gaps + debounce
+
+  test("TimeSeries.gaps and debounce == per-key lag scans") {
+    import graft.operators.TimeSeries
+    val evGen = Gen.zip(Gen.chooseNum(0L, 14L), Gen.chooseNum(0L, 500000L))
+    val events = sample(evGen, 500).distinct.zipWithIndex
+      .map { case ((key, ts), id) => (key, ts, id.toLong) }
+      .distinctBy(e => (e._1, e._2)) // unique (key, ts): total order
+    val df = events.toDF("key", "ts_us", "id")
+    val thr = 30000L
+
+    val gotGaps = TimeSeries.gaps(df, col("key"), col("ts_us"), thr)
+      .as[(Long, Long, Long, Long)].collect().toSet
+    val wantGaps = events.groupBy(_._1).toSeq.flatMap { case (key, evs) =>
+      val ts = evs.map(_._2).sorted
+      ts.zip(ts.drop(1)).collect {
+        case (a, b) if b - a > thr => (key, a, b, b - a) }
+    }.toSet
+    assert(gotGaps == wantGaps)
+
+    val win = 20000L
+    val gotKept = TimeSeries.debounce(df, Seq(col("key")), col("ts_us"),
+        col("id"), win)
+      .as[(Long, Long, Long)].collect().toSet
+    // stateless retrigger rule: a row survives iff first for its key
+    // or > win after its PREDECESSOR in the original stream (not the
+    // surviving one)
+    val wantKept = events.groupBy(_._1).toSeq.flatMap { case (_, evs) =>
+      val ordered = evs.sortBy(_._2)
+      ordered.head +: ordered.zip(ordered.drop(1)).collect {
+        case ((_, pa, _), e @ (_, pb, _)) if pb - pa > win => e }
+    }.toSet
+    assert(gotKept == wantKept)
+  }
+
+  // ------------------------------------------------ TimeSeries.resampleFill
+
+  test("TimeSeries.resampleFill == bucketed last-obs + dense forward fill") {
+    import graft.operators.TimeSeries
+    val evGen = Gen.zip(Gen.chooseNum(0L, 9L), Gen.chooseNum(0L, 80L),
+      Gen.chooseNum(-50L, 50L))
+    val events = sample(evGen, 300).zipWithIndex
+      .map { case ((key, ts, v), id) => (key, ts, v, id.toLong) }
+    val bucketUs = 10L
+    val df = events.toDF("key", "ts_us", "v", "id")
+    val got = TimeSeries.resampleFill(df, "key", "ts_us", "v", "id", bucketUs)
+      .select(col("key"), col("bucket"), col("value"), col("is_observed"))
+      .as[(Long, Long, Long, Boolean)].collect().toSet
+
+    val want = events.groupBy(_._1).toSeq.flatMap { case (key, evs) =>
+      val lastPerBucket = evs.groupBy(e => Math.floorDiv(e._2, bucketUs))
+        .map { case (b, xs) => b -> xs.maxBy(e => (e._2, e._4))._3 }
+      val (lo, hi) = (lastPerBucket.keys.min, lastPerBucket.keys.max)
+      (lo to hi).scanLeft((0L, 0L, false)) { case ((_, prev, _), b) =>
+        lastPerBucket.get(b) match {
+          case Some(v) => (b, v, true)
+          case None    => (b, prev, false)
+        }
+      }.drop(1).map { case (b, v, obs) => (key, b, v, obs) }
+    }.toSet
+    assert(got == want)
+  }
+
+  // ----------------------------------------------------------- Merge.scd2
+
+  test("Merge.scd2 == latest-per-key close-and-open over the history") {
+    import graft.operators.Merge
+    val baseRows = Seq(
+      // key, attr, valid_from, valid_to (null = current)
+      ("a", 1L, 100L, Some(200L)), ("a", 2L, 200L, None),
+      ("b", 7L, 50L, None),
+      ("c", 3L, 10L, Some(20L)), ("c", 4L, 20L, None),
+      ("d", 9L, 5L, None)) // untouched by the feed
+    val updGen = Gen.zip(Gen.oneOf("a", "b", "c", "e"),
+      Gen.chooseNum(10L, 99L), Gen.chooseNum(300L, 340L))
+    val updates = sample(updGen, 40).distinctBy(u => (u._1, u._3, u._2))
+    val base = baseRows.map { case (k, a, f, t) => (k, a, f, t) }
+      .toDF("key", "attr", "valid_from", "valid_to")
+    val upd = updates.toDF("key", "attr", "ts")
+    val got = Merge.scd2(base, upd, Seq("key"), "ts")
+      .as[(String, Long, Long, Option[Long])].collect().toSet
+
+    // feed dedup: latest ts per key, remaining columns DESC tie-break
+    val latest = updates.groupBy(_._1).map { case (k, us) =>
+      us.maxBy(u => (u._3, u._2)) }.toSeq
+    val latestKeys = latest.map(_._1).toSet
+    val history = baseRows.collect {
+      case (k, a, f, Some(t)) => (k, a, f, Some(t)) }
+    val closed = baseRows.collect {
+      case (k, a, f, None) =>
+        (k, a, f, latest.find(_._1 == k).map(_._3)) }
+    val opened = latest.map { case (k, a, ts) => (k, a, ts, None) }
+    val want = (history ++ closed ++ opened).toSet
+    assert(got == want)
+    // invariant: one open row per live key
+    val openPerKey = got.toSeq.filter(_._4.isEmpty).groupBy(_._1)
+    assert(openPerKey.values.forall(_.size == 1))
+    assert(openPerKey.keySet ==
+      (baseRows.map(_._1).toSet ++ latestKeys))
   }
 }
