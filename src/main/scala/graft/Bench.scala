@@ -46,6 +46,22 @@ object Bench {
       n.join(org.apache.spark.sql.functions.broadcast(r),
         n("n_regionkey") === r("r_regionkey")).count()
     } catch { case _: Throwable => }
+    // Index-build warmup: the amortized probe queries exist to time
+    // the steady-state PROBE against a session-cached index
+    // (IndexCache) — that is the number they are IN the bench to
+    // measure. Without this, the one-time build lands on whichever
+    // timed pass runs first; the median usually absorbs it, but a
+    // slow host can stack a second outlier and pull the build into
+    // the median (r13b: sparse_probe_amortized spread 1.19-4.05 s).
+    // One untimed execution per cached-index query moves every build
+    // here; the three timed passes then all measure steady state.
+    for (name <- Seq("sparse_probe_amortized", "grep_probe",
+                     "layout_skip_probe")) {
+      try {
+        SparkEntry.queries.get(name)
+          .foreach(fn => fn(spark, sfDir).queryExecution.toRdd.count())
+      } catch { case _: Throwable => }
+    }
     // Three interleaved passes over the suite; the first pass carries
     // each query's JIT/codegen compilation, a loaded host can spoil
     // any one sample — the MEDIAN absorbs a single outlier in either

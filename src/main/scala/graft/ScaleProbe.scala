@@ -1896,13 +1896,121 @@ object ScaleProbe {
     }
   }
 
+  /** `runMain graft.ScaleProbe bloom14 [replicas]` — empirical record
+    * of the wedge Bloom screen's behavior AT its size cap
+    * ([[graft.operators.Graph.WedgeBloomMaxBits]], 2²⁸ bits ≈ 32 MB).
+    * The r13 record pinned the fp rate at the design point; the
+    * degradation PAST the cap ("toward pass-through, never wrong")
+    * was reasoned, not measured. Two parts:
+    *
+    * Part A — the fp curve of the SHIPPED sizing (bits =
+    * min(10·m, 2²⁸), built through the same SessionScope-raised-caps
+    * + struct-key + XxHash64 path the wedge screen runs) at m = 10 M
+    * (design point, uncapped) through 216 M inserted edges, probed
+    * with 10 M definite non-members (disjoint negative id range).
+    * Expected shape if the failure mode is the designed one: ~1 % up
+    * to the ~27 M-edge cap crossing, then smooth growth toward 1.0 as
+    * bits-per-edge shrink — no error, no cliff.
+    *
+    * Part B — one real wedge pipeline past the cap: the co-purchase
+    * canon replicated `replicas`× (default 30, m ≈ 23 M oriented
+    * edges → 10·m just past 2²⁸). ONE wedge-generation pass counts
+    * the raw wedge stream and the survivors under the capped and the
+    * uncapped-ideal filters simultaneously; the closing join then
+    * runs end-to-end under BOTH filters with identical triangle
+    * totals asserted (no false negatives ⇒ the cap can only ever
+    * cost shuffle volume, never rows). */
+  private def bloom14(spark: SparkSession, replicas: Int): Unit = {
+    import org.apache.spark.sql.graftx.{BloomScreen, SessionScope}
+    import graft.operators.Graph
+    spark.sparkContext.addSparkListener(MaxTask)
+    val caps = (m: Long, bits: Long) => Map(
+      "spark.sql.optimizer.runtime.bloomFilter.maxNumItems" -> m.toString,
+      "spark.sql.optimizer.runtime.bloomFilter.maxNumBits" -> bits.toString)
+    // ---- Part A: fp of the shipped sizing formula vs build-side m
+    for (m <- Seq(10000000L, 27000000L, 54000000L, 108000000L, 216000000L)) {
+      val bits = math.min(math.max(m * 10L, 1L << 20), Graph.WedgeBloomMaxBits)
+      val members = spark.range(m)
+        .select(col("id").as("src"), (col("id") + 1L).as("dst"))
+      val t0 = System.nanoTime()
+      val bf = SessionScope.headUnderConf(
+        members.agg(BloomScreen.bloomAgg(struct(col("src"), col("dst")),
+          m, bits)), caps(m, bits)).getAs[Array[Byte]](0)
+      val buildSec = (System.nanoTime() - t0) / 1e9
+      val probes = 10000000L
+      val fp = spark.range(probes)
+        .select((-col("id") - 2L).as("src"), (col("id") + 1L).as("dst"))
+        .filter(BloomScreen.mightContain(bf, struct(col("src"), col("dst"))))
+        .count()
+      println(f"""{"probe":"bloom14 fp","edges":$m,"bits":$bits,"bits_per_edge":${bits.toDouble / m}%.2f,"fp":${fp.toDouble / probes}%.4f,"build_sec":$buildSec%.1f,"filter_mb":${bf.length / 1048576.0}%.1f}""")
+    }
+    // ---- Part B: real wedge pipeline just past the cap
+    val d = "/root/testdata/sf0.1"
+    val canon1 = spark.read.parquet(s"$d/lineitem.parquet")
+      .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+      .filter(col("ok").isNotNull && col("pk").isNotNull)
+      .groupBy(col("ok")).agg(collect_set(col("pk")).as("ps"))
+      .select(explode(col("ps")).as("a"), col("ps"))
+      .select(col("a"), explode(col("ps")).as("b"))
+      .filter(col("a") < col("b"))
+    (0 until replicas).map { r =>
+      val off = r * 10000000L
+      canon1.select((col("a") + off).as("a"), (col("b") + off).as("b"))
+    }.reduce(_ unionByName _)
+      .write.mode("overwrite").parquet("/tmp/graft_bloom14/canon.parquet")
+    val raw = spark.read.parquet("/tmp/graft_bloom14/canon.parquet")
+    val canon = Graph.canonicalUndirected(raw, "a", "b").localCheckpoint()
+    val oriented = Graph.orientByDegree(canon).localCheckpoint()
+    val m = oriented.count()
+    val bitsCapped = math.min(math.max(m * 10L, 1L << 20), Graph.WedgeBloomMaxBits)
+    val bitsIdeal = m * 10L
+    def build(bits: Long): Array[Byte] = SessionScope.headUnderConf(
+      oriented.agg(BloomScreen.bloomAgg(struct(col("src"), col("dst")),
+        m, bits)), caps(m, bits)).getAs[Array[Byte]](0)
+    val bfCapped = build(bitsCapped)
+    val bfIdeal = build(bitsIdeal)
+    // one wedge-generation pass, all three counts
+    val o1 = oriented.select(col("src").as("u"), col("dst").as("v"),
+      col("ddeg").as("dv"))
+    val o2 = oriented.select(col("src").as("u"), col("dst").as("w"),
+      col("ddeg").as("dw"))
+    val skey = struct(col("v"), col("w"))
+    val counts = o1.join(o2.hint("shuffle_hash"), Seq("u"))
+      .filter(col("dv") < col("dw") ||
+        (col("dv") === col("dw") && col("v") < col("w")))
+      .agg(count(lit(1)).as("w_total"),
+        sum(when(BloomScreen.mightContain(bfCapped, skey), 1L)
+          .otherwise(0L)).as("w_capped"),
+        sum(when(BloomScreen.mightContain(bfIdeal, skey), 1L)
+          .otherwise(0L)).as("w_ideal"))
+      .head()
+    val (wTotal, wCapped, wIdeal) =
+      (counts.getLong(0), counts.getLong(1), counts.getLong(2))
+    def closing(bf: Array[Byte], label: String): Long = {
+      MaxTask.reset()
+      val t0 = System.nanoTime()
+      val tri = Graph.closedWedges(oriented, bf, hintShuffleHash = true)
+        .queryExecution.toRdd.count()
+      println(f"""{"probe":"bloom14 close $label","edges":$m,"triangles":$tri,"sec":${(System.nanoTime() - t0) / 1e9}%.2f,"max_task_sec":${MaxTask.max.get() / 1000.0}%.2f}""")
+      tri
+    }
+    val triCapped = closing(bfCapped, "capped")
+    val triIdeal = closing(bfIdeal, "ideal")
+    require(triCapped == triIdeal,
+      s"cap changed RESULTS ($triCapped vs $triIdeal) — must never happen")
+    val fpCap = (wCapped - triCapped).toDouble / math.max(wTotal - triCapped, 1L)
+    val fpIde = (wIdeal - triIdeal).toDouble / math.max(wTotal - triIdeal, 1L)
+    println(f"""{"probe":"bloom14 wedges","replicas":$replicas,"edges":$m,"bits_capped":$bitsCapped,"bits_ideal":$bitsIdeal,"w_total":$wTotal,"w_capped":$wCapped,"w_ideal":$wIdeal,"fp_capped":$fpCap%.4f,"fp_ideal":$fpIde%.4f,"triangles":$triCapped}""")
+  }
+
   def main(args: Array[String]): Unit = {
     if (args.headOption.exists(Set("quota7", "pipe7", "freq7", "serve8",
         "outlier8", "budget8", "ids8", "aqe8", "rtfilter8", "prefix8",
         "sparse9", "interop9", "graph9", "bucket9", "semdedup9", "tri9",
         "kcore9", "linkpred10", "lpa11", "sparse11", "recall12",
         "lpa12", "crossover12", "headroom12", "sparse12", "assoc12",
-        "headroom13", "assoc13", "sparse13", "sparse13b", "ckpt13x"))) {
+        "headroom13", "assoc13", "sparse13", "sparse13b", "ckpt13x",
+        "bloom14"))) {
       val spark = SparkSession.builder()
         .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")}]")
         .config("spark.sql.shuffle.partitions",
@@ -1941,6 +2049,7 @@ object ScaleProbe {
         case "sparse13" => sparse13(spark)
         case "sparse13b" => sparse13b(spark)
         case "ckpt13x" => ckpt13x(spark)
+        case "bloom14" => bloom14(spark, args.lift(1).map(_.toInt).getOrElse(30))
         case "sparse12" => sparse12(spark, args.lift(1).map(_.toInt).getOrElse(10))
         case "assoc12" => assoc12(spark)
       }
