@@ -381,8 +381,9 @@ object AnalyticsQueries {
 
     // Exact per-group median ± MAD of price: the robust center+scale
     // pair outlier gates quote (stddev is poisoned by the outliers
-    // being gated). Two distinct-value median passes, integers
-    // throughout (Profiling.medianAbsDeviation).
+    // being gated). One fused counts-map aggregation below the
+    // distinct budget, windowed distinct-value passes above it;
+    // integers throughout (Profiling.medianAbsDeviation).
     "agg_mad" -> ((s, d) => {
       graft.operators.Profiling.medianAbsDeviation(tbl(s, d, "lineitem"),
         col("l_returnflag"), col("l_extendedprice"))
