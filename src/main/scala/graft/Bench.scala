@@ -56,7 +56,7 @@ object Bench {
     // One untimed execution per cached-index query moves every build
     // here; the three timed passes then all measure steady state.
     for (name <- Seq("sparse_probe_amortized", "grep_probe",
-                     "layout_skip_probe")) {
+                     "layout_skip_probe", "ann_ivf_probe_amortized")) {
       try {
         SparkEntry.queries.get(name)
           .foreach(fn => fn(spark, sfDir).queryExecution.toRdd.count())

@@ -652,6 +652,25 @@ object Similarity {
   def ivfProbeTopK(index: DataFrame, batch: DataFrame, idCol: String,
                    vecCol: String, k: Int, nCentroids: Int,
                    kmeansIters: Int = 2, trainSampleMod: Int = 1): DataFrame = {
+    val (centroids, idxCells) = ivfIndexCore(index, idCol, vecCol,
+      nCentroids, kmeansIters, trainSampleMod)
+    probeIvfIndex(IvfIndex(centroids, idxCells), batch, idCol, vecCol, k)
+  }
+
+  /** Persisted-index handle for the amortized IVF serving path: the
+    * fitted centroid codebook plus the cell-inverted index frame.
+    * Obtain via [[buildIvfIndex]]; probe with [[probeIvfIndex]]. */
+  case class IvfIndex(centroids: Seq[(Long, Seq[Double])], cells: DataFrame)
+
+  /** The shared core of [[ivfProbeTopK]] and [[buildIvfIndex]]: fit
+    * the quantizer on the index side (exact `ivfTopK` protocol) and
+    * invert the index by nearest cell. The cells frame is returned
+    * LAZY over the idxBase checkpoint — the one-shot probe consumes it
+    * inside a single action; only the persisted-index form pays a
+    * second checkpoint to make the assignment a reusable artifact. */
+  private def ivfIndexCore(index: DataFrame, idCol: String, vecCol: String,
+                           nCentroids: Int, kmeansIters: Int,
+                           trainSampleMod: Int): (Seq[(Long, Seq[Double])], DataFrame) = {
     val idxBase = spread(index).select(col(idCol), col(vecCol).as("v"))
       .withColumn("vn", VectorOps.norm(col("v")))
       .localCheckpoint() // feeds k-means training AND the searched side
@@ -660,17 +679,41 @@ object Similarity {
       else idxBase
     val centroids = kmeansFitOnBase(train, index, idCol, vecCol,
       nCentroids, kmeansIters)
-    val book = bcBook(index, centroids)
     val idxCells = idxBase
-      .withColumn("cell", assignCell(col("v"), book))
+      .withColumn("cell", assignCell(col("v"), bcBook(index, centroids)))
       .select(col("cell"), col(idCol).as("neighbor_id"),
         col("v").as("cv2"), col("vn").as("cn2"))
+    (centroids, idxCells)
+  }
+
+  /** Build the persisted IVF index ONCE (train + invert + checkpoint)
+    * so [[probeIvfIndex]] calls time the probe alone — the steady-state
+    * ANN serving cost, the IVF sibling of `TfIdf.buildSparseIndex`.
+    * Identical protocol to [[ivfProbeTopK]]'s inline build, so a probe
+    * against this index returns bit-identical rows. */
+  def buildIvfIndex(index: DataFrame, idCol: String, vecCol: String,
+                    nCentroids: Int, kmeansIters: Int = 2,
+                    trainSampleMod: Int = 1): IvfIndex = {
+    val (centroids, idxCells) = ivfIndexCore(index, idCol, vecCol,
+      nCentroids, kmeansIters, trainSampleMod)
+    IvfIndex(centroids, idxCells.localCheckpoint())
+  }
+
+  /** Search a persisted [[IvfIndex]] with a new batch: assign each
+    * batch vector to its cell against the BROADCAST codebook (pure
+    * codegen, no shuffle), join only that cell's index members, exact
+    * cosine, top-`k` per query. The batch side is ingest-sized —
+    * `broadcastIfSmall` guards the join, so the index never reshuffles
+    * across probes (the operational contract a vector store serves). */
+  def probeIvfIndex(ix: IvfIndex, batch: DataFrame, idCol: String,
+                    vecCol: String, k: Int): DataFrame = {
+    val book = bcBook(batch, ix.centroids)
     val batchCells = batch.select(col(idCol), col(vecCol).as("v"))
       .withColumn("vn", VectorOps.norm(col("v")))
       .withColumn("cell", assignCell(col("v"), book))
       .select(col("cell"), col(idCol).as("query_id"),
         col("v").as("qv"), col("vn").as("qn"))
-    val pairs = Relational.broadcastIfSmall(batchCells).join(idxCells, Seq("cell"))
+    val pairs = Relational.broadcastIfSmall(batchCells).join(ix.cells, Seq("cell"))
       .withColumn("cosine",
         VectorOps.dot(col("qv"), col("cv2")) / (col("qn") * col("cn2")))
     val w = Window.partitionBy(col("query_id"))

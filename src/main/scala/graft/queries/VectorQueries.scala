@@ -191,6 +191,23 @@ object VectorQueries {
         kmeansIters = KmeansIters, trainSampleMod = 1)
     }),
 
+    // Amortized form: the IVF index (centroids + cell-inverted,
+    // checkpointed frame) is built once per session (IndexCache) so
+    // this times the PROBE alone — the steady-state ANN serving cost,
+    // the vector sibling of sparse_probe_amortized. Same result by
+    // construction; shares ann_ivf_probe's oracle.
+    "ann_ivf_probe_amortized" -> ((s, d) => {
+      import graft.operators.IndexCache
+      val e = tbl(s, d, "embeddings")
+      val ix = IndexCache.getOrBuild(s"ivf:$d") {
+        Similarity.buildIvfIndex(e.filter(col("vec_id") % 2 === 0),
+          "vec_id", "embedding", nCentroids = ProbeCentroids,
+          kmeansIters = KmeansIters, trainSampleMod = 1)
+      }
+      Similarity.probeIvfIndex(ix, e.filter(col("vec_id") % 2 =!= 0),
+        "vec_id", "embedding", K)
+    }),
+
     // LSH-candidate + exact-verify near-dup pairs (scale path of
     // dedup_embed_cosine): TWO independent multi-probed hyperplane
     // tables, OR-amplified — any table may surface a pair, the exact
@@ -261,6 +278,47 @@ object VectorQueries {
     ps.map { p =>
       s"(CASE WHEN ${dotSql(v, planeLit(p))} >= 0 THEN '1' ELSE '0' END)"
     }.mkString(" || ")
+
+  /** Shared by ann_ivf_probe and ann_ivf_probe_amortized (same result
+    * by construction — buildIvfIndex runs ivfProbeTopK's exact build
+    * protocol; the amortized entry exists to TIME the probe alone).
+    * Mirrors ivfProbeTopK: quantizer seeded and trained on the even-id
+    * INDEX only (same assign/mean protocol as ann_ivf_topk), then
+    * index cells are searched by the odd-id batch's assignments. */
+  private lazy val ivfProbeSql: String = {
+    def assignCte(cIn: String, src: String): String =
+      s"""SELECT vec_id, embedding, cell FROM (
+            SELECT v.vec_id, v.embedding, c.cell,
+              row_number() OVER (PARTITION BY v.vec_id
+                ORDER BY ${cosSql("v.embedding", "c.cv")} DESC, c.cell) AS rn
+            FROM $src v CROSS JOIN $cIn c)
+          WHERE rn = 1"""
+    def meanCte(aIn: String): String =
+      s"""SELECT cell, list(m ORDER BY i) AS cv FROM (
+            SELECT cell, i, floor(avg(embedding[i]::DOUBLE) * 1000000 + 0.5) / 1000000 AS m
+            FROM $aIn CROSS JOIN generate_series(1, $Dim) AS g(i)
+            GROUP BY cell, i)
+          GROUP BY cell"""
+    s"""WITH idx AS (
+          SELECT vec_id, embedding FROM embeddings WHERE vec_id % 2 = 0),
+        bat AS (
+          SELECT vec_id, embedding FROM embeddings WHERE vec_id % 2 <> 0),
+        c0 AS (
+          SELECT vec_id AS cell, list_transform(embedding, x -> x::DOUBLE) AS cv
+          FROM idx WHERE vec_id < $ProbeCentroids),
+        a0 AS (${assignCte("c0", "idx")}),
+        c1 AS (${meanCte("a0")}),
+        a1 AS (${assignCte("c1", "idx")}),
+        c2 AS (${meanCte("a1")}),
+        icells AS (${assignCte("c2", "idx")}),
+        bcells AS (${assignCte("c2", "bat")})
+        SELECT query_id, rank, neighbor_id FROM (
+          SELECT q.vec_id AS query_id, x.vec_id AS neighbor_id,
+            row_number() OVER (PARTITION BY q.vec_id
+              ORDER BY ${cosSql("q.embedding", "x.embedding")} DESC, x.vec_id) AS rank
+          FROM bcells q JOIN icells x ON q.cell = x.cell)
+        WHERE rank <= $K"""
+  }
 
   val oracles: Map[String, String] = Map(
     "embed_quantize" ->
@@ -633,43 +691,15 @@ object VectorQueries {
             FROM fused)
           WHERE rank <= $K"""
     },
-    "ann_ivf_probe" -> {
-      // Mirrors ivfProbeTopK: quantizer seeded and trained on the
-      // even-id INDEX only (same assign/mean protocol as ann_ivf_topk),
-      // then index cells are searched by the odd-id batch's assignments.
-      def assignCte(cIn: String, src: String): String =
-        s"""SELECT vec_id, embedding, cell FROM (
-              SELECT v.vec_id, v.embedding, c.cell,
-                row_number() OVER (PARTITION BY v.vec_id
-                  ORDER BY ${cosSql("v.embedding", "c.cv")} DESC, c.cell) AS rn
-              FROM $src v CROSS JOIN $cIn c)
-            WHERE rn = 1"""
-      def meanCte(aIn: String): String =
-        s"""SELECT cell, list(m ORDER BY i) AS cv FROM (
-              SELECT cell, i, floor(avg(embedding[i]::DOUBLE) * 1000000 + 0.5) / 1000000 AS m
-              FROM $aIn CROSS JOIN generate_series(1, $Dim) AS g(i)
-              GROUP BY cell, i)
-            GROUP BY cell"""
-      s"""WITH idx AS (
-            SELECT vec_id, embedding FROM embeddings WHERE vec_id % 2 = 0),
-          bat AS (
-            SELECT vec_id, embedding FROM embeddings WHERE vec_id % 2 <> 0),
-          c0 AS (
-            SELECT vec_id AS cell, list_transform(embedding, x -> x::DOUBLE) AS cv
-            FROM idx WHERE vec_id < $ProbeCentroids),
-          a0 AS (${assignCte("c0", "idx")}),
-          c1 AS (${meanCte("a0")}),
-          a1 AS (${assignCte("c1", "idx")}),
-          c2 AS (${meanCte("a1")}),
-          icells AS (${assignCte("c2", "idx")}),
-          bcells AS (${assignCte("c2", "bat")})
-          SELECT query_id, rank, neighbor_id FROM (
-            SELECT q.vec_id AS query_id, x.vec_id AS neighbor_id,
-              row_number() OVER (PARTITION BY q.vec_id
-                ORDER BY ${cosSql("q.embedding", "x.embedding")} DESC, x.vec_id) AS rank
-            FROM bcells q JOIN icells x ON q.cell = x.cell)
-          WHERE rank <= $K"""
-    },
+    "ann_ivf_probe" -> ivfProbeSql,
+
+    // Amortized form: the IVF index (centroids + cell-inverted frame)
+    // is built once per session, so this times the PROBE alone — the
+    // steady-state ANN serving cost. Same result by construction
+    // (buildIvfIndex runs ivfProbeTopK's exact build protocol);
+    // shares ann_ivf_probe's oracle.
+    "ann_ivf_probe_amortized" -> ivfProbeSql,
+
     "pq_codes" -> {
       // Mirrors pqFit/pqEncode: per subspace j, the same seeded k-means
       // chain as ann_ivf_topk but over embedding[j*16+1 : (j+1)*16],

@@ -56,4 +56,24 @@ class VectorQuantSpec extends SparkTestBase {
     assert(agree >= exact.size * 0.9,
       s"top-1 agreement ${agree}/${exact.size} below 90%")
   }
+
+  test("probe of a persisted IVF index == one-shot ivfProbeTopK, bit-for-bit") {
+    import graft.operators.Similarity
+    val e = graft.core.Lakehouse
+      .table(spark, sfSmoke, "embeddings").select("vec_id", "embedding")
+    val idx = e.filter(col("vec_id") % 2 === 0)
+    val bat = e.filter(col("vec_id") % 2 =!= 0)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.as[(Long, Int, Long)].collect().toSet
+    val oneShot = rows(Similarity.ivfProbeTopK(idx, bat,
+      "vec_id", "embedding", k = 5, nCentroids = 8))
+    val ix = Similarity.buildIvfIndex(idx, "vec_id", "embedding",
+      nCentroids = 8)
+    val viaIndex = rows(Similarity.probeIvfIndex(ix, bat,
+      "vec_id", "embedding", k = 5))
+    assert(viaIndex == oneShot)
+    // the persisted cells frame survives a second probe unchanged
+    assert(rows(Similarity.probeIvfIndex(ix, bat,
+      "vec_id", "embedding", k = 5)) == oneShot)
+  }
 }
