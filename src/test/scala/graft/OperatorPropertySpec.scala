@@ -482,4 +482,85 @@ class OperatorPropertySpec extends SparkTestBase {
     assert(openPerKey.keySet ==
       (baseRows.map(_._1).toSet ++ latestKeys))
   }
+
+  // ------------------------------------------- Relational.percentileRank
+
+  test("percentileRank == count-below over the non-null multiset") {
+    import graft.operators.Relational
+    val gen = Gen.zip(Gen.chooseNum(0L, 500L),
+      Gen.option(Gen.chooseNum(-40L, 40L)))
+    val rows = sample(gen, 400).distinctBy(_._1)
+    val df = rows.toDF("id", "score")
+    val got = Relational.percentileRank(df, "score", "p")
+      .select(col("id"), col("score"), col("p"))
+      .as[(Long, Long, Double)].collect().toSet
+
+    val scores = rows.collect { case (_, Some(s)) => s }
+    val n = scores.length.toLong
+    val want = rows.collect { case (id, Some(s)) =>
+      (id, s, scores.count(_ < s).toLong.toDouble / (n - 1).toDouble) }.toSet
+    assert(got == want) // null-score rows drop, exactly as documented
+  }
+
+  // ---------------------------------------- Relational.quantileNormalize
+
+  test("quantileNormalize == exact integer rank-to-global-CDF lookup") {
+    import graft.operators.Relational
+    val gen = Gen.zip(Gen.oneOf("s1", "s2", "s3"), Gen.chooseNum(0L, 60L))
+    val rows = sample(gen, 500)
+    val df = rows.zipWithIndex.map { case ((src, v), i) => (i.toLong, src, v) }
+      .toDF("id", "src", "v")
+    val got = Relational.quantileNormalize(df, "src", "v", "norm")
+      .select(col("id"), col("src"), col("v"), col("norm"))
+      .as[(Long, String, Long, Long)].collect().toSet
+
+    // global CDF over distinct values: value -> [lo, hi] 1-based rank span
+    val gCounts = rows.groupBy(_._2).view.mapValues(_.size.toLong).toSeq
+      .sortBy(_._1)
+    val spans = gCounts.scanLeft(("", 0L, 0L)) { case ((_, _, hi), (v, c)) =>
+      (v.toString, hi + 1, hi + c) }.drop(1)
+      .map { case (v, lo, hi) => (v.toLong, lo, hi) }
+    val nTot = rows.size.toLong
+    val bySrc = rows.groupBy(_._1)
+    val want = rows.zipWithIndex.map { case ((src, v), i) =>
+      val inSrc = bySrc(src).map(_._2)
+      val ns = inSrc.size.toLong
+      val r = inSrc.count(_ <= v).toLong // cum count at v within source
+      val t = (r * nTot + ns - 1) / ns   // ceil(r·N / ns) in integers
+      val norm = spans.find { case (_, lo, hi) => t >= lo && t <= hi }.get._1
+      (i.toLong, src, v, norm)
+    }.toSet
+    assert(got == want)
+  }
+
+  // -------------------------------------------------- Profiling.trimmedMean
+
+  test("trimmedMean == sort, drop trim each side, exact cent mean") {
+    import graft.operators.Profiling
+    val gen = Gen.zip(Gen.oneOf("a", "b", "c", "tiny"),
+      Gen.chooseNum(-3000L, 3000L))
+    val rows = sample(gen, 450).filterNot(r => r._1 == "tiny") ++
+      Seq(("tiny", 100L), ("tiny", 200L)) // n=2: trim floors to 0, all kept
+    for (trimPct <- Seq(5, 30)) {
+      val df = rows.map { case (g, c) => (g, c.toDouble / 100.0) }
+        .toDF("grp", "v")
+      val got = Profiling.trimmedMean(df, col("grp"), col("v"), trimPct)
+        .as[(String, Long, Long, Option[Double])].collect()
+        .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+      val want = rows.groupBy(_._1).map { case (g, xs) =>
+        // the operator re-quantizes v·100 through floor(+0.5); for
+        // negative cents that is floor, not trunc — replicate exactly
+        val cents = xs.map(x =>
+          math.floor(x._2.toDouble / 100.0 * 100 + 0.5).toLong).sorted
+        val n = cents.length.toLong
+        val trim = n * trimPct / 100 // floor of n·pct/100 in integers
+        val kept = cents.slice(trim.toInt, (n - trim).toInt)
+        val mean =
+          if (kept.isEmpty) None
+          else Some((kept.sum.toDouble / 100.0) / kept.length.toDouble)
+        g -> ((n, kept.length.toLong, mean))
+      }
+      assert(got == want, s"trimPct=$trimPct: $got vs $want")
+    }
+  }
 }
