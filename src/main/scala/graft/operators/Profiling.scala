@@ -222,21 +222,22 @@ object Profiling {
       if (statsRows.isEmpty) 0L
       else statsRows.iterator.map(_.getAs[Long]("nd")).max
     if (maxDistinct <= distinctBudget) {
-      // Below the budget the whole report is THREE corpus passes:
-      // the stats probe above, the counts-map median, and ONE fused
-      // pass answering the MAD and the outlier tail count from the
-      // same deviation counts-map (MadOutliersAgg) — the two-agg
-      // spelling paid a fourth pass only because the k·MAD threshold
-      // isn't known until the dev median is. Bit-identical output
-      // (ProfilingSketchSpec pins it against the refined path, which
-      // keeps the separate final pass).
-      val (m, _) = localized(base.groupBy(col("grp"))
-        .agg(percentile(col("v"), lit(0.5)).as("med")))
-      return base.join(broadcast(m), Seq("grp"), "left")
-        .groupBy(col("grp"), col("med"))
-        .agg(org.apache.spark.sql.graftx.MadOutliersAgg
-          .madOutliers(abs(col("v") - col("med")), k).as("s"))
-        .select(col("grp"), col("med"), col("s.mad").as("mad"),
+      // Below the budget the whole report is TWO corpus passes: the
+      // stats probe above and ONE fused pass answering the median,
+      // the MAD and the outlier tail count from a single value
+      // counts-map (RobustOutliersAgg — the buffer IS the
+      // distribution, so the round-14 full fusion also folds the
+      // counts-map `percentile` median pass and its broadcast
+      // join-back in). The multi-agg spellings paid extra passes only
+      // because each threshold isn't known until the previous
+      // aggregate lands. Bit-identical output (ProfilingSketchSpec
+      // pins it against the explicit percentile spelling — NaN
+      // majority/minority groups included — and against the refined
+      // path, which keeps the separate passes).
+      return base.groupBy(col("grp"))
+        .agg(org.apache.spark.sql.graftx.RobustOutliersAgg
+          .robustOutliers(col("v"), k).as("s"))
+        .select(col("grp"), col("s.med").as("med"), col("s.mad").as("mad"),
           col("s.n_rows").as("n_rows"), col("s.n_outliers").as("n_outliers"))
     }
     val (med, mad) =

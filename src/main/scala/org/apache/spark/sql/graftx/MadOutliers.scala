@@ -82,62 +82,9 @@ case class MadOutliersAgg(child: Expression, k: Double,
     var n = 0L
     buf.counts.foreach { case (_, c) => n += c }
     if (n == 0L) return InternalRow(null, 0L, buf.nulls)
-    // Sort the distinct (value, count) pairs by value under total
-    // double ordering (NaN greatest, -0.0 < 0.0) — the same expanded
-    // multiset Spark's percentile walks.
-    val pairs = buf.counts.iterator
-      .map { case (bits, c) => (java.lang.Double.longBitsToDouble(bits), c) }
-      .toArray
-    java.util.Arrays.sort(pairs, (a: (Double, Long), b: (Double, Long)) =>
-      java.lang.Double.compare(a._1, b._1))
-    val pos = 0.5 * (n - 1).toDouble
-    val loRank = math.floor(pos).toLong
-    val hiRank = math.ceil(pos).toLong
-    var lo = 0.0; var hi = 0.0
-    var cum = 0L; var i = 0; var foundLo = false; var foundHi = false
-    while (i < pairs.length && !foundHi) {
-      cum += pairs(i)._2
-      if (!foundLo && cum > loRank) { lo = pairs(i)._1; foundLo = true }
-      if (!foundHi && cum > hiRank) { hi = pairs(i)._1; foundHi = true }
-      i += 1
-    }
-    // Spark Percentile.getPercentile VERBATIM: higher == lower (or
-    // equal keys) -> the value itself; else the TWO-PRODUCT
-    // interpolation (higher − position)·lo + (position − lower)·hi —
-    // NOT lo + (hi − lo)·frac, which differs in the last ulp for ~9%
-    // of middle-value pairs and would break the bit-identical
-    // contract with the percentile-based spelling and the oracle
-    // primitive ==, NOT Double.compare: Spark's equal-keys guard sees
-    // -0.0 == 0.0 as equal and returns lo (-0.0) rather than
-    // interpolating to +0.0 — the bits matter under a differential
-    // gate (NaN middle keys compare unequal either way and fall
-    // through to a NaN interpolation on both sides)
-    val mad =
-      if (hiRank == loRank || lo == hi) lo
-      else (hiRank.toDouble - pos) * lo + (pos - loRank.toDouble) * hi
-    // Spark SQL's double `>` (SQLOrderingUtil.compareDoubles): equal
-    // primitives are equal (-0.0 == 0.0 → not greater), otherwise
-    // Double.compare's total order — NaN GREATEST. The JVM primitive
-    // `>` this walk first shipped with silently differed on NaN devs
-    // (never outliers primitively; always outliers vs a finite
-    // positive threshold under SQL), breaking bit-parity with the
-    // above-budget SQL predicate for minority-NaN groups.
-    @inline def gtSql(a: Double, b: Double): Boolean =
-      !(a == b) && java.lang.Double.compare(a, b) > 0
-    val thr = mad * k
-    var outliers = 0L
-    var j = 0
-    while (j < pairs.length) {
-      val value = pairs(j)._1
-      // the two-agg SQL predicate verbatim: mad > 0 && dev > mad·k
-      // || mad = 0 && dev > 0. NaN mad: SQL's mad > 0 HOLDS (NaN
-      // greatest) but dev > NaN·k = NaN never does — 0 outliers, the
-      // same net result either way.
-      val isOut = (gtSql(mad, 0.0) && gtSql(value, thr)) ||
-        (mad == 0.0 && gtSql(value, 0.0))
-      if (isOut) outliers += pairs(j)._2
-      j += 1
-    }
+    val pairs = MadOutliersAgg.sortedPairs(buf.counts)
+    val mad = MadOutliersAgg.interpolatedMedian(pairs, n)
+    val outliers = MadOutliersAgg.fenceTail(pairs, mad, k)
     InternalRow(mad, outliers, n + buf.nulls)
   }
 
@@ -179,6 +126,196 @@ object MadOutliersAgg {
   def madOutliers(dev: Column, k: Double): Column =
     ExpressionUtils.column(MadOutliersAgg(
       ExpressionUtils.expression(dev), k).toAggregateExpression())
+
+  /** Sorted (value, count) pairs of a bits-keyed counts map under
+    * total double ordering (NaN greatest, -0.0 < 0.0) — the same
+    * expanded multiset Spark's percentile walks. */
+  private[graftx] def sortedPairs(
+      counts: OpenHashMap[Long, Long]): Array[(Double, Long)] = {
+    val pairs = counts.iterator
+      .map { case (bits, c) => (java.lang.Double.longBitsToDouble(bits), c) }
+      .toArray
+    java.util.Arrays.sort(pairs, (a: (Double, Long), b: (Double, Long)) =>
+      java.lang.Double.compare(a._1, b._1))
+    pairs
+  }
+
+  /** Spark Percentile.getPercentile VERBATIM at p = 0.5 over sorted
+    * pairs totalling `n`: higher == lower (or equal keys) -> the value
+    * itself; else the TWO-PRODUCT interpolation
+    * (higher − position)·lo + (position − lower)·hi — NOT
+    * lo + (hi − lo)·frac, which differs in the last ulp for ~9% of
+    * middle-value pairs and would break the bit-identical contract
+    * with the percentile-based spelling and the oracle. The equal-keys
+    * guard is primitive ==, NOT Double.compare: Spark sees
+    * -0.0 == 0.0 as equal and returns lo (-0.0) rather than
+    * interpolating to +0.0 — the bits matter under a differential
+    * gate (NaN middle keys compare unequal either way and fall
+    * through to a NaN interpolation on both sides). */
+  private[graftx] def interpolatedMedian(pairs: Array[(Double, Long)],
+                                         n: Long): Double = {
+    val pos = 0.5 * (n - 1).toDouble
+    val loRank = math.floor(pos).toLong
+    val hiRank = math.ceil(pos).toLong
+    var lo = 0.0; var hi = 0.0
+    var cum = 0L; var i = 0; var foundLo = false; var foundHi = false
+    while (i < pairs.length && !foundHi) {
+      cum += pairs(i)._2
+      if (!foundLo && cum > loRank) { lo = pairs(i)._1; foundLo = true }
+      if (!foundHi && cum > hiRank) { hi = pairs(i)._1; foundHi = true }
+      i += 1
+    }
+    if (hiRank == loRank || lo == hi) lo
+    else (hiRank.toDouble - pos) * lo + (pos - loRank.toDouble) * hi
+  }
+
+  /** Count of deviations beyond the mad-fence, with Spark SQL's double
+    * `>` (SQLOrderingUtil.compareDoubles): equal primitives are equal
+    * (-0.0 == 0.0 → not greater), otherwise Double.compare's total
+    * order — NaN GREATEST. A JVM-primitive `>` walk silently differs
+    * on NaN devs (never outliers primitively; always outliers vs a
+    * finite positive threshold under SQL), breaking bit-parity with
+    * the above-budget SQL predicate for minority-NaN groups. The
+    * predicate is the two-agg SQL spelling verbatim: mad > 0 &&
+    * dev > mad·k || mad = 0 && dev > 0. NaN mad: SQL's mad > 0 HOLDS
+    * (NaN greatest) but dev > NaN·k never does — 0 outliers, the same
+    * net result either way. */
+  private[graftx] def fenceTail(pairs: Array[(Double, Long)], mad: Double,
+                                k: Double): Long = {
+    @inline def gtSql(a: Double, b: Double): Boolean =
+      !(a == b) && java.lang.Double.compare(a, b) > 0
+    val thr = mad * k
+    var outliers = 0L
+    var j = 0
+    while (j < pairs.length) {
+      val value = pairs(j)._1
+      val isOut = (gtSql(mad, 0.0) && gtSql(value, thr)) ||
+        (mad == 0.0 && gtSql(value, 0.0))
+      if (isOut) outliers += pairs(j)._2
+      j += 1
+    }
+    outliers
+  }
+}
+
+/** The ONE-PASS exact robust-outlier report: median, MAD and the
+  * k·MAD tail count of a double column from a single value→count
+  * buffer — the full fusion of `Profiling.robustOutliers`' below-
+  * budget plan (which paid a separate counts-map `percentile` pass
+  * for the median, then a [[MadOutliersAgg]] pass over the joined-in
+  * deviations, purely because neither threshold is known until the
+  * previous aggregate lands). The buffer IS the distribution, so eval
+  * answers all three: the interpolated median
+  * ([[MadOutliersAgg.interpolatedMedian]], Spark-percentile-verbatim),
+  * then the deviation multiset DERIVED from the same pairs
+  * (|v − med| per distinct value, re-collapsed by bits — exactly the
+  * multiset Spark's percentile buffer would hold for the dev column:
+  * boxed-equal NaNs merge, -0.0/0.0 stay distinct), its interpolated
+  * median (the MAD), and the SQL-`>` fence walk
+  * ([[MadOutliersAgg.fenceTail]]). Bit-identical to the two-aggregate
+  * spelling by construction — every helper is shared verbatim — and
+  * pinned by ProfilingSketchSpec's NaN-majority/minority and
+  * degenerate fixtures. Null inputs count in n_rows, are invisible to
+  * both medians, and are never outliers; an all-null group reports
+  * null median and MAD. Same distinct-values budget contract as
+  * [[MadOutliersAgg]] (Profiling.robustOutliers probes cardinality
+  * before routing here).
+  *
+  * Returns struct(med, mad, n_outliers, n_rows). */
+case class RobustOutliersAgg(child: Expression, k: Double,
+                             mutableAggBufferOffset: Int = 0,
+                             inputAggBufferOffset: Int = 0)
+  extends TypedImperativeAggregate[MadOutliersAgg.Buf]
+  with UnaryLike[Expression] with ImplicitCastInputTypes {
+
+  override def inputTypes: Seq[AbstractDataType] = Seq(DoubleType)
+  override def dataType: DataType = StructType(Seq(
+    StructField("med", DoubleType, nullable = true),
+    StructField("mad", DoubleType, nullable = true),
+    StructField("n_outliers", LongType, nullable = false),
+    StructField("n_rows", LongType, nullable = false)))
+  override def nullable: Boolean = false
+
+  override def createAggregationBuffer(): MadOutliersAgg.Buf =
+    new MadOutliersAgg.Buf(new OpenHashMap[Long, Long](), 0L)
+
+  override def update(buf: MadOutliersAgg.Buf,
+                      input: InternalRow): MadOutliersAgg.Buf = {
+    val v = child.eval(input)
+    if (v == null) buf.nulls += 1
+    else buf.counts.changeValue(
+      java.lang.Double.doubleToLongBits(v.asInstanceOf[Double]), 1L, _ + 1L)
+    buf
+  }
+
+  override def merge(buf: MadOutliersAgg.Buf,
+                     other: MadOutliersAgg.Buf): MadOutliersAgg.Buf = {
+    other.counts.foreach { case (bits, cnt) =>
+      buf.counts.changeValue(bits, cnt, _ + cnt)
+    }
+    buf.nulls += other.nulls
+    buf
+  }
+
+  override def eval(buf: MadOutliersAgg.Buf): Any = {
+    var n = 0L
+    buf.counts.foreach { case (_, c) => n += c }
+    if (n == 0L) return InternalRow(null, null, 0L, buf.nulls)
+    val pairs = MadOutliersAgg.sortedPairs(buf.counts)
+    val med = MadOutliersAgg.interpolatedMedian(pairs, n)
+    // the dev multiset, re-collapsed by bits: |v − med| is the same
+    // Math.abs(Subtract) Spark's dev column computes; equal dev
+    // doubles from symmetric values merge exactly as the percentile
+    // buffer's boxed-Double keys would
+    val devCounts = new OpenHashMap[Long, Long](pairs.length)
+    var i = 0
+    while (i < pairs.length) {
+      val dev = math.abs(pairs(i)._1 - med)
+      devCounts.changeValue(
+        java.lang.Double.doubleToLongBits(dev), pairs(i)._2, _ + pairs(i)._2)
+      i += 1
+    }
+    val devPairs = MadOutliersAgg.sortedPairs(devCounts)
+    val mad = MadOutliersAgg.interpolatedMedian(devPairs, n)
+    val outliers = MadOutliersAgg.fenceTail(devPairs, mad, k)
+    InternalRow(med, mad, outliers, n + buf.nulls)
+  }
+
+  override def serialize(buf: MadOutliersAgg.Buf): Array[Byte] = {
+    val bb = java.nio.ByteBuffer.allocate(8 + 4 + buf.counts.size * 16)
+    bb.putLong(buf.nulls)
+    bb.putInt(buf.counts.size)
+    buf.counts.foreach { case (bits, c) =>
+      bb.putLong(bits); bb.putLong(c)
+    }
+    bb.array()
+  }
+
+  override def deserialize(storage: Array[Byte]): MadOutliersAgg.Buf = {
+    val bb = java.nio.ByteBuffer.wrap(storage)
+    val nulls = bb.getLong
+    val sz = bb.getInt
+    val m = new OpenHashMap[Long, Long](math.max(sz, 1))
+    var i = 0
+    while (i < sz) { m.update(bb.getLong, bb.getLong); i += 1 }
+    new MadOutliersAgg.Buf(m, nulls)
+  }
+
+  override def withNewMutableAggBufferOffset(o: Int): RobustOutliersAgg =
+    copy(mutableAggBufferOffset = o)
+  override def withNewInputAggBufferOffset(o: Int): RobustOutliersAgg =
+    copy(inputAggBufferOffset = o)
+  override protected def withNewChildInternal(c: Expression): RobustOutliersAgg =
+    copy(child = c)
+  override def prettyName: String = "robust_outliers"
+}
+
+object RobustOutliersAgg {
+  /** struct(med, mad, n_outliers, n_rows) of a double column at fence
+    * multiplier `k`, in ONE counts-map aggregation. */
+  def robustOutliers(v: Column, k: Double): Column =
+    ExpressionUtils.column(RobustOutliersAgg(
+      ExpressionUtils.expression(v), k).toAggregateExpression())
 }
 
 /** EXACT fused integer lower-median + lower-MAD in ONE aggregation —
