@@ -130,6 +130,7 @@ object Multimodal {
     try Option(javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes)))
       .map(img => (img.getWidth, img.getHeight, img.getRaster.getNumBands))
     catch { case _: java.io.IOException | _: java.awt.color.CMMException
+                 | _: java.awt.image.RasterFormatException
                  | _: IndexOutOfBoundsException | _: NegativeArraySizeException
                  | _: IllegalArgumentException => None }
   }
@@ -358,6 +359,7 @@ object Multimodal {
           if (bytes == null) null
           else try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
           catch { case _: java.io.IOException | _: java.awt.color.CMMException
+                       | _: java.awt.image.RasterFormatException
                        | _: IndexOutOfBoundsException
                        | _: NegativeArraySizeException
                        | _: IllegalArgumentException => null }

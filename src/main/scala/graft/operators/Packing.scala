@@ -60,7 +60,14 @@ object Packing {
     * hashes the bare id — the same two spellings [[shardManifest]]
     * uses, so trainingOrder(seed = "") aligns with the DEFAULT
     * manifest (the earlier `":id"` spelling silently aligned with
-    * neither manifest form). */
+    * neither manifest form).
+    *
+    * MIGRATION (round 14): the empty-seed hash changed from `":id"`
+    * to the bare id. Any layout exported with seed="" under the old
+    * spelling does NOT reproduce — re-running assigns different
+    * shard/shard_pos values. Re-export such layouts (or keep reading
+    * them with their original manifest); layouts with a non-empty
+    * seed are unaffected. */
   def trainingOrder(df: DataFrame, idCol: String, seed: String,
                     nShards: Int): DataFrame = {
     require(nShards > 0, "nShards must be positive")

@@ -65,14 +65,19 @@ object JdbcSink {
     * deterministic for a deterministic partitioning. The offsets attach
     * by a BROADCAST JOIN on the partition id, not a chained when()
     * expression — a 10k-partition frame would otherwise codegen a
-    * 10k-deep conditional per row. The join is a LEFT join with a
-    * 0-default offset: the counts collect and the final action are
+    * 10k-deep conditional per row. The join is a LEFT join whose
+    * null branch RAISES: the counts collect and the final action are
     * two separate executions of `df`, and if a nondeterministic
     * source (or an AQE re-plan) lands rows on a partition id the
-    * counts pass never saw, an inner join would silently DROP them —
-    * the left+coalesce degrades those rows to offset 0 (possibly
-    * non-dense ids, like the old when-chain spelling) but keeps
-    * every row. */
+    * counts pass never saw, an inner join would silently DROP them
+    * and a 0-default offset would mint ids 1..m that COLLIDE with
+    * the real partition-0 ids — a downstream PRIMARY KEY violation
+    * with no indication of the cause. `coalesce` short-circuits, so
+    * the `raise_error` branch costs nothing on the healthy path and
+    * fails the job with an explicit message the moment a divergent
+    * row appears. Sources fed to the sink must be deterministic
+    * (re-read the same files / same shuffle) — that contract is now
+    * enforced, not assumed. */
   def withDenseId(df: DataFrame, idCol: String, orderCols: Seq[String]): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
@@ -86,7 +91,11 @@ object JdbcSink {
     val w = Window.partitionBy(col("__pid")).orderBy(orderCols.map(col): _*)
     withPid.join(broadcast(offsetDf), Seq("__pid"), "left")
       .withColumn(idCol, (row_number().over(w).cast("long")
-        + coalesce(col("__off"), lit(0L))))
+        + coalesce(col("__off"), raise_error(concat(
+            lit("withDenseId: partition id "), col("__pid").cast("string"),
+            lit(" was not seen by the counts pass — the source is " +
+                "nondeterministic between executions; dense ids would " +
+                "collide with partition-0 ids"))).cast("long"))))
       .drop("__pid", "__off")
   }
 

@@ -563,4 +563,230 @@ class OperatorPropertySpec extends SparkTestBase {
       assert(got == want, s"trimPct=$trimPct: $got vs $want")
     }
   }
+
+  // ------------------------------------------------------ Dedup.sourceOverlap
+
+  test("sourceOverlap == distinct-shingle-set intersection per source pair") {
+    import graft.operators.Dedup
+    val word = Gen.listOfN(3, Gen.oneOf("ab", "ba", "ca", "bc", "abc"))
+      .map(_.mkString)
+    val gen = Gen.zip(Gen.oneOf("s1", "s2", "s3", "s4"), word)
+    val rows = sample(gen, 120)
+    val df = rows.toDF("source", "text")
+    val n = 4
+    val got = Dedup.sourceOverlap(df, "source", "text", n)
+      .as[(String, String, Long, Double, Double, Double)].collect().toSet
+
+    // per-source union of each text's distinct character n-gram set;
+    // texts shorter than n contribute themselves whole (the operator's
+    // sequence(1, greatest(len-n+1, 1)) + substr spelling)
+    def shingleSet(t: String): Set[String] =
+      if (t.length <= n) Set(t) else t.sliding(n).toSet
+    val bySrc: Map[String, Set[String]] = rows.groupBy(_._1)
+      .view.mapValues(_.flatMap(r => shingleSet(r._2)).toSet).toMap
+    val srcs = bySrc.keys.toSeq.sorted
+    val want = (for {
+      i <- srcs.indices; j <- (i + 1) until srcs.length
+      (a, b) = (srcs(i), srcs(j))
+      common = (bySrc(a) & bySrc(b)).size.toLong if common > 0
+    } yield {
+      val (na, nb) = (bySrc(a).size.toLong, bySrc(b).size.toLong)
+      (a, b, common, common.toDouble / (na + nb - common).toDouble,
+        common.toDouble / na.toDouble, common.toDouble / nb.toDouble)
+    }).toSet
+    assert(got == want)
+    assert(want.nonEmpty, "degenerate fixture: no overlapping source pair")
+  }
+
+  // ------------------------------------------- Cleaning.curationDecisions
+
+  test("curationDecisions == first-failing-rule scan in declaration order") {
+    import graft.operators.Cleaning
+    val gen = Gen.zip(Gen.chooseNum(0L, 199L), Gen.chooseNum(-50L, 150L))
+    val rows = sample(gen, 150).distinctBy(_._1)
+    val docs = rows.toDF("doc_id", "n_chars")
+    // set rules: membership lists with deliberate overlap so rule ORDER
+    // is exercised (a doc failing both must report the FIRST)
+    val setA = rows.map(_._1).filter(_ % 3 == 0)
+    val setB = rows.map(_._1).filter(_ % 5 == 0)
+    val got = Cleaning.curationDecisions(docs, "doc_id",
+        Seq("rule_a" -> setA.toDF("doc_id"), "rule_b" -> setB.toDF("doc_id")),
+        Seq("short" -> (col("n_chars") < 0L),
+          "long" -> (col("n_chars") > 120L)))
+      .as[(Long, Boolean, Boolean, Boolean, Boolean, String, Boolean)]
+      .collect().toSet
+
+    val (sa, sb) = (setA.toSet, setB.toSet)
+    val want = rows.map { case (id, nc) =>
+      val flags = Seq(
+        "rule_a" -> sa(id), "rule_b" -> sb(id),
+        "short" -> (nc < 0L), "long" -> (nc > 120L))
+      val reason = flags.collectFirst { case (nm, true) => nm }.getOrElse("kept")
+      (id, flags(0)._2, flags(1)._2, flags(2)._2, flags(3)._2,
+        reason, reason == "kept")
+    }.toSet
+    assert(got == want)
+    assert(want.exists(r => r._2 && r._3),
+      "degenerate fixture: no doc fails two rules (order untested)")
+  }
+
+  // --------------------------------------------------- LangModel.dsirWeights
+
+  test("dsirWeights == smoothed unigram likelihood-ratio recompute") {
+    import graft.operators.LangModel
+    val word = Gen.oneOf("the", "cell", "genome", "der", "zelle", "und",
+      "of", "la", "gene", "protein")
+    val gen = Gen.zip(Gen.oneOf("en", "de", "fr"),
+      Gen.listOfN(6, word).map(_.mkString(" ")))
+    val rows = sample(gen, 80).zipWithIndex
+      .map { case ((lang, text), i) => (i.toLong, lang, text) }
+    val df = rows.toDF("doc_id", "lang", "text")
+    val k = 0.5
+    val got = LangModel.dsirWeights(df, "doc_id", "text", col("lang") === "en", k)
+      .as[(Long, Long, Double)].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+
+    val toks = rows.map { case (id, lang, text) =>
+      (id, lang == "en", text.trim.toLowerCase.split("\\s+").toSeq) }
+    val raw = toks.flatMap(_._3).groupBy(identity).view.mapValues(_.size.toLong)
+    val tgt = toks.filter(_._2).flatMap(_._3)
+      .groupBy(identity).view.mapValues(_.size.toLong)
+    val v = raw.size.toDouble
+    val nRaw = raw.values.sum.toDouble
+    val nTgt = tgt.values.sum.toDouble
+    def log2(x: Double) = math.log(x) / math.log(2.0)
+    for ((id, _, ws) <- toks) {
+      val lrs = ws.map(w => log2((tgt.getOrElse(w, 0L) + k) / (nTgt + k * v)) -
+        log2((raw(w) + k) / (nRaw + k * v)))
+      val (n, avg) = got(id)
+      assert(n == ws.length.toLong, s"doc $id token count")
+      // avg over per-token doubles: Spark's group sum order is partition-
+      // dependent, so this one comparison is tolerance- not bit-level
+      assert(math.abs(avg - lrs.sum / lrs.length) < 1e-9, s"doc $id avg_lr")
+    }
+    assert(toks.exists(_._2) && toks.exists(!_._2),
+      "degenerate fixture: target predicate never split the corpus")
+  }
+
+  // --------------------------------------------- TimeSeries.rollingZScore
+
+  test("rollingZScore == trailing-ring raw-moment recompute") {
+    import graft.operators.TimeSeries
+    // integer-valued doubles: the sliding-window add/remove accumulator
+    // and a fresh sum agree EXACTLY, so z compares bit-level
+    val gen = Gen.zip(Gen.chooseNum(0L, 9L), Gen.chooseNum(0L, 100000L),
+      Gen.chooseNum(-20L, 20L))
+    val rows = sample(gen, 400).distinctBy(r => (r._1, r._2))
+      .zipWithIndex.map { case ((u, ts, v), i) => (i.toLong, u, ts, v.toDouble) }
+    val df = rows.toDF("event_id", "user", "ts_us", "value")
+    val (lookback, minObs) = (8, 4)
+    val got = TimeSeries.rollingZScore(df, Seq(col("user")),
+        Seq(col("ts_us"), col("event_id")), col("value"), lookback, minObs)
+      .select(col("event_id"), col("z")).as[(Long, Double)].collect().toMap
+
+    val want = rows.groupBy(_._2).values.flatMap { evs =>
+      val ordered = evs.sortBy(e => (e._3, e._1))
+      ordered.indices.flatMap { i =>
+        val frame = ordered.slice(math.max(0, i - lookback), i).map(_._4)
+        val n = frame.length
+        if (n < minObs) None
+        else {
+          val m = frame.sum / n
+          val m2 = frame.map(x => x * x).sum / n
+          if (m2 - m * m > 0)
+            Some(ordered(i)._1 -> (ordered(i)._4 - m) / math.sqrt(m2 - m * m))
+          else None
+        }
+      }
+    }.toMap
+    assert(got == want)
+    assert(want.nonEmpty, "degenerate fixture: nothing scored")
+  }
+
+  // ----------------------- query-shape pins: vocab_oov / novelty / fertility
+  //
+  // These three are inline query plans (no separate operator object), so
+  // the pin drives the SHIPPED SparkEntry closure against a randomized
+  // documents.parquet fixture and recomputes from first principles.
+
+  private def writeDocsFixture(rows: Seq[(Long, String, String)]): String = {
+    val dir = s"/tmp/graft_propdocs_${rows.hashCode.toHexString}"
+    rows.toDF("doc_id", "lang", "text")
+      .withColumn("source", lit("gen"))
+      .withColumn("n_chars", length(col("text")).cast("long"))
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    dir
+  }
+
+  private def docsGen: Seq[(Long, String, String)] = {
+    val word = Gen.oneOf((1 to 24).map(i => s"w$i"))
+    val gen = Gen.zip(Gen.oneOf("en", "de", "fr"),
+      Gen.chooseNum(3, 12).flatMap(n => Gen.listOfN(n, word)))
+    sample(gen, 60).zipWithIndex.map { case ((lang, ws), i) =>
+      // every 4th doc carries a doc-unique token: corpus count 1 < 5,
+      // so the vocab_oov pin always has a real OOV population
+      val rare = if (i % 4 == 0) Seq(s"rare$i") else Nil
+      (i.toLong, lang, (ws ++ rare).mkString(" ")) }
+  }
+
+  private def round4d(x: Double): Double = math.floor(x * 10000 + 0.5) / 10000
+
+  test("vocab_oov query == corpus-count>=5 vocabulary OOV recompute") {
+    val rows = docsGen
+    val dir = writeDocsFixture(rows)
+    val got = SparkEntry.queries("vocab_oov")(spark, dir)
+      .as[(Long, Long, Double)].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    val counts = rows.flatMap(_._3.trim.toLowerCase.split("\\s+"))
+      .groupBy(identity).view.mapValues(_.size).toMap
+    val vocab = counts.collect { case (w, c) if c >= 5 => w }.toSet
+    for ((id, _, text) <- rows) {
+      val ws = text.trim.toLowerCase.split("\\s+").toSeq
+      val oov = ws.count(w => !vocab(w)).toDouble
+      assert(got(id) == ((ws.length.toLong, round4d(oov / ws.length))), s"doc $id")
+    }
+    assert(rows.exists(_._3.split("\\s+").exists(w => !vocab(w))),
+      "degenerate fixture: zero OOV tokens anywhere")
+  }
+
+  test("novelty_ngram query == distinct-trigram df==1 share recompute") {
+    val rows = docsGen
+    val dir = writeDocsFixture(rows)
+    val got = SparkEntry.queries("novelty_ngram")(spark, dir)
+      .as[(Long, Long, Double)].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    val tris: Map[Long, Set[String]] = rows.map { case (id, _, text) =>
+      val ws = text.trim.toLowerCase.split("\\s+").toSeq
+      id -> (if (ws.length < 3) Set.empty[String]
+             else ws.sliding(3).map(_.mkString(" ")).toSet)
+    }.toMap
+    val dfreq = tris.values.flatten.groupBy(identity).view.mapValues(_.size)
+    for ((id, ts) <- tris if ts.nonEmpty) {
+      val novel = ts.count(t => dfreq(t) == 1).toDouble
+      assert(got(id) == ((ts.size.toLong, round4d(novel / ts.size))), s"doc $id")
+    }
+    assert(got.keySet == tris.filter(_._2.nonEmpty).keySet,
+      "docs under 3 tokens must be absent, all others present")
+  }
+
+  test("token_fertility query == per-lang integer-sum ratio recompute") {
+    val rows = docsGen
+    val dir = writeDocsFixture(rows)
+    val got = SparkEntry.queries("token_fertility")(spark, dir)
+      .as[(String, Long, Long, Long, Long, Double, Double)].collect()
+      .map(r => r._1 -> r).toMap
+    val bpeRe = java.util.regex.Pattern.compile("\\w+|[^\\w\\s]")
+    def bpeCount(t: String): Long = {
+      val m = bpeRe.matcher(t); var c = 0L; while (m.find()) c += 1; c
+    }
+    val want = rows.groupBy(_._2).map { case (lang, docs) =>
+      val ws = docs.map(_._3.trim.split("\\s+").length.toLong).sum
+      val bpe = docs.map(d => bpeCount(d._3)).sum
+      val chars = docs.map(_._3.length.toLong).sum
+      lang -> ((lang, docs.length.toLong, ws, bpe, chars,
+        round4d(bpe.toDouble / ws.toDouble),
+        round4d(chars.toDouble / ws.toDouble)))
+    }
+    assert(got == want)
+  }
 }
