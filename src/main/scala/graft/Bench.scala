@@ -3,7 +3,9 @@ import org.apache.spark.sql.SparkSession
 
 /** Benchmark entrypoint: times every `SparkEntry.queries` entry on
   * `SPARK_GRAFT_SF_DIR` and prints ONE JSON line
-  * `{"metric":"total","value":N,"unit":"sec","queries":{...},"sf":...}`.
+  * `{"metric":"total","value":N,"unit":"sec","queries":{...},"sf":...,
+  * "host_mhz":N}` (the clock stamp lets cross-round readers spot
+  * turbo-vs-base-clock host drift in the raw artifact).
   *
   * Robustness against a loaded host (a concurrent-sandbox run once
   * read 6× slower on three queries with unchanged plans): each query
@@ -96,6 +98,16 @@ object Bench {
     val total = if (med.nonEmpty) med.values.sum else 0.0
     val allEntries = med.toSeq.sortBy(-_._2)
       .map { case (k, v) => s"\"" + k + "\":" + fmt(v) }
+    // The host's current clock, stamped into both JSON forms so
+    // cross-round drift self-documents in the raw artifact (rounds 13
+    // and 14 differed 1.22x purely from turbo-vs-base-clock hosts and
+    // the calibration lived only in SCALE.md prose).
+    val hostMhz: String =
+      try scala.io.Source.fromFile("/proc/cpuinfo").getLines()
+        .collectFirst { case l if l.startsWith("cpu MHz") =>
+          l.split(":")(1).trim.toDouble.round.toString }
+        .getOrElse("null")
+      catch { case _: Throwable => "null" }
     // Full per-query spread for local tooling (not part of the
     // one-line contract): {"q":{"min":..,"med":..,"max":..},...}.
     try {
@@ -103,7 +115,7 @@ object Bench {
         s"\"" + k + s"""\":{"min":${fmt(t(0))},"med":${fmt(t(1))},"max":${fmt(t(2))}}"""
       }.mkString(
         s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":{""",
-        ",", s"""},"sf":"$sfDir"}""")
+        ",", s"""},"sf":"$sfDir","host_mhz":$hostMhz}""")
       java.nio.file.Files.createDirectories(java.nio.file.Paths.get("bench_history"))
       java.nio.file.Files.write(
         java.nio.file.Paths.get("bench_history/last_full.json"),
@@ -113,7 +125,7 @@ object Bench {
     // 2000-char tail capture (budget leaves room for the sbt epilogue).
     val budget = 1600
     val prefix = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":{"""
-    val suffix = s"""},"sf":"$sfDir"}"""
+    val suffix = s"""},"sf":"$sfDir","host_mhz":$hostMhz}"""
     val kept = new scala.collection.mutable.ListBuffer[String]
     var len = prefix.length + suffix.length
     allEntries.foreach { e =>

@@ -1523,6 +1523,38 @@ object ScaleProbe {
     * broadcast semi join, no checkpoint. Times ONLY through the
     * guarded collect_set assembly (the downstream rule mining is
     * identical across spellings). */
+  /** `runMain graft.ScaleProbe madsort15` — the round-14 ADVICE #2
+    * measurement: is the boxed tuple sort in MadOutliersAgg's eval
+    * material at the 2 M-distinct budget ceiling? Times (a) the shipped
+    * boxed sort vs a primitive-key sort A/B at 2 M entries (see
+    * [[org.apache.spark.sql.graftx.MadSortProbe]]), and (b) the fused
+    * robustOutliers end-to-end on 8 groups × 1.8 M distinct values —
+    * the densest per-group distribution the adaptive split routes to
+    * the counts-map path (approx_count_distinct overshoot kept clear
+    * of the 2 M budget). The decision rule: replace the sort only if
+    * (boxed − primitive) × 2 sorts is a material share of the
+    * end-to-end seconds. */
+  private def madsort15(spark: SparkSession): Unit = {
+    import org.apache.spark.sql.graftx.MadSortProbe
+    val (boxedSec, primSec) = MadSortProbe.ab(nd = 2000000, reps = 5)
+    println(f"""{"probe":"madsort15 sort A/B 2M entries","boxed_sec":$boxedSec%.3f,"primitive_sec":$primSec%.3f}""")
+    // end-to-end: the counts-map fused pass at the ceiling. 8 groups x
+    // 1.8M distinct doubles (14.4M rows, every value distinct in its
+    // group) -- each final-reducer eval sorts 1.8M value pairs + ~1.8M
+    // deviation pairs.
+    val rows = spark.range(0, 14400000L).select(
+      pmod(col("id"), lit(8)).as("grp"),
+      (exp((col("id").cast("double") / 3600000.0)) +
+        col("id").cast("double") / 7.0).as("v"))
+      .localCheckpoint()
+    for (rep <- 1 to 3) {
+      val t0 = System.nanoTime()
+      val n = graft.operators.Profiling.robustOutliers(rows, col("grp"), col("v"))
+        .queryExecution.toRdd.count()
+      println(f"""{"probe":"madsort15 robustOutliers 8x1.8M r$rep","groups":$n,"sec":${(System.nanoTime() - t0) / 1e9}%.2f}""")
+    }
+  }
+
   private def assoc12(spark: SparkSession): Unit = {
     import org.apache.spark.sql.DataFrame
     import org.apache.spark.sql.expressions.Window
@@ -2003,6 +2035,67 @@ object ScaleProbe {
     println(f"""{"probe":"bloom14 wedges","replicas":$replicas,"edges":$m,"bits_capped":$bitsCapped,"bits_ideal":$bitsIdeal,"w_total":$wTotal,"w_capped":$wCapped,"w_ideal":$wIdeal,"fp_capped":$fpCap%.4f,"fp_ideal":$fpIde%.4f,"triangles":$triCapped}""")
   }
 
+  /** `runMain graft.ScaleProbe bloom15 [replicas]` — the bloom14
+    * mitigation claim, measured. bloom14 recorded the capped screen's
+    * cost at 30× (closing join 54.9 vs 31.6 s, max task 46.2 s) and
+    * ASSERTED the mitigation: "fp volume divides by executors; the max
+    * task is a local[32] artifact of partition count". This probe runs
+    * the SAME capped closing join at 30× under 32 (control), 64 and
+    * 128 shuffle partitions — if the claim holds, max-task drops
+    * roughly with partition count while the total stays bounded (same
+    * 32 cores, more waves). Rebuilds the bloom14 fixture if the canon
+    * parquet is absent. */
+  private def bloom15(spark: SparkSession, replicas: Int): Unit = {
+    import org.apache.spark.sql.graftx.{BloomScreen, SessionScope}
+    import graft.operators.Graph
+    spark.sparkContext.addSparkListener(MaxTask)
+    val canonPath = "/tmp/graft_bloom14/canon.parquet"
+    if (!new java.io.File(canonPath).exists()) {
+      val d = "/root/testdata/sf0.1"
+      val canon1 = spark.read.parquet(s"$d/lineitem.parquet")
+        .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+        .filter(col("ok").isNotNull && col("pk").isNotNull)
+        .groupBy(col("ok")).agg(collect_set(col("pk")).as("ps"))
+        .select(explode(col("ps")).as("a"), col("ps"))
+        .select(col("a"), explode(col("ps")).as("b"))
+        .filter(col("a") < col("b"))
+      (0 until replicas).map { r =>
+        val off = r * 10000000L
+        canon1.select((col("a") + off).as("a"), (col("b") + off).as("b"))
+      }.reduce(_ unionByName _)
+        .write.mode("overwrite").parquet(canonPath)
+    }
+    val raw = spark.read.parquet(canonPath)
+    val canon = Graph.canonicalUndirected(raw, "a", "b").localCheckpoint()
+    val oriented = Graph.orientByDegree(canon).localCheckpoint()
+    val m = oriented.count()
+    val bitsCapped = math.min(math.max(m * 10L, 1L << 20), Graph.WedgeBloomMaxBits)
+    val bfCapped = SessionScope.headUnderConf(
+      oriented.agg(BloomScreen.bloomAgg(struct(col("src"), col("dst")),
+        m, bitsCapped)),
+      Map("spark.sql.optimizer.runtime.bloomFilter.maxNumItems" -> m.toString,
+        "spark.sql.optimizer.runtime.bloomFilter.maxNumBits" -> bitsCapped.toString))
+      .getAs[Array[Byte]](0)
+    // AQE's partition coalescing would fold 64/128 partitions of a
+    // ~2 GB wedge shuffle back toward the 64 MB advisory size and
+    // erase the lever under test; pin it off for control AND variants
+    // so the comparison isolates partition count (a real cluster's
+    // equivalent lever is executor count, which AQE never coalesces
+    // below).
+    spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "false")
+    for (parts <- Seq(32, 64, 128); rep <- 1 to 2) {
+      spark.conf.set("spark.sql.shuffle.partitions", parts.toString)
+      MaxTask.reset()
+      val t0 = System.nanoTime()
+      val tri = Graph.closedWedges(oriented, bfCapped, hintShuffleHash = true)
+        .queryExecution.toRdd.count()
+      println(f"""{"probe":"bloom15 close capped","parts":$parts,"rep":$rep,"edges":$m,"triangles":$tri,"sec":${(System.nanoTime() - t0) / 1e9}%.2f,"max_task_sec":${MaxTask.max.get() / 1000.0}%.2f}""")
+    }
+    spark.conf.set("spark.sql.shuffle.partitions",
+      sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"))
+    spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "true")
+  }
+
   def main(args: Array[String]): Unit = {
     if (args.headOption.exists(Set("quota7", "pipe7", "freq7", "serve8",
         "outlier8", "budget8", "ids8", "aqe8", "rtfilter8", "prefix8",
@@ -2010,7 +2103,7 @@ object ScaleProbe {
         "kcore9", "linkpred10", "lpa11", "sparse11", "recall12",
         "lpa12", "crossover12", "headroom12", "sparse12", "assoc12",
         "headroom13", "assoc13", "sparse13", "sparse13b", "ckpt13x",
-        "bloom14"))) {
+        "bloom14", "madsort15", "bloom15"))) {
       val spark = SparkSession.builder()
         .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")}]")
         .config("spark.sql.shuffle.partitions",
@@ -2050,8 +2143,10 @@ object ScaleProbe {
         case "sparse13b" => sparse13b(spark)
         case "ckpt13x" => ckpt13x(spark)
         case "bloom14" => bloom14(spark, args.lift(1).map(_.toInt).getOrElse(30))
+        case "bloom15" => bloom15(spark, args.lift(1).map(_.toInt).getOrElse(30))
         case "sparse12" => sparse12(spark, args.lift(1).map(_.toInt).getOrElse(10))
         case "assoc12" => assoc12(spark)
+        case "madsort15" => madsort15(spark)
       }
       spark.stop()
       return
