@@ -20,8 +20,13 @@ def main():
     runs = [load(p) for p in paths]
     names = sorted({q for r in runs for q in r["queries"]})
     queries = {}
+    def sec(v):
+        # accept both the flat bench line ({"q": sec}) and the
+        # full-spread form ({"q": {"min","med","max"}}) -> its med
+        return float(v["med"]) if isinstance(v, dict) else float(v)
+
     for q in names:
-        vals = sorted(float(r["queries"][q]) for r in runs if q in r["queries"])
+        vals = sorted(sec(r["queries"][q]) for r in runs if q in r["queries"])
         queries[q] = {"min": vals[0], "med": statistics.median(vals),
                       "max": vals[-1], "runs": len(vals)}
     totals = sorted(float(r["value"]) for r in runs)
