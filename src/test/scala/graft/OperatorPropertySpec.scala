@@ -769,6 +769,159 @@ class OperatorPropertySpec extends SparkTestBase {
       "docs under 3 tokens must be absent, all others present")
   }
 
+  // -------------------------------------------- Dedup.winnowFingerprintsMd5
+
+  test("winnowFingerprintsMd5 == per-doc sliding-window-min recompute") {
+    import graft.operators.Dedup
+    val (k, w) = (3, 4)
+    val text = Gen.chooseNum(1, 15)
+      .flatMap(n => Gen.listOfN(n, Gen.oneOf('a', 'b')).map(_.mkString))
+    val rows = sample(text, 80).zipWithIndex.map { case (t, i) => (i.toLong, t) }
+    val df = rows.toDF("doc_id", "text")
+    val got = Dedup.winnowFingerprintsMd5(df, "doc_id", "text", k, w)
+      .as[(Long, Long)].collect().toSet
+
+    val want = rows.flatMap { case (id, t) =>
+      val n1 = math.max(t.length - (k - 1), 1)
+      // position hash: md5 prefix of the (possibly short near the end
+      // or whole-short-text) k-substring, exactly substr(pos, k)
+      val h = (1 to n1).map(p => md5Prefix(t.substring(p - 1,
+        math.min(p - 1 + k, t.length))))
+      val lastStart = math.max(n1 - (w - 1), 1)
+      (1 to lastStart).map { p =>
+        id -> h.slice(p - 1, math.min(p - 1 + w, n1)).min
+      }
+    }.toSet
+    assert(got == want)
+    assert(rows.exists(_._2.length > k + w),
+      "degenerate fixture: no doc long enough to slide the window")
+  }
+
+  // ------------------------------------------------- ModelScoring.knnPredict
+
+  test("knnPredict == brute-force cosine top-k majority vote") {
+    import graft.operators.ModelScoring
+    // integer-valued non-zero vectors: dot/norm/cos are the identical
+    // IEEE expressions on both sides, so ranking doubles compare exact
+    val vec = Gen.listOfN(4, Gen.chooseNum(-3, 3))
+      .retryUntil(v => v.exists(_ != 0)).map(_.map(_.toDouble))
+    val trainRows = sample(Gen.zip(vec, Gen.oneOf("a", "b", "c")), 24)
+    val dataRows = sample(vec, 40).zipWithIndex
+      .map { case (v, i) => (i.toLong, v) }
+    val train = trainRows.toDF("vec", "label")
+    val data = dataRows.toDF("id", "vec")
+    val k = 3
+    val got = ModelScoring.knnPredict(data, train, "id", "vec", "label", k)
+      .as[(Long, String)].collect().toMap
+
+    def dot(a: Seq[Double], b: Seq[Double]): Double =
+      a.indices.foldLeft(0.0)((s, i) => s + a(i) * b(i))
+    val want = dataRows.map { case (id, q) =>
+      val qn = math.sqrt(dot(q, q))
+      val scored = trainRows.map { case (t, lbl) =>
+        (dot(q, t) / (qn * math.sqrt(dot(t, t))), lbl) }
+      val top = scored.sortBy { case (c, lbl) => (-c, lbl) }.take(k)
+      val vote = top.groupBy(_._2).view.mapValues(_.size).toSeq
+        .sortBy { case (lbl, n) => (-n, lbl) }.head._1
+      id -> vote
+    }.toMap
+    assert(got == want)
+  }
+
+  // ------------------------------------------ Cleaning.redactPii / piiCounts
+
+  test("redactPii/piiCounts == ordered Java-regex fold on raw text") {
+    import graft.operators.Cleaning
+    val rows = Seq(
+      (1L, "mail bob.smith+x@corp.example.org now"),
+      (2L, "host 10.0.255.3 and 1.2.3.4 up"),
+      (3L, "call 555-1234 re a@b.io at 192.168.0.1"),
+      (4L, "overlap a@10.0.0.1.com stays one email"),
+      (5L, "nothing to scrub here"),
+      (6L, "666-7777 666-7777 twice"))
+    val df = rows.toDF("id", "text")
+    val countCols = Cleaning.piiCounts(col("text")).map { case (n, c) => c.as(n) }
+    val got = df.select(col("id") +: Cleaning.redactPii(col("text")).as("red")
+        +: countCols: _*)
+      .as[(Long, String, Int, Int, Int)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4, r._5))).toMap
+
+    val want = rows.map { case (id, t) =>
+      val red = Cleaning.PiiPatterns.foldLeft(t) { case (s, (_, p, r)) =>
+        s.replaceAll(p, r) }
+      val counts = Cleaning.PiiPatterns.map { case (_, p, _) =>
+        val m = java.util.regex.Pattern.compile(p).matcher(t)
+        var c = 0; while (m.find()) c += 1; c
+      }
+      id -> ((red, counts(0), counts(1), counts(2)))
+    }.toMap
+    assert(got == want)
+    assert(want(4L)._1.contains("<EMAIL>") && !want(4L)._1.contains("<IP>"),
+      "email-before-ip rule order must consume the in-mailbox address")
+  }
+
+  // ---------------------------------------------------------- Layout.zValue
+
+  test("zValue == Morton interleave of range-normalized buckets") {
+    import graft.operators.Layout
+    val bits = 4
+    val gen = Gen.zip(Gen.chooseNum(-50L, 150L), Gen.chooseNum(0L, 9999L))
+    val rows = sample(gen, 300).zipWithIndex
+      .map { case ((x, y), i) => (i.toLong, x, y) }
+    val df = rows.toDF("id", "x", "y")
+    val got = Layout.zValue(df, Seq("x", "y"), bits)
+      .select(col("id"), col("zval")).as[(Long, Long)].collect().toMap
+
+    val (xs, ys) = (rows.map(_._2), rows.map(_._3))
+    def bucket(v: Long, lo: Long, hi: Long): Long =
+      math.floor((v - lo).toDouble / (hi - lo + 1).toDouble * (1L << bits)).toLong
+    val want = rows.map { case (id, x, y) =>
+      val bx = bucket(x, xs.min, xs.max)
+      val by = bucket(y, ys.min, ys.max)
+      val z = (0 until bits).map { b =>
+        ((bx >> b) & 1L) * (1L << (b * 2)) + ((by >> b) & 1L) * (1L << (b * 2 + 1))
+      }.sum
+      id -> z
+    }.toMap
+    assert(got == want)
+  }
+
+  // ------------------------------------------------------ LangModel.selfScore
+
+  test("selfScore == add-k smoothed bigram NLL recompute") {
+    import graft.operators.LangModel
+    val word = Gen.oneOf("the", "cell", "grows", "fast", "slow", "und", "la")
+    val gen = Gen.chooseNum(1, 9).flatMap(n => Gen.listOfN(n, word))
+    val rows = sample(gen, 70).zipWithIndex
+      .map { case (ws, i) => (i.toLong, ws.mkString(" ")) }
+    val df = rows.toDF("doc_id", "text")
+    val k = 0.5
+    val got = LangModel.selfScore(df, "doc_id", "text", k)
+      .as[(Long, Long, Double)].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+
+    val bigrams = rows.map { case (id, t) =>
+      id -> t.trim.toLowerCase.split("\\s+").toSeq.sliding(2)
+        .filter(_.length == 2).map(p => (p(0), p(1))).toSeq
+    }.filter(_._2.nonEmpty)
+    val counts = bigrams.flatMap(_._2).groupBy(identity)
+      .view.mapValues(_.size.toLong).toMap
+    val context = counts.groupBy(_._1._1).view
+      .mapValues(_.values.sum).toMap
+    val v = counts.keySet.map(_._2).size.toDouble
+    def log2(x: Double) = math.log(x) / math.log(2.0)
+    assert(got.keySet == bigrams.map(_._1).toSet,
+      "single-token docs must be absent, all others present")
+    for ((id, bgs) <- bigrams) {
+      val nlls = bgs.map { case (w1, w2) =>
+        -log2((counts((w1, w2)) + k) / (context(w1) + k * v)) }
+      val (n, avg) = got(id)
+      assert(n == bgs.length.toLong, s"doc $id bigram count")
+      // FP-sum-order tolerance, same caveat as the dsirWeights pin
+      assert(math.abs(avg - nlls.sum / nlls.length) < 1e-9, s"doc $id avg_nll")
+    }
+  }
+
   test("token_fertility query == per-lang integer-sum ratio recompute") {
     val rows = docsGen
     val dir = writeDocsFixture(rows)
