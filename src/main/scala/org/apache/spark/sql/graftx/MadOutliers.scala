@@ -288,19 +288,64 @@ case class RobustOutliersAgg(child: Expression, k: Double,
     if (n == 0L) return InternalRow(null, null, 0L, buf.nulls)
     val (vs, cs) = MadOutliersAgg.sortedPairs(buf.counts)
     val med = MadOutliersAgg.interpolatedMedian(vs, cs, n)
-    // the dev multiset, re-collapsed by bits: |v − med| is the same
-    // Math.abs(Subtract) Spark's dev column computes; equal dev
-    // doubles from symmetric values merge exactly as the percentile
-    // buffer's boxed-Double keys would
-    val devCounts = new OpenHashMap[Long, Long](vs.length)
-    var i = 0
-    while (i < vs.length) {
-      val dev = math.abs(vs(i) - med)
-      devCounts.changeValue(
-        java.lang.Double.doubleToLongBits(dev), cs(i), _ + cs(i))
-      i += 1
+    if (java.lang.Double.isNaN(med)) {
+      // a NaN median makes EVERY deviation |v − med| NaN: the dev
+      // multiset is one NaN entry, whose interpolated median is NaN,
+      // and the SQL fence (dev > NaN·k never holds; mad = 0 never
+      // holds) counts zero outliers — returned directly instead of
+      // materializing that degenerate dev table
+      return InternalRow(med, Double.NaN, 0L, n + buf.nulls)
     }
-    val (dvs, dcs) = MadOutliersAgg.sortedPairs(devCounts)
+    // The dev multiset |v − med| in sorted order WITHOUT a second
+    // hash-build + sort: around a finite median the deviations of the
+    // sorted values are two sorted runs (left of the split descending
+    // toward 0, right ascending), so one outward two-pointer merge
+    // yields them in order — the MedianMadAgg integer spelling,
+    // extended to doubles. Exactness vs the former bits-keyed rebuild:
+    // fl(med − v) == -fl(v − med) == |v − med| exactly (IEEE negation
+    // is exact and rounding is sign-symmetric; abs of a finite
+    // difference never yields -0.0), equal devs across the two runs
+    // are double-taken into one entry exactly as equal BITS merged
+    // (finite abs results: primitive == iff bits ==), rounding-equal
+    // adjacent devs WITHIN a run stay adjacent entries whose expanded
+    // multiset — the thing the median walk and the fence sum consume —
+    // is unchanged, and the (single, bits-canonical) NaN value entry
+    // appends last with dev NaN, where the dev total order puts it.
+    val fin = if (java.lang.Double.isNaN(vs(vs.length - 1))) vs.length - 1
+              else vs.length
+    // first finite index strictly above the median: equal-to-med
+    // values (incl. -0.0 vs 0.0, primitively equal) stay on the left
+    // run where med − v gives the same +0.0 as abs
+    var split = 0
+    while (split < fin && !(vs(split) > med)) split += 1
+    val devCap = fin + (if (fin < vs.length) 1 else 0)
+    var dvs = new Array[Double](devCap)
+    var dcs = new Array[Long](devCap)
+    var l = split - 1
+    var r = split
+    var o = 0
+    while (l >= 0 || r < fin) {
+      // no sentinel values: a REAL ±Infinity input makes a legitimate
+      // +Infinity deviation, which a sentinel would collide with
+      val hasL = l >= 0
+      val hasR = r < fin
+      val devL = if (hasL) med - vs(l) else 0.0
+      val devR = if (hasR) vs(r) - med else 0.0
+      if (hasL && (!hasR || devL <= devR)) {
+        dvs(o) = devL; dcs(o) = cs(l); l -= 1
+        // equal devs across the two runs are ONE dev value — exactly
+        // the entries the former bits-keyed rebuild merged
+        if (hasR && devR <= devL) { dcs(o) += cs(r); r += 1 }
+        o += 1
+      } else {
+        dvs(o) = devR; dcs(o) = cs(r); r += 1; o += 1
+      }
+    }
+    if (fin < vs.length) { dvs(o) = Double.NaN; dcs(o) = cs(fin); o += 1 }
+    if (o < devCap) {
+      dvs = java.util.Arrays.copyOf(dvs, o)
+      dcs = java.util.Arrays.copyOf(dcs, o)
+    }
     val mad = MadOutliersAgg.interpolatedMedian(dvs, dcs, n)
     val outliers = MadOutliersAgg.fenceTail(dvs, dcs, mad, k)
     InternalRow(med, mad, outliers, n + buf.nulls)

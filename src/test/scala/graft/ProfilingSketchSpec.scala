@@ -195,7 +195,22 @@ class ProfilingSketchSpec extends SparkTestBase {
       // exceeds the finite positive k·MAD fence and COUNTS as an
       // outlier; a JVM-primitive walk silently reports 0
       Seq.fill(5)(("gm", Double.NaN)) ++
-      Seq.tabulate(45)(i => ("gm", i * 2.0))).toDF("grp", "v")
+      Seq.tabulate(45)(i => ("gm", i * 2.0)) ++
+      // ±Infinity group: legitimate +Inf deviations arise from BOTH
+      // sides of the median (−Inf on the left, +Inf on the right) —
+      // the round-15 two-pointer dev merge must treat them as one
+      // equal dev value, never as an exhausted-run sentinel
+      Seq(("gi", Double.NegativeInfinity), ("gi", Double.PositiveInfinity)) ++
+      Seq.tabulate(21)(i => ("gi", i * 3.0)) ++
+      // overflow group: huge finite values whose |v − med| rounds to
+      // +Inf within one run AND across runs
+      Seq(("gb", -1.7e308), ("gb", -1.6e308), ("gb", 1.7e308)) ++
+      Seq.tabulate(9)(i => ("gb", i * 1.0)) ++
+      // signed-zero group: −0.0 sits just below +0.0 in the buffer's
+      // total order but is primitively EQUAL to a 0.0 median — it must
+      // stay on the left run with dev +0.0, matching abs()
+      Seq(("gz", -0.0), ("gz", 0.0), ("gz", 0.0), ("gz", 1.0), ("gz", -1.0))
+    ).toDF("grp", "v")
     val fused = Profiling.robustOutliers(df, col("grp"), col("v"))
       .collect().map(r => r.getString(0) -> r.toSeq.toList).toMap
     val med = df.groupBy(col("grp"))
