@@ -886,6 +886,57 @@ class OperatorPropertySpec extends SparkTestBase {
     assert(got == want)
   }
 
+  // --------------------------------- Cleaning.contaminationSpans / cutSpans
+
+  test("contaminationSpans + cutSpans == window scan + covered-token filter") {
+    import graft.operators.Cleaning
+    val n = 3
+    val word = Gen.oneOf("aa", "bb", "cc", "dd", "ee")
+    val docGen = Gen.chooseNum(1, 10).flatMap(m => Gen.listOfN(m, word))
+      .map(_.mkString(" "))
+    val trainRows = sample(docGen, 50).zipWithIndex
+      .map { case (t, i) => (i.toLong, t) }
+    val evalRows = sample(docGen, 8).zipWithIndex
+      .map { case (t, i) => (1000L + i, t) }
+    val train = trainRows.toDF("doc_id", "text")
+    val evalSet = evalRows.toDF("doc_id", "text")
+
+    def grams(t: String): Seq[(Int, String)] = {
+      val toks = t.trim.split("\\s+").toSeq
+      val n1 = math.max(toks.length - (n - 1), 1)
+      // slice clamps at the end: a short doc's one gram is the whole doc
+      (0 until n1).map(p => p -> toks.slice(p, p + n).mkString(" "))
+    }
+    val evalGrams = evalRows.flatMap(r => grams(r._2).map(_._2)).toSet
+
+    val gotSpans = Cleaning.contaminationSpans(train, evalSet, "doc_id", "text", n)
+      .as[(Long, Long, Long, String)].collect().toSet
+    val wantSpans = trainRows.flatMap { case (id, t) =>
+      grams(t).collect { case (p, g) if evalGrams(g) =>
+        // 1-based inclusive token coords; tok_end may exceed a short
+        // doc's length by the operator's fixed-width contract
+        (id, (p + 1).toLong, (p + n).toLong, g) }
+    }.toSet
+    assert(gotSpans == wantSpans)
+    assert(wantSpans.nonEmpty, "degenerate fixture: zero contaminated windows")
+
+    val gotCut = Cleaning.cutSpans(train,
+        Cleaning.contaminationSpans(train, evalSet, "doc_id", "text", n),
+        "doc_id", "text")
+      .as[(Long, String, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    val wantCut = trainRows.map { case (id, t) =>
+      val toks = t.trim.split("\\s+").toSeq
+      val spans = wantSpans.collect { case (i, s, e, _) if i == id => (s, e) }
+      val kept = toks.zipWithIndex.collect { case (tok, i0)
+        if !spans.exists { case (s, e) => i0 + 1 >= s && i0 + 1 <= e } => tok }
+      id -> ((kept.mkString(" "), (toks.length - kept.length).toLong))
+    }.toMap
+    assert(gotCut == wantCut)
+    assert(wantCut.values.exists(c => c._2 > 0 && c._1.nonEmpty),
+      "degenerate fixture: no doc is PARTIALLY cut (surgical path untested)")
+  }
+
   // ------------------------------------------------------ LangModel.selfScore
 
   test("selfScore == add-k smoothed bigram NLL recompute") {
