@@ -173,10 +173,26 @@ object MadOutliersAgg {
     * middle-value pairs and would break the bit-identical contract
     * with the percentile-based spelling and the oracle. The equal-keys
     * guard is primitive ==, NOT Double.compare: Spark sees
-    * -0.0 == 0.0 as equal and returns lo (-0.0) rather than
-    * interpolating to +0.0 — the bits matter under a differential
-    * gate (NaN middle keys compare unequal either way and fall
-    * through to a NaN interpolation on both sides). */
+    * -0.0 == 0.0 as equal and returns lo rather than interpolating —
+    * the bits matter under a differential gate (NaN middle keys
+    * compare unequal either way and fall through to a NaN
+    * interpolation on both sides).
+    *
+    * ONE documented bits-level caveat (round-16): when the median
+    * rank(s) land where a -0.0 run meets a +0.0 run, Spark's own
+    * percentile is not deterministic in the SIGN of the zero it
+    * returns — its sort key is SQLOrderingUtil.compareDoubles, under
+    * which -0.0 and +0.0 compare EQUAL, so the stable sortBy keeps
+    * whatever order its OpenHashMap buffer iterates in (a function of
+    * hash-table capacity, observed +0.0-first at small sizes). This
+    * walk instead uses the strict bits total order (-0.0 < +0.0) and
+    * deterministically returns the -0.0 side of the boundary. The
+    * VALUE is identical (the zeros are SQL-equal, group-key
+    * normalization erases the sign, and |±0.0 − v| devs agree
+    * bit-for-bit), so every downstream quantity — MAD, fences, outlier
+    * counts — is unaffected; only a doubleToLongBits inspection of the
+    * median itself can see it. ProfilingSketchSpec's gz2 fixture pins
+    * exactly this: med compared value-equal, MAD compared bits. */
   private[graftx] def interpolatedMedian(vs: Array[Double], cs: Array[Long],
                                          n: Long): Double = {
     val pos = 0.5 * (n - 1).toDouble
@@ -296,26 +312,58 @@ case class RobustOutliersAgg(child: Expression, k: Double,
       // materializing that degenerate dev table
       return InternalRow(med, Double.NaN, 0L, n + buf.nulls)
     }
+    val fin = if (java.lang.Double.isNaN(vs(vs.length - 1))) vs.length - 1
+              else vs.length
+    if (!java.lang.Double.isFinite(med)) {
+      // med = ±Inf (an infinite value at the median positions, or a
+      // huge-magnitude interpolation overflowing): |v − med| is NaN
+      // for v primitively EQUAL to med (Inf − Inf) and +Inf for every
+      // other value, finite or opposite-infinity — the sorted dev
+      // multiset is at most the two entries [+Inf, NaN], built
+      // directly. The outward merge below assumes a FINITE center
+      // (only then are its two runs monotone): fed med = +Inf it
+      // emitted the equal-to-med NaN devs FIRST — an unsorted dev
+      // array, and unmerged with the appended NaN-value entry —
+      // breaking bit-parity with the two-aggregation SQL spelling
+      // (pinned by ProfilingSketchSpec's Inf-median fixtures).
+      var eq = 0L
+      var other = 0L
+      var i = 0
+      while (i < fin) {
+        if (vs(i) == med) eq += cs(i) else other += cs(i)
+        i += 1
+      }
+      val nanC = eq + (if (fin < vs.length) cs(fin) else 0L)
+      val sz = (if (other > 0L) 1 else 0) + (if (nanC > 0L) 1 else 0)
+      val dvs = new Array[Double](sz)
+      val dcs = new Array[Long](sz)
+      var o = 0
+      if (other > 0L) {
+        dvs(o) = Double.PositiveInfinity; dcs(o) = other; o += 1
+      }
+      if (nanC > 0L) { dvs(o) = Double.NaN; dcs(o) = nanC }
+      val mad = MadOutliersAgg.interpolatedMedian(dvs, dcs, n)
+      val outliers = MadOutliersAgg.fenceTail(dvs, dcs, mad, k)
+      return InternalRow(med, mad, outliers, n + buf.nulls)
+    }
     // The dev multiset |v − med| in sorted order WITHOUT a second
     // hash-build + sort: around a finite median the deviations of the
     // sorted values are two sorted runs (left of the split descending
     // toward 0, right ascending), so one outward two-pointer merge
     // yields them in order — the MedianMadAgg integer spelling,
     // extended to doubles. Exactness vs the former bits-keyed rebuild:
-    // fl(med − v) == -fl(v − med) == |v − med| exactly (IEEE negation
-    // is exact and rounding is sign-symmetric; abs of a finite
-    // difference never yields -0.0), equal devs across the two runs
+    // abs(fl(med − v)) == fl(|v − med|) == abs(fl(v − med)) exactly
+    // (IEEE negation is exact, rounding is sign-symmetric, and abs
+    // never yields -0.0), equal devs across the two runs
     // are double-taken into one entry exactly as equal BITS merged
     // (finite abs results: primitive == iff bits ==), rounding-equal
     // adjacent devs WITHIN a run stay adjacent entries whose expanded
     // multiset — the thing the median walk and the fence sum consume —
     // is unchanged, and the (single, bits-canonical) NaN value entry
     // appends last with dev NaN, where the dev total order puts it.
-    val fin = if (java.lang.Double.isNaN(vs(vs.length - 1))) vs.length - 1
-              else vs.length
     // first finite index strictly above the median: equal-to-med
     // values (incl. -0.0 vs 0.0, primitively equal) stay on the left
-    // run where med − v gives the same +0.0 as abs
+    // run, where the abs'd dev below is +0.0 exactly as the SQL abs
     var split = 0
     while (split < fin && !(vs(split) > med)) split += 1
     val devCap = fin + (if (fin < vs.length) 1 else 0)
@@ -329,7 +377,12 @@ case class RobustOutliersAgg(child: Expression, k: Double,
       // +Infinity deviation, which a sentinel would collide with
       val hasL = l >= 0
       val hasR = r < fin
-      val devL = if (hasL) med - vs(l) else 0.0
+      // the left-run dev is abs'd: bare med − v yields -0.0 for the
+      // (med = -0.0, v = +0.0) pair, a bits-level MAD divergence from
+      // the SQL spelling's abs(); abs is exact and never returns -0.0.
+      // The right run needs no abs — vs(r) > med strictly, and the
+      // difference of two unequal finite doubles never rounds to zero
+      val devL = if (hasL) math.abs(med - vs(l)) else 0.0
       val devR = if (hasR) vs(r) - med else 0.0
       if (hasL && (!hasR || devL <= devR)) {
         dvs(o) = devL; dcs(o) = cs(l); l -= 1

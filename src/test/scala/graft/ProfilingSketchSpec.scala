@@ -209,7 +209,25 @@ class ProfilingSketchSpec extends SparkTestBase {
       // signed-zero group: −0.0 sits just below +0.0 in the buffer's
       // total order but is primitively EQUAL to a 0.0 median — it must
       // stay on the left run with dev +0.0, matching abs()
-      Seq(("gz", -0.0), ("gz", 0.0), ("gz", 0.0), ("gz", 1.0), ("gz", -1.0))
+      Seq(("gz", -0.0), ("gz", 0.0), ("gz", 0.0), ("gz", 1.0), ("gz", -1.0)) ++
+      // Inf-MAJORITY median with NaNs (round-16 ADVICE #1): med = +Inf
+      // passes the NaN early-return, every equal-to-med dev is
+      // Inf − Inf = NaN while every other dev is +Inf — the sorted dev
+      // multiset is the directly-built [+Inf, NaN]; the outward merge,
+      // whose runs are monotone only about a FINITE center, emitted
+      // the NaN devs first (unsorted, unmerged with the NaN-value
+      // entry) and returned mad = +Inf, n_outliers = 4
+      Seq(("gj", 1.0), ("gj", Double.PositiveInfinity),
+        ("gj", Double.PositiveInfinity), ("gj", Double.NaN),
+        ("gj", Double.NaN)) ++
+      // −Inf median with a NaN tail: same direct construction, other
+      // side of the number line (equal-to-med devs −Inf − (−Inf) = NaN)
+      Seq.fill(3)(("gni", Double.NegativeInfinity)) ++
+      Seq(("gni", 5.0), ("gni", Double.NaN)) ++
+      // −0.0-MAJORITY group whose median is −0.0 (round-16 ADVICE #2):
+      // bare med − v yields −0.0 for v = +0.0 where SQL's abs gives
+      // +0.0 — the MAD must come back +0.0 BITS
+      Seq(("gz2", -0.0), ("gz2", -0.0), ("gz2", 0.0), ("gz2", 0.0))
     ).toDF("grp", "v")
     val fused = Profiling.robustOutliers(df, col("grp"), col("v"))
       .collect().map(r => r.getString(0) -> r.toSeq.toList).toMap
@@ -237,14 +255,43 @@ class ProfilingSketchSpec extends SparkTestBase {
     for ((g, (m, mad, n, out)) <- twoAgg) {
       val f = fused(g)
       // bit equality, not ==: the NaN-dev group's median and MAD are
-      // NaN on BOTH paths, and NaN == NaN is false
-      assert(bitsEq(f(1), m) && bitsEq(f(2), mad) && f(3) == n &&
-        f(4) == out,
+      // NaN on BOTH paths, and NaN == NaN is false. EXCEPTION, median
+      // only: when the median ranks land where a -0.0 run meets a
+      // +0.0 run (gz2), Spark's own percentile is nondeterministic in
+      // the zero's SIGN (SQLOrderingUtil-equal keys, stable sort over
+      // OpenHashMap iteration order — see interpolatedMedian's
+      // scaladoc), so ±0.0 medians compare value-equal (primitive ==,
+      // false for NaNs) with the deterministic fused choice pinned
+      // separately below. The MAD stays strict bits everywhere: its
+      // devs are abs'd on both paths and never carry a -0.0.
+      val medOk = bitsEq(f(1), m) || f(1).asInstanceOf[Double] == m
+      assert(medOk && bitsEq(f(2), mad) && f(3) == n && f(4) == out,
         s"group $g: fused $f vs two-agg ($m, $mad, $n, $out)")
     }
     // the minority-NaN group must actually exercise the NaN tail
     assert(twoAgg("gm")._4 == 5L,
       "fixture: gm's 5 NaN devs are outliers under SQL ordering")
+    // the Inf-median fixtures must actually reach the non-finite-med
+    // branch (med = ±Inf, mad = NaN, zero outliers) in the ORACLE too
+    assert(twoAgg("gj")._1.isPosInfinity && twoAgg("gj")._2.isNaN &&
+      twoAgg("gj")._4 == 0L, "fixture: gj has a +Inf median, NaN MAD")
+    assert(twoAgg("gni")._1.isNegInfinity && twoAgg("gni")._2.isNaN &&
+      twoAgg("gni")._4 == 0L, "fixture: gni has a -Inf median, NaN MAD")
+    // the ±0.0-straddle fixture: the oracle's MAD is +0.0 BITS (its
+    // devs go through abs) — the pair the abs'd left-run dev exists
+    // for — and the fused path's deterministic choices are pinned:
+    // median -0.0 bits (strict bits total order picks the low side of
+    // the boundary; Spark's own zero-sign there is a hash-layout
+    // artifact, compared value-equal above), MAD +0.0 bits
+    assert(twoAgg("gz2")._1 == 0.0 &&
+      java.lang.Double.doubleToLongBits(twoAgg("gz2")._2) == 0L,
+      "fixture: gz2's median is a zero and its MAD is +0.0 bits")
+    assert(java.lang.Double.doubleToLongBits(
+        fused("gz2")(1).asInstanceOf[Double]) ==
+      java.lang.Double.doubleToLongBits(-0.0) &&
+      java.lang.Double.doubleToLongBits(
+        fused("gz2")(2).asInstanceOf[Double]) == 0L,
+      "fused: gz2 median pinned -0.0 bits, MAD pinned +0.0 bits")
   }
 
   test("SQL surface: kll_rank and kll_absdev_stats are registered") {
