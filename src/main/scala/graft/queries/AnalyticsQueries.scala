@@ -249,6 +249,25 @@ object AnalyticsQueries {
           col("n_rows"), col("n_outliers"))
     }),
 
+    // The SAME robust report through the ABOVE-budget branch of the
+    // adaptive split: distinctBudget = 0 forces the histogram-refined
+    // windowed path (refinedMedian — bounded HistBins state per corpus
+    // pass), the plan a >2M-distinct continuous column takes at the
+    // 100 TB shape, where the fused counts-map above would hold one
+    // buffer entry per distinct double and die. Gating it separately
+    // puts BOTH branches of the split behind a DuckDB hash-match row
+    // (dq_outliers = fused below-budget, this = windowed above-budget);
+    // the branches are bit-identical by ProfilingSketchSpec's pins, so
+    // the oracle SQL is shared verbatim.
+    "dq_outliers_refined" -> ((s, d) => {
+      graft.operators.Profiling.robustOutliers(
+        tbl(s, d, "lineitem"), col("l_returnflag"), col("l_extendedprice"),
+        distinctBudget = 0L)
+        .select(col("grp").as("l_returnflag"),
+          round4(col("med")).as("med"), round4(col("mad")).as("mad"),
+          col("n_rows"), col("n_outliers"))
+    }),
+
     // Frequent-items cube: per-returnflag heavy-hitter sketches rolled
     // up globally; output = items whose frequency LOWER bound clears
     // 1/8 of the stream (NO_FALSE_POSITIVES). The stream is synthesized
@@ -389,6 +408,17 @@ object AnalyticsQueries {
         col("l_returnflag"), col("l_extendedprice"))
     }),
 
+    // The SAME median ± MAD through the ABOVE-budget branch:
+    // distinctBudget = 0 forces the original windowed two-phase
+    // distinct-value spelling (the >2M-distinct scale path), putting
+    // that branch of the adaptive split behind its own DuckDB
+    // hash-match row; bit-identical to agg_mad by construction, so the
+    // oracle SQL is shared verbatim.
+    "agg_mad_refined" -> ((s, d) => {
+      graft.operators.Profiling.medianAbsDeviation(tbl(s, d, "lineitem"),
+        col("l_returnflag"), col("l_extendedprice"), distinctBudget = 0L)
+    }),
+
     // Exact 5%-trimmed mean price per return flag: the robust
     // central-tendency profile (outlier-immune mean) via the
     // distinct-value decomposition — integer band overlap per
@@ -424,7 +454,16 @@ object AnalyticsQueries {
           col("norm_chars"))
     }))
 
-  val oracles: Map[String, String] = Map(
+  // The refined-path twins (dq_outliers_refined, agg_mad_refined)
+  // share their below-budget query's oracle VERBATIM — both branches
+  // of the adaptive split are bit-identical by ProfilingSketchSpec's
+  // pins, so one SQL gates both; appended after the literal below.
+  // (lazy: baseOracles is declared below, after this summary view)
+  lazy val oracles: Map[String, String] = baseOracles ++ Map(
+    "dq_outliers_refined" -> baseOracles("dq_outliers"),
+    "agg_mad_refined" -> baseOracles("agg_mad"))
+
+  private val baseOracles: Map[String, String] = Map(
 
     "dq_referential" ->
       """WITH p AS (
