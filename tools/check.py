@@ -64,14 +64,48 @@ def main():
     # round 10: the r7-r9 hash-reds were HUGEINT dtype leaks that only
     # strict mode catches. --no-strict opts out for quick value checks.
     strict = "--no-strict" not in sys.argv
+    # Per-oracle wall-clock cap (seconds), for sf0.1-scale gate runs
+    # where a handful of DuckDB pair oracles are known >60 s (COMPARE.md
+    # lists five at sf0.1). A capped oracle is recorded as TIMEOUT — a
+    # scale adjudication, counted separately from PASS/FAIL — never as
+    # a correctness verdict either way.
+    timeout = None
+    for i, a in enumerate(sys.argv):
+        if a == "--timeout" and i + 1 < len(sys.argv):
+            timeout = float(sys.argv[i + 1])
     con = duckdb.connect()
+
+    class OracleTimeout(Exception):
+        pass
+
+    def with_timeout(fn):
+        """Run fn(); if --timeout is set, interrupt DuckDB at the cap."""
+        if timeout is None:
+            return fn()
+        import threading
+        timed_out = threading.Event()
+
+        def interrupt():
+            timed_out.set()
+            con.interrupt()
+
+        t = threading.Timer(timeout, interrupt)
+        t.start()
+        try:
+            return fn()
+        except Exception:
+            if timed_out.is_set():
+                raise OracleTimeout()
+            raise
+        finally:
+            t.cancel()
     for t in TABLES:
         con.execute(
             f"CREATE VIEW {t} AS SELECT * FROM '{sfdir}/{t}.parquet'")
     with open(os.path.join(outdir, "oracle_sql.json")) as f:
         oracles = json.load(f)
 
-    n_pass = n_fail = 0
+    n_pass = n_fail = n_timeout = 0
     produced = {os.path.basename(p) for p in glob.glob(f"{outdir}/*")
                 if os.path.isdir(p)}
     for name in sorted(produced):
@@ -86,8 +120,15 @@ def main():
             print(f"SKIP {name}: no oracle ({len(got)} rows)")
             continue
         try:
-            exp_rel = con.sql(oracles[name])
-            exp_cols, exp = exp_rel.columns, exp_rel.fetchall()
+            def _run():
+                rel = con.sql(oracles[name])
+                return rel, rel.columns, rel.fetchall()
+            exp_rel, exp_cols, exp = with_timeout(_run)
+        except OracleTimeout:
+            print(f"TIMEOUT {name}: oracle exceeded {timeout:.0f}s in DuckDB "
+                  f"(scale adjudication; Spark output has {len(got)} rows)")
+            n_timeout += 1
+            continue
         except Exception as e:
             print(f"FAIL {name}: oracle SQL error: {e}")
             n_fail += 1
@@ -111,7 +152,14 @@ def main():
             try:
                 hash_ok = (strict_hash(con.sql(
                     f"SELECT * FROM '{files[0]}'").df())
-                    == strict_hash(con.sql(oracles[name]).df()))
+                    == strict_hash(with_timeout(
+                        lambda: con.sql(oracles[name]).df())))
+            except OracleTimeout:
+                note = "; value compare already matched" if cg == ce else ""
+                print(f"TIMEOUT {name}: oracle strict-hash pass exceeded "
+                      f"{timeout:.0f}s in DuckDB (scale adjudication{note})")
+                n_timeout += 1
+                continue
             except Exception as e:
                 print(f"FAIL {name}: strict-hash err: {e}")
                 n_fail += 1
@@ -138,7 +186,7 @@ def main():
     for name in sorted(set(oracles) - produced):
         print(f"FAIL {name}: oracle declared but no output")
         n_fail += 1
-    print(f"\n{n_pass} pass, {n_fail} fail, "
+    print(f"\n{n_pass} pass, {n_fail} fail, {n_timeout} oracle-timeout, "
           f"{len(produced - set(oracles))} rows-only")
     sys.exit(1 if n_fail else 0)
 
