@@ -60,10 +60,19 @@ object Bench {
     }
     val sfOk = "\"sf\"\\s*:\\s*\"([^\"]+)\"".r.findFirstMatchIn(txt)
       .exists(_.group(1) == sfDir)
-    if (!sfOk) Map.empty
-    else "\"([A-Za-z0-9_]+)\"\\s*:\\s*\\{[^}]*?\"med\"\\s*:\\s*([0-9.]+)".r
-      .findAllMatchIn(txt).map(m => m.group(1) -> m.group(2).toDouble).toMap
+    if (!sfOk) Map.empty else parseMedians(txt)
   } catch { case _: Throwable => Map.empty }
+
+  /** Per-query "med" values out of a record's JSON text.
+    * [^{}] (not just [^}]) in the block matcher: with `{` allowed, the
+    * outer "queries" key itself matched first — `"queries": {` reaches
+    * the FIRST query's "med" without crossing a `}` — consuming that
+    * query's entry, so the alphabetically-first query in every
+    * committed record silently lost stall protection (BenchSpec pins
+    * this). */
+  private[graft] def parseMedians(txt: String): Map[String, Double] =
+    "\"([A-Za-z0-9_]+)\"\\s*:\\s*\\{[^{}]*?\"med\"\\s*:\\s*([0-9.]+)".r
+      .findAllMatchIn(txt).map(m => m.group(1) -> m.group(2).toDouble).toMap
 
   /** Stable host clock for the cross-round drift stamp: cpufreq
     * base_frequency, then cpuinfo_max_freq (both per-host constants,
