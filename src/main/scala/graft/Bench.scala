@@ -93,6 +93,30 @@ object Bench {
         } catch { case _: Throwable => None }
       }.nextOption()
 
+  /** Fixed-work single-thread CPU calibration: time 2e8 xorshift64*
+    * steps (deterministic, allocation-free, JIT-warmed by an untimed
+    * quarter-length pass). Stamped as "host_cal_ms" beside host_mhz:
+    * the r15→r16 records proved nominal clock alone cannot catch
+    * effective-throughput drift — both sessions stamped 2100 MHz yet
+    * the SAME r15 tree read ~1.3× over its own committed record on an
+    * idle host (co-tenancy / host-class drift). The ratio of two
+    * rounds' host_cal_ms is a same-work normalizer a reader can apply
+    * to cross-round totals without any prose adjudication. */
+  private def calibrateMs(): Long = {
+    def pass(n: Int): Long = {
+      var x = 0x9E3779B97F4A7C15L; var acc = 0L; var i = 0
+      while (i < n) { x ^= x << 13; x ^= x >>> 7; x ^= x << 17; acc += x; i += 1 }
+      acc
+    }
+    val warm = pass(50000000)
+    val t0 = System.nanoTime()
+    val s = pass(200000000)
+    val ms = (System.nanoTime() - t0) / 1000000
+    // consume both results so the loops cannot be dead-code-eliminated
+    if (warm + s == 0x5DEECE66DL) System.err.print("")
+    ms
+  }
+
   /** Max 'cpu MHz' across all cores in one /proc/cpuinfo read. */
   private def procMhz(): Option[Double] = try {
     val src = scala.io.Source.fromFile("/proc/cpuinfo")
@@ -151,6 +175,10 @@ object Bench {
     val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
       .map(_.split(',').toSeq.filter(_.nonEmpty))
       .filter(_.nonEmpty)
+    // one calibration sample before the passes and one after; MIN is
+    // the stamp (closest to uncontended hardware capability — a
+    // contended sample can only read high)
+    var calMs = calibrateMs()
     val ordered = SparkEntry.queries.toSeq
       .filter { case (n, _) => only.forall(_.exists(n.startsWith)) }
     val samples = scala.collection.mutable.Map.empty[String, List[Double]]
@@ -204,6 +232,7 @@ object Bench {
         }
       }
     }
+    calMs = math.min(calMs, calibrateMs())
     val total = if (med.nonEmpty) med.values.sum else 0.0
     val allEntries = med.toSeq.sortBy(-_._2)
       .map { case (k, v) => s"\"" + k + "\":" + fmt(v) }
@@ -229,7 +258,7 @@ object Bench {
         s"\"" + k + s"""\":{"min":${fmt(t(0))},"med":${fmt(t(1))},"max":${fmt(t(2))}}"""
       }.mkString(
         s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":{""",
-        ",", s"""},"sf":"$sfDir"$stallJson,"host_mhz":$hostMhz}""")
+        ",", s"""},"sf":"$sfDir"$stallJson,"host_mhz":$hostMhz,"host_cal_ms":$calMs}""")
       java.nio.file.Files.createDirectories(java.nio.file.Paths.get("bench_history"))
       java.nio.file.Files.write(
         java.nio.file.Paths.get("bench_history/last_full.json"),
@@ -239,7 +268,7 @@ object Bench {
     // 2000-char tail capture (budget leaves room for the sbt epilogue).
     val budget = 1600
     val prefix = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":{"""
-    val suffix = s"""},"sf":"$sfDir"$stallJson,"host_mhz":$hostMhz}"""
+    val suffix = s"""},"sf":"$sfDir"$stallJson,"host_mhz":$hostMhz,"host_cal_ms":$calMs}"""
     val kept = new scala.collection.mutable.ListBuffer[String]
     var len = prefix.length + suffix.length
     allEntries.foreach { e =>
