@@ -16,6 +16,7 @@ DuckDB stands in for the reference's single-node columnar engine
 executor. Queries that exceed the timeout are reported as ">Ns".
 """
 import json
+import os
 import multiprocessing as mp
 import sys
 import time
@@ -170,6 +171,14 @@ def main():
                 f"duckdb {duck_known:.1f} s over {len(rows) - n_timeout} finished "
                 f"(+{n_timeout} queries exceeding the {timeout:.0f} s timeout "
                 f"that Spark completes in seconds).\n")
+    # Standing adjudication / acceptance notes survive regeneration:
+    # earlier rounds hand-wrote them into COMPARE.md and every re-run
+    # of this tool silently dropped them. They now live in
+    # tools/compare_notes.md and are appended verbatim.
+    notes = os.path.join(os.path.dirname(__file__), "compare_notes.md")
+    if os.path.exists(notes):
+        with open("COMPARE.md", "a") as f:
+            f.write("\n" + open(notes).read())
     print(f"\nwrote COMPARE.md  spark_total={spark_total:.1f}s "
           f"duckdb_finished_total={duck_known:.1f}s timeouts={n_timeout}")
 
