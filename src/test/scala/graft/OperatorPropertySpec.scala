@@ -993,4 +993,146 @@ class OperatorPropertySpec extends SparkTestBase {
     }
     assert(got == want)
   }
+
+  // ---------------------------------------- Profiling.weightedMedian
+
+  test("weightedMedian == cumulative-weight scan over sorted distinct values") {
+    import graft.operators.Profiling
+    // fractional, zero, negative and null weights; null values — every
+    // documented exclusion rule exercised
+    val gen = Gen.zip(Gen.oneOf("g1", "g2", "g3"),
+      Gen.option(Gen.chooseNum(-30L, 30L).map(_.toDouble / 2)),
+      Gen.option(Gen.chooseNum(-4L, 40L).map(_.toDouble / 10)))
+    val rows = sample(gen, 600)
+    val df = rows.toDF("grp", "v", "w")
+    val got = Profiling.weightedMedian(df, col("grp"), col("v"), col("w"))
+      .as[(String, Double, Long)].collect().toSet
+
+    val want = rows.groupBy(_._1).flatMap { case (g, rs) =>
+      // HALF-UP integer weights, drop null v / null w / w<=0 — as documented
+      val kept = rs.collect { case (_, Some(v), Some(w))
+        if math.floor(w + 0.5).toLong > 0 => (v, math.floor(w + 0.5).toLong) }
+      if (kept.isEmpty) None
+      else {
+        val perValue = kept.groupBy(_._1).view.mapValues(_.map(_._2).sum)
+          .toSeq.sortBy(_._1)
+        val tw = perValue.map(_._2).sum
+        // smallest v whose 2*cumulative >= total (integer arithmetic)
+        val med = perValue.scanLeft((0.0, 0L)) { case ((_, c), (v, vw)) =>
+          (v, c + vw) }.tail.collectFirst { case (v, c) if 2 * c >= tw => v }.get
+        Some((g, med, tw))
+      }
+    }.toSet
+    assert(got == want)
+  }
+
+  // ---------------------------------------- Profiling.equiDepthHistogram
+
+  test("equiDepthHistogram == integer floor-div bucket recompute") {
+    import graft.operators.Profiling
+    val gen = Gen.option(Gen.chooseNum(-200L, 200L).map(_.toDouble / 4))
+    val rows = sample(gen, 700)
+    val df = rows.toDF("v")
+    val buckets = 8
+    val got = Profiling.equiDepthHistogram(df, col("v"), buckets)
+      .as[(Long, Long, Double, Double)].collect().toSet
+
+    val vals = rows.flatten
+    val n = vals.size.toLong
+    val perValue = vals.groupBy(identity).view.mapValues(_.size.toLong)
+      .toSeq.sortBy(_._1)
+    // below = rows strictly before this distinct value in sort order;
+    // bucket = (below * B) div n — the operator's exact integer spelling
+    val bucketed = perValue.scanLeft((0.0, 0L, 0L)) { case ((_, _, cum), (v, c)) =>
+      (v, cum, cum + c) }.tail
+      .map { case (v, below, _) => ((below * buckets) / n, v, perValue.toMap.apply(v)) }
+    val want = bucketed.groupBy(_._1).map { case (b, vs) =>
+      (b, vs.map(_._3).sum, vs.map(_._2).min, vs.map(_._2).max) }.toSet
+    assert(got == want)
+  }
+
+  // ---------------------------------------- Relational.asofJoin
+
+  test("asofJoin == per-key latest-preceding scan (ties take the right row)") {
+    import graft.operators.Relational
+    // right unique on (key, ts) — two right rows on the same instant
+    // have no defined winner in ASOF semantics
+    val rGen = Gen.zip(Gen.chooseNum(0L, 9L), Gen.chooseNum(0L, 100L),
+      Gen.chooseNum(1000L, 9999L))
+    val right = sample(rGen, 150).distinctBy(r => (r._1, r._2))
+    val lGen = Gen.zip(Gen.chooseNum(0L, 11L), Gen.chooseNum(0L, 100L))
+    val left = sample(lGen, 300).zipWithIndex
+      .map { case ((k, ts), i) => (i.toLong, k, ts) }
+
+    val ldf = left.toDF("id", "k", "ts")
+    val rdf = right.toDF("k", "ts", "x")
+    val got = Relational.asofJoin(ldf, rdf, "k", "ts", Seq("x"))
+      .select(col("id"), col("asof_x"))
+      .as[(Long, Option[Long])].collect().toMap
+
+    val want = left.map { case (id, k, ts) =>
+      val prior = right.filter(r => r._1 == k && r._2 <= ts)
+      id -> (if (prior.isEmpty) None
+             else Some(prior.maxBy(_._2)._3)) // <= convention: same-ts right row wins
+    }.toMap
+    assert(got == want)
+  }
+
+  // ---------------------------------------- TfIdf.topTerms
+
+  test("TfIdf.topTerms == naive per-doc smoothed tf-idf recompute") {
+    import graft.operators.TfIdf
+    val words = Seq("alpha", "beta", "gamma", "delta", "eps", "zeta", "eta")
+    val docGen = Gen.nonEmptyListOf(Gen.oneOf(words)).map(_.mkString(" "))
+    val docs = sample(docGen, 40).zipWithIndex
+      .map { case (t, i) => (i.toLong, t) }
+    val df = docs.toDF("id", "text")
+    val k = 3
+    val got = TfIdf.topTerms(df, "id", "text", k)
+      .as[(Long, Int, String, Double)].collect().toSet
+
+    val tf = docs.flatMap { case (id, t) =>
+      t.trim.split("\\s+").toSeq.groupBy(identity)
+        .map { case (w, os) => (id, w, os.size.toLong) } }
+    val dfreq = tf.groupBy(_._2).view.mapValues(_.size.toLong).toMap
+    val nDocs = docs.size.toLong
+    val want = tf.groupBy(_._1).toSeq.flatMap { case (id, terms) =>
+      val scored = terms.map { case (_, w, f) =>
+        val idf = math.log((nDocs + 1).toDouble / (dfreq(w) + 1)) + 1
+        // the operator's exact rounding spelling: floor(tf*idf*1e4 + .5)/1e4
+        (w, math.floor(f * idf * 10000 + 0.5) / 10000) }
+      scored.sortBy { case (w, s) => (-s, w) }.take(k).zipWithIndex
+        .map { case ((w, s), r) => (id, r + 1, w, s) }
+    }.toSet
+    assert(got == want)
+  }
+
+  // ---------------------------------------- Collocations.bigramPmi
+
+  test("bigramPmi == naive adjacent-pair count recompute") {
+    import graft.operators.Collocations
+    val words = Seq("Big", "data", "Spark", "scale", "join", "agg")
+    val docGen = Gen.nonEmptyListOf(Gen.oneOf(words)).map(_.mkString(" "))
+    val docs = sample(docGen, 60)
+    val df = docs.toDF("text")
+    // k larger than any possible qualifying bigram count: the limit
+    // never cuts inside a rounded-PMI tie, so set equality is exact
+    val got = Collocations.bigramPmi(df, "text", minCount = 2L, k = 1000)
+      .as[(String, String, Long, Double)].collect().toSet
+
+    val tokDocs = docs.map(_.trim.toLowerCase.split("\\s+").toSeq.filter(_.nonEmpty))
+    val uni = tokDocs.flatten.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val bi = tokDocs.flatMap(ts => ts.zip(ts.drop(1)))
+      .groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val nUni = uni.values.sum.toDouble
+    val nBi = bi.values.sum.toDouble
+    val want = bi.collect { case ((w1, w2), nab) if nab >= 2L =>
+      // the operator's exact association order:
+      // ((nab·nUni)·nUni) / ((nBi·nW1)·nW2)
+      val pmi = round4(math.log(
+        nab.toDouble * nUni * nUni / (nBi * uni(w1).toDouble * uni(w2))))
+      (w1, w2, nab, pmi)
+    }.toSet
+    assert(got == want)
+  }
 }
