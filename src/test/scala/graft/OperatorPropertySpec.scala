@@ -998,8 +998,10 @@ class OperatorPropertySpec extends SparkTestBase {
 
   test("weightedMedian == cumulative-weight scan over sorted distinct values") {
     import graft.operators.Profiling
-    // fractional, zero, negative and null weights; null values — every
-    // documented exclusion rule exercised
+    // Complements PropertySpec's weight-expansion pin (integer weights
+    // 1..5): fractional, zero, negative and null weights; null values —
+    // the documented half-up-rounding and w<=0 exclusion rules, which
+    // no other test reaches
     val gen = Gen.zip(Gen.oneOf("g1", "g2", "g3"),
       Gen.option(Gen.chooseNum(-30L, 30L).map(_.toDouble / 2)),
       Gen.option(Gen.chooseNum(-4L, 40L).map(_.toDouble / 10)))
@@ -1030,6 +1032,10 @@ class OperatorPropertySpec extends SparkTestBase {
 
   test("equiDepthHistogram == integer floor-div bucket recompute") {
     import graft.operators.Profiling
+    // Complements PropertySpec's naive-rank-window pin, which checks
+    // the operator against another SPARK plan (a shared Spark bug
+    // would pass both sides): this reference is pure Scala, and the
+    // values are doubles where that pin casts to long
     val gen = Gen.option(Gen.chooseNum(-200L, 200L).map(_.toDouble / 4))
     val rows = sample(gen, 700)
     val df = rows.toDF("v")
@@ -1055,8 +1061,12 @@ class OperatorPropertySpec extends SparkTestBase {
 
   test("asofJoin == per-key latest-preceding scan (ties take the right row)") {
     import graft.operators.Relational
-    // right unique on (key, ts) — two right rows on the same instant
-    // have no defined winner in ASOF semantics
+    // Complements PropertySpec's asof pin, whose generator spreads
+    // right timestamps (t*7+i%7) so left-right same-instant ties are
+    // rare: here both sides draw from the same dense 0..100 domain, so
+    // the <=-convention tie path is exercised constantly. Right stays
+    // unique on (key, ts) — two right rows on the same instant have no
+    // defined winner in ASOF semantics
     val rGen = Gen.zip(Gen.chooseNum(0L, 9L), Gen.chooseNum(0L, 100L),
       Gen.chooseNum(1000L, 9999L))
     val right = sample(rGen, 150).distinctBy(r => (r._1, r._2))
@@ -1133,6 +1143,71 @@ class OperatorPropertySpec extends SparkTestBase {
         nab.toDouble * nUni * nUni / (nBi * uni(w1).toDouble * uni(w2))))
       (w1, w2, nab, pmi)
     }.toSet
+    assert(got == want)
+  }
+
+  // ---------------------------------------- Association.pairRules
+
+  test("pairRules == naive guarded-basket support/confidence/lift recompute") {
+    import graft.operators.Association
+    // small catalog over many baskets: dense co-occurrence, plenty of
+    // duplicate (basket, item) rows for the distinct step, nulls mixed in
+    val gen = Gen.zip(Gen.option(Gen.chooseNum(0L, 39L)),
+      Gen.option(Gen.chooseNum(100L, 109L)))
+    val rows = sample(gen, 800)
+    val df = rows.toDF("bk", "it")
+    val minSupport = 3L
+    val maxBasket = 6
+    val got = Association.pairRules(df, "bk", "it",
+        minSupport = minSupport, k = 10000, maxBasketItems = maxBasket)
+      .as[(Long, Long, Long, Long, Long, Double, Double)].collect().toSeq
+
+    val baskets = rows.collect { case (Some(b), Some(i)) => (b, i) }
+      .distinct.groupBy(_._1).view.mapValues(_.map(_._2).toSet)
+      .filter(_._2.size <= maxBasket).toMap // the guard: stats over SURVIVORS only
+    val n = baskets.size.toLong
+    val itemN = baskets.values.toSeq.flatten.groupBy(identity)
+      .view.mapValues(_.size.toLong).toMap
+    val pairN = baskets.values.toSeq
+      .flatMap(s => s.toSeq.sorted.combinations(2).map(p => (p(0), p(1))))
+      .groupBy(identity).view.mapValues(_.size.toLong)
+      .filter(_._2 >= minSupport).toMap
+    val want = pairN.toSeq.flatMap { case ((a, b), pn) =>
+      Seq((a, b), (b, a)).map { case (ante, cons) =>
+        (ante, cons, pn, itemN(ante), itemN(cons),
+          pn.toDouble / itemN(ante).toDouble,
+          pn.toDouble * n.toDouble / (itemN(ante).toDouble * itemN(cons).toDouble))
+      }
+    }.sortBy { case (a, c, _, _, _, conf, _) => (-conf, a, c) }
+    assert(got == want)
+  }
+
+  // ---------------------------------------- Dedup.simhashBits
+
+  test("simhashBits == per-token md5-nibble vote recompute") {
+    import graft.operators.Dedup
+    val words = Seq("red", "green", "blue", "cyan", "teal", "plum", "gold")
+    val docGen = Gen.nonEmptyListOf(Gen.oneOf(words))
+    val docs = sample(docGen, 50).zipWithIndex
+      .map { case (ts, i) => (i.toLong, ts) }
+    val df = docs.toDF("id", "toks")
+    val bits = 32
+    val got = Dedup.simhashBits(df, "id", col("toks"), bits)
+      .as[(Long, String)].collect().toMap
+
+    def md5hex(s: String): String = java.security.MessageDigest
+      .getInstance("MD5").digest(s.getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
+    val low = "13579bdf".toSet
+    val want = docs.map { case (id, ts) =>
+      // duplicate tokens vote multiply (the operator explodes, never
+      // dedups); bit i reads hex char i of each token's md5
+      val sig = (0 until bits).map { i =>
+        val v = ts.map(t => if (low(md5hex(t)(i))) 1 else -1).sum
+        if (v > 0) '1' else '0'
+      }.mkString
+      id -> sig
+    }.toMap
     assert(got == want)
   }
 }
