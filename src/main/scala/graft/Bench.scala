@@ -26,12 +26,17 @@ import org.apache.spark.sql.SparkSession
   * three samples): after the three passes, any query whose median
   * exceeds 3× its median in the newest committed
   * `bench_history/r*_final_full.json` record (same-SF records only)
-  * is re-run twice; if the fresh samples confirm a stall (best rerun
-  * under median/1.5 — the same plan just ran far faster), the
-  * reported value becomes the rerun best and the original lands in a
-  * `"stall_rerun"` map alongside it, so the artifact carries BOTH
-  * numbers and needs no manual adjudication. A rerun that stays slow
-  * is a genuine regression and the original median stands.
+  * is re-run twice (capped at the 8 worst over-record ratios — a
+  * stall window strands a handful of queries; a whole-suite shift is
+  * host drift, not a stall); if the fresh samples confirm a stall
+  * (best rerun under median/1.5 — the same plan just ran far faster),
+  * the reported value becomes the rerun best and the original lands
+  * in a `"stall_rerun"` map alongside it, so the artifact carries
+  * BOTH numbers and needs no manual adjudication. A rerun that stays
+  * slow is a genuine regression and the original median stands. The
+  * substituted value ALSO flows into last_full.json's "med" (see the
+  * writer comment) so downstream records and next-round triggers see
+  * the adjudicated number.
   *
   * The harness that consumes stdout captures only the last ~2000
   * characters, so the line must stay comfortably under that: `value`
@@ -213,24 +218,32 @@ object Bench {
     // original in the artifact either way it resolves.
     val recMeds = recordMedians(sfDir)
     val stallRerun = scala.collection.mutable.Map.empty[String, (Double, Double)]
-    for ((name, fn) <- ordered) {
-      val m = med(name)
-      recMeds.get(name).foreach { rec =>
-        if (m > 3.0 * rec && m - rec > 0.3) {
-          val fresh = (1 to 2).map { _ =>
-            val t0 = System.nanoTime()
-            try { fn(spark, sfDir).queryExecution.toRdd.count() }
-            catch { case _: Throwable => -1L }
-            (System.nanoTime() - t0) / 1e9
-          }
-          val best = fresh.min
-          // every reconfirmation is recorded (a reader sees the
-          // 3×-over-record query was re-checked even when it held);
-          // the reported median changes ONLY on a confirmed stall
-          stallRerun(name) = (m, best)
-          if (best < m / 1.5) med(name) = best
-        }
+    // Candidates capped at the WORST offenders (by over-record ratio):
+    // a genuine stall window strands a handful of queries, while a
+    // whole-suite 3×-over-record read is a host-class shift where
+    // re-running ~260 queries twice would double the sweep on the
+    // already-slow host AND overflow the stdout line's ~2000-char
+    // tail-capture contract with an unbounded stall_rerun map.
+    val StallRerunCap = 8
+    val candidates = ordered
+      .flatMap { case (name, fn) =>
+        recMeds.get(name).map(rec => (name, fn, med(name), rec)) }
+      .filter { case (_, _, m, rec) => m > 3.0 * rec && m - rec > 0.3 }
+      .sortBy { case (_, _, m, rec) => -(m / rec) }
+      .take(StallRerunCap)
+    for ((name, fn, m, _) <- candidates) {
+      val fresh = (1 to 2).map { _ =>
+        val t0 = System.nanoTime()
+        try { fn(spark, sfDir).queryExecution.toRdd.count() }
+        catch { case _: Throwable => -1L }
+        (System.nanoTime() - t0) / 1e9
       }
+      val best = fresh.min
+      // every reconfirmation is recorded (a reader sees the
+      // 3×-over-record query was re-checked even when it held);
+      // the reported median changes ONLY on a confirmed stall
+      stallRerun(name) = (m, best)
+      if (best < m / 1.5) med(name) = best
     }
     calMs = math.min(calMs, calibrateMs())
     val total = if (med.nonEmpty) med.values.sum else 0.0
@@ -250,12 +263,21 @@ object Bench {
       .orElse(sampledMhz.map(_.round.toString))
       .getOrElse("null")
     // Full per-query spread for local tooling (not part of the
-    // one-line contract): {"q":{"min":..,"med":..,"max":..},...} —
-    // raw three-pass samples; a confirmed stall substitution shows in
-    // the adjacent stall_rerun map, never by rewriting the samples.
+    // one-line contract): {"q":{"min":..,"med":..,"max":..},...}.
+    // "med" is the REPORTED value — after any confirmed stall
+    // substitution — because every consumer of this file reads it as
+    // the query's time: bench_median.py folds it into the committed
+    // round record (which next round's 3× stall trigger compares
+    // against — a raw stalled med there would raise the trigger bar
+    // ~3× and disable the defense exactly where it last fired),
+    // bench_compare.py prints it as the COMPARE.md spark column, and
+    // sum(med) must equal the line's "value". min/max stay the raw
+    // samples, and the raw pre-substitution median is preserved as
+    // "orig" in the adjacent stall_rerun map — both numbers are in
+    // the artifact.
     try {
-      val full = results.toSeq.sortBy(-_._2(1)).map { case (k, t) =>
-        s"\"" + k + s"""\":{"min":${fmt(t(0))},"med":${fmt(t(1))},"max":${fmt(t(2))}}"""
+      val full = results.toSeq.sortBy { case (k, _) => -med(k) }.map { case (k, t) =>
+        s"\"" + k + s"""\":{"min":${fmt(t(0))},"med":${fmt(med(k))},"max":${fmt(t(2))}}"""
       }.mkString(
         s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":{""",
         ",", s"""},"sf":"$sfDir"$stallJson,"host_mhz":$hostMhz,"host_cal_ms":$calMs}""")
