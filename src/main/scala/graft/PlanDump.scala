@@ -18,10 +18,23 @@ object PlanDump {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // When SPARK_GRAFT_PLAN_DIR is set, ALSO write each query's
+    // `.explain("formatted")` to <dir>/<name>_<SPARK_GRAFT_PLAN_SUFFIX
+    // (default "plan")>.txt — the round-16 plans/ evidence files.
+    val planDir = sys.env.get("SPARK_GRAFT_PLAN_DIR")
+    val suffix = sys.env.getOrElse("SPARK_GRAFT_PLAN_SUFFIX", "plan")
+    planDir.foreach(d =>
+      java.nio.file.Files.createDirectories(java.nio.file.Paths.get(d)))
     args.foreach { name =>
       println(s"==== $name ====")
-      println(SparkEntry.queries(name)(spark, sfDir)
-        .queryExecution.executedPlan.toString)
+      val qe = SparkEntry.queries(name)(spark, sfDir).queryExecution
+      println(qe.executedPlan.toString)
+      planDir.foreach { d =>
+        java.nio.file.Files.write(
+          java.nio.file.Paths.get(d, s"${name}_$suffix.txt"),
+          qe.explainString(org.apache.spark.sql.execution
+            .ExplainMode.fromString("formatted")).getBytes("UTF-8"))
+      }
     }
     spark.stop()
   }

@@ -76,6 +76,68 @@ object ScaleProbe {
       }
   }
 
+  /** Per-JOB wall clock with job group/description — the round-16
+    * optimization probe: multi-job operators (refined medians, power
+    * iterations) hide their cost structure from a single end-to-end
+    * timer; this says which JOB owns the seconds. Async-safe the same
+    * way StageStats is (quiesce by stable snapshots). */
+  private object JobTimes extends SparkListener {
+    import org.apache.spark.scheduler.{SparkListenerJobStart, SparkListenerJobEnd}
+    private val starts = scala.collection.concurrent.TrieMap[Int, (Long, String)]()
+    private val done =
+      scala.collection.concurrent.TrieMap[Int, (Long, String, Int)]()
+    override def onJobStart(j: SparkListenerJobStart): Unit = {
+      val desc = Option(j.properties)
+        .flatMap(p => Option(p.getProperty("spark.job.description")))
+        .getOrElse("")
+      starts.put(j.jobId, (System.nanoTime(), desc))
+    }
+    override def onJobEnd(j: SparkListenerJobEnd): Unit =
+      starts.remove(j.jobId).foreach { case (t0, desc) =>
+        done.put(j.jobId, ((System.nanoTime() - t0) / 1000000, desc, 0))
+      }
+    def reset(): Unit = { starts.clear(); done.clear() }
+    def quiesce(): Unit = {
+      var prev = done.toMap; var stable = 0; var i = 0
+      while (i < 20 && stable < 3) {
+        Thread.sleep(200)
+        val cur = done.toMap
+        if (cur == prev) stable += 1 else { stable = 0; prev = cur }
+        i += 1
+      }
+    }
+    def report(label: String): Unit = {
+      val js = done.toSeq.sortBy(_._1)
+      js.foreach { case (id, (ms, desc, _)) =>
+        val d = desc.replace("\"", "'").take(80)
+        println(s"""{"probe":"$label job","job":$id,"ms":$ms,"desc":"$d"}""")
+      }
+      println(s"""{"probe":"$label jobs_total","n":${js.size},"sum_ms":${js.map(_._2._1).sum}}""")
+    }
+  }
+
+  /** `runMain graft.ScaleProbe jobs16 <query> [query...]` — run each
+    * named SparkEntry query on SPARK_GRAFT_SF_DIR (default sf0.1),
+    * once untimed (JIT/codegen warm), then once timed with the per-job
+    * and per-stage listeners, reporting where the wall clock goes. */
+  private def jobs16(spark: SparkSession, names: Seq[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    spark.sparkContext.addSparkListener(JobTimes)
+    spark.sparkContext.addSparkListener(StageStats)
+    for (name <- names) {
+      val fn = SparkEntry.queries(name)
+      fn(spark, sfDir).queryExecution.toRdd.count() // warm
+      JobTimes.reset(); StageStats.reset()
+      val t0 = System.nanoTime()
+      fn(spark, sfDir).queryExecution.toRdd.count()
+      val sec = (System.nanoTime() - t0) / 1e9
+      JobTimes.quiesce(); StageStats.quiesce()
+      println(f"""{"probe":"$name total","sec":$sec%.3f}""")
+      JobTimes.report(name)
+      StageStats.report(name, 12)
+    }
+  }
+
   /** `runMain graft.ScaleProbe replay3` — replicated-data headroom for
     * the round-3 operators (SCALE.md): sf0.1 documents x1 vs x4 with
     * shifted ids, min-of-2 warm timings per op. */
@@ -2103,7 +2165,7 @@ object ScaleProbe {
         "kcore9", "linkpred10", "lpa11", "sparse11", "recall12",
         "lpa12", "crossover12", "headroom12", "sparse12", "assoc12",
         "headroom13", "assoc13", "sparse13", "sparse13b", "ckpt13x",
-        "bloom14", "madsort15", "bloom15"))) {
+        "bloom14", "madsort15", "bloom15", "jobs16"))) {
       val spark = SparkSession.builder()
         .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")}]")
         .config("spark.sql.shuffle.partitions",
@@ -2147,6 +2209,7 @@ object ScaleProbe {
         case "sparse12" => sparse12(spark, args.lift(1).map(_.toInt).getOrElse(10))
         case "assoc12" => assoc12(spark)
         case "madsort15" => madsort15(spark)
+        case "jobs16" => jobs16(spark, args.drop(1).toSeq)
       }
       spark.stop()
       return

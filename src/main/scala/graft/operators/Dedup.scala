@@ -385,16 +385,30 @@ object Dedup {
           least(col("label"), coalesce(col("nlabel"), col("label"))).as("l1"),
           col("label").as("old_label"))
       // pointer jump: l1 is a node id of the same component, so its
-      // current label is too — take the min of both
+      // current label is too — take the min of both.
+      // The changed-label count RIDES the checkpoint materialization
+      // as an `observe` metric (CollectMetrics folds while the rows
+      // stream into blocks) — one action per round instead of a
+      // checkpoint + a separate count job, and the checkpointed frame
+      // no longer carries old_label (r16; same pattern as
+      // Graph.labelPropagation's convergence probe).
+      val obs = org.apache.spark.sql.Observation()
       val updated = afterNeighbor
         .join(labels.select(col("id").as("__jid"), col("label").as("__jl")),
           col("l1") === col("__jid"), "left")
         .select(col("id"),
-          least(col("l1"), coalesce(col("__jl"), col("l1"))).as("new_label"),
+          least(col("l1"), coalesce(col("__jl"), col("l1"))).as("label"),
           col("old_label"))
+        .observe(obs, sum(when(col("label") =!= col("old_label"), 1L)
+          .otherwise(0L)).as("changed"))
+        .select(col("id"), col("label"))
         .localCheckpoint()
-      changed = updated.filter(col("new_label") =!= col("old_label")).count()
-      labels = updated.select(col("id"), col("new_label").as("label"))
+      // sum over an empty frame is null — trivially converged
+      changed = obs.get.get("changed") match {
+        case Some(c: Long) => c
+        case _ => 0L
+      }
+      labels = updated
       iter += 1
     }
     if (changed > 0)

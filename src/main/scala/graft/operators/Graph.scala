@@ -38,9 +38,18 @@ object Graph {
     * the summed rank of out-degree-0 nodes and q the 2⁻³⁰ grid.
     * `edges` rows are directed (src, dst) pairs; duplicates are
     * collapsed. Returns (id, rank) on the quantized grid. */
+  /** @param assumeDistinct the caller vouches `edges` carries no
+    *   duplicate (src, dst) rows AND is cheap to re-evaluate (a
+    *   projection/union over its own checkpoint — every gated caller's
+    *   doubled edge build), so the multigraph-collapsing `distinct`
+    *   (a full edge-table exchange + hash agg) and the re-checkpoint
+    *   of the already-materialized rows are both skipped. Same
+    *   contract as [[labelPropagation]]'s flag. */
   def pageRank(edges: DataFrame, srcCol: String, dstCol: String,
-               iters: Int, damping: Double = 0.875): DataFrame =
-    pageRankFrom(edges, srcCol, dstCol, init = None, iters, damping)
+               iters: Int, damping: Double = 0.875,
+               assumeDistinct: Boolean = false): DataFrame =
+    pageRankFrom(edges, srcCol, dstCol, init = None, iters, damping,
+      assumeDistinct)
 
   /** [[pageRank]] with a WARM START — the incremental-update path: on
     * a steady-state graph, yesterday's converged ranks are an
@@ -59,10 +68,11 @@ object Graph {
 
   private def pageRankFrom(edges: DataFrame, srcCol: String, dstCol: String,
                            init: Option[DataFrame], iters: Int,
-                           damping: Double): DataFrame = {
+                           damping: Double,
+                           assumeDistinct: Boolean = false): DataFrame = {
     require(iters >= 1 && damping > 0 && damping < 1)
-    val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
-      .distinct().localCheckpoint()
+    val eSel = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
+    val e = if (assumeDistinct) eSel else eSel.distinct().localCheckpoint()
     // nodes stays LAZY: its two consumers (the 1-row count under
     // broadcast and base's main branch) sit inside base's single
     // checkpoint action, where the distinct's exchange is unified by
@@ -110,11 +120,29 @@ object Graph {
   private def powerIterate(e: DataFrame, outdeg: DataFrame, base: DataFrame,
                            init: DataFrame, iters: Int, contrib: Column,
                            rankExpr: Column): DataFrame = {
+    // Sink-free short-circuit (r16): on a graph where every node has
+    // out-degree ≥ 1 — any doubled/undirected projection, i.e. every
+    // gated caller — the per-iteration dangling sum is PROVABLY +0.0
+    // (the deg-is-null set is empty, and coalesce(sum(..), 0.0) of an
+    // empty group is exactly +0.0, so rankExpr sees identical bits).
+    // Detect it once with a node-sized anti-join probe over the two
+    // checkpointed frames and ride a constant 1-row LocalRelation
+    // (broadcasts job-free) instead of paying an aggregation sub-job
+    // per iteration. Graphs WITH sinks keep the per-iteration
+    // aggregate unchanged.
+    val noSinks = base.select(col("id"))
+      .join(outdeg.select(col("id")), Seq("id"), "left_anti").isEmpty
+    val zeroDm = e.sparkSession.createDataFrame(
+      java.util.Collections.singletonList(
+        org.apache.spark.sql.Row(0.0)),
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("dm",
+          org.apache.spark.sql.types.DoubleType, nullable = false))))
     var ranks = init
     for (_ <- 1 to iters) {
       val withDeg = ranks.join(outdeg, Seq("id"), "left")
       // dangling mass: grid-exact sum over sink nodes (1-row frame)
-      val dm = withDeg.filter(col("deg").isNull)
+      val dm = if (noSinks) zeroDm else withDeg.filter(col("deg").isNull)
         .agg(coalesce(sum(col("rank")), lit(0.0)).as("dm"))
       val contribs = e.join(withDeg.filter(col("deg").isNotNull)
           .select(col("id").as("src"), col("rank"), col("deg")), Seq("src"))
@@ -182,10 +210,11 @@ object Graph {
     * is one node-sized teleport frame built once. */
   def personalizedPageRank(edges: DataFrame, srcCol: String, dstCol: String,
                            seeds: DataFrame, seedCol: String, iters: Int,
-                           damping: Double = 0.875): DataFrame = {
+                           damping: Double = 0.875,
+                           assumeDistinct: Boolean = false): DataFrame = {
     require(iters >= 1 && damping > 0 && damping < 1)
-    val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
-      .distinct().localCheckpoint()
+    val eSel = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
+    val e = if (assumeDistinct) eSel else eSel.distinct().localCheckpoint()
     val nodes = e.select(col("src").as("id"))
       .union(e.select(col("dst").as("id"))).distinct()
     val seedIds = seeds.select(col(seedCol).as("id")).distinct()
@@ -817,16 +846,23 @@ object Graph {
     * no distance pins every later round — identical result, fewer
     * jobs. Returns (id, dist) for every node reachable in ≤ rounds
     * hops. */
+  /** @param assumeMinCollapsed the caller vouches `edges` already
+    *   carries ONE row per (src, dst) arc (parallel edges pre-collapsed
+    *   to their min cost) and is cheap to re-evaluate (a union over
+    *   its own checkpoint — the gated caller's doubled build), so the
+    *   collapse's exchange + re-checkpoint are skipped; the
+    *   null/negative-cost filter still applies. */
   def weightedSssp(edges: DataFrame, srcCol: String, dstCol: String,
                    costCol: String, seeds: DataFrame, seedCol: String,
-                   rounds: Int): DataFrame = {
+                   rounds: Int, assumeMinCollapsed: Boolean = false): DataFrame = {
     require(rounds >= 1)
-    val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"),
+    val eSel = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"),
         col(costCol).cast("long").as("w"))
       .filter(col("src").isNotNull && col("dst").isNotNull &&
         col("w").isNotNull && col("w") >= 0)
-      .groupBy(col("src"), col("dst")).agg(min(col("w")).as("w"))
-      .localCheckpoint() // scanned once per round
+    val e = if (assumeMinCollapsed) eSel
+      else eSel.groupBy(col("src"), col("dst")).agg(min(col("w")).as("w"))
+        .localCheckpoint() // scanned once per round
     val nodes = e.select(col("src").as("id"))
       .union(e.select(col("dst").as("id"))).distinct()
     var dist = seeds.select(col(seedCol).as("id")).distinct()
@@ -870,10 +906,10 @@ object Graph {
     * global sort, and the edge list is touched once per hop. */
   def bfsDistances(edges: DataFrame, srcCol: String, dstCol: String,
                    seeds: DataFrame, seedCol: String,
-                   maxDepth: Int): DataFrame = {
+                   maxDepth: Int, assumeDistinct: Boolean = false): DataFrame = {
     require(maxDepth >= 1)
-    val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
-      .distinct().localCheckpoint()
+    val eSel = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
+    val e = if (assumeDistinct) eSel else eSel.distinct().localCheckpoint()
     val nodes = e.select(col("src").as("id"))
       .union(e.select(col("dst").as("id"))).distinct()
     var reached = seeds.select(col(seedCol).as("id")).distinct()

@@ -192,7 +192,16 @@ object Profiling {
   def robustOutliers(df: DataFrame, groupCol: Column, valueCol: Column,
                      k: Double = 5.0,
                      distinctBudget: Long = 2000000L): DataFrame = {
-    val base = df.select(groupCol.as("grp"), valueCol.cast("double").as("v"))
+    // Corpus projection feeds 2 (fused) to 6 (refined) passes; spread +
+    // materialize it ONCE when the scan is under-parallel (single-row-
+    // group files otherwise serialize every pass into one task and
+    // re-decode the parquet per pass) — identity at production layouts
+    // (Relational.materializeSpread). Row order changes; every
+    // downstream aggregate here is order-independent (integer counts,
+    // min/max, counts-map medians), so results are bit-identical.
+    val base = Relational.materializeSpread(
+      df.select(groupCol.as("grp"), valueCol.cast("double").as("v")),
+      col("grp"), col("v"))
     // Every intermediate here is GROUP-SIZED, and every consumer uses
     // it as a broadcast build side — which ships the rows through the
     // driver anyway. So collect each one ONCE and rebuild it as a
@@ -212,14 +221,23 @@ object Profiling {
     // the survival guarantee the adaptive split exists for. The probe
     // stays a bounded-state stats pass; what the former spelling paid
     // AROUND it (checkpoint jobs, a second driver read) is gone.
+    // distinctBudget ≤ 0 pins the refined path outright (the gated
+    // *_refined twins, and any caller that KNOWS the column is
+    // continuous): the HLL estimate could never come in under the
+    // budget, so don't pay its buffer work inside the stats pass.
+    val probe = distinctBudget > 0L
+    val statAggs = Seq(min(col("v")).as("mn"), max(col("v")).as("mx"),
+      count(col("v")).as("n")) ++
+      (if (probe) Seq(approx_count_distinct(col("v")).as("nd")) else Nil)
     val (stats, statsRows) = localized(base.groupBy(col("grp"))
-      .agg(min(col("v")).as("mn"), max(col("v")).as("mx"),
-        count(col("v")).as("n"), approx_count_distinct(col("v")).as("nd"))
+      .agg(statAggs.head, statAggs.tail: _*)
       .filter(col("n") > 0)
       .withColumn("r1", expr("(n + 1) div 2"))
       .withColumn("r2", expr("n div 2 + 1")))
     val maxDistinct =
-      if (statsRows.isEmpty) 0L
+      if (!probe) Long.MaxValue // foregone: refined path (empty input
+      // included — both paths return the same empty frame)
+      else if (statsRows.isEmpty) 0L
       else statsRows.iterator.map(_.getAs[Long]("nd")).max
     if (maxDistinct <= distinctBudget) {
       // Below the budget the whole report is TWO corpus passes: the
@@ -506,16 +524,28 @@ object Profiling {
   def medianAbsDeviation(df: DataFrame, groupCol: Column,
                          valueCol: Column,
                          distinctBudget: Long = 2000000L): DataFrame = {
-    val baseRaw = df.select(groupCol.as("grp"),
+    // Spread + materialize the corpus projection once when the scan is
+    // under-parallel (single-row-group files; identity at production
+    // layouts) — the probe, the fused pass, and both windowed phases
+    // all read the same parallel blocks instead of serial re-scans.
+    // Order-independent integer aggregates throughout → bit-identical.
+    val baseProj = df.select(groupCol.as("grp"),
         floor(valueCol.cast("double") * 100 + lit(0.5)).cast("long").as("vc"))
       .filter(col("vc").isNotNull)
+    val baseRaw = Relational.materializeSpread(baseProj, col("grp"), col("vc"))
     // The probe stays its own bounded-state pass, NOT an observe
     // metric on an optimistic fused attempt — the counts-map plan is
     // exactly the one that must not RUN over budget (one buffer entry
     // per distinct value; see robustOutliers' identical reasoning).
-    val maxDistinct = baseRaw.groupBy(col("grp"))
-      .agg(approx_count_distinct(col("vc")).as("nd"))
-      .collect().iterator.map(_.getAs[Long]("nd")).foldLeft(0L)(math.max)
+    // distinctBudget ≤ 0 pins the windowed path outright (the gated
+    // agg_mad_refined twin): the probe's answer is foregone, so the
+    // corpus pass it would cost is skipped (empty input included —
+    // both paths return the same empty frame).
+    val maxDistinct =
+      if (distinctBudget <= 0L) Long.MaxValue
+      else baseRaw.groupBy(col("grp"))
+        .agg(approx_count_distinct(col("vc")).as("nd"))
+        .collect().iterator.map(_.getAs[Long]("nd")).foldLeft(0L)(math.max)
     if (maxDistinct <= distinctBudget) {
       return baseRaw.groupBy(col("grp"))
         .agg(org.apache.spark.sql.graftx.MedianMadAgg
@@ -524,8 +554,12 @@ object Profiling {
           (col("s.med_c").cast("double") / 100.0).as("v_median"),
           (col("s.mad_c").cast("double") / 100.0).as("mad"))
     }
-    val base = baseRaw
-      .localCheckpoint() // feeds BOTH median phases
+    // materializeSpread already checkpointed on the under-parallel
+    // branch; only pay the explicit two-phase checkpoint when it was
+    // the identity (production layouts keep the r15 behavior).
+    val base =
+      if (baseRaw eq baseProj) baseProj.localCheckpoint()
+      else baseRaw // already materialized, 2 phases read its blocks
     def lowerMedian(in: DataFrame, out: String): DataFrame = {
       // cum and the group total ride ONE grp-partitioned sort (two
       // frames of the same window) — no checkpoint, no totals join

@@ -69,6 +69,48 @@ object Relational {
     else df
   }
 
+  /** [[computeRebalance]] + MATERIALIZE, for corpus projections that
+    * feed SEVERAL downstream passes (the refined median/MAD shapes):
+    * when the scan is under-parallel (a few large single-row-group
+    * files — parquet parallelizes at row-group granularity, so every
+    * re-scan would serialize into 1-2 effective tasks AND re-decode
+    * the file once per pass), spread the rows across the session's
+    * shuffle parallelism once and localCheckpoint the result, so each
+    * downstream pass is a parallel block read instead of a serial
+    * re-scan. At a production layout (scan partitions ≥ cores) this
+    * is the IDENTITY — no extra shuffle, no corpus-sized
+    * materialization; callers that need multi-pass reuse at scale
+    * keep their own explicit checkpoints (`(df eq result)` tells them
+    * nothing was materialized). Same probe-safety contract as
+    * [[computeRebalance]]: exchange-bearing plans pass through. */
+  def materializeSpread(df: DataFrame, keys: Column*): DataFrame = {
+    val target = df.sparkSession.sessionState.conf.numShufflePartitions
+    val plan = df.queryExecution.executedPlan match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+        a.inputPlan
+      case p => p
+    }
+    val hasExchange = plan.exists {
+      case _: org.apache.spark.sql.execution.exchange.Exchange => true
+      case _ => false
+    }
+    if (hasExchange) df
+    else if (df.queryExecution.toRdd.getNumPartitions < target) {
+      // Hash-spread on caller-supplied keys when given: avoids
+      // round-robin's sort-before-repartition map pass (SPARK-23207),
+      // and downstream groupBys whose keys CONTAIN the spread keys
+      // reuse the partitioning — their exchange disappears. Callers
+      // pick high-cardinality keys (the distinct-value tuple); a
+      // degenerate single-value column merely reproduces the
+      // single-task behavior this helper replaces. No keys =
+      // round-robin.
+      val spread =
+        if (keys.nonEmpty) df.repartition(target, keys: _*)
+        else df.repartition(target)
+      spread.localCheckpoint()
+    } else df
+  }
+
   /** A constant window-partition key the optimizer CANNOT fold away,
     * for windows that deliberately run on one partition because their
     * frame is bounded-small (a vocabulary head, a size histogram —

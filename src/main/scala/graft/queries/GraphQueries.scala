@@ -86,7 +86,11 @@ object GraphQueries {
     // — supplier/customer authority from purchase structure, the
     // centrality a crawl pipeline budgets sources by.
     "graph_pagerank" -> ((s, d) =>
-      Graph.pageRank(doubledPurchaseEdges(s, d), "src", "dst", iters = Iters)),
+      // doubled distinct pairs with disjoint cust/supp id ranges are
+      // distinct by construction, and the union reads the caller's own
+      // checkpoint — skip the operator's multigraph collapse (r16)
+      Graph.pageRank(doubledPurchaseEdges(s, d), "src", "dst", iters = Iters,
+        assumeDistinct = true)),
 
     // WEIGHTED PageRank: the purchase multigraph keeps its edge
     // multiplicities (one weight unit per order linking the pair) and
@@ -114,10 +118,11 @@ object GraphQueries {
     "graph_hits" -> ((s, d) => {
       val o = tbl(s, d, "orders").select(col("o_orderkey"), col("o_custkey"))
       val l = tbl(s, d, "lineitem").select(col("l_orderkey"), col("l_suppkey"))
+      // no caller-side distinct: hits() collapses the multigraph
+      // itself — the former spelling paid that exchange twice (r16)
       val edges = o.join(l, col("o_orderkey") === col("l_orderkey"))
         .select(col("o_custkey").as("src"),
           (col("l_suppkey") + 1000000L).as("dst"))
-        .distinct()
       Graph.hits(edges, "src", "dst", iters = Iters)
     }),
 
@@ -130,7 +135,7 @@ object GraphQueries {
         .filter(col("c_mktsegment") === "BUILDING")
         .select(col("c_custkey").as("seed"))
       Graph.personalizedPageRank(doubledPurchaseEdges(s, d), "src", "dst",
-        seeds, "seed", iters = Iters)
+        seeds, "seed", iters = Iters, assumeDistinct = true)
     }),
 
     // Per-node triangle counts over the part CO-PURCHASE projection
@@ -161,7 +166,7 @@ object GraphQueries {
         .filter(col("c_mktsegment") === "BUILDING")
         .select(col("c_custkey").as("seed"))
       Graph.bfsDistances(doubledPurchaseEdges(s, d), "src", "dst",
-        seeds, "seed", maxDepth = 3)
+        seeds, "seed", maxDepth = 3, assumeDistinct = true)
     }),
 
     // Link prediction over the bipartite purchase graph: supplier (and
@@ -206,7 +211,11 @@ object GraphQueries {
       val seeds = tbl(s, d, "customer")
         .filter(col("c_mktsegment") === "BUILDING")
         .select(col("c_custkey").as("seed"))
-      Graph.weightedSssp(edges, "src", "dst", "w", seeds, "seed", rounds = 3)
+      // one row per arc by construction (grouped pairs, disjoint
+      // doubled directions) over the caller's own checkpoint — skip
+      // the operator's min-collapse exchange (r16)
+      Graph.weightedSssp(edges, "src", "dst", "w", seeds, "seed", rounds = 3,
+        assumeMinCollapsed = true)
     }),
 
     // Degree assortativity of the co-purchase projection: the
