@@ -107,30 +107,58 @@ object Profiling {
     val binExpr = when(width <= 0, lit(0)).otherwise(
       least(lit(B - 1), greatest(lit(0),
         floor((col("v") - col("mn")) / width).cast("int"))))
-    val binned = base.join(broadcast(stats), Seq("grp"))
-      .groupBy(col("grp"), col("n"), col("r1"), col("r2"), binExpr.as("bin"))
-      .agg(count(lit(1)).as("cnt"))
-    val wb = Window.partitionBy(col("grp")).orderBy(col("bin"))
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     // hit = the 1-2 bins whose expanded rank range [lo, cum] touches
-    // {r1, r2}; contiguous in rank even across absent (empty) bins, so
-    // ranks inside the hit subset are global rank − off + 1
-    val hit = binned
-      .withColumn("cum", sum(col("cnt")).over(wb))
-      .withColumn("lo", col("cum") - col("cnt") + 1)
-      .filter(col("lo") <= col("r2") && col("cum") >= col("r1"))
-      .select(col("grp"), col("bin"), col("lo"))
-      .localCheckpoint() // group-sized; feeds the semi join + offsets
-    val off = hit.groupBy(col("grp")).agg(min(col("lo")).as("off"))
+    // {r1, r2} (≤2 occupied bins can, since r2 ≤ r1+1); contiguous in
+    // rank even across absent (empty) bins, so ranks inside the hit
+    // subset are global rank − off + 1, off = the first hit bin's lo.
+    // The locate is ONE corpus pass (r16): per-(grp, bin) counts, then
+    // an ORDERED FOLD over each group's occupied-bin array — the
+    // window's exact cum/lo arithmetic, bins ascending — replaces the
+    // former bin-table window + localCheckpoint + two broadcast builds
+    // (a group-partitioned sort and 3 scheduled jobs) with one
+    // in-aggregation scan. Fold state is (cum, h1, h2, off); the
+    // per-group array is bounded by occupied bins ≤ HistBins (~1 MB) —
+    // the budget the bin table itself already carries, at any corpus
+    // size. sort_array gives the ascending bin order the window's
+    // orderBy provided (bins are unique per group, so the order is
+    // total and the fold deterministic).
+    val located = base.join(broadcast(stats), Seq("grp"))
+      .groupBy(col("grp"), col("mn"), col("mx"), col("n"), col("r1"),
+        col("r2"), binExpr.as("bin"))
+      .agg(count(lit(1)).as("cnt"))
+      .groupBy(col("grp"), col("mn"), col("mx"), col("n"), col("r1"),
+        col("r2"))
+      .agg(expr(
+        """aggregate(
+             sort_array(collect_list(struct(bin, cnt))),
+             named_struct('cum', 0L, 'h1', cast(null as int),
+                          'h2', cast(null as int),
+                          'off', cast(null as bigint)),
+             (a, x) -> named_struct(
+               'cum', a.cum + x.cnt,
+               'h1', if(a.cum + 1L <= r2 and a.cum + x.cnt >= r1
+                        and a.h1 is null, x.bin, a.h1),
+               'h2', if(a.cum + 1L <= r2 and a.cum + x.cnt >= r1
+                        and a.h1 is not null, x.bin, a.h2),
+               'off', if(a.cum + 1L <= r2 and a.cum + x.cnt >= r1
+                         and a.off is null, a.cum + 1L, a.off)))""").as("loc"))
+      .select(col("grp"), col("mn"), col("mx"), col("n"), col("r1"),
+        col("r2"), col("loc.h1").as("h1"), col("loc.h2").as("h2"),
+        col("loc.off").as("off"))
+    // group-sized; collect once and rebuild as a LocalRelation so the
+    // refine pass's single broadcast builds job-free — and the refine
+    // keeps ONE broadcast join where the former spelling paid three
+    // (stats + hit semi-join + off).
+    val (loc, _) = localized(located)
     val wv = Window.partitionBy(col("grp")).orderBy(col("v"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    base.join(broadcast(stats), Seq("grp"))
-      .withColumn("bin", binExpr)
-      .join(broadcast(hit.select(col("grp"), col("bin"))),
-        Seq("grp", "bin"), "left_semi")
-      .groupBy(col("grp"), col("n"), col("r1"), col("r2"), col("v"))
+    base.join(broadcast(loc), Seq("grp"))
+      // same rows as the former semi join: bin ∈ {h1, h2} (h2 null on
+      // single-bin hits — the null comparison is falsy, never a match)
+      .filter(binExpr === col("h1") || binExpr === col("h2"))
+      .groupBy(col("grp"), col("n"), col("r1"), col("r2"), col("off"),
+        col("v"))
       .agg(count(lit(1)).as("cnt")) // distinct-value table of the hit bins
-      .join(broadcast(off), Seq("grp"))
       .withColumn("t1", col("r1") - col("off") + 1)
       .withColumn("t2", col("r2") - col("off") + 1)
       .withColumn("cum", sum(col("cnt")).over(wv))
@@ -192,16 +220,17 @@ object Profiling {
   def robustOutliers(df: DataFrame, groupCol: Column, valueCol: Column,
                      k: Double = 5.0,
                      distinctBudget: Long = 2000000L): DataFrame = {
-    // Corpus projection feeds 2 (fused) to 6 (refined) passes; spread +
-    // materialize it ONCE when the scan is under-parallel (single-row-
-    // group files otherwise serialize every pass into one task and
-    // re-decode the parquet per pass) — identity at production layouts
-    // (Relational.materializeSpread). Row order changes; every
-    // downstream aggregate here is order-independent (integer counts,
-    // min/max, counts-map medians), so results are bit-identical.
-    val base = Relational.materializeSpread(
-      df.select(groupCol.as("grp"), valueCol.cast("double").as("v")),
-      col("grp"), col("v"))
+    // NO spread+materialize of the corpus projection here (unlike
+    // medianAbsDeviation, where the spread REPLACES an existing
+    // checkpoint): this operator never checkpointed its base, and the
+    // measured A/B at sf0.1 (single-row-group parquet, the layout the
+    // spread was meant to help) read dq_outliers_refined 4.97 s plain
+    // vs 6.10 s spread — the spread's own shuffle+checkpoint job costs
+    // more than the serial re-decodes it saves on a 10 MB file, and
+    // every downstream pass re-exchanges by grp anyway. Re-scanning
+    // the source per pass stays the cheaper spelling at every layout
+    // probed; revisit only with a measured win on a multi-GB input.
+    val base = df.select(groupCol.as("grp"), valueCol.cast("double").as("v"))
     // Every intermediate here is GROUP-SIZED, and every consumer uses
     // it as a broadcast build side — which ships the rows through the
     // driver anyway. So collect each one ONCE and rebuild it as a
@@ -524,15 +553,14 @@ object Profiling {
   def medianAbsDeviation(df: DataFrame, groupCol: Column,
                          valueCol: Column,
                          distinctBudget: Long = 2000000L): DataFrame = {
-    // Spread + materialize the corpus projection once when the scan is
-    // under-parallel (single-row-group files; identity at production
-    // layouts) — the probe, the fused pass, and both windowed phases
-    // all read the same parallel blocks instead of serial re-scans.
-    // Order-independent integer aggregates throughout → bit-identical.
+    // The REFINED branch spreads + materializes the corpus projection
+    // once (below, after the probe decides): both windowed phases then
+    // read the same parallel blocks instead of serial re-scans of an
+    // under-parallel file. Row order changes; order-independent
+    // integer aggregates throughout → bit-identical.
     val baseProj = df.select(groupCol.as("grp"),
         floor(valueCol.cast("double") * 100 + lit(0.5)).cast("long").as("vc"))
       .filter(col("vc").isNotNull)
-    val baseRaw = Relational.materializeSpread(baseProj, col("grp"), col("vc"))
     // The probe stays its own bounded-state pass, NOT an observe
     // metric on an optimistic fused attempt — the counts-map plan is
     // exactly the one that must not RUN over budget (one buffer entry
@@ -543,20 +571,26 @@ object Profiling {
     // both paths return the same empty frame).
     val maxDistinct =
       if (distinctBudget <= 0L) Long.MaxValue
-      else baseRaw.groupBy(col("grp"))
+      else baseProj.groupBy(col("grp"))
         .agg(approx_count_distinct(col("vc")).as("nd"))
         .collect().iterator.map(_.getAs[Long]("nd")).foldLeft(0L)(math.max)
     if (maxDistinct <= distinctBudget) {
-      return baseRaw.groupBy(col("grp"))
+      // fused branch: ONE more pass over the source — the spread's
+      // extra shuffle+checkpoint job would buy nothing (measured
+      // agg_mad 0.97 s plain vs up to 1.28 s spread at sf0.1), so the
+      // spread is paid only on the multi-phase refined branch below.
+      return baseProj.groupBy(col("grp"))
         .agg(org.apache.spark.sql.graftx.MedianMadAgg
           .medianMad(col("vc")).as("s"))
         .select(col("grp"), col("s.n").as("n"),
           (col("s.med_c").cast("double") / 100.0).as("v_median"),
           (col("s.mad_c").cast("double") / 100.0).as("mad"))
     }
-    // materializeSpread already checkpointed on the under-parallel
-    // branch; only pay the explicit two-phase checkpoint when it was
-    // the identity (production layouts keep the r15 behavior).
+    // materializeSpread spreads + checkpoints when the scan is
+    // under-parallel (its checkpoint doubles as the two-phase
+    // checkpoint); at production layouts it is the identity and the
+    // explicit checkpoint keeps the r15 behavior.
+    val baseRaw = Relational.materializeSpread(baseProj, col("grp"), col("vc"))
     val base =
       if (baseRaw eq baseProj) baseProj.localCheckpoint()
       else baseRaw // already materialized, 2 phases read its blocks
