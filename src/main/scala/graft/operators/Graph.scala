@@ -171,12 +171,26 @@ object Graph {
     * half-up so W is an exact integer sum. Same grid / iteration /
     * scale shape as [[pageRank]] — the weighted contribution is the
     * only change, and it rides the same powerIterate loop via a
-    * weight-aware contribution column. */
+    * weight-aware contribution column.
+    *
+    * @param assumeCollapsed the caller vouches `edges` is already one
+    *   row per (src, dst) arc with a positive integral weight (e.g. a
+    *   grouped count doubled over disjoint id ranges, reading the
+    *   caller's own checkpoint) — the operator then skips its
+    *   quantize + filter + collapse pass and the checkpoint of it,
+    *   exactly the [[pageRank]] `assumeDistinct` pattern. On such
+    *   input the collapse is the identity (one row per key ⇒
+    *   sum(w) = w, and floor(w + 0.5) = w for integral w), so the
+    *   resulting bits are unchanged. */
   def pageRankWeighted(edges: DataFrame, srcCol: String, dstCol: String,
                        weightCol: String, iters: Int,
-                       damping: Double = 0.875): DataFrame = {
+                       damping: Double = 0.875,
+                       assumeCollapsed: Boolean = false): DataFrame = {
     require(iters >= 1 && damping > 0 && damping < 1)
-    val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"),
+    val eSel = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"),
+      col(weightCol).cast("long").as("w"))
+    val e = if (assumeCollapsed) eSel
+    else edges.select(col(srcCol).as("src"), col(dstCol).as("dst"),
         floor(col(weightCol).cast("double") + lit(0.5)).cast("long").as("w"))
       .filter(col("w") > 0)
       .groupBy(col("src"), col("dst")).agg(sum(col("w")).as("w"))
@@ -875,16 +889,25 @@ object Graph {
       val relaxed = dist
         .join(e.select(col("src").as("id"), col("dst"), col("w")), Seq("id"))
         .select(col("dst").as("id"), (col("dist") + col("w")).as("dist"))
+      // fixed point: every (id, dist) unchanged — min-plus is
+      // monotone, so no later round can differ either. The change
+      // count RIDES the round checkpoint's materialization as an
+      // observe metric over a node-sized join with the previous
+      // frame (min-plus never loses an id, so "no new id and no
+      // changed dist" ⇔ the former anti-join probe's emptiness) —
+      // the probe job per non-final round disappears (r16; the
+      // LPA / duplicateClusters convergence pattern).
+      val obs = org.apache.spark.sql.Observation()
       val next = dist.unionByName(relaxed)
         .groupBy(col("id")).agg(min(col("dist")).as("dist"))
+        .join(dist.select(col("id"), col("dist").as("__old")), Seq("id"), "left")
+        .observe(obs, sum(when(col("__old").isNull ||
+          col("__old") =!= col("dist"), 1L).otherwise(0L)).as("changed"))
+        .select(col("id"), col("dist"))
         .localCheckpoint()
       r += 1
-      // fixed point: every (id, dist) unchanged — min-plus is
-      // monotone, so no later round can differ either. The probe is
-      // an extra job, so it only runs while a positive answer could
-      // still SAVE a round — on the final round its result is moot.
-      converged = r < rounds &&
-        next.join(dist, Seq("id", "dist"), "left_anti").isEmpty
+      // sum over an empty frame is null — trivially converged
+      converged = Option(obs.get("changed")).forall(_.asInstanceOf[Long] == 0L)
       dist = next
     }
     dist
@@ -944,31 +967,45 @@ object Graph {
     require(iters >= 1)
     val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
       .distinct().localCheckpoint()
-    val srcs = e.select(col("src").as("id")).distinct().localCheckpoint()
-    val dsts = e.select(col("dst").as("id")).distinct().localCheckpoint()
-    var hubs = srcs.select(col("id"), lit(1.0).as("h")).localCheckpoint()
-    var auths = dsts.select(col("id"), lit(1.0).as("a")).localCheckpoint()
-    // Per half-step the raw-sum frame keeps its own checkpoint: the
-    // lazy spelling (raw frame re-derived under both the broadcast-max
+    // one checkpoint for the initial hub frame (the former srcs
+    // checkpoint + hubs checkpoint chained two jobs for one frame);
+    // the initial auth frame is NEVER consumed when iters ≥ 1 (the
+    // loop reassigns `auths` before its first read), so it stays a
+    // LAZY projection — its former eager checkpoint was a dead job
+    var hubs = e.select(col("src").as("id")).distinct()
+      .select(col("id"), lit(1.0).as("h")).localCheckpoint()
+    var auths = e.select(col("dst").as("id")).distinct()
+      .select(col("id"), lit(1.0).as("a"))
+    // Per half-step only the RAW-sum frame is checkpointed: the
+    // all-lazy spelling (raw frame re-derived under both the max
     // branch and the normalized projection) measured SLOWER in the
     // round-13 subset A/B (+1.6 s — the e⋈ranks join recomputes under
     // the max branch; ReuseExchange does not recover it), the same
-    // negative result as sparse13b's all-lazy form.
+    // negative result as sparse13b's all-lazy form. The max itself
+    // RIDES that checkpoint's materialization as an observe metric
+    // (max is order-independent, so the streamed fold sees the same
+    // value as the former separate aggregation job — bit-identical),
+    // and the normalization becomes a trivial projection of the
+    // checkpointed blocks against a driver literal: the former
+    // per-half-step max-broadcast build and normalized-frame
+    // checkpoint jobs (6 + 6 per query at 3 iters) disappear (r16).
     for (_ <- 1 to iters) {
+      val aObs = org.apache.spark.sql.Observation()
       val aRaw = e.join(hubs.select(col("id").as("src"), col("h")), Seq("src"))
         .groupBy(col("dst").as("id")).agg(sum(q30(col("h"))).as("raw"))
+        .observe(aObs, max(col("raw")).as("mx"))
         .localCheckpoint()
-      val aMax = aRaw.agg(max(col("raw")).as("mx"))
-      auths = aRaw.crossJoin(broadcast(aMax))
-        .select(col("id"), q30(col("raw") / col("mx")).as("a"))
-        .localCheckpoint()
+      // null metric ⇔ empty raw frame: the projection below is then
+      // empty regardless of the literal — NaN only keeps lit() typed
+      val aMx = Option(aObs.get("mx")).fold(Double.NaN)(_.asInstanceOf[Double])
+      auths = aRaw.select(col("id"), q30(col("raw") / lit(aMx)).as("a"))
+      val hObs = org.apache.spark.sql.Observation()
       val hRaw = e.join(auths.select(col("id").as("dst"), col("a")), Seq("dst"))
         .groupBy(col("src").as("id")).agg(sum(q30(col("a"))).as("raw"))
+        .observe(hObs, max(col("raw")).as("mx"))
         .localCheckpoint()
-      val hMax = hRaw.agg(max(col("raw")).as("mx"))
-      hubs = hRaw.crossJoin(broadcast(hMax))
-        .select(col("id"), q30(col("raw") / col("mx")).as("h"))
-        .localCheckpoint()
+      val hMx = Option(hObs.get("mx")).fold(Double.NaN)(_.asInstanceOf[Double])
+      hubs = hRaw.select(col("id"), q30(col("raw") / lit(hMx)).as("h"))
     }
     hubs.select(col("id"), lit("hub").as("kind"), col("h").as("score"))
       .unionByName(auths.select(col("id"), lit("auth").as("kind"),

@@ -99,9 +99,19 @@ object GraphQueries {
     "graph_pagerank_w" -> ((s, d) => {
       val o = tbl(s, d, "orders").select(col("o_orderkey"), col("o_custkey"))
       val l = tbl(s, d, "lineitem").select(col("l_orderkey"), col("l_suppkey"))
+      // same in-plan id-range guard as doubledPurchaseEdges: the
+      // downstream `assumeCollapsed = true` vouches the doubled union
+      // is one row per arc, which holds ONLY while cust ids stay
+      // strictly below the supp offset — fail loudly, not silently
+      val SuppOffset = 1000000L
+      val custGuarded = when(col("o_custkey") >= SuppOffset,
+        raise_error(concat(lit(s"custkey overlaps the supp id offset " +
+          s"$SuppOffset — doubled edges would alias: "),
+          col("o_custkey").cast("string"))))
+        .otherwise(col("o_custkey"))
       val pairs = o.join(l, col("o_orderkey") === col("l_orderkey"))
-        .select(col("o_custkey").as("cust"),
-          (col("l_suppkey") + 1000000L).as("supp"), col("o_orderkey"))
+        .select(custGuarded.as("cust"),
+          (col("l_suppkey") + SuppOffset).as("supp"), col("o_orderkey"))
         .distinct() // one row per (cust, supp, order) = one weight unit
         .groupBy(col("cust"), col("supp")).agg(count(lit(1)).as("w"))
         .localCheckpoint() // feeds BOTH branches of the doubled union
@@ -109,7 +119,11 @@ object GraphQueries {
         .select(col("cust").as("src"), col("supp").as("dst"), col("w"))
         .unionByName(pairs
           .select(col("supp").as("src"), col("cust").as("dst"), col("w")))
-      Graph.pageRankWeighted(edges, "src", "dst", "w", iters = Iters)
+      // grouped pairs doubled over disjoint id ranges are one row per
+      // arc by construction, over the caller's own checkpoint — skip
+      // the operator's collapse exchange + checkpoint (r16)
+      Graph.pageRankWeighted(edges, "src", "dst", "w", iters = Iters,
+        assumeCollapsed = true)
     }),
 
     // HITS on the DIRECTED bipartite graph (cust → supp): customers are

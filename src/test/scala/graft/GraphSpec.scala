@@ -105,6 +105,16 @@ class GraphSpec extends SparkTestBase {
     val rb = Graph.pageRankWeighted(agg, "src", "dst", "w", iters = 3)
       .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
     assert(ra == rb, "parallel edges must fold into their weight sum")
+    // assumeCollapsed on already-collapsed positive-integral edges is
+    // BIT-IDENTICAL to the default path (the skipped collapse is the
+    // identity there) — the r16 caller-side pre-collapse contract
+    val rc = Graph.pageRankWeighted(agg, "src", "dst", "w", iters = 3,
+        assumeCollapsed = true)
+      .collect().map(r => r.getLong(0) -> java.lang.Double
+        .doubleToRawLongBits(r.getDouble(1))).toMap
+    val rd = rb.map { case (k, v) =>
+      k -> java.lang.Double.doubleToRawLongBits(v) }
+    assert(rc == rd, "assumeCollapsed must not change a single bit")
   }
 
   test("warm-start pageRank re-converges in a fraction of the cold iterations") {
