@@ -80,8 +80,11 @@ object Graph {
     val nodes = e.select(col("src").as("id"))
       .union(e.select(col("dst").as("id"))).distinct()
     val n = nodes.select(count(lit(1)).cast("double").as("n"))
-    // base carries each node's per-iteration constants (here: n)
-    val base = nodes.crossJoin(broadcast(n)).localCheckpoint()
+    // base carries each node's per-iteration constants (here: n);
+    // its row count rides the checkpoint for the sink-free probe
+    val baseObs = org.apache.spark.sql.Observation()
+    val base = nodes.crossJoin(broadcast(n))
+      .observe(baseObs, count(lit(1)).as("cnt")).localCheckpoint()
     val ranks0 = init match {
       case None =>
         // trivial projection of the checkpointed base — each first-
@@ -98,10 +101,13 @@ object Graph {
           .localCheckpoint()
     }
     // uniform teleport: r' = q((1−d)/n + d·(s + dm/n))
-    powerIterate(e, countDeg(e), base, ranks0, iters,
+    val degObs = org.apache.spark.sql.Observation()
+    val outdeg = countDeg(e, degObs)
+    powerIterate(e, outdeg, base, ranks0, iters,
       q30(col("rank") / col("deg")),
       q30(lit(1.0 - damping) / col("n") +
-        lit(damping) * (coalesce(col("s"), lit(0.0)) + col("dm") / col("n"))))
+        lit(damping) * (coalesce(col("s"), lit(0.0)) + col("dm") / col("n"))),
+      noSinks = obsCount(degObs) == obsCount(baseObs))
   }
 
   /** The shared rank-update loop of [[pageRank]] / [[pageRankWarm]] /
@@ -119,19 +125,21 @@ object Graph {
     * total out-weight for the weighted one. */
   private def powerIterate(e: DataFrame, outdeg: DataFrame, base: DataFrame,
                            init: DataFrame, iters: Int, contrib: Column,
-                           rankExpr: Column): DataFrame = {
+                           rankExpr: Column, noSinks: Boolean): DataFrame = {
     // Sink-free short-circuit (r16): on a graph where every node has
     // out-degree ≥ 1 — any doubled/undirected projection, i.e. every
     // gated caller — the per-iteration dangling sum is PROVABLY +0.0
     // (the deg-is-null set is empty, and coalesce(sum(..), 0.0) of an
     // empty group is exactly +0.0, so rankExpr sees identical bits).
-    // Detect it once with a node-sized anti-join probe over the two
-    // checkpointed frames and ride a constant 1-row LocalRelation
+    // `noSinks` ⇔ |outdeg| == |base| (outdeg's ids are distinct
+    // sources ⊆ base's node set, so equal counts mean every node HAS
+    // out-degree) — both counts ride the frames' own checkpoint
+    // materializations as observe metrics in the callers, so the
+    // former node-sized anti-join probe job is gone (r16, second
+    // pass). Sink-free graphs ride a constant 1-row LocalRelation
     // (broadcasts job-free) instead of paying an aggregation sub-job
-    // per iteration. Graphs WITH sinks keep the per-iteration
+    // per iteration; graphs WITH sinks keep the per-iteration
     // aggregate unchanged.
-    val noSinks = base.select(col("id"))
-      .join(outdeg.select(col("id")), Seq("id"), "left_anti").isEmpty
     val zeroDm = e.sparkSession.createDataFrame(
       java.util.Collections.singletonList(
         org.apache.spark.sql.Row(0.0)),
@@ -157,10 +165,19 @@ object Graph {
     ranks
   }
 
-  /** (id, deg) out-degree frame: the divisor of the uniform forms. */
-  private def countDeg(e: DataFrame): DataFrame =
+  /** (id, deg) out-degree frame: the divisor of the uniform forms.
+    * Its row count rides the checkpoint materialization as an observe
+    * metric (`cnt`) for the callers' sink-free probe. */
+  private def countDeg(e: DataFrame,
+                       obs: org.apache.spark.sql.Observation): DataFrame =
     e.groupBy(col("src").as("id")).agg(count(lit(1)).as("deg"))
+      .observe(obs, count(lit(1)).as("cnt"))
       .localCheckpoint() // node-sized; joined into ranks every iteration
+
+  /** Observed row count after the eager checkpoint that consumed the
+    * observation (null metric = empty frame). */
+  private def obsCount(obs: org.apache.spark.sql.Observation): Long =
+    Option(obs.get("cnt")).fold(0L)(_.asInstanceOf[Long])
 
   /** WEIGHTED PageRank — real link graphs are multigraphs (a domain
     * linking another 500 times is not one edge): contributions split
@@ -201,15 +218,21 @@ object Graph {
     val nodes = e.select(col("src").as("id"))
       .union(e.select(col("dst").as("id"))).distinct()
     val n = nodes.select(count(lit(1)).cast("double").as("n"))
-    val base = nodes.crossJoin(broadcast(n)).localCheckpoint()
+    val baseObs = org.apache.spark.sql.Observation()
+    val base = nodes.crossJoin(broadcast(n))
+      .observe(baseObs, count(lit(1)).as("cnt")).localCheckpoint()
     val init = base.select(col("id"), q30(lit(1.0) / col("n")).as("rank"))
-    // out-weight takes the degree slot: contribution = q(r·w/W)
+    // out-weight takes the degree slot: contribution = q(r·w/W); its
+    // row count rides the checkpoint for the sink-free probe
+    val outwObs = org.apache.spark.sql.Observation()
     val outw = e.groupBy(col("src").as("id")).agg(sum(col("w")).as("deg"))
+      .observe(outwObs, count(lit(1)).as("cnt"))
       .localCheckpoint()
     powerIterate(e, outw, base, init, iters,
       q30(col("rank") * col("w") / col("deg")),
       q30(lit(1.0 - damping) / col("n") +
-        lit(damping) * (coalesce(col("s"), lit(0.0)) + col("dm") / col("n"))))
+        lit(damping) * (coalesce(col("s"), lit(0.0)) + col("dm") / col("n"))),
+      noSinks = obsCount(outwObs) == obsCount(baseObs))
   }
 
   /** PERSONALIZED PageRank: teleport mass concentrates uniformly on a
@@ -234,18 +257,23 @@ object Graph {
     val seedIds = seeds.select(col(seedCol).as("id")).distinct()
       .join(nodes, Seq("id"), "left_semi")
     val sc = seedIds.select(count(lit(1)).cast("double").as("s"))
+    val teleObs = org.apache.spark.sql.Observation()
     val tele = nodes
       .join(seedIds.withColumn("__seed", lit(1)), Seq("id"), "left")
       .crossJoin(broadcast(sc))
       .select(col("id"), when(col("__seed").isNotNull,
         q30(lit(1.0) / col("s"))).otherwise(lit(0.0)).as("t"))
+      .observe(teleObs, count(lit(1)).as("cnt"))
       .localCheckpoint()
     // seeded teleport: r' = q((1−d)·t + d·(s + dm·t))
-    powerIterate(e, countDeg(e), tele,
+    val degObs = org.apache.spark.sql.Observation()
+    val outdeg = countDeg(e, degObs)
+    powerIterate(e, outdeg, tele,
       tele.select(col("id"), col("t").as("rank")), iters,
       q30(col("rank") / col("deg")),
       q30(lit(1.0 - damping) * col("t") +
-        lit(damping) * (coalesce(col("s"), lit(0.0)) + col("dm") * col("t"))))
+        lit(damping) * (coalesce(col("s"), lit(0.0)) + col("dm") * col("t"))),
+      noSinks = obsCount(degObs) == obsCount(teleObs))
   }
 
   /** Per-node triangle counts over an UNDIRECTED edge list — the
